@@ -1,0 +1,208 @@
+"""Headline analytics queries over the testdata star schema.
+
+These exercise the full relational operator surface (scan → filter →
+multi-join → agg → window → sort) the way a warehouse workload would.
+Plans are declarative DataFrame programs: Catalyst pushes filters into
+the parquet scans, prunes columns, broadcasts small dimensions, and AQE
+re-plans shuffles at runtime.
+
+Floating-point note: monetary aggregates are rounded (2 decimals) at
+the output boundary so results are stable across summation orders —
+required for bit-exact oracle comparison and for deterministic results
+at any parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "pricing_summary",
+    "top_revenue_orders",
+    "regional_revenue",
+    "top_orders_per_customer",
+    "distinct_parts_per_flag",
+    "events_windowed_agg",
+    "events_sessionize",
+    "events_json_extract",
+]
+
+
+def pricing_summary(lineitem: DataFrame, ship_before: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1 shape: big scan → 2-key groupBy → many aggregates.
+
+    Whole-stage-codegen'd partial+final HashAggregate; the filter is
+    pushed to the parquet scan (row-group stats on l_shipdate).
+    """
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(ship_before).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def top_revenue_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → fact joins → agg → top-k.
+
+    customer(filtered) is small → broadcast into orders; the
+    orders⨝lineitem join shuffles on orderkey. Deterministic top-k:
+    revenue rounded before ordering, orderkey tiebreak.
+    """
+    cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    revenue = F.round(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+    ).alias("revenue")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue)
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(k)
+    )
+
+
+def regional_revenue(tables: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q5 shape: snowflake join through region→nation→customer/
+    supplier→orders→lineitem, revenue per nation.
+
+    All dimensions broadcast; the only large shuffles are the two fact
+    joins on orderkey, then the final small agg.
+    """
+    t = tables
+    revenue = F.round(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+    ).alias("revenue")
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(revenue)
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+def top_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k per group via ranking window — partitions by customer so it
+    parallelizes; deterministic tiebreak on orderkey."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "rk",
+        )
+    )
+
+
+def distinct_parts_per_flag(lineitem: DataFrame) -> DataFrame:
+    """Exact distinct aggregation (expand + two-phase agg in Spark)."""
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def events_windowed_agg(events: DataFrame, width: str = "5 minutes") -> DataFrame:
+    """Tumbling event-time window aggregation (batch form).
+
+    The identical plan runs under Structured Streaming with a watermark
+    (streaming/ingest.py); in batch it's a plain groupBy on the bucketed
+    timestamp so the oracle can reproduce it.
+    """
+    win = F.window("ts", width)
+    return (
+        events.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def events_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization: per-user lag + gap cumsum window → session ids,
+    then per-session stats. Partitions by user_id → parallel at scale."""
+    by_user = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(by_user)
+    new_sess = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    sess = (
+        events.withColumn("new_sess", new_sess)
+        .withColumn(
+            "session_no",
+            F.sum("new_sess").over(
+                by_user.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
+def events_json_extract(events: DataFrame) -> DataFrame:
+    """Semi-structured extraction: pull a typed field out of the JSON
+    ``props`` column and aggregate on it (reference's JSON-document
+    heritage, SURVEY §1.1, done columnar instead of row-at-a-time)."""
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
