@@ -16,6 +16,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from social_media_etl_spark.catalog import load_table, load_tables
+from social_media_etl_spark.functions import text as TXT
+from social_media_etl_spark.operators import dedup, similarity
 from social_media_etl_spark.plans import analytics, blog
 
 SF0001 = "/root/testdata/sf0.001"
@@ -92,6 +94,94 @@ def _events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.events_json_extract(load_table(spark, sf_dir, "events"))
 
 
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep first (lowest doc_id) row per identical text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_exact(docs, ["text"], ["doc_id"])
+
+
+def _dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (≥0.8) via inverted-index join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+
+
+def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidates, exact-Jaccard verified (approximate recall)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.8
+    )
+
+
+def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded candidate pairs with Hamming distance ≤ 3."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, "doc_id", "text", bits=32, band_bits=8).filter(
+        F.col("hamming") <= 3
+    )
+
+
+def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-dup pairs over the embedding column."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.4)
+
+
+def _ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for query vectors vec_id<10."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5
+    )
+
+
+def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-5 (bucketed candidates, exact rerank)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5
+    )
+
+
+def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text metrics: tokens, avg token length, punctuation
+    ratio, quality score — single codegen'd projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TXT.token_count("text").alias("n_tokens"),
+        F.round(TXT.avg_token_len("text"), 4).alias("avg_tok_len"),
+        F.round(TXT.char_class_ratio("text"), 6).alias("punct_ratio"),
+        TXT.quality_score("text").alias("quality"),
+    )
+
+
+def _text_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language ID per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TXT.lang_id("text").alias("lang_pred"))
+
+
+def _text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic rolling-hash document fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TXT.fingerprint("text").alias("fp"))
+
+
+def _multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column plumbing: payload bytes + typed metadata
+    (byte length, content digest) — the decode stage itself is the
+    Pandas-UDF stub in sources/multimodal.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "utf-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).alias("n_bytes"),
+        F.sha2(payload, 256).alias("digest"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "blog_a_most_active": _blog_a,
@@ -105,6 +195,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed_agg": _events_window,
         "events_sessionize": _events_sessions,
         "events_json_extract": _events_json,
+        "dedup_exact": _dedup_exact,
+        "dedup_ngram_jaccard": _dedup_jaccard,
+        "dedup_minhash_lsh": _dedup_minhash,
+        "dedup_simhash": _dedup_simhash,
+        "embedding_neardup": _embedding_neardup,
+        "ann_cosine_topk": _ann_topk,
+        "ann_lsh_topk": _ann_lsh,
+        "text_stats": _text_stats,
+        "text_lang_id": _text_lang,
+        "doc_fingerprint": _text_fingerprint,
+        "multimodal_metadata": _multimodal_metadata,
     }
 
 
@@ -235,5 +336,139 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             )
             GROUP BY event_type ORDER BY event_type
+        """,
+        "dedup_exact": """
+            SELECT doc_id, text, lang, source, n_chars FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY text ORDER BY doc_id
+                ) AS rn FROM documents
+            ) WHERE rn = 1
+        """,
+        # Exact word-3-gram Jaccard via inverted-index join — mirrors
+        # operators/dedup.py:jaccard_pairs (tokens = lower+trim+\s+ split).
+        "dedup_ngram_jaccard": """
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id, unnest(list_distinct(
+                    [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]
+                )) AS s
+                FROM toks WHERE len(w) >= 3
+            ),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            common AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(c * 1.0 / (x.n + y.n - c), 6) AS jaccard
+            FROM common
+            JOIN sz x ON id_a = x.doc_id
+            JOIN sz y ON id_b = y.doc_id
+            WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.8
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+        """,
+        "ann_cosine_topk": """
+            SELECT query_id, neighbor_id, cosine, rk FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cosine,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                                    c.vec_id
+                       ) AS rk
+                FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+                WHERE q.vec_id < 10
+            ) WHERE rk <= 5
+        """,
+        # Mirrors functions/text.py metrics exactly (same formula, same
+        # rounding, explicit double casts so DuckDB doesn't go DECIMAL).
+        "text_stats": """
+            WITH t AS (
+                SELECT doc_id, text,
+                       string_split_regex(trim(lower(text)), '\\s+') AS w
+                FROM documents
+            ),
+            m AS (
+                SELECT doc_id, text,
+                       CASE WHEN trim(text) = '' THEN 0 ELSE len(w) END AS n_tokens,
+                       length(array_to_string(w, '')) AS n_wchars,
+                       length(text) AS n_chars,
+                       length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+                       length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+                FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   CASE WHEN n_tokens > 0
+                        THEN round(n_wchars / CAST(n_tokens AS DOUBLE), 4) END AS avg_tok_len,
+                   CASE WHEN n_chars > 0
+                        THEN round(n_punct / CAST(n_chars AS DOUBLE), 6) END AS punct_ratio,
+                   round(
+                       0.4 * least(n_tokens / CAST(50.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+                     + 0.3 * (CASE WHEN n_tokens > 0
+                                    AND n_wchars / CAST(n_tokens AS DOUBLE) >= 3
+                                    AND n_wchars / CAST(n_tokens AS DOUBLE) <= 10
+                              THEN 1.0 ELSE 0.5 END)
+                     + 0.3 * (1 - least(
+                           coalesce(CASE WHEN n_chars > 0
+                               THEN n_punct / CAST(n_chars AS DOUBLE) END, 0)
+                         + coalesce(CASE WHEN n_chars > 0
+                               THEN n_digit / CAST(n_chars AS DOUBLE) END, 0),
+                           CAST(1.0 AS DOUBLE))),
+                   6) AS quality
+            FROM m
+        """,
+        # Same stopword lists + same reverse-alphabetical tiebreak as
+        # functions/text.py lang_id.
+        "text_lang_id": """
+            WITH t AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') AS w
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id,
+                    len(list_filter(w, x -> list_contains(
+                        ['der','die','das','und','ist','nicht','ein','mit','für','auf'], x))) AS s_de,
+                    len(list_filter(w, x -> list_contains(
+                        ['the','and','is','of','to','in','that','it','with','for'], x))) AS s_en,
+                    len(list_filter(w, x -> list_contains(
+                        ['el','la','los','las','es','y','de','que','en','por'], x))) AS s_es,
+                    len(list_filter(w, x -> list_contains(
+                        ['le','la','les','et','est','de','que','en','une','pour'], x))) AS s_fr
+                FROM t
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'unknown'
+                        WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
+                        WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                        WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                        ELSE 'de' END AS lang_pred
+            FROM s
+        """,
+        # Same rolling polynomial hash as functions/text.py fingerprint.
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           [CAST(37 * length(x) + ascii(substr(x, 1, 1)) AS BIGINT)
+                            FOR x IN string_split_regex(trim(lower(text)), '\\s+')]),
+                       (a, b) -> (a * 131 + b) % 1000000007
+                   ) AS fp
+            FROM documents
+        """,
+        "multimodal_metadata": """
+            SELECT doc_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   sha256(text) AS digest
+            FROM documents
         """,
     }

@@ -1,0 +1,174 @@
+"""Text-analysis column expressions for training-data pipelines:
+tokenization, shingling, quality scoring, language ID, fingerprinting.
+
+All built-in expressions (split/transform/aggregate/filter) — scale to
+100 TB of documents as a single codegen'd projection, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "word_shingles",
+    "avg_token_len",
+    "char_class_ratio",
+    "stopword_ratio",
+    "quality_score",
+    "lang_scores",
+    "lang_id",
+    "fingerprint",
+    "simhash",
+    "LANG_STOPWORDS",
+    "PUNCT_CLASS",
+    "FINGERPRINT_MOD",
+]
+
+PUNCT_CLASS = "[.,!?;:]"
+FINGERPRINT_MOD = 1_000_000_007
+
+# Tiny per-language function-word lists for the n-gram/stopword
+# language-ID heuristic. Order matters for deterministic tiebreak.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "en": ("the", "and", "is", "of", "to", "in", "that", "it", "with", "for"),
+    "es": ("el", "la", "los", "las", "es", "y", "de", "que", "en", "por"),
+    "fr": ("le", "la", "les", "et", "est", "de", "que", "en", "une", "pour"),
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (empty string → empty array)."""
+    text = F.col(text) if isinstance(text, str) else text
+    t = F.split(F.trim(F.lower(text)), r"\s+")
+    return F.when(F.trim(text) == "", F.array().cast("array<string>")).otherwise(t)
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (the MinHash/Jaccard input unit)."""
+    t = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(t) - n),
+        lambda i: F.array_join(F.slice(t, i + 1, n), " "),
+    )
+    empty = F.array().cast("array<string>")
+    return F.array_distinct(F.when(F.size(t) >= n, grams).otherwise(empty))
+
+
+def avg_token_len(text: Column | str) -> Column:
+    t = tokens(text)
+    total = F.aggregate(
+        t, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    return F.when(F.size(t) > 0, total / F.size(t))
+
+
+def char_class_ratio(text: Column | str, char_class: str = PUNCT_CLASS) -> Column:
+    """Fraction of characters matching a regex character class."""
+    text = F.col(text) if isinstance(text, str) else text
+    n = F.length(text)
+    stripped = F.length(F.regexp_replace(text, char_class, ""))
+    return F.when(n > 0, (n - stripped) / n)
+
+
+def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] | None = None) -> Column:
+    """Fraction of token OCCURRENCES that are stopwords."""
+    words = stopwords or LANG_STOPWORDS["en"]
+    t = tokens(text)
+    lit_words = F.array(*[F.lit(w) for w in words])
+    hits = F.size(F.filter(t, lambda w: F.array_contains(lit_words, w)))
+    return F.when(F.size(t) > 0, hits / F.size(t))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic document-quality score in [0,1]: rewards mid-range
+    length and word size, penalizes punctuation/digit soup. The exact
+    formula is this engine's own; what matters is determinism and
+    single-pass evaluation."""
+    text = F.col(text) if isinstance(text, str) else text
+    n_tok = token_count(text)
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    awl = F.coalesce(avg_token_len(text), F.lit(0.0))
+    wordlen_score = F.when((awl >= 3) & (awl <= 10), 1.0).otherwise(0.5)
+    punct_pen = F.coalesce(char_class_ratio(text, PUNCT_CLASS), F.lit(0.0))
+    digit_pen = F.coalesce(char_class_ratio(text, "[0-9]"), F.lit(0.0))
+    raw = (
+        0.4 * len_score
+        + 0.3 * wordlen_score
+        + 0.3 * (1 - F.least(punct_pen + digit_pen, F.lit(1.0)))
+    )
+    return F.round(raw, 6)
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Stopword-hit count per language (occurrence-weighted)."""
+    t = tokens(text)
+    out = {}
+    for lang, words in LANG_STOPWORDS.items():
+        lit_words = F.array(*[F.lit(w) for w in words])
+        out[lang] = F.size(F.filter(t, lambda w: F.array_contains(lit_words, w)))
+    return out
+
+
+def lang_id(text: Column | str, default: str = "unknown") -> Column:
+    """Argmax language by stopword hits; ties broken by reverse-
+    alphabetical language code (via struct max); zero hits → default."""
+    scores = lang_scores(text)
+    pairs = F.array(
+        *[F.struct(s.alias("score"), F.lit(lang).alias("lang")) for lang, s in scores.items()]
+    )
+    best = F.array_max(pairs)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit(default))
+
+
+def fingerprint(text: Column | str, mod: int = FINGERPRINT_MOD) -> Column:
+    """Deterministic rolling polynomial document fingerprint:
+    fold(acc*131 + (37*len(w) + ascii(w[0]))) over tokens, mod a prime.
+    Pure integer arithmetic — reproducible in any engine."""
+    t = tokens(text)
+    mapped = F.transform(
+        t, lambda w: (F.length(w).cast("long") * 37 + F.ascii(F.substring(w, 1, 1)))
+    )
+    return F.aggregate(
+        mapped,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 131 + x) % F.lit(mod),
+    )
+
+
+def simhash(text: Column | str, bits: int = 32) -> Column:
+    """SimHash over tokens: per-bit majority vote of token hashes
+    (xxhash64). Near-duplicate texts differ in few bits (Charikar'02).
+    """
+    t = tokens(text)
+    # per-token ±1 contributions for each bit, summed across tokens
+    zeros = F.array_repeat(F.lit(0), bits)
+    sums = F.aggregate(
+        t,
+        zeros,
+        lambda acc, w: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(F.xxhash64(w), i).bitwiseAND(F.lit(1)) == 1, 1
+                    ).otherwise(-1)
+                    for i in range(bits)
+                ]
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out + F.when(
+            F.element_at(sums, i + 1) > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return out

@@ -1,0 +1,308 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, each with the physical plan that survives 100 TB:
+
+- **exact** — hash groupBy on the dup key (or a digest of it): one
+  shuffle, map-side partial agg.
+- **n-gram Jaccard (exact near-dup)** — inverted-index self-join on
+  shingles: explode → join on shingle → count common → Jaccard. Exact
+  (oracle-checkable); the ``max_df`` frequency cap drops degenerate
+  hot shingles (stopword runs) that would quadratically blow up a
+  skewed key — the standard scale lever.
+- **MinHash + LSH** — signature → bands → bucket join → exact-Jaccard
+  rerank of candidates only. Approximate-recall scale path: cost is
+  O(docs × sig) + candidate pairs, never all-pairs.
+- **SimHash** — 1 fingerprint per doc; near-dups collide within a few
+  bits. Candidate generation via band equality on the fingerprint.
+- **embedding cosine** — exact threshold pairs (block join) and the
+  hyperplane-LSH variant in ``similarity.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from social_media_etl_spark.functions import text as TXT
+
+__all__ = [
+    "dedup_exact",
+    "shingle_sets",
+    "jaccard_pairs",
+    "minhash_signature",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "embedding_cosine_pairs",
+]
+
+
+def dedup_exact(
+    df: DataFrame, subset: list[str], order_by: list[str]
+) -> DataFrame:
+    """Keep the first row per duplicate group (deterministic order).
+
+    Spark's ``dropDuplicates`` keeps an ARBITRARY row — unacceptable for
+    reproducible pipelines — so this ranks within each group instead.
+    """
+    w = Window.partitionBy(*subset).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingle) exploded inverted index of distinct word n-grams."""
+    return df.select(
+        F.col(id_col), F.explode(TXT.word_shingles(text_col, n)).alias("shingle")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similar pairs via inverted-index join.
+
+    Returns (id_a, id_b, jaccard) for unordered pairs with
+    jaccard ≥ threshold. ``max_df`` (scale lever) drops shingles
+    appearing in more than that many docs before the join — bounding
+    the worst-case candidate blowup; exactness holds for pairs whose
+    overlap isn't exclusively hot shingles (dial it by corpus).
+    """
+    sh = shingle_sets(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col(f"a.shingle") == F.col(f"b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 32
+) -> DataFrame:
+    """MinHash signature per doc: sig[i] = min over shingles of
+    xxhash64(i, shingle) (Broder'97 resemblance sketch).
+
+    Physical form: explode shingles → one hash aggregate with
+    ``num_hashes`` min() columns. Map-side partial mins mean the
+    shuffle carries one signature-width row per (partition, doc) —
+    linear and codegen'd, vs. re-evaluating the shingle array per
+    hash function in a nested higher-order expression (measured 20×
+    slower). Docs with no shingles (fewer than n tokens) are absent."""
+    sh = shingle_sets(df, id_col, text_col, n)
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"__h{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        sh.groupBy(id_col)
+        .agg(*mins)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("sig"),
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+    verify: bool = True,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding: docs sharing any band bucket
+    become candidates; candidates are re-ranked with EXACT Jaccard when
+    ``verify`` (no false positives; recall governed by (bands, rows)).
+
+    The bucket join shuffles only (band, bucket-hash) pairs — linear in
+    corpus size; the quadratic blowup is confined to true-near-dup
+    buckets.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signature(df, id_col, text_col, n, num_hashes)
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.xxhash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice(
+                                        F.col("sig"), j * rows_per_band + 1, rows_per_band
+                                    ),
+                                    lambda v: v.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("bucket"),
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    if not verify:
+        return cands
+    # Exact-Jaccard rerank on CANDIDATES ONLY (set intersection per
+    # candidate pair — never the all-pairs join).
+    sets = df.select(
+        F.col(id_col), TXT.word_shingles(text_col, n).alias("sh")
+    )
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - common
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.round(common / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    band_bits: int = 8,
+) -> DataFrame:
+    """SimHash candidate pairs: docs whose fingerprints share any
+    ``band_bits``-wide band (catches pairs within a few-bit Hamming
+    distance). Returns (id_a, id_b, hamming)."""
+    assert bits % band_bits == 0
+    n_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    sh = df.select(F.col(id_col), TXT.simhash(text_col, bits).alias("sh"))
+    banded = sh.select(
+        id_col,
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.shiftright(F.col("sh"), j * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
+                    )
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "sh", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    dim: int | None = None,
+) -> DataFrame:
+    """EXACT cosine near-dup pairs (id_a < id_b, cosine ≥ threshold).
+
+    All-pairs join — correct baseline and the oracle target; the
+    sub-quadratic scale path is hyperplane LSH (similarity.py).
+    Norms are precomputed per vector (not per pair), and the per-pair
+    dot is the codegen'd fixed-dim unrolled sum (vectors.dot_fixed)."""
+    from social_media_etl_spark.functions.vectors import dot_fixed, norm_fixed, vector_dim
+
+    d = dim or vector_dim(df, vec_col)
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        norm_fixed(vec_col, d).alias("na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        norm_fixed(vec_col, d).alias("nb"),
+    )
+    denom = F.col("na") * F.col("nb")
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(F.when(denom > 0, dot_fixed("va", "vb", d) / denom), 6),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,128 @@
+"""Dedup + similarity operator tests with planted near-duplicates."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from social_media_etl_spark.operators import dedup, similarity
+
+BASE = (
+    "spark query engine reads parquet partitions and shuffles data across "
+    "executors while catalyst optimizes the logical plan into physical stages"
+)
+NEAR = BASE.replace("shuffles", "moves")  # 1 word of ~20 changed
+FAR = "cooking pasta requires boiling water salt and patience in the kitchen"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(1, BASE), (2, NEAR), (3, FAR), (4, BASE), (5, "tiny")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact_keeps_first(docs):
+    out = dedup.dedup_exact(docs, ["text"], ["doc_id"])
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2, 3, 5]
+
+
+def test_jaccard_pairs_finds_planted_near_dup(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(docs, "doc_id", "text", 3, 0.5).collect()
+    }
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # exact dup
+    assert (1, 2) in pairs  # planted near-dup
+    assert all(3 not in p for p in pairs)  # unrelated doc absent
+
+
+def test_jaccard_max_df_drops_hot_shingles(spark):
+    # every doc shares the same hot shingle; max_df excludes it
+    rows = [(i, f"common shingle here unique{i} a b") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    all_pairs = dedup.jaccard_pairs(df, "doc_id", "text", 3, 0.01)
+    capped = dedup.jaccard_pairs(df, "doc_id", "text", 3, 0.01, max_df=2)
+    assert all_pairs.count() > 0
+    assert capped.count() == 0
+
+
+def test_minhash_lsh_agrees_with_exact_on_planted(docs):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.jaccard_pairs(docs, "doc_id", "text", 3, 0.5).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", 3, num_hashes=32, bands=16, threshold=0.5
+        ).collect()
+    }
+    # verified-LSH returns no false positives, and catches the exact dup
+    assert lsh <= exact
+    assert (1, 4) in lsh
+
+
+def test_simhash_pairs_candidate_quality(docs):
+    out = dedup.simhash_pairs(docs, "doc_id", "text", bits=32, band_bits=8)
+    cands = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+    assert cands.get((1, 4)) == 0  # identical text → identical simhash
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.04, 0.0, 0.0]),  # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),     # orthogonal
+        (4, [-1.0, 0.0, 0.0, 0.0]),    # opposite
+        (5, [0.0, 0.0, 0.0, 0.0]),     # zero vector → NULL cosine
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_embedding_cosine_pairs(vecs):
+    out = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in dedup.embedding_cosine_pairs(vecs, "vec_id", "embedding", 0.95).collect()
+    }
+    assert list(out) == [(1, 2)]
+    assert out[(1, 2)] > 0.99
+
+
+def test_cosine_topk_exact(vecs):
+    out = similarity.cosine_topk(
+        vecs, vecs.filter(F.col("vec_id") == 1), "vec_id", "embedding", k=3
+    ).collect()
+    ranked = [(r["neighbor_id"], r["rk"]) for r in out]
+    assert ranked[0] == (2, 1)   # nearest
+    assert ranked[1] == (3, 2)   # orthogonal beats opposite
+    assert ranked[2] == (4, 3)
+    # zero vector (NULL cosine) sorts last and is cut by k
+    assert all(r["neighbor_id"] != 5 for r in out)
+
+
+def test_ann_lsh_subset_of_bruteforce_quality(spark):
+    import random
+
+    rnd = random.Random(42)
+    rows = []
+    for i in range(100):
+        v = [rnd.gauss(0, 1) for _ in range(16)]
+        rows.append((i, v))
+        if i < 5:  # plant a near-dup for each of the first 5
+            rows.append((1000 + i, [x + rnd.gauss(0, 0.01) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.ann_lsh_topk(
+        df,
+        df.filter(F.col("vec_id") < 5),
+        "vec_id",
+        "embedding",
+        k=1,
+        bits=16,
+        band_bits=4,
+    ).collect()
+    got = {r["query_id"]: r["neighbor_id"] for r in out}
+    hits = sum(1 for q, n in got.items() if n == 1000 + q)
+    assert hits >= 4  # high recall on planted near-dups

@@ -1,0 +1,73 @@
+"""Text-analysis function tests on crafted multilingual fixtures
+(the testdata `lang` column is a synthetic label, so language ID is
+validated here on real-ish sentences)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from social_media_etl_spark.functions import text as TXT
+
+
+def _one(spark, text, col):
+    return spark.range(1).select(col.alias("v")).first()["v"]
+
+
+def test_tokens_and_count(spark):
+    df = spark.createDataFrame(
+        [("Hello  World foo",), ("",), ("   ",), ("one",)], "text string"
+    )
+    out = df.select(TXT.token_count("text").alias("n")).collect()
+    assert [r["n"] for r in out] == [3, 0, 0, 1]
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "text string")
+    out = df.select(TXT.word_shingles("text", 3).alias("s")).collect()
+    assert out[0]["s"] == ["a b c", "b c d"]
+    assert out[1]["s"] == []
+
+
+def test_lang_id_heuristic(spark):
+    rows = [
+        ("the cat is on the mat and it is happy", "en"),
+        ("le chat est sur la table et il est content", "fr"),
+        ("el gato es feliz y los perros en la casa", "es"),
+        ("der Hund ist nicht auf die Katze und das Haus", "de"),
+        ("zzz qqq xxx", "unknown"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], "text string")
+    out = [r["l"] for r in df.select(TXT.lang_id("text").alias("l")).collect()]
+    assert out == [want for _, want in rows]
+
+
+def test_quality_score_orders_sensibly(spark):
+    good = "this is a reasonably long document with varied words " * 3
+    bad = "!!! ??? ... 123 456 789 ,,, ;;;"
+    df = spark.createDataFrame([(good,), (bad,)], "text string")
+    q = [r["q"] for r in df.select(TXT.quality_score("text").alias("q")).collect()]
+    assert q[0] > q[1]
+    assert 0 <= q[1] <= q[0] <= 1
+
+
+def test_fingerprint_deterministic_and_discriminative(spark):
+    df = spark.createDataFrame(
+        [("a b c",), ("a b c",), ("a b d",)], "text string"
+    )
+    fps = [r["f"] for r in df.select(TXT.fingerprint("text").alias("f")).collect()]
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[2]
+
+
+def test_simhash_near_dup_close_hamming(spark):
+    base = "spark window batch agg join filter scan shuffle sort merge " * 4
+    near = base.replace("sort", "order", 1)
+    far = "completely different content about cooking pasta recipes tonight"
+    df = spark.createDataFrame([(base,), (near,), (far,)], "text string")
+    hs = [r["h"] for r in df.select(TXT.simhash("text", 32).alias("h")).collect()]
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(hs[0], hs[1]) < ham(hs[0], hs[2])
+    assert ham(hs[0], hs[1]) <= 6
