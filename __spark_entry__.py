@@ -123,9 +123,13 @@ def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine near-dup pairs over the embedding column."""
+    """Exact cosine near-dup pairs over the embedding column — blocked
+    numpy matmul over block pairs (mapInPandas), not a row-level
+    all-pairs join."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return dedup.embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.4)
+    return similarity.cosine_pairs_blocked(
+        emb, "vec_id", "embedding", threshold=0.4
+    )
 
 
 def _ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -103,6 +103,50 @@ def test_cosine_topk_exact(vecs):
     assert all(r["neighbor_id"] != 5 for r in out)
 
 
+def test_cosine_pairs_blocked_matches_expression_path(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(200)
+    ] + [(999, [0.0] * 8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    expr = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in dedup.embedding_cosine_pairs(df, "vec_id", "embedding", 0.5).collect()
+    }
+    # block_size=64 forces multiple blocks incl. cross- and diagonal-block pairs
+    blocked = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.cosine_pairs_blocked(
+            df, "vec_id", "embedding", 0.5, block_size=64
+        ).collect()
+    }
+    assert expr.keys() == blocked.keys() and len(expr) > 0
+    for k in expr:
+        assert math.isclose(expr[k], blocked[k], abs_tol=1e-6)
+
+
+def test_cosine_topk_blocked_matches_exact(spark):
+    import random
+
+    rnd = random.Random(11)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(150)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 7)
+    exact = sorted(
+        (r["query_id"], r["rk"], r["neighbor_id"], r["cosine"])
+        for r in similarity.cosine_topk(df, q, "vec_id", "embedding", k=4).collect()
+    )
+    blocked = sorted(
+        (r["query_id"], r["rk"], r["neighbor_id"], r["cosine"])
+        for r in similarity.cosine_topk_blocked(
+            df, q, "vec_id", "embedding", k=4, block_size=64
+        ).collect()
+    )
+    assert exact == blocked
+
+
 def test_ann_lsh_subset_of_bruteforce_quality(spark):
     import random
 
