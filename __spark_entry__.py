@@ -19,6 +19,7 @@ from social_media_etl_spark.catalog import load_table, load_tables
 from social_media_etl_spark.functions import text as TXT
 from social_media_etl_spark.operators import dedup, similarity
 from social_media_etl_spark.plans import analytics, blog
+from social_media_etl_spark.streaming import ingest as streaming_ingest
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -92,6 +93,70 @@ def _events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.events_json_extract(load_table(spark, sf_dir, "events"))
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the testdata events parquet (ts arrives
+    as TIMESTAMP(NANOS) → long under nanosAsLong; convert like
+    catalog.load_table does)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    # FileStreamSource requires a DIRECTORY; expose the single testdata
+    # parquet file through a temp dir of symlinks (testdata is read-only)
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="smetl_stream_src_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(d, "events.parquet"),
+    )
+    raw = spark.readStream.schema(schema).parquet(d)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _drain(stream_df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
+    import tempfile
+    import uuid
+
+    qname = f"{name}_{uuid.uuid4().hex[:8]}"
+    return streaming_ingest.run_available_now(
+        stream_df,
+        tempfile.mkdtemp(prefix=f"smetl_ckpt_{name}_"),
+        output_mode=mode,
+        query_name=qname,
+    )
+
+
+def _streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window agg run AS A STREAM (availableNow)
+    in complete mode — result equals the batch twin, so the same
+    oracle SQL value-checks the streaming plan."""
+    out = _drain(
+        streaming_ingest.windowed_counts(_stream_events(spark, sf_dir)),
+        "stream_win",
+    )
+    return out.orderBy("window_start", "event_type")
+
+
+def _streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window sessionization run as a stream; equals
+    the batch lag+cumsum sessionization (minus the session ordinal)."""
+    out = _drain(
+        streaming_ingest.session_windows(_stream_events(spark, sf_dir)),
+        "stream_sess",
+    )
+    return out.orderBy("user_id", "session_start")
 
 
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -199,6 +264,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed_agg": _events_window,
         "events_sessionize": _events_sessions,
         "events_json_extract": _events_json,
+        "streaming_windowed_agg": _streaming_windowed,
+        "streaming_session_windows": _streaming_sessions,
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_jaccard,
         "dedup_minhash_lsh": _dedup_minhash,
@@ -340,6 +407,42 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             )
             GROUP BY event_type ORDER BY event_type
+        """,
+        "streaming_windowed_agg": """
+            SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events
+            GROUP BY window_start, event_type
+            ORDER BY window_start, event_type
+        """,
+        "streaming_session_windows": """
+            WITH flagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR CAST(floor(extract(epoch FROM ts)) AS BIGINT)
+                                    - CAST(floor(extract(epoch FROM lag(ts) OVER w)) AS BIGINT)
+                                    > 1800
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            sessions AS (
+                SELECT user_id, ts,
+                       sum(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS session_no
+                FROM flagged
+            )
+            SELECT user_id,
+                   count(*) AS n_events,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end
+            FROM sessions
+            GROUP BY user_id, session_no
+            ORDER BY user_id, session_start
         """,
         "dedup_exact": """
             SELECT doc_id, text, lang, source, n_chars FROM (

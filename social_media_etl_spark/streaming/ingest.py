@@ -1,0 +1,218 @@
+"""Structured Streaming ingest + windowed transforms over the events
+stream (SURVEY.md §1.4 / §7 step 4 — the streaming [extension] of the
+reference's batch truncate-and-load pipeline).
+
+Design: every transform here is the SAME logical plan as its batch
+twin in ``plans/analytics.py`` — Structured Streaming's incremental
+execution of an unchanged DataFrame program is the whole point of the
+unified API. Correctness is checked by running the stream to
+completion (``availableNow`` trigger) and comparing against the batch
+plan on the same input (tests/test_streaming.py).
+
+Scale notes:
+- watermarks bound state: without one, a windowed agg keeps every
+  window open forever (unbounded state at 100 TB/day ingest).
+- streaming dedup keys state by the dedup key; the watermark lets the
+  store evict keys older than the lateness bound.
+- ``foreachBatch`` gives the reference's idempotent full-refresh sink
+  (K4): each micro-batch overwrites/merges transactionally, with
+  checkpointing replacing Airflow's retry bookkeeping (O2).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "EVENTS_SCHEMA",
+    "read_events_stream",
+    "windowed_counts",
+    "sliding_windowed_counts",
+    "streaming_dedup",
+    "session_windows",
+    "run_available_now",
+    "write_foreach_batch_overwrite",
+]
+
+# The events table schema (TESTDATA.md), declared explicitly — file
+# streams require a schema up front (no inference mid-stream).
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = EVENTS_SCHEMA,
+    fmt: str = "json",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream: new files under ``path`` become micro-batches.
+
+    NDJSON is the reference's landing format (SURVEY §2.1 S3); parquet
+    works the same. ``maxFilesPerTrigger`` is the ingest-rate throttle.
+    """
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def windowed_counts(
+    events: DataFrame,
+    width: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling event-time window counts with late-data handling.
+
+    Streaming twin of ``analytics.events_windowed_agg``: the watermark
+    bounds state (windows older than max(ts) - watermark are finalized
+    and evicted) and defines the late-row drop policy.
+    """
+    win = F.window("ts", width)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_windowed_counts(
+    events: DataFrame,
+    width: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Sliding (overlapping) event-time windows — each row lands in
+    width/slide windows; state cost scales with the overlap factor."""
+    win = F.window("ts", width, slide)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Exactly-once-per-key stream: drop rows whose key was already
+    seen within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keys the state store by ``keys``
+    and evicts entries older than the watermark — bounded state, unlike
+    plain ``dropDuplicates`` on a stream which grows forever.
+    """
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def session_windows(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Native session windows: per-user sessions close after ``gap`` of
+    inactivity. Streaming twin of ``analytics.events_sessionize`` (the
+    batch version computes the same sessions with lag+cumsum windows).
+
+    ``F.session_window`` merges adjacent state as events arrive —
+    dynamic-gap sessionization without custom state code.
+    """
+    sw = F.session_window("ts", gap)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.col("user_id"), sw.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select("user_id", "n_events", "session_start", "session_end")
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+    query_name: str = "smetl_stream",
+) -> DataFrame:
+    """Drain everything currently available through the streaming plan
+    into an in-memory sink and return it as a DataFrame.
+
+    ``availableNow`` processes all existing input in (possibly many)
+    micro-batches then stops — the batch-parity execution mode used by
+    the tests and by catch-up/backfill runs in production.
+    """
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)
+
+
+def write_foreach_batch_overwrite(
+    stream_df: DataFrame,
+    target_path: str,
+    checkpoint_dir: str,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    fmt: str = "parquet",
+    available_now: bool = True,
+):
+    """The reference's idempotent truncate-and-load (SURVEY §2.2 K4) as
+    a streaming sink: each micro-batch runs ``transform`` and
+    OVERWRITES the target — a full-refresh materialized view driven by
+    the stream. Micro-batch id + checkpoint give exactly-once: a
+    replayed batch overwrites with identical content.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = transform(batch_df) if transform else batch_df
+        out.write.mode("overwrite").format(fmt).save(target_path)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    return q

@@ -1,0 +1,158 @@
+"""Structured Streaming tests: drain the events table through the
+streaming plans with availableNow and assert parity with the batch
+twin on the same input (the unified-API guarantee)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from social_media_etl_spark.catalog import load_table
+from social_media_etl_spark.plans import analytics
+from social_media_etl_spark.streaming import ingest, stateful
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, tmp_path_factory):
+    """Events table written as several NDJSON files (the reference's
+    landing format) so the file source sees a multi-file stream."""
+    d = str(tmp_path_factory.mktemp("events_ndjson"))
+    events = load_table(spark, SF, "events")
+    events.repartition(4).write.mode("overwrite").json(d)
+    assert len(glob.glob(os.path.join(d, "*.json"))) >= 2
+    return d
+
+
+def _batch_events(spark, path):
+    return spark.read.schema(ingest.EVENTS_SCHEMA).json(path)
+
+
+def test_windowed_counts_stream_matches_batch(spark, events_stream_dir, tmp_path):
+    stream = ingest.read_events_stream(spark, events_stream_dir)
+    out = ingest.run_available_now(
+        ingest.windowed_counts(stream),
+        str(tmp_path / "ckpt"),
+        output_mode="complete",
+        query_name="win_counts",
+    )
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in out.collect()
+    }
+    batch = analytics.events_windowed_agg(_batch_events(spark, events_stream_dir))
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in batch.collect()
+    }
+    assert got == want and len(want) > 10
+
+
+def test_sliding_windows_overlap(spark, events_stream_dir, tmp_path):
+    stream = ingest.read_events_stream(spark, events_stream_dir)
+    out = ingest.run_available_now(
+        ingest.sliding_windowed_counts(stream, "10 minutes", "5 minutes"),
+        str(tmp_path / "ckpt"),
+        output_mode="complete",
+        query_name="slide_counts",
+    ).collect()
+    # every event lands in exactly 2 sliding windows
+    n_events = _batch_events(spark, events_stream_dir).count()
+    assert sum(r["n_events"] for r in out) == 2 * n_events
+
+
+def test_streaming_dedup_drops_replayed_rows(spark, events_stream_dir, tmp_path):
+    """Write the same file content twice → dedup keeps one copy per id."""
+    d = str(tmp_path / "dup_input")
+    base = _batch_events(spark, events_stream_dir)
+    base.unionAll(base).repartition(3).write.mode("overwrite").json(d)
+    stream = ingest.read_events_stream(spark, d)
+    out = ingest.run_available_now(
+        ingest.streaming_dedup(stream, ["event_id"], watermark="100 days"),
+        str(tmp_path / "ckpt"),
+        query_name="dedup_stream",
+    )
+    assert out.count() == base.count()
+    assert out.select("event_id").distinct().count() == base.count()
+
+
+def test_session_windows_match_batch_sessionize(spark, events_stream_dir, tmp_path):
+    stream = ingest.read_events_stream(spark, events_stream_dir)
+    out = ingest.run_available_now(
+        ingest.session_windows(stream, gap="30 minutes"),
+        str(tmp_path / "ckpt"),
+        output_mode="complete",
+        query_name="sessions",
+    )
+    got = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in out.collect()
+    )
+    batch = analytics.events_sessionize(
+        _batch_events(spark, events_stream_dir), gap_minutes=30
+    )
+    want = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch.collect()
+    )
+    assert got == want and len(want) > 5
+
+
+def test_stateful_running_totals_final_state(spark, events_stream_dir, tmp_path):
+    """State accumulates across micro-batches: with one file per
+    trigger, the LAST update row per user equals the batch aggregate."""
+    stream = ingest.read_events_stream(
+        spark, events_stream_dir, max_files_per_trigger=1
+    )
+    out = ingest.run_available_now(
+        stateful.running_user_totals(stream),
+        str(tmp_path / "ckpt"),
+        output_mode="update",
+        query_name="running_totals",
+    )
+    # memory sink in update mode appends each update; the final state
+    # per user is the row with the highest n_events
+    final = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in out.orderBy("n_events").collect()
+    }
+    batch = (
+        _batch_events(spark, events_stream_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2).alias("total"),
+        )
+    )
+    want = {r["user_id"]: (r["n"], r["total"]) for r in batch.collect()}
+    assert final == want and len(want) > 3
+
+
+def test_foreach_batch_overwrite_idempotent(spark, events_stream_dir, tmp_path):
+    """K4 parity: the foreachBatch sink full-refreshes the target; the
+    materialized table equals the transform of all input."""
+    target = str(tmp_path / "mv")
+    stream = ingest.read_events_stream(spark, events_stream_dir)
+    ingest.write_foreach_batch_overwrite(
+        stream,
+        target,
+        str(tmp_path / "ckpt"),
+        transform=lambda df: df.groupBy("event_type").count(),
+    )
+    # availableNow with no maxFilesPerTrigger drains in one batch here;
+    # the target holds counts for the whole input
+    got = {
+        r["event_type"]: r["count"] for r in spark.read.parquet(target).collect()
+    }
+    want = {
+        r["event_type"]: r["count"]
+        for r in _batch_events(spark, events_stream_dir)
+        .groupBy("event_type")
+        .count()
+        .collect()
+    }
+    assert got == want
