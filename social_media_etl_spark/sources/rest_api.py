@@ -1,0 +1,164 @@
+"""REST-API JSON source + JSON/NDJSON landing formats (SURVEY.md §2.1
+S1-S3, §2.2 K1-K2).
+
+Reference: ``rest_api_json_to_gcs_operator.py:48-85`` GETs a JSON
+array, re-serializes it (whole-array or NDJSON), and lands it in
+object storage; the landing file is then re-read row-at-a-time.
+
+Spark-first restatement, two ingestion paths:
+
+- **Python DataSource** (Spark 4 ``spark.dataSource.register``):
+  ``RestJsonDataSource`` makes the endpoint a first-class readable
+  format — ``spark.read.format('rest_json').option('url', ...)`` —
+  so the fetch participates in a real scan (schema projection, and
+  per-partition reads when the API pages).
+- **driver fetch → createDataFrame**: the small-payload path
+  (reference's actual scale: 10-500 rows per endpoint).
+
+URLs accept http(s) and file:// / plain paths — the transport is
+stdlib ``urllib`` so offline runs (tests, air-gapped CI) exercise the
+identical code path against local fixtures.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator, Sequence
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+__all__ = [
+    "fetch_json_records",
+    "json_records_to_df",
+    "read_json_landing",
+    "write_json_array",
+    "write_ndjson",
+    "RestJsonDataSource",
+    "register_rest_json_source",
+]
+
+
+def fetch_json_records(url: str, timeout: float = 30.0) -> list[dict]:
+    """GET/read ``url`` and parse a JSON array (or NDJSON) into records.
+
+    Mirrors the reference's extract step (S1): body must be a JSON
+    array of objects; NDJSON bodies (one object per line) are accepted
+    too (S3). Local paths / file:// URLs read from disk.
+    """
+    scheme = urlparse(url).scheme
+    if scheme in ("http", "https"):
+        from urllib.request import urlopen  # stdlib; no extra deps
+
+        with urlopen(url, timeout=timeout) as resp:  # noqa: S310
+            body = resp.read().decode("utf-8")
+    else:
+        path = url[len("file://") :] if url.startswith("file://") else url
+        with open(path, encoding="utf-8") as fh:
+            body = fh.read()
+    body = body.strip()
+    if not body:
+        return []
+    if body.startswith("["):
+        records = json.loads(body)
+    else:  # NDJSON
+        records = [json.loads(line) for line in body.splitlines() if line.strip()]
+    if not isinstance(records, list):
+        raise ValueError(f"expected JSON array at {url!r}")
+    return records
+
+
+def json_records_to_df(
+    spark: SparkSession, records: Sequence[dict], schema: T.StructType | str
+) -> DataFrame:
+    """Driver-fetched records → DataFrame under an EXPLICIT schema
+    (DDL-as-source-of-truth, SURVEY §1.1 — no inference drift)."""
+    return spark.createDataFrame(records, schema)
+
+
+def read_json_landing(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    multiline: bool = False,
+) -> DataFrame:
+    """Read a JSON landing zone (S2/S3). ``multiline=True`` for the
+    whole-array object form (K1); default NDJSON — Spark's native,
+    splittable JSON layout."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if multiline:
+        reader = reader.option("multiLine", True)
+    return reader.json(path)
+
+
+def write_json_array(df: DataFrame, path: str) -> None:
+    """K1: single whole-array JSON object. DRIVER-SIDE collect — the
+    reference's format choice, kept only for small dimension payloads;
+    it is inherently single-file and unsplittable (anti-scale; prefer
+    ``write_ndjson``)."""
+    records = [row.asDict(recursive=True) for row in df.collect()]
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w", encoding="utf-8") as fh:
+        json.dump(records, fh, default=str)
+
+
+def write_ndjson(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """K2: NDJSON directory write — Spark's default JSON writer IS
+    NDJSON; one file per partition, parallel, splittable on re-read."""
+    df.write.mode(mode).json(path)
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 Python DataSource
+# ---------------------------------------------------------------------------
+
+try:  # the DataSource API needs pyspark >= 4
+    from pyspark.sql.datasource import DataSource, DataSourceReader
+
+    class _RestJsonReader(DataSourceReader):
+        def __init__(self, options, schema: T.StructType):
+            self._url = options.get("url")
+            if not self._url:
+                raise ValueError("rest_json source requires option 'url'")
+            self._schema = schema
+
+        def read(self, partition) -> Iterator[tuple]:
+            field_names = [f.name for f in self._schema.fields]
+            for rec in fetch_json_records(self._url):
+                yield tuple(rec.get(name) for name in field_names)
+
+    class RestJsonDataSource(DataSource):
+        """``spark.read.format('rest_json').schema(s).option('url', u)``
+        — the reference's REST extract (S1) as a native scan node.
+
+        Single partition per endpoint (a REST array is one object);
+        paged APIs would override ``partitions()`` to fan out one
+        partition per page and read pages concurrently on executors.
+        """
+
+        @classmethod
+        def name(cls) -> str:
+            return "rest_json"
+
+        def schema(self):
+            raise NotImplementedError(
+                "rest_json requires an explicit .schema(...) "
+                "(DDL-as-source-of-truth; no inference)"
+            )
+
+        def reader(self, schema: T.StructType) -> DataSourceReader:
+            return _RestJsonReader(self.options, schema)
+
+    def register_rest_json_source(spark: SparkSession) -> None:
+        spark.dataSource.register(RestJsonDataSource)
+
+except ImportError:  # pragma: no cover - pyspark < 4 fallback
+
+    RestJsonDataSource = None  # type: ignore[assignment]
+
+    def register_rest_json_source(spark: SparkSession) -> None:
+        raise NotImplementedError("Python DataSource API requires pyspark >= 4")

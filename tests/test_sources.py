@@ -1,0 +1,160 @@
+"""REST JSON source + multimodal binary column tests."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from social_media_etl_spark.sources import multimodal, rest_api
+
+USERS = [
+    {
+        "id": 1,
+        "name": "Ada",
+        "email": "ada@example.com",
+        "address": {"city": "X", "geo": {"lat": "1.5", "lng": "-2.25"}},
+        "company": {"name": "Acme"},
+    },
+    {
+        "id": 2,
+        "name": "Bo",
+        "email": "bo@example.com",
+        "address": {"city": "Y", "geo": {"lat": "3.0", "lng": "4.0"}},
+        "company": {"name": "Binary"},
+    },
+]
+
+USERS_SCHEMA = (
+    "id long, name string, email string, "
+    "address struct<city:string, geo:struct<lat:string, lng:string>>, "
+    "company struct<name:string>"
+)
+
+
+@pytest.fixture(scope="module")
+def array_fixture(tmp_path_factory):
+    p = tmp_path_factory.mktemp("api") / "users.json"
+    p.write_text(json.dumps(USERS))
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def ndjson_fixture(tmp_path_factory):
+    p = tmp_path_factory.mktemp("api") / "users.ndjson"
+    p.write_text("\n".join(json.dumps(u) for u in USERS))
+    return str(p)
+
+
+def test_fetch_json_records_array_and_ndjson(array_fixture, ndjson_fixture):
+    assert rest_api.fetch_json_records(array_fixture) == USERS
+    assert rest_api.fetch_json_records("file://" + ndjson_fixture) == USERS
+
+
+def test_json_records_to_df_explicit_schema(spark, array_fixture):
+    records = rest_api.fetch_json_records(array_fixture)
+    df = rest_api.json_records_to_df(spark, records, USERS_SCHEMA)
+    assert df.count() == 2
+    assert df.select("address.geo.lat").orderBy("id").first()[0] == "1.5"
+
+
+def test_python_datasource_scan(spark, array_fixture):
+    rest_api.register_rest_json_source(spark)
+    df = (
+        spark.read.format("rest_json")
+        .schema(USERS_SCHEMA)
+        .option("url", array_fixture)
+        .load()
+    )
+    rows = df.orderBy("id").collect()
+    assert [r["name"] for r in rows] == ["Ada", "Bo"]
+    assert rows[0]["company"]["name"] == "Acme"
+
+
+def test_json_landing_roundtrip(spark, tmp_path, array_fixture):
+    records = rest_api.fetch_json_records(array_fixture)
+    df = rest_api.json_records_to_df(spark, records, USERS_SCHEMA)
+    # K1 whole-array form → S2 multiline read
+    k1 = str(tmp_path / "landing.json")
+    rest_api.write_json_array(df, k1)
+    back = rest_api.read_json_landing(spark, k1, USERS_SCHEMA, multiline=True)
+    assert back.count() == 2
+    # K2 NDJSON form → S3 read
+    k2 = str(tmp_path / "landing_nd")
+    rest_api.write_ndjson(df, k2)
+    back2 = rest_api.read_json_landing(spark, k2, USERS_SCHEMA)
+    assert sorted(r["id"] for r in back2.collect()) == [1, 2]
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+PNG = b"\x89PNG\r\n\x1a\n" + b"fakepng" * 10
+JPEG = b"\xff\xd8\xff\xe0" + b"fakejpg" * 9
+MP4 = b"\x00\x00\x00\x18ftypmp42" + b"fakevid" * 20
+WAV = b"RIFF\x24\x00\x00\x00WAVE" + b"fakewav" * 5
+RAW = b"justbytes"
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [(1, PNG), (2, JPEG), (3, MP4), (4, WAV), (5, RAW)]
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+def test_sniff_and_metadata_jvm_side(media):
+    out = multimodal.attach_media_metadata(media)
+    got = {r["media_id"]: r for r in out.collect()}
+    assert got[1]["media_type"] == "image/png"
+    assert got[2]["media_type"] == "image/jpeg"
+    assert got[3]["media_type"] == "video/mp4"
+    assert got[4]["media_type"] == "audio/wav"
+    assert got[5]["media_type"] == "application/octet-stream"
+    assert got[5]["n_bytes"] == len(RAW)
+    assert len(got[1]["digest"]) == 64
+
+
+def test_decode_images_fake_backend_deterministic(media):
+    imgs = media.filter(F.col("media_id") <= 2)
+    a = sorted(multimodal.decode_images(imgs).collect())
+    b = sorted(multimodal.decode_images(imgs).collect())
+    assert a == b and len(a) == 2
+    for r in a:
+        assert 64 <= r["width"] <= 2048 and 64 <= r["height"] <= 2048
+        assert r["channels"] == 3 and 0 <= r["mean_intensity"] <= 256
+
+
+def test_decode_images_real_backend_is_stubbed(media):
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_images(media, backend="real")
+
+
+def test_resize_images_shape(media):
+    out = multimodal.resize_images(media, target=(224, 224)).collect()
+    assert len(out) == 5
+    assert all(r["width"] == 224 and r["height"] == 224 for r in out)
+    assert all(len(bytes(r["payload"])) > 32 for r in out)
+
+
+def test_sample_video_frames_multiplicity(media):
+    out = multimodal.sample_video_frames(
+        media, every_n=10, max_frames=4
+    ).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert set(by_id) == {1, 2, 3, 4, 5}
+    for rows in by_id.values():
+        assert 1 <= len(rows) <= 4
+        assert all(r["frame_idx"] % 10 == 0 for r in rows)
+        assert len({r["frame_digest"] for r in rows}) == len(rows)
+
+
+def test_extract_audio_features_dim_and_dtype(media):
+    out = multimodal.extract_audio_features(media, n_mels=16)
+    assert dict(out.dtypes)["features"] == "array<float>"
+    rows = out.collect()
+    assert all(len(r["features"]) == 16 for r in rows)
+    assert all(-1.0 <= x <= 1.0 for r in rows for x in r["features"])
