@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from social_media_etl_spark.catalog import load_table, load_tables
 from social_media_etl_spark.functions import text as TXT
 from social_media_etl_spark.operators import dedup, similarity
+from social_media_etl_spark.operators.temporal import asof_join, range_join
 from social_media_etl_spark.plans import analytics, blog
 from social_media_etl_spark.streaming import ingest as streaming_ingest
 
@@ -93,6 +94,89 @@ def _events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.events_json_extract(load_table(spark, sf_dir, "events"))
+
+
+def _asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event matched to the same user's most
+    recent click at-or-before it (union+window plan, operators/temporal.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["event_id"],
+        prefix="click_",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "click_ts", "click_event_id"
+    ).orderBy("event_id")
+
+
+def _range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi range join of the fact table against a broadcast bands
+    dimension (quantity deciles), then per-band rollup."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    bands = spark.range(5).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 10).cast("double").alias("lo"),
+        (F.col("id") * 10 + 10).cast("double").alias("hi"),
+    )
+    joined = range_join(
+        lineitem,
+        bands,
+        conditions=[
+            lineitem["l_quantity"] > bands["lo"],
+            lineitem["l_quantity"] <= bands["hi"],
+        ],
+        broadcast_right=True,
+    )
+    return (
+        joined.groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy("band_id")
+    )
+
+
+def _rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy: (flag, status) → (flag) → grand total, with
+    NULL-filled subtotal rows (multi-dim agg in one pass)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+def _set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT (distinct set semantics) over customer
+    key sets from two order-priority slices."""
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    rows = [
+        ("union", urgent.union(low).distinct().count()),
+        ("intersect", urgent.intersect(low).count()),
+        ("except", urgent.subtract(low).count()),
+    ]
+    return spark.createDataFrame(rows, "op string, n_custs long").orderBy("op")
 
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -264,6 +348,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed_agg": _events_window,
         "events_sessionize": _events_sessions,
         "events_json_extract": _events_json,
+        "asof_purchase_last_click": _asof_purchase_click,
+        "range_join_quantity_bands": _range_join_bands,
+        "rollup_revenue": _rollup_revenue,
+        "set_ops_priority_custs": _set_ops,
         "streaming_windowed_agg": _streaming_windowed,
         "streaming_session_windows": _streaming_sessions,
         "dedup_exact": _dedup_exact,
@@ -407,6 +495,68 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             )
             GROUP BY event_type ORDER BY event_type
+        """,
+        # Mirrors operators/temporal.py asof_join: right side deduped
+        # per (user_id, ts) keeping max event_id; inclusive backward.
+        "asof_purchase_last_click": """
+            WITH p AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'purchase'
+            ),
+            c AS (
+                SELECT user_id, ts, max(event_id) AS click_event_id
+                FROM events WHERE event_type = 'click'
+                GROUP BY user_id, ts
+            ),
+            m AS (
+                SELECT p.event_id, p.user_id, p.ts,
+                       (SELECT max(c.ts) FROM c
+                        WHERE c.user_id = p.user_id AND c.ts <= p.ts
+                       ) AS click_ts
+                FROM p
+            )
+            SELECT m.event_id, m.user_id, m.ts, m.click_ts, c.click_event_id
+            FROM m LEFT JOIN c
+              ON m.user_id = c.user_id AND m.click_ts = c.ts
+            ORDER BY m.event_id
+        """,
+        "range_join_quantity_bands": """
+            SELECT band_id, count(*) AS n_items,
+                   round(sum(l_extendedprice), 2) AS sum_price
+            FROM lineitem
+            JOIN (
+                SELECT range AS band_id,
+                       CAST(range * 10 AS DOUBLE) AS lo,
+                       CAST(range * 10 + 10 AS DOUBLE) AS hi
+                FROM range(5)
+            ) bands
+              ON l_quantity > lo AND l_quantity <= hi
+            GROUP BY band_id ORDER BY band_id
+        """,
+        "rollup_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS n_rows,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """,
+        "set_ops_priority_custs": """
+            WITH urgent AS (
+                SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            ),
+            low AS (
+                SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+            )
+            SELECT 'union' AS op,
+                   (SELECT count(*) FROM (SELECT * FROM urgent UNION SELECT * FROM low)) AS n_custs
+            UNION ALL
+            SELECT 'intersect',
+                   (SELECT count(*) FROM (SELECT * FROM urgent INTERSECT SELECT * FROM low))
+            UNION ALL
+            SELECT 'except',
+                   (SELECT count(*) FROM (SELECT * FROM urgent EXCEPT SELECT * FROM low))
+            ORDER BY op
         """,
         "streaming_windowed_agg": """
             SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
