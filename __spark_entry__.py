@@ -304,6 +304,7 @@ def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         TXT.token_count("text").alias("n_tokens"),
+        TXT.bpe_ish_token_count("text").alias("n_bpe_tokens"),
         F.round(TXT.avg_token_len("text"), 4).alias("avg_tok_len"),
         F.round(TXT.char_class_ratio("text"), 6).alias("punct_ratio"),
         TXT.quality_score("text").alias("quality"),
@@ -664,6 +665,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM t
             )
             SELECT doc_id, n_tokens,
+                   len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'
+                   )) AS n_bpe_tokens,
                    CASE WHEN n_tokens > 0
                         THEN round(n_wchars / CAST(n_tokens AS DOUBLE), 4) END AS avg_tok_len,
                    CASE WHEN n_chars > 0

@@ -13,6 +13,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "tokens",
     "token_count",
+    "bpe_ish_token_count",
+    "BPE_TOKEN_RE",
     "word_shingles",
     "avg_token_len",
     "char_class_ratio",
@@ -49,6 +51,21 @@ def tokens(text: Column | str) -> Column:
 
 def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
+
+
+# GPT-2-style pre-tokenizer shape (contractions, letter runs, digit
+# runs, punctuation runs, whitespace), restricted to syntax valid in
+# BOTH Java regex (Spark) and RE2 (DuckDB oracle): no lookarounds.
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Approximate LLM token count: number of matches of a BPE-style
+    pre-tokenizer regex (letter runs / digit runs / punct runs /
+    contractions). Upper-bounds the merged-BPE count the way
+    pre-tokenization does; pure `regexp_count` — codegen'd, no UDF."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(text, F.lit(BPE_TOKEN_RE))
 
 
 def word_shingles(text: Column | str, n: int = 3) -> Column:

@@ -1,0 +1,110 @@
+"""Physical-plan shape tests — the 100 TB design contract, enforced.
+
+Correctness tests prove the answers right at small SF; these prove the
+PLANS stay right at any SF: filters reach the parquet scan, projections
+prune the read schema, small dimensions broadcast instead of shuffling
+the fact table, aggregates partial-aggregate before the exchange, and
+the hot path never drops into row-at-a-time Python.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+from social_media_etl_spark.catalog import load_table
+from social_media_etl_spark.plans import analytics
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(df, mode: str = "formatted") -> str:
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_q1_filter_pushed_to_scan_and_schema_pruned(spark):
+    p = plan(analytics.pricing_summary(load_table(spark, SF, "lineitem")))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # 16-column table pruned to the 7 referenced columns
+    read_schema = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert read_schema.count(":") <= 8
+    assert "l_orderkey" not in read_schema
+
+
+def test_q1_partial_aggregation_before_shuffle(spark):
+    p = plan(analytics.pricing_summary(load_table(spark, SF, "lineitem")))
+    # map-side combine: partial_sum appears under a HashAggregate that
+    # precedes the Exchange in the plan tree
+    assert "partial_sum" in p
+    assert p.index("partial_sum") < p.index("ENSURE_REQUIREMENTS")
+
+
+def test_q3_dimension_broadcasts(spark):
+    df = analytics.top_revenue_orders(
+        load_table(spark, SF, "customer"),
+        load_table(spark, SF, "orders"),
+        load_table(spark, SF, "lineitem"),
+    )
+    p = plan(df)
+    assert "BroadcastHashJoin" in p
+    # the filtered customer scan pushes the segment predicate down
+    assert "EqualTo(c_mktsegment,BUILDING)" in p
+
+
+def test_blog_a_no_sort_merge_join(spark):
+    """Query (a)'s right join decomposes into broadcast joins — the
+    parent (users analog) must never shuffle on the join attribute."""
+    df = entry.queries()["blog_a_most_active"](spark, SF)
+    p = plan(df)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_text_stats_no_python_udf(spark):
+    """Text metrics are pure column expressions: no BatchEvalPython /
+    ArrowEvalPython stage may appear — the scan feeds codegen directly."""
+    df = entry.queries()["text_stats"](spark, SF)
+    p = plan(df)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "WholeStageCodegen" in plan(df, "codegen")
+
+
+def test_range_join_broadcasts_not_cartesian(spark):
+    df = entry.queries()["range_join_quantity_bands"](spark, SF)
+    p = plan(df)
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_asof_join_single_key_shuffle(spark):
+    """The as-of join must be union+window: key-partitioned exchanges
+    only — never a join of left×right rows."""
+    df = entry.queries()["asof_purchase_last_click"](spark, SF)
+    p = plan(df)
+    assert "Window" in p
+    for bad in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in p
+
+
+def test_minhash_partial_aggregates_signature(spark):
+    """MinHash signatures must come from one hash aggregate with
+    map-side partial mins (shuffle carries signatures, not shingles)."""
+    from social_media_etl_spark.operators import dedup
+
+    docs = load_table(spark, SF, "documents")
+    sigs = dedup.minhash_signature(docs, "doc_id", "text", 3, 16)
+    p = plan(sigs)
+    assert "partial_min" in p
+    assert p.index("partial_min") < p.index("ENSURE_REQUIREMENTS")
+
+
+def test_events_windowed_agg_prunes_props(spark):
+    """The windowed agg reads 3 of events' 6 columns — props (the wide
+    JSON payload) must not be scanned."""
+    p = plan(analytics.events_windowed_agg(load_table(spark, SF, "events")))
+    read_schema = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "props" not in read_schema
+    assert "user_id" not in read_schema

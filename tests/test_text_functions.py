@@ -21,6 +21,26 @@ def test_tokens_and_count(spark):
     assert [r["n"] for r in out] == [3, 0, 0, 1]
 
 
+def test_bpe_ish_token_count(spark):
+    df = spark.createDataFrame(
+        [
+            ("Hello, world!",),   # Hello | , | _world | !
+            ("it's 2024 now",),   # it | 's | _2024 | _now  (+1 space run? no: ' ?\\p{N}+' eats the space)
+            ("",),
+        ],
+        "text string",
+    )
+    out = [r["n"] for r in df.select(TXT.bpe_ish_token_count("text").alias("n")).collect()]
+    assert out[0] == 4
+    assert out[1] == 4
+    assert out[2] == 0
+    # always at least the whitespace-token count for word-y text
+    df2 = spark.createDataFrame([("plain words only here",)], "text string")
+    n_ws = df2.select(TXT.token_count("text").alias("n")).first()["n"]
+    n_bpe = df2.select(TXT.bpe_ish_token_count("text").alias("n")).first()["n"]
+    assert n_bpe >= n_ws
+
+
 def test_word_shingles(spark):
     df = spark.createDataFrame([("a b c d",), ("a b",)], "text string")
     out = df.select(TXT.word_shingles("text", 3).alias("s")).collect()
