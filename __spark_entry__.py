@@ -282,9 +282,11 @@ def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-5 neighbors for query vectors vec_id<10."""
+    """Exact cosine top-5 neighbors for query vectors vec_id<10 —
+    blocked-matmul path (same results as the expression-based
+    cosine_topk baseline, asserted in tests)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.cosine_topk(
+    return similarity.cosine_topk_blocked(
         emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5
     )
 

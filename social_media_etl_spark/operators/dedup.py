@@ -31,6 +31,7 @@ __all__ = [
     "jaccard_pairs",
     "minhash_signature",
     "minhash_lsh_pairs",
+    "simhash_table",
     "simhash_pairs",
     "embedding_cosine_pairs",
 ]
@@ -77,7 +78,10 @@ def jaccard_pairs(
     the worst-case candidate blowup; exactness holds for pairs whose
     overlap isn't exclusively hot shingles (dial it by corpus).
     """
-    sh = shingle_sets(df, id_col, text_col, n)
+    # the shingle index feeds three consumers (sizes, both join sides);
+    # materialize it once — at warehouse scale this is the persisted
+    # inverted index every dedup system builds anyway
+    sh = shingle_sets(df, id_col, text_col, n).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     if max_df is not None:
         rare = (
@@ -203,9 +207,17 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cands
+    cands = cands.persist()  # feeds both the id pruning and the rerank
     # Exact-Jaccard rerank on CANDIDATES ONLY (set intersection per
-    # candidate pair — never the all-pairs join).
-    sets = df.select(
+    # candidate pair — never the all-pairs join). Semi-join first so
+    # shingle sets are only computed for docs that appear in a
+    # candidate pair (the candidate set is tiny relative to the corpus).
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .union(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sets = df.join(F.broadcast(cand_ids), id_col, "left_semi").select(
         F.col(id_col), TXT.word_shingles(text_col, n).alias("sh")
     )
     sa = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
@@ -218,6 +230,44 @@ def minhash_lsh_pairs(
         .withColumn("jaccard", F.round(common / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_table(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32
+) -> DataFrame:
+    """(id, simhash) via explode + hash aggregate: per-token hash
+    computed ONCE, then ``bits`` sum() columns with map-side partial
+    aggregation — the shuffle carries one row of bit-sums per
+    (partition, doc). Same simhash values as the column-expression
+    ``functions.text.simhash`` (same per-token xxhash64, same majority
+    vote), but codegen'd end-to-end instead of an interpreted
+    higher-order fold (measured ~10× at 5k docs). Docs with no tokens
+    get fingerprint 0, matching the fold over an empty array."""
+    toks = df.select(
+        F.col(id_col), F.explode(TXT.tokens(text_col)).alias("__w")
+    ).select(F.col(id_col), F.xxhash64("__w").alias("h"))
+    sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"__b{i}")
+            for i in range(bits)
+        ]
+    )
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out + F.when(
+            F.col(f"__b{i}") > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    sigs = sums.select(F.col(id_col), out.alias("sh"))
+    # re-attach token-less docs (absent after explode) with simhash 0
+    return (
+        df.select(id_col)
+        .join(sigs, id_col, "left")
+        .select(id_col, F.coalesce("sh", F.lit(0).cast("long")).alias("sh"))
     )
 
 
@@ -234,7 +284,7 @@ def simhash_pairs(
     assert bits % band_bits == 0
     n_bands = bits // band_bits
     mask = (1 << band_bits) - 1
-    sh = df.select(F.col(id_col), TXT.simhash(text_col, bits).alias("sh"))
+    sh = simhash_table(df, id_col, text_col, bits)
     banded = sh.select(
         id_col,
         "sh",

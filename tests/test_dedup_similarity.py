@@ -70,6 +70,25 @@ def test_simhash_pairs_candidate_quality(docs):
     assert cands.get((1, 4)) == 0  # identical text → identical simhash
 
 
+def test_simhash_table_matches_column_expression(spark, docs):
+    from social_media_etl_spark.functions import text as TXT
+
+    agg = {
+        r["doc_id"]: r["sh"]
+        for r in dedup.simhash_table(docs, "doc_id", "text", 32).collect()
+    }
+    expr = {
+        r["doc_id"]: r["sh"]
+        for r in docs.select(
+            "doc_id", TXT.simhash("text", 32).alias("sh")
+        ).collect()
+    }
+    assert agg == expr
+    # token-less doc → fingerprint 0 on both paths
+    empty = spark.createDataFrame([(9, "   ")], "doc_id long, text string")
+    assert dedup.simhash_table(empty, "doc_id", "text", 32).first()["sh"] == 0
+
+
 @pytest.fixture(scope="module")
 def vecs(spark):
     rows = [
