@@ -96,6 +96,52 @@ def _events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.events_json_extract(load_table(spark, sf_dir, "events"))
 
 
+def _sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-HLL rollup: per-(flag,status) sketches unioned up to
+    flag WITHOUT rescanning raw data (functions/sketches.py). Estimates
+    are engine-specific → rows-only driver check; error bounds vs exact
+    counts are asserted in tests."""
+    from social_media_etl_spark.functions import sketches
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return sketches.distinct_sketch_rollup(
+        lineitem, ["l_returnflag"], "l_partkey", rollup_col="l_linestatus"
+    ).orderBy("l_returnflag")
+
+
+def _anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join: customers with no 1995 order (NOT EXISTS shape —
+    also the FK-violation check primitive, SURVEY §2.8)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == 1995
+    )
+    return (
+        customer.join(orders, customer["c_custkey"] == orders["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name", "c_nationkey")
+        .orderBy("c_custkey")
+    )
+
+
+def _semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join: suppliers having at least one urgent-priority
+    lineitem (EXISTS shape; no row multiplication)."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    urgent_items = lineitem.join(
+        orders.filter(F.col("o_orderpriority") == "1-URGENT"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select("l_suppkey")
+    return (
+        supplier.join(
+            urgent_items, supplier["s_suppkey"] == urgent_items["l_suppkey"], "left_semi"
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
 def _asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase event matched to the same user's most
     recent click at-or-before it (union+window plan, operators/temporal.py)."""
@@ -351,6 +397,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed_agg": _events_window,
         "events_sessionize": _events_sessions,
         "events_json_extract": _events_json,
+        "approx_distinct_sketch_rollup": _sketch_rollup,
+        "anti_join_customers_no_orders": _anti_join,
+        "semi_join_urgent_suppliers": _semi_join,
         "asof_purchase_last_click": _asof_purchase_click,
         "range_join_quantity_bands": _range_join_bands,
         "rollup_revenue": _rollup_revenue,
@@ -498,6 +547,23 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             )
             GROUP BY event_type ORDER BY event_type
+        """,
+        "anti_join_customers_no_orders": """
+            SELECT c_custkey, c_name, c_nationkey FROM customer
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey AND year(o_orderdate) = 1995
+            )
+            ORDER BY c_custkey
+        """,
+        "semi_join_urgent_suppliers": """
+            SELECT s_suppkey, s_name FROM supplier
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderpriority = '1-URGENT' AND l_suppkey = s_suppkey
+            )
+            ORDER BY s_suppkey
         """,
         # Mirrors operators/temporal.py asof_join: right side deduped
         # per (user_id, ts) keeping max event_id; inclusive backward.

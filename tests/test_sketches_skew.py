@@ -1,0 +1,107 @@
+"""Sketch aggregates (error-bounded vs exact) and skew-salting
+operators (result-equivalence vs unsalted plans)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from social_media_etl_spark.catalog import load_table
+from social_media_etl_spark.functions import sketches
+from social_media_etl_spark.operators import skew
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hll_estimate_within_error_bound(spark):
+    li = load_table(spark, SF, "lineitem")
+    exact = li.select(F.countDistinct("l_partkey")).first()[0]
+    est = li.agg(
+        sketches.hll_estimate(sketches.hll_sketch("l_partkey")).alias("e")
+    ).first()["e"]
+    assert abs(est - exact) / exact < 0.05  # lg_k=12 → ~1.6% std error
+
+
+def test_hll_sketch_rollup_merges_without_raw_data(spark):
+    li = load_table(spark, SF, "lineitem")
+    out = sketches.distinct_sketch_rollup(
+        li, ["l_returnflag"], "l_partkey", rollup_col="l_linestatus"
+    )
+    got = {r["l_returnflag"]: r for r in out.collect()}
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for flag, row in got.items():
+        assert abs(row["approx_distinct"] - exact[flag]) / exact[flag] < 0.05
+        assert row["n_cells"] >= 1
+
+
+def test_approx_quantiles_ordered_and_bounded(spark):
+    orders = load_table(spark, SF, "orders")
+    row = sketches.approx_quantiles(orders, "o_totalprice").first()
+    lo, hi = orders.agg(F.min("o_totalprice"), F.max("o_totalprice")).first()
+    assert lo <= row["p50"] <= row["p90"] <= row["p99"] <= hi
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """90% of rows share one hot key."""
+    hot = spark.range(9000).select(
+        F.lit(1).alias("k"), (F.col("id") % 100).cast("double").alias("v")
+    )
+    cold = spark.range(1000).select(
+        (F.col("id") % 50 + 2).alias("k"), F.col("id").cast("double").alias("v")
+    )
+    return hot.unionAll(cold)
+
+
+def test_salted_agg_matches_plain_agg(skewed):
+    plain = {
+        r["k"]: (r["n"], r["s"], r["mx"])
+        for r in skewed.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        r["k"]: (r["n"], r["s"], r["mx"])
+        for r in skew.salted_agg(
+            skewed,
+            ["k"],
+            {"n": ("v", "count"), "s": ("v", "sum"), "mx": ("v", "max")},
+            n_salts=8,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_agg_spreads_hot_key(skewed):
+    """Phase-1 output must contain multiple partial groups for the hot
+    key — the whole point of the salt."""
+    salted = skew.with_salt(skewed, 8)
+    partials = (
+        salted.filter(F.col("k") == 1).select("__salt").distinct().count()
+    )
+    assert partials > 1
+
+
+def test_salted_join_matches_plain_join(spark, skewed):
+    build = spark.createDataFrame(
+        [(k, f"name{k}") for k in range(1, 52)], "k long, name string"
+    )
+    plain = sorted(
+        (r["k"], r["v"], r["name"])
+        for r in skewed.join(build, "k").collect()
+    )
+    salted = sorted(
+        (r["k"], r["v"], r["name"])
+        for r in skew.salted_join(skewed, build, ["k"], n_salts=8).collect()
+    )
+    assert salted == plain and len(plain) == 10000
