@@ -317,6 +317,16 @@ def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components (iterative min-label
+    propagation) over the exact 3-gram Jaccard ≥0.8 pair graph. The
+    DuckDB oracle reproduces it with a recursive transitive-closure
+    CTE over the same pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    return dedup.connected_components(pairs).orderBy("node")
+
+
 def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine near-dup pairs over the embedding column — blocked
     numpy matmul over block pairs (mapInPandas), not a row-level
@@ -409,6 +419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_jaccard,
         "dedup_minhash_lsh": _dedup_minhash,
+        "dedup_components": _dedup_components,
         "dedup_simhash": _dedup_simhash,
         "embedding_neardup": _embedding_neardup,
         "ann_cosine_topk": _ann_topk,
@@ -695,6 +706,45 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz x ON id_a = x.doc_id
             JOIN sz y ON id_b = y.doc_id
             WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.8
+        """,
+        # Transitive closure over the same Jaccard≥0.8 pair graph the
+        # Spark side mines; component = min reachable node id.
+        "dedup_components": """
+            WITH RECURSIVE toks AS (
+                SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id, unnest(list_distinct(
+                    [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]
+                )) AS s
+                FROM toks WHERE len(w) >= 3
+            ),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            common AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT id_a, id_b
+                FROM common
+                JOIN sz x ON id_a = x.doc_id
+                JOIN sz y ON id_b = y.doc_id
+                WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.8
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ),
+            reach AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            )
+            SELECT src AS node, least(src, min(dst)) AS component
+            FROM reach GROUP BY src ORDER BY node
         """,
         "embedding_neardup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

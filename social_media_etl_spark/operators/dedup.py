@@ -34,6 +34,8 @@ __all__ = [
     "simhash_table",
     "simhash_pairs",
     "embedding_cosine_pairs",
+    "connected_components",
+    "dedup_by_components",
 ]
 
 
@@ -318,6 +320,90 @@ def simhash_pairs(
         )
         .distinct()
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair graph → (node,
+    component) with component = min node id in the component.
+
+    The near-dup pair miners above emit EDGES; turning edges into
+    dup CLUSTERS (so one representative per cluster survives) needs
+    transitive closure — an iterative algorithm, not a single SQL
+    query. Implementation: min-label propagation — each round every
+    node takes the min label in its neighborhood (one join + one
+    aggregate per round, all key-partitioned), until a fixed point.
+    Rounds needed = graph diameter (tiny for dup clusters; ``max_iter``
+    bounds pathological chains). Each round persists its label frame
+    and unpersists the previous — lineage stays O(1) deep, so this
+    runs at any corpus size without checkpoint blowup.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        # min label among neighbors (via edges) and self
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_comp"))
+            .withColumnRenamed("src", "node")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node"), F.col("comp").alias("component"))
+
+
+def dedup_by_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Keep one representative (min id) per near-dup cluster: drop every
+    row whose id appears in a component under a smaller member. Rows
+    with no near-dup edge pass through untouched."""
+    comps = connected_components(pairs, id_a, id_b)
+    losers = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
 
 
 def embedding_cosine_pairs(

@@ -89,6 +89,26 @@ def test_simhash_table_matches_column_expression(spark, docs):
     assert dedup.simhash_table(empty, "doc_id", "text", 32).first()["sh"] == 0
 
 
+def test_connected_components_chain_and_islands(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 3)], "id_a long, id_b long"
+    )
+    out = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    # chain 1-2-3-8 collapses to min id 1 (transitive, not just direct neighbors)
+    assert out == {1: 1, 2: 1, 3: 1, 8: 1, 5: 5, 6: 5}
+
+
+def test_dedup_by_components_keeps_representative(spark, docs):
+    pairs = dedup.jaccard_pairs(docs, "doc_id", "text", 3, 0.5)
+    kept = dedup.dedup_by_components(docs, pairs, "doc_id")
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    # 1,2,4 form one near-dup cluster → only 1 survives; 3 and 5 untouched
+    assert ids == [1, 3, 5]
+
+
 @pytest.fixture(scope="module")
 def vecs(spark):
     rows = [
