@@ -96,6 +96,32 @@ def _events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.events_json_extract(load_table(spark, sf_dir, "events"))
 
 
+_MIN_PRICE_SQL = """
+    SELECT DISTINCT p_partkey, p_name, s_name,
+           round(l_extendedprice, 2) AS min_price
+    FROM part
+    JOIN lineitem ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE p_partkey < 100
+      AND l_extendedprice = (
+          SELECT min(l2.l_extendedprice) FROM lineitem l2
+          WHERE l2.l_partkey = p_partkey
+      )
+    ORDER BY p_partkey, s_name
+"""
+
+
+def _sql_entrypoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL entry point (SURVEY §3 entry point 3): the IDENTICAL ANSI
+    string runs through spark.sql (full Catalyst lifecycle incl.
+    correlated-scalar-subquery rewrite to a join) and through DuckDB —
+    a TPC-H Q2-shaped min-cost-supplier-with-ties query."""
+    from social_media_etl_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_MIN_PRICE_SQL)
+
+
 def _sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-HLL rollup: per-(flag,status) sketches unioned up to
     flag WITHOUT rescanning raw data (functions/sketches.py). Estimates
@@ -407,6 +433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed_agg": _events_window,
         "events_sessionize": _events_sessions,
         "events_json_extract": _events_json,
+        "sql_min_price_supplier": _sql_entrypoint,
         "approx_distinct_sketch_rollup": _sketch_rollup,
         "anti_join_customers_no_orders": _anti_join,
         "semi_join_urgent_suppliers": _semi_join,
@@ -559,6 +586,7 @@ def oracle_sql() -> dict[str, str]:
             )
             GROUP BY event_type ORDER BY event_type
         """,
+        "sql_min_price_supplier": _MIN_PRICE_SQL,
         "anti_join_customers_no_orders": """
             SELECT c_custkey, c_name, c_nationkey FROM customer
             WHERE NOT EXISTS (

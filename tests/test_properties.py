@@ -1,0 +1,148 @@
+"""Property-based and edge-case tests.
+
+Hypothesis drives the engine's structural operators with random inputs
+and checks invariants against brute-force Python models; the
+empty-input cases pin the SURVEY §5.2 contract (the reference crashes
+on empty extracts — ``rows[0].keys()`` — ours must produce empty,
+well-typed results).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from social_media_etl_spark.operators.argmax import argmax_with_ties
+from social_media_etl_spark.operators.dedup import dedup_exact, jaccard_pairs
+from social_media_etl_spark.operators.flatten import flattened_columns
+from social_media_etl_spark.operators.normalize import normalize
+from social_media_etl_spark.operators.temporal import asof_join
+from social_media_etl_spark.operators.transforms import select_aligned
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 5)), min_size=1, max_size=40
+    )
+)
+@settings(**_SETTINGS)
+def test_argmax_with_ties_matches_bruteforce(spark, rows):
+    df = spark.createDataFrame(rows, "id long, score long")
+    got = sorted(
+        (r["id"], r["score"]) for r in argmax_with_ties(df, "score").collect()
+    )
+    mx = max(s for _, s in rows)
+    # argmax keeps every tied ROW (duplicates preserved)
+    want_rows = sorted((i, s) for i, s in rows if s == mx)
+    assert got == want_rows
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)),  # (key, minute)
+        min_size=0,
+        max_size=30,
+    ),
+    quotes=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100), st.integers(0, 999)),
+        min_size=0,
+        max_size=30,
+    ),
+)
+@settings(**_SETTINGS)
+def test_asof_join_matches_bruteforce(spark, events, quotes):
+    base = datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(i, k, base + timedelta(minutes=m)) for i, (k, m) in enumerate(events)],
+        "eid long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(k, base + timedelta(minutes=m), v) for k, m, v in quotes],
+        "k long, ts timestamp, v long",
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts", right_values=["v"]
+    )
+    got = {r["eid"]: r["asof_v"] for r in out.collect()}
+    # brute-force model: max-ts quote ≤ event ts; ties on ts → max v
+    want = {}
+    for i, (k, m) in enumerate(events):
+        cands = [(qm, v) for qk, qm, v in quotes if qk == k and qm <= m]
+        if cands:
+            best_ts = max(qm for qm, _ in cands)
+            want[i] = max(v for qm, v in cands if qm == best_ts)
+        else:
+            want[i] = None
+    assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab c"), min_size=0, max_size=30
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+@settings(**_SETTINGS)
+def test_jaccard_pairs_matches_bruteforce(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(df, "doc_id", "text", n=2, threshold=0.0).collect()
+    }
+
+    def shingles(t):
+        toks = t.strip().lower().split()
+        return {" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)}
+
+    want = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            sa, sb = shingles(texts[a]), shingles(texts[b])
+            if sa and sb and sa & sb:
+                want[(a, b)] = round(len(sa & sb) / len(sa | sb), 6)
+    assert got == want
+
+
+def test_empty_input_contract(spark):
+    """Reference crashes on empty extracts (users_etl.py:143); every
+    structural operator here must pass empty through, typed."""
+    empty_users = spark.createDataFrame(
+        [],
+        "id long, name string, "
+        "address struct<city:string, geo:struct<lat:string, lng:string>>, "
+        "company struct<name:string>",
+    )
+    out = normalize(
+        empty_users,
+        nested={"address": "addresses", "company": "companies"},
+        key_cols=["id"],
+        root_name="users",
+    )
+    assert {k: v.count() for k, v in out.items()} == {
+        "users": 0,
+        "addresses": 0,
+        "companies": 0,
+    }
+    assert out["addresses"].columns == ["uuid", "city", "geo_lat", "geo_lng"]
+    assert select_aligned(empty_users, ["name", "id"]).columns == ["name", "id"]
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup_exact(empty_docs, ["text"], ["doc_id"]).count() == 0
+    assert jaccard_pairs(empty_docs, "doc_id", "text").count() == 0
+
+    flat = flattened_columns(empty_users.schema)
+    assert len(flat) == 6  # id, name, city, geo_lat, geo_lng, company name
