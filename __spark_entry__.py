@@ -251,6 +251,20 @@ def _set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "op string, n_custs long").orderBy("op")
 
 
+def _scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history built from the events stream: one version
+    row per change of a user's event_type, with [effective, valid_to)
+    validity and a current flag (operators/warehouse.py:scd2_apply —
+    no-op updates collapse, versions close via lead())."""
+    from social_media_etl_spark.operators.warehouse import scd2_apply
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").alias("effective")
+    )
+    out = scd2_apply(None, ev, ["user_id"], ["event_type"], "effective")
+    return out.orderBy("user_id", "effective")
+
+
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the testdata events parquet (ts arrives
     as TIMESTAMP(NANOS) → long under nanosAsLong; convert like
@@ -433,6 +447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed_agg": _events_window,
         "events_sessionize": _events_sessions,
         "events_json_extract": _events_json,
+        "scd2_user_event_history": _scd2_history,
         "sql_min_price_supplier": _sql_entrypoint,
         "approx_distinct_sketch_rollup": _sketch_rollup,
         "anti_join_customers_no_orders": _anti_join,
@@ -585,6 +600,29 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             )
             GROUP BY event_type ORDER BY event_type
+        """,
+        # Mirrors warehouse.scd2_apply: drop rows whose tracked value
+        # equals the previous row's (per user, by time), close versions
+        # with lead(). (user_id, ts) is unique in events → deterministic.
+        "scd2_user_event_history": """
+            WITH ordered AS (
+                SELECT user_id, event_type, ts,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                       ) AS prev
+                FROM events
+            ),
+            versions AS (
+                SELECT user_id, event_type, ts AS effective
+                FROM ordered
+                WHERE prev IS NULL OR prev != event_type
+            )
+            SELECT user_id, event_type, effective,
+                   lead(effective) OVER w AS valid_to,
+                   lead(effective) OVER w IS NULL AS is_current
+            FROM versions
+            WINDOW w AS (PARTITION BY user_id ORDER BY effective)
+            ORDER BY user_id, effective
         """,
         "sql_min_price_supplier": _MIN_PRICE_SQL,
         "anti_join_customers_no_orders": """

@@ -1,0 +1,103 @@
+"""Warehouse layout operators: partition pruning, upsert, SCD2."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from social_media_etl_spark.catalog import load_table
+from social_media_etl_spark.operators import warehouse
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    path = str(tmp_path / "events_by_type")
+    events = load_table(spark, SF, "events")
+    warehouse.write_partitioned(
+        events, path, ["event_type"], target_file_rows=10000
+    )
+    back = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    assert back.count() == events.filter(F.col("event_type") == "click").count()
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # the filter became directory pruning, not a data filter
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    import os
+
+    dirs = [d for d in os.listdir(path) if d.startswith("event_type=")]
+    assert len(dirs) == 5  # one directory per type
+
+
+def test_upsert_parquet_latest_wins(spark, tmp_path):
+    path = str(tmp_path / "state")
+    v1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10)], "k long, v string, ver long"
+    )
+    warehouse.upsert_parquet(spark, v1, path, ["k"], "ver")
+    v2 = spark.createDataFrame(
+        [(2, "b2", 20), (3, "c", 20)], "k long, v string, ver long"
+    )
+    warehouse.upsert_parquet(spark, v2, path, ["k"], "ver")
+    got = {r["k"]: (r["v"], r["ver"]) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", 10), 2: ("b2", 20), 3: ("c", 20)}
+
+
+def test_scd2_versions_and_validity(spark):
+    t = lambda d: datetime(2024, 1, d)  # noqa: E731
+    updates = spark.createDataFrame(
+        [
+            (1, "NY", t(1)),
+            (1, "NY", t(5)),   # no-op update → no new version
+            (1, "LA", t(10)),  # real change
+            (2, "SF", t(3)),
+        ],
+        "user_id long, city string, effective timestamp",
+    )
+    hist = warehouse.scd2_apply(
+        None, updates, ["user_id"], ["city"], "effective"
+    )
+    rows = sorted(
+        (r["user_id"], r["city"], r["effective"], r["valid_to"], r["is_current"])
+        for r in hist.collect()
+    )
+    assert rows == [
+        (1, "NY", t(1), t(10), False),
+        (1, "LA", t(10), None, True),
+        (2, "SF", t(3), None, True),
+    ] or rows == [
+        (1, "LA", t(10), None, True),
+        (1, "NY", t(1), t(10), False),
+        (2, "SF", t(3), None, True),
+    ]
+
+
+def test_scd2_incremental_fold_equals_full_rebuild(spark):
+    t = lambda d: datetime(2024, 1, d)  # noqa: E731
+    batch1 = spark.createDataFrame(
+        [(1, "NY", t(1)), (2, "SF", t(2))],
+        "user_id long, city string, effective timestamp",
+    )
+    batch2 = spark.createDataFrame(
+        [(1, "LA", t(8)), (2, "SF", t(9))],  # user 2 unchanged
+        "user_id long, city string, effective timestamp",
+    )
+    d1 = warehouse.scd2_apply(None, batch1, ["user_id"], ["city"], "effective")
+    incr = warehouse.scd2_apply(
+        d1.select("user_id", "city", "effective"),
+        batch2,
+        ["user_id"],
+        ["city"],
+        "effective",
+    )
+    full = warehouse.scd2_apply(
+        None, batch1.unionByName(batch2), ["user_id"], ["city"], "effective"
+    )
+    key = lambda df: sorted(  # noqa: E731
+        (r["user_id"], r["city"], r["effective"], r["valid_to"], r["is_current"])
+        for r in df.collect()
+    )
+    assert key(incr) == key(full)
+    cur = {r["user_id"]: r["city"] for r in incr.filter("is_current").collect()}
+    assert cur == {1: "LA", 2: "SF"}
