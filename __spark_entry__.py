@@ -421,6 +421,34 @@ def _text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", TXT.fingerprint("text").alias("fp"))
 
 
+def _doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64/16) via sequence +
+    posexplode — the LLM packing-stage input unit."""
+    from social_media_etl_spark.operators import chunking
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunking.chunk_documents(docs, chunk_tokens=64, overlap=16).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+def _top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word-frequency top-100 (deterministic tie order)."""
+    from social_media_etl_spark.operators import chunking
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunking.top_words(docs, k=100)
+
+
+def _gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gates per document (token bounds, word-len
+    band, symbol ratio, duplicate-line ratio)."""
+    from social_media_etl_spark.operators import chunking
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunking.gopher_quality(docs).orderBy("doc_id")
+
+
 def _multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary column plumbing: payload bytes + typed metadata
     (byte length, content digest) — the decode stage itself is the
@@ -466,6 +494,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _embedding_neardup,
         "ann_cosine_topk": _ann_topk,
         "ann_lsh_topk": _ann_lsh,
+        "doc_chunks": _doc_chunks,
+        "corpus_top_words": _top_words,
+        "gopher_quality_flags": _gopher_quality,
         "text_stats": _text_stats,
         "text_lang_id": _text_lang,
         "doc_fingerprint": _text_fingerprint,
@@ -830,6 +861,80 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
                 WHERE q.vec_id < 10
             ) WHERE rk <= 5
+        """,
+        # Mirrors operators/chunking.py: starts are multiples of the
+        # stride, so chunk_idx = start // stride; slices are 1-based
+        # inclusive in DuckDB = (start+1, len 64) in Spark.
+        "doc_chunks": """
+            WITH t AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') AS w
+                FROM documents
+                WHERE trim(text) != ''
+            ),
+            st AS (
+                SELECT doc_id, w,
+                       unnest(generate_series(0,
+                           greatest(0,
+                               CAST(floor((len(w) - 17.0) / 48) AS INT) * 48),
+                           48)) AS start
+                FROM t
+            )
+            SELECT doc_id,
+                   start // 48 AS chunk_idx,
+                   len(w[start + 1 : start + 64]) AS n_chunk_tokens,
+                   array_to_string(w[start + 1 : start + 64], ' ') AS chunk_text
+            FROM st
+            ORDER BY doc_id, chunk_idx
+        """,
+        "corpus_top_words": """
+            WITH words AS (
+                SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+                FROM documents
+            ),
+            counts AS (
+                SELECT word, count(*) AS n FROM words
+                WHERE length(word) >= 1
+                GROUP BY word
+            )
+            SELECT row_number() OVER (ORDER BY n DESC, word) AS rank, word, n
+            FROM counts
+            ORDER BY rank LIMIT 100
+        """,
+        # Mirrors operators/chunking.py:gopher_quality thresholds.
+        "gopher_quality_flags": """
+            WITH m AS (
+                SELECT doc_id, text,
+                       string_split_regex(trim(lower(text)), '\\s+') AS w,
+                       string_split(text, chr(10)) AS lines
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN 0 ELSE len(w) END AS n_tokens,
+                       CASE WHEN len(w) > 0 AND trim(text) != ''
+                            THEN length(array_to_string(w, '')) / CAST(len(w) AS DOUBLE)
+                       END AS awl,
+                       CASE WHEN length(text) > 0 THEN
+                           (length(text) - length(regexp_replace(text,
+                               '[#@&%$~|^\\\\]', '', 'g'))) / CAST(length(text) AS DOUBLE)
+                       ELSE 0 END AS sym,
+                       CASE WHEN len(lines) > 0 THEN
+                           (len(lines) - len(list_distinct(lines)))
+                               / CAST(len(lines) AS DOUBLE)
+                       ELSE 0 END AS dup_ratio
+                FROM m
+            )
+            SELECT doc_id, n_tokens,
+                   n_tokens >= 5 AND n_tokens <= 10000 AS ok_token_count,
+                   awl IS NOT NULL AND awl >= 3.0 AND awl <= 10.0 AS ok_avg_word_len,
+                   sym <= 0.1 AS ok_symbol_ratio,
+                   dup_ratio <= 0.3 AS ok_dup_lines,
+                   (n_tokens >= 5 AND n_tokens <= 10000)
+                       AND (awl IS NOT NULL AND awl >= 3.0 AND awl <= 10.0)
+                       AND sym <= 0.1 AND dup_ratio <= 0.3 AS keep
+            FROM s
+            ORDER BY doc_id
         """,
         # Mirrors functions/text.py metrics exactly (same formula, same
         # rounding, explicit double casts so DuckDB doesn't go DECIMAL).

@@ -1,0 +1,122 @@
+"""Document chunking + corpus statistics for LLM training pipelines.
+
+Chunking splits documents into overlapping token windows — the unit
+fed to tokenizer/packing stages downstream. Expressed with
+``sequence`` + ``posexplode`` over the token array: pure expressions,
+one generate step, no UDF; output rows ≈ n_tokens/stride per doc
+regardless of document skew (a 1 GB doc becomes many rows, not one
+giant row — the property that keeps downstream stages balanced).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from social_media_etl_spark.functions import text as TXT
+
+__all__ = ["chunk_documents", "top_words", "gopher_quality"]
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split each document into whitespace-token windows of
+    ``chunk_tokens`` with ``overlap`` tokens of context between
+    consecutive chunks. Returns (id, chunk_idx, n_chunk_tokens,
+    chunk_text). Documents shorter than one window yield one chunk;
+    empty documents yield none.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    t = TXT.tokens(text_col)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.size(t) - F.lit(overlap) - 1) / F.lit(stride)).cast("int")
+            * F.lit(stride),
+        ),
+        F.lit(stride),
+    )
+    exploded = df.select(
+        F.col(id_col),
+        t.alias("__toks"),
+        F.posexplode(starts).alias("chunk_idx", "start"),
+    ).filter(F.size("__toks") > 0)
+    chunk = F.slice(F.col("__toks"), F.col("start") + 1, chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def top_words(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 100,
+    min_len: int = 1,
+) -> DataFrame:
+    """Corpus word-frequency table: top-k tokens by occurrence count
+    (deterministic ties: count desc, then token asc). The explode →
+    count aggregate partial-aggregates map-side, so the shuffle carries
+    (token, partial count), not token occurrences."""
+    toks = df.select(F.explode(TXT.tokens(text_col)).alias("word")).filter(
+        F.length("word") >= min_len
+    )
+    counts = toks.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.col("word"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", "word", "n")
+    )
+
+
+def gopher_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_tokens: int = 10_000,
+    min_avg_word_len: float = 3.0,
+    max_avg_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_dup_line_ratio: float = 0.3,
+) -> DataFrame:
+    """Gopher-style document quality gates (Rae et al. 2021 §A1.1,
+    simplified to the signals computable without a tokenizer): token
+    count bounds, mean word length band, symbol-to-char ratio cap, and
+    duplicate-line fraction cap. Emits one boolean per rule plus the
+    conjunction (``keep``) — filter-ready, all in one codegen'd pass.
+    """
+    t = TXT.tokens(text_col)
+    n_tok = F.size(t)
+    awl = TXT.avg_token_len(text_col)
+    sym = TXT.char_class_ratio(text_col, r"[#@&%$~|^\\]")
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    dup_lines = n_lines - F.size(F.array_distinct(lines))
+    dup_ratio = F.when(n_lines > 0, dup_lines / n_lines).otherwise(F.lit(0.0))
+    ok_len = (n_tok >= min_tokens) & (n_tok <= max_tokens)
+    ok_awl = (
+        awl.isNotNull() & (awl >= min_avg_word_len) & (awl <= max_avg_word_len)
+    )
+    ok_sym = F.coalesce(sym, F.lit(0.0)) <= max_symbol_ratio
+    ok_dup = dup_ratio <= max_dup_line_ratio
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        ok_len.alias("ok_token_count"),
+        ok_awl.alias("ok_avg_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_dup.alias("ok_dup_lines"),
+        (ok_len & ok_awl & ok_sym & ok_dup).alias("keep"),
+    )
