@@ -83,11 +83,32 @@ def read_json_landing(
     path: str,
     schema: T.StructType | str | None = None,
     multiline: bool = False,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str | None = None,
 ) -> DataFrame:
     """Read a JSON landing zone (S2/S3). ``multiline=True`` for the
     whole-array object form (K1); default NDJSON — Spark's native,
-    splittable JSON layout."""
-    reader = spark.read
+    splittable JSON layout.
+
+    Bad-record policy (the reference RAISES on any invalid payload,
+    ``rest_api_json_to_gcs_operator.py:53-67``; at warehouse scale a
+    poison record must not kill the load):
+    - ``PERMISSIVE`` (default): malformed rows null-fill; pass
+      ``corrupt_col`` to capture the raw text for quarantine.
+    - ``DROPMALFORMED``: silently drop bad rows.
+    - ``FAILFAST``: reference-parity strictness — raise on first bad row.
+    """
+    reader = spark.read.option("mode", mode)
+    if corrupt_col is not None:
+        if schema is None:
+            raise ValueError("corrupt_col requires an explicit schema")
+        schema = (
+            T._parse_datatype_string(schema) if isinstance(schema, str) else schema
+        )
+        schema = T.StructType(
+            [*schema.fields, T.StructField(corrupt_col, T.StringType())]
+        )
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
     if schema is not None:
         reader = reader.schema(schema)
     if multiline:
@@ -117,7 +138,11 @@ def write_ndjson(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 # ---------------------------------------------------------------------------
 
 try:  # the DataSource API needs pyspark >= 4
-    from pyspark.sql.datasource import DataSource, DataSourceReader
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        SimpleDataSourceStreamReader,
+    )
 
     class _RestJsonReader(DataSourceReader):
         def __init__(self, options, schema: T.StructType):
@@ -131,13 +156,47 @@ try:  # the DataSource API needs pyspark >= 4
             for rec in fetch_json_records(self._url):
                 yield tuple(rec.get(name) for name in field_names)
 
+    class _RestJsonStreamReader(SimpleDataSourceStreamReader):
+        """Incremental poller for an append-only JSON feed: the stream
+        offset is the number of records already emitted; each
+        micro-batch re-fetches the endpoint and emits only the tail.
+        Offsets are checkpointed by the engine → exactly-once delivery
+        across restarts (readBetweenOffsets replays a committed span).
+        """
+
+        def __init__(self, options, schema: T.StructType):
+            self._url = options.get("url")
+            if not self._url:
+                raise ValueError("rest_json source requires option 'url'")
+            self._fields = [f.name for f in schema.fields]
+
+        def initialOffset(self) -> dict:
+            return {"pos": 0}
+
+        def _rows(self, lo: int, hi: int | None):
+            recs = fetch_json_records(self._url)
+            recs = recs[lo:hi] if hi is not None else recs[lo:]
+            return [
+                tuple(rec.get(name) for name in self._fields) for rec in recs
+            ], lo + len(recs)
+
+        def read(self, start: dict):
+            rows, new_pos = self._rows(start["pos"], None)
+            return iter(rows), {"pos": new_pos}
+
+        def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+            rows, _ = self._rows(start["pos"], end["pos"])
+            return iter(rows)
+
     class RestJsonDataSource(DataSource):
         """``spark.read.format('rest_json').schema(s).option('url', u)``
-        — the reference's REST extract (S1) as a native scan node.
+        — the reference's REST extract (S1) as a native scan node; the
+        same format also works with ``spark.readStream`` as an
+        incremental append-only feed poller.
 
-        Single partition per endpoint (a REST array is one object);
-        paged APIs would override ``partitions()`` to fan out one
-        partition per page and read pages concurrently on executors.
+        Batch: single partition per endpoint (a REST array is one
+        object); paged APIs would override ``partitions()`` to fan out
+        one partition per page read concurrently on executors.
         """
 
         @classmethod
@@ -152,6 +211,11 @@ try:  # the DataSource API needs pyspark >= 4
 
         def reader(self, schema: T.StructType) -> DataSourceReader:
             return _RestJsonReader(self.options, schema)
+
+        def simpleStreamReader(
+            self, schema: T.StructType
+        ) -> SimpleDataSourceStreamReader:
+            return _RestJsonStreamReader(self.options, schema)
 
     def register_rest_json_source(spark: SparkSession) -> None:
         spark.dataSource.register(RestJsonDataSource)

@@ -87,6 +87,74 @@ def test_json_landing_roundtrip(spark, tmp_path, array_fixture):
     assert sorted(r["id"] for r in back2.collect()) == [1, 2]
 
 
+def test_python_datasource_streaming_incremental(spark, tmp_path):
+    """The rest_json stream source polls the endpoint and emits only
+    NEW records per micro-batch (offset = records seen)."""
+    feed = tmp_path / "feed.json"
+    feed.write_text(json.dumps([{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]))
+    rest_api.register_rest_json_source(spark)
+    stream = (
+        spark.readStream.format("rest_json")
+        .schema("id long, name string")
+        .option("url", str(feed))
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rest_feed")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert sorted(
+            r["id"] for r in spark.table("rest_feed").collect()
+        ) == [1, 2]
+        # feed grows → only the tail is emitted (no duplicates)
+        feed.write_text(
+            json.dumps(
+                [
+                    {"id": 1, "name": "a"},
+                    {"id": 2, "name": "b"},
+                    {"id": 3, "name": "c"},
+                ]
+            )
+        )
+        q.processAllAvailable()
+        assert sorted(
+            r["id"] for r in spark.table("rest_feed").collect()
+        ) == [1, 2, 3]
+    finally:
+        q.stop()
+
+
+def test_bad_record_policies(spark, tmp_path):
+    """Poison-record handling: quarantine, drop, or reference-parity
+    failfast."""
+    p = tmp_path / "dirty.ndjson"
+    p.write_text('{"id": 1, "name": "ok"}\nTHIS IS NOT JSON\n{"id": 2, "name": "ok2"}\n')
+    schema = "id long, name string"
+
+    quarantined = rest_api.read_json_landing(
+        spark, str(p), schema, corrupt_col="_bad"
+    )
+    rows = quarantined.collect()
+    assert len(rows) == 3
+    bad = [r for r in rows if r["_bad"] is not None]
+    assert len(bad) == 1 and bad[0]["_bad"].startswith("THIS IS")
+    assert bad[0]["id"] is None
+
+    dropped = rest_api.read_json_landing(
+        spark, str(p), schema, mode="DROPMALFORMED"
+    )
+    assert sorted(r["id"] for r in dropped.collect()) == [1, 2]
+
+    with pytest.raises(Exception, match="FAILED_READ_FILE|Malformed"):
+        rest_api.read_json_landing(
+            spark, str(p), schema, mode="FAILFAST"
+        ).collect()
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
