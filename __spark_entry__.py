@@ -449,6 +449,30 @@ def _gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunking.gopher_quality(docs).orderBy("doc_id")
 
 
+def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk → greedy sequence packing (sharded applyInPandas): the
+    tokenizer-packing stage. Greedy fill is not SQL-expressible →
+    rows-only driver check; budget/coverage invariants are tested."""
+    from social_media_etl_spark.operators import chunking
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunking.chunk_documents(docs, chunk_tokens=64, overlap=16)
+    return chunking.pack_chunks(chunks, max_tokens=512).orderBy(
+        "shard", "seq_no", "pos_in_seq", "doc_id"
+    )
+
+
+def _quota_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document quota (corpus balancing): deterministic
+    first-N-by-id cap per stratum."""
+    from social_media_etl_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.quota_per_stratum(docs, "source", 50, ["doc_id"]).select(
+        "doc_id", "source"
+    ).orderBy("doc_id")
+
+
 def _multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary column plumbing: payload bytes + typed metadata
     (byte length, content digest) — the decode stage itself is the
@@ -495,6 +519,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _ann_topk,
         "ann_lsh_topk": _ann_lsh,
         "doc_chunks": _doc_chunks,
+        "pack_training_sequences": _pack_sequences,
+        "quota_per_source": _quota_per_source,
         "corpus_top_words": _top_words,
         "gopher_quality_flags": _gopher_quality,
         "text_stats": _text_stats,
@@ -886,6 +912,15 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(w[start + 1 : start + 64], ' ') AS chunk_text
             FROM st
             ORDER BY doc_id, chunk_idx
+        """,
+        "quota_per_source": """
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source ORDER BY doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn <= 50 ORDER BY doc_id
         """,
         "corpus_top_words": """
             WITH words AS (

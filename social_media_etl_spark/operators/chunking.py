@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from social_media_etl_spark.functions import text as TXT
 
-__all__ = ["chunk_documents", "top_words", "gopher_quality"]
+__all__ = ["chunk_documents", "top_words", "gopher_quality", "pack_chunks"]
 
 
 def chunk_documents(
@@ -55,6 +55,61 @@ def chunk_documents(
         F.col("chunk_idx"),
         F.size(chunk).alias("n_chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    max_tokens: int = 512,
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    tokens_col: str = "n_chunk_tokens",
+    n_shards: int = 64,
+) -> DataFrame:
+    """Pack chunks into training sequences of ≤ ``max_tokens`` via
+    greedy sequential fill — the tokenizer-packing stage of an LLM
+    pipeline.
+
+    Greedy packing is inherently sequential, so it is SHARDED: docs
+    hash into ``n_shards`` independent shards, each packed greedily
+    (applyInPandas, deterministic doc/chunk order inside), and the
+    emitted sequence key is (shard, seq_in_shard) — globally unique
+    without cross-shard coordination. Size ``n_shards`` to ~cluster
+    parallelism: each shard is one sequential task, waste is bounded
+    by one underfull sequence per shard.
+    Output: (shard, seq_no, id, chunk_idx, n_chunk_tokens, pos_in_seq).
+    """
+    import pandas as pd
+
+    sharded = chunks.withColumn(
+        "__shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([id_col, idx_col], kind="mergesort")
+        seq_nos, positions = [], []
+        seq_no, used = 0, 0
+        for n in pdf[tokens_col]:
+            n = int(min(n, max_tokens))
+            if used + n > max_tokens:
+                seq_no += 1
+                used = 0
+            positions.append(used)
+            seq_nos.append(seq_no)
+            used += n
+        out = pdf[[ "__shard", id_col, idx_col, tokens_col]].copy()
+        out["seq_no"] = seq_nos
+        out["pos_in_seq"] = positions
+        return out
+
+    out_schema = (
+        f"__shard long, {id_col} long, {idx_col} int, {tokens_col} int, "
+        "seq_no long, pos_in_seq long"
+    )
+    return (
+        sharded.groupBy("__shard")
+        .applyInPandas(_pack, out_schema)
+        .withColumnRenamed("__shard", "shard")
     )
 
 

@@ -1,0 +1,66 @@
+"""Corpus sampling / balancing operators for training-data pipelines.
+
+Mixing a 100 TB corpus means per-source quotas and stratified rates —
+applied distributively, deterministically (reruns must produce the
+same dataset), and without collecting anything to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+__all__ = ["stratified_sample", "quota_per_stratum", "deterministic_split"]
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling at the given fractions
+    (``sampleBy``): one scan, no shuffle; seeded → reproducible."""
+    return df.sampleBy(strata_col, dict(fractions), seed)
+
+
+def quota_per_stratum(
+    df: DataFrame,
+    strata_col: str,
+    quota: int,
+    order_by: Sequence[str],
+) -> DataFrame:
+    """Hard cap per stratum: keep the first ``quota`` rows by a
+    DETERMINISTIC order (e.g. id). Unlike sampling this is exact and
+    engine-reproducible — it is the ranked top-k pattern partitioned by
+    stratum, so it parallelizes per stratum."""
+    w = Window.partitionBy(strata_col).orderBy(*[F.col(c) for c in order_by])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= quota)
+        .drop("__rn")
+    )
+
+
+def deterministic_split(
+    df: DataFrame,
+    key_col: str,
+    weights: Mapping[str, int],
+    salt: str = "split",
+) -> DataFrame:
+    """Stable train/val/test assignment: bucket = xxhash64(salt, key) mod
+    total-weight → a row's split NEVER changes as the corpus grows
+    (unlike randomSplit, which reshuffles everything on any change).
+    Adds a ``split`` column."""
+    total = sum(weights.values())
+    bucket = F.pmod(F.xxhash64(F.lit(salt), F.col(key_col)), F.lit(total))
+    expr = None
+    acc = 0
+    for name, w in weights.items():
+        acc += w
+        cond = bucket < acc
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr)

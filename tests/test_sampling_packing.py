@@ -1,0 +1,99 @@
+"""Sequence packing and corpus sampling/balancing tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from social_media_etl_spark.catalog import load_table
+from social_media_etl_spark.operators import chunking, sampling
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def chunks(spark):
+    docs = load_table(spark, SF, "documents")
+    return chunking.chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
+def test_pack_chunks_respects_budget_and_covers_all(chunks):
+    packed = chunking.pack_chunks(chunks, max_tokens=64)
+    rows = packed.collect()
+    assert len(rows) == chunks.count()  # every chunk packed exactly once
+    by_seq = {}
+    for r in rows:
+        by_seq.setdefault((r["shard"], r["seq_no"]), []).append(r)
+    for members in by_seq.values():
+        total = sum(r["n_chunk_tokens"] for r in members)
+        assert total <= 64
+        # positions are a contiguous prefix-sum layout
+        members.sort(key=lambda r: r["pos_in_seq"])
+        acc = 0
+        for r in members:
+            assert r["pos_in_seq"] == acc
+            acc += r["n_chunk_tokens"]
+
+
+def test_pack_chunks_deterministic(chunks):
+    a = sorted(map(tuple, chunking.pack_chunks(chunks, max_tokens=64).collect()))
+    b = sorted(map(tuple, chunking.pack_chunks(chunks, max_tokens=64).collect()))
+    assert a == b
+
+
+def test_quota_per_stratum_exact_and_deterministic(spark):
+    docs = load_table(spark, SF, "documents")
+    capped = sampling.quota_per_stratum(docs, "source", 10, ["doc_id"])
+    counts = {
+        r["source"]: r["count"]
+        for r in capped.groupBy("source").count().collect()
+    }
+    full = {
+        r["source"]: r["count"]
+        for r in docs.groupBy("source").count().collect()
+    }
+    for src, n in counts.items():
+        assert n == min(10, full[src])
+    # keeps the LOWEST doc_ids per source
+    first = capped.filter(F.col("source") == list(full)[0])
+    ids = sorted(r["doc_id"] for r in first.collect())
+    all_ids = sorted(
+        r["doc_id"]
+        for r in docs.filter(F.col("source") == list(full)[0]).collect()
+    )
+    assert ids == all_ids[: len(ids)]
+
+
+def test_stratified_sample_rates(spark):
+    docs = load_table(spark, SF, "documents")
+    srcs = [r["source"] for r in docs.select("source").distinct().collect()]
+    fractions = {s: (0.5 if i % 2 == 0 else 0.1) for i, s in enumerate(srcs)}
+    out = sampling.stratified_sample(docs, "source", fractions, seed=7)
+    got = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    full = {r["source"]: r["count"] for r in docs.groupBy("source").count().collect()}
+    for s in srcs:
+        # Bernoulli sampling: loose bounds, exact reproducibility below
+        assert got.get(s, 0) <= full[s]
+    again = sampling.stratified_sample(docs, "source", fractions, seed=7)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_deterministic_split_stable_under_growth(spark):
+    base = spark.range(500).select(F.col("id").alias("doc_id"))
+    grown = spark.range(1000).select(F.col("id").alias("doc_id"))
+    w = {"train": 8, "val": 1, "test": 1}
+    a = {
+        r["doc_id"]: r["split"]
+        for r in sampling.deterministic_split(base, "doc_id", w).collect()
+    }
+    b = {
+        r["doc_id"]: r["split"]
+        for r in sampling.deterministic_split(grown, "doc_id", w).collect()
+    }
+    # original rows keep their split when the corpus doubles
+    assert all(b[k] == v for k, v in a.items())
+    # rough proportions
+    n_train = sum(1 for v in b.values() if v == "train")
+    assert 0.7 < n_train / 1000 < 0.9
