@@ -395,6 +395,21 @@ def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: seeded KMeans coarse quantizer → inverted
+    lists → n_probe nearest cells → exact-cosine rerank."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        "vec_id",
+        "embedding",
+        k=5,
+        n_cells=16,
+        n_probe=4,
+    )
+
+
 def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text metrics: tokens, avg token length, punctuation
     ratio, quality score — single codegen'd projection."""
@@ -518,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _embedding_neardup,
         "ann_cosine_topk": _ann_topk,
         "ann_lsh_topk": _ann_lsh,
+        "ann_ivf_topk": _ann_ivf,
         "doc_chunks": _doc_chunks,
         "pack_training_sequences": _pack_sequences,
         "quota_per_source": _quota_per_source,

@@ -28,6 +28,7 @@ __all__ = [
     "cosine_topk",
     "srp_signature",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "cosine_pairs_blocked",
     "cosine_topk_blocked",
 ]
@@ -233,6 +234,81 @@ def cosine_topk_blocked(
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return (
         local.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF-style approximate top-k: a KMeans coarse quantizer (Spark ML,
+    seeded) partitions the corpus into ``n_cells`` inverted lists; each
+    query probes its ``n_probe`` nearest cells and reranks candidates
+    by exact cosine.
+
+    The scale shape of FAISS IVF-Flat, distributed: the corpus shuffles
+    ONCE on cell id (the inverted index — in a warehouse you'd persist
+    it partitioned by cell); per query only |corpus|·n_probe/n_cells
+    candidates are scored. Recall is tunable via n_probe (= exact
+    search when n_probe == n_cells).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    corpus_v = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("neighbor_v"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    km = KMeans(k=n_cells, seed=seed, maxIter=20)
+    model = km.fit(corpus_v.select("features"))
+    indexed = model.transform(corpus_v).select(
+        "neighbor_id", "neighbor_v", F.col("prediction").alias("cell")
+    )
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+
+    # per query: distances to all centroids (tiny — n_cells literals),
+    # keep the n_probe nearest cells, explode to (query, cell) probes
+    def sq_dist(center: list[float]):
+        arr = F.array(*[F.lit(x) for x in center])
+        return F.aggregate(
+            F.zip_with(
+                F.col("qv").cast("array<double>"), arr, lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cells = F.array(
+        *[
+            F.struct(sq_dist(c).alias("d"), F.lit(i).alias("cell"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    probes = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .withColumn("__probe", F.slice(F.array_sort(cells), 1, n_probe))
+        .select(
+            "query_id", "qv", F.explode(F.col("__probe.cell")).alias("cell")
+        )
+    )
+    cands = probes.join(indexed, "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cands.withColumn(
+        "cosine", F.round(cosine("qv", "neighbor_v"), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rk")
     )

@@ -186,6 +186,37 @@ def test_cosine_topk_blocked_matches_exact(spark):
     assert exact == blocked
 
 
+def test_ann_ivf_recall_and_exactness_at_full_probe(spark):
+    import random
+
+    rnd = random.Random(3)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(16)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 8)
+    exact = {
+        (r["query_id"], r["rk"]): r["neighbor_id"]
+        for r in similarity.cosine_topk(df, q, "vec_id", "embedding", k=3).collect()
+    }
+    # full probe == exact search
+    full = {
+        (r["query_id"], r["rk"]): r["neighbor_id"]
+        for r in similarity.ann_ivf_topk(
+            df, q, "vec_id", "embedding", k=3, n_cells=8, n_probe=8
+        ).collect()
+    }
+    assert full == exact
+    # partial probe: top-1 recall stays high (nearest cell usually holds it)
+    part = {
+        r["query_id"]: r["neighbor_id"]
+        for r in similarity.ann_ivf_topk(
+            df, q, "vec_id", "embedding", k=1, n_cells=8, n_probe=3
+        ).collect()
+    }
+    top1 = {q_: n for (q_, rk), n in exact.items() if rk == 1}
+    hits = sum(1 for q_, n in top1.items() if part.get(q_) == n)
+    assert hits >= 5  # ≥5/8 top-1 recall at 3/8 probe
+
+
 def test_ann_lsh_subset_of_bruteforce_quality(spark):
     import random
 
