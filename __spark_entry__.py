@@ -96,6 +96,18 @@ def _events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.events_json_extract(load_table(spark, sf_dir, "events"))
 
 
+def _events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.events_pivot_counts(load_table(spark, sf_dir, "events"))
+
+
+def _events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.events_unpivot_counts(load_table(spark, sf_dir, "events"))
+
+
+def _events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.events_rolling_avg(load_table(spark, sf_dir, "events"))
+
+
 _MIN_PRICE_SQL = """
     SELECT DISTINCT p_partkey, p_name, s_name,
            round(l_extendedprice, 2) AS min_price
@@ -514,6 +526,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed_agg": _events_window,
         "events_sessionize": _events_sessions,
         "events_json_extract": _events_json,
+        "events_pivot_counts": _events_pivot,
+        "events_unpivot_counts": _events_unpivot,
+        "events_rolling_avg": _events_rolling,
         "scd2_user_event_history": _scd2_history,
         "sql_min_price_supplier": _sql_entrypoint,
         "approx_distinct_sketch_rollup": _sketch_rollup,
@@ -673,6 +688,34 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             )
             GROUP BY event_type ORDER BY event_type
+        """,
+        "events_pivot_counts": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click') AS click,
+                   count(*) FILTER (event_type = 'error') AS error,
+                   count(*) FILTER (event_type = 'purchase') AS purchase,
+                   count(*) FILTER (event_type = 'signup') AS signup,
+                   count(*) FILTER (event_type = 'view') AS view
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        # pivot→melt roundtrip minus zero cells == the direct long-form
+        # aggregation
+        "events_unpivot_counts": """
+            SELECT user_id, event_type, count(*) AS n_events
+            FROM events GROUP BY user_id, event_type
+            ORDER BY user_id, event_type
+        """,
+        "events_rolling_avg": """
+            SELECT user_id, ts, value,
+                   round(avg(value) OVER w, 4) AS rolling_avg,
+                   count(*) OVER w AS n_in_window
+            FROM events
+            WINDOW w AS (
+                PARTITION BY user_id
+                ORDER BY CAST(floor(extract(epoch FROM ts)) AS BIGINT)
+                RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+            )
+            ORDER BY user_id, ts
         """,
         # Mirrors warehouse.scd2_apply: drop rows whose tracked value
         # equals the previous row's (per user, by time), close versions

@@ -26,6 +26,9 @@ __all__ = [
     "events_windowed_agg",
     "events_sessionize",
     "events_json_extract",
+    "events_pivot_counts",
+    "events_unpivot_counts",
+    "events_rolling_avg",
 ]
 
 
@@ -187,6 +190,58 @@ def events_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             F.max("ts").alias("session_end"),
         )
         .orderBy("user_id", "session_no")
+    )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot_counts(events: DataFrame) -> DataFrame:
+    """Pivot: one row per user, one column per event type. Explicit
+    pivot values skip the extra distinct-values job AND make the output
+    schema static — required at scale (and for SQL parity, where pivot
+    is conditional aggregation)."""
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+        .orderBy("user_id")
+    )
+
+
+def events_unpivot_counts(events: DataFrame) -> DataFrame:
+    """Unpivot/melt the pivoted frame back to long form — the
+    wide↔long roundtrip (rows with zero count dropped to match the
+    original aggregation)."""
+    wide = events_pivot_counts(events)
+    return (
+        wide.unpivot(
+            "user_id", list(EVENT_TYPES), "event_type", "n_events"
+        )
+        .filter(F.col("n_events") > 0)
+        .orderBy("user_id", "event_type")
+    )
+
+
+def events_rolling_avg(events: DataFrame, window_sec: int = 3600) -> DataFrame:
+    """Per-user rolling mean of ``value`` over a trailing event-time
+    range window (RANGE BETWEEN on epoch seconds — peers by time, not
+    row count). Partitions by user → parallel at scale."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-window_sec, 0)
+    )
+    return (
+        events.select(
+            "user_id",
+            "ts",
+            "value",
+            F.round(F.avg("value").over(w), 4).alias("rolling_avg"),
+            F.count(F.lit(1)).over(w).alias("n_in_window"),
+        )
+        .orderBy("user_id", "ts")
     )
 
 
