@@ -428,8 +428,8 @@ def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        TXT.token_count("text").alias("n_tokens"),
-        TXT.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        TXT.token_count("text").cast("long").alias("n_tokens"),
+        TXT.bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens"),
         F.round(TXT.avg_token_len("text"), 4).alias("avg_tok_len"),
         F.round(TXT.char_class_ratio("text"), 6).alias("punct_ratio"),
         TXT.quality_score("text").alias("quality"),
@@ -508,7 +508,7 @@ def _multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = F.encode("text", "utf-8")
     return docs.select(
         "doc_id",
-        F.octet_length(payload).alias("n_bytes"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
         F.sha2(payload, 256).alias("digest"),
     )
 
@@ -668,7 +668,7 @@ def oracle_sql() -> dict[str, str]:
                        ) AS session_no
                 FROM flagged
             )
-            SELECT user_id, session_no,
+            SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
                    count(*) AS n_events,
                    min(ts) AS session_start,
                    max(ts) AS session_end

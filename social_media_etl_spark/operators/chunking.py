@@ -52,8 +52,8 @@ def chunk_documents(
     chunk = F.slice(F.col("__toks"), F.col("start") + 1, chunk_tokens)
     return exploded.select(
         F.col(id_col),
-        F.col("chunk_idx"),
-        F.size(chunk).alias("n_chunk_tokens"),
+        F.col("chunk_idx").cast("long"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
 
@@ -103,7 +103,7 @@ def pack_chunks(
         return out
 
     out_schema = (
-        f"__shard long, {id_col} long, {idx_col} int, {tokens_col} int, "
+        f"__shard long, {id_col} long, {idx_col} long, {tokens_col} long, "
         "seq_no long, pos_in_seq long"
     )
     return (
@@ -129,7 +129,7 @@ def top_words(
     counts = toks.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
     w = Window.orderBy(F.desc("n"), F.col("word"))
     return (
-        counts.withColumn("rank", F.row_number().over(w))
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("rank", "word", "n")
     )
@@ -168,7 +168,7 @@ def gopher_quality(
     ok_dup = dup_ratio <= max_dup_line_ratio
     return df.select(
         F.col(id_col),
-        n_tok.alias("n_tokens"),
+        n_tok.cast("long").alias("n_tokens"),
         ok_len.alias("ok_token_count"),
         ok_awl.alias("ok_avg_word_len"),
         ok_sym.alias("ok_symbol_ratio"),

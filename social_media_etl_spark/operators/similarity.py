@@ -71,7 +71,7 @@ def cosine_topk(
         F.desc("cosine"), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rk")
     )
@@ -185,7 +185,7 @@ def cosine_topk_blocked(
     nq = queries.count()
     nc = corpus.count()
     if nq == 0 or nc == 0:
-        sch = "query_id long, neighbor_id long, cosine double, rk int"
+        sch = "query_id long, neighbor_id long, cosine double, rk long"
         return corpus.sparkSession.createDataFrame([], sch)
     qb = _block_table(queries, id_col, vec_col, max(1, _math.ceil(nq / block_size)))
     cb = _block_table(corpus, id_col, vec_col, max(1, _math.ceil(nc / block_size)))
@@ -233,7 +233,7 @@ def cosine_topk_blocked(
     local = pairs.mapInPandas(_gen, "query_id long, neighbor_id long, cosine double")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return (
-        local.withColumn("rk", F.row_number().over(w))
+        local.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rk")
     )
@@ -308,7 +308,7 @@ def ann_ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rk")
     )
@@ -421,7 +421,7 @@ def ann_lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rk")
     )

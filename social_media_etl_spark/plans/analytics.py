@@ -119,7 +119,7 @@ def top_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
         F.desc("o_totalprice"), F.col("o_orderkey")
     )
     return (
-        orders.withColumn("rk", F.row_number().over(w))
+        orders.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
         .select(
             "o_custkey",

@@ -86,7 +86,7 @@ def longest_text(df: DataFrame, text_col: str, *keep: str) -> DataFrame:
     Reference: ``blog_post_queries.sql:31-38`` —
     ``WHERE length(body) = (SELECT max(length(body)) ...)``.
     """
-    with_len = df.withColumn("text_len", F.length(F.col(text_col)))
+    with_len = df.withColumn("text_len", F.length(F.col(text_col)).cast("long"))
     out = argmax_with_ties(with_len, "text_len")
     cols = list(keep) if keep else [c for c in df.columns]
     return out.select(*cols, "text_len")
