@@ -327,6 +327,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over an undirected pair graph → (node,
     component) with component = min node id in the component.
@@ -341,6 +342,13 @@ def connected_components(
     bounds pathological chains). Each round persists its label frame
     and unpersists the previous — lineage stays O(1) deep, so this
     runs at any corpus size without checkpoint blowup.
+
+    Hybrid dispatch: the pair graph after near-dup mining is usually
+    ORDERS smaller than the corpus (only dup-cluster members appear).
+    Below ``driver_threshold`` edges, iterating Spark jobs is pure
+    scheduling overhead — a driver-side union-find answers instantly
+    and exactly; above it, the distributed propagation loop runs.
+    Results are identical either way (both yield min-id components).
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -350,6 +358,31 @@ def connected_components(
         .distinct()
         .persist()
     )
+    n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        rows = edges.collect()
+        edges.unpersist()
+        for r in rows:
+            a, b = r["src"], r["dst"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min id so the root IS the component label
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        out = [(n, find(n)) for n in parent]
+        return pairs.sparkSession.createDataFrame(
+            out, "node long, component long"
+        )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()

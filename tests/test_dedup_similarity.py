@@ -93,12 +93,18 @@ def test_connected_components_chain_and_islands(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (5, 6), (8, 3)], "id_a long, id_b long"
     )
-    out = {
-        r["node"]: r["component"]
-        for r in dedup.connected_components(pairs).collect()
-    }
-    # chain 1-2-3-8 collapses to min id 1 (transitive, not just direct neighbors)
-    assert out == {1: 1, 2: 1, 3: 1, 8: 1, 5: 5, 6: 5}
+    want = {1: 1, 2: 1, 3: 1, 8: 1, 5: 5, 6: 5}
+    # chain 1-2-3-8 collapses to min id 1 (transitive, not just direct
+    # neighbors); driver union-find and distributed label propagation
+    # (driver_threshold=0) must agree exactly
+    for threshold in (1_000_000, 0):
+        out = {
+            r["node"]: r["component"]
+            for r in dedup.connected_components(
+                pairs, driver_threshold=threshold
+            ).collect()
+        }
+        assert out == want, f"threshold={threshold}"
 
 
 def test_dedup_by_components_keeps_representative(spark, docs):
