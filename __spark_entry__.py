@@ -500,6 +500,14 @@ def _quota_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column profile of the orders table (null counts,
+    exact distincts, numeric min/max) in long form."""
+    from social_media_etl_spark.operators.profile import table_profile
+
+    return table_profile(load_table(spark, sf_dir, "orders"))
+
+
 def _multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary column plumbing: payload bytes + typed metadata
     (byte length, content digest) — the decode stage itself is the
@@ -554,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_per_source": _quota_per_source,
         "corpus_top_words": _top_words,
         "gopher_quality_flags": _gopher_quality,
+        "table_profile_orders": _table_profile,
         "text_stats": _text_stats,
         "text_lang_id": _text_lang,
         "doc_fingerprint": _text_fingerprint,
@@ -1029,6 +1038,42 @@ def oracle_sql() -> dict[str, str]:
                        AND sym <= 0.1 AND dup_ratio <= 0.3 AS keep
             FROM s
             ORDER BY doc_id
+        """,
+        "table_profile_orders": """
+            WITH s AS (SELECT * FROM orders)
+            SELECT '__table__' AS "column", 'n_rows' AS metric,
+                   CAST(count(*) AS DOUBLE) AS value FROM s
+            UNION ALL SELECT 'o_orderkey', 'n_null',
+                   CAST(count(*) FILTER (o_orderkey IS NULL) AS DOUBLE) FROM s
+            UNION ALL SELECT 'o_orderkey', 'n_distinct',
+                   CAST(count(DISTINCT o_orderkey) AS DOUBLE) FROM s
+            UNION ALL SELECT 'o_orderkey', 'min', CAST(min(o_orderkey) AS DOUBLE) FROM s
+            UNION ALL SELECT 'o_orderkey', 'max', CAST(max(o_orderkey) AS DOUBLE) FROM s
+            UNION ALL SELECT 'o_custkey', 'n_null',
+                   CAST(count(*) FILTER (o_custkey IS NULL) AS DOUBLE) FROM s
+            UNION ALL SELECT 'o_custkey', 'n_distinct',
+                   CAST(count(DISTINCT o_custkey) AS DOUBLE) FROM s
+            UNION ALL SELECT 'o_custkey', 'min', CAST(min(o_custkey) AS DOUBLE) FROM s
+            UNION ALL SELECT 'o_custkey', 'max', CAST(max(o_custkey) AS DOUBLE) FROM s
+            UNION ALL SELECT 'o_orderstatus', 'n_null',
+                   CAST(count(*) FILTER (o_orderstatus IS NULL) AS DOUBLE) FROM s
+            UNION ALL SELECT 'o_orderstatus', 'n_distinct',
+                   CAST(count(DISTINCT o_orderstatus) AS DOUBLE) FROM s
+            UNION ALL SELECT 'o_totalprice', 'n_null',
+                   CAST(count(*) FILTER (o_totalprice IS NULL) AS DOUBLE) FROM s
+            UNION ALL SELECT 'o_totalprice', 'n_distinct',
+                   CAST(count(DISTINCT o_totalprice) AS DOUBLE) FROM s
+            UNION ALL SELECT 'o_totalprice', 'min', CAST(min(o_totalprice) AS DOUBLE) FROM s
+            UNION ALL SELECT 'o_totalprice', 'max', CAST(max(o_totalprice) AS DOUBLE) FROM s
+            UNION ALL SELECT 'o_orderdate', 'n_null',
+                   CAST(count(*) FILTER (o_orderdate IS NULL) AS DOUBLE) FROM s
+            UNION ALL SELECT 'o_orderdate', 'n_distinct',
+                   CAST(count(DISTINCT o_orderdate) AS DOUBLE) FROM s
+            UNION ALL SELECT 'o_orderpriority', 'n_null',
+                   CAST(count(*) FILTER (o_orderpriority IS NULL) AS DOUBLE) FROM s
+            UNION ALL SELECT 'o_orderpriority', 'n_distinct',
+                   CAST(count(DISTINCT o_orderpriority) AS DOUBLE) FROM s
+            ORDER BY "column", metric
         """,
         # Mirrors functions/text.py metrics exactly (same formula, same
         # rounding, explicit double casts so DuckDB doesn't go DECIMAL).

@@ -87,6 +87,25 @@ def test_json_landing_roundtrip(spark, tmp_path, array_fixture):
     assert sorted(r["id"] for r in back2.collect()) == [1, 2]
 
 
+def test_format_roundtrips_with_compression(spark, tmp_path):
+    from social_media_etl_spark.catalog import load_table
+    from social_media_etl_spark.sources import formats
+
+    nation = load_table(spark, "/root/testdata/sf0.001", "nation")
+    want = sorted(map(str, nation.collect()))
+    schema = nation.schema
+    import glob as g
+
+    for fmt in formats.SUPPORTED_FORMATS:
+        path = str(tmp_path / f"t_{fmt}")
+        formats.write_table(nation, path, fmt=fmt)
+        back = formats.read_table(spark, path, fmt=fmt, schema=schema)
+        assert sorted(map(str, back.collect())) == want, fmt
+    # default codecs visible in filenames
+    assert g.glob(str(tmp_path / "t_parquet" / "*.zstd.parquet"))
+    assert g.glob(str(tmp_path / "t_orc" / "*.zlib.orc"))
+
+
 def test_python_datasource_streaming_incremental(spark, tmp_path):
     """The rest_json stream source polls the endpoint and emits only
     NEW records per micro-batch (offset = records seen)."""

@@ -132,6 +132,45 @@ def test_stateful_running_totals_final_state(spark, events_stream_dir, tmp_path)
     assert final == want and len(want) > 3
 
 
+def test_checkpoint_restart_exactly_once(spark, events_stream_dir, tmp_path):
+    """Exactly-once across query RESTARTS: a second run against the
+    same checkpoint processes only files that arrived after the first
+    run — no reprocessing, no loss."""
+    import shutil
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    import glob as g
+    import os
+
+    os.makedirs(src)
+    files = sorted(g.glob(os.path.join(events_stream_dir, "*.json")))
+    shutil.copy(files[0], src)
+
+    def run_once():
+        stream = ingest.read_events_stream(spark, src)
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n1 = spark.read.schema(ingest.EVENTS_SCHEMA).json(files[0]).count()
+    assert spark.read.parquet(sink).count() == n1
+    # new file lands; restart picks up ONLY the delta
+    shutil.copy(files[1], src)
+    run_once()
+    n2 = spark.read.schema(ingest.EVENTS_SCHEMA).json(files[1]).count()
+    out = spark.read.parquet(sink)
+    assert out.count() == n1 + n2
+    assert out.select("event_id").distinct().count() == n1 + n2
+
+
 def test_foreach_batch_overwrite_idempotent(spark, events_stream_dir, tmp_path):
     """K4 parity: the foreachBatch sink full-refreshes the target; the
     materialized table equals the transform of all input."""
