@@ -121,6 +121,7 @@ def blog_etl(
     comments_url: str,
     warehouse_dir: str,
     landing_dir: str | None = None,
+    use_datasource: bool = False,
 ) -> dict[str, DataFrame]:
     """The full reference lifecycle on this engine: gate → extract →
     (optional NDJSON landing) → normalize/rename/cast → integrity
@@ -134,11 +135,22 @@ def blog_etl(
     blog_post_definitions.sql (constraints → integrity ops).
     """
 
+    if use_datasource:
+        rest_api.register_rest_json_source(spark)
+
     def extract(url: str, schema: str, name: str):
         def _fn(ctx: dict) -> DataFrame:
-            df = rest_api.json_records_to_df(
-                spark, rest_api.fetch_json_records(url), schema
-            )
+            if use_datasource:  # S1 as a native scan (Python DataSource)
+                df = (
+                    spark.read.format("rest_json")
+                    .schema(schema)
+                    .option("url", url)
+                    .load()
+                )
+            else:  # driver-side fetch (reference's actual scale)
+                df = rest_api.json_records_to_df(
+                    spark, rest_api.fetch_json_records(url), schema
+                )
             if landing_dir:  # K2 landing zone, then re-read (S3) like the ref
                 path = os.path.join(landing_dir, name)
                 rest_api.write_ndjson(df, path)

@@ -102,6 +102,24 @@ def test_pipeline_idempotent_rerun(spark, api_dir, warehouse, tmp_path_factory):
         assert a == b, name  # deterministic surrogate keys ⇒ equal state
 
 
+def test_pipeline_via_python_datasource(spark, api_dir, warehouse, tmp_path_factory):
+    """The same pipeline with extraction through the rest_json Python
+    DataSource scan produces an identical warehouse."""
+    wh = tmp_path_factory.mktemp("warehouse_ds")
+    via_ds = pipeline.blog_etl(
+        spark,
+        str(api_dir / "users.json"),
+        str(api_dir / "posts.json"),
+        str(api_dir / "comments.json"),
+        str(wh),
+        use_datasource=True,
+    )
+    for name in warehouse:
+        a = sorted(map(str, warehouse[name].collect()))
+        b = sorted(map(str, via_ds[name].collect()))
+        assert a == b, name
+
+
 def test_gate_blocks_missing_source(spark, api_dir, tmp_path):
     with pytest.raises(pipeline.StageFailed) as err:
         pipeline.blog_etl(

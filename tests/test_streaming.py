@@ -132,6 +132,58 @@ def test_stateful_running_totals_final_state(spark, events_stream_dir, tmp_path)
     assert final == want and len(want) > 3
 
 
+def test_watermark_append_mode_guarantees(spark, tmp_path):
+    """Append-mode watermark GUARANTEES (empirically pinned on this
+    Spark version): an emitted window is final — a row arriving after
+    its window's state was evicted is dropped, never re-emitting or
+    duplicating the window; windows not yet passed by the watermark
+    are withheld. (The drop of late rows that arrive in the very batch
+    the watermark advances is best-effort, per Spark's docs — not
+    asserted.)"""
+    import json as js
+    import os
+    import time
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def ev(eid, minute):
+        return {
+            "event_id": eid,
+            "user_id": 1,
+            "event_type": "click",
+            "ts": f"2024-01-01T00:{minute:02d}:00.000Z",
+            "value": 1.0,
+            "props": "{}",
+        }
+
+    def write(name, events):
+        with open(os.path.join(src, name), "w") as fh:
+            fh.write("\n".join(js.dumps(e) for e in events))
+        time.sleep(1.1)  # distinct mtimes → deterministic batch order
+
+    # batch 0: minutes 0, 30 → watermark 20 at batch 1
+    write("0.json", [ev(1, 0), ev(2, 30)])
+    # batch 1: minute 35 → window [0,5) evicted+emitted; watermark → 25
+    write("1.json", [ev(3, 35)])
+    # batch 2: minute 1 arrives AFTER its window was evicted → dropped
+    write("2.json", [ev(4, 1), ev(5, 40)])
+
+    stream = ingest.read_events_stream(spark, src, max_files_per_trigger=1)
+    out = ingest.run_available_now(
+        ingest.windowed_counts(stream, width="5 minutes", watermark="10 minutes"),
+        str(tmp_path / "ckpt"),
+        output_mode="append",
+        query_name="late_drop",
+    )
+    rows = sorted((r["window_start"].minute, r["n_events"]) for r in out.collect())
+    # [0,5) emitted exactly once with ONLY the on-time row; the
+    # post-eviction minute-1 row neither re-emitted nor duplicated it,
+    # and open windows (30/35/40) are withheld until the watermark
+    # passes them
+    assert rows == [(0, 1)]
+
+
 def test_checkpoint_restart_exactly_once(spark, events_stream_dir, tmp_path):
     """Exactly-once across query RESTARTS: a second run against the
     same checkpoint processes only files that arrived after the first
