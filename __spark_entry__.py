@@ -500,6 +500,26 @@ def _quota_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data cleaning pipeline in one lazy plan:
+    exact dedup (keep lowest doc_id per identical text) → Gopher
+    quality gates → near-dup cluster pruning (Jaccard≥0.8 connected
+    components, keep min-id representative). The oracle composes the
+    same three stages in SQL (window dedup + quality CTE + recursive
+    transitive closure)."""
+    from social_media_etl_spark.operators import chunking
+
+    docs = load_table(spark, sf_dir, "documents")
+    deduped = dedup.dedup_exact(docs, ["text"], ["doc_id"])
+    quality = chunking.gopher_quality(deduped)
+    kept = deduped.join(
+        quality.filter(F.col("keep")).select("doc_id"), "doc_id"
+    )
+    pairs = dedup.jaccard_pairs(kept, "doc_id", "text", n=3, threshold=0.8)
+    cleaned = dedup.dedup_by_components(kept, pairs, "doc_id")
+    return cleaned.select("doc_id", "source", "lang").orderBy("doc_id")
+
+
 def _table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass per-column profile of the orders table (null counts,
     exact distincts, numeric min/max) in long form."""
@@ -562,6 +582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_per_source": _quota_per_source,
         "corpus_top_words": _top_words,
         "gopher_quality_flags": _gopher_quality,
+        "clean_corpus_pipeline": _clean_corpus,
         "table_profile_orders": _table_profile,
         "text_stats": _text_stats,
         "text_lang_id": _text_lang,
@@ -1037,6 +1058,82 @@ def oracle_sql() -> dict[str, str]:
                        AND (awl IS NOT NULL AND awl >= 3.0 AND awl <= 10.0)
                        AND sym <= 0.1 AND dup_ratio <= 0.3 AS keep
             FROM s
+            ORDER BY doc_id
+        """,
+        # Composition of the dedup-exact window, the Gopher quality
+        # CTE, the Jaccard inverted-index join, and the recursive
+        # transitive closure — the full cleaning pipeline in one query.
+        "clean_corpus_pipeline": """
+            WITH RECURSIVE d1 AS (
+                SELECT doc_id, text, source, lang FROM (
+                    SELECT doc_id, text, source, lang,
+                           row_number() OVER (
+                               PARTITION BY text ORDER BY doc_id
+                           ) AS rn
+                    FROM documents
+                ) WHERE rn = 1
+            ),
+            m AS (
+                SELECT doc_id, text, source, lang,
+                       string_split_regex(trim(lower(text)), '\\s+') AS w,
+                       string_split(text, chr(10)) AS lines
+                FROM d1
+            ),
+            q AS (
+                SELECT doc_id, source, lang, text, w,
+                       CASE WHEN trim(text) = '' THEN 0 ELSE len(w) END AS n_tokens,
+                       CASE WHEN len(w) > 0 AND trim(text) != ''
+                            THEN length(array_to_string(w, '')) / CAST(len(w) AS DOUBLE)
+                       END AS awl,
+                       CASE WHEN length(text) > 0 THEN
+                           (length(text) - length(regexp_replace(text,
+                               '[#@&%$~|^\\\\]', '', 'g'))) / CAST(length(text) AS DOUBLE)
+                       ELSE 0 END AS sym,
+                       CASE WHEN len(lines) > 0 THEN
+                           (len(lines) - len(list_distinct(lines)))
+                               / CAST(len(lines) AS DOUBLE)
+                       ELSE 0 END AS dup_ratio
+                FROM m
+            ),
+            kept AS (
+                SELECT doc_id, source, lang, w FROM q
+                WHERE n_tokens >= 5 AND n_tokens <= 10000
+                  AND awl IS NOT NULL AND awl >= 3.0 AND awl <= 10.0
+                  AND sym <= 0.1 AND dup_ratio <= 0.3
+            ),
+            sh AS (
+                SELECT doc_id, unnest(list_distinct(
+                    [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]
+                )) AS s
+                FROM kept WHERE len(w) >= 3
+            ),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            common AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT id_a, id_b FROM common
+                JOIN sz x ON id_a = x.doc_id
+                JOIN sz y ON id_b = y.doc_id
+                WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.8
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ),
+            reach AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            ),
+            losers AS (
+                SELECT src AS doc_id FROM reach
+                GROUP BY src HAVING least(src, min(dst)) != src
+            )
+            SELECT doc_id, source, lang FROM kept
+            WHERE doc_id NOT IN (SELECT doc_id FROM losers)
             ORDER BY doc_id
         """,
         "table_profile_orders": """

@@ -22,7 +22,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from social_media_etl_spark.operators.flatten import flattened_columns
 
 __all__ = ["surrogate_key", "normalize"]
 

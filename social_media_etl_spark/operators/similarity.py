@@ -268,7 +268,9 @@ def ann_ivf_topk(
         F.col(vec_col).alias("neighbor_v"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     )
-    km = KMeans(k=n_cells, seed=seed, maxIter=20)
+    # coarse quantization needs rough cells, not converged ones — a few
+    # Lloyd iterations suffice and fitting dominates this operator's cost
+    km = KMeans(k=n_cells, seed=seed, maxIter=5)
     model = km.fit(corpus_v.select("features"))
     indexed = model.transform(corpus_v).select(
         "neighbor_id", "neighbor_v", F.col("prediction").alias("cell")

@@ -9,7 +9,6 @@ the hot path never drops into row-at-a-time Python.
 
 from __future__ import annotations
 
-import pytest
 
 import __spark_entry__ as entry
 from social_media_etl_spark.catalog import load_table
