@@ -341,6 +341,30 @@ def _streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("user_id", "session_start")
 
 
+def _streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join run AS TWO STREAMS (purchases ⨝
+    same-user clicks within 48h before), drained via availableNow —
+    equals the batch time-bounded join, so the oracle value-checks the
+    stream-stream join path including its state eviction."""
+    ev = _stream_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    out = _drain(
+        streaming_ingest.interval_join(
+            purchases, clicks, within="48 hours", watermark="48 hours"
+        ),
+        "stream_ssjoin",
+        mode="append",
+    )
+    return out.select("user_id", "l_event_id", "l_ts", "r_event_id", "r_ts").orderBy(
+        "user_id", "l_event_id", "r_event_id"
+    )
+
+
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: keep first (lowest doc_id) row per identical text."""
     docs = load_table(spark, sf_dir, "documents")
@@ -568,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_priority_custs": _set_ops,
         "streaming_windowed_agg": _streaming_windowed,
         "streaming_session_windows": _streaming_sessions,
+        "streaming_interval_join": _streaming_interval_join,
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_jaccard,
         "dedup_minhash_lsh": _dedup_minhash,
@@ -885,6 +910,17 @@ def oracle_sql() -> dict[str, str]:
             FROM sessions
             GROUP BY user_id, session_no
             ORDER BY user_id, session_start
+        """,
+        "streaming_interval_join": """
+            SELECT p.user_id,
+                   p.event_id AS l_event_id, p.ts AS l_ts,
+                   c.event_id AS r_event_id, c.ts AS r_ts
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id
+             AND c.ts >= p.ts - INTERVAL 48 HOUR
+             AND c.ts <= p.ts
+            ORDER BY p.user_id, l_event_id, r_event_id
         """,
         "dedup_exact": """
             SELECT doc_id, text, lang, source, n_chars FROM (

@@ -35,6 +35,7 @@ __all__ = [
     "sliding_windowed_counts",
     "streaming_dedup",
     "session_windows",
+    "interval_join",
     "run_available_now",
     "write_foreach_batch_overwrite",
 ]
@@ -160,6 +161,45 @@ def session_windows(
         )
         .select("user_id", "n_events", "session_start", "session_end")
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "30 minutes",
+    watermark: str = "30 minutes",
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval bound:
+    left row ⨝ right rows of the same key whose time is within
+    [left_ts - within, left_ts].
+
+    BOTH sides carry watermarks and the join condition bounds the time
+    skew — together they let the state store evict rows once no future
+    match is possible (an unbounded stream-stream join would otherwise
+    buffer both streams forever). Works identically on batch frames
+    (same API — tested for stream-vs-batch parity).
+    """
+    lts, rts = f"{left_prefix}{left_ts}", f"{right_prefix}{right_ts}"
+    # rename FIRST, then set the watermark on the renamed column (event-
+    # time metadata attaches to the named attribute)
+    l = left.select(
+        F.col(on), *[F.col(c).alias(f"{left_prefix}{c}") for c in left.columns if c != on]
+    ).withWatermark(lts, watermark)
+    r = right.select(
+        F.col(on).alias("__r_key"),
+        *[F.col(c).alias(f"{right_prefix}{c}") for c in right.columns if c != on],
+    ).withWatermark(rts, watermark)
+    cond = (
+        (F.col(on) == F.col("__r_key"))
+        & (F.col(rts) >= F.col(lts) - F.expr(f"INTERVAL {within}"))
+        & (F.col(rts) <= F.col(lts))
+    )
+    return l.join(r, cond).drop("__r_key")
 
 
 def run_available_now(

@@ -132,6 +132,68 @@ def test_stateful_running_totals_final_state(spark, events_stream_dir, tmp_path)
     assert final == want and len(want) > 3
 
 
+def test_stream_stream_interval_join_matches_batch(
+    spark, events_stream_dir, tmp_path
+):
+    """Stream-stream inner join (purchases ⨝ prior clicks within 48
+    hours, per user) drained with availableNow equals the identical
+    interval join on batch frames."""
+    batch = _batch_events(spark, events_stream_dir)
+    purchases_b = batch.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks_b = batch.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    want = sorted(
+        (r["user_id"], r["l_event_id"], r["r_event_id"])
+        for r in ingest.interval_join(purchases_b, clicks_b, within="48 hours", watermark="48 hours").collect()
+    )
+    assert len(want) > 10
+
+    stream = ingest.read_events_stream(spark, events_stream_dir)
+    purchases_s = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks_s = stream.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    out = ingest.run_available_now(
+        ingest.interval_join(purchases_s, clicks_s, within="48 hours", watermark="48 hours"),
+        str(tmp_path / "ckpt"),
+        query_name="ss_join",
+    )
+    got = sorted(
+        (r["user_id"], r["l_event_id"], r["r_event_id"]) for r in out.collect()
+    )
+    assert got == want
+
+
+def test_stream_static_join(spark, events_stream_dir, tmp_path):
+    """Stream ⨝ static dimension: per-batch broadcast lookup, no state."""
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("purchase", 5.0), ("view", 0.5),
+         ("signup", 3.0), ("error", 0.0)],
+        "event_type string, weight double",
+    )
+    stream = ingest.read_events_stream(spark, events_stream_dir)
+    joined = stream.join(F.broadcast(dim), "event_type").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.first("weight").alias("w")
+    )
+    out = ingest.run_available_now(
+        joined, str(tmp_path / "ckpt"), output_mode="complete",
+        query_name="stream_static",
+    )
+    got = {r["event_type"]: (r["n"], r["w"]) for r in out.collect()}
+    want = {
+        r["event_type"]: r["count"]
+        for r in _batch_events(spark, events_stream_dir)
+        .groupBy("event_type").count().collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == want
+    assert got["purchase"][1] == 5.0
+
+
 def test_watermark_append_mode_guarantees(spark, tmp_path):
     """Append-mode watermark GUARANTEES (empirically pinned on this
     Spark version): an emitted window is final — a row arriving after
