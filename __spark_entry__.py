@@ -249,6 +249,39 @@ def _rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 2^2 grouping combinations
+    in one pass (completes the rollup/cube/grouping-sets family)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+def _price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT continuous percentiles (median/p90) per order priority —
+    Spark's percentile() is the exact interpolating aggregate, matching
+    DuckDB's quantile_cont."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def _set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION / INTERSECT / EXCEPT (distinct set semantics) over customer
     key sets from two order-priority slices."""
@@ -536,9 +569,10 @@ def _clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     deduped = dedup.dedup_exact(docs, ["text"], ["doc_id"])
     quality = chunking.gopher_quality(deduped)
+    # kept feeds pair mining AND the final anti-join → materialize once
     kept = deduped.join(
         quality.filter(F.col("keep")).select("doc_id"), "doc_id"
-    )
+    ).persist()
     pairs = dedup.jaccard_pairs(kept, "doc_id", "text", n=3, threshold=0.8)
     cleaned = dedup.dedup_by_components(kept, pairs, "doc_id")
     return cleaned.select("doc_id", "source", "lang").orderBy("doc_id")
@@ -589,6 +623,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_last_click": _asof_purchase_click,
         "range_join_quantity_bands": _range_join_bands,
         "rollup_revenue": _rollup_revenue,
+        "cube_revenue": _cube_revenue,
+        "price_quantiles_exact": _price_quantiles,
         "set_ops_priority_custs": _set_ops,
         "streaming_windowed_agg": _streaming_windowed,
         "streaming_session_windows": _streaming_sessions,
@@ -857,6 +893,21 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
             ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """,
+        "cube_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS n_rows,
+                   round(sum(l_extendedprice), 2) AS sum_price
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """,
+        "price_quantiles_exact": """
+            SELECT o_orderpriority,
+                   round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+                   round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+                   count(*) AS n
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "set_ops_priority_custs": """
             WITH urgent AS (

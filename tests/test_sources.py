@@ -245,3 +245,20 @@ def test_extract_audio_features_dim_and_dtype(media):
     rows = out.collect()
     assert all(len(r["features"]) == 16 for r in rows)
     assert all(-1.0 <= x <= 1.0 for r in rows for x in r["features"])
+
+
+def test_multimodal_feature_to_ann_chain(media):
+    """Integration: binary payload → feature extraction → similarity
+    search — the multimodal output plugs straight into the embedding
+    operators (schema compatibility is the contract)."""
+    from social_media_etl_spark.operators import similarity
+
+    feats = multimodal.extract_audio_features(media, n_mels=16)
+    out = similarity.cosine_topk(
+        feats, feats, id_col="media_id", vec_col="features", k=2
+    )
+    by_q = {}
+    for r in out.collect():
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert set(by_q) == {1, 2, 3, 4, 5}
+    assert all(len(v) == 2 for v in by_q.values())
