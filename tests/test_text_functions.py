@@ -21,6 +21,37 @@ def test_tokens_and_count(spark):
     assert [r["n"] for r in out] == [3, 0, 0, 1]
 
 
+def test_ngrams_udtf_lateral_matches_expression_path(spark):
+    """The Python UDTF in LATERAL position returns the same n-grams as
+    the pure-expression word_shingles (minus the distinct)."""
+    from social_media_etl_spark.functions.udtf import register_udtfs
+
+    register_udtfs(spark)
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x y"), (3, "")], "doc_id long, text string"
+    )
+    df.createOrReplaceTempView("udtf_docs")
+    got = {
+        (r["doc_id"], r["pos"]): r["ngram"]
+        for r in spark.sql(
+            "SELECT d.doc_id, g.pos, g.ngram "
+            "FROM udtf_docs d, LATERAL ngrams(d.text, 2) g"
+        ).collect()
+    }
+    assert got == {
+        (1, 0): "a b",
+        (1, 1): "b c",
+        (1, 2): "c d",
+        (2, 0): "x y",
+    }
+    # expression path agrees on the distinct gram set
+    expr = {
+        (r["doc_id"], tuple(r["s"]))
+        for r in df.select("doc_id", TXT.word_shingles("text", 2).alias("s")).collect()
+    }
+    assert {(1, ("a b", "b c", "c d")), (2, ("x y",)), (3, ())} == expr
+
+
 def test_bpe_ish_token_count(spark):
     df = spark.createDataFrame(
         [
