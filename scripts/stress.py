@@ -1,0 +1,66 @@
+"""Scale-stress probe: run headline queries against an N-times
+union-inflated copy of the sf0.1 tables (data volume scales; key
+cardinalities do not — an upper bound on join/agg fan-in stress).
+Run:  python scripts/stress.py [multiplier]
+Prints one JSON line per query with rows + seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from functools import reduce
+
+sys.path.insert(0, "/root/repo")
+
+from social_media_etl_spark.catalog import load_table  # noqa: E402
+from social_media_etl_spark.plans import analytics  # noqa: E402
+from social_media_etl_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def main() -> None:
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark("stress")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def inflate(name: str):
+        df = load_table(spark, SF_DIR, name)
+        return reduce(lambda a, b: a.unionAll(b), [df] * mult)
+
+    lineitem = inflate("lineitem")
+    orders = inflate("orders")
+    events = inflate("events")
+    customer = load_table(spark, SF_DIR, "customer")
+    tables = {
+        "lineitem": lineitem,
+        "orders": orders,
+        "customer": customer,
+        "supplier": load_table(spark, SF_DIR, "supplier"),
+        "nation": load_table(spark, SF_DIR, "nation"),
+        "region": load_table(spark, SF_DIR, "region"),
+    }
+    n_li = lineitem.count()
+    print(json.dumps({"multiplier": mult, "lineitem_rows": n_li}))
+
+    runs = {
+        "q1_pricing_summary": lambda: analytics.pricing_summary(lineitem),
+        "q3_top_revenue_orders": lambda: analytics.top_revenue_orders(
+            customer, orders, lineitem
+        ),
+        "q5_regional_revenue": lambda: analytics.regional_revenue(tables),
+        "events_windowed_agg": lambda: analytics.events_windowed_agg(events),
+        "events_sessionize": lambda: analytics.events_sessionize(events),
+    }
+    for name, build in runs.items():
+        df = build()
+        df.count()  # warm (plan + shuffle files)
+        t0 = time.time()
+        n = df.count()
+        print(json.dumps({"query": name, "rows": n, "sec": round(time.time() - t0, 2)}))
+
+
+if __name__ == "__main__":
+    main()
