@@ -96,6 +96,22 @@ def _events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.events_json_extract(load_table(spark, sf_dir, "events"))
 
 
+def _q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.forecast_revenue_change(load_table(spark, sf_dir, "lineitem"))
+
+
+def _q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.promo_revenue_share(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+def _priority_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.priority_share_by_year(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
 def _events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.events_pivot_counts(load_table(spark, sf_dir, "events"))
 
@@ -607,6 +623,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": _q1,
         "q3_top_revenue_orders": _q3,
         "q5_regional_revenue": _q5,
+        "q6_forecast_revenue": _q6,
+        "q14_promo_share": _q14,
+        "priority_share_by_year": _priority_share,
         "topk_orders_per_customer": _topk_per_cust,
         "distinct_parts_per_flag": _distinct,
         "events_windowed_agg": _events_window,
@@ -712,6 +731,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY n_name
             ORDER BY revenue DESC, n_name
+        """,
+        "q6_forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE year(l_shipdate) = 1996
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "q14_promo_share": """
+            SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                       THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                   / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share_pct,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE year(l_shipdate) = 1996
+        """,
+        "priority_share_by_year": """
+            SELECT year(o_orderdate) AS order_year,
+                   round(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2)
+                       AS urgent_revenue,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+                   round(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                   / sum(l_extendedprice * (1 - l_discount)), 6) AS urgent_share
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY order_year ORDER BY order_year
         """,
         "topk_orders_per_customer": """
             SELECT o_custkey, o_orderkey, totalprice, rk FROM (

@@ -29,6 +29,9 @@ __all__ = [
     "events_pivot_counts",
     "events_unpivot_counts",
     "events_rolling_avg",
+    "forecast_revenue_change",
+    "promo_revenue_share",
+    "priority_share_by_year",
 ]
 
 
@@ -190,6 +193,77 @@ def events_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             F.max("ts").alias("session_end"),
         )
         .orderBy("user_id", "session_no")
+    )
+
+
+def forecast_revenue_change(
+    lineitem: DataFrame,
+    year: int = 1996,
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    max_qty: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-sum, no joins, no groups — the
+    predicate (year + discount band + quantity cap) pushes into the
+    parquet scan and the single global aggregate is one partial+final
+    pass. The query every columnar engine should do at I/O speed."""
+    return (
+        lineitem.filter(
+            (F.year("l_shipdate") == year)
+            & (F.col("l_discount") >= disc_lo)
+            & (F.col("l_discount") <= disc_hi)
+            & (F.col("l_quantity") < max_qty)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def promo_revenue_share(
+    lineitem: DataFrame, part: DataFrame, year: int = 1996
+) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation over a fact⨝dim join —
+    CASE WHEN inside sum() computes the promo share in the same pass
+    as the total (no second scan, no self-join)."""
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), disc_price).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        lineitem.filter(F.year("l_shipdate") == year)
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(disc_price), 4).alias(
+                "promo_share_pct"
+            ),
+            F.round(F.sum(disc_price), 2).alias("total_revenue"),
+        )
+    )
+
+
+def priority_share_by_year(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Conditional-aggregation report: per order-year, the revenue
+    share of urgent/high-priority orders (CASE WHEN inside the
+    aggregate — one pass, no pivot, no second join)."""
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.round(F.sum(F.when(urgent, revenue).otherwise(0.0)), 2).alias(
+                "urgent_revenue"
+            ),
+            F.round(F.sum(revenue), 2).alias("total_revenue"),
+            F.round(
+                F.sum(F.when(urgent, revenue).otherwise(0.0)) / F.sum(revenue), 6
+            ).alias("urgent_share"),
+        )
+        .orderBy("order_year")
     )
 
 
