@@ -360,13 +360,23 @@ def _drain(stream_df: DataFrame, name: str, mode: str = "complete") -> DataFrame
     import tempfile
     import uuid
 
+    spark = stream_df.sparkSession
     qname = f"{name}_{uuid.uuid4().hex[:8]}"
-    return streaming_ingest.run_available_now(
-        stream_df,
-        tempfile.mkdtemp(prefix=f"smetl_ckpt_{name}_"),
-        output_mode=mode,
-        query_name=qname,
-    )
+    # stateful streaming disables AQE, so every micro-batch pays the
+    # full shuffle-partition count in state-store instances; at this
+    # data volume 8 partitions beats 32 (a cluster would size this to
+    # cores × small-factor and it is fixed for the checkpoint lifetime)
+    original = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return streaming_ingest.run_available_now(
+            stream_df,
+            tempfile.mkdtemp(prefix=f"smetl_ckpt_{name}_"),
+            output_mode=mode,
+            query_name=qname,
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", original)
 
 
 def _streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
