@@ -106,6 +106,20 @@ def _q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.small_quantity_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+def _q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.large_volume_customers(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
 def _priority_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.priority_share_by_year(
         load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
@@ -635,6 +649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_regional_revenue": _q5,
         "q6_forecast_revenue": _q6,
         "q14_promo_share": _q14,
+        "q17_small_qty_revenue": _q17,
+        "q18_large_volume_customers": _q18,
         "priority_share_by_year": _priority_share,
         "topk_orders_per_customer": _topk_per_cust,
         "distinct_parts_per_flag": _distinct,
@@ -757,6 +773,30 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE year(l_shipdate) = 1996
+        """,
+        # Correlated form — DuckDB decorrelates it the same way the
+        # DataFrame program states explicitly.
+        "q17_small_qty_revenue": """
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+                   count(*) AS n_items
+            FROM lineitem l1 JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#1'
+              AND l_quantity < (
+                  SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                  WHERE l2.l_partkey = l1.l_partkey
+              )
+        """,
+        "q18_large_volume_customers": """
+            WITH big AS (
+                SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING round(sum(l_quantity), 2) > 250
+            )
+            SELECT c_custkey, c_name, o_orderkey, o_orderdate, total_qty
+            FROM big
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY total_qty DESC, o_orderkey
         """,
         "priority_share_by_year": """
             SELECT year(o_orderdate) AS order_year,

@@ -32,6 +32,8 @@ __all__ = [
     "forecast_revenue_change",
     "promo_revenue_share",
     "priority_share_by_year",
+    "small_quantity_revenue",
+    "large_volume_customers",
 ]
 
 
@@ -264,6 +266,54 @@ def priority_share_by_year(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
             ).alias("urgent_share"),
         )
         .orderBy("order_year")
+    )
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame, part: DataFrame, brand: str = "Brand#1"
+) -> DataFrame:
+    """TPC-H Q17 shape: correlated aggregate subquery ("quantity below
+    20% of this part's average"), written in its DECORRELATED form —
+    pre-aggregate per partkey once, broadcast-join the thresholds back,
+    filter. This is the plan Catalyst rewrites the correlated SQL into;
+    stating it directly keeps the per-part scan single-pass."""
+    thresholds = lineitem.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    brand_parts = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    return (
+        lineitem.join(
+            F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .join(thresholds, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def large_volume_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_qty: float = 250.0,
+) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a large aggregation — orders whose
+    total quantity exceeds the threshold, joined back to customer. The
+    HAVING filter runs on the aggregate BEFORE the dimension joins, so
+    only qualifying orders (rare) reach the join."""
+    big_orders = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > min_qty)
+    )
+    return (
+        big_orders.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty")
+        .orderBy(F.desc("total_qty"), "o_orderkey")
     )
 
 
