@@ -466,6 +466,28 @@ def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global line dedup with document reassembly: each
+    distinct line survives only at its corpus-wide first occurrence."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_lines_global(docs, "doc_id", "text").orderBy("doc_id")
+
+
+def _doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition: fraction of word 3-gram occurrences
+    that are repeats (Gopher repetition signal)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = TXT.tokens("text")
+    total = F.size(t) - 2
+    distinct = F.size(TXT.word_shingles("text", 3))
+    rep = F.when(total > 0, F.round(1 - distinct / total, 6))
+    return docs.select(
+        "doc_id",
+        total.cast("long").alias("n_grams"),
+        rep.alias("repetition"),
+    ).orderBy("doc_id")
+
+
 def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: connected components (iterative min-label
     propagation) over the exact 3-gram Jaccard ≥0.8 pair graph. The
@@ -678,6 +700,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _dedup_jaccard,
         "dedup_minhash_lsh": _dedup_minhash,
         "dedup_components": _dedup_components,
+        "dedup_lines_c4": _dedup_lines,
+        "doc_repetition": _doc_repetition,
         "dedup_simhash": _dedup_simhash,
         "embedding_neardup": _embedding_neardup,
         "ann_cosine_topk": _ann_topk,
@@ -1102,6 +1126,50 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz x ON id_a = x.doc_id
             JOIN sz y ON id_b = y.doc_id
             WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.8
+        """,
+        # Global first-occurrence line dedup + reassembly (C4-style).
+        "dedup_lines_c4": """
+            WITH split_docs AS (
+                SELECT doc_id, string_split(text, chr(10)) AS l
+                FROM documents
+            ),
+            lines AS (
+                SELECT doc_id,
+                       unnest([{'idx': i, 'line': l[i]}
+                               FOR i IN range(1, len(l) + 1)]) AS u
+                FROM split_docs
+            ),
+            flagged AS (
+                SELECT doc_id, u.idx AS idx, u.line AS line,
+                       row_number() OVER (
+                           PARTITION BY u.line ORDER BY doc_id, u.idx
+                       ) AS rn
+                FROM lines
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(line, chr(10) ORDER BY idx)
+                            FILTER (rn = 1), '') AS text,
+                   count(*) FILTER (rn = 1) AS n_kept_lines,
+                   count(*) FILTER (rn > 1) AS n_removed_lines
+            FROM flagged
+            GROUP BY doc_id
+            ORDER BY doc_id
+        """,
+        "doc_repetition": """
+            WITH t AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') AS w
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(w) - 2 AS BIGINT) AS n_grams,
+                   CASE WHEN len(w) - 2 > 0 THEN round(
+                       1 - len(list_distinct(
+                           [array_to_string(w[i:i+2], ' ')
+                            FOR i IN range(1, len(w) - 1)]
+                       )) / CAST(len(w) - 2 AS DOUBLE), 6)
+                   END AS repetition
+            FROM t ORDER BY doc_id
         """,
         # Transitive closure over the same Jaccard≥0.8 pair graph the
         # Spark side mines; component = min reachable node id.

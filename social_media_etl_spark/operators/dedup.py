@@ -36,6 +36,7 @@ __all__ = [
     "embedding_cosine_pairs",
     "connected_components",
     "dedup_by_components",
+    "dedup_lines_global",
 ]
 
 
@@ -319,6 +320,55 @@ def simhash_pairs(
             hamming.alias("hamming"),
         )
         .distinct()
+    )
+
+
+def dedup_lines_global(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """C4-style GLOBAL line dedup: each distinct line survives only at
+    its first occurrence corpus-wide (ordered by doc id, then position);
+    documents are reassembled from their surviving lines.
+
+    Plan shape: posexplode lines → one ranking window keyed on the
+    line text (the only shuffle — by line content, so hot duplicate
+    lines all meet) → re-aggregate per doc with order restored via
+    sorted collect. Returns (id, text, n_kept_lines, n_removed_lines);
+    documents whose every line was seen earlier come back with empty
+    text, not dropped rows (filtering is the caller's policy call).
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "line"),
+    )
+    w = Window.partitionBy("line").orderBy(id_col, "idx")
+    flagged = lines.withColumn("rn", F.row_number().over(w))
+    kept = flagged.withColumn(
+        "keep", F.col("rn") == 1
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"),
+                                F.struct(F.col("idx"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                sep,
+            ).alias(text_col),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept_lines"),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_removed_lines"),
+        )
     )
 
 

@@ -89,6 +89,24 @@ def test_simhash_table_matches_column_expression(spark, docs):
     assert dedup.simhash_table(empty, "doc_id", "text", 32).first()["sh"] == 0
 
 
+def test_dedup_lines_global_first_occurrence_wins(spark):
+    docs_df = spark.createDataFrame(
+        [
+            (1, "alpha\nbeta\ngamma"),
+            (2, "beta\ndelta"),        # 'beta' seen in doc 1 → removed
+            (3, "alpha\ngamma"),        # fully duplicate → empty text
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["n_kept_lines"], r["n_removed_lines"])
+        for r in dedup.dedup_lines_global(docs_df).collect()
+    }
+    assert out[1] == ("alpha\nbeta\ngamma", 3, 0)  # first doc intact, order kept
+    assert out[2] == ("delta", 1, 1)
+    assert out[3] == ("", 0, 2)  # reassembled empty, row preserved
+
+
 def test_connected_components_chain_and_islands(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (5, 6), (8, 3)], "id_a long, id_b long"
