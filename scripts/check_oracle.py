@@ -4,11 +4,15 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB at sf0.01, then compares row count, column names, and
 order-insensitive values (exact string canonicalization — stricter than
 a hash). Run:  python scripts/check_oracle.py [sf_dir] [only_query...]
+
+Uses a VANILLA SparkSession (no repo confs) to replicate the driver's
+environment exactly; set SMETL_TUNED_SESSION=1 to use session.get_spark.
 """
 
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 from datetime import datetime
@@ -19,7 +23,20 @@ sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entrymod  # noqa: E402
 from social_media_etl_spark.catalog import TABLES  # noqa: E402
-from social_media_etl_spark.session import get_spark  # noqa: E402
+
+
+def _spark():
+    if os.environ.get("SMETL_TUNED_SESSION"):
+        from social_media_etl_spark.session import get_spark
+
+        return get_spark("oracle-check")
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master("local[32]")
+        .appName("oracle-check-vanilla")
+        .getOrCreate()
+    )
 
 
 def canon(v) -> str:
@@ -44,7 +61,7 @@ def canon_rows(cols, rows):
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark("oracle-check")
+    spark = _spark()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
