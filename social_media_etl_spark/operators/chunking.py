@@ -64,7 +64,7 @@ def pack_chunks(
     id_col: str = "doc_id",
     idx_col: str = "chunk_idx",
     tokens_col: str = "n_chunk_tokens",
-    n_shards: int = 64,
+    n_shards: int | None = None,
 ) -> DataFrame:
     """Pack chunks into training sequences of ≤ ``max_tokens`` via
     greedy sequential fill — the tokenizer-packing stage of an LLM
@@ -74,12 +74,17 @@ def pack_chunks(
     hash into ``n_shards`` independent shards, each packed greedily
     (applyInPandas, deterministic doc/chunk order inside), and the
     emitted sequence key is (shard, seq_in_shard) — globally unique
-    without cross-shard coordination. Size ``n_shards`` to ~cluster
-    parallelism: each shard is one sequential task, waste is bounded
-    by one underfull sequence per shard.
+    without cross-shard coordination. ``n_shards`` defaults to 2× the
+    cluster's default parallelism (each shard is one sequential task;
+    2× keeps stragglers amortized); pass it explicitly when the packing
+    layout must be reproducible across differently-sized clusters.
+    Waste is bounded by one underfull sequence per shard.
     Output: (shard, seq_no, id, chunk_idx, n_chunk_tokens, pos_in_seq).
     """
     import pandas as pd
+
+    if n_shards is None:
+        n_shards = 2 * chunks.sparkSession.sparkContext.defaultParallelism
 
     sharded = chunks.withColumn(
         "__shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from social_media_etl_spark.cache import persist_tracked, track
 from social_media_etl_spark.functions import text as TXT
 
 __all__ = [
@@ -84,7 +85,7 @@ def jaccard_pairs(
     # the shingle index feeds three consumers (sizes, both join sides);
     # materialize it once — at warehouse scale this is the persisted
     # inverted index every dedup system builds anyway
-    sh = shingle_sets(df, id_col, text_col, n).persist()
+    sh = persist_tracked(shingle_sets(df, id_col, text_col, n))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     if max_df is not None:
         rare = (
@@ -210,7 +211,7 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cands
-    cands = cands.persist()  # feeds both the id pruning and the rerank
+    cands = persist_tracked(cands)  # feeds both the id pruning and the rerank
     # Exact-Jaccard rerank on CANDIDATES ONLY (set intersection per
     # candidate pair — never the all-pairs join). Semi-join first so
     # shingle sets are only computed for docs that appear in a
@@ -388,10 +389,15 @@ def connected_components(
     query. Implementation: min-label propagation — each round every
     node takes the min label in its neighborhood (one join + one
     aggregate per round, all key-partitioned), until a fixed point.
-    Rounds needed = graph diameter (tiny for dup clusters; ``max_iter``
-    bounds pathological chains). Each round persists its label frame
-    and unpersists the previous — lineage stays O(1) deep, so this
-    runs at any corpus size without checkpoint blowup.
+    Each propagation round is followed by a POINTER-JUMP (label ←
+    label's label), halving the distance to the component minimum —
+    convergence in O(log diameter) rounds, so ``max_iter=25`` covers
+    chains of length 2^25 (a plain propagate-only loop needs diameter
+    rounds and would silently mislabel long chains). If the loop still
+    exits un-converged, it RAISES instead of returning wrong labels.
+    Each round persists its label frame and unpersists the previous —
+    lineage stays O(1) deep, so this runs at any corpus size without
+    checkpoint blowup.
 
     Hybrid dispatch: the pair graph after near-dup mining is usually
     ORDERS smaller than the corpus (only dup-cluster members appear).
@@ -439,6 +445,7 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .persist()
     )
+    converged = False
     for _ in range(max_iter):
         # min label among neighbors (via edges) and self
         neighbor_min = (
@@ -447,15 +454,30 @@ def connected_components(
             .agg(F.min("comp").alias("nbr_comp"))
             .withColumnRenamed("src", "node")
         )
+        propagated = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias(
+                "comp"
+            ),
+        )
+        # pointer jump: comp ← comp's comp (distance to the component
+        # minimum halves every round → O(log diameter) total rounds).
+        # The self-join doubles the lineage, so each round CUTS it with
+        # an eager localCheckpoint (blocks stay executor-local; the
+        # logical plan stays O(1) instead of O(2^rounds)).
+        propagated = propagated.localCheckpoint(eager=True)
+        hop = propagated.select(
+            F.col("node").alias("__jn"), F.col("comp").alias("__jc")
+        )
         new_labels = (
-            labels.join(neighbor_min, "node", "left")
+            propagated.join(hop, propagated["comp"] == hop["__jn"], "left")
             .select(
                 "node",
                 F.least(
-                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                    F.col("comp"), F.coalesce("__jc", F.col("comp"))
                 ).alias("comp"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -467,8 +489,16 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components: no fixed point after {max_iter} rounds "
+            "— raise max_iter (labels would be silently wrong otherwise)"
+        )
+    track(labels)  # released by the caller's next release sweep
     return labels.select(F.col("node"), F.col("comp").alias("component"))
 
 

@@ -28,6 +28,9 @@ __all__ = [
     "cosine_topk",
     "srp_signature",
     "ann_lsh_topk",
+    "IvfIndex",
+    "ivf_build",
+    "ivf_search",
     "ann_ivf_topk",
     "cosine_pairs_blocked",
     "cosine_topk_blocked",
@@ -132,7 +135,8 @@ def cosine_pairs_blocked(
             F.col("a.ivs").alias("ivs_a"),
             F.col("b.ivs").alias("ivs_b"),
         )
-        .repartition(max(32, n_blocks))
+        # spread block pairs over the whole cluster, however big it is
+        .repartition(max(df.sparkSession.sparkContext.defaultParallelism, n_blocks))
     )
 
     def _gen(batches):
@@ -196,7 +200,8 @@ def cosine_topk_blocked(
             F.col("q.ivs").alias("ivs_q"),
             F.col("c.ivs").alias("ivs_c"),
         )
-        .repartition(32)
+        # one task per (query-block, corpus-block) pair, cluster-wide
+        .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     )
 
     def _gen(batches):
@@ -239,6 +244,164 @@ def cosine_topk_blocked(
     )
 
 
+class IvfIndex:
+    """A built IVF index: the coarse-quantizer centroids (driver-side,
+    tiny) plus the inverted-list DataFrame (cell, neighbor_id,
+    neighbor_v). Build once with :func:`ivf_build`, search many times
+    with :func:`ivf_search` — search plans contain NO model fitting.
+    In a warehouse the ``indexed`` frame would be persisted partitioned
+    by cell so probes prune to n_probe/n_cells of the data on disk."""
+
+    def __init__(self, centroids, indexed: DataFrame, id_col: str, vec_col: str):
+        self.centroids = centroids  # list[list[float]]
+        self.indexed = indexed
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def unpersist(self) -> None:
+        self.indexed.unpersist()
+
+
+def _kmeans_fit(sample, n_cells: int, seed: int, iters: int = 10):
+    """Seeded Lloyd iterations on a driver-side numpy sample — the
+    FAISS recipe (train the coarse quantizer on a sample, never the
+    full corpus). Deterministic: seeded init, argmin ties break to the
+    lowest cell id, empty cells keep their previous centroid."""
+    import numpy as np
+
+    n_cells = min(n_cells, len(sample))
+    rs = np.random.RandomState(seed)
+    C = sample[rs.choice(len(sample), size=n_cells, replace=False)].copy()
+    for _ in range(iters):
+        d = (
+            (sample * sample).sum(1)[:, None]
+            - 2.0 * (sample @ C.T)
+            + (C * C).sum(1)[None, :]
+        )
+        assign = d.argmin(axis=1)
+        for j in range(n_cells):
+            members = sample[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return C
+
+
+def _assign_cells(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids,
+    n_top: int,
+    out_id: str,
+    out_vec: str,
+) -> DataFrame:
+    """(id, vec) → one row per (vector, cell) for the vector's ``n_top``
+    nearest centroids. One Arrow-batched numpy distance matmul per
+    batch (BLAS), deterministic tie-break by cell id."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    cn = (C * C).sum(1)
+
+    def _gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            d = (V * V).sum(1)[:, None] - 2.0 * (V @ C.T) + cn[None, :]
+            if n_top == 1:
+                cells = d.argmin(axis=1)[:, None]  # ties → lowest cell id
+            else:
+                ids = np.broadcast_to(np.arange(C.shape[0]), d.shape)
+                cells = np.lexsort((ids, d), axis=1)[:, : min(n_top, C.shape[0])]
+            reps = cells.shape[1]
+            yield pd.DataFrame(
+                {
+                    out_id: pdf[id_col].to_numpy().repeat(reps),
+                    out_vec: pdf[vec_col].iloc[
+                        np.arange(len(pdf)).repeat(reps)
+                    ].to_numpy(),
+                    "cell": cells.ravel(),
+                }
+            )
+
+    vec_type = df.schema[vec_col].dataType.simpleString()
+    schema = f"{out_id} long, {out_vec} {vec_type}, cell int"
+    return df.select(id_col, vec_col).mapInPandas(_gen, schema)
+
+
+def ivf_build(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 7,
+    sample_size: int = 65_536,
+    persist: bool = True,
+) -> IvfIndex:
+    """Build an IVF index over the corpus.
+
+    Quantizer training pulls only a deterministic hash-ordered sample
+    of ≤ ``sample_size`` vectors to the driver (TakeOrdered — top-k per
+    partition, no global sort materialization) and runs seeded numpy
+    Lloyd there; the full-corpus cell assignment is ONE distributed
+    Arrow/BLAS pass. The inverted lists shuffle once on cell and are
+    persisted so every subsequent search reuses them — index build
+    cost is paid once, not per query.
+    """
+    import numpy as np
+
+    sample_rows = (
+        corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(F.xxhash64(F.col(vec_col).cast("array<double>")))
+        .limit(sample_size)
+        .collect()
+    )
+    if not sample_rows:
+        raise ValueError("ivf_build: empty corpus")
+    S = np.array([r["v"] for r in sample_rows], dtype=np.float64)
+    C = _kmeans_fit(S, n_cells, seed)
+    indexed = _assign_cells(
+        corpus, id_col, vec_col, C, 1, "neighbor_id", "neighbor_v"
+    ).repartition("cell")
+    if persist:
+        indexed = indexed.persist()
+    return IvfIndex([list(map(float, c)) for c in C], indexed, id_col, vec_col)
+
+
+def ivf_search(
+    index: IvfIndex,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Approximate top-k against a prebuilt :class:`IvfIndex`: each
+    query probes its ``n_probe`` nearest cells (one tiny BLAS pass over
+    the query set), candidates come from an equi-join on cell against
+    the persisted inverted lists, and an exact-cosine rerank picks the
+    top-k. No model fitting anywhere in this plan; recall is tunable
+    via n_probe (= exact search when n_probe == n_cells)."""
+    probes = _assign_cells(
+        queries, id_col, vec_col, index.centroids, n_probe, "query_id", "qv"
+    )
+    cands = probes.join(index.indexed, "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cands.withColumn("cosine", F.round(cosine("qv", "neighbor_v"), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
 def ann_ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -248,72 +411,16 @@ def ann_ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     seed: int = 7,
+    index: IvfIndex | None = None,
 ) -> DataFrame:
-    """IVF-style approximate top-k: a KMeans coarse quantizer (Spark ML,
-    seeded) partitions the corpus into ``n_cells`` inverted lists; each
-    query probes its ``n_probe`` nearest cells and reranks candidates
-    by exact cosine.
-
-    The scale shape of FAISS IVF-Flat, distributed: the corpus shuffles
-    ONCE on cell id (the inverted index — in a warehouse you'd persist
-    it partitioned by cell); per query only |corpus|·n_probe/n_cells
-    candidates are scored. Recall is tunable via n_probe (= exact
-    search when n_probe == n_cells).
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
-    corpus_v = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("neighbor_v"),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
-    )
-    # coarse quantization needs rough cells, not converged ones — a few
-    # Lloyd iterations suffice and fitting dominates this operator's cost
-    km = KMeans(k=n_cells, seed=seed, maxIter=5)
-    model = km.fit(corpus_v.select("features"))
-    indexed = model.transform(corpus_v).select(
-        "neighbor_id", "neighbor_v", F.col("prediction").alias("cell")
-    )
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
-
-    # per query: distances to all centroids (tiny — n_cells literals),
-    # keep the n_probe nearest cells, explode to (query, cell) probes
-    def sq_dist(center: list[float]):
-        arr = F.array(*[F.lit(x) for x in center])
-        return F.aggregate(
-            F.zip_with(
-                F.col("qv").cast("array<double>"), arr, lambda a, b: (a - b) * (a - b)
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    """One-shot IVF search: build (or reuse ``index``) then search.
+    Callers issuing many searches should :func:`ivf_build` once and
+    call :func:`ivf_search` directly."""
+    if index is None:
+        index = ivf_build(
+            corpus, id_col, vec_col, n_cells=n_cells, seed=seed, persist=False
         )
-
-    cells = F.array(
-        *[
-            F.struct(sq_dist(c).alias("d"), F.lit(i).alias("cell"))
-            for i, c in enumerate(centroids)
-        ]
-    )
-    probes = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-        .withColumn("__probe", F.slice(F.array_sort(cells), 1, n_probe))
-        .select(
-            "query_id", "qv", F.explode(F.col("__probe.cell")).alias("cell")
-        )
-    )
-    cands = probes.join(indexed, "cell").filter(
-        F.col("query_id") != F.col("neighbor_id")
-    )
-    scored = cands.withColumn(
-        "cosine", F.round(cosine("qv", "neighbor_v"), 6)
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rk")
-    )
+    return ivf_search(index, queries, id_col, vec_col, k=k, n_probe=n_probe)
 
 
 def _hyperplanes(bits: int, dim: int, seed: int):

@@ -19,6 +19,9 @@ __all__ = [
     "write_partitioned",
     "upsert_parquet",
     "scd2_apply",
+    "jdbc_options",
+    "write_jdbc",
+    "read_jdbc",
 ]
 
 
@@ -31,13 +34,23 @@ def write_partitioned(
 ) -> None:
     """Hive-style partitioned parquet write.
 
-    ``target_file_rows`` repartitions by the partition columns first so
-    each partition directory gets few, well-sized files instead of one
-    shard per task (the small-files problem at high parallelism).
+    ``target_file_rows`` sizes output files: rows are counted once,
+    and the frame is repartitioned on the partition columns plus a
+    row-number-derived sub-bucket so each partition directory gets
+    ~ceil(rows/target) well-sized files instead of one shard per task
+    (the small-files problem at high parallelism).
     """
     out = df
     if target_file_rows is not None:
-        out = df.repartition(*[F.col(c) for c in partition_cols])
+        n_rows = df.count()
+        n_files = max(1, -(-n_rows // target_file_rows))  # ceil
+        # sub-bucket within each partition so big partitions still split
+        # into ~target-sized files; hash keeps it shuffle-deterministic
+        out = df.withColumn(
+            "__bucket",
+            F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_files)),
+        ).repartition(*([F.col(c) for c in partition_cols] + [F.col("__bucket")]))
+        out = out.drop("__bucket")
     out.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
@@ -58,10 +71,17 @@ def upsert_parquet(
     materialized before the overwrite (the write would otherwise read
     its own input mid-overwrite), hence the localCheckpoint.
     """
+    from pyspark.errors.exceptions.captured import AnalysisException
+
     try:
         current = spark.read.parquet(path)
         merged = current.unionByName(updates, allowMissingColumns=False)
-    except Exception:  # first load — nothing to merge  # noqa: BLE001
+    except AnalysisException as e:
+        # ONLY path-not-found means first load; any other failure
+        # (corruption, permissions, IO) must abort — falling through
+        # would overwrite the table with just this batch (data loss)
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
         merged = updates
     w = Window.partitionBy(*key_cols).orderBy(F.desc(order_col))
     latest = (
@@ -71,6 +91,92 @@ def upsert_parquet(
         .localCheckpoint(eager=True)
     )
     latest.write.mode("overwrite").parquet(path)
+
+
+def jdbc_options(
+    url: str,
+    table: str,
+    driver: str | None = None,
+    batch_size: int = 10_000,
+    isolation_level: str = "READ_COMMITTED",
+    extra: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """Option map for Spark's JDBC source/sink (pure, unit-testable).
+
+    ``batchsize`` mirrors the reference's ``executemany`` batched
+    insert (reference ``dags/users_etl.py:142-157``: one cursor,
+    batched rows, single-transaction commit — here each partition
+    writes its batches in one transaction).
+    """
+    opts = {
+        "url": url,
+        "dbtable": table,
+        "batchsize": str(batch_size),
+        "isolationLevel": isolation_level,
+    }
+    if driver:
+        opts["driver"] = driver
+    if extra:
+        opts.update(extra)
+    return opts
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    truncate: bool = False,
+    driver: str | None = None,
+    batch_size: int = 10_000,
+    num_partitions: int | None = None,
+    extra: dict[str, str] | None = None,
+) -> None:
+    """Batch table insert into a warehouse DB over JDBC (SURVEY §2 K3).
+
+    Mirrors the reference's Postgres load (``dags/users_etl.py:142-157``)
+    Spark-style: each partition opens one connection and streams its
+    rows in ``batch_size`` inserts. ``mode='overwrite', truncate=True``
+    is the reference's truncate-and-load full refresh (K4) — TRUNCATE
+    keeps the table's DDL/grants/indexes instead of DROP+CREATE.
+    ``num_partitions`` caps concurrent connections (at 1000 executors
+    you almost always want this well below the cluster's parallelism —
+    the DB, not Spark, is the bottleneck).
+    """
+    out = df
+    if num_partitions is not None and df.rdd.getNumPartitions() > num_partitions:
+        out = df.coalesce(num_partitions)
+    opts = jdbc_options(url, table, driver, batch_size, extra=extra)
+    if truncate:
+        opts["truncate"] = "true"
+    out.write.format("jdbc").options(**opts).mode(mode).save()
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    driver: str | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    extra: dict[str, str] | None = None,
+) -> DataFrame:
+    """JDBC table/query read. With ``partition_column`` + bounds the
+    scan issues ``num_partitions`` range-predicate queries in parallel
+    (the only way a JDBC read scales past one connection)."""
+    opts = jdbc_options(url, table, driver, extra=extra)
+    if partition_column is not None:
+        opts.update(
+            {
+                "partitionColumn": partition_column,
+                "lowerBound": str(lower_bound),
+                "upperBound": str(upper_bound),
+                "numPartitions": str(num_partitions or 8),
+            }
+        )
+    return spark.read.format("jdbc").options(**opts).load()
 
 
 def scd2_apply(

@@ -9,13 +9,21 @@ must touch pixels/samples cross into Python — as ``mapInPandas``
 iterator UDFs, so one Arrow batch of payloads is decoded per call and
 memory stays bounded by the batch size, never the partition.
 
-The actual codec work (PIL/opencv/ffmpeg) is NOT available in this
-container, so the decode kernels are STUBBED: ``backend='fake'``
-derives deterministic pseudo-outputs from the payload bytes (stable
-across runs/engines — testable), and ``backend='real'`` raises
-``NotImplementedError`` at the exact point a codec library would be
-called. The Spark-side plumbing — schemas, UDF signatures, batch
-iteration, row multiplicity — is real and tested.
+Three backends per kernel:
+
+- ``backend='numpy'`` — a REAL decode path with no codec libraries:
+  pure-numpy/stdlib codecs for PPM (P6), BMP (24-bit BI_RGB), and WAV
+  (PCM16 via the stdlib ``wave`` module). decode → resize → feature
+  pipelines run end-to-end on genuine pixel/sample data.
+- ``backend='fake'`` — deterministic pseudo-outputs derived from the
+  payload digest (stable across runs/engines); for synthetic corpora
+  whose payloads aren't real media.
+- ``backend='real'`` — the PIL/opencv/ffmpeg call site for compressed
+  formats (JPEG/PNG/MP4); raises ``NotImplementedError`` in this
+  container.
+
+The Spark-side plumbing — schemas, UDF signatures, batch iteration,
+row multiplicity — is identical across backends and tested.
 """
 
 from __future__ import annotations
@@ -31,6 +39,13 @@ __all__ = [
     "MEDIA_SCHEMA",
     "sniff_media_type",
     "attach_media_metadata",
+    "encode_ppm",
+    "decode_ppm",
+    "encode_bmp",
+    "decode_bmp",
+    "encode_wav_pcm16",
+    "decode_wav_pcm16",
+    "decode_image_array",
     "decode_images",
     "resize_images",
     "sample_video_frames",
@@ -59,10 +74,14 @@ def sniff_media_type(payload: Column | str) -> Column:
     p = F.col(payload) if isinstance(payload, str) else payload
     head = F.lower(F.hex(F.substring(p, 1, 4)))
     head3 = F.substring(head, 1, 6)
+    head2 = F.substring(head, 1, 4)
     # mp4: 'ftyp' sits at byte offset 5
     mp4 = F.lower(F.hex(F.substring(p, 5, 4)))
     expr = F.lit("application/octet-stream")
     expr = F.when(mp4 == "66747970", F.lit("video/mp4")).otherwise(expr)
+    # 2-byte magics decodable by the numpy backend
+    expr = F.when(head2 == "5036", F.lit("image/x-portable-pixmap")).otherwise(expr)
+    expr = F.when(head2 == "424d", F.lit("image/bmp")).otherwise(expr)
     for magic, mtype in _MAGIC.items():
         if magic == "66747970":
             continue
@@ -92,6 +111,146 @@ def _fake_u32(payload: bytes, salt: str) -> int:
     return int.from_bytes(h[:4], "big")
 
 
+# ---------------------------------------------------------------------------
+# Pure-numpy / stdlib codecs (the backend='numpy' real decode path)
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(arr) -> bytes:
+    """uint8 (H, W, 3) array → binary PPM (P6)."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("encode_ppm expects (H, W, 3) uint8")
+    h, w = a.shape[:2]
+    return f"P6\n{w} {h}\n255\n".encode() + a.tobytes()
+
+
+def decode_ppm(payload: bytes):
+    """Binary PPM (P6) → uint8 (H, W, 3) numpy array."""
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header = magic, width, height, maxval as whitespace-separated
+    # tokens (comments stripped), then exactly one whitespace byte
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while payload[pos : pos + 1] not in (b"\n", b""):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(payload[start:pos])
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = int(tokens[0]), int(tokens[1]), int(tokens[2])
+    if maxval != 255:
+        raise ValueError("only maxval=255 PPM supported")
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return data.reshape(h, w, 3).copy()
+
+
+def encode_bmp(arr) -> bytes:
+    """uint8 (H, W, 3) array → 24-bit uncompressed BI_RGB BMP."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w = a.shape[:2]
+    row_size = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+    img_size = row_size * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up, BGR
+        row = a[y, :, ::-1].tobytes()
+        rows.append(row + b"\x00" * (row_size - len(row)))
+    return header + b"".join(rows)
+
+
+def decode_bmp(payload: bytes):
+    """24-bit uncompressed BI_RGB BMP → uint8 (H, W, 3) numpy array."""
+    import struct
+
+    import numpy as np
+
+    if not payload.startswith(b"BM"):
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError("only 24-bit uncompressed BI_RGB BMP supported")
+    flipped = h > 0
+    h = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_size * h, offset=data_offset
+    ).reshape(h, row_size)[:, : w * 3]
+    img = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    if flipped:
+        img = img[::-1]
+    return img.copy()
+
+
+def encode_wav_pcm16(samples, rate: int = 16_000) -> bytes:
+    """float array in [-1, 1] → mono PCM16 WAV bytes (stdlib wave)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    pcm = (np.clip(np.asarray(samples, dtype=np.float64), -1, 1) * 32767).astype(
+        "<i2"
+    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav_pcm16(payload: bytes):
+    """Mono/stereo PCM16 WAV → (float64 samples in [-1, 1], rate).
+    Stereo is averaged to mono."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise ValueError("only PCM16 WAV supported")
+        n_ch, rate = wf.getnchannels(), wf.getframerate()
+        raw = wf.readframes(wf.getnframes())
+    x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32767.0
+    if n_ch > 1:
+        x = x.reshape(-1, n_ch).mean(axis=1)
+    return x, rate
+
+
+def decode_image_array(payload: bytes):
+    """Dispatch on magic bytes → uint8 (H, W, 3): PPM (P6) or BMP."""
+    if payload.startswith(b"P6"):
+        return decode_ppm(payload)
+    if payload.startswith(b"BM"):
+        return decode_bmp(payload)
+    raise ValueError(
+        "numpy backend decodes PPM(P6)/BMP only; compressed formats "
+        "(JPEG/PNG) need backend='real' (PIL/opencv)"
+    )
+
+
 def decode_images(
     df: DataFrame,
     payload_col: str = "payload",
@@ -100,16 +259,17 @@ def decode_images(
 ) -> DataFrame:
     """Decode stage: payload → (width, height, channels, mean_intensity).
 
-    ``backend='real'`` is the PIL/opencv call site — NotImplementedError
-    here (codec libs absent in this environment). ``backend='fake'``
-    derives deterministic pseudo-dimensions from the payload digest so
-    the full Spark plumbing (Arrow batches, schema, partitioning) runs
-    and is assertable.
+    ``backend='numpy'`` REALLY decodes PPM/BMP payloads (pure numpy —
+    see :func:`decode_image_array`) and reports true dimensions and the
+    mean over all pixel values. ``backend='real'`` is the PIL/opencv
+    call site for compressed formats — NotImplementedError here.
+    ``backend='fake'`` derives deterministic pseudo-dimensions from the
+    payload digest (synthetic corpora).
     """
     if backend == "real":
         raise NotImplementedError(
-            "image decode requires PIL/opencv (not in this container); "
-            "use backend='fake' for plumbing tests"
+            "compressed-image decode requires PIL/opencv (not in this "
+            "container); use backend='numpy' for PPM/BMP"
         )
 
     out_schema = (
@@ -122,10 +282,17 @@ def decode_images(
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload)
                 ids.append(mid)
-                ws.append(64 + _fake_u32(b, "w") % 1985)
-                hs.append(64 + _fake_u32(b, "h") % 1985)
-                cs.append(3)
-                mi.append(round((_fake_u32(b, "i") % 25600) / 100.0, 2))
+                if backend == "numpy":
+                    img = decode_image_array(b)
+                    ws.append(img.shape[1])
+                    hs.append(img.shape[0])
+                    cs.append(img.shape[2])
+                    mi.append(round(float(img.mean()), 2))
+                else:
+                    ws.append(64 + _fake_u32(b, "w") % 1985)
+                    hs.append(64 + _fake_u32(b, "h") % 1985)
+                    cs.append(3)
+                    mi.append(round((_fake_u32(b, "i") % 25600) / 100.0, 2))
             yield pd.DataFrame(
                 {
                     id_col: ids,
@@ -146,23 +313,34 @@ def resize_images(
     id_col: str = "media_id",
     backend: str = "fake",
 ) -> DataFrame:
-    """Resize stage: payload → resized payload + new dims. The fake
-    backend emits a digest-stamped placeholder payload of the right
-    conceptual shape (id, bytes, w, h); the real backend is the codec
-    call site."""
+    """Resize stage: payload → resized payload + new dims.
+
+    ``backend='numpy'`` really resizes PPM/BMP pixels (nearest-neighbor
+    via integer index maps — pure numpy) and re-encodes the result as
+    PPM; ``backend='fake'`` emits a digest-stamped placeholder payload;
+    ``backend='real'`` is the PIL/opencv call site."""
     if backend == "real":
-        raise NotImplementedError("resize requires PIL/opencv; use backend='fake'")
+        raise NotImplementedError("compressed-image resize requires PIL/opencv")
     tw, th = target
     out_schema = f"{id_col} long, payload binary, width int, height int"
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             rows = {id_col: [], "payload": [], "width": [], "height": []}
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload)
-                stamp = hashlib.sha256(b).digest()
                 rows[id_col].append(mid)
-                rows["payload"].append(stamp + bytes(f"{tw}x{th}", "ascii"))
+                if backend == "numpy":
+                    img = decode_image_array(b)
+                    h, w = img.shape[:2]
+                    ys = (np.arange(th) * h) // th
+                    xs = (np.arange(tw) * w) // tw
+                    rows["payload"].append(encode_ppm(img[ys][:, xs]))
+                else:
+                    stamp = hashlib.sha256(b).digest()
+                    rows["payload"].append(stamp + bytes(f"{tw}x{th}", "ascii"))
                 rows["width"].append(tw)
                 rows["height"].append(th)
             yield pd.DataFrame(rows)
@@ -215,22 +393,37 @@ def extract_audio_features(
     backend: str = "fake",
 ) -> DataFrame:
     """Feature-extract stage: payload → fixed-dim float feature vector
-    (the embedding-column shape similarity.py consumes). Fake backend
-    emits a deterministic digest-derived vector with the right dtype/
-    dimensionality."""
+    (the embedding-column shape similarity.py consumes).
+
+    ``backend='numpy'`` really decodes PCM16 WAV (stdlib ``wave``) and
+    computes ``n_mels`` log-spectral band energies from an rfft — a
+    mel-filterbank-shaped feature with zero audio dependencies;
+    ``backend='fake'`` emits a digest-derived vector; ``backend='real'``
+    is the librosa call site (mp3/flac)."""
     if backend == "real":
-        raise NotImplementedError("audio features require librosa; use backend='fake'")
+        raise NotImplementedError("compressed-audio features require librosa")
     out_schema = f"{id_col} long, features array<float>"
 
     def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             ids, feats = [], []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload)
-                vec = [
-                    round((_fake_u32(b, f"m{j}") % 2000) / 1000.0 - 1.0, 4)
-                    for j in range(n_mels)
-                ]
+                if backend == "numpy":
+                    x, _rate = decode_wav_pcm16(b)
+                    mag = np.abs(np.fft.rfft(x))
+                    bands = np.array_split(mag, n_mels)
+                    vec = [
+                        round(float(np.log1p((band * band).sum())), 4)
+                        for band in bands
+                    ]
+                else:
+                    vec = [
+                        round((_fake_u32(b, f"m{j}") % 2000) / 1000.0 - 1.0, 4)
+                        for j in range(n_mels)
+                    ]
                 ids.append(mid)
                 feats.append(vec)
             yield pd.DataFrame({id_col: ids, "features": feats})

@@ -264,3 +264,24 @@ def test_ann_lsh_subset_of_bruteforce_quality(spark):
     got = {r["query_id"]: r["neighbor_id"] for r in out}
     hits = sum(1 for q, n in got.items() if n == 1000 + q)
     assert hits >= 4  # high recall on planted near-dups
+
+
+def test_connected_components_long_chain_pointer_jumping(spark):
+    """A 60-node chain needs ~60 propagate-only rounds; pointer jumping
+    must finish it in far fewer (O(log n)) — and an impossibly low
+    max_iter must RAISE, never return wrong labels silently."""
+    import pytest
+
+    n = 60
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    out = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(
+            pairs, driver_threshold=0, max_iter=10
+        ).collect()
+    }
+    assert out == {i: 0 for i in range(n + 1)}
+    with pytest.raises(RuntimeError, match="no fixed point"):
+        dedup.connected_components(pairs, driver_threshold=0, max_iter=1)

@@ -262,3 +262,124 @@ def test_multimodal_feature_to_ann_chain(media):
         by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
     assert set(by_q) == {1, 2, 3, 4, 5}
     assert all(len(v) == 2 for v in by_q.values())
+
+
+def test_ppm_roundtrip_and_comment_header():
+    import numpy as np
+
+    from social_media_etl_spark.sources import multimodal as mm
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(7, 11, 3), dtype=np.uint8)
+    assert np.array_equal(mm.decode_ppm(mm.encode_ppm(img)), img)
+    # header comments (a real-world PPM feature) are skipped
+    with_comment = b"P6\n# made by hand\n11 7\n255\n" + img.tobytes()
+    assert np.array_equal(mm.decode_ppm(with_comment), img)
+
+
+def test_bmp_roundtrip_with_row_padding():
+    import numpy as np
+
+    from social_media_etl_spark.sources import multimodal as mm
+
+    rng = np.random.RandomState(6)
+    # width 3 → row stride 9 pads to 12: exercises the padding path
+    img = rng.randint(0, 256, size=(4, 3, 3), dtype=np.uint8)
+    assert np.array_equal(mm.decode_bmp(mm.encode_bmp(img)), img)
+
+
+def test_wav_pcm16_roundtrip():
+    import numpy as np
+
+    from social_media_etl_spark.sources import multimodal as mm
+
+    t = np.arange(1600) / 16000.0
+    x = 0.5 * np.sin(2 * np.pi * 440 * t)
+    back, rate = mm.decode_wav_pcm16(mm.encode_wav_pcm16(x, 16000))
+    assert rate == 16000
+    assert np.abs(back - x).max() < 1e-3  # 16-bit quantization error
+
+
+def test_decode_images_numpy_backend_real_dims(spark):
+    import numpy as np
+
+    from social_media_etl_spark.sources import multimodal as mm
+
+    imgs = {
+        1: np.full((8, 6, 3), 100, dtype=np.uint8),
+        2: np.full((3, 5, 3), 200, dtype=np.uint8),
+    }
+    rows = [(1, mm.encode_ppm(imgs[1])), (2, mm.encode_bmp(imgs[2]))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {
+        r["media_id"]: (r["width"], r["height"], r["channels"], r["mean_intensity"])
+        for r in mm.decode_images(df, backend="numpy").collect()
+    }
+    assert out == {1: (6, 8, 3, 100.0), 2: (5, 3, 3, 200.0)}
+
+
+def test_resize_images_numpy_backend_resamples_pixels(spark):
+    import numpy as np
+
+    from social_media_etl_spark.sources import multimodal as mm
+
+    # left half black, right half white → resize preserves the split
+    img = np.zeros((4, 8, 3), dtype=np.uint8)
+    img[:, 4:] = 255
+    df = spark.createDataFrame(
+        [(1, mm.encode_ppm(img))], "media_id long, payload binary"
+    )
+    out = mm.resize_images(df, target=(4, 2), backend="numpy").collect()[0]
+    assert (out["width"], out["height"]) == (4, 2)
+    resized = mm.decode_ppm(bytes(out["payload"]))
+    assert resized.shape == (2, 4, 3)
+    assert (resized[:, :2] == 0).all() and (resized[:, 2:] == 255).all()
+
+
+def test_extract_audio_features_numpy_backend(spark):
+    import numpy as np
+
+    from social_media_etl_spark.sources import multimodal as mm
+
+    t = np.arange(3200) / 16000.0
+    quiet = mm.encode_wav_pcm16(0.01 * np.sin(2 * np.pi * 100 * t))
+    loud = mm.encode_wav_pcm16(0.9 * np.sin(2 * np.pi * 100 * t))
+    df = spark.createDataFrame(
+        [(1, quiet), (2, loud)], "media_id long, payload binary"
+    )
+    feats = {
+        r["media_id"]: r["features"]
+        for r in mm.extract_audio_features(df, n_mels=8, backend="numpy").collect()
+    }
+    assert len(feats[1]) == 8 and len(feats[2]) == 8
+    # energy lands in the lowest band, and louder in > quieter
+    assert feats[2][0] > feats[1][0] > feats[1][-1]
+    # deterministic
+    again = {
+        r["media_id"]: r["features"]
+        for r in mm.extract_audio_features(df, n_mels=8, backend="numpy").collect()
+    }
+    assert feats == again
+
+
+def test_sniff_recognizes_numpy_decodable_formats(spark):
+    import numpy as np
+
+    from social_media_etl_spark.sources import multimodal as mm
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    rows = [
+        (1, mm.encode_ppm(img)),
+        (2, mm.encode_bmp(img)),
+        (3, mm.encode_wav_pcm16(np.zeros(16))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r["media_id"]: r["media_type"]
+        for r in mm.attach_media_metadata(df).collect()
+    }
+    assert got == {
+        1: "image/x-portable-pixmap",
+        2: "image/bmp",
+        3: "audio/wav",
+    }

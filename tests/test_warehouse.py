@@ -100,3 +100,77 @@ def test_scd2_incremental_fold_equals_full_rebuild(spark):
     assert key(incr) == key(full)
     cur = {r["user_id"]: r["city"] for r in incr.filter("is_current").collect()}
     assert cur == {1: "LA", 2: "SF"}
+
+
+def test_jdbc_options_shape():
+    opts = warehouse.jdbc_options(
+        "jdbc:postgresql://host/db",
+        "users",
+        driver="org.postgresql.Driver",
+        batch_size=500,
+        extra={"stringtype": "unspecified"},
+    )
+    assert opts == {
+        "url": "jdbc:postgresql://host/db",
+        "dbtable": "users",
+        "batchsize": "500",
+        "isolationLevel": "READ_COMMITTED",
+        "driver": "org.postgresql.Driver",
+        "stringtype": "unspecified",
+    }
+
+
+def test_jdbc_roundtrip_append_and_truncate_load(spark, tmp_path):
+    """Real JDBC round-trip against embedded Derby (ships with Spark):
+    append, truncate-and-load full refresh (the reference's load
+    semantics, dags/users_etl.py:142-157), and parallel read-back."""
+    url = f"jdbc:derby:{tmp_path}/wh;create=true"
+    v1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "id bigint, name string, score double"
+    )
+    warehouse.write_jdbc(v1, url, "users", mode="append", num_partitions=1)
+    back = warehouse.read_jdbc(spark, url, "users")
+    assert {(r["id"], r["name"], r["score"]) for r in back.collect()} == {
+        (1, "a", 10.0),
+        (2, "b", 20.0),
+    }
+    # full refresh: truncate keeps the table, replaces every row
+    v2 = spark.createDataFrame(
+        [(3, "c", 30.0)], "id bigint, name string, score double"
+    )
+    warehouse.write_jdbc(
+        v2, url, "users", mode="overwrite", truncate=True, num_partitions=1
+    )
+    back2 = warehouse.read_jdbc(
+        spark,
+        url,
+        "users",
+        partition_column="id",
+        lower_bound=0,
+        upper_bound=10,
+        num_partitions=2,
+    )
+    assert back2.rdd.getNumPartitions() == 2
+    assert {(r["id"], r["name"], r["score"]) for r in back2.collect()} == {
+        (3, "c", 30.0)
+    }
+
+
+def test_upsert_parquet_raises_on_non_missing_read_error(spark, tmp_path):
+    """A corrupt existing table must ABORT the upsert, not silently
+    become a 'first load' that overwrites the table with one batch."""
+    import os
+
+    import pytest
+
+    path = str(tmp_path / "corrupt")
+    os.makedirs(path)
+    with open(os.path.join(path, "part-000.parquet"), "wb") as f:
+        f.write(b"this is not parquet")
+    updates = spark.createDataFrame([(1, "a", 1)], "k long, v string, ver long")
+    with pytest.raises(Exception) as exc:
+        warehouse.upsert_parquet(spark, updates, path, ["k"], "ver")
+    assert "PATH_NOT_FOUND" not in str(exc.value)
+    # the corrupt file is still there — nothing overwrote the table
+    with open(os.path.join(path, "part-000.parquet"), "rb") as f:
+        assert f.read() == b"this is not parquet"
