@@ -32,6 +32,7 @@ __all__ = [
     "jaccard_pairs",
     "minhash_signature",
     "minhash_lsh_pairs",
+    "exact_jaccard_rerank",
     "simhash_table",
     "simhash_pairs",
     "embedding_cosine_pairs",
@@ -212,10 +213,24 @@ def minhash_lsh_pairs(
     if not verify:
         return cands
     cands = persist_tracked(cands)  # feeds both the id pruning and the rerank
-    # Exact-Jaccard rerank on CANDIDATES ONLY (set intersection per
-    # candidate pair — never the all-pairs join). Semi-join first so
-    # shingle sets are only computed for docs that appear in a
-    # candidate pair (the candidate set is tiny relative to the corpus).
+    return exact_jaccard_rerank(df, cands, id_col, text_col, n, threshold)
+
+
+def exact_jaccard_rerank(
+    df: DataFrame,
+    cands: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact-Jaccard rerank of CANDIDATE pairs only (set intersection
+    per candidate — never the all-pairs join): (id_a, id_b) → the
+    subset with true n-gram jaccard ≥ threshold, plus the value.
+    Semi-join first so shingle sets are only computed for docs that
+    appear in a candidate pair (tiny relative to the corpus). Shared
+    verification stage for every sketch-based candidate generator
+    (MinHash bands, SimHash Hamming buckets)."""
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
         .union(cands.select(F.col("id_b").alias(id_col)))
@@ -229,7 +244,8 @@ def minhash_lsh_pairs(
     common = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - common
     return (
-        cands.join(sa, "id_a")
+        cands.select("id_a", "id_b")
+        .join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn("jaccard", F.round(common / union, 6))
         .filter(F.col("jaccard") >= threshold)

@@ -50,19 +50,48 @@ class Stage:
     retries: int = 1          # reference default_args: retries=1
     retry_delay: float = 0.0  # reference: 5 min; tests use 0
     gate: Callable[[], bool] | None = None
+    group: str | None = None  # consecutive stages sharing a group fan out
 
 
 @dataclass
 class Pipeline:
     """Ordered stages sharing a mutable context dict. ``run`` executes
-    each stage with its retry budget and returns the context."""
+    each stage with its retry budget and returns the context.
+
+    CONSECUTIVE stages with the same non-None ``group`` run
+    concurrently (thread fan-out — Spark job submission is
+    thread-safe, and the scheduler interleaves their jobs), mirroring
+    the reference DAG's parallel upload branches
+    (``dags/users_etl.py:220-229``). Ordering across groups is
+    unchanged: a group is a barrier, later stages see every group
+    member's context entry."""
 
     stages: Sequence[Stage]
     context: dict = field(default_factory=dict)
 
     def run(self) -> dict:
-        for stage in self.stages:
-            self._run_stage(stage)
+        from concurrent.futures import ThreadPoolExecutor
+
+        i, stages = 0, list(self.stages)
+        while i < len(stages):
+            stage = stages[i]
+            batch = [stage]
+            if stage.group is not None:
+                while (
+                    i + len(batch) < len(stages)
+                    and stages[i + len(batch)].group == stage.group
+                ):
+                    batch.append(stages[i + len(batch)])
+            if len(batch) == 1:
+                self._run_stage(stage)
+            else:
+                with ThreadPoolExecutor(max_workers=len(batch)) as pool:
+                    futures = [pool.submit(self._run_stage, s) for s in batch]
+                    # surface the FIRST failure; cancel nothing (running
+                    # stages finish — same as Airflow branch semantics)
+                    for f in futures:
+                        f.result()
+            i += len(batch)
         return self.context
 
     def _run_stage(self, stage: Stage) -> None:
@@ -230,16 +259,19 @@ def blog_etl(
                 "extract_users",
                 extract(users_url, USERS_SCHEMA, "users"),
                 gate=lambda: source_available(users_url),
+                group="extract",  # parallel branches like the ref DAG
             ),
             Stage(
                 "extract_posts",
                 extract(posts_url, POSTS_SCHEMA, "posts"),
                 gate=lambda: source_available(posts_url),
+                group="extract",
             ),
             Stage(
                 "extract_comments",
                 extract(comments_url, COMMENTS_SCHEMA, "comments"),
                 gate=lambda: source_available(comments_url),
+                group="extract",
             ),
             Stage("transform_users", transform_users),
             Stage("transform_posts", transform_posts),

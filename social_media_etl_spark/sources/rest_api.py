@@ -120,11 +120,28 @@ def write_json_array(df: DataFrame, path: str) -> None:
     """K1: single whole-array JSON object. DRIVER-SIDE collect — the
     reference's format choice, kept only for small dimension payloads;
     it is inherently single-file and unsplittable (anti-scale; prefer
-    ``write_ndjson``)."""
+    ``write_ndjson``).
+
+    Paths with a scheme (``gs://``, ``s3a://``, ``hdfs://``,
+    ``file://``) write through the Hadoop FileSystem API — the same
+    object-store target the reference lands in
+    (``dags/operators/rest_api_json_to_gcs_operator.py:69-76``);
+    bare paths use the local filesystem directly."""
     records = [row.asDict(recursive=True) for row in df.collect()]
+    payload = json.dumps(records, default=str)
+    if "://" in path:
+        sc = df.sparkSession.sparkContext
+        jpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+        stream = fs.create(jpath, True)
+        try:
+            stream.write(bytearray(payload.encode("utf-8")))
+        finally:
+            stream.close()
+        return
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w", encoding="utf-8") as fh:
-        json.dump(records, fh, default=str)
+        fh.write(payload)
 
 
 def write_ndjson(df: DataFrame, path: str, mode: str = "overwrite") -> None:

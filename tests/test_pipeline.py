@@ -173,3 +173,50 @@ def test_stage_retry_then_success():
     p = pipeline.Pipeline([pipeline.Stage("flaky", flaky, retries=2)])
     assert p.run()["flaky"] == "ok"
     assert calls["n"] == 3
+
+
+def test_same_group_stages_run_concurrently():
+    """Consecutive same-group stages fan out in threads (the reference
+    DAG's parallel branches): a 2-party barrier inside both stage fns
+    only passes if they overlap in time."""
+    import threading
+
+    from social_media_etl_spark.pipeline import Pipeline, Stage
+
+    barrier = threading.Barrier(2, timeout=10)
+
+    def stage_fn(name):
+        def _fn(ctx):
+            barrier.wait()  # deadlocks (→ BrokenBarrier) if sequential
+            return name
+
+        return _fn
+
+    ctx = Pipeline(
+        [
+            Stage("a", stage_fn("a"), group="extract"),
+            Stage("b", stage_fn("b"), group="extract"),
+            Stage("after", lambda ctx: (ctx["a"], ctx["b"])),
+        ]
+    ).run()
+    assert ctx["after"] == ("a", "b")
+
+
+def test_group_failure_propagates():
+    import pytest
+
+    from social_media_etl_spark.pipeline import Pipeline, Stage, StageFailed
+
+    def boom(ctx):
+        raise ValueError("nope")
+
+    pipe = Pipeline(
+        [
+            Stage("ok", lambda ctx: 1, group="g"),
+            Stage("bad", boom, retries=0, group="g"),
+            Stage("never", lambda ctx: 2),
+        ]
+    )
+    with pytest.raises(StageFailed):
+        pipe.run()
+    assert "never" not in pipe.context

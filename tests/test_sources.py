@@ -383,3 +383,18 @@ def test_sniff_recognizes_numpy_decodable_formats(spark):
         2: "image/bmp",
         3: "audio/wav",
     }
+
+
+def test_write_json_array_hadoop_fs_scheme(spark, tmp_path):
+    """Scheme'd paths (gs://, s3a://, file://) go through the Hadoop
+    FileSystem API; file:// exercises that code path hermetically."""
+    import json as _json
+
+    from social_media_etl_spark.sources import rest_api
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    target = f"file://{tmp_path}/out/users.json"
+    rest_api.write_json_array(df, target)
+    with open(f"{tmp_path}/out/users.json", encoding="utf-8") as fh:
+        got = sorted(_json.load(fh), key=lambda r: r["id"])
+    assert got == [{"id": 1, "v": "a"}, {"id": 2, "v": "b"}]
