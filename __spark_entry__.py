@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from social_media_etl_spark.catalog import load_table, load_tables
@@ -534,6 +534,48 @@ def _streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once-per-key dedup via
+    dropDuplicatesWithinWatermark (state-store keyed by event_id,
+    watermark-evicted → bounded state). event_id is unique in the
+    source, so the drained output equals the table itself — the hash
+    check certifies nothing is dropped or duplicated through the
+    stateful path (incl. the nanos→ts conversion)."""
+    out = _drain(
+        streaming_ingest.streaming_dedup(
+            _stream_events(spark, sf_dir), keys=["event_id"]
+        ),
+        "stream_dedup",
+        mode="append",
+    )
+    return out.select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    ).orderBy("event_id")
+
+
+def _streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful streaming operator (applyInPandasWithState):
+    per-user running (count, sum, max ts) folded across micro-batches
+    in update mode. The drained sink holds one row per (user, update);
+    the final row per user — the one with the largest n_events, which
+    is strictly increasing — must equal the batch aggregate, which is
+    the oracle. Value-checks the custom state machine end-to-end."""
+    from social_media_etl_spark.streaming import stateful
+
+    out = _drain(
+        stateful.running_user_totals(_stream_events(spark, sf_dir)),
+        "stream_totals",
+        mode="update",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_events", "total_value", "max_ts")
+        .orderBy("user_id")
+    )
+
+
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: keep first (lowest doc_id) row per identical text."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1026,6 +1068,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed_agg": _streaming_windowed,
         "streaming_session_windows": _streaming_sessions,
         "streaming_interval_join": _streaming_interval_join,
+        "streaming_dedup_events": _streaming_dedup,
+        "streaming_stateful_totals": _streaming_stateful_totals,
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_jaccard,
         "dedup_minhash_lsh": _dedup_minhash,
@@ -1469,6 +1513,19 @@ def oracle_sql() -> dict[str, str]:
             FROM sessions
             GROUP BY user_id, session_no
             ORDER BY user_id, session_start
+        """,
+        "streaming_dedup_events": """
+            SELECT event_id, user_id, event_type, ts, value
+            FROM events ORDER BY event_id
+        """,
+        # Final state of the custom stateful operator == batch aggregate
+        # (n_events strictly increases per update, so max-rank wins).
+        "streaming_stateful_totals": """
+            SELECT user_id,
+                   count(*) AS n_events,
+                   round(sum(coalesce(value, 0)), 2) AS total_value,
+                   max(ts) AS max_ts
+            FROM events GROUP BY user_id ORDER BY user_id
         """,
         "streaming_interval_join": """
             SELECT p.user_id,
