@@ -120,6 +120,38 @@ def _q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.late_shipment_priority(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+def _q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.returned_item_customers(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def _q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.brand_supplier_counts(
+        load_table(spark, sf_dir, "part"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+def _q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.banded_disjunctive_revenue(
+        load_table(spark, sf_dir, "part"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+def _q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.idle_rich_customers(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
 def _priority_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.priority_share_by_year(
         load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
@@ -1043,6 +1075,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_share": _q14,
         "q17_small_qty_revenue": _q17,
         "q18_large_volume_customers": _q18,
+        "q4_late_shipment_priority": _q4,
+        "q10_returned_revenue_top": _q10,
+        "q16_brand_supplier_counts": _q16,
+        "q19_banded_revenue": _q19,
+        "q22_idle_rich_customers": _q22,
         "priority_share_by_year": _priority_share,
         "topk_orders_per_customer": _topk_per_cust,
         "distinct_parts_per_flag": _distinct,
@@ -1238,6 +1275,61 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
             ORDER BY total_qty DESC, o_orderkey
+        """,
+        "q4_late_shipment_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+            )
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "q10_returned_revenue_top": """
+            SELECT c_custkey, c_name, c_acctbal, revenue, n_items FROM (
+                SELECT o_custkey,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                       count(*) AS n_items
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE l_returnflag = 'R'
+                GROUP BY o_custkey
+            ) r JOIN customer ON o_custkey = c_custkey
+            ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "q16_brand_supplier_counts": """
+            SELECT p_brand,
+                   CAST(p_size // 10 AS INT) AS size_band,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand NOT IN ('Brand#4', 'Brand#5')
+            GROUP BY p_brand, size_band
+            ORDER BY supplier_cnt DESC, p_brand, size_band
+        """,
+        "q19_banded_revenue": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11
+                   AND p_size BETWEEN 1 AND 5)
+               OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20
+                   AND p_size BETWEEN 1 AND 10)
+               OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30
+                   AND p_size BETWEEN 1 AND 15)
+        """,
+        "q22_idle_rich_customers": """
+            SELECT c_nationkey,
+                   count(*) AS n_custs,
+                   round(sum(c_acctbal), 2) AS total_bal
+            FROM customer
+            WHERE c_acctbal > (
+                SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0
+            )
+            AND NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey AND o_totalprice > 300000
+            )
+            GROUP BY c_nationkey ORDER BY c_nationkey
         """,
         "priority_share_by_year": """
             SELECT year(o_orderdate) AS order_year,

@@ -34,6 +34,11 @@ __all__ = [
     "priority_share_by_year",
     "small_quantity_revenue",
     "large_volume_customers",
+    "late_shipment_priority",
+    "returned_item_customers",
+    "brand_supplier_counts",
+    "banded_disjunctive_revenue",
+    "idle_rich_customers",
 ]
 
 
@@ -384,4 +389,113 @@ def events_json_extract(events: DataFrame) -> DataFrame:
             F.sum("k").alias("sum_k"),
         )
         .orderBy("event_type")
+    )
+
+
+def late_shipment_priority(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4 shape: order counts per priority where EXISTS a
+    late-shipped item (l_shipdate > o_orderdate + 30 days). The EXISTS
+    is a left-semi join — no row multiplication, the item table never
+    appears in the output, and the semi join build side carries only
+    the join key after column pruning."""
+    late = lineitem.select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        orders.join(late, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def returned_item_customers(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, k: int = 20
+) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer,
+    top-k. Fact-fact join on orderkey, then broadcast of the customer
+    dimension; deterministic top-k via (revenue desc, custkey)."""
+    returned = lineitem.filter(F.col("l_returnflag") == "R")
+    rev = (
+        returned.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    return (
+        rev.join(F.broadcast(customer), rev["o_custkey"] == customer["c_custkey"])
+        .select("c_custkey", "c_name", "c_acctbal", "revenue", "n_items")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(k)
+    )
+
+
+def brand_supplier_counts(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per (brand, size band)
+    for parts OUTSIDE an excluded brand — NOT-IN as an anti filter that
+    stays in the scan, count(distinct) per group."""
+    eligible = part.filter(~F.col("p_brand").isin("Brand#4", "Brand#5"))
+    joined = lineitem.join(
+        F.broadcast(eligible), F.col("l_partkey") == F.col("p_partkey")
+    )
+    size_band = (F.col("p_size") / 10).cast("int").alias("size_band")
+    return (
+        joined.groupBy("p_brand", size_band)
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "size_band")
+    )
+
+
+def banded_disjunctive_revenue(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate (brand ∧
+    quantity-band ∧ size-band disjuncts). States the whole disjunction
+    declaratively so Catalyst can push the common l_quantity bounds
+    into the scan and evaluate the rest as one codegen'd filter."""
+    joined = lineitem.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    q, sz, br = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    disjunction = (
+        ((br == "Brand#1") & q.between(1, 11) & sz.between(1, 5))
+        | ((br == "Brand#2") & q.between(10, 20) & sz.between(1, 10))
+        | ((br == "Brand#3") & q.between(20, 30) & sz.between(1, 15))
+    )
+    return joined.filter(disjunction).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def idle_rich_customers(
+    customer: DataFrame, orders: DataFrame, premium: float = 300_000.0
+) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive account
+    balance but NO premium order (none above ``premium``) — scalar-
+    subquery average + anti join, grouped by nation. The average is
+    computed once (broadcast scalar); the NOT-EXISTS is a left-anti
+    join whose price filter is pushed into the orders scan."""
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg")
+    )
+    rich = customer.join(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("__avg")
+    )
+    premium_orders = orders.filter(F.col("o_totalprice") > premium)
+    idle = rich.join(
+        premium_orders, rich["c_custkey"] == premium_orders["o_custkey"], "left_anti"
+    )
+    return (
+        idle.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
     )
