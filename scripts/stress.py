@@ -45,6 +45,36 @@ def main() -> None:
     n_li = lineitem.count()
     print(json.dumps({"multiplier": mult, "lineitem_rows": n_li}))
 
+    # data-pipeline operators under inflation: docs/embeddings inflate
+    # with REMAPPED ids so dedup/ANN cardinalities genuinely grow
+    # (plain union would only duplicate every doc mult times)
+    from pyspark.sql import functions as F
+
+    from social_media_etl_spark.operators import chunking, dedup, similarity
+
+    base_docs = load_table(spark, SF_DIR, "documents")
+    n_docs = base_docs.count()
+    docs = reduce(
+        lambda a, b: a.unionAll(b),
+        [
+            base_docs.withColumn(
+                "doc_id", (F.col("doc_id") + F.lit(i * n_docs)).cast("long")
+            )
+            for i in range(mult)
+        ],
+    )
+    base_emb = load_table(spark, SF_DIR, "embeddings")
+    n_emb = base_emb.count()
+    emb = reduce(
+        lambda a, b: a.unionAll(b),
+        [
+            base_emb.withColumn(
+                "vec_id", (F.col("vec_id") + F.lit(i * n_emb)).cast("long")
+            )
+            for i in range(mult)
+        ],
+    )
+
     runs = {
         "q1_pricing_summary": lambda: analytics.pricing_summary(lineitem),
         "q3_top_revenue_orders": lambda: analytics.top_revenue_orders(
@@ -53,6 +83,16 @@ def main() -> None:
         "q5_regional_revenue": lambda: analytics.regional_revenue(tables),
         "events_windowed_agg": lambda: analytics.events_windowed_agg(events),
         "events_sessionize": lambda: analytics.events_sessionize(events),
+        # inflated docs make every line/shingle mult-way duplicated —
+        # the dedup paths do mult× the r01 work on the same key space
+        "dedup_exact": lambda: dedup.dedup_exact(docs, ["text"], ["doc_id"]),
+        "dedup_minhash_lsh": lambda: dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.8
+        ),
+        "gopher_quality": lambda: chunking.gopher_quality(docs),
+        "ann_cosine_topk": lambda: similarity.cosine_topk_blocked(
+            emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5
+        ),
     }
     for name, build in runs.items():
         df = build()

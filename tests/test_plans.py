@@ -107,3 +107,37 @@ def test_events_windowed_agg_prunes_props(spark):
     read_schema = next(l for l in p.splitlines() if "ReadSchema" in l)
     assert "props" not in read_schema
     assert "user_id" not in read_schema
+
+
+def test_q4_semi_join_no_row_multiplication(spark):
+    p = plan(
+        analytics.late_shipment_priority(
+            load_table(spark, SF, "orders"), load_table(spark, SF, "lineitem")
+        )
+    )
+    assert "LeftSemi" in p
+    # lineitem contributes only its join/filter columns to the semi join
+    read = [l for l in p.splitlines() if "ReadSchema" in l and "l_orderkey" in l]
+    assert read and all("l_extendedprice" not in l for l in read)
+
+
+def test_q19_disjunction_reaches_part_scan(spark):
+    p = plan(
+        analytics.banded_disjunctive_revenue(
+            load_table(spark, SF, "part"), load_table(spark, SF, "lineitem")
+        )
+    )
+    # the brand/size disjunction is pushed to the part scan as Or(...)
+    assert "PushedFilters" in p and "Or(And(" in p
+    # part side broadcasts — the lineitem fact never shuffles for the join
+    assert "BroadcastHashJoin" in p
+
+
+def test_q22_anti_join_price_filter_pushed(spark):
+    p = plan(
+        analytics.idle_rich_customers(
+            load_table(spark, SF, "customer"), load_table(spark, SF, "orders")
+        )
+    )
+    assert "LeftAnti" in p
+    assert "GreaterThan(o_totalprice,300000.0)" in p
