@@ -953,6 +953,71 @@ def _quota_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing stage: inject deterministic synthetic PII (email /
+    URL / phone / IPv4 built from doc_id — the corpus itself contains
+    none) into every document, count matches per category, and redact
+    via chained regexp_replace. The oracle runs the IDENTICAL regexes
+    in DuckDB and compares the sha256 of the redacted text — a
+    cross-engine check of the actual scrub output, not just counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or https://site"),
+        F.col("doc_id").cast("string"),
+        F.lit(".example/path?x=1 call 555-123-4567 at 10.0.0.42"),
+    )
+    counts = TXT.pii_counts(injected)
+    return docs.select(
+        "doc_id",
+        *[counts[k].cast("long").alias(f"n_{k}") for k in ("email", "url", "phone", "ipv4")],
+        F.sha2(TXT.redact_pii(injected), 256).alias("redacted_digest"),
+    ).orderBy("doc_id")
+
+
+def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document: explode tokens → per-(doc,term)
+    tf → document-frequency join → smooth idf (ln((N+1)/(df+1))+1) →
+    per-doc ranking window. All shuffles key on doc/term; the df table
+    is the only corpus-wide aggregate and is broadcast back."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))  # lazy scalar
+    terms = docs.select(
+        "doc_id", F.explode(TXT.tokens("text")).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1
+    scored = (
+        tf.join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.round(F.col("tf") * idf, 6))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "rk", "term", "tfidf")
+        .orderBy("doc_id", "rk")
+    )
+
+def _train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth-stable corpus split (12/2/2 sixteenths by md5 hex digit):
+    a document's split never changes as the corpus grows, and the
+    assignment is reproducible in any engine — the oracle computes the
+    identical md5-based mapping."""
+    from social_media_etl_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        sampling.md5_split(docs, "doc_id")
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )
+
+
 def _clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END training-data cleaning pipeline in one lazy plan:
     exact dedup (keep lowest doc_id per identical text) → Gopher
@@ -1134,6 +1199,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_top_words": _top_words,
         "gopher_quality_flags": _gopher_quality,
         "clean_corpus_pipeline": _clean_corpus,
+        "pii_redaction": _pii_redaction,
+        "tfidf_top_terms": _tfidf_top_terms,
+        "train_val_test_split": _train_val_test_split,
         "table_profile_orders": _table_profile,
         "text_stats": _text_stats,
         "text_lang_id": _text_lang,
@@ -1964,6 +2032,74 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, lang FROM kept
             WHERE doc_id NOT IN (SELECT doc_id FROM losers)
             ORDER BY doc_id
+        """,
+        # Identical regex chain in RE2; sha256 of the scrub output is
+        # the cross-engine equality witness.
+        "pii_redaction": """
+            WITH injected AS (
+                SELECT doc_id,
+                       text || ' contact user' || doc_id
+                            || '@example.com or https://site' || doc_id
+                            || '.example/path?x=1 call 555-123-4567 at 10.0.0.42' AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(t, 'https?://[^\\s]+')) AS BIGINT) AS n_url,
+                   CAST(len(regexp_extract_all(t,
+                       '\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) AS BIGINT) AS n_phone,
+                   CAST(len(regexp_extract_all(t,
+                       '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT) AS n_ipv4,
+                   sha256(
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(
+                                   regexp_replace(t,
+                                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                                       '<PII>', 'g'),
+                                   'https?://[^\\s]+', '<PII>', 'g'),
+                               '\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}',
+                               '<PII>', 'g'),
+                           '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                           '<PII>', 'g')
+                   ) AS redacted_digest
+            FROM injected ORDER BY doc_id
+        """,
+        "tfidf_top_terms": """
+            WITH terms AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+                FROM documents WHERE trim(text) != ''
+            ),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM terms GROUP BY doc_id, term
+            ),
+            dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+                SELECT doc_id, term,
+                       round(tf * (ln((n_docs + 1) / CAST(df + 1 AS DOUBLE)) + 1), 6) AS tfidf
+                FROM tf JOIN dfs USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, rk, term, tfidf FROM (
+                SELECT doc_id, term, tfidf,
+                       row_number() OVER (
+                           PARTITION BY doc_id ORDER BY tfidf DESC, term
+                       ) AS rk
+                FROM scored
+            ) WHERE rk <= 3 ORDER BY doc_id, rk
+        """,
+        # Identical md5 hex-digit mapping: 0-b train, c-d val, e-f test.
+        "train_val_test_split": """
+            SELECT doc_id,
+                   CASE WHEN substring(md5('split:' || doc_id), 1, 1) <= 'b'
+                        THEN 'train'
+                        WHEN substring(md5('split:' || doc_id), 1, 1) <= 'd'
+                        THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents ORDER BY doc_id
         """,
         "table_profile_orders": """
             WITH s AS (SELECT * FROM orders)

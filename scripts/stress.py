@@ -3,6 +3,14 @@ union-inflated copy of the sf0.1 tables (data volume scales; key
 cardinalities do not — an upper bound on join/agg fan-in stress).
 Run:  python scripts/stress.py [multiplier]
 Prints one JSON line per query with rows + seconds.
+
+Scale findings this probe has caught: at 10x the remapped-id document
+corpus (50k docs, every text 10-way duplicated → ~250k true near-dup
+pairs), the minhash rerank's fat shingle-set join used to be broadcast
+on a size misestimate and OOM'd the 1g default driver heap — fixed by
+sizing the local heap (session.py spark.driver.memory) and pinning the
+rerank joins to shuffle_hash (dedup.exact_jaccard_rerank); it now
+completes in ~21s.
 """
 
 from __future__ import annotations

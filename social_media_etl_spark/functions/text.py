@@ -24,6 +24,9 @@ __all__ = [
     "lang_id",
     "fingerprint",
     "simhash",
+    "PII_PATTERNS",
+    "pii_counts",
+    "redact_pii",
     "LANG_STOPWORDS",
     "PUNCT_CLASS",
     "FINGERPRINT_MOD",
@@ -188,4 +191,33 @@ def simhash(text: Column | str, bits: int = 32) -> Column:
         out = out + F.when(
             F.element_at(sums, i + 1) > 0, F.lit(1 << i).cast("long")
         ).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+# PII patterns restricted to syntax valid in BOTH Java regex (Spark)
+# and RE2 (DuckDB oracle): no lookarounds, no backrefs.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "phone": r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-category PII match counts (codegen'd regexp_count)."""
+    text = F.col(text) if isinstance(text, str) else text
+    return {
+        name: F.regexp_count(text, F.lit(pat))
+        for name, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(text: Column | str, token: str = "<PII>") -> Column:
+    """Replace every PII match with ``token`` — the standard scrubbing
+    stage of a training-data pipeline, applied in category order
+    (email, url, phone, ipv4) as chained regexp_replace, all JVM-side."""
+    out = F.col(text) if isinstance(text, str) else text
+    for pat in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, token)
     return out

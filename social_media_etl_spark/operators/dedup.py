@@ -239,8 +239,15 @@ def exact_jaccard_rerank(
     sets = df.join(F.broadcast(cand_ids), id_col, "left_semi").select(
         F.col(id_col), TXT.word_shingles(text_col, n).alias("sh")
     )
-    sa = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    sb = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    # the shingle-set sides carry fat arrays — never let a size
+    # misestimate broadcast them (shuffle-hash keeps the join
+    # partitioned with no sort and no driver-side build)
+    sa = sets.select(
+        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")
+    ).hint("shuffle_hash")
+    sb = sets.select(
+        F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")
+    ).hint("shuffle_hash")
     common = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - common
     return (

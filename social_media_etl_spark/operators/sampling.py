@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-__all__ = ["stratified_sample", "quota_per_stratum", "deterministic_split"]
+__all__ = ["stratified_sample", "quota_per_stratum", "deterministic_split", "md5_split"]
 
 
 def stratified_sample(
@@ -62,5 +62,39 @@ def deterministic_split(
     for name, w in weights.items():
         acc += w
         cond = bucket < acc
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr)
+
+
+def md5_split(
+    df: DataFrame,
+    key_col: str,
+    weights: Mapping[str, int] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Stable split via the first hex digit of md5(salt:key): weights
+    are sixteenths (must sum to 16). Same growth-stable property as
+    :func:`deterministic_split`, but md5 is reproducible in any engine
+    (the DuckDB oracle computes the identical assignment), at ~2× the
+    hash cost of xxhash64 — use this when cross-engine auditability
+    matters more than hash throughput."""
+    weights = weights or {"train": 12, "val": 2, "test": 2}
+    if sum(weights.values()) != 16:
+        raise ValueError("md5_split weights are sixteenths; must sum to 16")
+    digit = F.substring(
+        F.md5(
+            F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")).cast(
+                "binary"
+            )
+        ),
+        1,
+        1,
+    )
+    hexmap = "0123456789abcdef"
+    expr = None
+    acc = 0
+    for name, w in weights.items():
+        acc += w
+        cond = digit <= hexmap[acc - 1]
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return df.withColumn("split", expr)

@@ -19,6 +19,10 @@ from pyspark.sql import SparkSession
 __all__ = ["get_spark", "DEFAULT_CONF"]
 
 DEFAULT_CONF: dict[str, str] = {
+    # local mode: the driver JVM IS the executor — size its heap to the
+    # machine, not Spark's 1g default (only applies at JVM launch; a
+    # pre-existing session keeps its own setting)
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

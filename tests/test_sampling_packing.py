@@ -97,3 +97,26 @@ def test_deterministic_split_stable_under_growth(spark):
     # rough proportions
     n_train = sum(1 for v in b.values() if v == "train")
     assert 0.7 < n_train / 1000 < 0.9
+
+
+def test_md5_split_stable_and_partitioned(spark):
+    from social_media_etl_spark.operators import sampling
+
+    docs = spark.range(2000).withColumnRenamed("id", "k")
+    out = sampling.md5_split(docs, "k")
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").count().withColumnRenamed("count", "n").collect()}
+    assert set(counts) == {"train", "val", "test"}
+    # 12/2/2 sixteenths within loose tolerance
+    assert 0.6 < counts["train"] / 2000 < 0.9
+    # growth stability: first 1000 keys get identical splits inside a
+    # corpus twice the size
+    small = dict(
+        (r["k"], r["split"])
+        for r in sampling.md5_split(spark.range(1000).withColumnRenamed("id", "k"), "k").collect()
+    )
+    big = dict((r["k"], r["split"]) for r in out.filter("k < 1000").collect())
+    assert small == big
+    import pytest
+
+    with pytest.raises(ValueError):
+        sampling.md5_split(docs, "k", {"a": 3, "b": 3})

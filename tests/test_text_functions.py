@@ -122,3 +122,34 @@ def test_simhash_near_dup_close_hamming(spark):
 
     assert ham(hs[0], hs[1]) < ham(hs[0], hs[2])
     assert ham(hs[0], hs[1]) <= 6
+
+
+def test_pii_redaction_counts_and_output(spark):
+    from social_media_etl_spark.functions import text as TXT
+
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at bob.smith+x@mail.co or https://ex.io/a?b=1"),
+            (2, "call 555-123-4567 or +1 555-123-4567, server 10.0.0.1"),
+            (3, "nothing sensitive here"),
+        ],
+        "id long, text string",
+    )
+    counts = TXT.pii_counts("text")
+    out = {
+        r["id"]: (r["e"], r["u"], r["p"], r["i"], r["red"])
+        for r in df.select(
+            "id",
+            counts["email"].alias("e"),
+            counts["url"].alias("u"),
+            counts["phone"].alias("p"),
+            counts["ipv4"].alias("i"),
+            TXT.redact_pii("text").alias("red"),
+        ).collect()
+    }
+    assert out[1][:4] == (1, 1, 0, 0)
+    assert out[2][:4] == (0, 0, 2, 1)
+    assert out[3][:4] == (0, 0, 0, 0)
+    assert "bob.smith" not in out[1][4] and "ex.io" not in out[1][4]
+    assert out[2][4].count("<PII>") == 3
+    assert out[3][4] == "nothing sensitive here"
