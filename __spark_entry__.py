@@ -294,6 +294,32 @@ def _asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def _asof_signup_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each signup matched to the same user's next
+    purchase at-or-after it (completes the asof direction family;
+    backward is asof_purchase_last_click)."""
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(
+        signups,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["event_id"],
+        direction="forward",
+        prefix="purchase_",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "purchase_ts", "purchase_event_id"
+    ).orderBy("event_id")
+
+
 def _range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-equi range join of the fact table against a broadcast bands
     dimension (quantity deciles), then per-band rollup."""
@@ -319,6 +345,44 @@ def _range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
         )
         .orderBy("band_id")
+    )
+
+
+def _grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS proper (non-hierarchical sets — not expressible as
+    rollup/cube): per-flag totals and per-status totals in ONE pass of
+    lineitem, via the SQL surface."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_rows,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """
+    )
+
+
+def _udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 4) in LATERAL position: per-document
+    2-gram totals/distincts computed by a registered table function.
+    The UDTF is deliberately also expressible with built-ins, so the
+    DuckDB oracle value-checks the UDTF boundary (schema, lateral join,
+    row multiplicity) exactly."""
+    from social_media_etl_spark.functions.udtf import register_udtfs
+
+    register_udtfs(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id,
+               count(*) AS n_grams,
+               count(DISTINCT g.ngram) AS n_distinct
+        FROM documents d, LATERAL ngrams(d.text, 2) g
+        GROUP BY d.doc_id ORDER BY d.doc_id
+        """
     )
 
 
@@ -1169,8 +1233,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_customers_no_orders": _anti_join,
         "semi_join_urgent_suppliers": _semi_join,
         "asof_purchase_last_click": _asof_purchase_click,
+        "asof_signup_next_purchase": _asof_signup_next_purchase,
         "range_join_quantity_bands": _range_join_bands,
         "rollup_revenue": _rollup_revenue,
+        "grouping_sets_revenue": _grouping_sets,
+        "udtf_ngrams_count": _udtf_ngrams,
         "cube_revenue": _cube_revenue,
         "price_quantiles_exact": _price_quantiles,
         "set_ops_priority_custs": _set_ops,
@@ -1580,6 +1647,30 @@ def oracle_sql() -> dict[str, str]:
               ON m.user_id = c.user_id AND m.click_ts = c.ts
             ORDER BY m.event_id
         """,
+        # Forward twin of asof_purchase_last_click (min ts ≥ left ts).
+        "asof_signup_next_purchase": """
+            WITH s AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'signup'
+            ),
+            p AS (
+                SELECT user_id, ts, max(event_id) AS purchase_event_id
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY user_id, ts
+            ),
+            m AS (
+                SELECT s.event_id, s.user_id, s.ts,
+                       (SELECT min(p.ts) FROM p
+                        WHERE p.user_id = s.user_id AND p.ts >= s.ts
+                       ) AS purchase_ts
+                FROM s
+            )
+            SELECT m.event_id, m.user_id, m.ts, m.purchase_ts,
+                   p.purchase_event_id
+            FROM m LEFT JOIN p
+              ON m.user_id = p.user_id AND m.purchase_ts = p.ts
+            ORDER BY m.event_id
+        """,
         "range_join_quantity_bands": """
             SELECT band_id, count(*) AS n_items,
                    round(sum(l_extendedprice), 2) AS sum_price
@@ -1592,6 +1683,32 @@ def oracle_sql() -> dict[str, str]:
             ) bands
               ON l_quantity > lo AND l_quantity <= hi
             GROUP BY band_id ORDER BY band_id
+        """,
+        "grouping_sets_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS n_rows,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+            ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """,
+        # Expression twin of the Python UDTF: same whitespace split,
+        # same 2-gram window, same empty/short-doc drop semantics.
+        "udtf_ngrams_count": """
+            WITH t AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') AS w
+                FROM documents WHERE trim(text) != ''
+            ),
+            g AS (
+                SELECT doc_id,
+                       unnest([array_to_string(w[i:i+1], ' ')
+                               FOR i IN range(1, len(w))]) AS ngram
+                FROM t WHERE len(w) >= 2
+            )
+            SELECT doc_id, count(*) AS n_grams,
+                   count(DISTINCT ngram) AS n_distinct
+            FROM g GROUP BY doc_id ORDER BY doc_id
         """,
         "rollup_revenue": """
             SELECT l_returnflag, l_linestatus,
