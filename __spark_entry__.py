@@ -484,6 +484,38 @@ def _salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def _salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient join: events (5 hot event_type keys — every probe
+    row hits one of 5 build rows) joined to a weights dimension via
+    salted_join (probe salted, build replicated per salt), so the hot
+    keys spread over n_salts tasks instead of 5 stragglers. Results
+    equal the plain join — the oracle."""
+    from social_media_etl_spark.operators import skew
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [
+            ("click", 1.0),
+            ("view", 0.5),
+            ("purchase", 10.0),
+            ("signup", 5.0),
+            ("error", 0.0),
+        ],
+        "event_type string, weight double",
+    )
+    joined = skew.salted_join(ev, dim, on=["event_type"], n_salts=8)
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value") * F.col("weight")), 2).alias(
+                "weighted_value"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed co-located join: both sides are written bucketed+sorted
     on the join key (the one-time layout cost), so the fact-fact join
@@ -1242,6 +1274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_quantiles_exact": _price_quantiles,
         "set_ops_priority_custs": _set_ops,
         "skew_salted_agg_events": _salted_agg_events,
+        "skew_salted_join_events": _salted_join_events,
         "bucketed_join_priority_revenue": _bucketed_join_revenue,
         "streaming_windowed_agg": _streaming_windowed,
         "streaming_session_windows": _streaming_sessions,
@@ -1756,6 +1789,16 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS sum_value,
                    round(max(value), 2) AS max_value
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "skew_salted_join_events": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   round(sum(value * weight), 2) AS weighted_value
+            FROM events
+            JOIN (VALUES ('click', 1.0), ('view', 0.5), ('purchase', 10.0),
+                         ('signup', 5.0), ('error', 0.0)) AS w(event_type, weight)
+              USING (event_type)
+            GROUP BY event_type ORDER BY event_type
         """,
         "bucketed_join_priority_revenue": """
             SELECT o_orderpriority,
