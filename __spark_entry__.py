@@ -662,6 +662,36 @@ def _streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (overlapping) watermarked windows run AS A STREAM: each
+    event lands in width/slide = 2 windows; the oracle assigns each
+    event to both candidate window starts analytically."""
+    out = _drain(
+        streaming_ingest.sliding_windowed_counts(
+            _stream_events(spark, sf_dir), width="10 minutes", slide="5 minutes"
+        ),
+        "stream_slide",
+    )
+    return out.orderBy("window_start", "event_type")
+
+
+def _streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against a STATIC
+    dimension (customer) — the static side is re-read per micro-batch
+    with no state store involved; drained totals equal the batch join."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    ev = _stream_events(spark, sf_dir).select("user_id", "value")
+    joined = ev.join(cust, "user_id")
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    out = _drain(agg, "stream_static")
+    return out.orderBy("c_mktsegment")
+
+
 def _streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exactly-once-per-key dedup via
     dropDuplicatesWithinWatermark (state-store keyed by event_id,
@@ -1281,6 +1311,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_interval_join": _streaming_interval_join,
         "streaming_dedup_events": _streaming_dedup,
         "streaming_stateful_totals": _streaming_stateful_totals,
+        "streaming_sliding_windows": _streaming_sliding,
+        "streaming_static_join": _streaming_static_join,
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_jaccard,
         "dedup_minhash_lsh": _dedup_minhash,
@@ -1842,6 +1874,32 @@ def oracle_sql() -> dict[str, str]:
             FROM sessions
             GROUP BY user_id, session_no
             ORDER BY user_id, session_start
+        """,
+        # Each event belongs to exactly two 10-min/5-min windows:
+        # bucket(ts, 5m) and bucket(ts, 5m) − 5m.
+        "streaming_sliding_windows": """
+            WITH assigned AS (
+                SELECT event_type,
+                       unnest([time_bucket(INTERVAL '5 minutes', ts),
+                               time_bucket(INTERVAL '5 minutes', ts)
+                                   - INTERVAL 5 MINUTE]) AS window_start
+                FROM events
+            )
+            SELECT window_start,
+                   window_start + INTERVAL 10 MINUTE AS window_end,
+                   event_type,
+                   count(*) AS n_events
+            FROM assigned
+            GROUP BY window_start, event_type
+            ORDER BY window_start, event_type
+        """,
+        "streaming_static_join": """
+            SELECT c_mktsegment,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events
+            JOIN customer ON user_id = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
         """,
         "streaming_dedup_events": """
             SELECT event_id, user_id, event_type, ts, value
