@@ -1246,6 +1246,70 @@ def _multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.nation_trade_volume(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def _q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.market_share(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+def _q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.product_profit(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+def _q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.important_parts(load_table(spark, sf_dir, "lineitem"))
+
+
+def _q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.order_count_distribution(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+def _q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.top_supplier(
+        load_table(spark, sf_dir, "supplier"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+def _cust_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.customer_value_deciles(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 97 == 0 stand in
+    for a held-out eval set; every other doc is scored for 5-gram
+    overlap against it (operators/dedup.py:benchmark_overlap)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return dedup.benchmark_overlap(corpus, bench, n=5, flag_fraction=0.2)
+
+
 def _managed(fn: Callable[[SparkSession, str], DataFrame]):
     """Release the previous query's tracked caches before building the
     next plan — by then the prior action has run, so its intermediates
@@ -1280,6 +1344,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_brand_supplier_counts": _q16,
         "q19_banded_revenue": _q19,
         "q22_idle_rich_customers": _q22,
+        "q7_nation_trade": _q7,
+        "q8_market_share": _q8,
+        "q9_product_profit": _q9,
+        "q11_important_parts": _q11,
+        "q13_order_distribution": _q13,
+        "q15_top_supplier": _q15,
+        "customer_value_deciles": _cust_deciles,
         "priority_share_by_year": _priority_share,
         "topk_orders_per_customer": _topk_per_cust,
         "distinct_parts_per_flag": _distinct,
@@ -1340,6 +1411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _text_fingerprint,
         "multimodal_metadata": _multimodal_metadata,
         "multimodal_decode_images": _multimodal_decode,
+        "decontaminate_benchmark": _decontaminate,
     }
     return {name: _managed(fn) for name, fn in qs.items()}
 
@@ -2458,5 +2530,144 @@ def oracle_sql() -> dict[str, str]:
                    round(((doc_id % 256) + (doc_id * 7) % 256
                           + (doc_id * 13) % 256) / 3.0, 2) AS mean_intensity
             FROM documents ORDER BY doc_id
+        """,
+        "q7_nation_trade": """
+            SELECT supp_nation, cust_nation, l_year,
+                   round(sum(vol), 2) AS revenue
+            FROM (
+                SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                       year(l_shipdate) AS l_year,
+                       l_extendedprice * (1 - l_discount) AS vol
+                FROM lineitem
+                JOIN orders   ON l_orderkey = o_orderkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+            )
+            GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "q8_market_share": """
+            SELECT o_year,
+                   round(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol
+                                  ELSE 0 END) / sum(vol), 6) AS mkt_share
+            FROM (
+                SELECT year(o_orderdate) AS o_year, n2.n_name AS supp_nation,
+                       l_extendedprice * (1 - l_discount) AS vol
+                FROM lineitem
+                JOIN part     ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+                JOIN orders   ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                JOIN region   ON n1.n_regionkey = r_regionkey
+                               AND r_name = 'EUROPE'
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            )
+            GROUP BY o_year ORDER BY o_year
+        """,
+        "q9_product_profit": """
+            SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                   round(sum(l_extendedprice * (1 - l_discount)
+                             - 0.6 * p_retailprice * l_quantity), 2) AS profit
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+                           AND p_name LIKE '%widget%'
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            GROUP BY 1, 2
+            ORDER BY 1, 2 DESC
+        """,
+        "q11_important_parts": """
+            WITH per_part AS (
+                SELECT l_partkey, round(sum(l_extendedprice), 2) AS part_value
+                FROM lineitem GROUP BY l_partkey
+            )
+            SELECT l_partkey, part_value FROM per_part
+            WHERE part_value > (SELECT sum(l_extendedprice) * 0.0005
+                                FROM lineitem)
+            ORDER BY part_value DESC, l_partkey
+        """,
+        "q13_order_distribution": """
+            SELECT c_count, count(*) AS custdist
+            FROM (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer
+                LEFT OUTER JOIN orders
+                  ON c_custkey = o_custkey
+                 AND o_orderpriority <> '1-URGENT'
+                GROUP BY c_custkey
+            )
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "q15_top_supplier": """
+            WITH revenue AS (
+                SELECT l_suppkey AS supplier_no,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2)
+                           AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate <  TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM supplier JOIN revenue ON s_suppkey = supplier_no
+            WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+            ORDER BY s_suppkey
+        """,
+        "customer_value_deciles": """
+            WITH spend AS (
+                SELECT c_custkey,
+                       round(coalesce(sum(o_totalprice), 0), 2) AS spend
+                FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                GROUP BY c_custkey
+            )
+            SELECT c_custkey, spend,
+                   ntile(10) OVER w AS decile,
+                   round(percent_rank() OVER w, 6) AS pct_rank,
+                   round(cume_dist() OVER w, 6) AS cume
+            FROM spend
+            WINDOW w AS (ORDER BY spend DESC, c_custkey)
+            ORDER BY c_custkey
+        """,
+        "decontaminate_benchmark": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') AS w
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, unnest(list_distinct(
+                    [array_to_string(w[i:i+4], ' ')
+                     FOR i IN range(1, len(w) - 3)]
+                )) AS gram
+                FROM toks WHERE len(w) >= 5
+            ),
+            bench AS (
+                SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+            ),
+            corpus AS (SELECT * FROM g WHERE doc_id % 97 <> 0),
+            totals AS (
+                SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY doc_id
+            ),
+            hits AS (
+                SELECT doc_id, count(*) AS n_overlap
+                FROM corpus JOIN bench USING (gram)
+                GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   t.n_grams,
+                   coalesce(h.n_overlap, 0) AS n_overlap,
+                   round(coalesce(h.n_overlap, 0) * 1.0 / t.n_grams, 6)
+                       AS overlap_frac,
+                   (round(coalesce(h.n_overlap, 0) * 1.0 / t.n_grams, 6)
+                    >= 0.2) AS contaminated
+            FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+            ORDER BY t.doc_id
         """,
     }

@@ -39,6 +39,7 @@ __all__ = [
     "connected_components",
     "dedup_by_components",
     "dedup_lines_global",
+    "benchmark_overlap",
 ]
 
 
@@ -577,4 +578,58 @@ def embedding_cosine_pairs(
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def benchmark_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    flag_fraction: float = 0.2,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose word
+    ``n``-gram sets overlap a held-out benchmark set.
+
+    The standard pre-training hygiene step (the reference pipeline has
+    no analog — this is a prompt-required training-data extension):
+    any doc sharing ≥ ``flag_fraction`` of its distinct n-grams with
+    benchmark text is contamination and must be dropped before
+    training.
+
+    Physical plan, sized for 100 TB of corpus vs a small benchmark:
+    the benchmark's distinct grams are a tiny relation → broadcast
+    inner join against the corpus's exploded gram index (never a
+    corpus-side self-join), then one groupBy(doc) to count hits. Docs
+    with zero overlap never survive the inner join, so the hit counts
+    are LEFT-joined back onto the per-doc gram totals — the join that
+    keeps the (overwhelmingly common) clean documents in the output
+    with overlap 0.
+    """
+    doc_grams = corpus.select(
+        F.col(id_col),
+        F.explode(TXT.word_shingles(text_col, n)).alias("gram"),
+    )
+    totals = doc_grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    bench_grams = (
+        benchmark.select(F.explode(TXT.word_shingles(text_col, n)).alias("gram"))
+        .distinct()
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    frac = F.round(F.col("n_overlap") / F.col("n_grams"), 6)
+    return (
+        totals.join(hits, id_col, "left")
+        .withColumn("n_overlap", F.coalesce("n_overlap", F.lit(0)))
+        .withColumn("overlap_frac", F.coalesce(frac, F.lit(0.0)))
+        .withColumn(
+            "contaminated", (F.col("overlap_frac") >= flag_fraction).cast("boolean")
+        )
+        .orderBy(id_col)
     )

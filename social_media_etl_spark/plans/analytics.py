@@ -39,6 +39,13 @@ __all__ = [
     "brand_supplier_counts",
     "banded_disjunctive_revenue",
     "idle_rich_customers",
+    "nation_trade_volume",
+    "market_share",
+    "product_profit",
+    "order_count_distribution",
+    "top_supplier",
+    "important_parts",
+    "customer_value_deciles",
 ]
 
 
@@ -499,3 +506,253 @@ def idle_rich_customers(
         )
         .orderBy("c_nationkey")
     )
+
+
+def nation_trade_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year — the supplier's nation on one side of each line item,
+    the ordering customer's nation on the other.
+
+    The nation dimension is joined twice under different aliases (the
+    classic self-join-free double-dimension pattern); both copies and
+    the customer/supplier dims broadcast, so the only big shuffle is
+    lineitem⨝orders on orderkey. Filtering each nation copy to the two
+    names BEFORE the join turns the pair predicate into two tiny
+    broadcast hash joins instead of a post-join filter."""
+    n1 = nation.filter(F.col("n_name").isin(nation_a, nation_b)).select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.filter(F.col("n_name").isin(nation_a, nation_b)).select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part: DataFrame,
+    target_nation: str = "NATION_3",
+    target_region: str = "EUROPE",
+    part_type: str = "ECONOMY",
+) -> DataFrame:
+    """TPC-H Q8 shape: the target nation's share of revenue for one
+    part type sold into one region, by order year.
+
+    share = conditional-sum / sum over the same rows — one aggregate
+    pass, no second scan and no join back. The customer→nation→region
+    chain restricts the market; the supplier→nation copy labels each
+    row with the selling nation, and the share numerator is a CASE
+    expression, the standard way to avoid a self-join for
+    "fraction of total" questions."""
+    mkt_nation = nation.select(
+        F.col("n_nationkey").alias("mkt_nkey"), "n_regionkey"
+    ).join(
+        F.broadcast(region.filter(F.col("r_name") == target_region)),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("supp_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        lineitem.join(
+            F.broadcast(part.filter(F.col("p_type") == part_type)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(mkt_nation), F.col("c_nationkey") == F.col("mkt_nkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("supp_nkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == target_nation, volume).otherwise(
+                        0.0
+                    )
+                )
+                / F.sum(volume),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def product_profit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    part: DataFrame,
+    name_token: str = "widget",
+    cost_factor: float = 0.6,
+) -> DataFrame:
+    """TPC-H Q9 shape: profit per (supplier nation, order year) for
+    parts whose name contains a token.
+
+    The testdata has no partsupp table, so unit cost is modeled as
+    ``cost_factor * p_retailprice`` (deterministic, documented) — the
+    plan shape is Q9's: a contains-filter on the part dimension that
+    cannot be pushed to row-group stats but IS applied before the
+    broadcast, a five-way join, and a two-key aggregate."""
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        cost_factor
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        lineitem.join(
+            F.broadcast(
+                part.filter(F.col("p_name").contains(name_token)).select(
+                    "p_partkey", "p_retailprice"
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(F.round(F.sum(amount), 2).alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def order_count_distribution(
+    customer: DataFrame, orders: DataFrame, exclude_priority: str = "1-URGENT"
+) -> DataFrame:
+    """TPC-H Q13 shape: histogram of customers by how many qualifying
+    orders they placed — INCLUDING zero-order customers.
+
+    The zero bucket forces a left outer join (inner join would drop
+    those customers); the priority exclusion lives in the join
+    condition, not a WHERE, so excluded-only customers still appear
+    with count 0. Two aggregates: per-customer count (shuffle on
+    custkey), then the tiny histogram aggregate."""
+    qualifying = orders.filter(F.col("o_orderpriority") != exclude_priority).select(
+        "o_custkey", "o_orderkey"
+    )
+    per_cust = (
+        customer.select("c_custkey")
+        .join(qualifying, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def top_supplier(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    start: str = "1996-01-01",
+    end: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the maximum revenue over
+    a quarter — the CREATE VIEW + scalar-max-subquery query, ties kept.
+
+    The revenue "view" is a DataFrame binding computed once; the max is
+    a one-row aggregate cross-joined (broadcast) as a filter, so the
+    view is evaluated a single time per branch and no window over the
+    full table is needed."""
+    in_window = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+    )
+    revenue = in_window.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("__max_rev"))
+    return (
+        revenue.join(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("__max_rev"))
+        .join(F.broadcast(supplier), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def important_parts(
+    lineitem: DataFrame, fraction: float = 0.0005
+) -> DataFrame:
+    """TPC-H Q11 shape: parts whose line-item value exceeds a fraction
+    of GLOBAL value — a HAVING threshold that is itself a scalar
+    subquery over the same fact table.
+
+    Spark evaluates the per-part aggregate and the global aggregate as
+    two branches of one scan (the global side is one row, broadcast
+    into the filter); no partsupp table exists in the testdata so value
+    is extended price, keeping Q11's group-vs-global plan shape."""
+    value = F.round(F.sum("l_extendedprice"), 2).alias("part_value")
+    per_part = lineitem.groupBy("l_partkey").agg(value)
+    threshold = lineitem.agg(
+        (F.sum("l_extendedprice") * F.lit(fraction)).alias("__threshold")
+    )
+    return (
+        per_part.join(F.broadcast(threshold))
+        .filter(F.col("part_value") > F.col("__threshold"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+def customer_value_deciles(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Distribution-analytics window pack: per-customer lifetime spend
+    ranked with ntile / percent_rank / cume_dist in ONE window pass.
+
+    All three functions share a single (global-order) window so Spark
+    sorts once; spend ties are broken by custkey inside the window
+    order to keep every rank function deterministic. The global window
+    is a deliberate single-partition sort — the input is one row per
+    customer (already aggregated), which is the one cardinality class
+    where a global window is the right plan even at scale."""
+    spend = (
+        customer.select("c_custkey")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("spend"))
+    )
+    w = Window.orderBy(F.desc("spend"), F.col("c_custkey"))
+    return spend.select(
+        "c_custkey",
+        "spend",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    ).orderBy("c_custkey")

@@ -285,3 +285,43 @@ def test_connected_components_long_chain_pointer_jumping(spark):
     assert out == {i: 0 for i in range(n + 1)}
     with pytest.raises(RuntimeError, match="no fixed point"):
         dedup.connected_components(pairs, driver_threshold=0, max_iter=1)
+
+
+def test_benchmark_overlap_flags_contaminated_doc(spark):
+    """A corpus doc that contains a benchmark passage verbatim gets a
+    high overlap fraction and the contaminated flag; unrelated docs
+    keep overlap 0 and STAY in the output (left-join semantics)."""
+    bench = spark.createDataFrame(
+        [(1000, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro text the quick brown fox jumps over the lazy dog tonight and more"),
+            (2, "completely unrelated words about spark physical plans here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.benchmark_overlap(
+            corpus, bench, n=5, flag_fraction=0.5
+        ).collect()
+    }
+    assert out[1]["contaminated"] and out[1]["overlap_frac"] > 0.5
+    assert out[2]["n_overlap"] == 0 and not out[2]["contaminated"]
+    assert out[2]["overlap_frac"] == 0.0
+
+
+def test_benchmark_overlap_broadcasts_benchmark_side(spark):
+    """The benchmark gram set must broadcast — a shuffle join against
+    the corpus gram index would add a corpus-wide exchange."""
+    bench = spark.createDataFrame(
+        [(1000, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    plan = dedup.benchmark_overlap(corpus, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

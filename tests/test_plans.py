@@ -141,3 +141,40 @@ def test_q22_anti_join_price_filter_pushed(spark):
     )
     assert "LeftAnti" in p
     assert "GreaterThan(o_totalprice,300000.0)" in p
+
+
+def test_q7_both_nation_copies_broadcast(spark):
+    """Q7's double-dimension pattern: every dimension (supplier,
+    customer, both nation aliases) broadcasts; the only sort-merge or
+    shuffled-hash join allowed is lineitem⨝orders on orderkey."""
+    df = analytics.nation_trade_volume(
+        load_table(spark, SF, "lineitem"),
+        load_table(spark, SF, "orders"),
+        load_table(spark, SF, "customer"),
+        load_table(spark, SF, "supplier"),
+        load_table(spark, SF, "nation"),
+    )
+    p = plan(df)
+    assert p.count("BroadcastHashJoin") >= 4
+    # nation-name pair filter applied before the broadcast, pushed to scan
+    assert "In(n_name, [NATION_1,NATION_2])" in p
+
+
+def test_q11_global_threshold_is_broadcast_scalar(spark):
+    """Q11's HAVING-subquery threshold must arrive as a broadcast
+    one-row relation (nested-loop/cross of 1 row), never a shuffle."""
+    df = analytics.important_parts(load_table(spark, SF, "lineitem"))
+    p = plan(df)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    # both branches partial-aggregate before their exchanges
+    assert "partial_sum" in p
+
+
+def test_q13_left_join_keeps_zero_customers(spark):
+    """Q13 must keep zero-order customers: the join may flip build side
+    but must stay an outer join (no inner-join rewrite)."""
+    df = analytics.order_count_distribution(
+        load_table(spark, SF, "customer"), load_table(spark, SF, "orders")
+    )
+    p = plan(df)
+    assert "Outer" in p or "LeftOuter" in p or "RightOuter" in p
