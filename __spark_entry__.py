@@ -521,20 +521,28 @@ def _bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the join key (the one-time layout cost), so the fact-fact join
     runs with ZERO exchange on either side — the strategy for repeated
     100 TB joins (test_bucketing.py asserts the exchange-free plan).
-    Results equal the plain join, which is the oracle."""
+    Results equal the plain join, which is the oracle.
+
+    The bucketed layout is a STORED artifact (a warehouse would write
+    it once and amortize it over every subsequent join), so it is laid
+    down once per (session, sf_dir) and reused — re-bucketing per
+    query would charge the one-time layout cost to every execution."""
     import tempfile
 
-    for src, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
-        tbl = f"smetl_bucketed_{src}"
-        path = tempfile.mkdtemp(prefix=f"smetl_bkt_{src}_")
-        (
-            load_table(spark, sf_dir, src)
-            .write.mode("overwrite")
-            .option("path", f"{path}/{tbl}")
-            .bucketBy(8, key)
-            .sortBy(key)
-            .saveAsTable(tbl)
-        )
+    built = getattr(spark, "_smetl_bucketed_for", None)
+    if built != sf_dir:
+        for src, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+            tbl = f"smetl_bucketed_{src}"
+            path = tempfile.mkdtemp(prefix=f"smetl_bkt_{src}_")
+            (
+                load_table(spark, sf_dir, src)
+                .write.mode("overwrite")
+                .option("path", f"{path}/{tbl}")
+                .bucketBy(8, key)
+                .sortBy(key)
+                .saveAsTable(tbl)
+            )
+        spark._smetl_bucketed_for = sf_dir
     orders = spark.table("smetl_bucketed_orders")
     lineitem = spark.table("smetl_bucketed_lineitem")
     return (
@@ -804,7 +812,13 @@ def _approx_gate(
     driver's row-count check loudly, so hash_match=true certifies the
     approximate pipeline end-to-end, not just the exact twin. Callers
     pass an already-materialized ``exact`` (the _memo_df checkpoints),
-    so feeding it to the output and both gate aggregates is free."""
+    so feeding it to the output and both gate aggregates is free. The
+    approx frame is referenced twice (recall hit count + cardinality),
+    which without a persist would run the whole sketch pipeline twice
+    inside one plan — cache it for the duration of the query."""
+    from social_media_etl_spark.cache import persist_tracked
+
+    approx = persist_tracked(approx)
     hit = approx.join(exact, keys, "left_semi").agg(
         F.count(F.lit(1)).alias("n_hit")
     )
@@ -1233,6 +1247,60 @@ def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END video pipeline on a REAL container with zero codec
+    libs: synthesize a concatenated-P6 PPM stream per document (the
+    format ``ffmpeg -f image2pipe -c:v ppm`` emits) with 1 + doc_id%12
+    solid-color 4×3 frames, then demux + sample every 2nd frame (≤4)
+    through sample_video_frames(backend='numpy') and report true
+    per-frame mean intensity. The oracle reproduces frame indices and
+    means analytically, so the hash check certifies the actual
+    demux→decode path and the 1:N mapInPandas multiplicity."""
+    from social_media_etl_spark.sources import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def _gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from social_media_etl_spark.sources.multimodal import encode_ppm_stream
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                frames = [
+                    np.broadcast_to(
+                        np.array(
+                            [
+                                (d + 7 * f) % 256,
+                                (d * 3 + 11 * f) % 256,
+                                (d * 5 + 17 * f) % 256,
+                            ],
+                            dtype=np.uint8,
+                        ),
+                        (3, 4, 3),
+                    )
+                    for f in range(1 + d % 12)
+                ]
+                payloads.append(encode_ppm_stream(frames))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(_gen, "media_id long, payload binary")
+    frames = multimodal.sample_video_frames(
+        media, every_n=2, max_frames=4, backend="numpy"
+    )
+    return (
+        frames.select(
+            F.col("media_id").alias("doc_id"),
+            F.col("frame_idx").cast("long").alias("frame_idx"),
+            "mean_intensity",
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
 def _multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary column plumbing: payload bytes + typed metadata
     (byte length, content digest) — the decode stage itself is the
@@ -1411,6 +1479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _text_fingerprint,
         "multimodal_metadata": _multimodal_metadata,
         "multimodal_decode_images": _multimodal_decode,
+        "multimodal_frame_sample": _multimodal_frames,
         "decontaminate_benchmark": _decontaminate,
     }
     return {name: _managed(fn) for name, fn in qs.items()}
@@ -2530,6 +2599,25 @@ def oracle_sql() -> dict[str, str]:
                    round(((doc_id % 256) + (doc_id * 7) % 256
                           + (doc_id * 13) % 256) / 3.0, 2) AS mean_intensity
             FROM documents ORDER BY doc_id
+        """,
+        # Analytic twin of the PPM-stream demux: sampled frame indices
+        # are range(0, min(n_frames, 8), 2) with n_frames = 1+doc_id%12
+        # (every_n=2, max_frames=4), and a solid-color frame's mean is
+        # the channel mean.
+        "multimodal_frame_sample": """
+            SELECT doc_id,
+                   CAST(frame_idx AS BIGINT) AS frame_idx,
+                   round(((doc_id + 7 * frame_idx) % 256
+                          + (doc_id * 3 + 11 * frame_idx) % 256
+                          + (doc_id * 5 + 17 * frame_idx) % 256) / 3.0,
+                         2) AS mean_intensity
+            FROM (
+                SELECT doc_id,
+                       unnest(range(0, least(1 + doc_id % 12, 8), 2))
+                           AS frame_idx
+                FROM documents
+            )
+            ORDER BY doc_id, frame_idx
         """,
         "q7_nation_trade": """
             SELECT supp_nation, cust_nation, l_year,

@@ -198,6 +198,9 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+    # the self-join references `banded` twice; without a persist the
+    # whole shingle→signature pipeline would execute once PER SIDE
+    banded = persist_tracked(banded)
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(
@@ -330,6 +333,8 @@ def simhash_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "sh", "bb.band", "bb.bucket")
+    # self-join: persist so the simhash fingerprint pass runs once
+    banded = persist_tracked(banded)
     a, b = banded.alias("a"), banded.alias("b")
     hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
     return (

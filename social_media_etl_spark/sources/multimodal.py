@@ -127,15 +127,15 @@ def encode_ppm(arr) -> bytes:
     return f"P6\n{w} {h}\n255\n".encode() + a.tobytes()
 
 
-def decode_ppm(payload: bytes):
-    """Binary PPM (P6) → uint8 (H, W, 3) numpy array."""
+def _parse_ppm_at(payload: bytes, pos: int):
+    """Parse one P6 frame starting at ``pos`` → (array, next_pos)."""
     import numpy as np
 
-    if not payload.startswith(b"P6"):
-        raise ValueError("not a P6 PPM payload")
+    if payload[pos : pos + 2] != b"P6":
+        raise ValueError(f"not a P6 PPM frame at offset {pos}")
     # header = magic, width, height, maxval as whitespace-separated
     # tokens (comments stripped), then exactly one whitespace byte
-    pos, tokens = 2, []
+    pos, tokens = pos + 2, []
     while len(tokens) < 3:
         while pos < len(payload) and payload[pos : pos + 1].isspace():
             pos += 1
@@ -152,7 +152,29 @@ def decode_ppm(payload: bytes):
     if maxval != 255:
         raise ValueError("only maxval=255 PPM supported")
     data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
-    return data.reshape(h, w, 3).copy()
+    return data.reshape(h, w, 3).copy(), pos + w * h * 3
+
+
+def decode_ppm(payload: bytes):
+    """Binary PPM (P6) → uint8 (H, W, 3) numpy array."""
+    arr, _ = _parse_ppm_at(payload, 0)
+    return arr
+
+
+def encode_ppm_stream(frames) -> bytes:
+    """Frame arrays → concatenated-P6 stream — the uncompressed video
+    container ``ffmpeg -f image2pipe -c:v ppm`` actually produces, so
+    the numpy backend exercises a real (if humble) video format."""
+    return b"".join(encode_ppm(f) for f in frames)
+
+
+def decode_ppm_stream(payload: bytes):
+    """Concatenated-P6 stream → list of uint8 (H, W, 3) frames."""
+    frames, pos = [], 0
+    while pos < len(payload):
+        arr, pos = _parse_ppm_at(payload, pos)
+        frames.append(arr)
+    return frames
 
 
 def encode_bmp(arr) -> bytes:
@@ -358,28 +380,65 @@ def sample_video_frames(
 ) -> DataFrame:
     """Frame sampling: one input row → up to ``max_frames`` frame rows
     (1:N multiplicity through mapInPandas — the streaming-friendly
-    explode). Fake backend synthesizes a deterministic frame count from
-    the payload and digest-stamps each frame."""
+    explode).
+
+    ``backend='numpy'`` REALLY demuxes a concatenated-P6 PPM stream
+    (``encode_ppm_stream``), samples every ``every_n``-th frame, and
+    emits per-frame stats (digest of the canonical frame bytes + mean
+    pixel intensity); ``backend='fake'`` synthesizes a deterministic
+    frame count from the payload; ``backend='real'`` is the ffmpeg
+    call site for compressed containers (MP4/WebM)."""
     if backend == "real":
-        raise NotImplementedError("frame sampling requires ffmpeg; use backend='fake'")
-    out_schema = f"{id_col} long, frame_idx int, frame_digest string"
+        raise NotImplementedError(
+            "compressed-container frame sampling requires ffmpeg; "
+            "use backend='numpy' for PPM streams"
+        )
+    out_schema = (
+        f"{id_col} long, frame_idx int, frame_digest string,"
+        " mean_intensity double"
+    )
 
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, digs = [], [], []
+            ids, idxs, digs, means = [], [], [], []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload)
-                n_frames = 1 + _fake_u32(b, "nf") % (max_frames * every_n)
-                for k, frame in enumerate(range(0, n_frames, every_n)):
-                    if k >= max_frames:
-                        break
-                    ids.append(mid)
-                    idxs.append(frame)
-                    digs.append(
-                        hashlib.sha256(b + frame.to_bytes(4, "big")).hexdigest()
-                    )
+                if backend == "numpy":
+                    frames = decode_ppm_stream(b)
+                    for k, frame_i in enumerate(
+                        range(0, len(frames), every_n)
+                    ):
+                        if k >= max_frames:
+                            break
+                        fr = frames[frame_i]
+                        ids.append(mid)
+                        idxs.append(frame_i)
+                        digs.append(
+                            hashlib.sha256(encode_ppm(fr)).hexdigest()
+                        )
+                        means.append(round(float(fr.mean()), 2))
+                else:
+                    n_frames = 1 + _fake_u32(b, "nf") % (max_frames * every_n)
+                    for k, frame in enumerate(range(0, n_frames, every_n)):
+                        if k >= max_frames:
+                            break
+                        ids.append(mid)
+                        idxs.append(frame)
+                        digs.append(
+                            hashlib.sha256(
+                                b + frame.to_bytes(4, "big")
+                            ).hexdigest()
+                        )
+                        means.append(
+                            round((_fake_u32(b, f"mi{frame}") % 25600) / 100.0, 2)
+                        )
             yield pd.DataFrame(
-                {id_col: ids, "frame_idx": idxs, "frame_digest": digs}
+                {
+                    id_col: ids,
+                    "frame_idx": idxs,
+                    "frame_digest": digs,
+                    "mean_intensity": means,
+                }
             )
 
     return df.select(id_col, payload_col).mapInPandas(_frames, out_schema)

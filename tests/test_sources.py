@@ -398,3 +398,34 @@ def test_write_json_array_hadoop_fs_scheme(spark, tmp_path):
     with open(f"{tmp_path}/out/users.json", encoding="utf-8") as fh:
         got = sorted(_json.load(fh), key=lambda r: r["id"])
     assert got == [{"id": 1, "v": "a"}, {"id": 2, "v": "b"}]
+
+
+def test_ppm_stream_roundtrip_and_numpy_frame_sampling(spark):
+    """encode_ppm_stream → sample_video_frames(backend='numpy') really
+    demuxes: frame indices follow every_n/max_frames, and each sampled
+    frame's digest/mean match a direct decode of that frame."""
+    import hashlib
+
+    import numpy as np
+
+    frames = [
+        np.full((2, 3, 3), fill_value=(10 * i) % 256, dtype=np.uint8)
+        for i in range(7)
+    ]
+    stream = multimodal.encode_ppm_stream(frames)
+    back = multimodal.decode_ppm_stream(stream)
+    assert len(back) == 7 and all(
+        np.array_equal(a, b) for a, b in zip(frames, back)
+    )
+
+    df = spark.createDataFrame([(1, bytearray(stream))], "media_id long, payload binary")
+    out = multimodal.sample_video_frames(
+        df, every_n=3, max_frames=2, backend="numpy"
+    ).collect()
+    assert [(r["frame_idx"]) for r in out] == [0, 3]
+    for r in out:
+        fr = frames[r["frame_idx"]]
+        assert r["frame_digest"] == hashlib.sha256(
+            multimodal.encode_ppm(fr)
+        ).hexdigest()
+        assert r["mean_intensity"] == round(float(fr.mean()), 2)
