@@ -1247,6 +1247,44 @@ def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained rollup: the events stream is split into
+    4 files and drained one file per micro-batch through the
+    foreachBatch partial-aggregate sink (idempotent per-batch-id
+    partition overwrites — streaming/ingest.py), then the served view
+    merges the partials. Equals the batch aggregate, which is the
+    oracle — certifying partial-merge correctness across real
+    micro-batch boundaries."""
+    import tempfile
+
+    src = getattr(spark, "_smetl_incr_src", {}).get(sf_dir)
+    if src is None:
+        src = tempfile.mkdtemp(prefix="smetl_incr_src_")
+        load_table(spark, sf_dir, "events").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(src)
+        cache = getattr(spark, "_smetl_incr_src", {})
+        cache[sf_dir] = src
+        spark._smetl_incr_src = cache
+    schema = load_table(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    tgt = tempfile.mkdtemp(prefix="smetl_incr_tgt_")
+    ckpt = tempfile.mkdtemp(prefix="smetl_incr_ckpt_")
+    streaming_ingest.write_foreach_batch_incremental_agg(
+        stream, tgt, ckpt, ["event_type"], "value"
+    )
+    out = streaming_ingest.read_incremental_rollup(spark, tgt, ["event_type"])
+    return out.select(
+        "event_type",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+    ).orderBy("event_type")
+
+
 def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END video pipeline on a REAL container with zero codec
     libs: synthesize a concatenated-P6 PPM stream per document (the
@@ -1362,6 +1400,61 @@ def _q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _full_outer_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.full_outer_balance_bands(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "supplier")
+    )
+
+
+def _events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.events_value_histogram(load_table(spark, sf_dir, "events"))
+
+
+def _approx_quantiles_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based quantiles with a built-in error contract: the query
+    RETURNS the exact percentiles (hash-checked against quantile_cont)
+    but the plan embeds percentile_approx (KLL-style sketch) and gates
+    the output on every approximation landing within 1% relative error
+    — certifying the mergeable-sketch path alongside the exact one
+    (same pattern as _approx_gate for LSH/IVF)."""
+    orders = load_table(spark, sf_dir, "orders")
+    probs = [0.25, 0.5, 0.9]
+
+    def agg_with(fn: str) -> DataFrame:
+        return orders.groupBy("o_orderpriority").agg(
+            *[
+                F.expr(f"{fn}(o_totalprice, {p})").alias(f"p{int(p*100)}")
+                for p in probs
+            ]
+        )
+
+    exact = agg_with("percentile")
+    approx = agg_with("percentile_approx").select(
+        F.col("o_orderpriority").alias("__p"),
+        *[F.col(f"p{int(p*100)}").alias(f"a{int(p*100)}") for p in probs],
+    )
+    err = F.greatest(
+        *[
+            F.abs(F.col(f"a{int(p*100)}") - F.col(f"p{int(p*100)}"))
+            / F.col(f"p{int(p*100)}")
+            for p in probs
+        ]
+    )
+    gate = (
+        exact.join(approx, exact["o_orderpriority"] == F.col("__p"))
+        .agg(F.max(err).alias("__max_rel_err"))
+        .filter(F.col("__max_rel_err") < 0.01)
+        .select(F.lit(1).alias("__gate"))
+    )
+    out = exact.select(
+        "o_orderpriority",
+        *[F.round(f"p{int(p*100)}", 4).alias(f"p{int(p*100)}") for p in probs],
+    )
+    return out.crossJoin(F.broadcast(gate)).drop("__gate").orderBy(
+        "o_orderpriority"
+    )
+
+
 def _cust_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.customer_value_deciles(
         load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
@@ -1419,6 +1512,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_order_distribution": _q13,
         "q15_top_supplier": _q15,
         "customer_value_deciles": _cust_deciles,
+        "full_outer_balance_bands": _full_outer_bands,
+        "events_value_histogram": _events_histogram,
+        "approx_quantiles_gated": _approx_quantiles_gated,
         "priority_share_by_year": _priority_share,
         "topk_orders_per_customer": _topk_per_cust,
         "distinct_parts_per_flag": _distinct,
@@ -1452,6 +1548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stateful_totals": _streaming_stateful_totals,
         "streaming_sliding_windows": _streaming_sliding,
         "streaming_static_join": _streaming_static_join,
+        "streaming_incremental_rollup": _streaming_incremental,
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_jaccard,
         "dedup_minhash_lsh": _dedup_minhash,
@@ -2599,6 +2696,48 @@ def oracle_sql() -> dict[str, str]:
                    round(((doc_id % 256) + (doc_id * 7) % 256
                           + (doc_id * 13) % 256) / 3.0, 2) AS mean_intensity
             FROM documents ORDER BY doc_id
+        """,
+        "full_outer_balance_bands": """
+            WITH c AS (
+                SELECT c_nationkey AS nationkey,
+                       CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band,
+                       count(*) AS n_customers
+                FROM customer GROUP BY 1, 2
+            ),
+            s AS (
+                SELECT s_nationkey AS nationkey,
+                       CAST(floor(s_acctbal / 1000.0) AS BIGINT) AS band,
+                       count(*) AS n_suppliers
+                FROM supplier GROUP BY 1, 2
+            )
+            SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+                   coalesce(c.band, s.band) AS band,
+                   coalesce(n_customers, 0) AS n_customers,
+                   coalesce(n_suppliers, 0) AS n_suppliers
+            FROM c FULL OUTER JOIN s
+              ON c.nationkey = s.nationkey AND c.band = s.band
+            ORDER BY nationkey, band
+        """,
+        "events_value_histogram": """
+            SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin,
+                   round(CAST(floor(value / 10.0) AS BIGINT) * 10.0, 2)
+                       AS bin_lo,
+                   count(*) AS n_events,
+                   round(min(value), 2) AS min_value,
+                   round(max(value), 2) AS max_value
+            FROM events GROUP BY 1, 2 ORDER BY bin
+        """,
+        "approx_quantiles_gated": """
+            SELECT o_orderpriority,
+                   round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+                   round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+                   round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "streaming_incremental_rollup": """
+            SELECT event_type, count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         # Analytic twin of the PPM-stream demux: sampled frame indices
         # are range(0, min(n_frames, 8), 2) with n_frames = 1+doc_id%12

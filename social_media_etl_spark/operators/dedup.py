@@ -612,9 +612,13 @@ def benchmark_overlap(
     keeps the (overwhelmingly common) clean documents in the output
     with overlap 0.
     """
-    doc_grams = corpus.select(
-        F.col(id_col),
-        F.explode(TXT.word_shingles(text_col, n)).alias("gram"),
+    # the gram index feeds both the totals and the hit counts — persist
+    # so the tokenize→zip→explode pipeline executes once, not per branch
+    doc_grams = persist_tracked(
+        corpus.select(
+            F.col(id_col),
+            F.explode(TXT.word_shingles(text_col, n)).alias("gram"),
+        )
     )
     totals = doc_grams.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_grams")

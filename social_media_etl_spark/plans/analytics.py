@@ -39,6 +39,8 @@ __all__ = [
     "brand_supplier_counts",
     "banded_disjunctive_revenue",
     "idle_rich_customers",
+    "full_outer_balance_bands",
+    "events_value_histogram",
     "nation_trade_volume",
     "market_share",
     "product_profit",
@@ -729,6 +731,63 @@ def important_parts(
         .filter(F.col("part_value") > F.col("__threshold"))
         .select("l_partkey", "part_value")
         .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+def full_outer_balance_bands(
+    customer: DataFrame, supplier: DataFrame, band_width: float = 1000.0
+) -> DataFrame:
+    """Full outer join on a composite key with one-sided groups: per
+    (nation, account-balance band), customer and supplier counts —
+    bands present on only one side survive with a zero on the other.
+
+    Both inputs aggregate BEFORE the join (tiny relations), so the
+    full outer join — which cannot broadcast (both sides must retain
+    unmatched rows) — runs over two already-reduced frames. Keys come
+    back via coalesce, the full-outer idiom."""
+    c = (
+        customer.groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.floor(F.col("c_acctbal") / band_width).cast("long").alias("band"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        supplier.groupBy(
+            F.col("s_nationkey").alias("nationkey"),
+            F.floor(F.col("s_acctbal") / band_width).cast("long").alias("band"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        c.join(s, ["nationkey", "band"], "full_outer")
+        .select(
+            "nationkey",
+            "band",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+        .orderBy("nationkey", "band")
+    )
+
+
+def events_value_histogram(events: DataFrame, bin_width: float = 10.0) -> DataFrame:
+    """Equi-width histogram of the event value distribution: one
+    groupBy on the computed bin — the single-pass binning every
+    profiler/monitoring pipeline runs; bins stay sorted by range, and
+    min/max per bin expose boundary handling (floor semantics for
+    negatives)."""
+    b = F.floor(F.col("value") / bin_width).cast("long")
+    return (
+        events.groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.min("value"), 2).alias("min_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+        .withColumn("bin_lo", F.round(F.col("bin") * bin_width, 2))
+        .select("bin", "bin_lo", "n_events", "min_value", "max_value")
+        .orderBy("bin")
     )
 
 
