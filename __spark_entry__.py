@@ -1143,6 +1143,31 @@ def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id", "rk")
     )
 
+def _unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring: a unigram LM is fit on the
+    corpus itself (token → corpus frequency) and every document is
+    scored by its mean token log-probability — the classic cheap
+    fluency/quality filter (low avg logprob = rare-token gibberish).
+    One explode, one corpus-wide freq aggregate broadcast back onto
+    the token stream, one per-doc aggregate — all map-side-combining
+    groupBys; nothing leaves the JVM."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(TXT.tokens("text")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    total = freq.agg(F.sum("n").alias("total"))  # lazy scalar
+    scored = toks.join(F.broadcast(freq), "tok").crossJoin(F.broadcast(total))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("n") / F.col("total"))), 6).alias(
+                "avg_logprob"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Growth-stable corpus split (12/2/2 sixteenths by md5 hex digit):
     a document's split never changes as the corpus grows, and the
@@ -1243,6 +1268,66 @@ def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         meta.join(decoded, "media_id")
         .withColumnRenamed("media_id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def _multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END audio pipeline on REAL PCM bytes with zero audio
+    libs: synthesize a constant (DC) mono PCM16 WAV per document —
+    amplitude and length derived from doc_id — then sniff + metadata
+    JVM-side and run the real decode→rfft band-energy featurizer
+    (stdlib ``wave`` + numpy). A DC signal's spectrum is closed-form
+    (all energy in bin 0: |X₀| = n·a_q with a_q the PCM16-quantized
+    amplitude), so the oracle reproduces band 0 analytically and
+    asserts every other band is zero — the hash check covers the
+    actual encode→decode→FFT round-trip, not a fake."""
+    from social_media_etl_spark.sources import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def _gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from social_media_etl_spark.sources.multimodal import encode_wav_pcm16
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 160 + (d % 10) * 16
+                a = ((d % 90) + 5) / 100.0
+                payloads.append(
+                    encode_wav_pcm16(np.full(n, a, dtype=np.float64))
+                )
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(_gen, "media_id long, payload binary")
+    meta = multimodal.attach_media_metadata(media).select(
+        "media_id", "media_type", F.col("n_bytes").cast("long").alias("n_bytes")
+    )
+    feats = multimodal.extract_audio_features(media, backend="numpy")
+    return (
+        meta.join(feats, "media_id")
+        .select(
+            F.col("media_id").alias("doc_id"),
+            "media_type",
+            "n_bytes",
+            # features are float32 — widen before rounding, else the
+            # rounded value snaps back to the nearest float32
+            F.round(F.element_at("features", 1).cast("double"), 4).alias(
+                "band0_energy"
+            ),
+            F.round(
+                F.aggregate(
+                    F.slice("features", 2, 15),
+                    F.lit(0.0),
+                    lambda acc, v: acc + F.abs(v.cast("double")),
+                ),
+                4,
+            ).alias("other_bands_abs_sum"),
+        )
         .orderBy("doc_id")
     )
 
@@ -1414,38 +1499,44 @@ def _approx_quantiles_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based quantiles with a built-in error contract: the query
     RETURNS the exact percentiles (hash-checked against quantile_cont)
     but the plan embeds percentile_approx (KLL-style sketch) and gates
-    the output on every approximation landing within 1% relative error
-    — certifying the mergeable-sketch path alongside the exact one
-    (same pattern as _approx_gate for LSH/IVF)."""
+    the output on the sketch's ACTUAL guarantee — every approximation
+    must land inside the exact [p-ε, p+ε] RANK window (ε=0.02). A
+    rank-window gate is scale-invariant: at small N the window spans
+    the inter-element gaps that make relative-VALUE error meaningless,
+    at large N it tightens with the data. Same certify-in-plan pattern
+    as _approx_gate for LSH/IVF."""
     orders = load_table(spark, sf_dir, "orders")
     probs = [0.25, 0.5, 0.9]
+    eps = 0.02
 
-    def agg_with(fn: str) -> DataFrame:
-        return orders.groupBy("o_orderpriority").agg(
-            *[
-                F.expr(f"{fn}(o_totalprice, {p})").alias(f"p{int(p*100)}")
-                for p in probs
-            ]
-        )
-
-    exact = agg_with("percentile")
-    approx = agg_with("percentile_approx").select(
-        F.col("o_orderpriority").alias("__p"),
-        *[F.col(f"p{int(p*100)}").alias(f"a{int(p*100)}") for p in probs],
-    )
-    err = F.greatest(
-        *[
-            F.abs(F.col(f"a{int(p*100)}") - F.col(f"p{int(p*100)}"))
-            / F.col(f"p{int(p*100)}")
-            for p in probs
+    def cols_with(fn: str, ps, tag: str) -> list:
+        return [
+            F.expr(f"{fn}(o_totalprice, {p})").alias(f"{tag}{int(p*100)}")
+            for p in ps
         ]
+
+    # one aggregate pass computes exact values, approx values, AND the
+    # exact rank-window bounds for the gate
+    both = orders.groupBy("o_orderpriority").agg(
+        *cols_with("percentile", probs, "p"),
+        *cols_with("percentile_approx", probs, "a"),
+        *cols_with("percentile", [max(0.0, p - eps) for p in probs], "lo"),
+        *cols_with("percentile", [min(1.0, p + eps) for p in probs], "hi"),
     )
+    in_window = [
+        (F.col(f"a{int(p*100)}") >= F.col(f"lo{int(max(0.0, p - eps)*100)}"))
+        & (F.col(f"a{int(p*100)}") <= F.col(f"hi{int(min(1.0, p + eps)*100)}"))
+        for p in probs
+    ]
+    ok = in_window[0]
+    for c in in_window[1:]:
+        ok = ok & c
     gate = (
-        exact.join(approx, exact["o_orderpriority"] == F.col("__p"))
-        .agg(F.max(err).alias("__max_rel_err"))
-        .filter(F.col("__max_rel_err") < 0.01)
+        both.agg(F.min(ok.cast("int")).alias("__all_ok"))
+        .filter(F.col("__all_ok") == 1)
         .select(F.lit(1).alias("__gate"))
     )
+    exact = both
     out = exact.select(
         "o_orderpriority",
         *[F.round(f"p{int(p*100)}", 4).alias(f"p{int(p*100)}") for p in probs],
@@ -1453,6 +1544,16 @@ def _approx_quantiles_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.crossJoin(F.broadcast(gate)).drop("__gate").orderBy(
         "o_orderpriority"
     )
+
+
+def _fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.fuzzy_name_match(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "supplier")
+    )
+
+
+def _cust_priority_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.customer_priority_profile(load_table(spark, sf_dir, "orders"))
 
 
 def _cust_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1515,6 +1616,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "full_outer_balance_bands": _full_outer_bands,
         "events_value_histogram": _events_histogram,
         "approx_quantiles_gated": _approx_quantiles_gated,
+        "fuzzy_name_match": _fuzzy_name_match,
+        "customer_priority_profile": _cust_priority_profile,
         "priority_share_by_year": _priority_share,
         "topk_orders_per_customer": _topk_per_cust,
         "distinct_parts_per_flag": _distinct,
@@ -1569,6 +1672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus_pipeline": _clean_corpus,
         "pii_redaction": _pii_redaction,
         "tfidf_top_terms": _tfidf_top_terms,
+        "unigram_logprob_quality": _unigram_logprob,
         "train_val_test_split": _train_val_test_split,
         "table_profile_orders": _table_profile,
         "text_stats": _text_stats,
@@ -1577,6 +1681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_metadata": _multimodal_metadata,
         "multimodal_decode_images": _multimodal_decode,
         "multimodal_frame_sample": _multimodal_frames,
+        "multimodal_audio_features": _multimodal_audio,
         "decontaminate_benchmark": _decontaminate,
     }
     return {name: _managed(fn) for name, fn in qs.items()}
@@ -2547,6 +2652,47 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             ) WHERE rk <= 3 ORDER BY doc_id, rk
         """,
+        "unigram_logprob_quality": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+                FROM documents WHERE trim(text) != ''
+            ),
+            freq AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+            tot AS (SELECT sum(n) AS total FROM freq)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(avg(ln(n / CAST(total AS DOUBLE))), 6) AS avg_logprob
+            FROM toks JOIN freq USING (tok) CROSS JOIN tot
+            GROUP BY doc_id ORDER BY doc_id
+        """,
+        "fuzzy_name_match": """
+            WITH c AS (
+                SELECT c_nationkey AS nationkey,
+                       substring(c_name, 10, 9) AS c_ent
+                FROM customer
+            ),
+            s AS (
+                SELECT s_nationkey AS nationkey,
+                       substring(s_name, 10, 9) AS s_ent
+                FROM supplier
+            )
+            SELECT nationkey,
+                   count(*) AS n_pairs,
+                   CAST(sum(CASE WHEN levenshtein(c_ent, s_ent) = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+            FROM c JOIN s USING (nationkey)
+            WHERE levenshtein(c_ent, s_ent) <= 1
+            GROUP BY nationkey ORDER BY nationkey
+        """,
+        "customer_priority_profile": """
+            SELECT o_custkey AS custkey,
+                   count(*) AS n_orders,
+                   count(DISTINCT o_orderpriority) AS n_priorities,
+                   string_agg(DISTINCT o_orderpriority, '|'
+                              ORDER BY o_orderpriority) AS priorities
+            FROM orders GROUP BY o_custkey ORDER BY custkey
+        """,
         # Identical md5 hex-digit mapping: 0-b train, c-d val, e-f test.
         "train_val_test_split": """
             SELECT doc_id,
@@ -2757,6 +2903,25 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             ORDER BY doc_id, frame_idx
+        """,
+        # Analytic twin of the DC-WAV featurizer: n = 160 + 16*(doc_id
+        # % 10) samples of amplitude a = ((doc_id % 90)+5)/100, PCM16
+        # truncation a_q = floor(a*32767)/32767 (positive a so floor =
+        # trunc), stdlib wave header is 44 bytes, DC spectrum puts all
+        # energy in bin 0 (|X0| = n*a_q), so band0 = ln(1+(n*a_q)^2)
+        # and every other band is 0.
+        "multimodal_audio_features": """
+            SELECT doc_id,
+                   'audio/wav' AS media_type,
+                   CAST(44 + 2 * (160 + 16 * (doc_id % 10)) AS BIGINT)
+                       AS n_bytes,
+                   round(ln(1 + pow(
+                       (160 + 16 * (doc_id % 10))
+                       * (floor(((doc_id % 90) + 5) / 100.0 * 32767)
+                          / 32767.0),
+                       2)), 4) AS band0_energy,
+                   0.0 AS other_bands_abs_sum
+            FROM documents ORDER BY doc_id
         """,
         "q7_nation_trade": """
             SELECT supp_nation, cust_nation, l_year,

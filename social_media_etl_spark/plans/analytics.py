@@ -41,6 +41,8 @@ __all__ = [
     "idle_rich_customers",
     "full_outer_balance_bands",
     "events_value_histogram",
+    "fuzzy_name_match",
+    "customer_priority_profile",
     "nation_trade_volume",
     "market_share",
     "product_profit",
@@ -788,6 +790,58 @@ def events_value_histogram(events: DataFrame, bin_width: float = 10.0) -> DataFr
         .withColumn("bin_lo", F.round(F.col("bin") * bin_width, 2))
         .select("bin", "bin_lo", "n_events", "min_value", "max_value")
         .orderBy("bin")
+    )
+
+
+def fuzzy_name_match(
+    customer: DataFrame, supplier: DataFrame, max_dist: int = 1
+) -> DataFrame:
+    """Entity-resolution-style fuzzy join: candidate (customer,
+    supplier) pairs whose entity ids (the numeric name suffix) are
+    within ``max_dist`` Levenshtein edits, BLOCKED on nation.
+
+    The scale shape of every fuzzy matcher: an expensive string metric
+    never runs all-pairs — an equi-join on a blocking key (here
+    nationkey) bounds the comparison set, the metric filters within
+    blocks, and the small side broadcasts so the big side never
+    shuffles. Aggregated to per-nation match counts."""
+    c = customer.select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.substring("c_name", 10, 9).alias("c_ent"),
+    )
+    s = supplier.select(
+        F.col("s_nationkey").alias("nationkey"),
+        F.substring("s_name", 10, 9).alias("s_ent"),
+    )
+    dist = F.levenshtein(F.col("c_ent"), F.col("s_ent"))
+    return (
+        c.join(F.broadcast(s), "nationkey")
+        .filter(dist <= max_dist)
+        .groupBy("nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum((dist == 0).cast("long")).alias("n_exact"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+def customer_priority_profile(orders: DataFrame) -> DataFrame:
+    """Per-customer order-priority profile with a SORTED DISTINCT
+    collected set rendered as a string: collection aggregates are only
+    deterministic (and cross-engine comparable) once canonicalized —
+    ``sort_array(collect_set(...))`` then join — the idiom for any
+    array_agg that must be reproducible at any parallelism."""
+    return (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            F.concat_ws(
+                "|", F.sort_array(F.collect_set("o_orderpriority"))
+            ).alias("priorities"),
+        )
+        .orderBy("custkey")
     )
 
 

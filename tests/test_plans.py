@@ -178,3 +178,37 @@ def test_q13_left_join_keeps_zero_customers(spark):
     )
     p = plan(df)
     assert "Outer" in p or "LeftOuter" in p or "RightOuter" in p
+
+
+def test_fuzzy_match_blocks_then_broadcasts(spark):
+    """The fuzzy matcher must equi-join on the blocking key with the
+    small side broadcast — the Levenshtein predicate is a post-join
+    filter, never the join condition (which would force a cartesian)."""
+    df = analytics.fuzzy_name_match(
+        load_table(spark, SF, "customer"), load_table(spark, SF, "supplier")
+    )
+    p = plan(df)
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "levenshtein" in p
+
+
+def test_unigram_logprob_freq_broadcast_and_partial_agg(spark):
+    """The corpus-wide unigram table joins back onto the token stream
+    as a broadcast; both groupBys partial-aggregate before shuffling."""
+    df = entry.queries()["unigram_logprob_quality"](spark, SF)
+    p = plan(df)
+    assert "BroadcastHashJoin" in p
+    assert "partial_count" in p or "partial_sum" in p
+
+
+def test_full_outer_join_over_preaggregated_sides(spark):
+    """Both sides must aggregate BEFORE the full outer join: the
+    exchange feeding the join carries grouped rows, not raw tables."""
+    df = analytics.full_outer_balance_bands(
+        load_table(spark, SF, "customer"), load_table(spark, SF, "supplier")
+    )
+    p = plan(df)
+    assert "FullOuter" in p
+    # aggregation happens below the join: partial_count appears in plan
+    assert "partial_count" in p
