@@ -670,6 +670,78 @@ def _streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: purchases keep flowing
+    even when no same-user click precedes them within 48h (null-padded
+    match columns). An outer stream join can only emit a non-match ON
+    STATE EVICTION — rows inside the final watermark window would
+    stay buffered forever at stream end — so the source appends a
+    far-future FLUSH SENTINEL (the punctuation-event pattern: one row
+    per side, filtered out post-join) that pushes both watermarks past
+    all real data; the no-data micro-batch after the last data batch
+    then evicts and emits every remaining non-match. Drained result
+    equals the batch left join, which is the oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    max_ts_ns = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.max(F.unix_micros("ts")).alias("m"))
+        .collect()[0]["m"]
+    ) * 1000
+    flush_ns = max_ts_ns + 30 * 24 * 3600 * 1_000_000_000  # +30 days
+    d = tempfile.mkdtemp(prefix="smetl_stream_louter_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet")
+    )
+    sentinel = spark.createDataFrame(
+        [
+            (-1, -1, "purchase", flush_ns, 0.0, None),
+            (-2, -1, "click", flush_ns, 0.0, None),
+        ],
+        schema,
+    )
+    tmp_out = tempfile.mkdtemp(prefix="smetl_sentinel_")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+    part = next(f for f in os.listdir(tmp_out) if f.endswith(".parquet"))
+    shutil.copy(os.path.join(tmp_out, part), os.path.join(d, "zz_sentinel.parquet"))
+
+    raw = spark.readStream.schema(schema).parquet(d)
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    out = _drain(
+        streaming_ingest.interval_join(
+            purchases, clicks, within="48 hours", watermark="48 hours",
+            how="left_outer",
+        ),
+        "stream_louter",
+        mode="append",
+    )
+    return (
+        out.filter(F.col("user_id") >= 0)  # drop the flush sentinel
+        .select("user_id", "l_event_id", "l_ts", "r_event_id", "r_ts")
+        .orderBy("user_id", "l_event_id", "r_event_id")
+    )
+
+
 def _streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding (overlapping) watermarked windows run AS A STREAM: each
     event lands in width/slide = 2 windows; the oracle assigns each
@@ -1652,6 +1724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sliding_windows": _streaming_sliding,
         "streaming_static_join": _streaming_static_join,
         "streaming_incremental_rollup": _streaming_incremental,
+        "streaming_left_outer_join": _streaming_left_outer_join,
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_jaccard,
         "dedup_minhash_lsh": _dedup_minhash,
@@ -2922,6 +2995,17 @@ def oracle_sql() -> dict[str, str]:
                        2)), 4) AS band0_energy,
                    0.0 AS other_bands_abs_sum
             FROM documents ORDER BY doc_id
+        """,
+        "streaming_left_outer_join": """
+            SELECT p.user_id,
+                   p.event_id AS l_event_id, p.ts AS l_ts,
+                   c.event_id AS r_event_id, c.ts AS r_ts
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id
+             AND c.ts >= p.ts - INTERVAL 48 HOUR
+             AND c.ts <= p.ts
+            ORDER BY p.user_id, l_event_id, r_event_id
         """,
         "q7_nation_trade": """
             SELECT supp_nation, cust_nation, l_year,

@@ -175,16 +175,22 @@ def interval_join(
     watermark: str = "30 minutes",
     left_prefix: str = "l_",
     right_prefix: str = "r_",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join with an event-time interval bound:
-    left row ⨝ right rows of the same key whose time is within
+    """Stream-stream join with an event-time interval bound: left row
+    ⨝ right rows of the same key whose time is within
     [left_ts - within, left_ts].
 
     BOTH sides carry watermarks and the join condition bounds the time
     skew — together they let the state store evict rows once no future
     match is possible (an unbounded stream-stream join would otherwise
-    buffer both streams forever). Works identically on batch frames
-    (same API — tested for stream-vs-batch parity).
+    buffer both streams forever). ``how='left_outer'`` additionally
+    emits null-padded left rows, but only ON EVICTION — a left row's
+    non-match is unknowable until the watermark passes its match
+    window, so outer results trail the watermark (the no-data
+    micro-batch after the final data batch flushes the remainder in an
+    availableNow drain). Works identically on batch frames (same API —
+    tested for stream-vs-batch parity).
     """
     lts, rts = f"{left_prefix}{left_ts}", f"{right_prefix}{right_ts}"
     # rename FIRST, then set the watermark on the renamed column (event-
@@ -201,7 +207,7 @@ def interval_join(
         & (F.col(rts) >= F.col(lts) - F.expr(f"INTERVAL {within}"))
         & (F.col(rts) <= F.col(lts))
     )
-    return l.join(r, cond).drop("__r_key")
+    return l.join(r, cond, how).drop("__r_key")
 
 
 def run_available_now(

@@ -354,3 +354,24 @@ def test_incremental_rollup_matches_batch_and_replay_is_idempotent(
 
     run(str(tmp_path / "ckpt2"))  # full replay
     assert serve() == want
+
+
+def test_interval_join_left_outer_batch_parity(spark):
+    """how='left_outer' on batch frames: every left row survives,
+    unmatched ones null-padded — same API the stream path uses."""
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(1, 10, "2024-01-01 10:00:00"), (2, 20, "2024-01-01 12:00:00")],
+        "user_id long, event_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, 99, "2024-01-01 09:50:00")],
+        "user_id long, event_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = ingest.interval_join(
+        left, right, within="30 minutes", watermark="30 minutes",
+        how="left_outer",
+    ).collect()
+    by_left = {r["l_event_id"]: r["r_event_id"] for r in out}
+    assert by_left == {10: 99, 20: None}
