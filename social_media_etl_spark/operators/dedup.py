@@ -126,11 +126,14 @@ def jaccard_pairs(
     )
 
 
-def minhash_signature(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 32
+def _minhash_mins(
+    df: DataFrame, id_col: str, text_col: str, n: int, num_hashes: int
 ) -> DataFrame:
-    """MinHash signature per doc: sig[i] = min over shingles of
-    xxhash64(i, shingle) (Broder'97 resemblance sketch).
+    """Per-doc min-hash columns ``__h0..__h{k-1}``: the shingle string
+    is scanned by xxhash64 ONCE, and the ``num_hashes`` independent
+    hash functions are fixed-width rehashes of that 8-byte value
+    (h_i = xxhash64(i, h)) — vs hashing the full string per function,
+    this reads each shingle's bytes once instead of k times.
 
     Physical form: explode shingles → one hash aggregate with
     ``num_hashes`` min() columns. Map-side partial mins mean the
@@ -138,18 +141,25 @@ def minhash_signature(
     linear and codegen'd, vs. re-evaluating the shingle array per
     hash function in a nested higher-order expression (measured 20×
     slower). Docs with no shingles (fewer than n tokens) are absent."""
-    sh = shingle_sets(df, id_col, text_col, n)
+    sh = shingle_sets(df, id_col, text_col, n).withColumn(
+        "__h", F.xxhash64(F.col("shingle"))
+    )
     mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"__h{i}")
+        F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"__h{i}")
         for i in range(num_hashes)
     ]
-    return (
-        sh.groupBy(id_col)
-        .agg(*mins)
-        .select(
-            F.col(id_col),
-            F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("sig"),
-        )
+    return sh.groupBy(id_col).agg(*mins)
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 32
+) -> DataFrame:
+    """MinHash signature per doc: sig[i] = min over shingles of the
+    i-th rehash of xxhash64(shingle) (Broder'97 resemblance sketch).
+    See :func:`_minhash_mins` for the physical form."""
+    return _minhash_mins(df, id_col, text_col, n, num_hashes).select(
+        F.col(id_col),
+        F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("sig"),
     )
 
 
@@ -173,8 +183,10 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sigs = minhash_signature(df, id_col, text_col, n, num_hashes)
-    banded = sigs.select(
+    mins = _minhash_mins(df, id_col, text_col, n, num_hashes)
+    # band bucket = one fixed-width hash over the band's min columns —
+    # no array construction, no long→string casts, no concat
+    banded = mins.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -182,15 +194,11 @@ def minhash_lsh_pairs(
                     F.struct(
                         F.lit(j).alias("band"),
                         F.xxhash64(
-                            F.array_join(
-                                F.transform(
-                                    F.slice(
-                                        F.col("sig"), j * rows_per_band + 1, rows_per_band
-                                    ),
-                                    lambda v: v.cast("string"),
-                                ),
-                                ",",
-                            )
+                            F.lit(j),
+                            *[
+                                F.col(f"__h{j * rows_per_band + i}")
+                                for i in range(rows_per_band)
+                            ],
                         ).alias("bucket"),
                     )
                     for j in range(bands)
