@@ -6,14 +6,19 @@ lineitem events documents embeddings — one parquet file each under
 
 Every table is read with an explicit :class:`StructType` (DDL as the
 source of truth — SURVEY §1.3, mirroring the reference's CREATE TABLE
-DDL in ``/root/reference/sql/create_tables.sql``). Explicit schemas
-also make the loader self-sufficient in ANY SparkSession: the testdata
-``events.ts`` column is physically ``TIMESTAMP(NANOS)``, which Spark's
-schema inference rejects (``PARQUET_TYPE_ILLEGAL``) unless the session
-happens to carry ``spark.sql.legacy.parquet.nanosAsLong``. Reading the
-column as :class:`LongType` (nanos since epoch) needs no session conf;
-we convert to microsecond TimestampType in-plan — the same truncation
-DuckDB applies casting TIMESTAMP_NS → TIMESTAMP.
+DDL in ``/root/reference/sql/blog_post_definitions.sql``).
+
+``events.ts`` is physical ``timestamp[us]`` — Spark's native timestamp
+precision — and is read directly as :class:`TimestampType`. Because the
+driver has regenerated the testdata with a different physical type
+before (round 1 shipped TIMESTAMP(NANOS), round 2+ ships micros), the
+loader sniffs the parquet footer with pyarrow: only if the physical
+unit is ever nanos again does it fall back to reading the column as
+:class:`LongType` and converting in-plan (``timestamp_micros(ts div
+1000)`` — the same truncation DuckDB applies casting TIMESTAMP_NS →
+TIMESTAMP). That fallback path needs no session conf either (an
+explicit LongType read of TIMESTAMP(NANOS) bypasses the vectorized
+reader's ``PARQUET_TYPE_ILLEGAL``).
 
 At 100 TB these would be partitioned/bucketed warehouse tables; the
 loader keeps the scan declarative (``spark.read.schema(...).parquet``)
@@ -23,22 +28,32 @@ downstream query.
 
 from __future__ import annotations
 
+import functools
+import glob
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["TABLES", "SCHEMAS", "load_table", "load_tables", "register_views"]
+__all__ = [
+    "TABLES",
+    "SCHEMAS",
+    "load_table",
+    "load_tables",
+    "register_views",
+    "parquet_ts_unit",
+]
 
 
 def _s(*fields: tuple[str, T.DataType]) -> T.StructType:
     return T.StructType([T.StructField(n, t) for n, t in fields])
 
 
-#: Explicit read schemas, one per testdata table. ``events.ts`` is read
-#: as LongType (physical nanos) — see module docstring — and converted
-#: to TimestampType by :func:`load_table`.
+#: Explicit read schemas, one per testdata table. ``events.ts`` is
+#: TimestampType (physical micros); :func:`load_table` sniffs the
+#: parquet footer and falls back to a long read + in-plan conversion
+#: only if the file is ever physically nanos again (module docstring).
 SCHEMAS: dict[str, T.StructType] = {
     "region": _s(
         ("r_regionkey", T.IntegerType()),
@@ -93,7 +108,7 @@ SCHEMAS: dict[str, T.StructType] = {
     ),
     "events": _s(
         ("event_id", T.LongType()),
-        ("ts", T.LongType()),  # physical TIMESTAMP(NANOS) → read as long
+        ("ts", T.TimestampType()),
         ("user_id", T.LongType()),
         ("event_type", T.StringType()),
         ("value", T.DoubleType()),
@@ -113,10 +128,35 @@ SCHEMAS: dict[str, T.StructType] = {
     ),
 }
 
-#: Columns read as long nanos that load_table converts to TimestampType.
-_NANO_TS_COLS: dict[str, tuple[str, ...]] = {
+#: Timestamp columns whose parquet footer is sniffed for nano-precision
+#: drift (the driver regenerated this data from nanos to micros once).
+_SNIFF_TS_COLS: dict[str, tuple[str, ...]] = {
     "events": ("ts",),
 }
+
+
+@functools.lru_cache(maxsize=64)
+def parquet_ts_unit(path: str, col: str) -> str | None:
+    """Physical timestamp unit ('ns'/'us'/'ms'/'s') of ``col`` at ``path``.
+
+    Reads only the parquet footer (pyarrow); returns None if the column
+    is missing, not a timestamp, or the footer can't be read. Accepts a
+    single file or a directory of part files.
+    """
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        target = path
+        if os.path.isdir(path):
+            parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+            if not parts:
+                return None
+            target = parts[0]
+        field_type = pq.ParquetFile(target).schema_arrow.field(col).type
+        return field_type.unit if pa.types.is_timestamp(field_type) else None
+    except Exception:
+        return None
 
 TABLES: tuple[str, ...] = (
     "region",
@@ -135,19 +175,31 @@ TABLES: tuple[str, ...] = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table with its explicit schema.
 
-    Works in any SparkSession (no legacy confs required); nano-precision
-    timestamp columns are read as long and converted in-plan.
+    Works in any SparkSession (no legacy confs required). Timestamp
+    columns listed in ``_SNIFF_TS_COLS`` get their physical unit checked
+    in the parquet footer; a nanos file is read as long and converted
+    in-plan, anything else reads natively as TimestampType.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     schema = SCHEMAS.get(name)
     if schema is None:
-        df = spark.read.parquet(path)
-    else:
-        df = spark.read.schema(schema).parquet(path)
-    for col in _NANO_TS_COLS.get(name, ()):
-        if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
-            # integer div: float division would round the microsecond
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        return spark.read.parquet(path)
+    nano_cols = [
+        col
+        for col in _SNIFF_TS_COLS.get(name, ())
+        if parquet_ts_unit(path, col) == "ns"
+    ]
+    if nano_cols:
+        schema = T.StructType(
+            [
+                T.StructField(f.name, T.LongType() if f.name in nano_cols else f.dataType)
+                for f in schema.fields
+            ]
+        )
+    df = spark.read.schema(schema).parquet(path)
+    for col in nano_cols:
+        # integer div: float division would round the microsecond
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     return df
 
 

@@ -33,9 +33,6 @@ DEFAULT_CONF: dict[str, str] = {
     # would raise in Python; our contract per SURVEY §5.2 is null-tolerant,
     # and try_cast is used where the distinction matters).
     "spark.sql.ansi.enabled": "false",
-    # Testdata parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    # reader rejects; read as long and convert in catalog.load_table.
-    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
 }
 
