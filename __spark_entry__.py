@@ -876,6 +876,80 @@ def _memo_df(spark: SparkSession, key: tuple, build) -> DataFrame:
     return df
 
 
+def _doc_shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared (doc_id, shingle, __h) word-3-gram inverted index,
+    materialized once per (session, sf) — the persisted dedup index a
+    warehouse would keep — and consumed by jaccard_pairs (strings) and
+    the minhash signature build (hashes). At 100 TB this frame lives as
+    a bucketed table on storage, not an executor checkpoint; the memo
+    models build-once semantics, not the storage tier."""
+    return _memo_df(
+        spark,
+        ("shingles", sf_dir),
+        lambda: dedup.shingle_sets(
+            load_table(spark, sf_dir, "documents"), "doc_id", "text", n=3
+        ).withColumn("__h", F.xxhash64(F.col("shingle"))),
+    )
+
+
+def _doc_token_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared (doc_id, h) token-hash frame feeding the simhash
+    fingerprint build; same build-once rationale as the shingle index."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _memo_df(
+        spark,
+        ("tokhash", sf_dir),
+        lambda: docs.select(
+            F.col("doc_id"), F.explode(TXT.tokens("text")).alias("__w")
+        ).select(F.col("doc_id"), F.xxhash64("__w").alias("h")),
+    )
+
+
+def _doc_minhash_mins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared minhash min-table (__h0..__h31, one row per doc) built
+    from the shared shingle index — the persisted minhash index."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _memo_df(
+        spark,
+        ("minhash_mins", sf_dir),
+        lambda: dedup._minhash_mins(
+            docs, "doc_id", "text", 3, 32,
+            shingle_hashes=_doc_shingle_index(spark, sf_dir),
+        ),
+    )
+
+
+def _doc_simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared (doc_id, sh) simhash fingerprint table built from the
+    shared token-hash frame — one tiny row per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _memo_df(
+        spark,
+        ("simhash_tbl", sf_dir),
+        lambda: dedup.simhash_table(
+            docs, "doc_id", "text", 32,
+            token_hashes=_doc_token_hashes(spark, sf_dir),
+        ),
+    )
+
+
+def _doc_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared (doc_id, sh array<long>) per-doc distinct shingle-HASH
+    sets feeding every exact-Jaccard rerank (minhash + simhash
+    verification). Long arrays intersect ~an order of magnitude faster
+    than the equivalent string arrays and the sizes (hence jaccard)
+    are identical absent an xxhash64 collision inside one candidate
+    pair's union (~|u|²/2⁶⁴ — vanishing; a collision would surface as
+    a gate/subset mismatch, not silent corruption)."""
+    return _memo_df(
+        spark,
+        ("shingle_arrays", sf_dir),
+        lambda: _doc_shingle_index(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.collect_set("__h").alias("sh")),
+    )
+
+
 def _exact_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _memo_df(
         spark,
@@ -886,6 +960,7 @@ def _exact_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text",
             n=3,
             threshold=0.8,
+            shingles=_doc_shingle_index(spark, sf_dir),
         ),
     )
 
@@ -953,7 +1028,15 @@ def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact inverted-index pairs — see _approx_gate."""
     docs = load_table(spark, sf_dir, "documents")
     lsh = dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.8
+        docs,
+        "doc_id",
+        "text",
+        n=3,
+        num_hashes=32,
+        bands=8,
+        threshold=0.8,
+        signatures=_doc_minhash_mins(spark, sf_dir),
+        doc_sets=_doc_shingle_arrays(spark, sf_dir),
     )
     exact = _exact_jaccard_pairs(spark, sf_dir)
     return _approx_gate(
@@ -973,12 +1056,27 @@ def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     4× candidate blowup of ≤3 — ~100k pairs at sf0.1 — for bounded
     rerank cost, the standard SimHash operating point). Hash-checked
     against the exact SQL via _approx_gate."""
+    from social_media_etl_spark.cache import persist_tracked
+
     docs = load_table(spark, sf_dir, "documents")
-    cands = dedup.simhash_pairs(
-        docs, "doc_id", "text", bits=32, band_bits=8
-    ).filter(F.col("hamming") <= 2)
+    cands = persist_tracked(  # feeds the id pruning AND the rerank join
+        dedup.simhash_pairs(
+            docs,
+            "doc_id",
+            "text",
+            bits=32,
+            band_bits=8,
+            sig_table=_doc_simhash_table(spark, sf_dir),
+        ).filter(F.col("hamming") <= 2)
+    )
     verified = dedup.exact_jaccard_rerank(
-        docs, cands, "doc_id", "text", n=3, threshold=0.8
+        docs,
+        cands,
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.8,
+        doc_sets=_doc_shingle_arrays(spark, sf_dir),
     )
     return _approx_gate(
         _exact_jaccard_pairs(spark, sf_dir),

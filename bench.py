@@ -34,17 +34,29 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    # "queries" first, headline fields last: the driver keeps only the
+    # LAST 2000 chars of stdout, and with 90+ queries the JSON line
+    # exceeds that — this ordering sacrifices the earliest per-query
+    # timings to the cut instead of the headline total. The full record
+    # is also written to BENCH_FULL.json so every timing stays
+    # re-derivable regardless of capture truncation.
+    record = {
+        "queries": timings,
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "sf": sf,
+    }
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
+            "w",
+        ) as f:
+            json.dump(record, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass  # read-only checkout: the stdout line still carries the data
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -75,6 +75,7 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_df: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard similar pairs via inverted-index join.
 
@@ -83,11 +84,16 @@ def jaccard_pairs(
     appearing in more than that many docs before the join — bounding
     the worst-case candidate blowup; exactness holds for pairs whose
     overlap isn't exclusively hot shingles (dial it by corpus).
+    ``shingles`` lets callers supply an already-materialized
+    (id, shingle) index shared across the dedup family.
     """
     # the shingle index feeds three consumers (sizes, both join sides);
     # materialize it once — at warehouse scale this is the persisted
     # inverted index every dedup system builds anyway
-    sh = persist_tracked(shingle_sets(df, id_col, text_col, n))
+    if shingles is None:
+        sh = persist_tracked(shingle_sets(df, id_col, text_col, n))
+    else:
+        sh = shingles.select(id_col, "shingle")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     if max_df is not None:
         rare = (
@@ -127,7 +133,12 @@ def jaccard_pairs(
 
 
 def _minhash_mins(
-    df: DataFrame, id_col: str, text_col: str, n: int, num_hashes: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_hashes: int,
+    shingle_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc min-hash columns ``__h0..__h{k-1}``: the shingle string
     is scanned by xxhash64 ONCE, and the ``num_hashes`` independent
@@ -140,10 +151,15 @@ def _minhash_mins(
     shuffle carries one signature-width row per (partition, doc) —
     linear and codegen'd, vs. re-evaluating the shingle array per
     hash function in a nested higher-order expression (measured 20×
-    slower). Docs with no shingles (fewer than n tokens) are absent."""
-    sh = shingle_sets(df, id_col, text_col, n).withColumn(
-        "__h", F.xxhash64(F.col("shingle"))
-    )
+    slower). Docs with no shingles (fewer than n tokens) are absent.
+    ``shingle_hashes`` lets callers supply a shared, already-hashed
+    (id, __h) index instead of rebuilding it."""
+    if shingle_hashes is None:
+        sh = shingle_sets(df, id_col, text_col, n).withColumn(
+            "__h", F.xxhash64(F.col("shingle"))
+        )
+    else:
+        sh = shingle_hashes.select(id_col, "__h")
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"__h{i}")
         for i in range(num_hashes)
@@ -172,6 +188,9 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.8,
     verify: bool = True,
+    shingle_hashes: DataFrame | None = None,
+    signatures: DataFrame | None = None,
+    doc_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding: docs sharing any band bucket
     become candidates; candidates are re-ranked with EXACT Jaccard when
@@ -183,7 +202,14 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    mins = _minhash_mins(df, id_col, text_col, n, num_hashes)
+    # ``signatures`` = an already-materialized __h0..__h{k-1} min table
+    # (one row per doc — the persisted minhash index); rebuilt from the
+    # shingle index otherwise
+    mins = (
+        signatures
+        if signatures is not None
+        else _minhash_mins(df, id_col, text_col, n, num_hashes, shingle_hashes)
+    )
     # band bucket = one fixed-width hash over the band's min columns —
     # no array construction, no long→string casts, no concat
     banded = mins.select(
@@ -225,7 +251,9 @@ def minhash_lsh_pairs(
     if not verify:
         return cands
     cands = persist_tracked(cands)  # feeds both the id pruning and the rerank
-    return exact_jaccard_rerank(df, cands, id_col, text_col, n, threshold)
+    return exact_jaccard_rerank(
+        df, cands, id_col, text_col, n, threshold, doc_sets=doc_sets
+    )
 
 
 def exact_jaccard_rerank(
@@ -235,6 +263,7 @@ def exact_jaccard_rerank(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
+    doc_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-Jaccard rerank of CANDIDATE pairs only (set intersection
     per candidate — never the all-pairs join): (id_a, id_b) → the
@@ -242,15 +271,19 @@ def exact_jaccard_rerank(
     Semi-join first so shingle sets are only computed for docs that
     appear in a candidate pair (tiny relative to the corpus). Shared
     verification stage for every sketch-based candidate generator
-    (MinHash bands, SimHash Hamming buckets)."""
+    (MinHash bands, SimHash Hamming buckets). ``doc_sets`` = an
+    already-materialized (id, sh array) frame shared across callers;
+    the semi-join prune still applies."""
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
         .union(cands.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sets = df.join(F.broadcast(cand_ids), id_col, "left_semi").select(
-        F.col(id_col), TXT.word_shingles(text_col, n).alias("sh")
-    )
+    if doc_sets is None:
+        doc_sets = df.select(
+            F.col(id_col), TXT.word_shingles(text_col, n).alias("sh")
+        )
+    sets = doc_sets.join(F.broadcast(cand_ids), id_col, "left_semi")
     # the shingle-set sides carry fat arrays — never let a size
     # misestimate broadcast them (shuffle-hash keeps the join
     # partitioned with no sort and no driver-side build)
@@ -273,7 +306,11 @@ def exact_jaccard_rerank(
 
 
 def simhash_table(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 32
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    token_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """(id, simhash) via explode + hash aggregate: per-token hash
     computed ONCE, then ``bits`` sum() columns with map-side partial
@@ -282,10 +319,15 @@ def simhash_table(
     ``functions.text.simhash`` (same per-token xxhash64, same majority
     vote), but codegen'd end-to-end instead of an interpreted
     higher-order fold (measured ~10× at 5k docs). Docs with no tokens
-    get fingerprint 0, matching the fold over an empty array."""
-    toks = df.select(
-        F.col(id_col), F.explode(TXT.tokens(text_col)).alias("__w")
-    ).select(F.col(id_col), F.xxhash64("__w").alias("h"))
+    get fingerprint 0, matching the fold over an empty array.
+    ``token_hashes`` lets callers supply a shared (id, h) token-hash
+    frame instead of rebuilding the explode."""
+    if token_hashes is None:
+        toks = df.select(
+            F.col(id_col), F.explode(TXT.tokens(text_col)).alias("__w")
+        ).select(F.col(id_col), F.xxhash64("__w").alias("h"))
+    else:
+        toks = token_hashes.select(id_col, "h")
     sums = toks.groupBy(id_col).agg(
         *[
             F.sum(
@@ -316,14 +358,21 @@ def simhash_pairs(
     text_col: str,
     bits: int = 32,
     band_bits: int = 8,
+    token_hashes: DataFrame | None = None,
+    sig_table: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash candidate pairs: docs whose fingerprints share any
     ``band_bits``-wide band (catches pairs within a few-bit Hamming
-    distance). Returns (id_a, id_b, hamming)."""
+    distance). Returns (id_a, id_b, hamming). ``sig_table`` = an
+    already-materialized (id, sh fingerprint) table."""
     assert bits % band_bits == 0
     n_bands = bits // band_bits
     mask = (1 << band_bits) - 1
-    sh = simhash_table(df, id_col, text_col, bits)
+    sh = (
+        sig_table
+        if sig_table is not None
+        else simhash_table(df, id_col, text_col, bits, token_hashes)
+    )
     banded = sh.select(
         id_col,
         "sh",

@@ -83,19 +83,26 @@ def cosine_topk(
 def _block_table(
     df: DataFrame, id_col: str, vec_col: str, n_blocks: int
 ) -> DataFrame:
-    """One row per block: (blk, list<struct<id,v>>). Block assignment by
-    hash of the id — uniform regardless of id distribution, no global
-    sort. Each block row is ~block_size × dim × 8 bytes."""
+    """One row per block: (blk, ids list<long>, vs flat list<double>).
+    Block assignment by hash of the id — uniform regardless of id
+    distribution, no global sort. Each block row is ~block_size × dim ×
+    8 bytes. ids/vs stay ALIGNED because both collect_lists update in
+    the same aggregation pass over the same row order. The vectors ride
+    as ONE flattened double array (reshaped numpy-side) instead of
+    list<struct<id, array>>: Arrow then hands the Python worker a flat
+    float64 buffer rather than block_size dicts of Python lists —
+    that per-element object materialization was ~3× the matmul itself."""
     return (
         df.select(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
-            F.struct(
-                F.col(id_col).cast("long").alias("id"),
-                F.col(vec_col).cast("array<double>").alias("v"),
-            ).alias("iv"),
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
         )
         .groupBy("blk")
-        .agg(F.collect_list("iv").alias("ivs"))
+        .agg(
+            F.collect_list("id").alias("ids"),
+            F.flatten(F.collect_list("v")).alias("vs"),
+        )
     )
 
 
@@ -132,11 +139,20 @@ def cosine_pairs_blocked(
         .select(
             F.col("a.blk").alias("blk_a"),
             F.col("b.blk").alias("blk_b"),
-            F.col("a.ivs").alias("ivs_a"),
-            F.col("b.ivs").alias("ivs_b"),
+            F.col("a.ids").alias("ids_a"),
+            F.col("a.vs").alias("vs_a"),
+            F.col("b.ids").alias("ids_b"),
+            F.col("b.vs").alias("vs_b"),
         )
-        # spread block pairs over the whole cluster, however big it is
-        .repartition(max(df.sparkSession.sparkContext.defaultParallelism, n_blocks))
+        # one fat row per task, capped at the cluster width: empty
+        # partitions still launch a Python runner, so never create more
+        # partitions than there are block pairs
+        .repartition(
+            min(
+                n_blocks * (n_blocks + 1) // 2,
+                max(df.sparkSession.sparkContext.defaultParallelism, n_blocks),
+            )
+        )
     )
 
     def _gen(batches):
@@ -145,10 +161,10 @@ def cosine_pairs_blocked(
 
         for pdf in batches:
             for row in pdf.itertuples(index=False):
-                ids_a = np.array([r["id"] for r in row.ivs_a], dtype=np.int64)
-                ids_b = np.array([r["id"] for r in row.ivs_b], dtype=np.int64)
-                ma = np.array([r["v"] for r in row.ivs_a], dtype=np.float64)
-                mb = np.array([r["v"] for r in row.ivs_b], dtype=np.float64)
+                ids_a = np.asarray(row.ids_a, dtype=np.int64)
+                ids_b = np.asarray(row.ids_b, dtype=np.int64)
+                ma = np.asarray(row.vs_a, dtype=np.float64).reshape(len(ids_a), -1)
+                mb = np.asarray(row.vs_b, dtype=np.float64).reshape(len(ids_b), -1)
                 na = np.linalg.norm(ma, axis=1)
                 nb = np.linalg.norm(mb, axis=1)
                 denom = np.outer(na, nb)
@@ -197,11 +213,20 @@ def cosine_topk_blocked(
         qb.alias("q")
         .crossJoin(cb.alias("c"))
         .select(
-            F.col("q.ivs").alias("ivs_q"),
-            F.col("c.ivs").alias("ivs_c"),
+            F.col("q.ids").alias("ids_q"),
+            F.col("q.vs").alias("vs_q"),
+            F.col("c.ids").alias("ids_c"),
+            F.col("c.vs").alias("vs_c"),
         )
-        # one task per (query-block, corpus-block) pair, cluster-wide
-        .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+        # one task per (query-block, corpus-block) pair, capped at the
+        # pair count (empty partitions still launch Python runners)
+        .repartition(
+            min(
+                max(1, _math.ceil(nq / block_size))
+                * max(1, _math.ceil(nc / block_size)),
+                corpus.sparkSession.sparkContext.defaultParallelism,
+            )
+        )
     )
 
     def _gen(batches):
@@ -210,10 +235,10 @@ def cosine_topk_blocked(
 
         for pdf in batches:
             for row in pdf.itertuples(index=False):
-                ids_q = np.array([r["id"] for r in row.ivs_q], dtype=np.int64)
-                ids_c = np.array([r["id"] for r in row.ivs_c], dtype=np.int64)
-                mq = np.array([r["v"] for r in row.ivs_q], dtype=np.float64)
-                mc = np.array([r["v"] for r in row.ivs_c], dtype=np.float64)
+                ids_q = np.asarray(row.ids_q, dtype=np.int64)
+                ids_c = np.asarray(row.ids_c, dtype=np.int64)
+                mq = np.asarray(row.vs_q, dtype=np.float64).reshape(len(ids_q), -1)
+                mc = np.asarray(row.vs_c, dtype=np.float64).reshape(len(ids_c), -1)
                 denom = np.outer(np.linalg.norm(mq, axis=1), np.linalg.norm(mc, axis=1))
                 with np.errstate(divide="ignore", invalid="ignore"):
                     cos = np.round(mq @ mc.T / denom, 6)
