@@ -129,9 +129,12 @@ SCHEMAS: dict[str, T.StructType] = {
 }
 
 #: Timestamp columns whose parquet footer is sniffed for nano-precision
-#: drift (the driver regenerated this data from nanos to micros once).
+#: drift (the driver regenerated events.ts from nanos to micros once —
+#: every timestamp column gets the same insurance).
 _SNIFF_TS_COLS: dict[str, tuple[str, ...]] = {
     "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
 }
 
 
