@@ -63,3 +63,43 @@ def test_events_ts_matches_parquet_footer(spark, sf_dir):
     )
     assert row["mn"] == exp_min, (row["mn"], exp_min, unit)
     assert row["mx"] == exp_max, (row["mx"], exp_max, unit)
+
+
+def test_nanos_parquet_fallback_path(spark, tmp_path):
+    """If the driver ever regenerates events.parquet as TIMESTAMP(NANOS)
+    again, parquet_ts_unit must detect it and load_table must fall back
+    to the long-read + div-1000 conversion, yielding the same instants
+    as a native micros read."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from social_media_etl_spark.catalog import load_table, parquet_ts_unit
+
+    base_us = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z in micros
+    rows = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "ts": pa.array(
+            [(base_us + i) * 1000 for i in range(2)], pa.timestamp("ns")
+        ),
+        "user_id": pa.array([10, 20], pa.int64()),
+        "event_type": pa.array(["click", "purchase"]),
+        "value": pa.array([1.0, 2.0], pa.float64()),
+        "props": pa.array(["{}", "{}"]),
+    }
+    sf_dir = str(tmp_path / "sfnano")
+    import os
+
+    os.makedirs(sf_dir)
+    pq.write_table(
+        pa.table(rows), os.path.join(sf_dir, "events.parquet"),
+        version="2.6", coerce_timestamps=None,
+    )
+    assert parquet_ts_unit(os.path.join(sf_dir, "events.parquet"), "ts") == "ns"
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    df = load_table(spark, sf_dir, "events")
+    assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+    got = [r["us"] for r in df.select(F.unix_micros("ts").alias("us")).orderBy("us").collect()]
+    assert got == [base_us, base_us + 1]

@@ -212,3 +212,34 @@ def test_full_outer_join_over_preaggregated_sides(spark):
     assert "FullOuter" in p
     # aggregation happens below the join: partial_count appears in plan
     assert "partial_count" in p
+
+
+def test_bpe_pairs_single_shuffle_partial_agg(spark):
+    """BPE pair counting: pairs built array-side (no window, no
+    position self-join) → exactly one aggregate exchange with map-side
+    partial counts; only the text column is read."""
+    p = plan(entry.queries()["bpe_pair_counts"](spark, SF))
+    assert "partial_count" in p
+    assert p.index("partial_count") < p.index("ENSURE_REQUIREMENTS")
+    read_schema = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "text" in read_schema and "doc_id" not in read_schema
+    # rank window over the tiny count table, not a join of positions
+    assert "SortMergeJoin" not in p
+
+
+def test_label_centroids_partial_avg_and_pruned_scan(spark):
+    """Centroids: posexplode then ONE exchange keyed (label, pos) with
+    map-side partial avg; scan reads only label + embedding."""
+    p = plan(entry.queries()["embedding_label_centroids"](spark, SF))
+    assert "partial_avg" in p
+    assert p.index("partial_avg") < p.index("ENSURE_REQUIREMENTS")
+    read_schema = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "vec_id" not in read_schema
+
+
+def test_mixing_weights_broadcasts_scalars(spark):
+    """Mixing weights: the two scalar normalizers broadcast back onto
+    the per-source counts — no sort-merge join anywhere."""
+    p = plan(entry.queries()["source_mixing_weights"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
