@@ -1831,19 +1831,39 @@ def _approx_quantiles_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     probs = [0.25, 0.5, 0.9]
     eps = 0.02
 
-    def cols_with(fn: str, ps, tag: str) -> list:
-        return [
-            F.expr(f"{fn}(o_totalprice, {p})").alias(f"{tag}{int(p*100)}")
-            for p in ps
-        ]
+    from social_media_etl_spark.cache import persist_tracked
 
-    # one aggregate pass computes exact values, approx values, AND the
-    # exact rank-window bounds for the gate
-    both = orders.groupBy("o_orderpriority").agg(
-        *cols_with("percentile", probs, "p"),
-        *cols_with("percentile_approx", probs, "a"),
-        *cols_with("percentile", [max(0.0, p - eps) for p in probs], "lo"),
-        *cols_with("percentile", [min(1.0, p + eps) for p in probs], "hi"),
+    # ONE exact-percentile aggregate probed with all 9 quantiles (the
+    # 3 requested + their ±ε rank-window bounds) and ONE KLL sketch
+    # probed with 3 — two value buffers per group instead of twelve
+    # (each separate percentile(col, p) aggregate buffers the whole
+    # column independently; the array form shares the buffer). The
+    # 5-row result is persisted because the gate and the output both
+    # consume it.
+    exact_probs = [max(0.0, p - eps) for p in probs] + probs + [
+        min(1.0, p + eps) for p in probs
+    ]
+    arr = ",".join(str(p) for p in exact_probs)
+    aarr = ",".join(str(p) for p in probs)
+    flat = orders.groupBy("o_orderpriority").agg(
+        F.expr(f"percentile(o_totalprice, array({arr}))").alias("ex"),
+        F.expr(f"percentile_approx(o_totalprice, array({aarr}))").alias("ap"),
+    )
+    n = len(probs)
+    both = persist_tracked(
+        flat.select(
+            "o_orderpriority",
+            *[F.col("ex")[n + i].alias(f"p{int(p*100)}") for i, p in enumerate(probs)],
+            *[F.col("ap")[i].alias(f"a{int(p*100)}") for i, p in enumerate(probs)],
+            *[
+                F.col("ex")[i].alias(f"lo{int(max(0.0, p - eps)*100)}")
+                for i, p in enumerate(probs)
+            ],
+            *[
+                F.col("ex")[2 * n + i].alias(f"hi{int(min(1.0, p + eps)*100)}")
+                for i, p in enumerate(probs)
+            ],
+        )
     )
     in_window = [
         (F.col(f"a{int(p*100)}") >= F.col(f"lo{int(max(0.0, p - eps)*100)}"))
