@@ -630,10 +630,11 @@ def _drain(stream_df: DataFrame, name: str, mode: str = "complete") -> DataFrame
     qname = f"{name}_{uuid.uuid4().hex[:8]}"
     # stateful streaming disables AQE, so every micro-batch pays the
     # full shuffle-partition count in state-store instances; at this
-    # data volume 8 partitions beats 32 (a cluster would size this to
-    # cores × small-factor and it is fixed for the checkpoint lifetime)
+    # data volume 4 partitions beats 8 beats 32 (measured — a cluster
+    # would size this to cores × small-factor, and it is fixed for the
+    # checkpoint lifetime)
     original = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         return streaming_ingest.run_available_now(
             stream_df,
