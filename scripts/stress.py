@@ -101,6 +101,34 @@ def main() -> None:
         "ann_cosine_topk": lambda: similarity.cosine_topk_blocked(
             emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5
         ),
+        # r3 additions: the simhash banded pipeline, blocked pair
+        # mining at a corpus size that forces multiple blocks (20k
+        # vectors → 5 blocks → 15 block-pair matmul tasks), greedy
+        # packing across shards, and the array-side BPE pair scan
+        "dedup_simhash_cands": lambda: dedup.simhash_pairs(
+            docs, "doc_id", "text", bits=32, band_bits=8
+        ).filter(F.col("hamming") <= 2),
+        "embedding_neardup": lambda: similarity.cosine_pairs_blocked(
+            emb, "vec_id", "embedding", threshold=0.4
+        ),
+        "pack_sequences": lambda: chunking.pack_chunks(
+            chunking.chunk_documents(docs, chunk_tokens=64, overlap=16),
+            max_tokens=512,
+        ),
+        "bpe_pairs_agg": lambda: docs.select(
+            F.split(F.trim(F.lower("text")), r"\s+").alias("w")
+        )
+        .filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> struct(w[i-1] AS a, w[i] AS b))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.a", "p.b")
+        .count(),
     }
     for name, build in runs.items():
         df = build()
