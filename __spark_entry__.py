@@ -1353,10 +1353,12 @@ def _bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     ).select("p.tok_a", "p.tok_b")
     counts = pairs.groupBy("tok_a", "tok_b").agg(F.count(F.lit(1)).alias("n"))
+    # distributed top-k (TakeOrdered) BEFORE the rank window — the
+    # window then orders 100 rows, not every distinct pair in the corpus
+    top = counts.orderBy(F.desc("n"), "tok_a", "tok_b").limit(100)
     w = Window.orderBy(F.desc("n"), "tok_a", "tok_b")
     return (
-        counts.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 100)
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("rank", "tok_a", "tok_b", "n")
         .orderBy("rank")
     )

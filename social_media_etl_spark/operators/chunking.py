@@ -127,15 +127,19 @@ def top_words(
     """Corpus word-frequency table: top-k tokens by occurrence count
     (deterministic ties: count desc, then token asc). The explode →
     count aggregate partial-aggregates map-side, so the shuffle carries
-    (token, partial count), not token occurrences."""
+    (token, partial count), not token occurrences. The top-k itself is
+    orderBy+limit — Spark's distributed TakeOrdered (per-partition
+    heap, merge of k-row candidates) — and only the k SURVIVING rows
+    see the rank window; a global row_number window here would instead
+    single-partition-sort every distinct token in the corpus."""
     toks = df.select(F.explode(TXT.tokens(text_col)).alias("word")).filter(
         F.length("word") >= min_len
     )
     counts = toks.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.desc("n"), F.col("word")).limit(k)
     w = Window.orderBy(F.desc("n"), F.col("word"))
     return (
-        counts.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("rank", "word", "n")
     )
 

@@ -217,7 +217,9 @@ def test_full_outer_join_over_preaggregated_sides(spark):
 def test_bpe_pairs_single_shuffle_partial_agg(spark):
     """BPE pair counting: pairs built array-side (no window, no
     position self-join) → exactly one aggregate exchange with map-side
-    partial counts; only the text column is read."""
+    partial counts; only the text column is read; the top-100 is a
+    distributed TakeOrdered, NOT a single-partition sort of every
+    distinct pair."""
     p = plan(entry.queries()["bpe_pair_counts"](spark, SF))
     assert "partial_count" in p
     assert p.index("partial_count") < p.index("ENSURE_REQUIREMENTS")
@@ -225,6 +227,16 @@ def test_bpe_pairs_single_shuffle_partial_agg(spark):
     assert "text" in read_schema and "doc_id" not in read_schema
     # rank window over the tiny count table, not a join of positions
     assert "SortMergeJoin" not in p
+    assert "TakeOrderedAndProject" in p
+    # the global rank window must sit ABOVE the limit (sorts ≤100 rows)
+    assert p.index("TakeOrderedAndProject") > p.index("Window")
+
+
+def test_top_words_distributed_topk(spark):
+    """corpus_top_words: same TakeOrdered-before-rank shape."""
+    p = plan(entry.queries()["corpus_top_words"](spark, SF))
+    assert "TakeOrderedAndProject" in p
+    assert p.index("TakeOrderedAndProject") > p.index("Window")
 
 
 def test_label_centroids_partial_avg_and_pruned_scan(spark):
