@@ -1,0 +1,54 @@
+"""Whole-surface plan invariants: every declared query, one sweep.
+
+The per-query tests in test_plans.py pin specific shapes; this sweep
+asserts the two things that must hold EVERYWHERE at 100 TB:
+no unbounded cartesian product, and no row-at-a-time SCALAR Python UDF
+(Arrow-batched mapInPandas/applyInPandas plus the one deliberate
+lateral Python UDTF are the only Python nodes the engine permits)."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry
+from scripts.audit_plans import audit
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_no_cartesian_or_row_udf_anywhere(spark):
+    results = audit(spark, SF)
+    assert len(results) == len(entry.queries())
+    offenders = {
+        name: v
+        for name, v in results.items()
+        if v["cartesian"] or v["row_udf"]
+    }
+    assert not offenders, offenders
+    # the lateral Python UDTF appears exactly where declared, nowhere else
+    assert {k for k, v in results.items() if v["udtf"]} == {"udtf_ngrams_count"}
+
+
+def test_single_partition_exchanges_are_known(spark):
+    """Single-partition exchanges only where a scalar/gate/deliberate
+    global window justifies them — a new one appearing in a query that
+    had none is a plan regression to explain, not silently accept."""
+    results = audit(spark, SF)
+    with_sp = {k for k, v in results.items() if v["single_partition"]}
+    allowed = {
+        # scalar aggregates / scalar-threshold subqueries
+        "blog_c_longest_text", "q6_forecast_revenue", "q11_important_parts",
+        "q14_promo_share", "q15_top_supplier", "q17_small_qty_revenue",
+        "q19_banded_revenue", "q22_idle_rich_customers",
+        "approx_distinct_sketch_rollup", "table_profile_orders",
+        "tfidf_top_terms", "unigram_logprob_quality", "set_ops_priority_custs",
+        "source_mixing_weights", "blog_a_most_active",
+        # one-row verification gates (_approx_gate / packing gate)
+        "approx_quantiles_gated", "dedup_minhash_lsh", "dedup_simhash",
+        "ann_lsh_topk", "ann_ivf_topk", "pack_training_sequences",
+        # documented deliberate global-order window / tiny repartition(1)
+        "customer_value_deciles", "embedding_neardup",
+    }
+    assert with_sp <= allowed, with_sp - allowed
