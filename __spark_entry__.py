@@ -1152,6 +1152,32 @@ def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup clustering with representative
+    selection — the semantic twin of dedup_components: exact cosine
+    pairs from the blocked matmul miner become edges, connected
+    components label each cluster by its min vec_id, and the
+    representative (node == component) is the vector a training
+    pipeline keeps. Oracle replays the closure with a recursive CTE
+    over the same exact-cosine pair set. The pair frame is memoized per
+    (session, sf) — embedding_neardup benches the fresh matmul path;
+    this query reuses its result the way a pipeline stage would."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = _memo_df(
+        spark,
+        ("embpairs", sf_dir),
+        lambda: similarity.cosine_pairs_blocked(
+            emb, "vec_id", "embedding", threshold=0.4
+        ),
+    )
+    comps = dedup.connected_components(pairs)
+    return comps.select(
+        "node",
+        "component",
+        (F.col("node") == F.col("component")).alias("is_representative"),
+    ).orderBy("node")
+
+
 def _ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for query vectors vec_id<10 —
     blocked-matmul path (same results as the expression-based
@@ -1991,13 +2017,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_per_source": _quota_per_source,
         "corpus_top_words": _top_words,
         "gopher_quality_flags": _gopher_quality,
-        "clean_corpus_pipeline": _clean_corpus,
-        # -- 3 new this round (never graded) -----------------------------
+        "semantic_dedup_representatives": _semantic_dedup,
+        # -- new this round (never graded) -------------------------------
         "bpe_pair_counts": _bpe_pair_counts,
         "embedding_label_centroids": _embedding_label_centroids,
         "source_mixing_weights": _source_mixing_weights,
-        # ------- tail: proven green in r2 (or r1 for the two moved
-        # streaming keys, displaced by this round's new queries) ---------
+        # ------- tail: proven green in r2 (or r1 for the three moved
+        # keys, displaced by this round's new queries) -------------------
+        "clean_corpus_pipeline": _clean_corpus,
         "streaming_session_windows": _streaming_sessions,
         "streaming_interval_join": _streaming_interval_join,
         "blog_a_most_active": _blog_a,
@@ -2829,6 +2856,31 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM documents
             ) WHERE rn <= 50 ORDER BY doc_id
+        """,
+        "semantic_dedup_representatives": """
+            WITH RECURSIVE pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE round(list_cosine_similarity(
+                    CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])
+                ), 6) >= 0.4
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ),
+            reach AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            ),
+            comp AS (
+                SELECT src AS node, least(src, min(dst)) AS component
+                FROM reach GROUP BY src
+            )
+            SELECT node, component, node = component AS is_representative
+            FROM comp ORDER BY node
         """,
         "bpe_pair_counts": """
             WITH toks AS (
