@@ -1293,52 +1293,27 @@ def _doc_chunk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chunk → greedy sequence packing (sharded applyInPandas): the
-    tokenizer-packing stage. Greedy fill order is shard-local, so the
-    sharded layout is not SQL-expressible → rows-only driver check,
-    but the row count is CERTIFIED in-plan the _approx_gate way: the
-    output is cross-joined with a one-row gate that is empty unless the
-    sharded packing preserves the chunk multiset of the hash-checked
-    single-shard twin (same rows, same total tokens, every chunk packed
-    exactly once) and every sequence respects the 512-token budget. A
-    packing bug therefore zeroes the row count instead of passing a
-    weaker cardinality check."""
-    from social_media_etl_spark.cache import persist_tracked
+    """Chunk → greedy sequence packing, SHARDED (the production layout:
+    each shard is one sequential applyInPandas task, so packing
+    parallelizes across the cluster while greedy fill stays exact
+    inside a shard). Shard assignment is the PORTABLE md5 path
+    (``pack_chunks(portable=True)``): conv(substr(md5('pack:'||id),
+    1,4),16,10) % 8, which DuckDB computes identically — the oracle
+    replays each shard's greedy scan as a recursive CTE partitioned by
+    shard, making the full distributed layout hash-checkable (r3's
+    version used Spark-internal xxhash64 shards and could only ever be
+    rows-only). n_shards is pinned to 8 so the layout — and the oracle
+    — is invariant to cluster size; at 100 TB you'd raise it to ~2×
+    cores, which changes only the constant in both engines."""
     from social_media_etl_spark.operators import chunking
 
     chunks = _doc_chunk_frame(spark, sf_dir)
-    sharded = persist_tracked(chunking.pack_chunks(chunks, max_tokens=512))
-    # invariant source: the chunk stream itself (the single-shard twin
-    # packs the same multiset — hash-certified by pack_sequences_greedy)
-    chunk_inv = chunks.agg(
-        F.count(F.lit(1)).alias("n_chunks"),
-        F.sum("n_chunk_tokens").alias("chunk_tokens"),
-    )
-    pack_inv = sharded.agg(
-        F.count(F.lit(1)).alias("n_packed"),
-        F.sum("n_chunk_tokens").alias("packed_tokens"),
-        F.count_distinct("doc_id", "chunk_idx").alias("n_distinct"),
-    )
-    budget = (
-        sharded.groupBy("shard", "seq_no")
-        .agg(F.sum(F.least("n_chunk_tokens", F.lit(512))).alias("seq_tokens"))
-        .agg(F.max("seq_tokens").alias("max_seq_tokens"))
-    )
-    gate = (
-        pack_inv.crossJoin(chunk_inv)
-        .crossJoin(budget)
-        .filter(
-            (F.col("n_packed") == F.col("n_chunks"))
-            & (F.col("n_distinct") == F.col("n_chunks"))
-            & (F.col("packed_tokens") == F.col("chunk_tokens"))
-            & (F.col("max_seq_tokens") <= 512)
-        )
-        .select(F.lit(1).alias("__gate"))
-    )
     return (
-        sharded.crossJoin(F.broadcast(gate))
-        .drop("__gate")
-        .orderBy("shard", "seq_no", "pos_in_seq", "doc_id")
+        chunking.pack_chunks(chunks, max_tokens=512, n_shards=8, portable=True)
+        .select(
+            "shard", "seq_no", "doc_id", "chunk_idx", "n_chunk_tokens", "pos_in_seq"
+        )
+        .orderBy("shard", "seq_no", "pos_in_seq", "doc_id", "chunk_idx")
     )
 
 
@@ -2847,6 +2822,65 @@ def oracle_sql() -> dict[str, str]:
                    pos_in_seq
             FROM pack
             ORDER BY seq_no, pos_in_seq, doc_id, chunk_idx
+        """,
+        # Replays the SHARDED packing: md5-derived shard id (identical
+        # to Spark's conv(substr(md5('pack:'||id),1,4),16,10) % 8),
+        # then the same greedy recursive CTE, one chain per shard
+        # (rn partitioned by shard; the recursive join keys on shard).
+        "pack_training_sequences": """
+            WITH RECURSIVE t AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') AS w
+                FROM documents
+                WHERE trim(text) != ''
+            ),
+            st AS (
+                SELECT doc_id, w,
+                       unnest(generate_series(0,
+                           greatest(0,
+                               CAST(floor((len(w) - 17.0) / 48) AS INT) * 48),
+                           48)) AS start
+                FROM t
+            ),
+            sh AS (
+                SELECT doc_id, w, start,
+                       ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)),
+                                       1, 4))::INT % 8 AS shard
+                FROM st
+            ),
+            base AS (
+                SELECT doc_id, shard,
+                       start // 48 AS chunk_idx,
+                       len(w[start + 1 : start + 64]) AS n_chunk_tokens,
+                       least(len(w[start + 1 : start + 64]), 512) AS nn,
+                       row_number() OVER (
+                           PARTITION BY shard ORDER BY doc_id, start
+                       ) AS rn
+                FROM sh
+            ),
+            pack AS (
+                SELECT shard, rn, doc_id, chunk_idx, n_chunk_tokens,
+                       CAST(0 AS BIGINT) AS seq_no,
+                       CAST(0 AS BIGINT) AS pos_in_seq,
+                       CAST(nn AS BIGINT) AS used
+                FROM base WHERE rn = 1
+                UNION ALL
+                SELECT b.shard, b.rn, b.doc_id, b.chunk_idx, b.n_chunk_tokens,
+                       CASE WHEN p.used + b.nn > 512
+                            THEN p.seq_no + 1 ELSE p.seq_no END,
+                       CASE WHEN p.used + b.nn > 512
+                            THEN CAST(0 AS BIGINT) ELSE p.used END,
+                       CASE WHEN p.used + b.nn > 512
+                            THEN CAST(b.nn AS BIGINT) ELSE p.used + b.nn END
+                FROM base b JOIN pack p
+                  ON b.shard = p.shard AND b.rn = p.rn + 1
+            )
+            SELECT CAST(shard AS BIGINT) AS shard, seq_no, doc_id,
+                   CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                   CAST(n_chunk_tokens AS BIGINT) AS n_chunk_tokens,
+                   pos_in_seq
+            FROM pack
+            ORDER BY shard, seq_no, pos_in_seq, doc_id, chunk_idx
         """,
         "quota_per_source": """
             SELECT doc_id, source FROM (

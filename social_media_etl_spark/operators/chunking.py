@@ -65,6 +65,7 @@ def pack_chunks(
     idx_col: str = "chunk_idx",
     tokens_col: str = "n_chunk_tokens",
     n_shards: int | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """Pack chunks into training sequences of ≤ ``max_tokens`` via
     greedy sequential fill — the tokenizer-packing stage of an LLM
@@ -80,15 +81,41 @@ def pack_chunks(
     layout must be reproducible across differently-sized clusters.
     Waste is bounded by one underfull sequence per shard.
     Output: (shard, seq_no, id, chunk_idx, n_chunk_tokens, pos_in_seq).
+
+    ``portable=True`` derives the shard id from md5 instead of
+    xxhash64: ``conv(substr(md5('pack:' || id), 1, 4), 16, 10) %
+    n_shards``. md5 is reproducible in any engine (the DuckDB oracle
+    computes the identical assignment and replays each shard's greedy
+    fill as a recursive CTE — same trick as ``sampling.md5_split``),
+    at ~2× the hash cost; the shard layout then also survives cluster
+    resizes, so use it whenever the packing must be auditable or
+    byte-stable across engines/clusters.
     """
     import pandas as pd
 
     if n_shards is None:
         n_shards = 2 * chunks.sparkSession.sparkContext.defaultParallelism
 
-    sharded = chunks.withColumn(
-        "__shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
-    )
+    if portable:
+        shard_expr = F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("pack:"), F.col(id_col).cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(n_shards),
+        )
+    else:
+        shard_expr = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+    sharded = chunks.withColumn("__shard", shard_expr)
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([id_col, idx_col], kind="mergesort")
