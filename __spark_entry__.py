@@ -628,13 +628,14 @@ def _drain(stream_df: DataFrame, name: str, mode: str = "complete") -> DataFrame
 
     spark = stream_df.sparkSession
     qname = f"{name}_{uuid.uuid4().hex[:8]}"
-    # stateful streaming disables AQE, so every micro-batch pays the
-    # full shuffle-partition count in state-store instances; at this
-    # data volume 4 partitions beats 8 beats 32 (measured — a cluster
-    # would size this to cores × small-factor, and it is fixed for the
-    # checkpoint lifetime)
+    # cores-derived state-store sizing (local[32] → 4, measured-best at
+    # this volume; a real cluster scales it with parallelism) — see
+    # streaming_ingest.state_partitions for the rationale
     original = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(streaming_ingest.state_partitions(spark)),
+    )
     try:
         return streaming_ingest.run_available_now(
             stream_df,

@@ -210,6 +210,26 @@ def interval_join(
     return l.join(r, cond, how).drop("__r_key")
 
 
+def state_partitions(
+    spark, cores_per_state_partition: int = 8, floor: int = 4
+) -> int:
+    """Shuffle-partition count for STATEFUL streaming drains.
+
+    Stateful streaming disables AQE, so every micro-batch pays the full
+    shuffle-partition count in state-store instances (open/maintain/
+    snapshot per partition per batch) — and the count is frozen into
+    the checkpoint for the query's lifetime. Size it to the cluster
+    instead of pinning a constant: one state partition per
+    ``cores_per_state_partition`` cores (measured-best at local[32] →
+    4; a 1000-core cluster gets 125, so the state store never
+    serializes on a handful of partitions), with a small floor so tiny
+    clusters still overlap state maintenance with IO.
+    """
+    return max(
+        floor, spark.sparkContext.defaultParallelism // cores_per_state_partition
+    )
+
+
 def run_available_now(
     stream_df: DataFrame,
     checkpoint_dir: str,

@@ -375,3 +375,14 @@ def test_interval_join_left_outer_batch_parity(spark):
     ).collect()
     by_left = {r["l_event_id"]: r["r_event_id"] for r in out}
     assert by_left == {10: 99, 20: None}
+
+
+def test_state_partitions_scales_with_cores(spark):
+    """Cores-derived state-store sizing: local[32] lands on the
+    measured-best 4; the formula scales linearly with parallelism
+    instead of pinning a constant (VERDICT r3 #3)."""
+    n = ingest.state_partitions(spark)
+    expected = max(4, spark.sparkContext.defaultParallelism // 8)
+    assert n == expected
+    assert ingest.state_partitions(spark, cores_per_state_partition=1) \
+        == spark.sparkContext.defaultParallelism
