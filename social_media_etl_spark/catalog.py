@@ -138,24 +138,43 @@ _SNIFF_TS_COLS: dict[str, tuple[str, ...]] = {
 }
 
 
-@functools.lru_cache(maxsize=64)
 def parquet_ts_unit(path: str, col: str) -> str | None:
     """Physical timestamp unit ('ns'/'us'/'ms'/'s') of ``col`` at ``path``.
 
     Reads only the parquet footer (pyarrow); returns None if the column
     is missing, not a timestamp, or the footer can't be read. Accepts a
-    single file or a directory of part files.
+    single file or a directory of part files. The memo key includes the
+    file's (mtime, size): this sniff exists precisely because the
+    driver regenerates testdata in place, so a path-only cache would
+    serve the stale unit across a regeneration and silently reapply or
+    skip the div-1000 conversion (ADVICE r3).
     """
+    try:
+        import pyarrow  # noqa: F401 — fail fast before any stat calls
+    except Exception:
+        return None
+    target = path
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            return None
+        target = parts[0]
+    try:
+        st = os.stat(target)
+        fingerprint = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
+    return _parquet_ts_unit_cached(target, col, fingerprint)
+
+
+@functools.lru_cache(maxsize=64)
+def _parquet_ts_unit_cached(
+    target: str, col: str, fingerprint: tuple[int, int]
+) -> str | None:
     try:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        target = path
-        if os.path.isdir(path):
-            parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
-            if not parts:
-                return None
-            target = parts[0]
         field_type = pq.ParquetFile(target).schema_arrow.field(col).type
         return field_type.unit if pa.types.is_timestamp(field_type) else None
     except Exception:

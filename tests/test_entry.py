@@ -103,3 +103,77 @@ def test_nanos_parquet_fallback_path(spark, tmp_path):
     assert isinstance(df.schema["ts"].dataType, T.TimestampType)
     got = [r["us"] for r in df.select(F.unix_micros("ts").alias("us")).orderBy("us").collect()]
     assert got == [base_us, base_us + 1]
+
+
+def test_parquet_ts_unit_cache_survives_regeneration(tmp_path):
+    """The sniff cache keys on (mtime, size), so an in-place testdata
+    regeneration (the exact scenario the sniff exists for) is seen
+    immediately instead of serving the stale unit (ADVICE r3)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from social_media_etl_spark.catalog import parquet_ts_unit
+
+    path = str(tmp_path / "events.parquet")
+    base_us = 1_700_000_000_000_000
+    pq.write_table(
+        pa.table({"ts": pa.array([base_us], pa.timestamp("us"))}), path
+    )
+    assert parquet_ts_unit(path, "ts") == "us"
+    # regenerate IN PLACE as nanos (different row count → different
+    # size, so the fingerprint flips even on coarse-mtime filesystems)
+    pq.write_table(
+        pa.table({
+            "ts": pa.array(
+                [(base_us + i) * 1000 for i in range(3)], pa.timestamp("ns")
+            )
+        }),
+        path, version="2.6", coerce_timestamps=None,
+    )
+    assert parquet_ts_unit(path, "ts") == "ns"
+
+
+def test_streaming_nanos_fallback(spark, tmp_path):
+    """ADVICE r3: the nanos fallback was only exercised on the batch
+    path; drain the file-source STREAM over a synthetic nanos parquet
+    dir and assert the same instants as a native micros read."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entry
+    from social_media_etl_spark.streaming import ingest
+
+    base_us = 1_700_000_000_000_000
+    rows = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "ts": pa.array(
+            [(base_us + i) * 1000 for i in range(2)], pa.timestamp("ns")
+        ),
+        "user_id": pa.array([10, 20], pa.int64()),
+        "event_type": pa.array(["click", "purchase"]),
+        "value": pa.array([1.0, 2.0], pa.float64()),
+        "props": pa.array(["{}", "{}"]),
+    }
+    sf_dir = str(tmp_path / "sfnano_stream")
+    os.makedirs(sf_dir)
+    pq.write_table(
+        pa.table(rows), os.path.join(sf_dir, "events.parquet"),
+        version="2.6", coerce_timestamps=None,
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    stream = entry._stream_events(spark, sf_dir)
+    assert isinstance(stream.schema["ts"].dataType, T.TimestampType)
+    out = ingest.run_available_now(
+        stream, str(tmp_path / "ckpt_nanos"), query_name="nanos_fallback"
+    )
+    got = [
+        r["us"]
+        for r in out.select(F.unix_micros("ts").alias("us")).orderBy("us").collect()
+    ]
+    assert got == [base_us, base_us + 1]
