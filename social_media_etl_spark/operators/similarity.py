@@ -86,22 +86,30 @@ def _block_table(
     """One row per block: (blk, ids list<long>, vs flat list<double>).
     Block assignment by hash of the id — uniform regardless of id
     distribution, no global sort. Each block row is ~block_size × dim ×
-    8 bytes. ids/vs stay ALIGNED because both collect_lists update in
-    the same aggregation pass over the same row order. The vectors ride
-    as ONE flattened double array (reshaped numpy-side) instead of
-    list<struct<id, array>>: Arrow then hands the Python worker a flat
-    float64 buffer rather than block_size dicts of Python lists —
-    that per-element object materialization was ~3× the matmul itself."""
+    8 bytes. ids/vs are ALIGNED BY CONSTRUCTION: a single collect_list
+    of (id, v) structs is array_sort'ed by id, then ids and vs are
+    projected out of the same sorted array — no reliance on two
+    aggregates seeing the same row order through partial-agg merges
+    (Spark doesn't document that; ADVICE r3), and block contents are
+    deterministic regardless of scan/merge order. The vectors still
+    ride as ONE flattened double array (reshaped numpy-side): Arrow
+    hands the Python worker a flat float64 buffer rather than
+    block_size dicts of Python lists — that per-element object
+    materialization was ~3× the matmul itself."""
     return (
         df.select(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
-            F.col(id_col).cast("long").alias("id"),
-            F.col(vec_col).cast("array<double>").alias("v"),
+            F.struct(
+                F.col(id_col).cast("long").alias("id"),
+                F.col(vec_col).cast("array<double>").alias("v"),
+            ).alias("e"),
         )
         .groupBy("blk")
-        .agg(
-            F.collect_list("id").alias("ids"),
-            F.flatten(F.collect_list("v")).alias("vs"),
+        .agg(F.array_sort(F.collect_list("e")).alias("es"))
+        .select(
+            "blk",
+            F.transform("es", lambda e: e["id"]).alias("ids"),
+            F.flatten(F.transform("es", lambda e: e["v"])).alias("vs"),
         )
     )
 
