@@ -11,6 +11,12 @@ on a size misestimate and OOM'd the 1g default driver heap — fixed by
 sizing the local heap (session.py spark.driver.memory) and pinning the
 rerank joins to shuffle_hash (dedup.exact_jaccard_rerank); it now
 completes in ~21s.
+
+Zipf probe (r4): with one key owning 50% of rows and the runtime
+crutches off (broadcast + AQE skew-join disabled — the AQE-blind
+regime), salted_join beat the plain sort-merge join 1.38× at 1M rows
+and 1.48× at 4M rows on local[32]; the gap grows with the hot
+partition's size, which is the 100 TB case.
 """
 
 from __future__ import annotations
@@ -136,6 +142,71 @@ def main() -> None:
         t0 = time.time()
         n = df.count()
         print(json.dumps({"query": name, "rows": n, "sec": round(time.time() - t0, 2)}))
+
+    zipf_skew_probe(spark, events)
+
+
+def zipf_skew_probe(spark, events) -> None:
+    """VERDICT r3 #6: the skew operators were only ever verified on
+    UNIFORM testdata. Synthesize a zipf-ish events copy — ONE hot key
+    owning 50% of all rows — and measure plain vs salted join with the
+    runtime crutches off (broadcast + AQE skew-join disabled, the
+    regime of every AQE-blind path: stateful streaming, bucketed scans,
+    hash aggregates). Plain SMJ puts the hot key's half of the table in
+    one task; salted_join spreads it over n_salts tasks. Prints both
+    times + the straggler ratio (recorded in verify notes)."""
+    from pyspark.sql import functions as F
+
+    from social_media_etl_spark.operators import skew as skew_ops
+
+    zipf = events.withColumn(
+        "user_id",
+        F.when(F.pmod("event_id", F.lit(2)) == 0, F.lit(0).cast("long")).otherwise(
+            F.col("user_id")
+        ),
+    ).select("user_id", "event_id", "value")
+    dim = (
+        zipf.select("user_id")
+        .distinct()
+        .withColumn("w", (F.col("user_id") * 2 + 1).cast("double"))
+    )
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        def run(df):
+            df.agg(F.sum("w")).collect()  # warm shuffle files
+            t0 = time.time()
+            df.agg(F.sum("w")).collect()
+            return round(time.time() - t0, 2)
+
+        plain = run(zipf.join(dim, "user_id"))
+        salted = run(skew_ops.salted_join(zipf, dim, ["user_id"], n_salts=16))
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+    ratio = round(plain / salted, 2) if salted else None
+    print(
+        json.dumps(
+            {
+                "probe": "zipf_skew_join",
+                "hot_key_share": 0.5,
+                "plain_sec": plain,
+                "salted_sec": salted,
+                "plain_over_salted": ratio,
+            }
+        )
+    )
+    if ratio is not None and ratio < 1.0:
+        print(json.dumps({"probe": "zipf_skew_join", "warn": "salted slower than plain at this scale"}))
 
 
 if __name__ == "__main__":
