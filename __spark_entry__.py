@@ -1549,38 +1549,18 @@ def _table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB profile shape: ``table_profile(exact_distinct=False)``
-    swaps every per-column exact COUNT(DISTINCT) for HLL
-    ``approx_count_distinct`` — one pass, no per-column value shuffle,
-    constant memory per column regardless of cardinality. Certified the
-    _approx_gate way: the query RETURNS the exact profile (hash-checked
-    against the same SQL as table_profile_orders) cross-joined with a
-    gate that EMPTIES the output unless every HLL estimate lands within
-    3× the configured rsd (5% default → 15% relative, +1 absolute slack
-    for tiny cardinalities where HLL is exact-by-sparse-mode anyway).
-    An estimator regression zeroes the row count instead of silently
-    shipping wrong stats."""
-    from social_media_etl_spark.cache import persist_tracked
-    from social_media_etl_spark.operators.profile import table_profile
+    """The HLL profile path certified in ONE scan
+    (``table_profile_certified``): exact countDistinct and
+    approx_count_distinct ride the same aggregate, and the gate is a
+    filter on the single wide row — no second pass, no join, no
+    persist. The query RETURNS the exact profile (hash-checked against
+    the same SQL as table_profile_orders); any HLL estimate straying
+    past 15% relative error (+1 absolute for tiny cardinalities)
+    EMPTIES the output, failing the driver's row-count check loudly
+    instead of silently shipping drifted stats."""
+    from social_media_etl_spark.operators.profile import table_profile_certified
 
-    orders = load_table(spark, sf_dir, "orders")
-    exact = persist_tracked(table_profile(orders))
-    approx = table_profile(orders, exact_distinct=False)
-    e = exact.filter(F.col("metric") == "n_distinct").select(
-        F.col("column").alias("c"), F.col("value").alias("ev")
-    )
-    a = approx.filter(F.col("metric") == "n_distinct").select(
-        F.col("column").alias("c"), F.col("value").alias("av")
-    )
-    bad = e.join(a, "c").filter(
-        F.abs(F.col("av") - F.col("ev")) > 0.15 * F.col("ev") + F.lit(1.0)
-    )
-    gate = (
-        bad.agg(F.count(F.lit(1)).alias("n_bad"))
-        .filter(F.col("n_bad") == 0)
-        .select(F.lit(1).alias("__gate"))
-    )
-    return exact.crossJoin(F.broadcast(gate)).drop("__gate")
+    return table_profile_certified(load_table(spark, sf_dir, "orders"))
 
 
 def _user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -174,3 +174,35 @@ def test_integrity_validators(spark):
     assert [r.ok for r in results] == [False, False]
     with pytest.raises(ValueError):
         validate({"parent_pk": pk_violations(parent, ["id"])}, fail_fast=True)
+
+
+def test_table_profile_certified_matches_exact_profile(spark):
+    """Certified profile returns exactly the exact profile's rows when
+    the HLL gate holds (it must, on tiny data: HLL sparse mode)."""
+    from social_media_etl_spark.operators.profile import (
+        table_profile,
+        table_profile_certified,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", float(i)) for i in range(50)],
+        "id long, s string, v double",
+    )
+    exact = {(r["column"], r["metric"]): r["value"] for r in table_profile(df).collect()}
+    cert = {
+        (r["column"], r["metric"]): r["value"]
+        for r in table_profile_certified(df).collect()
+    }
+    assert cert == exact and len(cert) > 0
+
+
+def test_table_profile_certified_gate_empties_on_breach(spark):
+    """An unsatisfiable tolerance must EMPTY the output (loud row-count
+    failure), not ship stats."""
+    from social_media_etl_spark.operators.profile import table_profile_certified
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "id long, v double"
+    )
+    out = table_profile_certified(df, rel_err=0.0, abs_slack=-1.0)
+    assert out.count() == 0
