@@ -1593,6 +1593,59 @@ def _user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _importance_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-proportional deterministic downsampling: keep each doc
+    with probability equal to its (length-proxy) quality weight, the
+    keep decision a pure md5 function of doc_id — growth-stable and
+    engine-replayable (the oracle recomputes the identical sample).
+    One scan, no shuffle; at 100 TB this is the cheapest possible
+    corpus reweighting."""
+    from social_media_etl_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    weighted = docs.withColumn(
+        "weight", F.least(F.lit(1.0), F.col("n_chars") / F.lit(400.0))
+    )
+    return (
+        sampling.importance_sample(weighted, "doc_id", "weight")
+        .select("doc_id", "source", F.round("weight", 6).alias("weight"))
+        .orderBy("doc_id")
+    )
+
+
+def _token_budget_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget curation: every source gets at most 500 tokens,
+    longest (quality-proxy) documents first — the mixing primitive
+    that turns per-source weights into an actual bounded dataset.
+    One window shuffle on source; output ≤ strata × budget rows
+    regardless of corpus size."""
+    from social_media_etl_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.when(F.trim("text") == "", F.lit(0))
+        .otherwise(F.size(TXT.tokens("text")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return (
+        sampling.budget_quota(
+            d, "source", "n_tokens", 500, [F.desc("n_chars"), F.col("doc_id")]
+        )
+        .select("doc_id", "source", "n_tokens", "cum_n_tokens")
+        .orderBy("doc_id")
+    )
+
+
+def _funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view→click→purchase ordered funnel; chained same-partition
+    window mins mean the whole funnel rides ONE user_id shuffle."""
+    return analytics.funnel_conversion(load_table(spark, sf_dir, "events"))
+
+
 def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END image pipeline on REAL pixels with zero codec libs:
     synthesize a deterministic solid-color PPM per document (real P6
@@ -2094,6 +2147,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": _bpe_pair_counts,
         "embedding_label_centroids": _embedding_label_centroids,
         "source_mixing_weights": _source_mixing_weights,
+        # -- new in r4 AFTER the window filled: ungraded until r5 —
+        # rotate these to the FRONT of the r5 window ------------------
+        "importance_sampling": _importance_sampling,
+        "token_budget_curation": _token_budget_curation,
+        "funnel_conversion": _funnel_conversion,
     }
     return {name: _managed(fn) for name, fn in qs.items()}
 
@@ -3642,6 +3700,88 @@ def oracle_sql() -> dict[str, str]:
             FROM act a JOIN cohort c USING (user_id)
             GROUP BY 1, 2
             ORDER BY 1, 2
+        """,
+        # Replays the md5-uniform acceptance exactly: both engines map
+        # the first 8 hex digits of md5('imp:'||doc_id) to [0,1) (the
+        # integer and the /2^32 division are both exact in doubles).
+        "importance_sampling": """
+            WITH wdocs AS (
+                SELECT doc_id, source,
+                       least(1.0, n_chars / 400.0) AS weight,
+                       ('0x' || substr(md5('imp:' || CAST(doc_id AS VARCHAR)),
+                                       1, 8))::BIGINT / 4294967296.0 AS u
+                FROM documents
+            )
+            SELECT doc_id, source, round(weight, 6) AS weight
+            FROM wdocs WHERE u < weight ORDER BY doc_id
+        """,
+        "token_budget_curation": """
+            WITH t AS (
+                SELECT doc_id, source, n_chars,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(lower(text)),
+                                                        '\\s+')) END
+                           AS n_tokens
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, source, n_tokens,
+                       sum(n_tokens) OVER (
+                           PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS cum_n_tokens
+                FROM t
+            )
+            SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(cum_n_tokens AS BIGINT) AS cum_n_tokens
+            FROM c WHERE cum_n_tokens <= 500 ORDER BY doc_id
+        """,
+        # Chained window mins replay the ordered-funnel semantics; the
+        # step timestamps are constant per user so any_value collapses.
+        "funnel_conversion": """
+            WITH e1 AS (
+                SELECT user_id, event_type, ts,
+                       min(CASE WHEN event_type = 'view' THEN ts END)
+                           OVER (PARTITION BY user_id) AS s0
+                FROM events
+            ),
+            e2 AS (
+                SELECT *, min(CASE WHEN event_type = 'click' AND ts > s0
+                                   THEN ts END)
+                              OVER (PARTITION BY user_id) AS s1
+                FROM e1
+            ),
+            e3 AS (
+                SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > s1
+                                   THEN ts END)
+                              OVER (PARTITION BY user_id) AS s2
+                FROM e2
+            ),
+            pu AS (
+                SELECT user_id, any_value(s0) AS s0, any_value(s1) AS s1,
+                       any_value(s2) AS s2
+                FROM e3 GROUP BY user_id
+            ),
+            c AS (
+                SELECT count(s0) AS n0, count(s1) AS n1, count(s2) AS n2
+                FROM pu
+            )
+            SELECT * FROM (
+                SELECT CAST(1 AS BIGINT) AS step_no, 'view' AS step,
+                       n0 AS n_users, CAST(NULL AS DOUBLE) AS conv_rate
+                FROM c
+                UNION ALL
+                SELECT 2, 'click', n1,
+                       CASE WHEN n0 > 0
+                            THEN round(n1 * 1.0 / n0, 6) END
+                FROM c
+                UNION ALL
+                SELECT 3, 'purchase', n2,
+                       CASE WHEN n1 > 0
+                            THEN round(n2 * 1.0 / n1, 6) END
+                FROM c
+            ) ORDER BY step_no
         """,
     }
     # the approx-gated profile RETURNS the exact profile (the gate only

@@ -9,11 +9,18 @@ from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-__all__ = ["stratified_sample", "quota_per_stratum", "deterministic_split", "md5_split"]
+__all__ = [
+    "stratified_sample",
+    "quota_per_stratum",
+    "deterministic_split",
+    "md5_split",
+    "importance_sample",
+    "budget_quota",
+]
 
 
 def stratified_sample(
@@ -98,3 +105,64 @@ def md5_split(
         cond = digit <= hexmap[acc - 1]
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return df.withColumn("split", expr)
+
+
+def importance_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: Column | str,
+    salt: str = "imp",
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sampling: keep a row iff
+    uniform(key) < weight, where uniform is the first 8 hex digits of
+    md5(salt:key) mapped to [0, 1). The per-row keep probability equals
+    its weight (quality-proportional corpus downsampling), yet the
+    decision is a pure function of the key — reruns, retries, and
+    corpus growth never flip a row's fate (unlike rand()-based
+    sampling), and any engine can replay the exact sample (DuckDB
+    oracle does). One scan, no shuffle, no RNG state.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt + ":"), F.col(key_col).cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 32))
+    )
+    return df.filter(u < w)
+
+
+def budget_quota(
+    df: DataFrame,
+    stratum_col: str,
+    size_col: str,
+    budget: int,
+    order_by: Sequence[str | Column],
+) -> DataFrame:
+    """Per-stratum SIZE budget (token-budget curation): order each
+    stratum deterministically (quality-first), take rows while the
+    running total of ``size_col`` stays within ``budget``. The
+    data-mixing primitive 'give every source at most N tokens, best
+    documents first'. One shuffle (window partitioned by stratum);
+    output size is bounded by strata × budget regardless of corpus
+    size. Adds ``cum_{size_col}`` (the running total including the
+    current row)."""
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(*[F.col(c) if isinstance(c, str) else c for c in order_by])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = f"cum_{size_col}"
+    return df.withColumn(cum, F.sum(size_col).over(w)).filter(
+        F.col(cum) <= budget
+    )

@@ -869,3 +869,59 @@ def customer_value_deciles(customer: DataFrame, orders: DataFrame) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     ).orderBy("c_custkey")
+
+
+def funnel_conversion(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-step funnel over an event stream: a user counts for step
+    i only with a step-i event STRICTLY AFTER their first qualifying
+    step-(i-1) event. Returns (step_no, step, n_users, conv_rate) —
+    conv_rate is the fraction converted from the previous step.
+
+    Plan shape: every per-step first-timestamp is a windowed min over
+    the SAME user partition, so the chain of ``len(steps)`` window
+    passes plus the per-user collapse all ride ONE shuffle on user_id;
+    the final counts are a scalar aggregate exploded to ``len(steps)``
+    rows. No joins, no second shuffle — at 100 TB the cost is the one
+    user-keyed exchange the sessionization queries already pay."""
+    w = Window.partitionBy(user_col)
+    cur, prev = events, None
+    for i, s in enumerate(steps):
+        cond = F.col(type_col) == s
+        if prev is not None:
+            cond = cond & (F.col(ts_col) > F.col(prev))
+        name = f"__s{i}"
+        cur = cur.withColumn(name, F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev = name
+    per_user = cur.groupBy(user_col).agg(
+        *[F.first(f"__s{i}").alias(f"s{i}") for i in range(len(steps))]
+    )
+    counts = per_user.agg(
+        *[F.count(f"s{i}").alias(f"n{i}") for i in range(len(steps))]
+    )
+    entries = [
+        F.struct(
+            F.lit(i + 1).cast("long").alias("step_no"),
+            F.lit(s).alias("step"),
+            F.col(f"n{i}").alias("n_users"),
+            (
+                F.when(
+                    F.col(f"n{i-1}") > 0,
+                    F.round(F.col(f"n{i}") / F.col(f"n{i-1}"), 6),
+                )
+                if i > 0
+                else F.lit(None).cast("double")
+            ).alias("conv_rate"),
+        )
+        for i, s in enumerate(steps)
+    ]
+    return (
+        counts.select(F.explode(F.array(*entries)).alias("e"))
+        .select("e.step_no", "e.step", "e.n_users", "e.conv_rate")
+        .orderBy("step_no")
+    )

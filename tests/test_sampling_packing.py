@@ -120,3 +120,73 @@ def test_md5_split_stable_and_partitioned(spark):
 
     with pytest.raises(ValueError):
         sampling.md5_split(docs, "k", {"a": 3, "b": 3})
+
+
+def test_importance_sample_deterministic_and_proportional(spark):
+    """Same input → identical sample across runs; acceptance rate
+    tracks the weight (±10% at n=2000, p=0.5)."""
+    from social_media_etl_spark.operators.sampling import importance_sample
+    from pyspark.sql import functions as F
+
+    df = spark.range(2000).withColumn("w", F.lit(0.5))
+    a = sorted(r["id"] for r in importance_sample(df, "id", "w").collect())
+    b = sorted(r["id"] for r in importance_sample(df, "id", "w").collect())
+    assert a == b
+    assert 0.40 * 2000 < len(a) < 0.60 * 2000
+    # weight 0 keeps nothing; weight 1 keeps everything
+    assert importance_sample(df.withColumn("w", F.lit(0.0)), "id", "w").count() == 0
+    assert importance_sample(df.withColumn("w", F.lit(1.0)), "id", "w").count() == 2000
+
+
+def test_budget_quota_respects_budget_and_order(spark):
+    """Every stratum's kept rows satisfy the running budget and are the
+    PREFIX of the deterministic order (best-first)."""
+    from social_media_etl_spark.operators.sampling import budget_quota
+    from pyspark.sql import functions as F
+
+    rows = [(i, "a" if i % 2 == 0 else "b", 10 + (i % 7)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, src string, sz long")
+    out = budget_quota(df, "src", "sz", 60, [F.desc("sz"), F.col("id")]).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["src"], []).append(r)
+    assert set(by_src) == {"a", "b"}
+    for src, kept in by_src.items():
+        assert max(r["cum_sz"] for r in kept) <= 60
+        # prefix property: kept ids = first len(kept) of the sorted order
+        full = sorted(
+            (r for r in rows if r[1] == src), key=lambda t: (-t[2], t[0])
+        )
+        assert sorted(r["id"] for r in kept) == sorted(
+            t[0] for t in full[: len(kept)]
+        )
+
+
+def test_funnel_conversion_ordering_semantics(spark):
+    """A click BEFORE the user's first view must not count; conversion
+    rates divide consecutive step counts."""
+    from social_media_etl_spark.plans.analytics import funnel_conversion
+    from pyspark.sql import functions as F
+
+    rows = [
+        # u1: full ordered funnel
+        (1, "view", "2024-01-01 10:00:00"),
+        (1, "click", "2024-01-01 10:05:00"),
+        (1, "purchase", "2024-01-01 10:10:00"),
+        # u2: click precedes the first view -> stops at view
+        (2, "click", "2024-01-01 09:00:00"),
+        (2, "view", "2024-01-01 10:00:00"),
+        # u3: view then click, no purchase
+        (3, "view", "2024-01-01 08:00:00"),
+        (3, "click", "2024-01-01 08:30:00"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["step"]: r for r in funnel_conversion(ev).collect()}
+    assert out["view"]["n_users"] == 3
+    assert out["click"]["n_users"] == 2
+    assert out["purchase"]["n_users"] == 1
+    assert out["view"]["conv_rate"] is None
+    assert abs(out["click"]["conv_rate"] - round(2 / 3, 6)) < 1e-9
+    assert out["purchase"]["conv_rate"] == 0.5
