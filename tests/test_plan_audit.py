@@ -44,7 +44,7 @@ def test_single_partition_exchanges_are_known(spark):
         "q19_banded_revenue", "q22_idle_rich_customers",
         "approx_distinct_sketch_rollup", "table_profile_orders",
         "tfidf_top_terms", "unigram_logprob_quality", "set_ops_priority_custs",
-        "source_mixing_weights", "blog_a_most_active",
+        "source_mixing_weights", "blog_a_most_active", "funnel_conversion",
         # one-row verification gates (_approx_gate / HLL profile gate)
         "approx_quantiles_gated", "dedup_minhash_lsh", "dedup_simhash",
         "ann_lsh_topk", "ann_ivf_topk", "table_profile_orders_approx",
