@@ -146,3 +146,57 @@ def test_empty_input_contract(spark):
 
     flat = flattened_columns(empty_users.schema)
     assert len(flat) == 6  # id, name, city, geo_lat, geo_lng, company name
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 500), st.integers(0, 2), st.integers(1, 30)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    budget=st.integers(5, 120),
+)
+@settings(**_SETTINGS)
+def test_budget_quota_matches_bruteforce(spark, rows, budget):
+    """budget_quota ≡ the per-stratum greedy prefix of the sorted order."""
+    from social_media_etl_spark.operators.sampling import budget_quota
+
+    df = spark.createDataFrame(rows, "id long, src long, sz long")
+    got = sorted(
+        (r["id"], r["cum_sz"])
+        for r in budget_quota(
+            df, "src", "sz", budget, [F.desc("sz"), F.col("id")]
+        ).collect()
+    )
+    want = []
+    for src in {t[1] for t in rows}:
+        acc = 0
+        for i, _, sz in sorted(
+            (t for t in rows if t[1] == src), key=lambda t: (-t[2], t[0])
+        ):
+            acc += sz
+            if acc > budget:
+                break
+            want.append((i, acc))
+    assert got == sorted(want)
+
+
+@given(
+    ids=st.lists(st.integers(0, 10_000), min_size=1, max_size=60, unique=True),
+    w=st.floats(0.0, 1.0, allow_nan=False),
+)
+@settings(**_SETTINGS)
+def test_importance_sample_is_pure_function_of_key(spark, ids, w):
+    """Membership is decided per-key: sampling a subset yields exactly
+    the intersection of the full sample (growth stability)."""
+    from social_media_etl_spark.operators.sampling import importance_sample
+
+    df = spark.createDataFrame([(i,) for i in ids], "id long").withColumn(
+        "w", F.lit(w)
+    )
+    full = {r["id"] for r in importance_sample(df, "id", "w").collect()}
+    half_ids = ids[: len(ids) // 2 + 1]
+    half = df.filter(F.col("id").isin(half_ids))
+    sub = {r["id"] for r in importance_sample(half, "id", "w").collect()}
+    assert sub == full & set(half_ids)
