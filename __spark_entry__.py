@@ -1549,15 +1549,16 @@ def _table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The HLL profile path certified in ONE scan
-    (``table_profile_certified``): exact countDistinct and
-    approx_count_distinct ride the same aggregate, and the gate is a
-    filter on the single wide row — no second pass, no join, no
-    persist. The query RETURNS the exact profile (hash-checked against
-    the same SQL as table_profile_orders); any HLL estimate straying
-    past 15% relative error (+1 absolute for tiny cardinalities)
-    EMPTIES the output, failing the driver's row-count check loudly
-    instead of silently shipping drifted stats."""
+    """The HLL profile path certified against the exact one
+    (``table_profile_certified``): two pruned one-row aggregates
+    cross-joined, gate = a filter on that row (a single mixed
+    aggregate measured 4× slower — the multi-distinct expand carries
+    HLL sketch state; see the operator docstring). The query RETURNS
+    the exact profile (hash-checked against the same SQL as
+    table_profile_orders); any HLL estimate straying past 15% relative
+    error (+1 absolute for tiny cardinalities) EMPTIES the output,
+    failing the driver's row-count check loudly instead of silently
+    shipping drifted stats."""
     from social_media_etl_spark.operators.profile import table_profile_certified
 
     return table_profile_certified(load_table(spark, sf_dir, "orders"))
