@@ -14,9 +14,10 @@ completes in ~21s.
 
 Zipf probe (r4): with one key owning 50% of rows and the runtime
 crutches off (broadcast + AQE skew-join disabled — the AQE-blind
-regime), salted_join beat the plain sort-merge join 1.38× at 1M rows
-and 1.48× at 4M rows on local[32]; the gap grows with the hot
-partition's size, which is the 100 TB case.
+regime), salted_join beats the plain sort-merge join 1.25-1.5× at 4M
+rows on local[32] (below ~4M the local shuffle is too fast for the
+straggler to dominate, so the probe self-inflates); the gap grows
+with the hot partition's size, which is the 100 TB case.
 """
 
 from __future__ import annotations
@@ -64,7 +65,7 @@ def main() -> None:
     # (plain union would only duplicate every doc mult times)
     from pyspark.sql import functions as F
 
-    from social_media_etl_spark.operators import chunking, dedup, similarity
+    from social_media_etl_spark.operators import chunking, dedup, sampling, similarity
 
     base_docs = load_table(spark, SF_DIR, "documents")
     n_docs = base_docs.count()
@@ -121,6 +122,41 @@ def main() -> None:
             chunking.chunk_documents(docs, chunk_tokens=64, overlap=16),
             max_tokens=512,
         ),
+        # r4 additions: funnel + retention ride the inflated events
+        # (one user_id shuffle each); curation/sampling ride the
+        # remapped-id docs (budget output stays bounded per source)
+        "funnel_conversion": lambda: analytics.funnel_conversion(events),
+        "user_retention_cohorts": lambda: events.groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).cast("date").alias("cw"))
+        .join(
+            events.select(
+                "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("aw")
+            ).distinct(),
+            "user_id",
+        )
+        .groupBy("cw", ((F.datediff("aw", "cw")) / 7).cast("long").alias("off"))
+        .agg(F.count_distinct("user_id").alias("n")),
+        "token_budget_curation": lambda: sampling.budget_quota(
+            docs.select(
+                "doc_id",
+                "source",
+                "n_chars",
+                F.size(F.split(F.trim(F.lower("text")), r"\s+")).cast("long").alias(
+                    "n_tokens"
+                ),
+            ),
+            "source",
+            "n_tokens",
+            500,
+            [F.desc("n_chars"), F.col("doc_id")],
+        ),
+        "importance_sampling": lambda: sampling.importance_sample(
+            docs.withColumn(
+                "weight", F.least(F.lit(1.0), F.col("n_chars") / F.lit(400.0))
+            ),
+            "doc_id",
+            "weight",
+        ),
         "bpe_pairs_agg": lambda: docs.select(
             F.split(F.trim(F.lower("text")), r"\s+").alias("w")
         )
@@ -154,11 +190,20 @@ def zipf_skew_probe(spark, events) -> None:
     regime of every AQE-blind path: stateful streaming, bucketed scans,
     hash aggregates). Plain SMJ puts the hot key's half of the table in
     one task; salted_join spreads it over n_salts tasks. Prints both
-    times + the straggler ratio (recorded in verify notes)."""
+    times + the straggler ratio (recorded in verify notes). The probe
+    inflates its input to ≥4M rows (below that, local[32]'s shuffle is
+    too fast for the straggler to dominate — measured parity at 1M rows
+    vs 1.5× at 4M) and takes best-of-2 timings."""
+    from functools import reduce
+
     from pyspark.sql import functions as F
 
     from social_media_etl_spark.operators import skew as skew_ops
 
+    n = events.count()
+    if n < 4_000_000:
+        k = -(-4_000_000 // max(n, 1))  # ceil
+        events = reduce(lambda a, b: a.unionAll(b), [events] * k)
     zipf = events.withColumn(
         "user_id",
         F.when(F.pmod("event_id", F.lit(2)) == 0, F.lit(0).cast("long")).otherwise(
@@ -184,9 +229,13 @@ def zipf_skew_probe(spark, events) -> None:
     try:
         def run(df):
             df.agg(F.sum("w")).collect()  # warm shuffle files
-            t0 = time.time()
-            df.agg(F.sum("w")).collect()
-            return round(time.time() - t0, 2)
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                df.agg(F.sum("w")).collect()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            return round(best, 2)
 
         plain = run(zipf.join(dim, "user_id"))
         salted = run(skew_ops.salted_join(zipf, dim, ["user_id"], n_salts=16))
