@@ -210,6 +210,25 @@ def interval_join(
     return l.join(r, cond, how).drop("__r_key")
 
 
+#: Session confs that switch streaming state to RocksDB — the 100 TB
+#: state-store choice. The default HDFSBackedStateStoreProvider keeps
+#: every key's state as JVM objects on the executor heap (state size is
+#: bounded by memory, GC pauses scale with it); RocksDB spills to local
+#: SSD with bounded block-cache memory, and changelog checkpointing
+#: ships per-batch deltas instead of full snapshots. Apply via
+#: ``get_spark(extra_conf=ROCKSDB_STATE_CONF)`` (provider is read at
+#: query start and frozen into the checkpoint for the query lifetime).
+#: Verified working in this environment by
+#: tests/test_streaming.py::test_rocksdb_state_store_parity.
+ROCKSDB_STATE_CONF: dict[str, str] = {
+    "spark.sql.streaming.stateStore.providerClass":
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled":
+        "true",
+}
+
+
 def state_partitions(
     spark, cores_per_state_partition: int = 8, floor: int = 4
 ) -> int:

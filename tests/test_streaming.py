@@ -386,3 +386,35 @@ def test_state_partitions_scales_with_cores(spark):
     assert n == expected
     assert ingest.state_partitions(spark, cores_per_state_partition=1) \
         == spark.sparkContext.defaultParallelism
+
+
+def test_rocksdb_state_store_parity(spark, events_stream_dir, tmp_path):
+    """The RocksDB state store (the 100 TB choice — disk-backed state,
+    changelog checkpoints) produces byte-identical windowed aggregates
+    to the default heap-backed provider."""
+    from social_media_etl_spark.streaming.ingest import ROCKSDB_STATE_CONF
+
+    saved = {k: spark.conf.get(k, None) for k in ROCKSDB_STATE_CONF}
+    for k, v in ROCKSDB_STATE_CONF.items():
+        spark.conf.set(k, v)
+    try:
+        stream = ingest.read_events_stream(spark, events_stream_dir)
+        out = ingest.run_available_now(
+            ingest.windowed_counts(stream),
+            str(tmp_path / "ckpt_rocks"),
+            output_mode="complete",
+            query_name="win_counts_rocks",
+        )
+        got = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in out.collect()
+        }
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+    batch = analytics.events_windowed_agg(_batch_events(spark, events_stream_dir))
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in batch.collect()
+    }
+    assert got == want and len(want) > 10
