@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "write_partitioned",
+    "compact_parquet_dir",
     "upsert_parquet",
     "scd2_apply",
     "jdbc_options",
@@ -220,3 +221,48 @@ def scd2_apply(
     return versions.withColumn(
         end_col, F.lead(effective_col).over(w2)
     ).withColumn(current_col, F.col(end_col).isNull())
+
+
+def compact_parquet_dir(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    schema=None,
+) -> int:
+    """Compact a parquet directory's small files into ~target-sized
+    ones; returns the new file count.
+
+    The streaming-sink maintenance op: high-frequency micro-batches
+    leave one file per (batch × partition), and at 100 TB a scan over
+    millions of KB-sized files is dominated by open/footer overhead.
+    Listing and the final swap go through the Hadoop FileSystem API, so
+    the same code compacts ``file://``, ``hdfs://``, ``gs://``,
+    ``s3a://`` paths. The rewrite is read → repartition(ceil(bytes /
+    target)) → write to a sibling temp dir → rename over the original
+    — rename is atomic on HDFS/local but only per-file on object
+    stores, so schedule compaction in the maintenance window there (as
+    every table format's docs also insist). Pass ``schema`` to pin the
+    read schema (skips inference over the many small footers).
+    """
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(jpath).getLength()
+    n_files = max(1, -(-total // target_file_bytes))  # ceil
+
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.parquet(path)
+    tmp = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compacting")
+    if fs.exists(tmp):
+        fs.delete(tmp, True)
+    df.repartition(int(n_files)).write.mode("overwrite").parquet(str(tmp))
+    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__precompact")
+    if fs.exists(old):
+        fs.delete(old, True)
+    fs.rename(jpath, old)
+    fs.rename(tmp, jpath)
+    fs.delete(old, True)
+    return int(n_files)

@@ -174,3 +174,29 @@ def test_upsert_parquet_raises_on_non_missing_read_error(spark, tmp_path):
     # the corrupt file is still there — nothing overwrote the table
     with open(os.path.join(path, "part-000.parquet"), "rb") as f:
         assert f.read() == b"this is not parquet"
+
+
+def test_compact_parquet_dir_shrinks_files_preserves_rows(spark, tmp_path):
+    """Compaction collapses a many-small-files dir to ~target-sized
+    files with identical content (the streaming-sink maintenance op)."""
+    import glob
+    import os
+
+    from social_media_etl_spark.operators.warehouse import compact_parquet_dir
+
+    path = str(tmp_path / "small_files")
+    df = spark.range(10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(40).write.parquet(path)
+    before = len(glob.glob(os.path.join(path, "*.parquet")))
+    assert before >= 40
+
+    n = compact_parquet_dir(spark, path, target_file_bytes=1 << 30)
+    after = len(glob.glob(os.path.join(path, "*.parquet")))
+    assert n == 1 and after == 1
+    got = sorted(
+        (r["id"], r["v"]) for r in spark.read.parquet(path).collect()
+    )
+    assert got == [(i, 2 * i) for i in range(10_000)]
+    # temp/backup dirs cleaned up
+    assert not os.path.exists(path + "__compacting")
+    assert not os.path.exists(path + "__precompact")
