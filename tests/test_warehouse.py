@@ -200,3 +200,40 @@ def test_compact_parquet_dir_shrinks_files_preserves_rows(spark, tmp_path):
     # temp/backup dirs cleaned up
     assert not os.path.exists(path + "__compacting")
     assert not os.path.exists(path + "__precompact")
+
+
+def test_write_sorted_files_have_disjoint_ranges(spark, tmp_path):
+    """Range-clustered layout: every output file owns a disjoint range
+    of the sort key (verified from the parquet footers), which is what
+    makes reader-side min/max skipping effective."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from social_media_etl_spark.operators.warehouse import write_sorted
+
+    path = str(tmp_path / "sorted_layout")
+    df = spark.range(50_000).withColumn("k", (F.col("id") * 7919) % 50_021)
+    write_sorted(df, path, ["k"], num_files=8)
+
+    ranges = []
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.row_group(rg).num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "k"
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        if mins:
+            ranges.append((min(mins), max(maxs)))
+    assert len(ranges) > 1  # actually range-partitioned
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: {(lo1,hi1)} vs {(lo2,hi2)}"
+    # content round-trips
+    assert spark.read.parquet(path).count() == 50_000
