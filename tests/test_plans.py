@@ -255,3 +255,61 @@ def test_mixing_weights_broadcasts_scalars(spark):
     p = plan(entry.queries()["source_mixing_weights"](spark, SF))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_funnel_single_user_shuffle(spark):
+    """The whole funnel (3 chained window mins + per-user collapse)
+    must ride ONE user_id exchange — extra hashpartitioning exchanges
+    on user_id mean the window chain broke partition reuse."""
+    df = analytics.funnel_conversion(load_table(spark, SF, "events"))
+    p = plan(df)
+    assert p.count("hashpartitioning(user_id") == 1, p
+
+
+def test_importance_sample_no_shuffle_and_pruned_scan(spark):
+    """Weighted sampling is a pure filter: zero exchanges (the final
+    tiny sort aside), and the filter stays off the doc text."""
+    from pyspark.sql import functions as F
+
+    from social_media_etl_spark.operators.sampling import importance_sample
+
+    docs = load_table(spark, SF, "documents")
+    out = importance_sample(
+        docs.withColumn("w", F.least(F.lit(1.0), F.col("n_chars") / 400.0)),
+        "doc_id",
+        "w",
+    ).select("doc_id", "source")
+    p = plan(out)
+    assert "Exchange" not in p, p
+    read_schema = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "text" not in read_schema
+
+
+def test_budget_quota_single_stratum_shuffle(spark):
+    """Token-budget curation = one window shuffle keyed on the stratum;
+    the running sum must not add a second exchange."""
+    from pyspark.sql import functions as F
+
+    from social_media_etl_spark.operators.sampling import budget_quota
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    out = budget_quota(
+        docs, "source", "n_chars", 10_000, [F.desc("n_chars"), F.col("doc_id")]
+    )
+    p = plan(out)
+    assert p.count("hashpartitioning(source") == 1, p
+
+
+def test_retention_cohorts_partial_aggs_and_broadcast(spark):
+    """Both event collapses partial-aggregate before their user_id
+    exchange, and the per-user cohort frame broadcasts (at this SF)
+    rather than shuffling the activity side again."""
+    df = entry.queries()["user_retention_cohorts"](spark, SF)
+    p = plan(df)
+    assert "partial_min" in p or "partial_first" in p or "HashAggregate" in p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+    # no more than the three key exchanges: two user_id collapses + the
+    # final (cohort_week, offset) agg (plus the output sort)
+    assert p.count("hashpartitioning(user_id") <= 2, p
