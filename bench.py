@@ -26,6 +26,21 @@ def main() -> None:
     sf = float(m.group(1).rstrip(".")) if m else None
     spark = get_spark("bench")
 
+    # Session-level throwaway warm-up (VERDICT r4 #2): the per-query
+    # warm run below absorbs per-plan JIT, but the FIRST query of the
+    # loop used to also absorb session-wide warm-up (executor thread
+    # spin-up, parquet footer caches, codegen compiler init — the r3
+    # skew_salted_agg_events 0.23→0.77s drift). One untimed scan +
+    # shuffle + noop write pays that cost before anything is measured.
+    (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .groupBy("event_type")
+        .count()
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         df = fn(spark, sf_dir)

@@ -143,25 +143,32 @@ def parquet_ts_unit(path: str, col: str) -> str | None:
 
     Reads only the parquet footer (pyarrow); returns None if the column
     is missing, not a timestamp, or the footer can't be read. Accepts a
-    single file or a directory of part files. The memo key includes the
-    file's (mtime, size): this sniff exists precisely because the
-    driver regenerates testdata in place, so a path-only cache would
-    serve the stale unit across a regeneration and silently reapply or
-    skip the div-1000 conversion (ADVICE r3).
+    single file or a directory of part files. The memo key folds in the
+    (name, size, mtime) of EVERY part file: this sniff exists precisely
+    because the driver regenerates testdata in place, so a path-only
+    cache — or one keyed on the first part file only, which a rewrite
+    of the other parts would not invalidate (ADVICE r4) — would serve
+    the stale unit across a regeneration and silently reapply or skip
+    the div-1000 conversion (ADVICE r3).
     """
     try:
         import pyarrow  # noqa: F401 — fail fast before any stat calls
     except Exception:
         return None
-    target = path
-    if os.path.isdir(path):
-        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
-        if not parts:
-            return None
-        target = parts[0]
     try:
-        st = os.stat(target)
-        fingerprint = (st.st_mtime_ns, st.st_size)
+        if os.path.isdir(path):
+            parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+            if not parts:
+                return None
+            target = parts[0]
+            fingerprint: tuple = tuple(
+                (os.path.basename(p), st.st_size, st.st_mtime_ns)
+                for p, st in ((p, os.stat(p)) for p in parts)
+            )
+        else:
+            target = path
+            st = os.stat(target)
+            fingerprint = (st.st_mtime_ns, st.st_size)
     except OSError:
         return None
     return _parquet_ts_unit_cached(target, col, fingerprint)

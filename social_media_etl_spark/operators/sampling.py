@@ -156,7 +156,15 @@ def budget_quota(
     documents first'. One shuffle (window partitioned by stratum);
     output size is bounded by strata × budget regardless of corpus
     size. Adds ``cum_{size_col}`` (the running total including the
-    current row)."""
+    current row).
+
+    Edge case (deliberate, ADVICE r4): the filter is on the CUMULATIVE
+    total, so a stratum whose first-ordered row alone exceeds the
+    budget emits ZERO rows for that stratum — an oversize head blocks
+    everything behind it. This is whole-document curation semantics
+    (documents are never truncated to fit); pre-cap ``size_col`` at the
+    budget — or chunk oversize documents first (operators/chunking.py)
+    — if partial inclusion of the head document is wanted."""
     w = (
         Window.partitionBy(stratum_col)
         .orderBy(*[F.col(c) if isinstance(c, str) else c for c in order_by])

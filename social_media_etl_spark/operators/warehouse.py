@@ -263,8 +263,31 @@ def compact_parquet_dir(
     old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__precompact")
     if fs.exists(old):
         fs.delete(old, True)
-    fs.rename(jpath, old)
-    fs.rename(tmp, jpath)
+    # Hadoop FileSystem.rename signals failure by RETURNING FALSE, not
+    # raising — and renaming onto an existing dir NESTS the source
+    # inside it. Check every return and never delete a dir that is the
+    # only remaining copy of the data (ADVICE r4).
+    if not fs.rename(jpath, old):
+        fs.delete(tmp, True)  # original untouched; discard the rewrite
+        raise IOError(
+            f"compact_parquet_dir: rename {jpath} -> {old} failed; "
+            "original left in place, compacted temp discarded"
+        )
+    if not fs.rename(tmp, jpath):
+        restored = fs.rename(old, jpath)  # put the original back
+        fs.delete(tmp, True)
+        raise IOError(
+            f"compact_parquet_dir: rename {tmp} -> {jpath} failed; "
+            + ("original restored" if restored
+               else f"RESTORE ALSO FAILED — data is at {old}")
+        )
+    # the backup is deleted only after the swapped-in dir verifiably
+    # exists and holds the compacted part files
+    if not fs.exists(jpath) or len(fs.listStatus(jpath)) == 0:
+        raise IOError(
+            f"compact_parquet_dir: {jpath} missing/empty after swap; "
+            f"backup preserved at {old}"
+        )
     fs.delete(old, True)
     return int(n_files)
 

@@ -189,8 +189,11 @@ def interval_join(
     non-match is unknowable until the watermark passes its match
     window, so outer results trail the watermark (the no-data
     micro-batch after the final data batch flushes the remainder in an
-    availableNow drain). Works identically on batch frames (same API —
-    tested for stream-vs-batch parity).
+    availableNow drain). ``how='full_outer'`` emits non-matches from
+    BOTH sides on eviction; the join key is then coalesced from
+    whichever side is present, so ``on`` is never null in the output.
+    Works identically on batch frames (same API — tested for
+    stream-vs-batch parity).
     """
     lts, rts = f"{left_prefix}{left_ts}", f"{right_prefix}{right_ts}"
     # rename FIRST, then set the watermark on the renamed column (event-
@@ -207,7 +210,11 @@ def interval_join(
         & (F.col(rts) >= F.col(lts) - F.expr(f"INTERVAL {within}"))
         & (F.col(rts) <= F.col(lts))
     )
-    return l.join(r, cond, how).drop("__r_key")
+    joined = l.join(r, cond, how)
+    if how in ("full_outer", "full", "outer", "right_outer", "right"):
+        # unmatched RIGHT rows carry the key only in __r_key
+        joined = joined.withColumn(on, F.coalesce(F.col(on), F.col("__r_key")))
+    return joined.drop("__r_key")
 
 
 #: Session confs that switch streaming state to RocksDB — the 100 TB

@@ -177,3 +177,87 @@ def test_streaming_nanos_fallback(spark, tmp_path):
         for r in out.select(F.unix_micros("ts").alias("us")).orderBy("us").collect()
     ]
     assert got == [base_us, base_us + 1]
+
+
+def test_parquet_ts_unit_dir_fingerprint_covers_all_parts(tmp_path):
+    """ADVICE r4: a DIRECTORY's sniff fingerprint folds in every part
+    file, so regenerating a non-first part — the lexicographically
+    first file untouched — invalidates the cache (observable as a
+    fresh footer read) instead of serving the stale entry."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from social_media_etl_spark.catalog import (
+        _parquet_ts_unit_cached,
+        parquet_ts_unit,
+    )
+
+    d = tmp_path / "events_dir"
+    d.mkdir()
+    base_us = 1_700_000_000_000_000
+
+    def write(name: str, n: int) -> None:
+        pq.write_table(
+            pa.table({"ts": pa.array([base_us + i for i in range(n)],
+                                     pa.timestamp("us"))}),
+            str(d / name),
+        )
+
+    write("part-0.parquet", 1)
+    write("part-1.parquet", 2)
+    assert parquet_ts_unit(str(d), "ts") == "us"
+    hits0 = _parquet_ts_unit_cached.cache_info().hits
+    assert parquet_ts_unit(str(d), "ts") == "us"  # warm: cache hit
+    assert _parquet_ts_unit_cached.cache_info().hits == hits0 + 1
+
+    # rewrite ONLY the second part (different size → fingerprint flips
+    # even on coarse-mtime filesystems); first part byte-identical
+    write("part-1.parquet", 5)
+    misses0 = _parquet_ts_unit_cached.cache_info().misses
+    assert parquet_ts_unit(str(d), "ts") == "us"
+    assert _parquet_ts_unit_cached.cache_info().misses == misses0 + 1
+
+    # adding a NEW part also flips the fingerprint
+    write("part-2.parquet", 3)
+    misses1 = _parquet_ts_unit_cached.cache_info().misses
+    assert parquet_ts_unit(str(d), "ts") == "us"
+    assert _parquet_ts_unit_cached.cache_info().misses == misses1 + 1
+
+
+def test_formats_roundtrip_certified_equals_direct(spark, sf_dir):
+    """The ORC+CSV certified roundtrip aggregate equals the same
+    aggregate computed straight off the parquet original — the
+    null-safe-equality certification joins are lossless pass-through
+    when the formats round-trip faithfully."""
+    from pyspark.sql import functions as F
+
+    from social_media_etl_spark.catalog import load_table
+
+    got = entrymod._formats_roundtrip(spark, sf_dir).collect()
+    want = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+        .collect()
+    )
+    assert got == want
+    assert len(got) > 0
+
+
+def test_rocksdb_graded_twin_restores_session_confs(spark, sf_dir):
+    """streaming_stateful_totals_rocksdb scopes the RocksDB provider
+    conf to its own drain: afterwards the session conf is back to
+    whatever it was (here: unset), and its output equals the
+    heap-backed twin's."""
+    from social_media_etl_spark.streaming.ingest import ROCKSDB_STATE_CONF
+
+    provider_key = next(iter(ROCKSDB_STATE_CONF))
+    before = spark.conf.get(provider_key, None)
+    rocks = entrymod._streaming_stateful_totals_rocksdb(spark, sf_dir).collect()
+    assert spark.conf.get(provider_key, None) == before
+    heap = entrymod._streaming_stateful_totals(spark, sf_dir).collect()
+    assert rocks == heap

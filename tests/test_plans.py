@@ -313,3 +313,15 @@ def test_retention_cohorts_partial_aggs_and_broadcast(spark):
     # no more than the three key exchanges: two user_id collapses + the
     # final (cohort_week, offset) agg (plus the output sort)
     assert p.count("hashpartitioning(user_id") <= 2, p
+
+
+def test_formats_roundtrip_certification_joins_are_equi(spark):
+    """The ORC/CSV certification joins key on null-safe EQUALITY of
+    every column — Catalyst must plan hash-based equi-joins, never the
+    nested-loop/cartesian fallback (all-pairs at scale)."""
+    df = entry._formats_roundtrip(spark, SF)
+    p = plan(df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    # the final rollup partial-aggregates before its exchange
+    assert "HashAggregate" in p

@@ -418,3 +418,27 @@ def test_rocksdb_state_store_parity(spark, events_stream_dir, tmp_path):
         for r in batch.collect()
     }
     assert got == want and len(want) > 10
+
+
+def test_interval_join_full_outer_batch_parity(spark):
+    """how='full_outer' on batch frames: unmatched LEFT rows null-pad
+    the right columns, unmatched RIGHT rows null-pad the left columns,
+    and the join key is coalesced so it is never null (ADVICE: the
+    right-only key otherwise lives only in the dropped __r_key)."""
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(1, 10, "2024-01-01 10:00:00"), (2, 20, "2024-01-01 12:00:00")],
+        "user_id long, event_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, 99, "2024-01-01 09:50:00"), (3, 77, "2024-01-01 08:00:00")],
+        "user_id long, event_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = ingest.interval_join(
+        left, right, within="30 minutes", watermark="30 minutes",
+        how="full_outer",
+    ).collect()
+    rows = {(r["user_id"], r["l_event_id"], r["r_event_id"]) for r in out}
+    assert rows == {(1, 10, 99), (2, 20, None), (3, None, 77)}
+    assert all(r["user_id"] is not None for r in out)
