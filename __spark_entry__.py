@@ -637,12 +637,22 @@ def _drain(stream_df: DataFrame, name: str, mode: str = "complete") -> DataFrame
         str(streaming_ingest.state_partitions(spark)),
     )
     try:
-        return streaming_ingest.run_available_now(
+        out = streaming_ingest.run_available_now(
             stream_df,
             tempfile.mkdtemp(prefix=f"smetl_ckpt_{name}_"),
             output_mode=mode,
             query_name=qname,
         )
+        # Detach the result from the memory sink, then DROP the sink
+        # table: every drain otherwise leaves its full drained output
+        # referenced by the catalog for the session lifetime, and a
+        # long session (bench runs 100+ queries) accumulates dozens of
+        # retained sinks whose heap/GC pressure progressively slows
+        # every later query. The checkpointed blocks are freed by the
+        # ContextCleaner once the returned frame is garbage-collected.
+        out = out.localCheckpoint(eager=True)
+        spark.catalog.dropTempView(qname)
+        return out
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", original)
 

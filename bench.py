@@ -41,13 +41,22 @@ def main() -> None:
         .save()
     )
 
+    # Best-of-2 timed runs per query: single-sample timings on this box
+    # swing 3-10× on transient stalls (an A/B of identical code showed
+    # q14 at 3.36s in one run and 0.26s in the next), which makes
+    # round-over-round comparisons meaningless. The min of two runs
+    # after a warm run is the standard noise-floor estimate of the
+    # plan's actual cost.
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm (JIT, caches)
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     # "queries" first, headline fields last: the driver keeps only the
     # LAST 2000 chars of stdout, and with 90+ queries the JSON line
