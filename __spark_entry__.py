@@ -986,6 +986,45 @@ def _formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order-clustered layout certified lossless: the events slice is
+    rewritten with ``write_zordered`` on (user_id, value) — the multi-
+    column space-filling-curve layout whose per-file footer min/max
+    bound EVERY clustered dimension (operators/warehouse.py:
+    write_zordered; footer geometry pinned by
+    test_write_zordered_bounds_every_dimension) — read back, and every
+    row must reappear byte-identical (in-plan null-safe equality join
+    on all columns; event_id keeps the join 1:1). The returned
+    aggregate comes FROM the certified join, so a green row proves the
+    clustering rewrite loses, duplicates, and alters nothing. At 100 TB
+    this is the maintenance op that turns two-dimensional point lookups
+    from full scans into a handful of file reads."""
+    import tempfile
+
+    from social_media_etl_spark.operators.warehouse import write_zordered
+
+    cols = ["event_id", "user_id", "event_type", "value"]
+    base = load_table(spark, sf_dir, "events").select(*cols)
+    d = tempfile.mkdtemp(prefix="smetl_zorder_rt_")
+    write_zordered(base, f"{d}/events_z", ["user_id", "value"], num_files=8)
+    rt = spark.read.parquet(f"{d}/events_z").select(
+        *[F.col(c).alias(f"z_{c}") for c in cols]
+    )
+    cond = None
+    for c in cols:
+        eq = F.col(c).eqNullSafe(F.col(f"z_{c}"))
+        cond = eq if cond is None else (cond & eq)
+    certified = base.join(rt, cond, "inner").select(*cols)
+    return (
+        certified.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: keep first (lowest doc_id) row per identical text."""
     docs = load_table(spark, sf_dir, "documents")
@@ -2287,8 +2326,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_revenue": _cube_revenue,
         "price_quantiles_exact": _price_quantiles,
         "set_ops_priority_custs": _set_ops,
-        # -- R6_QUEUE: last green is r03; did not fit the r5 window —
+        # -- R6_QUEUE: never-graded r5 addition first, then the keys
+        # whose last green is r03 that did not fit the r5 window —
         # rotate these to the FRONT of the r6 window ------------------
+        "zorder_layout_roundtrip": _zorder_layout_roundtrip,
         "gopher_quality_flags": _gopher_quality,
         "semantic_dedup_representatives": _semantic_dedup,
         "bpe_pair_counts": _bpe_pair_counts,
@@ -2891,6 +2932,15 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY user_id,
                      l_event_id NULLS FIRST,
                      r_event_id NULLS FIRST
+        """,
+        # Layout-rewrite gate mirrors formats_roundtrip: the null-safe
+        # equality certification makes the certified set the events
+        # table iff the Z-order rewrite is lossless.
+        "zorder_layout_roundtrip": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         # The roundtrip gate is structural (null-safe equality joins):
         # if ORC/CSV roundtrips are lossless the certified set IS the

@@ -80,9 +80,11 @@ def test_first_50_is_the_intended_r5_window():
     assert list(entry.queries())[:50] == R5_WINDOW
 
 
-# Keys whose last green is r03 that did NOT fit the r5 window (50-slot
-# budget): deliberately deferred; they MUST lead the r6 window.
+# Deferred keys that MUST lead the r6 window: the never-graded r5
+# addition first, then the r03-green keys that did not fit the r5
+# window (50-slot budget).
 R6_QUEUE = [
+    "zorder_layout_roundtrip",
     "gopher_quality_flags",
     "semantic_dedup_representatives",
     "bpe_pair_counts",

@@ -237,3 +237,74 @@ def test_write_sorted_files_have_disjoint_ranges(spark, tmp_path):
         assert hi1 <= lo2, f"overlapping file ranges: {(lo1,hi1)} vs {(lo2,hi2)}"
     # content round-trips
     assert spark.read.parquet(path).count() == 50_000
+
+
+def test_write_zordered_bounds_every_dimension(spark, tmp_path):
+    """Z-order layout: with two independent uniform dimensions, every
+    output file's footer min/max covers a SMALL range of BOTH columns
+    (file skipping works on either predicate), whereas a single-column
+    range sort bounds only its own column and leaves the other
+    spanning ~the full domain per file."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from social_media_etl_spark.operators.warehouse import (
+        write_sorted,
+        write_zordered,
+    )
+
+    n = 100_000
+    df = (
+        spark.range(n)
+        .withColumn("x", (F.col("id") * 7919) % 100_003)
+        .withColumn("y", (F.col("id") * 104_729) % 99_991)
+    )
+
+    def mean_span(path: str, col: str) -> float:
+        spans, glo, ghi = [], None, None
+        for f in glob.glob(os.path.join(path, "*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                c = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.row_group(rg).num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == col
+                )
+                mins.append(c.statistics.min)
+                maxs.append(c.statistics.max)
+            if mins:
+                spans.append((min(mins), max(maxs)))
+        glo = min(s[0] for s in spans)
+        ghi = max(s[1] for s in spans)
+        return sum((hi - lo) / (ghi - glo) for lo, hi in spans) / len(spans)
+
+    zpath = str(tmp_path / "zorder")
+    write_zordered(df, zpath, ["x", "y"], bits=8, num_files=16)
+    spath = str(tmp_path / "xsorted")
+    write_sorted(df, spath, ["x"], num_files=16)
+
+    # single-column sort: x tight, y spans ~everything per file
+    assert mean_span(spath, "x") < 0.15
+    assert mean_span(spath, "y") > 0.9
+    # z-order: BOTH dimensions bounded well below the full domain
+    assert mean_span(zpath, "x") < 0.5
+    assert mean_span(zpath, "y") < 0.5
+    # lossless
+    assert spark.read.parquet(zpath).count() == n
+
+
+def test_zorder_value_handles_nulls_and_constants(spark):
+    """Null cells and zero-span (constant) dimensions bucket to 0
+    instead of poisoning the Z-value."""
+    from social_media_etl_spark.operators.warehouse import zorder_value
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 10.0)], "k long, v double"
+    ).withColumn("const", F.lit(5))
+    out = zorder_value(df, ["v", "const"], bits=4)
+    rows = {r["k"]: r["__z"] for r in out.collect()}
+    assert rows[2] is not None  # null v still gets a Z-value
+    assert len(rows) == 3
