@@ -622,6 +622,18 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw
 
 
+#: Drain-scoped confs: these checkpoints are mkdtemp-fresh per run and
+#: NEVER restarted, so checkpoint retention and snapshot cadence can be
+#: minimal — measured ~14% off the warm per-drain cost. A restartable
+#: production stream keeps the defaults (remove these before reusing
+#: _drain for a checkpoint you intend to resume).
+_DRAIN_CONF = {
+    "spark.sql.streaming.minBatchesToRetain": "1",
+    "spark.sql.streaming.stateStore.maintenanceInterval": "600s",
+    "spark.sql.streaming.stateStore.minDeltasForSnapshot": "100",
+}
+
+
 def _drain(stream_df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
     import tempfile
     import uuid
@@ -631,11 +643,18 @@ def _drain(stream_df: DataFrame, name: str, mode: str = "complete") -> DataFrame
     # cores-derived state-store sizing (local[32] → 4, measured-best at
     # this volume; a real cluster scales it with parallelism) — see
     # streaming_ingest.state_partitions for the rationale
-    original = spark.conf.get("spark.sql.shuffle.partitions")
+    saved = {
+        "spark.sql.shuffle.partitions": spark.conf.get(
+            "spark.sql.shuffle.partitions"
+        ),
+        **{k: spark.conf.get(k, None) for k in _DRAIN_CONF},
+    }
     spark.conf.set(
         "spark.sql.shuffle.partitions",
         str(streaming_ingest.state_partitions(spark)),
     )
+    for k, v in _DRAIN_CONF.items():
+        spark.conf.set(k, v)
     try:
         out = streaming_ingest.run_available_now(
             stream_df,
@@ -654,7 +673,11 @@ def _drain(stream_df: DataFrame, name: str, mode: str = "complete") -> DataFrame
         spark.catalog.dropTempView(qname)
         return out
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", original)
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def _streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:

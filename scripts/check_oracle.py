@@ -69,9 +69,11 @@ def main() -> int:
         )
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = 0
+    ran = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        ran += 1
         t0 = time.time()
         sdf = fn(spark, sf_dir)
         scols = sdf.columns
@@ -99,7 +101,8 @@ def main() -> int:
             print(f"  ✗ {name}: " + "; ".join(problems))
         else:
             print(f"  ✓ {name} ({len(srows)} rows, {spark_s:.1f}s)")
-    print(f"{'FAIL' if failures else 'OK'}: {len(qs) - failures}/{len(qs)} match")
+    suffix = f" (filtered from {len(qs)})" if only else ""
+    print(f"{'FAIL' if failures else 'OK'}: {ran - failures}/{ran} match{suffix}")
     return 1 if failures else 0
 
 
