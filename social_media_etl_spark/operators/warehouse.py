@@ -59,56 +59,87 @@ def write_partitioned(
 
 
 def zorder_value(
-    df: DataFrame, cols: Sequence[str], bits: int = 8
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 8,
+    strategy: str = "linear",
 ) -> DataFrame:
     """Append ``__z``: the bit-interleaved Z-order value of ``cols``.
 
     Multi-column clustering key (the space-filling-curve layout behind
     Delta/Iceberg ``OPTIMIZE ZORDER BY``): each numeric column is
-    linearly bucketed into 2^bits cells between its global min and max,
-    and the cell ids are bit-interleaved so rows close in EVERY
-    dimension get close Z-values. Sorting files by ``__z`` then bounds
-    each file's min/max range on ALL the clustered columns at once —
-    single-column range sort (:func:`write_sorted`) gives perfect
-    skipping on one column and none on the others.
+    bucketed into 2^bits cells and the cell ids are bit-interleaved so
+    rows close in EVERY dimension get close Z-values. Sorting files by
+    ``__z`` then bounds each file's min/max range on ALL the clustered
+    columns at once — single-column range sort (:func:`write_sorted`)
+    gives perfect skipping on one column and none on the others.
 
-    The min/max scalars come from ONE aggregate pass cross-joined back
+    ``strategy='linear'`` buckets between the global min and max —
+    right for roughly uniform dimensions. ``strategy='quantile'``
+    buckets by approx_percentile boundaries so a heavily skewed
+    dimension (long-tailed values would otherwise collapse into one
+    linear cell, wasting the curve's resolution on empty space) still
+    spreads across all 2^bits cells; cell assignment counts boundaries
+    at-or-below the value with a codegen'd ``size(filter(...))`` over
+    the boundary array (2^bits comparisons per row — keep ``bits``
+    modest, 6-8, for the quantile strategy).
+
+    The bucketing stats come from ONE aggregate pass cross-joined back
     as a broadcast literal row — no collect, no window. The interleave
     is a chain of shift/and/or expressions (bits × ndims terms), fully
-    whole-stage-codegen. Nulls bucket to cell 0. Linear bucketing
-    assumes roughly uniform dimensions; for heavily skewed columns,
-    bucket by quantile boundaries first (approx_percentile) and feed
-    the bucket ordinal in as the column.
+    whole-stage-codegen. Nulls bucket to cell 0.
     """
     if not cols or len(cols) > 4:
         raise ValueError("zorder_value takes 1-4 columns")
+    if strategy not in ("linear", "quantile"):
+        raise ValueError(f"unknown zorder strategy {strategy!r}")
     n_cells = 1 << bits
-    stats = df.agg(
-        *[F.min(c).cast("double").alias(f"__lo_{c}") for c in cols],
-        *[F.max(c).cast("double").alias(f"__hi_{c}") for c in cols],
-    )
-    out = df.crossJoin(F.broadcast(stats))
-    buckets = []
-    for c in cols:
-        lo, hi = F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
-        span = hi - lo
-        cell = F.when(
-            span > 0,
-            F.least(
-                F.lit(n_cells - 1),
-                F.floor((F.col(c).cast("double") - lo) / span * n_cells),
-            ),
-        ).otherwise(F.lit(0))
-        buckets.append(F.coalesce(cell, F.lit(0)).cast("long"))
+    buckets: list = []
+    if strategy == "linear":
+        stats = df.agg(
+            *[F.min(c).cast("double").alias(f"__lo_{c}") for c in cols],
+            *[F.max(c).cast("double").alias(f"__hi_{c}") for c in cols],
+        )
+        out = df.crossJoin(F.broadcast(stats))
+        drop_cols = [f"__lo_{c}" for c in cols] + [f"__hi_{c}" for c in cols]
+        for c in cols:
+            lo, hi = F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
+            span = hi - lo
+            cell = F.when(
+                span > 0,
+                F.least(
+                    F.lit(n_cells - 1),
+                    F.floor((F.col(c).cast("double") - lo) / span * n_cells),
+                ),
+            ).otherwise(F.lit(0))
+            buckets.append(F.coalesce(cell, F.lit(0)).cast("long"))
+    else:
+        qs = [i / n_cells for i in range(1, n_cells)]
+        stats = df.agg(
+            *[
+                F.percentile_approx(F.col(c).cast("double"), qs).alias(
+                    f"__qb_{c}"
+                )
+                for c in cols
+            ]
+        )
+        out = df.crossJoin(F.broadcast(stats))
+        drop_cols = [f"__qb_{c}" for c in cols]
+        for c in cols:
+            v = F.col(c).cast("double")
+            cell = F.size(
+                F.filter(F.col(f"__qb_{c}"), lambda b: v >= b)
+            ).cast("long")
+            buckets.append(
+                F.when(v.isNull(), F.lit(0)).otherwise(cell)
+            )
     ndims = len(cols)
     z = F.lit(0).cast("long")
     for b in range(bits):
         for i, cell in enumerate(buckets):
             bit = F.shiftright(cell, b).bitwiseAND(F.lit(1))
             z = z.bitwiseOR(F.shiftleft(bit, b * ndims + i))
-    return out.withColumn("__z", z).drop(
-        *[f"__lo_{c}" for c in cols], *[f"__hi_{c}" for c in cols]
-    )
+    return out.withColumn("__z", z).drop(*drop_cols)
 
 
 def write_zordered(
@@ -118,6 +149,7 @@ def write_zordered(
     bits: int = 8,
     mode: str = "overwrite",
     num_files: int | None = None,
+    strategy: str = "linear",
 ) -> None:
     """Z-order-clustered parquet layout: range-partition + sort on the
     interleaved Z-value of ``cols`` so every output file covers a small
@@ -127,7 +159,7 @@ def write_zordered(
     is what keeps a two-dimensional point lookup from scanning the
     whole table). Layout verified from footers by
     test_write_zordered_bounds_every_dimension."""
-    out = zorder_value(df, cols, bits=bits)
+    out = zorder_value(df, cols, bits=bits, strategy=strategy)
     out = (
         out.repartitionByRange(num_files, F.col("__z"))
         if num_files

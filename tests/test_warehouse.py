@@ -308,3 +308,32 @@ def test_zorder_value_handles_nulls_and_constants(spark):
     rows = {r["k"]: r["__z"] for r in out.collect()}
     assert rows[2] is not None  # null v still gets a Z-value
     assert len(rows) == 3
+
+
+def test_zorder_quantile_strategy_spreads_skewed_dimension(spark):
+    """On a long-tailed column, linear bucketing collapses nearly all
+    rows into the lowest cells (the curve's resolution is wasted on
+    empty value space); quantile bucketing spreads rows across the full
+    cell range, which is what keeps per-file ranges selective on
+    skewed data."""
+    from social_media_etl_spark.operators.warehouse import zorder_value
+
+    # exponential value spread: 2^0 .. 2^19, uniform in the exponent
+    df = spark.range(20_000).withColumn(
+        "x", F.pow(F.lit(2.0), (F.col("id") % 20).cast("double"))
+    ).withColumn("y", (F.col("id") * 7919) % 9973)
+
+    def distinct_cells(strategy: str) -> int:
+        out = zorder_value(df, ["x", "y"], bits=6, strategy=strategy)
+        # dim 0's cell occupies the even interleave bits; project it out
+        cell = sum(
+            (F.shiftright(F.col("__z"), 2 * b).bitwiseAND(F.lit(1)) * (1 << b))
+            for b in range(6)
+        )
+        return out.select(cell.alias("c")).distinct().count()
+
+    lin, qnt = distinct_cells("linear"), distinct_cells("quantile")
+    # 20 distinct values: linear crams them into a handful of low cells,
+    # quantile gives each its own cell
+    assert lin <= 8, lin
+    assert qnt >= 16, qnt
