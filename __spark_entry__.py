@@ -1814,6 +1814,22 @@ def _importance_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic corpus shuffle (operators/sampling.py:
+    seeded_shuffle): the pretraining global shuffle as a hash-sort —
+    shuffle_key = md5(seed:doc_id), frame ordered by it. No RNG state,
+    so every engine, rerun, and parallelism level produces the SAME
+    permutation (the oracle recomputes it verbatim), and corpus growth
+    interleaves instead of reshuffling. One range exchange (distributed
+    sort), no global window, no rank materialization."""
+    from social_media_etl_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    return sampling.seeded_shuffle(docs, "doc_id", seed=7)
+
+
 def _token_budget_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget curation: every source gets at most 500 tokens,
     longest (quality-proxy) documents first — the mixing primitive
@@ -2353,6 +2369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # whose last green is r03 that did not fit the r5 window —
         # rotate these to the FRONT of the r6 window ------------------
         "zorder_layout_roundtrip": _zorder_layout_roundtrip,
+        "corpus_shuffle": _corpus_shuffle,
         "gopher_quality_flags": _gopher_quality,
         "semantic_dedup_representatives": _semantic_dedup,
         "bpe_pair_counts": _bpe_pair_counts,
@@ -2955,6 +2972,12 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY user_id,
                      l_event_id NULLS FIRST,
                      r_event_id NULLS FIRST
+        """,
+        # Hash-sort shuffle: DuckDB recomputes the identical md5
+        # permutation — cross-engine determinism IS the semantics.
+        "corpus_shuffle": """
+            SELECT doc_id, source, md5('7:' || doc_id) AS shuffle_key
+            FROM documents ORDER BY shuffle_key
         """,
         # Layout-rewrite gate mirrors formats_roundtrip: the null-safe
         # equality certification makes the certified set the events

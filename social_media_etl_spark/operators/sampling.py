@@ -18,6 +18,7 @@ __all__ = [
     "quota_per_stratum",
     "deterministic_split",
     "md5_split",
+    "seeded_shuffle",
     "importance_sample",
     "budget_quota",
 ]
@@ -105,6 +106,33 @@ def md5_split(
         cond = digit <= hexmap[acc - 1]
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return df.withColumn("split", expr)
+
+
+def seeded_shuffle(
+    df: DataFrame, key_col: str, seed: int = 0
+) -> DataFrame:
+    """Deterministic global corpus shuffle: adds ``shuffle_key`` =
+    md5(seed:key) and returns the frame ORDERED by it — the standard
+    pretraining-data shuffle, done as a hash-sort instead of RNG state
+    so any engine (and any rerun, at any parallelism) produces the
+    identical permutation. Changing ``seed`` gives an independent
+    permutation; the key itself never changes as the corpus grows, so
+    incremental additions interleave into the existing order instead of
+    reshuffling everything.
+
+    Scale: a total sort is ONE range exchange (distributed sort —
+    Spark samples range bounds; there is no single-partition window
+    and no global rank materialization). To SHARD the shuffled corpus,
+    write with ``repartitionByRange(n, 'shuffle_key')`` +
+    ``sortWithinPartitions`` — files then hold contiguous slices of
+    the permutation.
+    """
+    key = F.md5(
+        F.concat(
+            F.lit(f"{seed}:"), F.col(key_col).cast("string")
+        ).cast("binary")
+    )
+    return df.withColumn("shuffle_key", key).orderBy("shuffle_key")
 
 
 def importance_sample(

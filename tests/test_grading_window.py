@@ -85,6 +85,7 @@ def test_first_50_is_the_intended_r5_window():
 # window (50-slot budget).
 R6_QUEUE = [
     "zorder_layout_roundtrip",
+    "corpus_shuffle",
     "gopher_quality_flags",
     "semantic_dedup_representatives",
     "bpe_pair_counts",

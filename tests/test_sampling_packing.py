@@ -190,3 +190,30 @@ def test_funnel_conversion_ordering_semantics(spark):
     assert out["view"]["conv_rate"] is None
     assert abs(out["click"]["conv_rate"] - round(2 / 3, 6)) < 1e-9
     assert out["purchase"]["conv_rate"] == 0.5
+
+
+def test_seeded_shuffle_deterministic_and_growth_stable(spark):
+    """The hash-sort shuffle gives the same permutation on rerun and at
+    different parallelism, a different permutation per seed, and
+    corpus growth interleaves without moving existing keys."""
+    from social_media_etl_spark.operators.sampling import seeded_shuffle
+
+    df = spark.range(500).withColumnRenamed("id", "k")
+    a = [r["k"] for r in seeded_shuffle(df, "k", seed=1).collect()]
+    b = [r["k"] for r in seeded_shuffle(df.repartition(7), "k", seed=1).collect()]
+    assert a == b  # parallelism-independent
+    c = [r["k"] for r in seeded_shuffle(df, "k", seed=2).collect()]
+    assert a != c  # seed changes the permutation
+    assert sorted(a) == list(range(500))  # it IS a permutation
+    # growth stability: each row's shuffle_key is unchanged by growth
+    small = {
+        r["k"]: r["shuffle_key"]
+        for r in seeded_shuffle(df, "k", seed=1).collect()
+    }
+    grown = {
+        r["k"]: r["shuffle_key"]
+        for r in seeded_shuffle(
+            spark.range(1000).withColumnRenamed("id", "k"), "k", seed=1
+        ).collect()
+    }
+    assert all(grown[k] == v for k, v in small.items())
