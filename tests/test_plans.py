@@ -325,3 +325,14 @@ def test_formats_roundtrip_certification_joins_are_equi(spark):
     assert "BroadcastNestedLoopJoin" not in p, p
     # the final rollup partial-aggregates before its exchange
     assert "HashAggregate" in p
+
+
+def test_corpus_shuffle_is_distributed_sort(spark):
+    """The seeded shuffle's total order is a RANGE exchange on the hash
+    key (distributed sort) — never a single-partition collapse or a
+    global rank window."""
+    df = entry._corpus_shuffle(spark, SF)
+    p = plan(df)
+    assert "rangepartitioning(shuffle_key" in p, p
+    assert "Exchange SinglePartition" not in p, p
+    assert "Window" not in p, p
