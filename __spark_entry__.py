@@ -11,6 +11,7 @@ embeddings are pre-registered views).
 from __future__ import annotations
 
 from collections.abc import Callable
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -634,6 +635,25 @@ _DRAIN_CONF = {
 }
 
 
+@contextmanager
+def _scoped_conf(spark: SparkSession, confs: dict):
+    """Set session confs for the duration of the block, then restore
+    each to its prior value (or unset keys that were unset). The one
+    place conf save/restore semantics live — used by every query that
+    needs a temporary session override (drains, the RocksDB twin)."""
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def _drain(stream_df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
     import tempfile
     import uuid
@@ -643,19 +663,13 @@ def _drain(stream_df: DataFrame, name: str, mode: str = "complete") -> DataFrame
     # cores-derived state-store sizing (local[32] → 4, measured-best at
     # this volume; a real cluster scales it with parallelism) — see
     # streaming_ingest.state_partitions for the rationale
-    saved = {
-        "spark.sql.shuffle.partitions": spark.conf.get(
-            "spark.sql.shuffle.partitions"
+    confs = {
+        "spark.sql.shuffle.partitions": str(
+            streaming_ingest.state_partitions(spark)
         ),
-        **{k: spark.conf.get(k, None) for k in _DRAIN_CONF},
+        **_DRAIN_CONF,
     }
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        str(streaming_ingest.state_partitions(spark)),
-    )
-    for k, v in _DRAIN_CONF.items():
-        spark.conf.set(k, v)
-    try:
+    with _scoped_conf(spark, confs):
         out = streaming_ingest.run_available_now(
             stream_df,
             tempfile.mkdtemp(prefix=f"smetl_ckpt_{name}_"),
@@ -672,12 +686,6 @@ def _drain(stream_df: DataFrame, name: str, mode: str = "complete") -> DataFrame
         out = out.localCheckpoint(eager=True)
         spark.catalog.dropTempView(qname)
         return out
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
 
 
 def _streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -899,22 +907,10 @@ def _streaming_stateful_totals_rocksdb(spark: SparkSession, sf_dir: str) -> Data
     same oracle as the heap-backed twin — so a green row certifies the
     RocksDB provider end-to-end in a graded query, not just the pytest
     parity check."""
-    saved = {
-        k: spark.conf.get(k, None)
-        for k in streaming_ingest.ROCKSDB_STATE_CONF
-    }
-    for k, v in streaming_ingest.ROCKSDB_STATE_CONF.items():
-        spark.conf.set(k, v)
-    try:
-        # the drain (awaitTermination) happens INSIDE this call, so the
-        # whole stateful run executes under the RocksDB provider
+    # the drain (awaitTermination) happens INSIDE this call, so the
+    # whole stateful run executes under the RocksDB provider
+    with _scoped_conf(spark, streaming_ingest.ROCKSDB_STATE_CONF):
         return _streaming_stateful_totals(spark, sf_dir)
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
 
 
 def _streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -960,6 +956,23 @@ def _streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _certified_join(
+    base: DataFrame, rt: DataFrame, cols: list[str], tag: str
+) -> DataFrame:
+    """Roundtrip certification join: every ``base`` row must reappear
+    byte-identical in ``rt`` (null-safe equality on EVERY column; the
+    caller includes a unique key in ``cols`` so the join is 1:1). A
+    dropped, duplicated, or altered row changes the certified row set
+    and fails the downstream count/hash gate. Shared by the formats and
+    Z-order roundtrip queries."""
+    rt = rt.select(*[F.col(c).alias(f"{tag}_{c}") for c in cols])
+    cond = None
+    for c in cols:
+        eq = F.col(c).eqNullSafe(F.col(f"{tag}_{c}"))
+        cond = eq if cond is None else (cond & eq)
+    return base.join(rt, cond, "inner").select(*[F.col(c) for c in cols])
+
+
 def _formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-format certified roundtrip (sources/formats.py): the
     customer slice is written to ORC and CSV, read back through the
@@ -990,15 +1003,9 @@ def _formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, f"{d}/csv", fmt="csv", schema=base.schema
     )
 
-    def _cert(acc: DataFrame, rt: DataFrame, tag: str) -> DataFrame:
-        rt = rt.select(*[F.col(c).alias(f"{tag}_{c}") for c in cols])
-        cond = None
-        for c in cols:
-            eq = F.col(c).eqNullSafe(F.col(f"{tag}_{c}"))
-            cond = eq if cond is None else (cond & eq)
-        return acc.join(rt, cond, "inner").select(*[F.col(c) for c in cols])
-
-    certified = _cert(_cert(base, orc_rt, "orc"), csv_rt, "csv")
+    certified = _certified_join(
+        _certified_join(base, orc_rt, cols, "orc"), csv_rt, cols, "csv"
+    )
     return (
         certified.groupBy("c_mktsegment")
         .agg(
@@ -1030,14 +1037,8 @@ def _zorder_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load_table(spark, sf_dir, "events").select(*cols)
     d = tempfile.mkdtemp(prefix="smetl_zorder_rt_")
     write_zordered(base, f"{d}/events_z", ["user_id", "value"], num_files=8)
-    rt = spark.read.parquet(f"{d}/events_z").select(
-        *[F.col(c).alias(f"z_{c}") for c in cols]
-    )
-    cond = None
-    for c in cols:
-        eq = F.col(c).eqNullSafe(F.col(f"z_{c}"))
-        cond = eq if cond is None else (cond & eq)
-    certified = base.join(rt, cond, "inner").select(*cols)
+    rt = spark.read.parquet(f"{d}/events_z")
+    certified = _certified_join(base, rt, cols, "z")
     return (
         certified.groupBy("event_type")
         .agg(
@@ -2258,8 +2259,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window filled (never driver-graded) lead, then the 3 new r5 keys,
     # then the first 44 of the 49 keys whose last green is
     # CORRECTNESS_r03 — so the r04 ∪ r05 union covers every key except
-    # the explicit 5-key R6_QUEUE at the dict tail (still green in r03,
-    # queued to lead the r6 window). The 50 r4-greens sit between.
+    # the explicit 7-key R6_QUEUE at the dict tail (2 never-graded r5
+    # additions + 5 r03-greens, queued in that order to lead the r6
+    # window). The 50 r4-greens sit between. Keep this paragraph in
+    # sync with tests/test_grading_window.py — window planning is done
+    # from here (r2 postmortem).
     qs = {
         # -- r4 additions that missed the r4 window (never graded) -------
         "importance_sampling": _importance_sampling,
@@ -2365,9 +2369,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_revenue": _cube_revenue,
         "price_quantiles_exact": _price_quantiles,
         "set_ops_priority_custs": _set_ops,
-        # -- R6_QUEUE: never-graded r5 addition first, then the keys
-        # whose last green is r03 that did not fit the r5 window —
-        # rotate these to the FRONT of the r6 window ------------------
+        # -- R6_QUEUE (7 keys): the 2 never-graded r5 additions first,
+        # then the 5 keys whose last green is r03 that did not fit the
+        # r5 window — rotate these to the FRONT of the r6 window ------
         "zorder_layout_roundtrip": _zorder_layout_roundtrip,
         "corpus_shuffle": _corpus_shuffle,
         "gopher_quality_flags": _gopher_quality,

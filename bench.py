@@ -32,8 +32,12 @@ def main() -> None:
     # spin-up, parquet footer caches, codegen compiler init — the r3
     # skew_salted_agg_events 0.23→0.77s drift). One untimed scan +
     # shuffle + noop write pays that cost before anything is measured.
+    # load_table (not raw spark.read.parquet): the footer sniff keeps
+    # the warm-up alive if the driver regenerates events.ts as nanos
+    from social_media_etl_spark.catalog import load_table
+
     (
-        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        load_table(spark, sf_dir, "events")
         .groupBy("event_type")
         .count()
         .write.format("noop")

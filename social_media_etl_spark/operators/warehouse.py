@@ -93,6 +93,12 @@ def zorder_value(
         raise ValueError("zorder_value takes 1-4 columns")
     if strategy not in ("linear", "quantile"):
         raise ValueError(f"unknown zorder strategy {strategy!r}")
+    if bits < 1 or bits * len(cols) > 63:
+        # position 63 is the long sign bit: interleaving into it makes
+        # high cells sort NEGATIVE and silently corrupts the clustering
+        raise ValueError(
+            f"bits*ndims must fit a signed long: {bits}*{len(cols)} > 63"
+        )
     n_cells = 1 << bits
     buckets: list = []
     if strategy == "linear":

@@ -211,7 +211,9 @@ def interval_join(
         & (F.col(rts) <= F.col(lts))
     )
     joined = l.join(r, cond, how)
-    if how in ("full_outer", "full", "outer", "right_outer", "right"):
+    # normalize Spark's join-type aliases (full_outer == fullouter etc.)
+    if how.replace("_", "").lower() in ("fullouter", "full", "outer",
+                                        "rightouter", "right"):
         # unmatched RIGHT rows carry the key only in __r_key
         joined = joined.withColumn(on, F.coalesce(F.col(on), F.col("__r_key")))
     return joined.drop("__r_key")

@@ -442,3 +442,25 @@ def test_interval_join_full_outer_batch_parity(spark):
     rows = {(r["user_id"], r["l_event_id"], r["r_event_id"]) for r in out}
     assert rows == {(1, 10, 99), (2, 20, None), (3, None, 77)}
     assert all(r["user_id"] is not None for r in out)
+
+
+def test_interval_join_fullouter_alias_still_coalesces_key(spark):
+    """Spark accepts 'fullouter' (no underscore) as a join type; the
+    key-coalesce branch must cover the alias too, or right-only rows
+    silently lose their join key."""
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(1, 10, "2024-01-01 10:00:00")],
+        "user_id long, event_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(3, 77, "2024-01-01 08:00:00")],
+        "user_id long, event_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = ingest.interval_join(
+        left, right, within="30 minutes", watermark="30 minutes",
+        how="fullouter",
+    ).collect()
+    assert {(r["user_id"], r["l_event_id"], r["r_event_id"]) for r in out} \
+        == {(1, 10, None), (3, None, 77)}

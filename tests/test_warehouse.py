@@ -337,3 +337,17 @@ def test_zorder_quantile_strategy_spreads_skewed_dimension(spark):
     # quantile gives each its own cell
     assert lin <= 8, lin
     assert qnt >= 16, qnt
+
+
+def test_zorder_rejects_sign_bit_overflow(spark):
+    """bits*ndims above 63 would interleave into the long sign bit and
+    silently corrupt the clustering — must raise instead."""
+    import pytest
+
+    from social_media_etl_spark.operators.warehouse import zorder_value
+
+    df = spark.range(10).selectExpr("id a", "id b", "id c", "id d")
+    with pytest.raises(ValueError, match="signed long"):
+        zorder_value(df, ["a", "b", "c", "d"], bits=16)
+    with pytest.raises(ValueError, match="signed long"):
+        zorder_value(df, ["a"], bits=0)
