@@ -25,6 +25,43 @@ from social_media_etl_spark.streaming import ingest as streaming_ingest
 
 SF0001 = "/root/testdata/sf0.001"
 
+#: Session-lifetime temp dirs created by roundtrip/streaming queries —
+#: removed at interpreter exit so an oracle/bench run leaves no orphan
+#: /tmp/smetl_* dirs behind (VERDICT r5 #5). Dirs are tracked, not
+#: eagerly deleted: bucketed layouts and drained checkpoints are
+#: legitimately reused across queries within the session.
+_TMPDIRS: list[str] = []
+
+
+def _tmpdir(prefix: str) -> str:
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    _TMPDIRS.append(d)
+    return d
+
+
+def _cleanup_tmpdirs() -> None:
+    import shutil
+
+    # best-effort: unregister the session-lifetime bucketed tables if a
+    # session is still alive at exit (their backing dirs are in _TMPDIRS)
+    try:
+        spark = SparkSession.getActiveSession()
+        if spark is not None:
+            for t in spark.catalog.listTables():
+                if t.name.startswith("smetl_bucketed_"):
+                    spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    except Exception:
+        pass
+    while _TMPDIRS:
+        shutil.rmtree(_TMPDIRS.pop(), ignore_errors=True)
+
+
+import atexit as _atexit  # noqa: E402
+
+_atexit.register(_cleanup_tmpdirs)
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (reference query (b) analog — counts per key,
@@ -528,13 +565,12 @@ def _bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     it once and amortize it over every subsequent join), so it is laid
     down once per (session, sf_dir) and reused — re-bucketing per
     query would charge the one-time layout cost to every execution."""
-    import tempfile
 
     built = getattr(spark, "_smetl_bucketed_for", None)
     if built != sf_dir:
         for src, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
             tbl = f"smetl_bucketed_{src}"
-            path = tempfile.mkdtemp(prefix=f"smetl_bkt_{src}_")
+            path = _tmpdir(prefix=f"smetl_bkt_{src}_")
             (
                 load_table(spark, sf_dir, src)
                 .write.mode("overwrite")
@@ -609,10 +645,9 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # FileStreamSource requires a DIRECTORY; expose the single testdata
     # parquet file through a temp dir of symlinks (testdata is read-only)
     import os
-    import tempfile
 
     schema, is_nanos = _events_stream_schema(sf_dir)
-    d = tempfile.mkdtemp(prefix="smetl_stream_src_")
+    d = _tmpdir(prefix="smetl_stream_src_")
     os.symlink(
         os.path.join(sf_dir, "events.parquet"),
         os.path.join(d, "events.parquet"),
@@ -642,9 +677,11 @@ def _scoped_conf(spark: SparkSession, confs: dict):
     place conf save/restore semantics live — used by every query that
     needs a temporary session override (drains, the RocksDB twin)."""
     saved = {k: spark.conf.get(k, None) for k in confs}
-    for k, v in confs.items():
-        spark.conf.set(k, v)
+    # the set loop lives INSIDE the try: if a set fails partway (bad
+    # value), the finally still restores the keys already set (ADVICE r5)
     try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
         yield
     finally:
         for k, v in saved.items():
@@ -655,7 +692,6 @@ def _scoped_conf(spark: SparkSession, confs: dict):
 
 
 def _drain(stream_df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
-    import tempfile
     import uuid
 
     spark = stream_df.sparkSession
@@ -672,7 +708,7 @@ def _drain(stream_df: DataFrame, name: str, mode: str = "complete") -> DataFrame
     with _scoped_conf(spark, confs):
         out = streaming_ingest.run_available_now(
             stream_df,
-            tempfile.mkdtemp(prefix=f"smetl_ckpt_{name}_"),
+            _tmpdir(prefix=f"smetl_ckpt_{name}_"),
             output_mode=mode,
             query_name=qname,
         )
@@ -744,7 +780,6 @@ def _sentinel_source_dir(spark: SparkSession, sf_dir: str, schema) -> str:
     topic once, not per query run."""
     import os
     import shutil
-    import tempfile
 
     from pyspark.sql import types as T
 
@@ -758,7 +793,7 @@ def _sentinel_source_dir(spark: SparkSession, sf_dir: str, schema) -> str:
         .collect()[0]["m"]
     )
     flush_us = max_ts_us + 30 * 24 * 3600 * 1_000_000  # +30 days
-    d = tempfile.mkdtemp(prefix="smetl_stream_louter_")
+    d = _tmpdir(prefix="smetl_stream_louter_")
     os.symlink(
         os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet")
     )
@@ -777,7 +812,7 @@ def _sentinel_source_dir(spark: SparkSession, sf_dir: str, schema) -> str:
         F.lit(0.0).alias("value"),
         F.lit(None).cast("string").alias("props"),
     )
-    tmp_out = tempfile.mkdtemp(prefix="smetl_sentinel_")
+    tmp_out = _tmpdir(prefix="smetl_sentinel_")
     sentinel.coalesce(1).write.mode("overwrite").parquet(tmp_out)
     part = next(f for f in os.listdir(tmp_out) if f.endswith(".parquet"))
     shutil.copy(os.path.join(tmp_out, part), os.path.join(d, "zz_sentinel.parquet"))
@@ -986,7 +1021,6 @@ def _formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortest-roundtrip repr). Scale note: formats + codecs are the
     per-file encoding boundary — the write is a normal distributed
     write (one file per partition), nothing driver-side."""
-    import tempfile
 
     from social_media_etl_spark.sources import formats
 
@@ -995,7 +1029,7 @@ def _formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey", "c_acctbal", "c_mktsegment",
     ]
     base = load_table(spark, sf_dir, "customer").select(*cols)
-    d = tempfile.mkdtemp(prefix="smetl_formats_rt_")
+    d = _tmpdir(prefix="smetl_formats_rt_")
     formats.write_table(base, f"{d}/orc", fmt="orc")
     formats.write_table(base, f"{d}/csv", fmt="csv")
     orc_rt = formats.read_table(spark, f"{d}/orc", fmt="orc")
@@ -1029,13 +1063,12 @@ def _zorder_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering rewrite loses, duplicates, and alters nothing. At 100 TB
     this is the maintenance op that turns two-dimensional point lookups
     from full scans into a handful of file reads."""
-    import tempfile
 
     from social_media_etl_spark.operators.warehouse import write_zordered
 
     cols = ["event_id", "user_id", "event_type", "value"]
     base = load_table(spark, sf_dir, "events").select(*cols)
-    d = tempfile.mkdtemp(prefix="smetl_zorder_rt_")
+    d = _tmpdir(prefix="smetl_zorder_rt_")
     write_zordered(base, f"{d}/events_z", ["user_id", "value"], num_files=8)
     rt = spark.read.parquet(f"{d}/events_z")
     certified = _certified_join(base, rt, cols, "z")
@@ -1046,6 +1079,90 @@ def _zorder_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
         .orderBy("event_type")
+    )
+
+
+def _compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction certified lossless (operators/warehouse.py:
+    compact_parquet_dir — the streaming-sink maintenance op): the events
+    slice is deliberately written as 32 small files (one per-batch shard,
+    the shape a micro-batching sink leaves behind), compacted in place
+    through the Hadoop-FS rename-safe swap, read back, and every row
+    must reappear byte-identical (in-plan null-safe equality join on all
+    columns; event_id keeps the join 1:1). The returned aggregate comes
+    FROM the certified join AND is gated on the compaction actually
+    shrinking the file count — a no-op "compaction" zeroes the result
+    and fails the count gate. At 100 TB this is what keeps a scan over
+    a micro-batched table from being dominated by per-file open/footer
+    overhead (VERDICT r5 #2)."""
+    import glob as _glob
+
+    from social_media_etl_spark.operators.warehouse import compact_parquet_dir
+
+    cols = ["event_id", "user_id", "event_type", "value"]
+    base = load_table(spark, sf_dir, "events").select(*cols)
+    d = _tmpdir(prefix="smetl_compact_rt_")
+    p = f"{d}/events_small"
+    base.repartition(32).write.parquet(p)
+    n_before = len(_glob.glob(f"{p}/*.parquet"))
+    compact_parquet_dir(spark, p, target_file_bytes=1 << 30, schema=base.schema)
+    n_after = len(_glob.glob(f"{p}/*.parquet"))
+    rt = spark.read.parquet(p)
+    certified = _certified_join(base, rt, cols, "c").where(
+        F.lit(n_after < n_before)  # the compaction must actually compact
+    )
+    return (
+        certified.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _upsert_events_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed MERGE semantics driver-graded (operators/warehouse.py:
+    upsert_parquet — the plain-parquet Delta/Iceberg-MERGE stand-in):
+    three deterministic batches derived from the events table are
+    upserted in sequence into a fresh parquet target — the full table
+    at seq 0, a value×2 update of every 5th event at seq 1, a value×3
+    update of every 7th event at seq 2 — and the final state must be
+    exactly latest-wins per event_id (an event divisible by 35 takes
+    the seq-2 row). The oracle reconstructs the same state with
+    row_number() over the unioned batches, so the hash gate certifies
+    the merge keeps precisely the highest-seq row per key, drops
+    nothing, and duplicates nothing (VERDICT r5 #3). Scale: each
+    upsert is one key-window shuffle + rewrite; on partitioned tables
+    pair with partition pruning so only touched partitions rewrite."""
+    from social_media_etl_spark.operators.warehouse import upsert_parquet
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    b0 = ev.withColumn("seq", F.lit(0))
+    b1 = (
+        ev.filter(F.col("event_id") % 5 == 0)
+        .withColumn("value", F.col("value") * 2)
+        .withColumn("seq", F.lit(1))
+    )
+    b2 = (
+        ev.filter(F.col("event_id") % 7 == 0)
+        .withColumn("value", F.col("value") * 3)
+        .withColumn("seq", F.lit(2))
+    )
+    d = _tmpdir(prefix="smetl_upsert_")
+    p = f"{d}/events_state"
+    for batch in (b0, b1, b2):
+        upsert_parquet(spark, batch, p, ["event_id"], "seq")
+    state = spark.read.parquet(p)
+    return (
+        state.groupBy("event_type", "seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type", "seq")
     )
 
 
@@ -1983,11 +2100,10 @@ def _streaming_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges the partials. Equals the batch aggregate, which is the
     oracle — certifying partial-merge correctness across real
     micro-batch boundaries."""
-    import tempfile
 
     src = getattr(spark, "_smetl_incr_src", {}).get(sf_dir)
     if src is None:
-        src = tempfile.mkdtemp(prefix="smetl_incr_src_")
+        src = _tmpdir(prefix="smetl_incr_src_")
         load_table(spark, sf_dir, "events").repartition(4).write.mode(
             "overwrite"
         ).parquet(src)
@@ -2000,8 +2116,8 @@ def _streaming_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    tgt = tempfile.mkdtemp(prefix="smetl_incr_tgt_")
-    ckpt = tempfile.mkdtemp(prefix="smetl_incr_ckpt_")
+    tgt = _tmpdir(prefix="smetl_incr_tgt_")
+    ckpt = _tmpdir(prefix="smetl_incr_ckpt_")
     streaming_ingest.write_foreach_batch_incremental_agg(
         stream, tgt, ckpt, ["event_type"], "value"
     )
@@ -2254,26 +2370,79 @@ def _managed(fn: Callable[[SparkSession, str], DataFrame]):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver grades only the FIRST 50
-    # entries per round (VERDICT r2). Round-5 window (pinned by
-    # tests/test_grading_window.py): the 3 keys added after the r4
-    # window filled (never driver-graded) lead, then the 3 new r5 keys,
-    # then the first 44 of the 49 keys whose last green is
-    # CORRECTNESS_r03 — so the r04 ∪ r05 union covers every key except
-    # the explicit 7-key R6_QUEUE at the dict tail (2 never-graded r5
-    # additions + 5 r03-greens, queued in that order to lead the r6
-    # window). The 50 r4-greens sit between. Keep this paragraph in
-    # sync with tests/test_grading_window.py — window planning is done
-    # from here (r2 postmortem).
+    # entries per round (VERDICT r2). Round-6 window (pinned by
+    # tests/test_grading_window.py): the 7-key R6_QUEUE from the r5
+    # verdict leads (the 2 never-graded r5 additions, then the 5 keys
+    # whose last green is r03), then the 2 new r6 keys (compaction /
+    # upsert roundtrips), then the first 41 of the 50 keys whose last
+    # green is CORRECTNESS_r04 — so the r05 ∪ r06 union covers every
+    # key except the explicit 9-key R7_QUEUE at the dict tail (r04-
+    # greens that did not fit, queued to lead the r7 window). The 50
+    # r5-greens sit between. Keep this paragraph in sync with
+    # tests/test_grading_window.py — window planning is done from here
+    # (r2 postmortem).
     qs = {
-        # -- r4 additions that missed the r4 window (never graded) -------
+        # -- R6_QUEUE: never-driver-graded r5 additions first ------------
+        "zorder_layout_roundtrip": _zorder_layout_roundtrip,
+        "corpus_shuffle": _corpus_shuffle,
+        # -- R6_QUEUE: last green r03 ------------------------------------
+        "gopher_quality_flags": _gopher_quality,
+        "semantic_dedup_representatives": _semantic_dedup,
+        "bpe_pair_counts": _bpe_pair_counts,
+        "embedding_label_centroids": _embedding_label_centroids,
+        "source_mixing_weights": _source_mixing_weights,
+        # -- new this round (never graded) -------------------------------
+        "compaction_roundtrip": _compaction_roundtrip,
+        "upsert_events_latest": _upsert_events_latest,
+        # -- first 41 of the 50 keys whose last green is r4 --------------
+        "pack_training_sequences": _pack_sequences,
+        "clean_corpus_pipeline": _clean_corpus,
+        "streaming_session_windows": _streaming_sessions,
+        "streaming_interval_join": _streaming_interval_join,
+        "table_profile_orders_approx": _table_profile_approx,
+        "user_retention_cohorts": _user_retention_cohorts,
+        "blog_a_most_active": _blog_a,
+        "blog_b_counts_per_key": _blog_b,
+        "blog_c_longest_text": _blog_c,
+        "q1_pricing_summary": _q1,
+        "q3_top_revenue_orders": _q3,
+        "q5_regional_revenue": _q5,
+        "q6_forecast_revenue": _q6,
+        "q14_promo_share": _q14,
+        "q17_small_qty_revenue": _q17,
+        "q18_large_volume_customers": _q18,
+        "q4_late_shipment_priority": _q4,
+        "q10_returned_revenue_top": _q10,
+        "q16_brand_supplier_counts": _q16,
+        "q19_banded_revenue": _q19,
+        "q22_idle_rich_customers": _q22,
+        "q7_nation_trade": _q7,
+        "q8_market_share": _q8,
+        "q9_product_profit": _q9,
+        "q11_important_parts": _q11,
+        "q13_order_distribution": _q13,
+        "q15_top_supplier": _q15,
+        "customer_value_deciles": _cust_deciles,
+        "full_outer_balance_bands": _full_outer_bands,
+        "events_value_histogram": _events_histogram,
+        "approx_quantiles_gated": _approx_quantiles_gated,
+        "fuzzy_name_match": _fuzzy_name_match,
+        "customer_priority_profile": _cust_priority_profile,
+        "priority_share_by_year": _priority_share,
+        "topk_orders_per_customer": _topk_per_cust,
+        "distinct_parts_per_flag": _distinct,
+        "events_json_extract": _events_json,
+        "events_pivot_counts": _events_pivot,
+        "events_unpivot_counts": _events_unpivot,
+        "sql_min_price_supplier": _sql_entrypoint,
+        "approx_distinct_sketch_rollup": _sketch_rollup,
+        # ------- middle: the 50 keys hash-matched in CORRECTNESS_r05 ----
         "importance_sampling": _importance_sampling,
         "token_budget_curation": _token_budget_curation,
         "funnel_conversion": _funnel_conversion,
-        # -- new this round (never graded) -------------------------------
         "streaming_stateful_totals_rocksdb": _streaming_stateful_totals_rocksdb,
         "streaming_full_outer_join": _streaming_full_outer_join,
         "formats_roundtrip": _formats_roundtrip,
-        # -- first 44 of the 49 keys whose last green is r3 --------------
         "skew_salted_agg_events": _salted_agg_events,
         "skew_salted_join_events": _salted_join_events,
         "bucketed_join_priority_revenue": _bucketed_join_revenue,
@@ -2318,48 +2487,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _doc_chunks,
         "quota_per_source": _quota_per_source,
         "corpus_top_words": _top_words,
-        # ------- tail: the 50 keys hash-matched in CORRECTNESS_r04 ------
-        "pack_training_sequences": _pack_sequences,
-        "clean_corpus_pipeline": _clean_corpus,
-        "streaming_session_windows": _streaming_sessions,
-        "streaming_interval_join": _streaming_interval_join,
-        "table_profile_orders_approx": _table_profile_approx,
-        "user_retention_cohorts": _user_retention_cohorts,
-        "blog_a_most_active": _blog_a,
-        "blog_b_counts_per_key": _blog_b,
-        "blog_c_longest_text": _blog_c,
-        "q1_pricing_summary": _q1,
-        "q3_top_revenue_orders": _q3,
-        "q5_regional_revenue": _q5,
-        "q6_forecast_revenue": _q6,
-        "q14_promo_share": _q14,
-        "q17_small_qty_revenue": _q17,
-        "q18_large_volume_customers": _q18,
-        "q4_late_shipment_priority": _q4,
-        "q10_returned_revenue_top": _q10,
-        "q16_brand_supplier_counts": _q16,
-        "q19_banded_revenue": _q19,
-        "q22_idle_rich_customers": _q22,
-        "q7_nation_trade": _q7,
-        "q8_market_share": _q8,
-        "q9_product_profit": _q9,
-        "q11_important_parts": _q11,
-        "q13_order_distribution": _q13,
-        "q15_top_supplier": _q15,
-        "customer_value_deciles": _cust_deciles,
-        "full_outer_balance_bands": _full_outer_bands,
-        "events_value_histogram": _events_histogram,
-        "approx_quantiles_gated": _approx_quantiles_gated,
-        "fuzzy_name_match": _fuzzy_name_match,
-        "customer_priority_profile": _cust_priority_profile,
-        "priority_share_by_year": _priority_share,
-        "topk_orders_per_customer": _topk_per_cust,
-        "distinct_parts_per_flag": _distinct,
-        "events_json_extract": _events_json,
-        "events_pivot_counts": _events_pivot,
-        "events_unpivot_counts": _events_unpivot,
-        "sql_min_price_supplier": _sql_entrypoint,
-        "approx_distinct_sketch_rollup": _sketch_rollup,
+        # -- R7_QUEUE (9 keys): the r04-green keys that did not fit the
+        # r6 window — rotate these to the FRONT of the r7 window --------
         "anti_join_customers_no_orders": _anti_join,
         "semi_join_urgent_suppliers": _semi_join,
         "range_join_quantity_bands": _range_join_bands,
@@ -2369,16 +2498,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_revenue": _cube_revenue,
         "price_quantiles_exact": _price_quantiles,
         "set_ops_priority_custs": _set_ops,
-        # -- R6_QUEUE (7 keys): the 2 never-graded r5 additions first,
-        # then the 5 keys whose last green is r03 that did not fit the
-        # r5 window — rotate these to the FRONT of the r6 window ------
-        "zorder_layout_roundtrip": _zorder_layout_roundtrip,
-        "corpus_shuffle": _corpus_shuffle,
-        "gopher_quality_flags": _gopher_quality,
-        "semantic_dedup_representatives": _semantic_dedup,
-        "bpe_pair_counts": _bpe_pair_counts,
-        "embedding_label_centroids": _embedding_label_centroids,
-        "source_mixing_weights": _source_mixing_weights,
     }
     return {name: _managed(fn) for name, fn in qs.items()}
 
@@ -2991,6 +3110,48 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 2) AS sum_value
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        # Compaction gate mirrors zorder_layout_roundtrip: the null-safe
+        # equality certification (plus the in-plan file-count-shrank
+        # gate) makes the certified set the events table iff the
+        # compacted rewrite is lossless.
+        "compaction_roundtrip": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        # Latest-wins MERGE: the oracle replays the same three batches
+        # and keeps the highest-seq row per event_id with row_number —
+        # exactly upsert_parquet's window semantics.
+        "upsert_events_latest": """
+            WITH b0 AS (
+                SELECT event_id, event_type, value, 0 AS seq FROM events
+            ),
+            b1 AS (
+                SELECT event_id, event_type, value * 2 AS value, 1 AS seq
+                FROM events WHERE event_id % 5 = 0
+            ),
+            b2 AS (
+                SELECT event_id, event_type, value * 3 AS value, 2 AS seq
+                FROM events WHERE event_id % 7 = 0
+            ),
+            unioned AS (
+                SELECT * FROM b0
+                UNION ALL SELECT * FROM b1
+                UNION ALL SELECT * FROM b2
+            ),
+            latest AS (
+                SELECT event_id, event_type, value, seq FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY event_id ORDER BY seq DESC
+                    ) AS rn FROM unioned
+                ) WHERE rn = 1
+            )
+            SELECT event_type, seq,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM latest GROUP BY event_type, seq ORDER BY event_type, seq
         """,
         # The roundtrip gate is structural (null-safe equality joins):
         # if ORC/CSV roundtrips are lossless the certified set IS the

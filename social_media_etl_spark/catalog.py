@@ -150,6 +150,12 @@ def parquet_ts_unit(path: str, col: str) -> str | None:
     of the other parts would not invalidate (ADVICE r4) — would serve
     the stale unit across a regeneration and silently reapply or skip
     the div-1000 conversion (ADVICE r3).
+
+    A directory is assumed UNIT-HOMOGENEOUS (all parts written by one
+    job — true of every Spark/driver-written table); the first AND last
+    part are both sniffed, and a disagreement warns and reports the
+    first part's unit rather than guessing (ADVICE r5) — a mixed-unit
+    directory needs a per-file rewrite, not a silent single answer.
     """
     try:
         import pyarrow  # noqa: F401 — fail fast before any stat calls
@@ -161,17 +167,31 @@ def parquet_ts_unit(path: str, col: str) -> str | None:
             if not parts:
                 return None
             target = parts[0]
+            tail = parts[-1]
             fingerprint: tuple = tuple(
                 (os.path.basename(p), st.st_size, st.st_mtime_ns)
                 for p, st in ((p, os.stat(p)) for p in parts)
             )
         else:
             target = path
+            tail = path
             st = os.stat(target)
             fingerprint = (st.st_mtime_ns, st.st_size)
     except OSError:
         return None
-    return _parquet_ts_unit_cached(target, col, fingerprint)
+    unit = _parquet_ts_unit_cached(target, col, fingerprint)
+    if tail != target:
+        tail_unit = _parquet_ts_unit_cached(tail, col, fingerprint)
+        if tail_unit != unit:
+            import warnings
+
+            warnings.warn(
+                f"parquet_ts_unit: mixed timestamp units in {path!r} for "
+                f"{col!r}: first part {unit!r} vs last part {tail_unit!r}; "
+                "reporting the first — rewrite the directory to one unit",
+                stacklevel=2,
+            )
+    return unit
 
 
 @functools.lru_cache(maxsize=64)

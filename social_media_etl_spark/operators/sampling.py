@@ -19,6 +19,7 @@ __all__ = [
     "deterministic_split",
     "md5_split",
     "seeded_shuffle",
+    "write_shuffled_shards",
     "importance_sample",
     "budget_quota",
 ]
@@ -120,19 +121,64 @@ def seeded_shuffle(
     incremental additions interleave into the existing order instead of
     reshuffling everything.
 
+    A null key is hashed as the distinct marker ``\\x00null`` (not the
+    empty string, which a real key could collide with), so null-key rows
+    also get a stable, deterministic position (ADVICE r5); rows SHARING
+    a key (null or not) share a shuffle_key and tie-break by the
+    engine's partition order — give every row a unique key for a total
+    order.
+
     Scale: a total sort is ONE range exchange (distributed sort —
     Spark samples range bounds; there is no single-partition window
-    and no global rank materialization). To SHARD the shuffled corpus,
-    write with ``repartitionByRange(n, 'shuffle_key')`` +
-    ``sortWithinPartitions`` — files then hold contiguous slices of
-    the permutation.
+    and no global rank materialization). To SHARD the shuffled corpus
+    into files, use :func:`write_shuffled_shards` — files then hold
+    contiguous slices of the permutation.
     """
-    key = F.md5(
+    return (
+        df.withColumn("shuffle_key", _shuffle_key(key_col, seed))
+        .orderBy("shuffle_key")
+    )
+
+
+def _shuffle_key(key_col: str, seed: int) -> Column:
+    """md5(seed:key) shuffle key shared by seeded_shuffle and
+    write_shuffled_shards; null keys hash the ``\\x00null`` marker."""
+    return F.md5(
         F.concat(
-            F.lit(f"{seed}:"), F.col(key_col).cast("string")
+            F.lit(f"{seed}:"),
+            F.coalesce(F.col(key_col).cast("string"), F.lit("\x00null")),
         ).cast("binary")
     )
-    return df.withColumn("shuffle_key", key).orderBy("shuffle_key")
+
+
+def write_shuffled_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_shards: int,
+    seed: int = 0,
+    mode: str = "overwrite",
+) -> None:
+    """Sharded form of :func:`seeded_shuffle` for writing a shuffled
+    corpus: hash each key to the same deterministic ``shuffle_key``,
+    range-partition into ``n_shards`` and sort within each, so every
+    output file holds a CONTIGUOUS slice of the global permutation —
+    reading files in footer min(shuffle_key) order replays the exact
+    :func:`seeded_shuffle` order (pinned by
+    test_write_shuffled_shards_are_contiguous_slices).
+
+    This is the 100 TB path: a trainer streams shards instead of one
+    totally-ordered frame, and the layout costs the SAME single range
+    exchange as the total sort (repartitionByRange samples bounds; the
+    per-partition sort is local, no global merge)."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    keyed = df.withColumn("shuffle_key", _shuffle_key(key_col, seed))
+    out = (
+        keyed.repartitionByRange(n_shards, F.col("shuffle_key"))
+        .sortWithinPartitions("shuffle_key")
+    )
+    out.write.mode(mode).parquet(path)
 
 
 def importance_sample(

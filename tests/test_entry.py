@@ -207,21 +207,50 @@ def test_parquet_ts_unit_dir_fingerprint_covers_all_parts(tmp_path):
     write("part-1.parquet", 2)
     assert parquet_ts_unit(str(d), "ts") == "us"
     hits0 = _parquet_ts_unit_cached.cache_info().hits
-    assert parquet_ts_unit(str(d), "ts") == "us"  # warm: cache hit
-    assert _parquet_ts_unit_cached.cache_info().hits == hits0 + 1
+    assert parquet_ts_unit(str(d), "ts") == "us"  # warm: cache hits
+    # 2 hits per warm directory call since ADVICE r5: first AND last
+    # part are both sniffed (mixed-unit detection)
+    assert _parquet_ts_unit_cached.cache_info().hits == hits0 + 2
 
     # rewrite ONLY the second part (different size → fingerprint flips
     # even on coarse-mtime filesystems); first part byte-identical
     write("part-1.parquet", 5)
     misses0 = _parquet_ts_unit_cached.cache_info().misses
     assert parquet_ts_unit(str(d), "ts") == "us"
-    assert _parquet_ts_unit_cached.cache_info().misses == misses0 + 1
+    assert _parquet_ts_unit_cached.cache_info().misses == misses0 + 2
 
     # adding a NEW part also flips the fingerprint
     write("part-2.parquet", 3)
     misses1 = _parquet_ts_unit_cached.cache_info().misses
     assert parquet_ts_unit(str(d), "ts") == "us"
-    assert _parquet_ts_unit_cached.cache_info().misses == misses1 + 1
+    assert _parquet_ts_unit_cached.cache_info().misses == misses1 + 2
+
+
+def test_parquet_ts_unit_warns_on_mixed_unit_directory(tmp_path):
+    """ADVICE r5: a directory whose first and last parts disagree on
+    the physical timestamp unit warns (and reports the first part's
+    unit) instead of silently answering from one footer."""
+    import warnings
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from social_media_etl_spark.catalog import parquet_ts_unit
+
+    d = tmp_path / "mixed_dir"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"ts": pa.array([1], pa.timestamp("us"))}),
+        str(d / "part-0.parquet"),
+    )
+    pq.write_table(
+        pa.table({"ts": pa.array([1], pa.timestamp("ns"))}),
+        str(d / "part-1.parquet"),
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert parquet_ts_unit(str(d), "ts") == "us"  # first part's unit
+    assert any("mixed timestamp units" in str(w.message) for w in caught)
 
 
 def test_formats_roundtrip_certified_equals_direct(spark, sf_dir):

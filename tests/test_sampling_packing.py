@@ -217,3 +217,67 @@ def test_seeded_shuffle_deterministic_and_growth_stable(spark):
         ).collect()
     }
     assert all(grown[k] == v for k, v in small.items())
+
+
+def test_seeded_shuffle_null_keys_get_stable_position(spark):
+    """A null key hashes the distinct \\x00null marker (not the empty
+    string), so null-key rows land at a deterministic spot — and a row
+    whose real key IS the marker-adjacent empty string does not collide
+    with them (ADVICE r5)."""
+    from social_media_etl_spark.operators.sampling import seeded_shuffle
+
+    df = spark.createDataFrame(
+        [("a",), (None,), ("",), ("b",)], "k string"
+    )
+    rows = {r["k"]: r["shuffle_key"] for r in seeded_shuffle(df, "k", 1).collect()}
+    rerun = {r["k"]: r["shuffle_key"] for r in seeded_shuffle(df, "k", 1).collect()}
+    assert rows == rerun  # null included, stable across runs
+    assert rows[None] is not None
+    assert rows[None] != rows[""]  # marker does not collide with ""
+
+
+def test_write_shuffled_shards_are_contiguous_slices(spark, tmp_path):
+    """Sharded shuffle layout: every output file owns a DISJOINT range
+    of shuffle_key (verified from parquet footers), and reading files
+    in footer-min order replays exactly the seeded_shuffle permutation
+    — the trainer's streaming contract (VERDICT r5 #4)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from social_media_etl_spark.operators.sampling import (
+        seeded_shuffle,
+        write_shuffled_shards,
+    )
+
+    df = spark.range(5_000).withColumnRenamed("id", "k")
+    path = str(tmp_path / "shards")
+    write_shuffled_shards(df, path, "k", n_shards=8, seed=3)
+
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.row_group(rg).num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "shuffle_key"
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        if mins:
+            ranges.append((min(mins), max(maxs), f))
+    assert len(ranges) > 1  # actually sharded
+    ranges.sort()
+    for (_, hi, _), (lo2, _, _) in zip(ranges, ranges[1:]):
+        assert hi < lo2  # disjoint, contiguous slices
+
+    # concatenating shards in footer-min order == the total-sort order
+    replay = []
+    for _, _, f in ranges:
+        replay.extend(pq.read_table(f).column("k").to_pylist())
+    total = [r["k"] for r in seeded_shuffle(df, "k", seed=3).collect()]
+    assert replay == total

@@ -29,6 +29,31 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert len(dirs) == 5  # one directory per type
 
 
+def test_partitioned_write_bytes_sizing_is_one_pass(spark, tmp_path):
+    """target_file_bytes sizes files from Catalyst's plan-stats estimate
+    — no count() job — and still writes every row (VERDICT r5 #6)."""
+    path = str(tmp_path / "events_bytes_sized")
+    events = load_table(spark, SF, "events")
+    warehouse.write_partitioned(
+        events, path, ["event_type"], target_file_bytes=64 << 20
+    )
+    assert spark.read.parquet(path).count() == events.count()
+
+
+def test_partitioned_write_rejects_both_sizing_modes(spark, tmp_path):
+    import pytest
+
+    events = load_table(spark, SF, "events")
+    with pytest.raises(ValueError, match="at most one"):
+        warehouse.write_partitioned(
+            events,
+            str(tmp_path / "x"),
+            ["event_type"],
+            target_file_rows=1000,
+            target_file_bytes=1 << 20,
+        )
+
+
 def test_upsert_parquet_latest_wins(spark, tmp_path):
     path = str(tmp_path / "state")
     v1 = spark.createDataFrame(
@@ -349,5 +374,6 @@ def test_zorder_rejects_sign_bit_overflow(spark):
     df = spark.range(10).selectExpr("id a", "id b", "id c", "id d")
     with pytest.raises(ValueError, match="signed long"):
         zorder_value(df, ["a", "b", "c", "d"], bits=16)
-    with pytest.raises(ValueError, match="signed long"):
+    # bits<1 gets its own accurate message, not the overflow one (ADVICE r5)
+    with pytest.raises(ValueError, match="bits must be >= 1"):
         zorder_value(df, ["a"], bits=0)
