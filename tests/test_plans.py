@@ -327,6 +327,30 @@ def test_formats_roundtrip_certification_joins_are_equi(spark):
     assert "HashAggregate" in p
 
 
+def test_compaction_roundtrip_certification_join_is_equi(spark):
+    """The compaction certification join keys on null-safe EQUALITY of
+    every column — hash-based equi-join, never the nested-loop/cartesian
+    fallback (all-pairs at scale); the rollup partial-aggregates."""
+    df = entry._compaction_roundtrip(spark, SF)
+    p = plan(df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "HashAggregate" in p
+
+
+def test_upsert_events_latest_no_cartesian_single_key_window(spark):
+    """The merged latest-wins state rides the upsert's per-key window
+    (one event_id shuffle inside upsert_parquet, already materialized);
+    the returned plan is a plain partial-aggregated rollup of the
+    parquet state — no joins, no window replays."""
+    df = entry._upsert_events_latest(spark, SF)
+    p = plan(df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "HashAggregate" in p
+    assert "Window" not in p, p  # state is pre-materialized, not re-ranked
+
+
 def test_corpus_shuffle_is_distributed_sort(spark):
     """The seeded shuffle's total order is a RANGE exchange on the hash
     key (distributed sort) — never a single-partition collapse or a
