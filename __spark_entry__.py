@@ -1975,6 +1975,35 @@ def _token_budget_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _smoothed_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α-smoothed source mixing (operators/sampling.py:
+    smoothed_mixture_sample, alpha=0.5): per-source keep rate
+    (n_s/n_min)^(alpha-1) from one tiny count aggregate broadcast back,
+    acceptance by the deterministic md5 Bernoulli — expected output per
+    source ∝ sqrt(n_s), the multilingual sampling-exponent scheme. The
+    big side is never shuffled (broadcast join + pure-expression
+    filter); the oracle replays rates and acceptances exactly."""
+    from social_media_etl_spark.operators import sampling
+
+    # the testdata's `source` is perfectly uniform (every rate would be
+    # 1 and the sampler a pass-through), so the mixing stratum is a
+    # deterministically SKEWED 60/30/10 tiering of doc_id — the
+    # long-tailed shape the exponent scheme exists for: head thins to
+    # ~sqrt, tail keeps everything
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 < 6, F.lit("head"))
+        .when(F.col("doc_id") % 10 < 9, F.lit("mid"))
+        .otherwise(F.lit("tail"))
+        .alias("tier"),
+    )
+    return (
+        sampling.smoothed_mixture_sample(docs, "tier", "doc_id", alpha=0.5)
+        .select("doc_id", "tier", "mix_rate")
+        .orderBy("doc_id")
+    )
+
+
 def _funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """view→click→purchase ordered funnel; chained same-partition
     window mins mean the whole funnel rides ONE user_id shuffle."""
@@ -2373,11 +2402,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries per round (VERDICT r2). Round-6 window (pinned by
     # tests/test_grading_window.py): the 7-key R6_QUEUE from the r5
     # verdict leads (the 2 never-graded r5 additions, then the 5 keys
-    # whose last green is r03), then the 2 new r6 keys (compaction /
-    # upsert roundtrips), then the first 41 of the 50 keys whose last
-    # green is CORRECTNESS_r04 — so the r05 ∪ r06 union covers every
-    # key except the explicit 9-key R7_QUEUE at the dict tail (r04-
-    # greens that did not fit, queued to lead the r7 window). The 50
+    # whose last green is r03), then the 3 new r6 keys (compaction /
+    # upsert roundtrips + α-smoothed mixing), then the first 40 of the
+    # 50 keys whose last green is CORRECTNESS_r04 — so the r05 ∪ r06
+    # union covers every key except the explicit 10-key R7_QUEUE at the
+    # dict tail (r04-greens that did not fit, queued to lead). The 50
     # r5-greens sit between. Keep this paragraph in sync with
     # tests/test_grading_window.py — window planning is done from here
     # (r2 postmortem).
@@ -2394,6 +2423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round (never graded) -------------------------------
         "compaction_roundtrip": _compaction_roundtrip,
         "upsert_events_latest": _upsert_events_latest,
+        "smoothed_mixture_sample": _smoothed_mixture_sample,
         # -- first 41 of the 50 keys whose last green is r4 --------------
         "pack_training_sequences": _pack_sequences,
         "clean_corpus_pipeline": _clean_corpus,
@@ -2435,7 +2465,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot_counts": _events_pivot,
         "events_unpivot_counts": _events_unpivot,
         "sql_min_price_supplier": _sql_entrypoint,
-        "approx_distinct_sketch_rollup": _sketch_rollup,
         # ------- middle: the 50 keys hash-matched in CORRECTNESS_r05 ----
         "importance_sampling": _importance_sampling,
         "token_budget_curation": _token_budget_curation,
@@ -2487,8 +2516,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _doc_chunks,
         "quota_per_source": _quota_per_source,
         "corpus_top_words": _top_words,
-        # -- R7_QUEUE (9 keys): the r04-green keys that did not fit the
+        # -- R7_QUEUE (10 keys): the r04-green keys that did not fit the
         # r6 window — rotate these to the FRONT of the r7 window --------
+        "approx_distinct_sketch_rollup": _sketch_rollup,
         "anti_join_customers_no_orders": _anti_join,
         "semi_join_urgent_suppliers": _semi_join,
         "range_join_quantity_bands": _range_join_bands,
@@ -3152,6 +3182,34 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 2) AS sum_value
             FROM latest GROUP BY event_type, seq ORDER BY event_type, seq
+        """,
+        # α-smoothed mixing: the oracle replays the per-source rate
+        # (n_s/n_min)^(alpha-1) — rounded to 9 dp, past the acceptance
+        # variable's 2^-32 resolution, so last-ulp pow() differences
+        # between engines cannot flip a row — and the identical
+        # md5-uniform acceptance used by importance_sampling.
+        "smoothed_mixture_sample": """
+            WITH tiered AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 10 < 6 THEN 'head'
+                            WHEN doc_id % 10 < 9 THEN 'mid'
+                            ELSE 'tail' END AS tier
+                FROM documents
+            ),
+            counts AS (
+                SELECT tier, count(*) AS n_s FROM tiered GROUP BY tier
+            ),
+            m AS (SELECT min(n_s) AS n_min FROM counts),
+            rates AS (
+                SELECT tier,
+                       round(pow(n_s * 1.0 / n_min, -0.5), 9) AS mix_rate
+                FROM counts, m
+            )
+            SELECT d.doc_id, d.tier, r.mix_rate
+            FROM tiered d JOIN rates r USING (tier)
+            WHERE ('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)),
+                                  1, 8))::BIGINT / 4294967296.0 < r.mix_rate
+            ORDER BY d.doc_id
         """,
         # The roundtrip gate is structural (null-safe equality joins):
         # if ORC/CSV roundtrips are lossless the certified set IS the

@@ -21,6 +21,8 @@ __all__ = [
     "seeded_shuffle",
     "write_shuffled_shards",
     "importance_sample",
+    "hash_uniform",
+    "smoothed_mixture_sample",
     "budget_quota",
 ]
 
@@ -197,7 +199,16 @@ def importance_sample(
     oracle does). One scan, no shuffle, no RNG state.
     """
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
-    u = (
+    return df.filter(hash_uniform(key_col, salt) < w)
+
+
+def hash_uniform(key_col: str, salt: str) -> Column:
+    """Deterministic uniform in [0, 1): first 8 hex digits of
+    md5(salt:key) as an integer over 2^32. Both steps are exact in
+    doubles, so ANY engine replays the identical value (the DuckDB
+    oracles do) — the shared acceptance variable of every
+    deterministic-Bernoulli sampler here."""
+    return (
         F.conv(
             F.substring(
                 F.md5(
@@ -213,7 +224,50 @@ def importance_sample(
         ).cast("double")
         / F.lit(float(1 << 32))
     )
-    return df.filter(u < w)
+
+
+def smoothed_mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    salt: str = "mix",
+) -> DataFrame:
+    """α-smoothed source mixing: downsample so each source's expected
+    share of the output is ∝ n_s^alpha — the published multilingual /
+    multi-corpus sampling-exponent scheme (alpha≈0.5-0.7 flattens a
+    long-tailed source distribution toward uniform without discarding
+    the head entirely; alpha=1 keeps natural proportions, alpha=0
+    targets uniform). Per-source keep rate r_s = (n_s/n_min)^(alpha-1),
+    anchored so the SMALLEST source keeps everything (rate 1) and
+    larger sources thin out; the keep decision is the deterministic
+    md5(salt:key) Bernoulli, so reruns and corpus growth never flip a
+    kept row and any engine replays the sample. Adds ``mix_rate``
+    (rounded to 9 dp — past the 2^-32 resolution of the acceptance
+    variable, but engine-exact so Spark and the oracle accept the
+    identical row set despite last-ulp pow() differences).
+
+    Scale: the rates come from one tiny source-count aggregate
+    broadcast back — the BIG side is never shuffled; one scan + a
+    broadcast hash join + a pure-expression filter.
+    """
+    if not (0.0 <= alpha <= 1.0):
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n_s"))
+    n_min = counts.agg(F.min("__n_s").alias("__n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        source_col,
+        F.round(
+            F.pow(
+                F.col("__n_s").cast("double") / F.col("__n_min"),
+                F.lit(alpha - 1.0),
+            ),
+            9,
+        ).alias("mix_rate"),
+    )
+    return df.join(F.broadcast(rates), source_col).filter(
+        hash_uniform(key_col, salt) < F.col("mix_rate")
+    )
 
 
 def budget_quota(

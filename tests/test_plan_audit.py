@@ -45,6 +45,9 @@ def test_single_partition_exchanges_are_known(spark):
         "approx_distinct_sketch_rollup", "table_profile_orders",
         "tfidf_top_terms", "unigram_logprob_quality", "set_ops_priority_custs",
         "source_mixing_weights", "blog_a_most_active", "funnel_conversion",
+        # n_min: one-row global min over the tiny per-source count agg,
+        # broadcast back — the rate anchor, not a data-path collapse
+        "smoothed_mixture_sample",
         # one-row verification gates (_approx_gate / HLL profile gate)
         "approx_quantiles_gated", "dedup_minhash_lsh", "dedup_simhash",
         "ann_lsh_topk", "ann_ivf_topk", "table_profile_orders_approx",

@@ -236,6 +236,62 @@ def test_seeded_shuffle_null_keys_get_stable_position(spark):
     assert rows[None] != rows[""]  # marker does not collide with ""
 
 
+def test_smoothed_mixture_sample_flattens_toward_exponent(spark):
+    """α-smoothed mixing: the smallest source keeps everything (rate
+    1), larger sources thin by (n_s/n_min)^(alpha-1); output shares
+    land near n_s^alpha, the published sampling-exponent target, and
+    the sample is deterministic across reruns; alpha outside [0,1]
+    raises."""
+    from social_media_etl_spark.operators.sampling import (
+        smoothed_mixture_sample,
+    )
+
+    rows = (
+        [(i, "big") for i in range(6400)]
+        + [(i + 10_000, "mid") for i in range(400)]
+        + [(i + 20_000, "small") for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "k long, src string")
+    out = smoothed_mixture_sample(df, "src", "k", alpha=0.5)
+    got = {
+        r["src"]: r["n"]
+        for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()
+    }
+    rates = {r["src"]: r["mix_rate"] for r in out.select("src", "mix_rate").distinct().collect()}
+    assert rates["small"] == 1.0          # n_min anchor keeps everything
+    assert abs(rates["big"] - (64 ** -0.5)) < 1e-9
+    assert abs(rates["mid"] - (4 ** -0.5)) < 1e-9
+    assert got["small"] == 100            # rate-1 stratum fully kept
+    # expected kept: n_s * rate = n_min^(1-a) * n_s^a → 800 / 200 / 100
+    assert abs(got["big"] - 800) < 120    # Bernoulli tolerance (~4σ)
+    assert abs(got["mid"] - 200) < 60
+    # deterministic: rerun keeps the identical row set
+    a = sorted(r["k"] for r in out.collect())
+    b = sorted(
+        r["k"] for r in smoothed_mixture_sample(df, "src", "k", 0.5).collect()
+    )
+    assert a == b
+    with pytest.raises(ValueError, match="alpha"):
+        smoothed_mixture_sample(df, "src", "k", alpha=1.5)
+
+
+def test_smoothed_mixture_sample_big_side_not_shuffled(spark):
+    """The rates join must be a BROADCAST hash join — the corpus side
+    is never exchanged on the source key (only the tiny count aggregate
+    shuffles its one-column projection)."""
+    from social_media_etl_spark.operators.sampling import (
+        smoothed_mixture_sample,
+    )
+
+    df = spark.range(10_000).selectExpr(
+        "id AS k", "CASE WHEN id % 4 = 0 THEN 'a' ELSE 'b' END AS src"
+    )
+    out = smoothed_mixture_sample(df, "src", "k", alpha=0.5)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
 def test_write_shuffled_shards_are_contiguous_slices(spark, tmp_path):
     """Sharded shuffle layout: every output file owns a DISJOINT range
     of shuffle_key (verified from parquet footers), and reading files
