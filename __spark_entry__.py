@@ -2424,7 +2424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_roundtrip": _compaction_roundtrip,
         "upsert_events_latest": _upsert_events_latest,
         "smoothed_mixture_sample": _smoothed_mixture_sample,
-        # -- first 41 of the 50 keys whose last green is r4 --------------
+        # -- first 40 of the 50 keys whose last green is r4 --------------
         "pack_training_sequences": _pack_sequences,
         "clean_corpus_pipeline": _clean_corpus,
         "streaming_session_windows": _streaming_sessions,

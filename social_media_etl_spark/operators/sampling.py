@@ -247,16 +247,24 @@ def smoothed_mixture_sample(
     variable, but engine-exact so Spark and the oracle accept the
     identical row set despite last-ulp pow() differences).
 
+    A NULL source is a real stratum: rows with a null ``source_col``
+    are counted, rated, and sampled as their own group (internally the
+    join keys on a null-marker normalization — a plain equi-join would
+    silently DROP every null-source row while their count still
+    deflated n_min and every real source's rate with it).
+
     Scale: the rates come from one tiny source-count aggregate
     broadcast back — the BIG side is never shuffled; one scan + a
     broadcast hash join + a pure-expression filter.
     """
     if not (0.0 <= alpha <= 1.0):
         raise ValueError(f"alpha must be in [0, 1], got {alpha}")
-    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n_s"))
+    src = F.coalesce(F.col(source_col).cast("string"), F.lit("\x00null"))
+    keyed = df.withColumn("__src", src)
+    counts = keyed.groupBy("__src").agg(F.count(F.lit(1)).alias("__n_s"))
     n_min = counts.agg(F.min("__n_s").alias("__n_min"))
     rates = counts.crossJoin(F.broadcast(n_min)).select(
-        source_col,
+        "__src",
         F.round(
             F.pow(
                 F.col("__n_s").cast("double") / F.col("__n_min"),
@@ -265,8 +273,10 @@ def smoothed_mixture_sample(
             9,
         ).alias("mix_rate"),
     )
-    return df.join(F.broadcast(rates), source_col).filter(
-        hash_uniform(key_col, salt) < F.col("mix_rate")
+    return (
+        keyed.join(F.broadcast(rates), "__src")
+        .filter(hash_uniform(key_col, salt) < F.col("mix_rate"))
+        .drop("__src")
     )
 
 

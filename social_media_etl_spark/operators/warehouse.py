@@ -29,6 +29,12 @@ __all__ = [
 ]
 
 
+#: Plan-stats size estimates beyond this are treated as Catalyst's
+#: no-CBO blowup (join = product of children; unsized = Long.MaxValue),
+#: not a real table size — 1 PiB is far past any single write's input.
+_SANE_SIZE_BYTES = 1 << 50
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,
@@ -42,11 +48,18 @@ def write_partitioned(
     Two file-sizing modes (at most one):
 
     - ``target_file_bytes`` — ONE-PASS: the file count comes from
-      Catalyst's plan-statistics size estimate (free — derived from
-      source file sizes after pruning, no extra job). The estimate is
-      of the IN-MEMORY size, so files land under the target after
-      parquet encoding+compression — the right default for avoiding
-      the small-files problem, where "roughly N MB" is the contract.
+      Catalyst's plan-statistics size estimate (free, no extra job).
+      For scan-shaped frames the estimate is the source files' on-disk
+      bytes after pruning — accurate, and the right default for
+      avoiding the small-files problem. CAVEAT: without CBO, Catalyst
+      sizes a JOIN as the product of its children and an unsized
+      relation as Long.MaxValue — a grossly inflated estimate would
+      silently spread the sub-bucket over millions of values (the
+      layout degenerates to one-file-per-task, exactly what the flag
+      exists to fix), so an estimate beyond ``_SANE_SIZE_BYTES`` (1
+      PiB) raises and routes the caller to row-exact sizing. Write
+      joined/aggregated frames with ``target_file_rows``, or
+      materialize them first.
     - ``target_file_rows`` — row-EXACT: pays one extra ``count()``
       scan (column-pruned to an empty projection, so parquet sources
       read footers + row-group counts, not data pages). Use when the
@@ -65,6 +78,13 @@ def write_partitioned(
     if target_file_bytes is not None:
         size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         est = size if isinstance(size, int) else int(size.toString())
+        if est > _SANE_SIZE_BYTES:
+            raise ValueError(
+                f"write_partitioned: plan-stats size estimate {est} bytes "
+                "is not credible (joins multiply child sizes without CBO; "
+                "unsized relations default to Long.MaxValue) — use "
+                "target_file_rows for this frame, or materialize it first"
+            )
         n_files = max(1, -(-est // target_file_bytes))  # ceil
     elif target_file_rows is not None:
         n_rows = df.count()

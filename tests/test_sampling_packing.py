@@ -275,6 +275,29 @@ def test_smoothed_mixture_sample_flattens_toward_exponent(spark):
         smoothed_mixture_sample(df, "src", "k", alpha=1.5)
 
 
+def test_smoothed_mixture_sample_null_source_is_a_stratum(spark):
+    """Null-source rows are their own stratum — counted, rated, and
+    sampled — not silently dropped by the rates join while their count
+    deflates n_min for everyone else (review r6)."""
+    from social_media_etl_spark.operators.sampling import (
+        smoothed_mixture_sample,
+    )
+
+    rows = [(i, "big") for i in range(400)] + [
+        (i + 1000, None) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "k long, src string")
+    out = smoothed_mixture_sample(df, "src", "k", alpha=0.5)
+    rates = {
+        r["src"]: r["mix_rate"]
+        for r in out.select("src", "mix_rate").distinct().collect()
+    }
+    # the null stratum is n_min → rate 1, fully kept
+    assert rates[None] == 1.0
+    assert out.filter(F.col("src").isNull()).count() == 100
+    assert abs(rates["big"] - (4 ** -0.5)) < 1e-9
+
+
 def test_smoothed_mixture_sample_big_side_not_shuffled(spark):
     """The rates join must be a BROADCAST hash join — the corpus side
     is never exchanged on the source key (only the tiny count aggregate

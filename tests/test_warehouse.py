@@ -54,6 +54,26 @@ def test_partitioned_write_rejects_both_sizing_modes(spark, tmp_path):
         )
 
 
+def test_partitioned_write_rejects_blown_up_size_estimate(spark, tmp_path):
+    """Without CBO Catalyst sizes a join as the product of its children
+    — bytes-based sizing must refuse such an estimate instead of
+    silently degenerating to one-file-per-task (review r6)."""
+    import pytest
+
+    big = spark.range(0, 1 << 22).selectExpr("id", "id % 5 AS k")
+    joined = big.join(big.selectExpr("id AS id2", "id % 5 AS k"), "k")
+    est = int(
+        str(
+            joined._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    )
+    assert est > warehouse._SANE_SIZE_BYTES  # the blowup this guards
+    with pytest.raises(ValueError, match="not credible"):
+        warehouse.write_partitioned(
+            joined, str(tmp_path / "y"), ["k"], target_file_bytes=128 << 20
+        )
+
+
 def test_upsert_parquet_latest_wins(spark, tmp_path):
     path = str(tmp_path / "state")
     v1 = spark.createDataFrame(
