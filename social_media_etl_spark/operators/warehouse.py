@@ -42,6 +42,7 @@ def write_partitioned(
     mode: str = "overwrite",
     target_file_rows: int | None = None,
     target_file_bytes: int | None = None,
+    dynamic_overwrite: bool = False,
 ) -> None:
     """Hive-style partitioned parquet write.
 
@@ -69,7 +70,19 @@ def write_partitioned(
     Rows are then repartitioned on the partition columns plus a
     hash-derived sub-bucket so each partition directory gets about
     ``n_files`` well-sized files instead of one shard per task.
+
+    ``dynamic_overwrite=True`` (with ``mode='overwrite'``) replaces
+    ONLY the partition directories present in ``df`` and leaves every
+    other partition untouched — the incremental-backfill write (redo
+    yesterday without rewriting the year). Spark's default overwrite
+    semantics ('static') first DELETES the whole table root; the
+    dynamic mode is scoped to this one write via a conf save/restore,
+    so a session-level setting is neither required nor disturbed. At
+    100 TB this is the difference between a backfill touching one day's
+    directory and truncating the table.
     """
+    if dynamic_overwrite and mode != "overwrite":
+        raise ValueError("dynamic_overwrite requires mode='overwrite'")
     if target_file_rows is not None and target_file_bytes is not None:
         raise ValueError(
             "pass at most one of target_file_rows / target_file_bytes"
@@ -98,7 +111,21 @@ def write_partitioned(
             F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_files)),
         ).repartition(*([F.col(c) for c in partition_cols] + [F.col("__bucket")]))
         out = out.drop("__bucket")
-    out.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    writer = out.write.mode(mode).partitionBy(*partition_cols)
+    if not dynamic_overwrite:
+        writer.parquet(path)
+        return
+    spark = df.sparkSession
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    saved = spark.conf.get(conf_key, None)
+    try:
+        spark.conf.set(conf_key, "dynamic")
+        writer.parquet(path)
+    finally:
+        if saved is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, saved)
 
 
 def zorder_value(

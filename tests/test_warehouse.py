@@ -74,6 +74,39 @@ def test_partitioned_write_rejects_blown_up_size_estimate(spark, tmp_path):
         )
 
 
+def test_partitioned_write_dynamic_overwrite_spares_other_partitions(
+    spark, tmp_path
+):
+    """dynamic_overwrite replaces ONLY the partitions present in the
+    batch — the incremental backfill; static overwrite would truncate
+    the whole table root first. The session conf is restored after."""
+    import pytest
+
+    path = str(tmp_path / "days")
+    full = spark.createDataFrame(
+        [("d1", 1), ("d1", 2), ("d2", 3), ("d3", 4)], "day string, v int"
+    )
+    warehouse.write_partitioned(full, path, ["day"])
+    backfill = spark.createDataFrame([("d2", 30), ("d2", 31)], "day string, v int")
+    warehouse.write_partitioned(
+        backfill, path, ["day"], dynamic_overwrite=True
+    )
+    got = {
+        (r["day"], r["v"]) for r in spark.read.parquet(path).collect()
+    }
+    # d2 replaced wholesale; d1/d3 untouched
+    assert got == {("d1", 1), ("d1", 2), ("d2", 30), ("d2", 31), ("d3", 4)}
+    # write-scoped conf did not leak into the session
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        in (None, "STATIC", "static")
+    )
+    with pytest.raises(ValueError, match="dynamic_overwrite requires"):
+        warehouse.write_partitioned(
+            backfill, path, ["day"], mode="append", dynamic_overwrite=True
+        )
+
+
 def test_upsert_parquet_latest_wins(spark, tmp_path):
     path = str(tmp_path / "state")
     v1 = spark.createDataFrame(
