@@ -200,3 +200,79 @@ def test_importance_sample_is_pure_function_of_key(spark, ids, w):
     half = df.filter(F.col("id").isin(half_ids))
     sub = {r["id"] for r in importance_sample(half, "id", "w").collect()}
     assert sub == full & set(half_ids)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(0, 3)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    alpha=st.sampled_from([0.0, 0.25, 0.5, 0.75, 1.0]),
+)
+@settings(**_SETTINGS)
+def test_smoothed_mixture_rates_match_model(spark, rows, alpha):
+    """Every emitted mix_rate equals the analytic (n_s/n_min)^(alpha-1)
+    (9 dp), the kept set is decided by the same md5 uniform as
+    importance_sample, and alpha=1 keeps everything."""
+    import hashlib
+
+    from social_media_etl_spark.operators.sampling import (
+        smoothed_mixture_sample,
+    )
+
+    df = spark.createDataFrame(rows, "id long, src long")
+    out = smoothed_mixture_sample(df, "src", "id", alpha=alpha).collect()
+    counts: dict[int, int] = {}
+    for _, s in rows:
+        counts[s] = counts.get(s, 0) + 1
+    n_min = min(counts.values())
+
+    def uniform(i: int) -> float:
+        h = hashlib.md5(f"mix:{i}".encode()).hexdigest()[:8]
+        return int(h, 16) / 2**32
+
+    want = {
+        i: round((counts[s] / n_min) ** (alpha - 1.0), 9)
+        for i, s in rows
+        if uniform(i) < round((counts[s] / n_min) ** (alpha - 1.0), 9)
+    }
+    got = {r["id"]: r["mix_rate"] for r in out}
+    assert got == want
+    if alpha == 1.0:
+        assert set(got) == {i for i, _ in rows}
+
+
+@given(
+    keys=st.lists(st.integers(0, 10_000), min_size=1, max_size=50, unique=True),
+    n_shards=st.integers(1, 6),
+)
+@settings(**_SETTINGS)
+def test_sharded_shuffle_replays_total_order(spark, keys, n_shards, tmp_path_factory):
+    """Concatenating write_shuffled_shards files in footer-min order is
+    exactly the seeded_shuffle permutation, for any shard count."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from social_media_etl_spark.operators.sampling import (
+        seeded_shuffle,
+        write_shuffled_shards,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    path = str(tmp_path_factory.mktemp("shards") / "out")
+    write_shuffled_shards(df, path, "k", n_shards=n_shards, seed=5)
+    files = []
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        t = pq.read_table(f)
+        if t.num_rows:
+            files.append((min(t.column("shuffle_key").to_pylist()), t))
+    replay = [
+        k for _, t in sorted(files, key=lambda x: x[0])
+        for k in t.column("k").to_pylist()
+    ]
+    total = [r["k"] for r in seeded_shuffle(df, "k", seed=5).collect()]
+    assert replay == total
