@@ -107,6 +107,13 @@ SHOWCASE = {
         "`BroadcastHashJoin`), never a nested-loop fallback; the "
         "aggregate partial-combines before its exchange."
     ),
+    "smoothed_mixture_sample": (
+        "α-smoothed source mixing: the per-source rates come from one "
+        "tiny count aggregate (partial-combined, then a single-row min "
+        "anchor) broadcast back — the corpus side shows a "
+        "`BroadcastHashJoin` and NO exchange of its own; the md5 "
+        "acceptance is a pure codegen'd expression filter."
+    ),
 }
 
 HEADER = """# PLANS — physical plans of representative queries

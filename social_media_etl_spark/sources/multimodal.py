@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "MEDIA_SCHEMA",
     "sniff_media_type",
+    "read_binary_files",
     "attach_media_metadata",
     "encode_ppm",
     "decode_ppm",
@@ -88,6 +89,44 @@ def sniff_media_type(payload: Column | str) -> Column:
         cond = (head == magic) if len(magic) == 8 else (head3 == magic)
         expr = F.when(cond, F.lit(mtype)).otherwise(expr)
     return expr
+
+
+def read_binary_files(
+    spark,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = False,
+    with_metadata: bool = True,
+) -> DataFrame:
+    """Ingest raw media FILES as an opaque-binary table via Spark's
+    ``binaryFile`` source — the entry point that turns a bucket of
+    image/audio files into the MEDIA_SCHEMA shape (one row per file:
+    deterministic ``media_id`` = xxhash64(path), ``payload`` bytes,
+    source ``path``, plus the sniffed/digested metadata columns when
+    ``with_metadata``).
+
+    Scale: the source lists and splits files into tasks by
+    ``spark.sql.files.maxPartitionBytes`` / ``openCostInBytes`` like
+    any file scan (many small media files batch into one task instead
+    of one task each), and ``pathGlobFilter`` prunes at LISTING time —
+    non-matching files are never opened. Single files above
+    ``spark.sql.sources.binaryFile.maxLength`` (2 GiB default) error
+    out rather than truncate; shard bigger media upstream. The payload
+    stays JVM-side here — only an explicit decode stage
+    (:func:`decode_images` etc.) ships bytes to Python, Arrow-batched.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    df = reader.load(path).select(
+        F.xxhash64(F.col("path")).alias("media_id"),
+        F.col("content").alias("payload"),
+        F.col("path"),
+        F.col("modificationTime").alias("modified_at"),
+    )
+    return attach_media_metadata(df) if with_metadata else df
 
 
 def attach_media_metadata(

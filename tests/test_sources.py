@@ -429,3 +429,44 @@ def test_ppm_stream_roundtrip_and_numpy_frame_sampling(spark):
             multimodal.encode_ppm(fr)
         ).hexdigest()
         assert r["mean_intensity"] == round(float(fr.mean()), 2)
+
+
+def test_read_binary_files_ingests_media_dir(spark, tmp_path):
+    """binaryFile ingestion: one row per file with deterministic
+    media_id, byte-exact payload, sniffed type + digest; pathGlobFilter
+    prunes at listing; recursiveFileLookup picks up nested dirs."""
+    import hashlib
+
+    import numpy as np
+
+    d = tmp_path / "media"
+    (d / "nested").mkdir(parents=True)
+    img = multimodal.encode_ppm(np.full((2, 2, 3), 7, dtype=np.uint8))
+    wav = multimodal.encode_wav_pcm16(np.zeros(16, dtype=np.int16))
+    (d / "a.ppm").write_bytes(img)
+    (d / "nested" / "b.wav").write_bytes(wav)
+    (d / "ignore.txt").write_bytes(b"not media")
+
+    flat = multimodal.read_binary_files(spark, str(d), glob="*.ppm")
+    rows = flat.collect()
+    assert len(rows) == 1  # glob pruned .txt and did not recurse
+    r = rows[0]
+    assert bytes(r["payload"]) == img
+    assert r["media_type"] == "image/x-portable-pixmap"
+    assert r["digest"] == hashlib.sha256(img).hexdigest()
+    assert r["n_bytes"] == len(img)
+
+    deep = multimodal.read_binary_files(
+        spark, str(d), glob="*.{ppm,wav}", recursive=True
+    )
+    got = {r["media_type"]: bytes(r["payload"]) for r in deep.collect()}
+    assert got == {"image/x-portable-pixmap": img, "audio/wav": wav}
+    # media_id is a pure function of path — stable across reruns
+    a = {r["path"]: r["media_id"] for r in deep.collect()}
+    b = {
+        r["path"]: r["media_id"]
+        for r in multimodal.read_binary_files(
+            spark, str(d), glob="*.{ppm,wav}", recursive=True
+        ).collect()
+    }
+    assert a == b
