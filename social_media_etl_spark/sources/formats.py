@@ -5,7 +5,10 @@ explicit schemas for text formats).
 Format guidance for the 100 TB design point, encoded as defaults:
 parquet+zstd for warehouse tables (columnar, predicate pushdown,
 row-group stats), ORC as the interchange alternative, NDJSON for
-landing zones, CSV only at the edges (no types — schema required).
+landing zones, CSV only at the edges (no types — schema required),
+``text`` for raw line corpora (one ``value`` row per line — the shape
+raw pretraining text arrives in; the writer requires exactly one
+string column, everything else is a modeling error caught eagerly).
 """
 
 from __future__ import annotations
@@ -15,13 +18,14 @@ from pyspark.sql import types as T
 
 __all__ = ["write_table", "read_table", "SUPPORTED_FORMATS"]
 
-SUPPORTED_FORMATS = ("parquet", "orc", "json", "csv")
+SUPPORTED_FORMATS = ("parquet", "orc", "json", "csv", "text")
 
 _DEFAULT_COMPRESSION = {
     "parquet": "zstd",
     "orc": "zlib",
     "json": None,
     "csv": None,
+    "text": None,
 }
 
 
@@ -41,6 +45,15 @@ def write_table(
         writer = writer.option("compression", codec)
     if fmt == "csv":
         options.setdefault("header", "true")
+    if fmt == "text":
+        string_cols = [
+            f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)
+        ]
+        if len(df.columns) != 1 or len(string_cols) != 1:
+            raise ValueError(
+                "text writes exactly one string column; got "
+                f"{df.schema.simpleString()} — select/concat first"
+            )
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.save(path)
@@ -60,6 +73,8 @@ def read_table(
         options.setdefault("header", "true")
         if schema is None:
             raise ValueError("csv requires an explicit schema (no type system)")
+    if fmt == "text" and schema is not None:
+        raise ValueError("text reads a fixed `value string` schema")
     if schema is not None:
         reader = reader.schema(schema)
     for k, v in options.items():

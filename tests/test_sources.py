@@ -97,6 +97,8 @@ def test_format_roundtrips_with_compression(spark, tmp_path):
     import glob as g
 
     for fmt in formats.SUPPORTED_FORMATS:
+        if fmt == "text":
+            continue  # single-string-column contract; own roundtrip test
         path = str(tmp_path / f"t_{fmt}")
         formats.write_table(nation, path, fmt=fmt)
         back = formats.read_table(spark, path, fmt=fmt, schema=schema)
@@ -470,3 +472,25 @@ def test_read_binary_files_ingests_media_dir(spark, tmp_path):
         ).collect()
     }
     assert a == b
+
+
+def test_text_format_roundtrips_raw_lines(spark, tmp_path):
+    """`text` in the IO facade: one value row per line, byte-faithful
+    for a raw corpus; the writer refuses multi-column frames eagerly."""
+    import pytest
+
+    from social_media_etl_spark.sources import formats
+
+    lines = ["alpha beta", "", "  indented line", "Ünïcode ok"]
+    df = spark.createDataFrame([(x,) for x in lines], "value string")
+    p = str(tmp_path / "corpus_txt")
+    formats.write_table(df, p, fmt="text")
+    back = formats.read_table(spark, p, fmt="text")
+    assert back.columns == ["value"]
+    assert sorted(r["value"] for r in back.collect()) == sorted(lines)
+    with pytest.raises(ValueError, match="one string column"):
+        formats.write_table(
+            spark.createDataFrame([(1, "a")], "k long, v string"), p, fmt="text"
+        )
+    with pytest.raises(ValueError, match="fixed"):
+        formats.read_table(spark, p, fmt="text", schema="value string")
