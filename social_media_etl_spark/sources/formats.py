@@ -64,11 +64,23 @@ def read_table(
     path: str,
     fmt: str = "parquet",
     schema: T.StructType | str | None = None,
+    merge_schema: bool = False,
     **options: str,
 ) -> DataFrame:
+    """``merge_schema=True`` (parquet/orc) unions the schemas of ALL
+    part files instead of trusting one footer — the read mode for a
+    long-lived table whose schema GREW columns over time (old files
+    surface the new columns as nulls). Costs a footer read per file at
+    planning, which is why it is opt-in per read and not a session
+    default; pass an explicit ``schema`` instead when the target shape
+    is known (no footer sweep at all)."""
     if fmt not in SUPPORTED_FORMATS:
         raise ValueError(f"unsupported format {fmt!r}")
+    if merge_schema and fmt not in ("parquet", "orc"):
+        raise ValueError("merge_schema applies to parquet/orc only")
     reader = spark.read.format(fmt)
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
     if fmt == "csv":
         options.setdefault("header", "true")
         if schema is None:

@@ -494,3 +494,26 @@ def test_text_format_roundtrips_raw_lines(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="fixed"):
         formats.read_table(spark, p, fmt="text", schema="value string")
+
+
+def test_merge_schema_reads_evolved_table(spark, tmp_path):
+    """merge_schema unions part-file schemas: rows written before a
+    column existed surface it as null, new rows carry it — the read
+    mode for a table whose schema grew over time."""
+    import pytest
+
+    from social_media_etl_spark.sources import formats
+
+    p = str(tmp_path / "evolving")
+    old = spark.createDataFrame([(1, "a")], "id long, name string")
+    formats.write_table(old, p, fmt="parquet", mode="overwrite")
+    new = spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    )
+    formats.write_table(new, p, fmt="parquet", mode="append")
+    back = formats.read_table(spark, p, fmt="parquet", merge_schema=True)
+    assert set(back.columns) == {"id", "name", "score"}
+    got = {r["id"]: r["score"] for r in back.collect()}
+    assert got == {1: None, 2: 9.5}
+    with pytest.raises(ValueError, match="parquet/orc"):
+        formats.read_table(spark, p, fmt="csv", merge_schema=True)
