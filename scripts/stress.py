@@ -157,6 +157,20 @@ def main() -> None:
             "doc_id",
             "weight",
         ),
+        # r6 addition: α-smoothed mixing over the remapped-id docs —
+        # rates from one tiny count agg, corpus side never shuffled
+        "smoothed_mixture_sample": lambda: sampling.smoothed_mixture_sample(
+            docs.select(
+                "doc_id",
+                F.when(F.col("doc_id") % 10 < 6, F.lit("head"))
+                .when(F.col("doc_id") % 10 < 9, F.lit("mid"))
+                .otherwise(F.lit("tail"))
+                .alias("tier"),
+            ),
+            "tier",
+            "doc_id",
+            alpha=0.5,
+        ),
         "bpe_pairs_agg": lambda: docs.select(
             F.split(F.trim(F.lower("text")), r"\s+").alias("w")
         )
@@ -180,6 +194,57 @@ def main() -> None:
         print(json.dumps({"query": name, "rows": n, "sec": round(time.time() - t0, 2)}))
 
     zipf_skew_probe(spark, events)
+    maintenance_probe(spark, events)
+
+
+def maintenance_probe(spark, events) -> None:
+    """Times the r6 warehouse maintenance ops at the inflated volume,
+    against throwaway local dirs: a deliberately-sharded write (64
+    small files — the micro-batch sink shape), compaction to ~256 MB
+    targets through the rename-safe swap, and a 10%-of-keys upsert
+    batch (one key-window shuffle + table rewrite — the plain-parquet
+    MERGE cost a partitioned table would prune)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from social_media_etl_spark.operators import warehouse
+
+    d = tempfile.mkdtemp(prefix="smetl_stress_maint_")
+    try:
+        p = f"{d}/events"
+        t0 = time.time()
+        events.repartition(64).write.parquet(p)
+        wrote = time.time() - t0
+        t0 = time.time()
+        n_files = warehouse.compact_parquet_dir(
+            spark, p, target_file_bytes=256 << 20
+        )
+        print(
+            json.dumps(
+                {
+                    "probe": "compaction",
+                    "write_64_shards_s": round(wrote, 2),
+                    "compact_s": round(time.time() - t0, 2),
+                    "files_after": n_files,
+                }
+            )
+        )
+        batch = (
+            spark.read.parquet(p)
+            .filter(F.col("event_id") % 10 == 0)
+            .withColumn("value", F.col("value") * 2)
+        )
+        t0 = time.time()
+        warehouse.upsert_parquet(spark, batch, p, ["event_id"], "value")
+        print(
+            json.dumps(
+                {"probe": "upsert_10pct_keys", "sec": round(time.time() - t0, 2)}
+            )
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def zipf_skew_probe(spark, events) -> None:
