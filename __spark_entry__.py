@@ -2121,15 +2121,10 @@ def _multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _streaming_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incrementally-maintained rollup: the events stream is split into
-    4 files and drained one file per micro-batch through the
-    foreachBatch partial-aggregate sink (idempotent per-batch-id
-    partition overwrites — streaming/ingest.py), then the served view
-    merges the partials. Equals the batch aggregate, which is the
-    oracle — certifying partial-merge correctness across real
-    micro-batch boundaries."""
-
+def _split_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events as a 4-file stream drained one file per micro-batch —
+    shared source for the foreachBatch sink queries (the split is a
+    stored artifact, laid down once per (session, sf_dir))."""
     src = getattr(spark, "_smetl_incr_src", {}).get(sf_dir)
     if src is None:
         src = _tmpdir(prefix="smetl_incr_src_")
@@ -2140,11 +2135,49 @@ def _streaming_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         cache[sf_dir] = src
         spark._smetl_incr_src = cache
     schema = load_table(spark, sf_dir, "events").schema
-    stream = (
+    return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
+
+
+def _streaming_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming micro-batch MERGE (CDC-to-serving-table): the 4-file
+    events stream upserts into a per-user latest-state parquet table,
+    one merge per micro-batch, winners ordered by (ts, event_id) —
+    streaming/ingest.py:write_foreach_batch_upsert over
+    operators/warehouse.py:upsert_parquet. Because the order is total
+    per key FROM THE DATA, the final state is batch-boundary-
+    independent: the oracle recomputes it as ONE row_number window
+    over the whole table, so a green row certifies that four
+    sequential merges converge to the batch answer. Scale: each batch
+    is one key-window shuffle + rewrite of the serving table —
+    partition + prune the table at 100 TB."""
+    stream = _split_events_stream(spark, sf_dir)
+    # the serving table is a NOT-YET-EXISTING subpath: upsert_parquet
+    # treats only PATH_NOT_FOUND as first load (an existing-but-empty
+    # dir is indistinguishable from a corrupted table and must abort)
+    tgt = _tmpdir(prefix="smetl_upsink_tgt_") + "/state"
+    ckpt = _tmpdir(prefix="smetl_upsink_ckpt_")
+    streaming_ingest.write_foreach_batch_upsert(
+        stream, tgt, ckpt, ["user_id"], ["ts", "event_id"]
+    )
+    state = spark.read.parquet(tgt)
+    return state.select(
+        "user_id", "event_id", "event_type", "value"
+    ).orderBy("user_id")
+
+
+def _streaming_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained rollup: the events stream is split into
+    4 files and drained one file per micro-batch through the
+    foreachBatch partial-aggregate sink (idempotent per-batch-id
+    partition overwrites — streaming/ingest.py), then the served view
+    merges the partials. Equals the batch aggregate, which is the
+    oracle — certifying partial-merge correctness across real
+    micro-batch boundaries."""
+    stream = _split_events_stream(spark, sf_dir)
     tgt = _tmpdir(prefix="smetl_incr_tgt_")
     ckpt = _tmpdir(prefix="smetl_incr_ckpt_")
     streaming_ingest.write_foreach_batch_incremental_agg(
@@ -2402,11 +2435,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries per round (VERDICT r2). Round-6 window (pinned by
     # tests/test_grading_window.py): the 7-key R6_QUEUE from the r5
     # verdict leads (the 2 never-graded r5 additions, then the 5 keys
-    # whose last green is r03), then the 3 new r6 keys (compaction /
-    # upsert roundtrips + α-smoothed mixing), then the first 40 of the
-    # 50 keys whose last green is CORRECTNESS_r04 — so the r05 ∪ r06
-    # union covers every key except the explicit 10-key R7_QUEUE at the
-    # dict tail (r04-greens that did not fit, queued to lead). The 50
+    # whose last green is r03), then the 4 new r6 keys (compaction /
+    # upsert roundtrips, α-smoothed mixing, streaming upsert sink),
+    # then the first 39 of the 50 keys whose last green is
+    # CORRECTNESS_r04 — so the r05 ∪ r06 union covers every key except
+    # the explicit 11-key R7_QUEUE at the dict tail (r04-greens that
+    # did not fit, queued to lead). The 50
     # r5-greens sit between. Keep this paragraph in sync with
     # tests/test_grading_window.py — window planning is done from here
     # (r2 postmortem).
@@ -2424,6 +2458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_roundtrip": _compaction_roundtrip,
         "upsert_events_latest": _upsert_events_latest,
         "smoothed_mixture_sample": _smoothed_mixture_sample,
+        "streaming_upsert_latest": _streaming_upsert_latest,
         # -- first 40 of the 50 keys whose last green is r4 --------------
         "pack_training_sequences": _pack_sequences,
         "clean_corpus_pipeline": _clean_corpus,
@@ -2464,7 +2499,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": _events_json,
         "events_pivot_counts": _events_pivot,
         "events_unpivot_counts": _events_unpivot,
-        "sql_min_price_supplier": _sql_entrypoint,
         # ------- middle: the 50 keys hash-matched in CORRECTNESS_r05 ----
         "importance_sampling": _importance_sampling,
         "token_budget_curation": _token_budget_curation,
@@ -2516,8 +2550,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _doc_chunks,
         "quota_per_source": _quota_per_source,
         "corpus_top_words": _top_words,
-        # -- R7_QUEUE (10 keys): the r04-green keys that did not fit the
+        # -- R7_QUEUE (11 keys): the r04-green keys that did not fit the
         # r6 window — rotate these to the FRONT of the r7 window --------
+        "sql_min_price_supplier": _sql_entrypoint,
         "approx_distinct_sketch_rollup": _sketch_rollup,
         "anti_join_customers_no_orders": _anti_join,
         "semi_join_urgent_suppliers": _semi_join,
@@ -3182,6 +3217,19 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 2) AS sum_value
             FROM latest GROUP BY event_type, seq ORDER BY event_type, seq
+        """,
+        # Streaming micro-batch MERGE: the final serving-table state is
+        # batch-boundary-independent (total per-key order from the
+        # data), so the oracle is ONE window over the whole table.
+        "streaming_upsert_latest": """
+            SELECT user_id, event_id, event_type, value FROM (
+                SELECT user_id, event_id, event_type, value,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC
+                       ) AS rn
+                FROM events
+            ) WHERE rn = 1 ORDER BY user_id
         """,
         # α-smoothed mixing: the oracle replays the per-source rate
         # (n_s/n_min)^(alpha-1) — rounded to 9 dp, past the acceptance

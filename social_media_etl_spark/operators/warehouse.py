@@ -251,10 +251,13 @@ def upsert_parquet(
     updates: DataFrame,
     path: str,
     key_cols: Sequence[str],
-    order_col: str,
+    order_col: str | Sequence[str],
 ) -> None:
     """Keyed upsert into a parquet table WITHOUT a transaction log:
     read-merge-overwrite keeping the highest ``order_col`` row per key.
+    ``order_col`` may be a list — later columns break ties on earlier
+    ones (e.g. ``["ts", "event_id"]`` makes the winner deterministic
+    when several updates share a timestamp).
 
     This is the plain-parquet stand-in for Delta/Iceberg MERGE —
     correct (deterministic winner per key) but rewrite-the-table
@@ -275,7 +278,10 @@ def upsert_parquet(
         if "PATH_NOT_FOUND" not in str(e):
             raise
         merged = updates
-    w = Window.partitionBy(*key_cols).orderBy(F.desc(order_col))
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.desc(c) for c in order_cols]
+    )
     latest = (
         merged.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

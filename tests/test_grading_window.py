@@ -21,8 +21,8 @@ REPO = Path(__file__).resolve().parent.parent
 
 # The intended round-6 grading window, in order: the 7-key R6_QUEUE from
 # the r5 verdict (2 never-driver-graded r5 additions, then the 5 keys
-# whose last green is CORRECTNESS_r03), the 3 new r6 keys, then the
-# first 40 of the 50 keys whose last green is CORRECTNESS_r04.
+# whose last green is CORRECTNESS_r03), the 4 new r6 keys, then the
+# first 39 of the 50 keys whose last green is CORRECTNESS_r04.
 R6_WINDOW = [
     "zorder_layout_roundtrip",
     "corpus_shuffle",
@@ -34,6 +34,7 @@ R6_WINDOW = [
     "compaction_roundtrip",
     "upsert_events_latest",
     "smoothed_mixture_sample",
+    "streaming_upsert_latest",
     "pack_training_sequences",
     "clean_corpus_pipeline",
     "streaming_session_windows",
@@ -73,7 +74,6 @@ R6_WINDOW = [
     "events_json_extract",
     "events_pivot_counts",
     "events_unpivot_counts",
-    "sql_min_price_supplier",
 ]
 
 
@@ -84,6 +84,7 @@ def test_first_50_is_the_intended_r6_window():
 # Deferred keys that MUST lead the r7 window: the r04-green keys that
 # did not fit the r6 window (50-slot budget).
 R7_QUEUE = [
+    "sql_min_price_supplier",
     "approx_distinct_sketch_rollup",
     "anti_join_customers_no_orders",
     "semi_join_urgent_suppliers",

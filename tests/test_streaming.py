@@ -464,3 +464,46 @@ def test_interval_join_fullouter_alias_still_coalesces_key(spark):
     ).collect()
     assert {(r["user_id"], r["l_event_id"], r["r_event_id"]) for r in out} \
         == {(1, 10, None), (3, None, 77)}
+
+
+def test_streaming_upsert_sink_is_batch_boundary_independent(
+    spark, events_stream_dir, tmp_path
+):
+    """The foreachBatch MERGE sink converges to the one-window batch
+    answer however the trigger slices the input (order_cols totally
+    order each key's updates from the data), and a full replay with a
+    fresh checkpoint leaves the serving table unchanged."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def run(target: str, ckpt: str, max_files: int | None) -> dict:
+        stream = ingest.read_events_stream(
+            spark, events_stream_dir, max_files_per_trigger=max_files
+        )
+        ingest.write_foreach_batch_upsert(
+            stream, target, ckpt, ["user_id"], ["ts", "event_id"]
+        )
+        return {
+            r["user_id"]: r["event_id"]
+            for r in spark.read.parquet(target).collect()
+        }
+
+    one_shot = run(str(tmp_path / "t1"), str(tmp_path / "c1"), None)
+    per_file = run(str(tmp_path / "t2"), str(tmp_path / "c2"), 1)
+    assert one_shot == per_file  # boundary-independent
+
+    ev = _batch_events(spark, events_stream_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    want = {
+        r["user_id"]: r["event_id"]
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    assert one_shot == want  # equals the batch window
+
+    # replay: fresh checkpoint, same target — merge keeps same winners
+    replay = run(str(tmp_path / "t2"), str(tmp_path / "c3"), 1)
+    assert replay == want

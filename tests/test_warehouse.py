@@ -121,6 +121,19 @@ def test_upsert_parquet_latest_wins(spark, tmp_path):
     assert got == {1: ("a", 10), 2: ("b2", 20), 3: ("c", 20)}
 
 
+def test_upsert_parquet_multi_order_cols_break_ties(spark, tmp_path):
+    """A list order_col: later columns deterministically break ties on
+    earlier ones (same ver → higher seq wins)."""
+    path = str(tmp_path / "state_multi")
+    v = spark.createDataFrame(
+        [(1, "old", 10, 1), (1, "new", 10, 2), (2, "only", 5, 1)],
+        "k long, v string, ver long, seq long",
+    )
+    warehouse.upsert_parquet(spark, v, path, ["k"], ["ver", "seq"])
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: "new", 2: "only"}
+
+
 def test_scd2_versions_and_validity(spark):
     t = lambda d: datetime(2024, 1, d)  # noqa: E731
     updates = spark.createDataFrame(
