@@ -76,10 +76,12 @@ def write_partitioned(
     other partition untouched — the incremental-backfill write (redo
     yesterday without rewriting the year). Spark's default overwrite
     semantics ('static') first DELETES the whole table root; the
-    dynamic mode is scoped to this one write via a conf save/restore,
-    so a session-level setting is neither required nor disturbed. At
-    100 TB this is the difference between a backfill touching one day's
-    directory and truncating the table.
+    dynamic mode is passed as the WRITER's ``partitionOverwriteMode``
+    option (takes precedence over the session conf and is genuinely
+    write-scoped — a conf save/restore would race concurrent writes in
+    the same session, review r6). At 100 TB this is the difference
+    between a backfill touching one day's directory and truncating the
+    table.
     """
     if dynamic_overwrite and mode != "overwrite":
         raise ValueError("dynamic_overwrite requires mode='overwrite'")
@@ -112,20 +114,9 @@ def write_partitioned(
         ).repartition(*([F.col(c) for c in partition_cols] + [F.col("__bucket")]))
         out = out.drop("__bucket")
     writer = out.write.mode(mode).partitionBy(*partition_cols)
-    if not dynamic_overwrite:
-        writer.parquet(path)
-        return
-    spark = df.sparkSession
-    conf_key = "spark.sql.sources.partitionOverwriteMode"
-    saved = spark.conf.get(conf_key, None)
-    try:
-        spark.conf.set(conf_key, "dynamic")
-        writer.parquet(path)
-    finally:
-        if saved is None:
-            spark.conf.unset(conf_key)
-        else:
-            spark.conf.set(conf_key, saved)
+    if dynamic_overwrite:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    writer.parquet(path)
 
 
 def zorder_value(
@@ -262,9 +253,16 @@ def upsert_parquet(
     This is the plain-parquet stand-in for Delta/Iceberg MERGE —
     correct (deterministic winner per key) but rewrite-the-table
     expensive; on partitioned tables pair it with partition pruning so
-    only affected partitions rewrite. Requires the merged frame to be
-    materialized before the overwrite (the write would otherwise read
-    its own input mid-overwrite), hence the localCheckpoint.
+    only affected partitions rewrite.
+
+    The commit is CRASH-SAFE: the merged state is written to a sibling
+    temp dir and swapped in via checked renames (backup kept until the
+    new dir is verified), so a crash mid-commit leaves the table at
+    either the old or the new state — never deleted. A plain
+    ``mode('overwrite')`` deletes the target before writing, and a
+    crash in that window would make a checkpointed replay (e.g. the
+    streaming upsert sink) read PATH_NOT_FOUND and silently
+    re-initialize the table from one batch (review r6).
     """
     from pyspark.errors.exceptions.captured import AnalysisException
 
@@ -286,9 +284,18 @@ def upsert_parquet(
         merged.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
-        .localCheckpoint(eager=True)
     )
-    latest.write.mode("overwrite").parquet(path)
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    dest = jvm.org.apache.hadoop.fs.Path(path)
+    fs = dest.getFileSystem(sc._jsc.hadoopConfiguration())
+    tmp = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__upserting")
+    if fs.exists(tmp):
+        fs.delete(tmp, True)
+    # writing to the sibling dir also removes the need to materialize
+    # the merged frame first (it no longer reads its own output path)
+    latest.write.mode("overwrite").parquet(str(tmp))
+    _swap_into_place(fs, jvm, tmp, dest, path, op="upsert_parquet")
 
 
 def jdbc_options(
@@ -456,36 +463,56 @@ def compact_parquet_dir(
     if fs.exists(tmp):
         fs.delete(tmp, True)
     df.repartition(int(n_files)).write.mode("overwrite").parquet(str(tmp))
-    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__precompact")
+    _swap_into_place(fs, jvm, tmp, jpath, path, op="compact_parquet_dir")
+    return int(n_files)
+
+
+def _swap_into_place(fs, jvm, tmp, dest, dest_str: str, op: str) -> None:
+    """Rename-safe replacement of ``dest`` with ``tmp``: move the old
+    dir to a ``__prereplace`` backup, rename the new one in, verify,
+    and only then drop the backup. Hadoop FileSystem.rename signals
+    failure by RETURNING FALSE, not raising — and renaming onto an
+    existing dir NESTS the source inside it — so every return is
+    checked and no step ever deletes the only remaining copy of the
+    data (ADVICE r4). A crash at ANY point leaves the data at ``dest``
+    or at the backup, never gone — which is what lets a checkpoint
+    replay re-apply an interrupted write instead of re-initializing
+    from scratch (review r6). ``dest`` may not exist yet (first load):
+    then the swap is a single verified rename."""
+    old = jvm.org.apache.hadoop.fs.Path(dest_str.rstrip("/") + "__prereplace")
     if fs.exists(old):
         fs.delete(old, True)
-    # Hadoop FileSystem.rename signals failure by RETURNING FALSE, not
-    # raising — and renaming onto an existing dir NESTS the source
-    # inside it. Check every return and never delete a dir that is the
-    # only remaining copy of the data (ADVICE r4).
-    if not fs.rename(jpath, old):
+    had_prior = fs.exists(dest)
+    if had_prior and not fs.rename(dest, old):
         fs.delete(tmp, True)  # original untouched; discard the rewrite
         raise IOError(
-            f"compact_parquet_dir: rename {jpath} -> {old} failed; "
-            "original left in place, compacted temp discarded"
+            f"{op}: rename {dest} -> {old} failed; "
+            "original left in place, new version discarded"
         )
-    if not fs.rename(tmp, jpath):
-        restored = fs.rename(old, jpath)  # put the original back
+    if not fs.rename(tmp, dest):
+        restored = fs.rename(old, dest) if had_prior else False
         fs.delete(tmp, True)
         raise IOError(
-            f"compact_parquet_dir: rename {tmp} -> {jpath} failed; "
-            + ("original restored" if restored
-               else f"RESTORE ALSO FAILED — data is at {old}")
+            f"{op}: rename {tmp} -> {dest} failed; "
+            + (
+                "original restored"
+                if restored
+                else (
+                    f"RESTORE ALSO FAILED — data is at {old}"
+                    if had_prior
+                    else "no prior version existed"
+                )
+            )
         )
     # the backup is deleted only after the swapped-in dir verifiably
-    # exists and holds the compacted part files
-    if not fs.exists(jpath) or len(fs.listStatus(jpath)) == 0:
+    # exists and holds part files
+    if not fs.exists(dest) or len(fs.listStatus(dest)) == 0:
         raise IOError(
-            f"compact_parquet_dir: {jpath} missing/empty after swap; "
-            f"backup preserved at {old}"
+            f"{op}: {dest} missing/empty after swap; "
+            + (f"backup preserved at {old}" if had_prior else "no backup")
         )
-    fs.delete(old, True)
-    return int(n_files)
+    if had_prior:
+        fs.delete(old, True)
 
 
 def write_sorted(

@@ -78,6 +78,12 @@ def read_table(
         raise ValueError(f"unsupported format {fmt!r}")
     if merge_schema and fmt not in ("parquet", "orc"):
         raise ValueError("merge_schema applies to parquet/orc only")
+    if merge_schema and schema is not None:
+        # Spark silently IGNORES mergeSchema when a user schema is
+        # supplied — reject the contradiction instead (review r6)
+        raise ValueError(
+            "pass either merge_schema or an explicit schema, not both"
+        )
     reader = spark.read.format(fmt)
     if merge_schema:
         reader = reader.option("mergeSchema", "true")

@@ -447,11 +447,14 @@ def test_read_binary_files_ingests_media_dir(spark, tmp_path):
     wav = multimodal.encode_wav_pcm16(np.zeros(16, dtype=np.int16))
     (d / "a.ppm").write_bytes(img)
     (d / "nested" / "b.wav").write_bytes(wav)
+    # a glob-MATCHING nested file, so the flat read's count genuinely
+    # pins non-recursion (not just the glob filter — review r6)
+    (d / "nested" / "c.ppm").write_bytes(img)
     (d / "ignore.txt").write_bytes(b"not media")
 
     flat = multimodal.read_binary_files(spark, str(d), glob="*.ppm")
     rows = flat.collect()
-    assert len(rows) == 1  # glob pruned .txt and did not recurse
+    assert len(rows) == 1  # glob pruned .txt AND nested/c.ppm not listed
     r = rows[0]
     assert bytes(r["payload"]) == img
     assert r["media_type"] == "image/x-portable-pixmap"
@@ -517,3 +520,9 @@ def test_merge_schema_reads_evolved_table(spark, tmp_path):
     assert got == {1: None, 2: 9.5}
     with pytest.raises(ValueError, match="parquet/orc"):
         formats.read_table(spark, p, fmt="csv", merge_schema=True)
+    # Spark would silently ignore mergeSchema under a user schema —
+    # the facade rejects the contradiction instead
+    with pytest.raises(ValueError, match="not both"):
+        formats.read_table(
+            spark, p, fmt="parquet", schema="id long", merge_schema=True
+        )

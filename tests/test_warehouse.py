@@ -79,7 +79,8 @@ def test_partitioned_write_dynamic_overwrite_spares_other_partitions(
 ):
     """dynamic_overwrite replaces ONLY the partitions present in the
     batch — the incremental backfill; static overwrite would truncate
-    the whole table root first. The session conf is restored after."""
+    the whole table root first. The mode rides the WRITER option, so
+    the session conf is never touched (review r6)."""
     import pytest
 
     path = str(tmp_path / "days")
@@ -119,6 +120,17 @@ def test_upsert_parquet_latest_wins(spark, tmp_path):
     warehouse.upsert_parquet(spark, v2, path, ["k"], "ver")
     got = {r["k"]: (r["v"], r["ver"]) for r in spark.read.parquet(path).collect()}
     assert got == {1: ("a", 10), 2: ("b2", 20), 3: ("c", 20)}
+    # crash-safe commit leaves no sibling temp/backup dirs behind, and
+    # a STALE temp dir from an interrupted run does not poison the next
+    import os
+
+    assert not os.path.exists(path + "__upserting")
+    assert not os.path.exists(path + "__prereplace")
+    os.makedirs(path + "__upserting/junk")
+    warehouse.upsert_parquet(spark, v2, path, ["k"], "ver")
+    assert not os.path.exists(path + "__upserting")
+    got2 = {r["k"]: (r["v"], r["ver"]) for r in spark.read.parquet(path).collect()}
+    assert got2 == got
 
 
 def test_upsert_parquet_multi_order_cols_break_ties(spark, tmp_path):
@@ -290,7 +302,7 @@ def test_compact_parquet_dir_shrinks_files_preserves_rows(spark, tmp_path):
     assert got == [(i, 2 * i) for i in range(10_000)]
     # temp/backup dirs cleaned up
     assert not os.path.exists(path + "__compacting")
-    assert not os.path.exists(path + "__precompact")
+    assert not os.path.exists(path + "__prereplace")
 
 
 def test_write_sorted_files_have_disjoint_ranges(spark, tmp_path):
