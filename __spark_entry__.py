@@ -2413,6 +2413,68 @@ def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.benchmark_overlap(corpus, bench, n=5, flag_fraction=0.2)
 
 
+def _kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully distributed Lloyd's k-means (k=8, 3 iterations) over the
+    embeddings table (operators/clustering.py) — the 100 TB clustering
+    path where even quantizer training cannot sample to the driver:
+    centroids are a broadcast k×dim frame, assignment is one hash
+    aggregate (min-struct argmin, deterministic tie-break), update is
+    one (cluster, pos) shuffle per iteration. Intermediate means are
+    re-quantized at 9 dp so the DuckDB oracle replays the exact same
+    trajectory (summation-order float noise cannot compound).
+    Output: final centroids dimension-wise + cluster sizes."""
+    from social_media_etl_spark.operators.clustering import kmeans_fit_df
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, cent = kmeans_fit_df(
+        emb, "vec_id", "embedding", k=8, iters=3, round_to=9
+    )
+    sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return (
+        cent.select("cluster", F.posexplode("centroid").alias("pos", "m"))
+        .join(sizes, "cluster")
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            F.col("pos").cast("long").alias("pos"),
+            F.round("m", 6).alias("centroid"),
+            "n_vecs",
+        )
+        .orderBy("cluster", "pos")
+    )
+
+
+def _pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer↔supplier trade graph
+    (operators/graph.py): distinct (custkey, suppkey) pairs from
+    orders ⋈ lineitem, symmetrized so no node is a sink, 3 damped
+    iterations (d=0.85) with 12 dp re-quantization per step — the
+    Pregel-as-join shape, one src-keyed and one dst-keyed shuffle per
+    iteration, edge frame never replicated. Output is the top 50 nodes
+    by rank·N (scale-invariant ratio vs the uniform rank)."""
+    from social_media_etl_spark.operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = pagerank(edges, iters=3, damping=0.85, round_to=12)
+    return (
+        ranks.select(
+            "node",
+            F.round(F.col("rank") * F.col("n_nodes"), 6).alias("rank_ratio"),
+        )
+        .orderBy(F.desc("rank_ratio"), "node")
+        .limit(50)
+    )
+
+
 def _managed(fn: Callable[[SparkSession, str], DataFrame]):
     """Release the previous query's tracked caches before building the
     next plan — by then the prior action has run, so its intermediates
@@ -2563,8 +2625,99 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_revenue": _cube_revenue,
         "price_quantiles_exact": _price_quantiles,
         "set_ops_priority_custs": _set_ops,
+        # -- new in late r6 (never graded): queue for r7 after the 11
+        # above ----------------------------------------------------------
+        "kmeans_embeddings": _kmeans_embeddings,
+        "pagerank_trade_graph": _pagerank_trade_graph,
     }
     return {name: _managed(fn) for name, fn in qs.items()}
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
+    """DuckDB replay of the distributed Lloyd fit: the same seeding
+    (k smallest ids), the same sequential-sum distances, the same
+    lowest-cluster tie-break, and the same 9 dp re-quantization of
+    every intermediate mean — so both engines walk the identical
+    centroid trajectory and the unrolled iterations compare exactly."""
+    dist = (
+        "list_sum([(e.v[i] - c.centroid[i]) * (e.v[i] - c.centroid[i])"
+        " FOR i IN range(1, len(e.v) + 1)])"
+    )
+    parts = [
+        "WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings),",
+        "c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,"
+        f" v AS centroid FROM (SELECT vec_id, v FROM emb ORDER BY vec_id"
+        f" LIMIT {k})),",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"a{i} AS (SELECT vec_id, cluster, v FROM ("
+            f" SELECT e.vec_id, c.cluster, e.v,"
+            f" row_number() OVER (PARTITION BY e.vec_id"
+            f" ORDER BY {dist}, c.cluster) AS rn"
+            f" FROM emb e CROSS JOIN c{i - 1} c) WHERE rn = 1),"
+        )
+        parts.append(
+            f"c{i} AS (SELECT cluster, list(m ORDER BY pos) AS centroid FROM ("
+            f" SELECT cluster, d.pos AS pos, round(avg(d.v), 9) AS m FROM ("
+            f" SELECT cluster, unnest([{{'pos': i - 1, 'v': v[i]}}"
+            f" FOR i IN range(1, len(v) + 1)]) AS d FROM a{i})"
+            f" GROUP BY cluster, d.pos) GROUP BY cluster),"
+        )
+    parts.append(
+        f"sizes AS (SELECT cluster, count(*) AS n_vecs FROM a{iters}"
+        " GROUP BY cluster)"
+        " SELECT c.cluster AS cluster, c.d.pos AS pos,"
+        " round(c.d.m, 6) AS centroid, s.n_vecs AS n_vecs"
+        " FROM (SELECT cluster, unnest([{'pos': i - 1, 'm': centroid[i]}"
+        f" FOR i IN range(1, len(centroid) + 1)]) AS d FROM c{iters}) c"
+        " JOIN sizes s ON s.cluster = c.cluster"
+        " ORDER BY cluster, pos"
+    )
+    return "\n".join(parts)
+
+
+def _pagerank_oracle_sql(iters: int = 3) -> str:
+    """DuckDB replay of the damped PageRank loop. All arithmetic is
+    forced to DOUBLE (DuckDB would otherwise run 1.0/n as DECIMAL),
+    the damping base is computed as (1.0 - 0.85) exactly like the
+    Python float, and each iteration's rank is re-quantized at 12 dp —
+    matching operators/graph.py step for step."""
+    parts = [
+        "WITH eo AS (SELECT DISTINCT 'c:' || o_custkey AS src,"
+        " 's:' || l_suppkey AS dst"
+        " FROM orders JOIN lineitem ON o_orderkey = l_orderkey),",
+        "edges AS (SELECT src, dst FROM eo"
+        " UNION ALL SELECT dst AS src, src AS dst FROM eo),",
+        "nodes AS (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges),",
+        "nn AS (SELECT count(*) AS n FROM nodes),",
+        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),",
+        "r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank"
+        " FROM nodes, nn),",
+    ]
+    base = "(CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n"
+    for k in range(1, iters + 1):
+        parts.append(
+            f"i{k} AS (SELECT e.dst AS node, sum(r.rank / d.outdeg) AS inc"
+            f" FROM edges e JOIN r{k - 1} r ON e.src = r.node"
+            f" JOIN deg d ON e.src = d.src GROUP BY e.dst),"
+        )
+        parts.append(
+            f"r{k} AS (SELECT no.node, round({base}"
+            f" + CAST(0.85 AS DOUBLE) * coalesce(i.inc, CAST(0.0 AS DOUBLE)),"
+            f" 12) AS rank"
+            f" FROM nodes no CROSS JOIN nn"
+            f" LEFT JOIN i{k} i ON no.node = i.node),"
+        )
+    parts.append(
+        f"fin AS (SELECT node, round(rank * nn.n, 6) AS rank_ratio"
+        f" FROM r{iters} CROSS JOIN nn)"
+        " SELECT node, rank_ratio FROM fin"
+        " ORDER BY rank_ratio DESC, node LIMIT 50"
+    )
+    return "\n".join(parts)
 
 
 _EXACT_TOPK_SQL = """
@@ -4329,4 +4482,7 @@ def oracle_sql() -> dict[str, str]:
     # the approx-gated profile RETURNS the exact profile (the gate only
     # empties it on an HLL contract breach) → same oracle text
     d["table_profile_orders_approx"] = d["table_profile_orders"]
+    # unrolled-iteration oracles (generated — 3 Lloyd iterations)
+    d["kmeans_embeddings"] = _kmeans_oracle_sql(k=8, iters=3)
+    d["pagerank_trade_graph"] = _pagerank_oracle_sql(iters=3)
     return d

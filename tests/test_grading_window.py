@@ -82,7 +82,8 @@ def test_first_50_is_the_intended_r6_window():
 
 
 # Deferred keys that MUST lead the r7 window: the r04-green keys that
-# did not fit the r6 window (50-slot budget).
+# did not fit the r6 window (50-slot budget), then the late-r6
+# additions that have never been driver-graded.
 R7_QUEUE = [
     "sql_min_price_supplier",
     "approx_distinct_sketch_rollup",
@@ -95,6 +96,8 @@ R7_QUEUE = [
     "cube_revenue",
     "price_quantiles_exact",
     "set_ops_priority_custs",
+    "kmeans_embeddings",
+    "pagerank_trade_graph",
 ]
 
 

@@ -53,5 +53,8 @@ def test_single_partition_exchanges_are_known(spark):
         "ann_lsh_topk", "ann_ivf_topk", "table_profile_orders_approx",
         # documented deliberate global-order window / tiny repartition(1)
         "customer_value_deciles", "embedding_neardup",
+        # scalar N = |V| aggregate, broadcast back as the rank base —
+        # one row, not a data-path collapse (operators/graph.py)
+        "pagerank_trade_graph",
     }
     assert with_sp <= allowed, with_sp - allowed
