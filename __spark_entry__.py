@@ -2475,6 +2475,56 @@ def _pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (functions/sketches.py): the
+    corpus token stream is sketched in two INDEPENDENT shards (doc_id
+    parity), the shards are merged cell-wise (union + sum — the CMS
+    merge law), and every top-30 token's merged-sketch estimate is
+    checked in-plan against its exact count: estimate ≥ exact (CMS
+    never undercounts) and estimate ≤ exact + ⌈e/width·N⌉ (the ε·N
+    bound). A violation EMPTIES the output → the driver's hash check
+    certifies sketch + merge accuracy end-to-end. Output is the exact
+    top-30 (rank, token, n)."""
+    from social_media_etl_spark.functions import sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(TXT.tokens("text")).alias("token")
+    ).filter(F.length("token") >= 1)
+    depth, width, seed = 4, 1024, 7
+    sk_even = sketches.cms_build(
+        toks.filter(F.col("doc_id") % 2 == 0), "token", depth, width, seed
+    )
+    sk_odd = sketches.cms_build(
+        toks.filter(F.col("doc_id") % 2 == 1), "token", depth, width, seed
+    )
+    merged = sketches.cms_merge(sk_even, sk_odd)
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    top = exact.orderBy(F.desc("n"), "token").limit(30)
+    est = sketches.cms_estimate(merged, top, "token", depth, width, seed)
+    n_total = toks.agg(F.count(F.lit(1)).alias("__n"))
+    bad = (
+        top.join(est, top["token"] == est["item"])
+        .crossJoin(F.broadcast(n_total))
+        .filter(
+            (F.col("estimate") < F.col("n"))
+            | (
+                F.col("estimate")
+                > F.col("n") + F.ceil(F.lit(sketches.cms_error_bound(width)) * F.col("__n"))
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("n_bad"))
+    )
+    gate = bad.filter(F.col("n_bad") == 0).select(F.lit(1).alias("__gate"))
+    w = Window.orderBy(F.desc("n"), "token")
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .crossJoin(F.broadcast(gate))
+        .select("rank", "token", "n")
+        .orderBy("rank")
+    )
+
+
 def _managed(fn: Callable[[SparkSession, str], DataFrame]):
     """Release the previous query's tracked caches before building the
     next plan — by then the prior action has run, so its intermediates
@@ -2629,6 +2679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # above ----------------------------------------------------------
         "kmeans_embeddings": _kmeans_embeddings,
         "pagerank_trade_graph": _pagerank_trade_graph,
+        "cms_heavy_hitters": _cms_heavy_hitters,
     }
     return {name: _managed(fn) for name, fn in qs.items()}
 
@@ -4485,4 +4536,20 @@ def oracle_sql() -> dict[str, str]:
     # unrolled-iteration oracles (generated — 3 Lloyd iterations)
     d["kmeans_embeddings"] = _kmeans_oracle_sql(k=8, iters=3)
     d["pagerank_trade_graph"] = _pagerank_oracle_sql(iters=3)
+    # the CMS query RETURNS the exact top-30 (the in-plan gate only
+    # empties it on an estimate outside the CMS bound)
+    d["cms_heavy_hitters"] = """
+        WITH words AS (
+            SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+            FROM documents
+        ),
+        counts AS (
+            SELECT token, count(*) AS n FROM words
+            WHERE length(token) >= 1
+            GROUP BY token
+        )
+        SELECT row_number() OVER (ORDER BY n DESC, token) AS rank, token, n
+        FROM counts
+        ORDER BY rank LIMIT 30
+    """
     return d

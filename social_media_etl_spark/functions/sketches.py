@@ -29,6 +29,10 @@ __all__ = [
     "hll_merge",
     "distinct_sketch_rollup",
     "approx_quantiles",
+    "cms_build",
+    "cms_merge",
+    "cms_estimate",
+    "cms_error_bound",
 ]
 
 
@@ -93,3 +97,88 @@ def approx_quantiles(
             for p in probabilities
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan '05): point-frequency
+# estimation in fixed space. Spark has no native CMS aggregate, so the
+# sketch is represented RELATIONALLY as a (row, bucket, cnt) frame of
+# ≤ depth × width cells — which makes it mergeable with a plain
+# union + sum (cell-wise addition is exactly CMS merge), storable as a
+# tiny parquet table, and estimable with a broadcast join. All hashing
+# is xxhash64 seeded per sketch row: deterministic, executor-local, no
+# Python. Guarantees (per item): estimate ≥ true count always, and
+# estimate ≤ true + e/width · N with probability 1 − e^(−depth).
+# ---------------------------------------------------------------------------
+
+
+def _cms_bucket(item: Column, row: Column, width: int, seed: int) -> Column:
+    return F.pmod(F.xxhash64(item, F.lit(seed), row), F.lit(width))
+
+
+def cms_build(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 7,
+) -> DataFrame:
+    """Build a count-min sketch over every row of ``col``.
+
+    One explode (×depth) and one hash aggregate; output is at most
+    depth × width rows no matter the input size — the fixed-space
+    contract that makes frequency tracking workable at 100 TB.
+    """
+    rows = F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("row")
+    return (
+        df.select(F.col(col).alias("__item"))
+        .select("__item", rows)
+        .groupBy(
+            "row",
+            _cms_bucket(F.col("__item"), F.col("row"), width, seed).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches built with the same (depth, width, seed):
+    cell-wise addition via union + re-aggregate — never touches raw
+    data, so shards/days/tables combine for free."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 7,
+) -> DataFrame:
+    """Point-frequency estimates for ``items[col]``: min over the
+    item's depth cells (an absent cell reads 0). The sketch side is
+    bounded (≤ depth × width rows) and broadcast."""
+    probes = items.select(F.col(col).alias("item")).distinct()
+    probes = probes.select(
+        "item",
+        F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("row"),
+    ).select(
+        "item",
+        "row",
+        _cms_bucket(F.col("item"), F.col("row"), width, seed).alias("bucket"),
+    )
+    joined = probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+    return joined.groupBy("item").agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("estimate")
+    )
+
+
+def cms_error_bound(width: int) -> float:
+    """ε such that overestimation ≤ ε·N w.h.p. (ε = e / width)."""
+    import math
+
+    return math.e / width

@@ -98,6 +98,7 @@ R7_QUEUE = [
     "set_ops_priority_custs",
     "kmeans_embeddings",
     "pagerank_trade_graph",
+    "cms_heavy_hitters",
 ]
 
 

@@ -105,3 +105,65 @@ def test_salted_join_matches_plain_join(spark, skewed):
         for r in skew.salted_join(skewed, build, ["k"], n_salts=8).collect()
     )
     assert salted == plain and len(plain) == 10000
+
+
+# -- count-min sketch -------------------------------------------------------
+
+
+def test_cms_exact_when_no_collisions(spark):
+    """Far fewer distinct items than width → every estimate is exact."""
+    from social_media_etl_spark.functions import sketches
+
+    df = spark.createDataFrame(
+        [(f"item{i % 5}",) for i in range(100)], "token string"
+    )
+    sk = sketches.cms_build(df, "token", depth=4, width=1024)
+    est = {
+        r["item"]: r["estimate"]
+        for r in sketches.cms_estimate(
+            sk, df.select("token").distinct(), "token", depth=4, width=1024
+        ).collect()
+    }
+    assert est == {f"item{i}": 20 for i in range(5)}
+
+
+def test_cms_never_undercounts_under_collision_pressure(spark):
+    """width=4 forces collisions: estimates must only OVERcount."""
+    from social_media_etl_spark.functions import sketches
+
+    df = spark.createDataFrame(
+        [(f"t{i % 50}",) for i in range(500)], "token string"
+    )
+    sk = sketches.cms_build(df, "token", depth=2, width=4)
+    est = sketches.cms_estimate(
+        sk, df.select("token").distinct(), "token", depth=2, width=4
+    )
+    assert est.count() == 50
+    assert est.filter(F.col("estimate") < 10).count() == 0
+
+
+def test_cms_merge_equals_direct_build(spark):
+    """Cell-wise merge of shard sketches == sketch of the whole stream."""
+    from social_media_etl_spark.functions import sketches
+
+    df = spark.createDataFrame(
+        [(i, f"w{i % 7}") for i in range(200)], "id long, token string"
+    )
+    direct = sketches.cms_build(df, "token")
+    merged = sketches.cms_merge(
+        sketches.cms_build(df.filter(F.col("id") % 2 == 0), "token"),
+        sketches.cms_build(df.filter(F.col("id") % 2 == 1), "token"),
+    )
+    a = sorted(map(tuple, direct.collect()))
+    b = sorted(map(tuple, merged.collect()))
+    assert a == b
+
+
+def test_cms_sketch_size_is_bounded(spark):
+    from social_media_etl_spark.functions import sketches
+
+    df = spark.createDataFrame(
+        [(f"u{i}",) for i in range(5000)], "token string"
+    )
+    sk = sketches.cms_build(df, "token", depth=3, width=64)
+    assert sk.count() <= 3 * 64
