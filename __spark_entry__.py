@@ -2525,6 +2525,63 @@ def _cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-LM quality scoring — the bigram upgrade of
+    unigram_logprob_quality: fit corpus bigram counts c(a,b) and
+    unigram counts c(a), then score every document by its mean
+    add-0.5-smoothed conditional log-probability
+    ln((c(a,b)+0.5)/(c(a)+0.5·V)). Bigrams are built ARRAY-SIDE
+    (transform over sequence — no self-join on position); the bigram
+    table joins back shuffle-keyed on (a,b) while the unigram table
+    and the vocab scalar broadcast. Low scores flag incoherent
+    word-salad that a unigram model cannot see."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", TXT.tokens("text").alias("w"))
+    uni = (
+        toks.select(F.explode("w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("na"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    bi = toks.filter(F.size("w") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> struct(w[i-1] AS a, w[i] AS b))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.a", "p.b")
+    nb = bi.groupBy("a", "b").agg(F.count(F.lit(1)).alias("nb"))
+    scored = (
+        bi.join(nb, ["a", "b"])
+        .join(F.broadcast(uni), bi["a"] == uni["tok"])
+        .crossJoin(F.broadcast(vocab))
+    )
+    lp = F.log(
+        (F.col("nb") + F.lit(0.5)) / (F.col("na") + F.lit(0.5) * F.col("v"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg(lp), 6).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: exact two-sample KS statistic
+    between click and purchase event values via the two-level bucketed
+    ECDF (plans/analytics.py:ks_drift) — per-bucket windows do the
+    heavy cumulation in parallel; only the 256-row bucket-offset
+    cumsum is single-partition. Integer ECDF numerators make the
+    statistic bit-identical across engines."""
+    events = load_table(spark, sf_dir, "events")
+    return analytics.ks_drift(events, "event_type", "value", "click", "purchase")
+
+
 def _managed(fn: Callable[[SparkSession, str], DataFrame]):
     """Release the previous query's tracked caches before building the
     next plan — by then the prior action has run, so its intermediates
@@ -2680,6 +2737,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_embeddings": _kmeans_embeddings,
         "pagerank_trade_graph": _pagerank_trade_graph,
         "cms_heavy_hitters": _cms_heavy_hitters,
+        "bigram_logprob_quality": _bigram_logprob,
+        "ks_drift_events": _ks_drift_events,
     }
     return {name: _managed(fn) for name, fn in qs.items()}
 
@@ -4551,5 +4610,56 @@ def oracle_sql() -> dict[str, str]:
         SELECT row_number() OVER (ORDER BY n DESC, token) AS rank, token, n
         FROM counts
         ORDER BY rank LIMIT 30
+    """
+    d["bigram_logprob_quality"] = """
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+            FROM documents WHERE trim(text) != ''
+        ),
+        uni AS (
+            SELECT tok, count(*) AS na
+            FROM (SELECT unnest(w) AS tok FROM toks) GROUP BY tok
+        ),
+        vv AS (SELECT count(*) AS v FROM uni),
+        bi AS (
+            SELECT doc_id,
+                   unnest([{'a': w[i], 'b': w[i + 1]}
+                           FOR i IN range(1, len(w))]) AS p
+            FROM toks WHERE len(w) >= 2
+        ),
+        nb AS (SELECT p.a AS a, p.b AS b, count(*) AS nb FROM bi GROUP BY 1, 2)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(avg(ln((nb + CAST(0.5 AS DOUBLE))
+                            / (na + CAST(0.5 AS DOUBLE) * v))), 6) AS avg_logprob
+        FROM bi
+        JOIN nb ON bi.p.a = nb.a AND bi.p.b = nb.b
+        JOIN uni ON bi.p.a = uni.tok
+        CROSS JOIN vv
+        GROUP BY doc_id ORDER BY doc_id
+    """
+    d["ks_drift_events"] = """
+        WITH vals AS (
+            SELECT event_type AS g, value AS v FROM events
+            WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+        ),
+        pv AS (
+            SELECT v,
+                   sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS ca,
+                   sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS cb
+            FROM vals GROUP BY v
+        ),
+        cum AS (
+            SELECT v,
+                   sum(ca) OVER (ORDER BY v) AS ra,
+                   sum(cb) OVER (ORDER BY v) AS rb
+            FROM pv
+        ),
+        n AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM pv)
+        SELECT round(max(abs(ra / CAST(na AS DOUBLE)
+                             - rb / CAST(nb AS DOUBLE))), 6) AS ks_stat,
+               CAST(any_value(na) AS BIGINT) AS n_a,
+               CAST(any_value(nb) AS BIGINT) AS n_b
+        FROM cum CROSS JOIN n
     """
     return d

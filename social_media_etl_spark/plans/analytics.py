@@ -50,6 +50,8 @@ __all__ = [
     "top_supplier",
     "important_parts",
     "customer_value_deciles",
+    "funnel_conversion",
+    "ks_drift",
 ]
 
 
@@ -924,4 +926,101 @@ def funnel_conversion(
         counts.select(F.explode(F.array(*entries)).alias("e"))
         .select("e.step_no", "e.step", "e.n_users", "e.conv_rate")
         .orderBy("step_no")
+    )
+
+
+def ks_drift(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between the
+    ``value_col`` distributions of two groups — the data-quality
+    monitor for "did this feed's distribution move?".
+
+    KS = max over values v of |F_a(v) − F_b(v)| needs a global
+    cumulative count, but a single global-order window dies at 100 TB.
+    This runs the TWO-LEVEL ECDF instead:
+
+    1. values are range-bucketed (fixed-width over [min, max] — the
+       bucket id is monotone in the value, so per-bucket order is
+       global order);
+    2. per-bucket per-group totals collapse to ``n_buckets`` rows
+       whose cumulative offsets are a window over that TINY frame
+       (the only single-partition step — bounded by n_buckets, never
+       by data);
+    3. within-bucket running counts are a window PARTITIONED by
+       bucket — fully parallel;
+    4. offset + running count = the exact global cumulative count at
+       every distinct value; one scalar max finishes.
+
+    Exactness: ECDF numerators/denominators are integers, so the
+    statistic is bit-identical across engines and parallelism.
+    Returns one row: (ks_stat, n_a, n_b).
+    """
+    vals = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    ).select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+    rng = vals.agg(
+        F.min("v").alias("__lo"), F.max("v").alias("__hi")
+    )
+    bucketed = vals.crossJoin(F.broadcast(rng)).withColumn(
+        "__b",
+        F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+            F.least(
+                F.floor(
+                    (F.col("v") - F.col("__lo"))
+                    / ((F.col("__hi") - F.col("__lo")) / n_buckets)
+                ),
+                F.lit(n_buckets - 1),
+            )
+        ),
+    )
+    per_value = bucketed.groupBy("__b", "v").agg(
+        F.sum(F.when(F.col("g") == group_a, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("g") == group_b, 1).otherwise(0)).alias("cb"),
+    )
+    bucket_totals = per_value.groupBy("__b").agg(
+        F.sum("ca").alias("ta"), F.sum("cb").alias("tb")
+    )
+    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bucket_totals.select(
+        "__b",
+        F.coalesce(F.sum("ta").over(w_off), F.lit(0)).alias("oa"),
+        F.coalesce(F.sum("tb").over(w_off), F.lit(0)).alias("ob"),
+    )
+    w_run = (
+        Window.partitionBy("__b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    running = per_value.select(
+        "__b",
+        "v",
+        F.sum("ca").over(w_run).alias("ra"),
+        F.sum("cb").over(w_run).alias("rb"),
+    )
+    totals = per_value.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    diffs = (
+        running.join(F.broadcast(offsets), "__b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.abs(
+                (F.col("oa") + F.col("ra")) / F.col("na").cast("double")
+                - (F.col("ob") + F.col("rb")) / F.col("nb").cast("double")
+            ).alias("d"),
+            "na",
+            "nb",
+        )
+    )
+    return diffs.agg(
+        F.round(F.max("d"), 6).alias("ks_stat"),
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
     )

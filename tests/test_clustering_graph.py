@@ -122,3 +122,62 @@ def test_pagerank_dangling_mass_leaks(spark):
             pagerank(edges, iters=3, materialize=False).collect()}
     assert rows["b"] > rows["a"]
     assert sum(rows.values()) < 1.0
+
+
+# -- KS drift (plans/analytics.py:ks_drift) ---------------------------------
+
+
+def _ks_brute(sample_a, sample_b):
+    pts = sorted(set(sample_a) | set(sample_b))
+    na, nb = len(sample_a), len(sample_b)
+    return max(
+        abs(
+            sum(1 for x in sample_a if x <= p) / na
+            - sum(1 for x in sample_b if x <= p) / nb
+        )
+        for p in pts
+    )
+
+
+def test_ks_drift_matches_bruteforce(spark):
+    from social_media_etl_spark.plans.analytics import ks_drift
+
+    a = [1.0, 2.0, 2.0, 3.5, 9.0, 4.4, 0.2, 7.7]
+    b = [2.0, 2.5, 6.0, 6.0, 8.1, 3.3]
+    rows = [("a", v) for v in a] + [("b", v) for v in b] + [("c", 99.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = ks_drift(df, "g", "v", "a", "b", n_buckets=4).collect()[0]
+    assert got["ks_stat"] == round(_ks_brute(a, b), 6)
+    assert (got["n_a"], got["n_b"]) == (len(a), len(b))
+
+
+def test_ks_drift_identical_distributions_is_zero(spark):
+    from social_media_etl_spark.plans.analytics import ks_drift
+
+    rows = [(g, float(v)) for g in ("a", "b") for v in range(20)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    assert ks_drift(df, "g", "v", "a", "b").collect()[0]["ks_stat"] == 0.0
+
+
+def test_ks_drift_disjoint_supports_is_one(spark):
+    from social_media_etl_spark.plans.analytics import ks_drift
+
+    rows = [("a", float(v)) for v in range(10)] + [
+        ("b", float(v + 100)) for v in range(10)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    assert ks_drift(df, "g", "v", "a", "b").collect()[0]["ks_stat"] == 1.0
+
+
+def test_ks_drift_bucket_count_invariant(spark):
+    """The bucketing is an execution detail: any n_buckets gives the
+    same exact statistic."""
+    from social_media_etl_spark.plans.analytics import ks_drift
+
+    rows = [("a", float(v % 13)) for v in range(50)] + [
+        ("b", float(v % 7)) for v in range(40)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r1 = ks_drift(df, "g", "v", "a", "b", n_buckets=1).collect()[0]
+    r256 = ks_drift(df, "g", "v", "a", "b", n_buckets=256).collect()[0]
+    assert r1["ks_stat"] == r256["ks_stat"]

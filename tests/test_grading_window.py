@@ -99,6 +99,8 @@ R7_QUEUE = [
     "kmeans_embeddings",
     "pagerank_trade_graph",
     "cms_heavy_hitters",
+    "bigram_logprob_quality",
+    "ks_drift_events",
 ]
 
 

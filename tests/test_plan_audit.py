@@ -56,5 +56,9 @@ def test_single_partition_exchanges_are_known(spark):
         # scalar N = |V| aggregate, broadcast back as the rank base —
         # one row, not a data-path collapse (operators/graph.py)
         "pagerank_trade_graph",
+        # scalar token-count + one-row CMS accuracy gate / vocab-size
+        # scalar / 256-row bucket-offset cumsum + scalar KS max — all
+        # bounded, never corpus-sized frames
+        "cms_heavy_hitters", "bigram_logprob_quality", "ks_drift_events",
     }
     assert with_sp <= allowed, with_sp - allowed
