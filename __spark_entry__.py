@@ -2582,6 +2582,43 @@ def _ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.ks_drift(events, "event_type", "value", "click", "purchase")
 
 
+def _duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplication scoring (operators/dedup.py:
+    duplicate_span_stats): fraction of each document's rolling 8-token
+    windows that occur anywhere else in the corpus — the ExactSubstr
+    granularity between line dedup and whole-doc dedup. Docs ordered
+    by worst duplication first (dup_frac desc, doc_id), top 100."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = dedup.duplicate_span_stats(docs, "doc_id", "text", span_tokens=8)
+    return (
+        stats.select("doc_id", "n_spans", "n_dup_spans", "dup_frac")
+        .orderBy(F.desc("dup_frac"), "doc_id")
+        .limit(100)
+    )
+
+
+def _regression_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend via Spark's NATIVE regression aggregates
+    (regr_slope / regr_intercept / regr_r2 / corr — one hash-aggregate
+    pass, no ML library): does event value drift over calendar days?
+    The oracle runs DuckDB's identical regr_* aggregates; integer day
+    offsets keep the moments numerically tame in both engines."""
+    events = load_table(spark, sf_dir, "events")
+    x = F.datediff(F.to_date("ts"), F.lit("2024-01-01")).cast("double")
+    return (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.regr_slope(F.col("value"), x), 6).alias("slope"),
+            F.round(F.regr_intercept(F.col("value"), x), 6).alias("intercept"),
+            F.round(F.regr_r2(F.col("value"), x), 6).alias("r2"),
+            F.round(F.corr(F.col("value"), x), 6).alias("pearson_r"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _managed(fn: Callable[[SparkSession, str], DataFrame]):
     """Release the previous query's tracked caches before building the
     next plan — by then the prior action has run, so its intermediates
@@ -2739,6 +2776,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": _cms_heavy_hitters,
         "bigram_logprob_quality": _bigram_logprob,
         "ks_drift_events": _ks_drift_events,
+        "duplicate_span_fraction": _duplicate_spans,
+        "regression_value_trend": _regression_value_trend,
     }
     return {name: _managed(fn) for name, fn in qs.items()}
 
@@ -4661,5 +4700,43 @@ def oracle_sql() -> dict[str, str]:
                CAST(any_value(na) AS BIGINT) AS n_a,
                CAST(any_value(nb) AS BIGINT) AS n_b
         FROM cum CROSS JOIN n
+    """
+    d["duplicate_span_fraction"] = """
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+            FROM documents WHERE trim(text) != ''
+        ),
+        spans AS (
+            SELECT doc_id,
+                   unnest([array_to_string(w[i:i+7], ' ')
+                           FOR i IN range(1, len(w) - 6)]) AS span
+            FROM toks WHERE len(w) >= 8
+        ),
+        counts AS (SELECT span, count(*) AS c FROM spans GROUP BY span)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_spans,
+               round(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+        FROM spans JOIN counts USING (span)
+        GROUP BY doc_id
+        ORDER BY dup_frac DESC, doc_id
+        LIMIT 100
+    """
+    d["regression_value_trend"] = """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(regr_slope(value, x), 6) AS slope,
+               round(regr_intercept(value, x), 6) AS intercept,
+               round(regr_r2(value, x), 6) AS r2,
+               round(corr(value, x), 6) AS pearson_r
+        FROM (
+            SELECT event_type, value,
+                   CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                        AS DOUBLE) AS x
+            FROM events WHERE value IS NOT NULL
+        )
+        GROUP BY event_type ORDER BY event_type
     """
     return d

@@ -40,6 +40,7 @@ __all__ = [
     "dedup_by_components",
     "dedup_lines_global",
     "benchmark_overlap",
+    "duplicate_span_stats",
 ]
 
 
@@ -698,4 +699,59 @@ def benchmark_overlap(
             "contaminated", (F.col("overlap_frac") >= flag_fraction).cast("boolean")
         )
         .orderBy(id_col)
+    )
+
+
+def duplicate_span_stats(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 8,
+) -> DataFrame:
+    """Span-level (substring) duplication scoring — the intra-corpus
+    metric of Lee et al.'s "Deduplicating Training Data Makes Language
+    Models Better" (ExactSubstr), at token-window granularity: for
+    every document, the fraction of its rolling ``span_tokens``-token
+    windows that ALSO occur anywhere else in the corpus.
+
+    Fills the granularity gap in this dedup family: dedup_exact is
+    whole-document, dedup_lines_global is line-level — this catches
+    the boilerplate paragraph pasted into thousands of otherwise
+    unique pages, which neither of those sees.
+
+    Physical plan at 100 TB: spans are built ARRAY-SIDE (transform
+    over sequence, one explode — no position self-join); corpus span
+    counts are one hash aggregate keyed on the span; the counts join
+    back onto the span stream shuffle-keyed on the same key (co-keyed
+    with the aggregate — AQE coalesces the pair), then one per-doc
+    aggregate. A span seen c times in the corpus counts as duplicated
+    for EVERY one of its occurrences when c > 1 (an intra-document
+    repeat is duplication too, matching ExactSubstr semantics).
+    """
+    toks = corpus.select(
+        F.col(id_col), TXT.tokens(text_col).alias("w")
+    ).filter(F.size("w") >= span_tokens)
+    spans = toks.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(w) - {span_tokens}),"
+                f" i -> concat_ws(' ', slice(w, i + 1, {span_tokens})))"
+            )
+        ).alias("span"),
+    )
+    counts = spans.groupBy("span").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        spans.join(counts, "span")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("n_dup_spans") / F.col("n_spans").cast("double"), 6),
+        )
     )

@@ -325,3 +325,39 @@ def test_benchmark_overlap_broadcasts_benchmark_side(spark):
     )
     plan = dedup.benchmark_overlap(corpus, bench)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_duplicate_span_stats_flags_shared_boilerplate(spark):
+    from social_media_etl_spark.operators.dedup import duplicate_span_stats
+
+    boiler = "one two three four five six seven eight"  # exactly 8 tokens
+    rows = [
+        (1, boiler + " unique tail alpha beta gamma delta epsilon zeta"),
+        (2, boiler + " different ending words here now for doc two"),
+        (3, "totally fresh text with eight plus distinct tokens only once"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in duplicate_span_stats(df).collect()}
+    # docs 1 and 2 share exactly the one boilerplate window
+    assert got[1]["n_dup_spans"] == 1 and got[2]["n_dup_spans"] == 1
+    assert got[3]["n_dup_spans"] == 0 and got[3]["dup_frac"] == 0.0
+    # window arithmetic: n_tokens - 7 spans per doc (doc 1 has 16 tokens)
+    assert got[1]["n_spans"] == 16 - 7
+
+
+def test_duplicate_span_stats_counts_intra_doc_repeats(spark):
+    from social_media_etl_spark.operators.dedup import duplicate_span_stats
+
+    text = " ".join(["a b c d e f g h"] * 2)  # the 8-gram repeats inside
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = duplicate_span_stats(df).collect()[0]
+    assert got["n_dup_spans"] >= 2  # both occurrences count as duplicated
+
+
+def test_duplicate_span_stats_skips_short_docs(spark):
+    from social_media_etl_spark.operators.dedup import duplicate_span_stats
+
+    df = spark.createDataFrame(
+        [(1, "only seven tokens in this doc here")], "doc_id long, text string"
+    )
+    assert duplicate_span_stats(df).count() == 0

@@ -101,6 +101,8 @@ R7_QUEUE = [
     "cms_heavy_hitters",
     "bigram_logprob_quality",
     "ks_drift_events",
+    "duplicate_span_fraction",
+    "regression_value_trend",
 ]
 
 
