@@ -114,6 +114,28 @@ SHOWCASE = {
         "`BroadcastHashJoin` and NO exchange of its own; the md5 "
         "acceptance is a pure codegen'd expression filter."
     ),
+    "kmeans_embeddings": (
+        "Distributed Lloyd's: centroids enter each assignment as a "
+        "`BroadcastNestedLoopJoin` against a k-row frame (never a "
+        "shuffled cartesian); the argmin is a partial-combined "
+        "min-struct `HashAggregate` keyed on the vector id; the update "
+        "is one (cluster, pos) exchange. Prior iterations appear as "
+        "`InMemoryTableScan` — persisted, not recomputed."
+    ),
+    "ks_drift_events": (
+        "Two-level ECDF: the per-value window runs PARTITIONED by "
+        "bucket (parallel); the only single-partition step is the "
+        "256-row bucket-offset cumsum and the final scalar max — a "
+        "naive global-order window over every distinct value never "
+        "appears."
+    ),
+    "duplicate_span_fraction": (
+        "Span stream and span counts meet in a join keyed on the SAME "
+        "column the aggregate grouped on — co-keyed exchanges, no "
+        "re-shuffle of the heavy side; spans are built array-side "
+        "(`transform`+`slice` inside codegen), not via a position "
+        "self-join."
+    ),
 }
 
 HEADER = """# PLANS — physical plans of representative queries

@@ -360,3 +360,60 @@ def test_corpus_shuffle_is_distributed_sort(spark):
     assert "rangepartitioning(shuffle_key" in p, p
     assert "Exchange SinglePartition" not in p, p
     assert "Window" not in p, p
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    """Centroids must enter the assignment as a broadcast (k rows) —
+    never a shuffled cartesian — and the argmin must partial-combine
+    before the vec_id exchange."""
+    p = plan(entry.queries()["kmeans_embeddings"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p
+    assert "partial_min" in p
+
+
+def test_pagerank_no_cartesian_and_partial_sums(spark):
+    p = plan(entry.queries()["pagerank_trade_graph"](spark, SF))
+    assert "CartesianProduct" not in p
+    # contribution aggregate combines map-side before the dst exchange
+    assert "partial_sum" in p
+
+
+def test_ks_drift_windows_are_bucket_partitioned(spark):
+    """The heavy per-value cumulation must run partitioned by bucket;
+    the only global-order window is over the bucket-totals frame."""
+    p = plan(entry.queries()["ks_drift_events"](spark, SF))
+    assert "CartesianProduct" not in p
+    # per-value running window carries the bucket in its partition spec
+    assert "partitionBy=[__b" in p.replace(" ", "") or "__b#" in p
+    # pushed scan: only the two compared groups are read
+    assert "In(event_type" in p or "EqualTo(event_type" in p
+
+
+def test_duplicate_span_join_is_hash_not_nested(spark):
+    p = plan(entry.queries()["duplicate_span_fraction"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "partial_count" in p or "partial_sum" in p
+
+
+def test_cms_sketch_join_broadcasts_sketch_side(spark):
+    """The depth x width sketch is bounded — it must broadcast into the
+    estimation join, never shuffle the probe stream."""
+    p = plan(entry.queries()["cms_heavy_hitters"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_bigram_unigram_table_broadcasts(spark):
+    p = plan(entry.queries()["bigram_logprob_quality"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    assert "partial_count" in p
+
+
+def test_regression_trend_single_pass_partial_aggs(spark):
+    p = plan(entry.queries()["regression_value_trend"](spark, SF))
+    # one hash aggregate pass with map-side combine; no joins at all
+    assert "partial_regr_slope" in p or "partial_" in p
+    assert "Join" not in p
