@@ -2619,6 +2619,55 @@ def _regression_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming trending counters: the 4-file events stream drains
+    through the foreachBatch CMS sink (one bounded sketch write per
+    micro-batch, idempotent via per-batch dynamic partition
+    overwrite), the served sketch is the cell-wise merge of the batch
+    partials, and the exact top-20 users by event count are gated
+    in-plan on the streamed sketch's CMS contract (estimate ≥ exact,
+    overshoot ≤ e/width·N). A green row certifies sketch + merge +
+    micro-batch idempotence end-to-end without ever rescanning the
+    stream. Scale: batch writes are ≤ depth×width cells; the serving
+    merge touches batches×cells rows."""
+    from social_media_etl_spark.functions import sketches
+
+    depth, width, seed = 4, 1024, 7
+    stream = _split_events_stream(spark, sf_dir)
+    tgt = _tmpdir(prefix="smetl_cms_tgt_")
+    ckpt = _tmpdir(prefix="smetl_cms_ckpt_")
+    streaming_ingest.write_foreach_batch_cms(
+        stream, tgt, ckpt, "user_id", depth, width, seed
+    )
+    sketch = streaming_ingest.read_cms_sketch(spark, tgt)
+    events = load_table(spark, sf_dir, "events")
+    exact = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    top = exact.orderBy(F.desc("n"), "user_id").limit(20)
+    est = sketches.cms_estimate(sketch, top, "user_id", depth, width, seed)
+    n_total = events.agg(F.count(F.lit(1)).alias("__n"))
+    bad = (
+        top.join(est, top["user_id"] == est["item"])
+        .crossJoin(F.broadcast(n_total))
+        .filter(
+            (F.col("estimate") < F.col("n"))
+            | (
+                F.col("estimate")
+                > F.col("n")
+                + F.ceil(F.lit(sketches.cms_error_bound(width)) * F.col("__n"))
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("n_bad"))
+    )
+    gate = bad.filter(F.col("n_bad") == 0).select(F.lit(1).alias("__gate"))
+    w = Window.orderBy(F.desc("n"), "user_id")
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .crossJoin(F.broadcast(gate))
+        .select("rank", "user_id", "n")
+        .orderBy("rank")
+    )
+
+
 def _managed(fn: Callable[[SparkSession, str], DataFrame]):
     """Release the previous query's tracked caches before building the
     next plan — by then the prior action has run, so its intermediates
@@ -2778,6 +2827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift_events": _ks_drift_events,
         "duplicate_span_fraction": _duplicate_spans,
         "regression_value_trend": _regression_value_trend,
+        "streaming_cms_topk": _streaming_cms_topk,
     }
     return {name: _managed(fn) for name, fn in qs.items()}
 
@@ -4738,5 +4788,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events WHERE value IS NOT NULL
         )
         GROUP BY event_type ORDER BY event_type
+    """
+    # the streamed-CMS query RETURNS the exact top-20 (the in-plan gate
+    # only empties it if the streamed sketch breaks the CMS bound)
+    d["streaming_cms_topk"] = """
+        WITH counts AS (
+            SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+        )
+        SELECT row_number() OVER (ORDER BY n DESC, user_id) AS rank,
+               user_id, n
+        FROM counts
+        ORDER BY rank LIMIT 20
     """
     return d

@@ -186,6 +186,69 @@ def main() -> None:
         .groupBy("p.a", "p.b")
         .count(),
     }
+    # late-r6 additions: the iterative fixed-point ops (k-means,
+    # PageRank), span-level dedup, the CMS sketch, and the bucketed-
+    # ECDF KS — each on genuinely GROWN key spaces
+    from social_media_etl_spark.functions import sketches
+    from social_media_etl_spark.operators import clustering, graph
+    from social_media_etl_spark.plans.analytics import ks_drift
+
+    # graph inflation remaps orderkey+custkey per replica: the node set
+    # grows mult×, while shared suppkeys become high-degree hubs — the
+    # realistic skew for an iterative rank
+    base_orders = load_table(spark, SF_DIR, "orders")
+    base_li = load_table(spark, SF_DIR, "lineitem")
+    n_ok, n_ck = 6_000_000, 150_000
+    g_orders = reduce(
+        lambda a, b: a.unionAll(b),
+        [
+            base_orders.select(
+                (F.col("o_orderkey") + F.lit(i * n_ok)).alias("o_orderkey"),
+                (F.col("o_custkey") + F.lit(i * n_ck)).alias("o_custkey"),
+            )
+            for i in range(mult)
+        ],
+    )
+    g_li = reduce(
+        lambda a, b: a.unionAll(b),
+        [
+            base_li.select(
+                (F.col("l_orderkey") + F.lit(i * n_ok)).alias("l_orderkey"),
+                F.col("l_suppkey"),
+            )
+            for i in range(mult)
+        ],
+    )
+    g_pairs = (
+        g_orders.join(g_li, g_orders["o_orderkey"] == g_li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    g_edges = g_pairs.union(
+        g_pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+    runs["kmeans_embeddings"] = lambda: clustering.kmeans_fit_df(
+        emb, "vec_id", "embedding", k=8, iters=3, round_to=9
+    )[0]
+    runs["pagerank_trade"] = lambda: graph.pagerank(g_edges, iters=3)
+    runs["duplicate_span_stats"] = lambda: dedup.duplicate_span_stats(docs)
+    runs["cms_estimate_top"] = lambda: sketches.cms_estimate(
+        sketches.cms_build(
+            docs.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("t")),
+            "t",
+        ),
+        docs.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("t"))
+        .groupBy("t").count().orderBy(F.desc("count"), "t").limit(30),
+        "t",
+    )
+    runs["ks_drift_events"] = lambda: ks_drift(
+        events, "event_type", "value", "click", "purchase"
+    )
+
     for name, build in runs.items():
         df = build()
         df.count()  # warm (plan + shuffle files)

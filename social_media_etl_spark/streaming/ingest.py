@@ -41,6 +41,8 @@ __all__ = [
     "write_foreach_batch_upsert",
     "write_foreach_batch_incremental_agg",
     "read_incremental_rollup",
+    "write_foreach_batch_cms",
+    "read_cms_sketch",
 ]
 
 # The events table schema (TESTDATA.md), declared explicitly — file
@@ -424,4 +426,60 @@ def read_incremental_rollup(
             F.sum("partial_n").alias("n_events"),
             F.sum("partial_sum").alias("sum_value"),
         )
+    )
+
+
+def write_foreach_batch_cms(
+    stream_df: DataFrame,
+    target_path: str,
+    checkpoint_dir: str,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 7,
+    available_now: bool = True,
+):
+    """Streaming frequency-sketch maintenance: each micro-batch builds
+    its own count-min sketch (``functions/sketches.py:cms_build``) and
+    writes the ≤ depth × width cells into a partition keyed by the
+    batch id. CMS merge is cell-wise addition, so the served sketch
+    (:func:`read_cms_sketch`) is just a re-aggregate of the partial
+    table — the sketch's merge law IS the exactly-once story: a
+    replayed batch dynamically overwrites its own ``__batch_id``
+    partition with identical cells and never double-counts.
+
+    This is the 100 TB/day trending-counters shape: per batch the
+    write is a bounded sketch, the serving merge touches
+    batches × cells rows, and the raw stream is never rescanned.
+    """
+    from social_media_etl_spark.functions.sketches import cms_build
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        sk = cms_build(batch_df.select(col), col, depth, width, seed)
+        (
+            sk.withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(target_path)
+        )
+
+    writer = stream_df.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    return q
+
+
+def read_cms_sketch(spark: SparkSession, target_path: str) -> DataFrame:
+    """Serve the streamed sketch: merge every batch's cells
+    (cell-wise sum — the CMS merge law)."""
+    return (
+        spark.read.parquet(target_path)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
     )

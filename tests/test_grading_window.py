@@ -103,6 +103,7 @@ R7_QUEUE = [
     "ks_drift_events",
     "duplicate_span_fraction",
     "regression_value_trend",
+    "streaming_cms_topk",
 ]
 
 

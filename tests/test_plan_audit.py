@@ -60,5 +60,7 @@ def test_single_partition_exchanges_are_known(spark):
         # scalar / 256-row bucket-offset cumsum + scalar KS max — all
         # bounded, never corpus-sized frames
         "cms_heavy_hitters", "bigram_logprob_quality", "ks_drift_events",
+        # scalar event-count + one-row CMS gate over the streamed sketch
+        "streaming_cms_topk",
     }
     assert with_sp <= allowed, with_sp - allowed

@@ -507,3 +507,43 @@ def test_streaming_upsert_sink_is_batch_boundary_independent(
     # replay: fresh checkpoint, same target — merge keeps same winners
     replay = run(str(tmp_path / "t2"), str(tmp_path / "c3"), 1)
     assert replay == want
+
+
+def test_streaming_cms_matches_batch_sketch_and_replay_idempotent(
+    spark, events_stream_dir, tmp_path
+):
+    """The streamed sketch (per-batch partials merged at serve time)
+    must equal the sketch built directly over all input — the CMS
+    merge law across real micro-batch boundaries — and replaying every
+    batch must overwrite partial partitions, not double-count."""
+    from social_media_etl_spark.functions.sketches import cms_build
+
+    target = str(tmp_path / "cms")
+
+    def run(ckpt: str) -> None:
+        stream = ingest.read_events_stream(
+            spark, events_stream_dir, max_files_per_trigger=1
+        )
+        ingest.write_foreach_batch_cms(
+            stream, target, ckpt, "user_id", depth=3, width=64
+        )
+
+    run(str(tmp_path / "ckpt1"))
+    want = sorted(
+        map(
+            tuple,
+            cms_build(
+                _batch_events(spark, events_stream_dir), "user_id", depth=3, width=64
+            ).collect(),
+        )
+    )
+    got1 = sorted(
+        map(tuple, ingest.read_cms_sketch(spark, target).collect())
+    )
+    assert got1 == want
+    # replay with a fresh checkpoint: same batch ids overwrite in place
+    run(str(tmp_path / "ckpt2"))
+    got2 = sorted(
+        map(tuple, ingest.read_cms_sketch(spark, target).collect())
+    )
+    assert got2 == want
