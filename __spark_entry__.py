@@ -2668,6 +2668,35 @@ def _streaming_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-shift metric: KL(source ‖ corpus) over token unigram
+    distributions — how far each source's language drifts from the
+    corpus mixture (the info-theoretic complement of ks_drift_events'
+    value-distribution test). One token explode feeds two aggregates;
+    per-(source, token) and per-token counts join CO-KEYED on the
+    token, then one per-source sum. Every source token exists in the
+    corpus by construction, so q > 0 and the sum is total."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(TXT.tokens("text")).alias("tok"))
+    sw = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("nsw"))
+    sn = sw.groupBy("source").agg(F.sum("nsw").alias("ns"))
+    cw = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("nw"))
+    ct = cw.agg(F.sum("nw").alias("nc"))
+    p = F.col("nsw") / F.col("ns").cast("double")
+    q = F.col("nw") / F.col("nc").cast("double")
+    return (
+        sw.join(cw, "tok")
+        .join(F.broadcast(sn), "source")
+        .crossJoin(F.broadcast(ct))
+        .groupBy("source")
+        .agg(
+            F.max("ns").cast("long").alias("n_tokens"),
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_vs_corpus"),
+        )
+        .orderBy("source")
+    )
+
+
 def _managed(fn: Callable[[SparkSession, str], DataFrame]):
     """Release the previous query's tracked caches before building the
     next plan — by then the prior action has run, so its intermediates
@@ -2828,6 +2857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_span_fraction": _duplicate_spans,
         "regression_value_trend": _regression_value_trend,
         "streaming_cms_topk": _streaming_cms_topk,
+        "source_token_kl": _source_token_kl,
     }
     return {name: _managed(fn) for name, fn in qs.items()}
 
@@ -4799,5 +4829,26 @@ def oracle_sql() -> dict[str, str]:
                user_id, n
         FROM counts
         ORDER BY rank LIMIT 20
+    """
+    d["source_token_kl"] = """
+        WITH toks AS (
+            SELECT source,
+                   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+            FROM documents WHERE trim(text) != ''
+        ),
+        sw AS (SELECT source, tok, count(*) AS nsw FROM toks GROUP BY 1, 2),
+        sn AS (SELECT source, sum(nsw) AS ns FROM sw GROUP BY source),
+        cw AS (SELECT tok, count(*) AS nw FROM toks GROUP BY tok),
+        ct AS (SELECT sum(nw) AS nc FROM cw)
+        SELECT source,
+               CAST(any_value(ns) AS BIGINT) AS n_tokens,
+               round(sum((nsw / CAST(ns AS DOUBLE))
+                         * ln((nsw / CAST(ns AS DOUBLE))
+                              / (nw / CAST(nc AS DOUBLE)))), 6) AS kl_vs_corpus
+        FROM sw
+        JOIN cw USING (tok)
+        JOIN sn USING (source)
+        CROSS JOIN ct
+        GROUP BY source ORDER BY source
     """
     return d

@@ -375,29 +375,54 @@ def ivf_build(
     seed: int = 7,
     sample_size: int = 65_536,
     persist: bool = True,
+    trainer: str = "sample",
 ) -> IvfIndex:
     """Build an IVF index over the corpus.
 
-    Quantizer training pulls only a deterministic hash-ordered sample
-    of ≤ ``sample_size`` vectors to the driver (TakeOrdered — top-k per
+    ``trainer='sample'`` (default, the FAISS recipe): quantizer
+    training pulls only a deterministic hash-ordered sample of
+    ≤ ``sample_size`` vectors to the driver (TakeOrdered — top-k per
     partition, no global sort materialization) and runs seeded numpy
     Lloyd there; the full-corpus cell assignment is ONE distributed
-    Arrow/BLAS pass. The inverted lists shuffle once on cell and are
+    Arrow/BLAS pass.
+
+    ``trainer='distributed'``: Lloyd runs fully distributed over the
+    WHOLE corpus (operators/clustering.py:kmeans_fit_df) — for the
+    regime where even a quantizer sample misrepresents the manifold
+    (extreme skew / trillions of vectors); only the final k×dim
+    centroid table reaches the driver.
+
+    Either way the inverted lists shuffle once on cell and are
     persisted so every subsequent search reuses them — index build
     cost is paid once, not per query.
     """
     import numpy as np
 
-    sample_rows = (
-        corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
-        .orderBy(F.xxhash64(F.col(vec_col).cast("array<double>")))
-        .limit(sample_size)
-        .collect()
-    )
-    if not sample_rows:
-        raise ValueError("ivf_build: empty corpus")
-    S = np.array([r["v"] for r in sample_rows], dtype=np.float64)
-    C = _kmeans_fit(S, n_cells, seed)
+    if trainer == "distributed":
+        from social_media_etl_spark.operators.clustering import kmeans_fit_df
+
+        _, cent = kmeans_fit_df(
+            corpus, id_col, vec_col, k=n_cells, iters=10, round_to=9
+        )
+        C = np.array(
+            [r["centroid"] for r in cent.orderBy("cluster").collect()],
+            dtype=np.float64,
+        )
+        if C.size == 0:
+            raise ValueError("ivf_build: empty corpus")
+    elif trainer == "sample":
+        sample_rows = (
+            corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+            .orderBy(F.xxhash64(F.col(vec_col).cast("array<double>")))
+            .limit(sample_size)
+            .collect()
+        )
+        if not sample_rows:
+            raise ValueError("ivf_build: empty corpus")
+        S = np.array([r["v"] for r in sample_rows], dtype=np.float64)
+        C = _kmeans_fit(S, n_cells, seed)
+    else:
+        raise ValueError(f"ivf_build: unknown trainer {trainer!r}")
     indexed = _assign_cells(
         corpus, id_col, vec_col, C, 1, "neighbor_id", "neighbor_v"
     ).repartition("cell")

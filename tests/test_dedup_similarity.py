@@ -361,3 +361,31 @@ def test_duplicate_span_stats_skips_short_docs(spark):
         [(1, "only seven tokens in this doc here")], "doc_id long, text string"
     )
     assert duplicate_span_stats(df).count() == 0
+
+
+def test_ivf_distributed_trainer_full_probe_is_exact(spark):
+    """trainer='distributed' (full-corpus Lloyd via
+    operators/clustering.py) must give the same exactness guarantee:
+    probing every cell == brute-force search, regardless of which
+    quantizer trained the cells."""
+    import random
+
+    rnd = random.Random(5)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 6)
+    exact = {
+        (r["query_id"], r["rk"]): r["neighbor_id"]
+        for r in similarity.cosine_topk(df, q, "vec_id", "embedding", k=3).collect()
+    }
+    idx = similarity.ivf_build(
+        df, "vec_id", "embedding", n_cells=6, trainer="distributed"
+    )
+    got = {
+        (r["query_id"], r["rk"]): r["neighbor_id"]
+        for r in similarity.ivf_search(
+            idx, q, k=3, n_probe=6
+        ).collect()
+    }
+    idx.unpersist()
+    assert got == exact

@@ -104,6 +104,7 @@ R7_QUEUE = [
     "duplicate_span_fraction",
     "regression_value_trend",
     "streaming_cms_topk",
+    "source_token_kl",
 ]
 
 

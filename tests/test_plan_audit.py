@@ -62,5 +62,7 @@ def test_single_partition_exchanges_are_known(spark):
         "cms_heavy_hitters", "bigram_logprob_quality", "ks_drift_events",
         # scalar event-count + one-row CMS gate over the streamed sketch
         "streaming_cms_topk",
+        # scalar corpus-token-count broadcast as the KL's q denominator
+        "source_token_kl",
     }
     assert with_sp <= allowed, with_sp - allowed
