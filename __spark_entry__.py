@@ -2444,24 +2444,31 @@ def _kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the customer↔supplier trade graph
+    """PageRank over the 1995 customer↔supplier trade graph
     (operators/graph.py): distinct (custkey, suppkey) pairs from
-    orders ⋈ lineitem, symmetrized so no node is a sink, 3 damped
-    iterations (d=0.85) with 12 dp re-quantization per step — the
-    Pregel-as-join shape, one src-keyed and one dst-keyed shuffle per
-    iteration, edge frame never replicated. Output is the top 50 nodes
-    by rank·N (scale-invariant ratio vs the uniform rank)."""
+    1995-dated orders ⋈ lineitem (the year filter pushes to the
+    parquet scan — the TPC-H-Q5 date-slice shape), symmetrized so no
+    node is a sink, 3 damped iterations (d=0.85) with 12 dp
+    re-quantization per step. The dedup runs on the NARROW integer
+    pair (distinct before string node ids are built), the per-
+    iteration rank⋈outdeg frame broadcasts into the edge join, and
+    the edge list is persisted once — per iteration the only real
+    exchange is the map-combined dst aggregation. Output is the top
+    50 nodes by rank·N (scale-invariant ratio vs the uniform rank)."""
     from social_media_etl_spark.operators.graph import pagerank
 
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == 1995
+    )
     lineitem = load_table(spark, sf_dir, "lineitem")
     pairs = (
         orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
         .select(
             F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
             F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
         )
-        .distinct()
     )
     edges = pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     ranks = pagerank(edges, iters=3, damping=0.85, round_to=12)
@@ -2914,9 +2921,11 @@ def _pagerank_oracle_sql(iters: int = 3) -> str:
     Python float, and each iteration's rank is re-quantized at 12 dp —
     matching operators/graph.py step for step."""
     parts = [
-        "WITH eo AS (SELECT DISTINCT 'c:' || o_custkey AS src,"
-        " 's:' || l_suppkey AS dst"
-        " FROM orders JOIN lineitem ON o_orderkey = l_orderkey),",
+        "WITH eo AS (SELECT 'c:' || o_custkey AS src,"
+        " 's:' || l_suppkey AS dst FROM ("
+        " SELECT DISTINCT o_custkey, l_suppkey"
+        " FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
+        " WHERE year(o_orderdate) = 1995)),",
         "edges AS (SELECT src, dst FROM eo"
         " UNION ALL SELECT dst AS src, src AS dst FROM eo),",
         "nodes AS (SELECT src AS node FROM edges"

@@ -377,6 +377,10 @@ def test_pagerank_no_cartesian_and_partial_sums(spark):
     assert "CartesianProduct" not in p
     # contribution aggregate combines map-side before the dst exchange
     assert "partial_sum" in p
+    # the |V|-row rank frames broadcast into every edge join — the
+    # |E|-row edge list must NEVER be shuffle-sorted per iteration
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
 
 
 def test_ks_drift_windows_are_bucket_partitioned(spark):
