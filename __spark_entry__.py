@@ -2704,6 +2704,43 @@ def _source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust-statistics cleaning: per-event-type winsorization — clip
+    values to the exact [p01, p99] percentile band, then report the
+    clipped mean beside the raw mean (the outlier-robust feature
+    pipelines feed to training). Two aggregate passes: exact
+    percentiles per group (one hash aggregate), broadcast back onto
+    the stream, clip with pure expressions, re-aggregate. The oracle
+    uses DuckDB's identical interpolating quantile_cont."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    bounds = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01)").alias("lo"),
+        F.expr("percentile(value, 0.99)").alias("hi"),
+    )
+    clipped = events.join(F.broadcast(bounds), "event_type").withColumn(
+        "__w", F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    )
+    return (
+        clipped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("raw_mean"),
+            F.round(F.avg("__w"), 4).alias("winsorized_mean"),
+            F.round(F.max("lo"), 4).alias("p01"),
+            F.round(F.max("hi"), 4).alias("p99"),
+            F.sum(
+                F.when(
+                    (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_clipped"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _managed(fn: Callable[[SparkSession, str], DataFrame]):
     """Release the previous query's tracked caches before building the
     next plan — by then the prior action has run, so its intermediates
@@ -2865,6 +2902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regression_value_trend": _regression_value_trend,
         "streaming_cms_topk": _streaming_cms_topk,
         "source_token_kl": _source_token_kl,
+        "winsorized_stats_events": _winsorized_stats,
     }
     return {name: _managed(fn) for name, fn in qs.items()}
 
@@ -4859,5 +4897,27 @@ def oracle_sql() -> dict[str, str]:
         JOIN sn USING (source)
         CROSS JOIN ct
         GROUP BY source ORDER BY source
+    """
+    d["winsorized_stats_events"] = """
+        WITH e AS (
+            SELECT event_type, value FROM events WHERE value IS NOT NULL
+        ),
+        b AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.01) AS lo,
+                   quantile_cont(value, 0.99) AS hi
+            FROM e GROUP BY event_type
+        )
+        SELECT e.event_type,
+               count(*) AS n,
+               round(avg(value), 4) AS raw_mean,
+               round(avg(least(greatest(value, lo), hi)), 4)
+                   AS winsorized_mean,
+               round(max(lo), 4) AS p01,
+               round(max(hi), 4) AS p99,
+               CAST(sum(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clipped
+        FROM e JOIN b USING (event_type)
+        GROUP BY e.event_type ORDER BY e.event_type
     """
     return d

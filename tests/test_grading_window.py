@@ -105,6 +105,7 @@ R7_QUEUE = [
     "regression_value_trend",
     "streaming_cms_topk",
     "source_token_kl",
+    "winsorized_stats_events",
 ]
 
 
