@@ -2741,6 +2741,72 @@ def _winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bar resampling (OHLC): per (event_type, 1-hour bar) the
+    opening/closing value via the ORDERED-ARGMIN aggregates
+    (min_by/max_by on the event time — deterministic here because
+    (event_type, ts) is unique in this data) plus high/low/count in
+    the SAME single hash aggregate — one pass, one shuffle, no window
+    sort. The financial-downsampling shape for event streams."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    bar = F.date_trunc("hour", F.col("ts"))
+    return (
+        events.groupBy("event_type", bar.alias("bar"))
+        .agg(
+            F.round(F.expr("min_by(value, ts)"), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.expr("max_by(value, ts)"), 4).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type", "bar")
+    )
+
+
+def _chi2_type_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between event_type and fixed-width
+    value band (is the value distribution the same across event
+    types?) — the categorical complement of ks_drift_events. The
+    contingency table is one hash aggregate; marginals are two tiny
+    re-aggregates broadcast back; χ² = Σ (o−e)²/e over the cells.
+    Integer observed counts make every term an exact ratio."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    banded = events.select(
+        "event_type",
+        F.least(F.floor(F.col("value") / 25.0), F.lit(3)).alias("band"),
+    )
+    observed = banded.groupBy("event_type", "band").agg(
+        F.count(F.lit(1)).alias("__o")
+    )
+    row_tot = observed.groupBy("event_type").agg(F.sum("__o").alias("rt"))
+    col_tot = observed.groupBy("band").agg(F.sum("__o").alias("ct"))
+    n_tot = observed.agg(F.sum("__o").alias("n"))
+    # the full grid: a zero-count cell still contributes (0−e)²/e = e
+    cells = (
+        row_tot.crossJoin(F.broadcast(col_tot))
+        .join(F.broadcast(observed), ["event_type", "band"], "left")
+        .withColumn("o", F.coalesce(F.col("__o"), F.lit(0)))
+    )
+    joined = cells.crossJoin(F.broadcast(n_tot))
+    e = F.col("rt") * F.col("ct") / F.col("n").cast("double")
+    term = (F.col("o") - e) * (F.col("o") - e) / e
+    dims = joined.agg(
+        F.round(F.sum(term), 4).alias("chi2"),
+        F.count_distinct("event_type").alias("__r"),
+        F.count_distinct("band").alias("__c"),
+        F.max("n").cast("long").alias("n"),
+    )
+    return dims.select(
+        "chi2",
+        ((F.col("__r") - 1) * (F.col("__c") - 1)).cast("long").alias("dof"),
+        "n",
+    )
+
+
 def _managed(fn: Callable[[SparkSession, str], DataFrame]):
     """Release the previous query's tracked caches before building the
     next plan — by then the prior action has run, so its intermediates
@@ -2903,6 +2969,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cms_topk": _streaming_cms_topk,
         "source_token_kl": _source_token_kl,
         "winsorized_stats_events": _winsorized_stats,
+        "events_ohlc_bars": _events_ohlc_bars,
+        "chi2_type_value_band": _chi2_type_band,
     }
     return {name: _managed(fn) for name, fn in qs.items()}
 
@@ -4919,5 +4987,45 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS n_clipped
         FROM e JOIN b USING (event_type)
         GROUP BY e.event_type ORDER BY e.event_type
+    """
+    d["events_ohlc_bars"] = """
+        SELECT event_type,
+               date_trunc('hour', ts) AS bar,
+               round(arg_min(value, ts), 4) AS open,
+               round(max(value), 4) AS high,
+               round(min(value), 4) AS low,
+               round(arg_max(value, ts), 4) AS close,
+               count(*) AS n
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type, bar
+        ORDER BY event_type, bar
+    """
+    d["chi2_type_value_band"] = """
+        WITH banded AS (
+            SELECT event_type,
+                   least(CAST(floor(value / 25.0) AS BIGINT), 3) AS band
+            FROM events WHERE value IS NOT NULL
+        ),
+        obs AS (
+            SELECT event_type, band, count(*) AS o
+            FROM banded GROUP BY 1, 2
+        ),
+        rt AS (SELECT event_type, sum(o) AS rt FROM obs GROUP BY event_type),
+        ct AS (SELECT band, sum(o) AS ct FROM obs GROUP BY band),
+        nt AS (SELECT sum(o) AS n FROM obs),
+        grid AS (
+            SELECT rt.event_type, ct.band, rt.rt, ct.ct,
+                   coalesce(obs.o, 0) AS o
+            FROM rt CROSS JOIN ct
+            LEFT JOIN obs ON obs.event_type = rt.event_type
+                         AND obs.band = ct.band
+        )
+        SELECT round(sum((o - rt * ct / CAST(n AS DOUBLE))
+                         * (o - rt * ct / CAST(n AS DOUBLE))
+                         / (rt * ct / CAST(n AS DOUBLE))), 4) AS chi2,
+               CAST((count(DISTINCT event_type) - 1)
+                    * (count(DISTINCT band) - 1) AS BIGINT) AS dof,
+               CAST(any_value(n) AS BIGINT) AS n
+        FROM grid CROSS JOIN nt
     """
     return d

@@ -106,6 +106,8 @@ R7_QUEUE = [
     "streaming_cms_topk",
     "source_token_kl",
     "winsorized_stats_events",
+    "events_ohlc_bars",
+    "chi2_type_value_band",
 ]
 
 

@@ -64,5 +64,7 @@ def test_single_partition_exchanges_are_known(spark):
         "streaming_cms_topk",
         # scalar corpus-token-count broadcast as the KL's q denominator
         "source_token_kl",
+        # scalar N + one-row chi-square output over the 20-cell grid
+        "chi2_type_value_band",
     }
     assert with_sp <= allowed, with_sp - allowed
