@@ -2807,6 +2807,63 @@ def _chi2_type_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-size weighted sample (Efraimidis-Spirakis A-ES,
+    operators/sampling.py:weighted_sample_fixed): 100 documents drawn
+    without replacement with inclusion ∝ n_chars, via the
+    deterministic exponential jitter −ln(md5-uniform(key))/w and a
+    distributed TakeOrdered — the hard-row-budget complement of the
+    Bernoulli importance sampler. The oracle replays the identical
+    md5 arithmetic."""
+    from social_media_etl_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.weighted_sample_fixed(
+        docs, "doc_id", F.col("n_chars").cast("double"), k=100
+    )
+    w = Window.orderBy("__e", "doc_id")
+    return (
+        out.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("rank", "doc_id", "n_chars", F.round("__e", 6).alias("jitter"))
+        .orderBy("rank")
+    )
+
+
+def _hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick feature vectorization (the fixed-dim bag-of-words
+    every streaming trainer uses): token → md5 bucket mod 1024, per-doc
+    sparse count vector summarized as (n_tokens, nnz, l2 norm). The
+    bucket hash is md5-based so ANY engine reproduces the exact
+    vector — the oracle recomputes the same buckets. One explode, one
+    (doc, bucket) aggregate, one per-doc aggregate; collision behavior
+    is part of the (deterministic) contract, as in any hashing
+    vectorizer."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(TXT.tokens("text")).alias("tok"))
+    idx = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("hf:"), F.col("tok")).cast("binary")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1024
+    )
+    cells = toks.groupBy("doc_id", idx.alias("idx")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        cells.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("nnz"),
+            F.round(F.sqrt(F.sum(F.col("cnt") * F.col("cnt"))), 6).alias("l2"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _managed(fn: Callable[[SparkSession, str], DataFrame]):
     """Release the previous query's tracked caches before building the
     next plan — by then the prior action has run, so its intermediates
@@ -2971,6 +3028,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorized_stats_events": _winsorized_stats,
         "events_ohlc_bars": _events_ohlc_bars,
         "chi2_type_value_band": _chi2_type_band,
+        "weighted_sample_aes": _weighted_sample_aes,
+        "hashed_feature_vectors": _hashed_features,
     }
     return {name: _managed(fn) for name, fn in qs.items()}
 
@@ -5027,5 +5086,36 @@ def oracle_sql() -> dict[str, str]:
                     * (count(DISTINCT band) - 1) AS BIGINT) AS dof,
                CAST(any_value(n) AS BIGINT) AS n
         FROM grid CROSS JOIN nt
+    """
+    d["weighted_sample_aes"] = """
+        WITH j AS (
+            SELECT doc_id, n_chars,
+                   -ln(('0x' || substr(md5('aes:' || CAST(doc_id AS VARCHAR)),
+                                       1, 8))::BIGINT / 4294967296.0)
+                       / CAST(n_chars AS DOUBLE) AS e
+            FROM documents WHERE n_chars > 0
+        )
+        SELECT row_number() OVER (ORDER BY e, doc_id) AS rank,
+               doc_id, n_chars, round(e, 6) AS jitter
+        FROM j ORDER BY e, doc_id LIMIT 100
+    """
+    d["hashed_feature_vectors"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+            FROM documents WHERE trim(text) != ''
+        ),
+        cells AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5('hf:' || tok), 1, 8))::BIGINT % 1024
+                       AS idx,
+                   count(*) AS cnt
+            FROM toks GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               CAST(sum(cnt) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS nnz,
+               round(sqrt(CAST(sum(cnt * cnt) AS DOUBLE)), 6) AS l2
+        FROM cells GROUP BY doc_id ORDER BY doc_id
     """
     return d

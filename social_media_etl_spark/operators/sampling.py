@@ -24,6 +24,7 @@ __all__ = [
     "hash_uniform",
     "smoothed_mixture_sample",
     "budget_quota",
+    "weighted_sample_fixed",
 ]
 
 
@@ -311,4 +312,35 @@ def budget_quota(
     cum = f"cum_{size_col}"
     return df.withColumn(cum, F.sum(size_col).over(w)).filter(
         F.col(cum) <= budget
+    )
+
+
+def weighted_sample_fixed(
+    df: DataFrame,
+    key_col: str,
+    weight_col: Column | str,
+    k: int,
+    salt: str = "aes",
+) -> DataFrame:
+    """EXACT-size weighted sample without replacement (Efraimidis &
+    Spirakis A-ES, the exponential-jitter form): each row draws
+    e = −ln(u)/w with u = md5-uniform(key); the k SMALLEST e values
+    are the sample, giving weight-proportional inclusion. Complements
+    :func:`importance_sample` (independent Bernoulli → random output
+    SIZE) when the budget is a hard row count.
+
+    Deterministic end to end: u is a pure function of the key, so
+    reruns, retries, and any engine replay the identical sample — and
+    the top-k is a distributed TakeOrdered (per-partition heads, no
+    global sort materialization). Rows with non-positive weight are
+    excluded (their jitter is undefined). Returns the sampled rows
+    with the jitter in ``__e``.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    e = -F.log(hash_uniform(key_col, salt)) / w
+    return (
+        df.filter(w > 0)
+        .withColumn("__e", e)
+        .orderBy("__e", key_col)
+        .limit(k)
     )

@@ -108,6 +108,8 @@ R7_QUEUE = [
     "winsorized_stats_events",
     "events_ohlc_bars",
     "chi2_type_value_band",
+    "weighted_sample_aes",
+    "hashed_feature_vectors",
 ]
 
 

@@ -360,3 +360,43 @@ def test_write_shuffled_shards_are_contiguous_slices(spark, tmp_path):
         replay.extend(pq.read_table(f).column("k").to_pylist())
     total = [r["k"] for r in seeded_shuffle(df, "k", seed=3).collect()]
     assert replay == total
+
+
+def test_weighted_sample_fixed_exact_size_and_deterministic(spark):
+    from social_media_etl_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, float(1 + i % 10)) for i in range(500)], "id long, w double"
+    )
+    s1 = sorted(r["id"] for r in
+                sampling.weighted_sample_fixed(df, "id", "w", 50).collect())
+    s2 = sorted(r["id"] for r in
+                sampling.weighted_sample_fixed(df, "id", "w", 50).collect())
+    assert len(s1) == 50 and s1 == s2  # exact size, rerun-stable
+
+
+def test_weighted_sample_fixed_prefers_heavy_weights(spark):
+    """Across independent salts, heavy items (w=10) must be included
+    far more often than light ones (w=0.1)."""
+    from social_media_etl_spark.operators import sampling
+
+    rows = [(i, 10.0 if i < 50 else 0.1) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    heavy = light = 0
+    for salt in ("s1", "s2", "s3"):
+        ids = {r["id"] for r in
+               sampling.weighted_sample_fixed(df, "id", "w", 60, salt).collect()}
+        heavy += sum(1 for i in ids if i < 50)
+        light += sum(1 for i in ids if i >= 50)
+    assert heavy > light * 2
+
+
+def test_weighted_sample_fixed_excludes_nonpositive_weights(spark):
+    from social_media_etl_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -1.0), (3, 5.0)], "id long, w double"
+    )
+    got = [r["id"] for r in
+           sampling.weighted_sample_fixed(df, "id", "w", 10).collect()]
+    assert got == [3]
