@@ -2864,6 +2864,66 @@ def _hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (the sequence-modeling prep for behavioral data): lag
+    window per user ordered by (ts, event_id) → (from, to) counts →
+    row-normalized probabilities. One user-keyed shuffle carries the
+    whole window pass; the transition matrix is |types|² rows."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row_tot = counts.groupBy("from_type").agg(F.sum("n").alias("rt"))
+    return (
+        counts.join(F.broadcast(row_tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n") / F.col("rt").cast("double"), 6).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+def _hourly_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-series correlation: resample clicks and purchases to
+    hourly value sums (map-side-combined aggregate), align the two
+    series on the hour (inner join — both-present hours), and report
+    Pearson r beside the hour count. The time-series co-movement
+    monitor; integer-hour alignment keys make the join exact."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin(["click", "purchase"])
+    )
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.sum("value").alias("s"))
+    clicks = hourly.filter(F.col("event_type") == "click").select(
+        "hour", F.col("s").alias("c")
+    )
+    purchases = hourly.filter(F.col("event_type") == "purchase").select(
+        "hour", F.col("s").alias("p")
+    )
+    joined = clicks.join(purchases, "hour")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.round(F.corr("c", "p"), 6).alias("pearson_r"),
+        F.round(F.avg("c"), 4).alias("mean_click_sum"),
+        F.round(F.avg("p"), 4).alias("mean_purchase_sum"),
+    )
+
+
 def _managed(fn: Callable[[SparkSession, str], DataFrame]):
     """Release the previous query's tracked caches before building the
     next plan — by then the prior action has run, so its intermediates
@@ -3030,6 +3090,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_type_value_band": _chi2_type_band,
         "weighted_sample_aes": _weighted_sample_aes,
         "hashed_feature_vectors": _hashed_features,
+        "event_transition_matrix": _event_transitions,
+        "hourly_corr_click_purchase": _hourly_corr,
     }
     return {name: _managed(fn) for name, fn in qs.items()}
 
@@ -5117,5 +5179,41 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS nnz,
                round(sqrt(CAST(sum(cnt * cnt) AS DOUBLE)), 6) AS l2
         FROM cells GROUP BY doc_id ORDER BY doc_id
+    """
+    d["event_transition_matrix"] = """
+        WITH pairs AS (
+            SELECT lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS from_type,
+                   event_type AS to_type
+            FROM events
+        ),
+        counts AS (
+            SELECT from_type, to_type, count(*) AS n
+            FROM pairs WHERE from_type IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        rt AS (SELECT from_type, sum(n) AS rt FROM counts GROUP BY from_type)
+        SELECT from_type, to_type, n,
+               round(n / CAST(rt AS DOUBLE), 6) AS p
+        FROM counts JOIN rt USING (from_type)
+        ORDER BY from_type, to_type
+    """
+    d["hourly_corr_click_purchase"] = """
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   sum(value) AS s
+            FROM events
+            WHERE value IS NOT NULL
+              AND event_type IN ('click', 'purchase')
+            GROUP BY 1, 2
+        ),
+        c AS (SELECT hour, s AS c FROM hourly WHERE event_type = 'click'),
+        p AS (SELECT hour, s AS p FROM hourly WHERE event_type = 'purchase')
+        SELECT count(*) AS n_hours,
+               round(corr(c, p), 6) AS pearson_r,
+               round(avg(c), 4) AS mean_click_sum,
+               round(avg(p), 4) AS mean_purchase_sum
+        FROM c JOIN p USING (hour)
     """
     return d

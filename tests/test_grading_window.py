@@ -110,6 +110,8 @@ R7_QUEUE = [
     "chi2_type_value_band",
     "weighted_sample_aes",
     "hashed_feature_vectors",
+    "event_transition_matrix",
+    "hourly_corr_click_purchase",
 ]
 
 

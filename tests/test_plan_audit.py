@@ -66,5 +66,7 @@ def test_single_partition_exchanges_are_known(spark):
         "source_token_kl",
         # scalar N + one-row chi-square output over the 20-cell grid
         "chi2_type_value_band",
+        # one-row Pearson-r scalar aggregate over the aligned series
+        "hourly_corr_click_purchase",
     }
     assert with_sp <= allowed, with_sp - allowed
