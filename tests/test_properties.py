@@ -276,3 +276,77 @@ def test_sharded_shuffle_replays_total_order(spark, keys, n_shards, tmp_path_fac
     ]
     total = [r["k"] for r in seeded_shuffle(df, "k", seed=5).collect()]
     assert replay == total
+
+
+@given(
+    tokens=st.lists(st.integers(0, 30), min_size=1, max_size=60),
+    width=st.sampled_from([4, 16, 64]),
+)
+@settings(**_SETTINGS)
+def test_cms_never_undercounts_property(spark, tokens, width):
+    """CMS invariant: for ANY stream and any width, every estimate is
+    >= the true count (collisions only ever overcount)."""
+    from collections import Counter
+
+    from social_media_etl_spark.functions import sketches
+
+    df = spark.createDataFrame([(f"t{t}",) for t in tokens], "tok string")
+    sk = sketches.cms_build(df, "tok", depth=2, width=width)
+    est = {
+        r["item"]: r["estimate"]
+        for r in sketches.cms_estimate(
+            sk, df.select("tok").distinct(), "tok", depth=2, width=width
+        ).collect()
+    }
+    true = Counter(f"t{t}" for t in tokens)
+    assert set(est) == set(true)
+    for tok, n in true.items():
+        assert est[tok] >= n
+
+
+@given(
+    weights=st.lists(
+        st.floats(0.1, 50.0, allow_nan=False), min_size=1, max_size=40
+    ),
+    k=st.integers(1, 10),
+)
+@settings(**_SETTINGS)
+def test_weighted_sample_fixed_size_and_membership_property(spark, weights, k):
+    """A-ES invariants: output size = min(k, n), rows come from the
+    input, and the sample is a pure function of (keys, weights)."""
+    from social_media_etl_spark.operators import sampling
+
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = [r["id"] for r in
+           sampling.weighted_sample_fixed(df, "id", "w", k).collect()]
+    assert len(got) == min(k, len(rows))
+    assert set(got) <= {i for i, _ in rows}
+    again = [r["id"] for r in
+             sampling.weighted_sample_fixed(df, "id", "w", k).collect()]
+    assert got == again
+
+
+@given(
+    a=st.lists(st.floats(-50, 50, allow_nan=False), min_size=1, max_size=30),
+    b=st.lists(st.floats(-50, 50, allow_nan=False), min_size=1, max_size=30),
+)
+@settings(**_SETTINGS)
+def test_ks_drift_bounds_and_bruteforce_property(spark, a, b):
+    """KS invariants: statistic in [0, 1] and equal to the brute-force
+    two-sample definition for any inputs."""
+    from social_media_etl_spark.plans.analytics import ks_drift
+
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = ks_drift(df, "g", "v", "a", "b", n_buckets=8).collect()[0]
+    pts = sorted(set(a) | set(b))
+    want = max(
+        abs(
+            sum(1 for x in a if x <= p) / len(a)
+            - sum(1 for x in b if x <= p) / len(b)
+        )
+        for p in pts
+    )
+    assert 0.0 <= got["ks_stat"] <= 1.0
+    assert got["ks_stat"] == round(want, 6)
