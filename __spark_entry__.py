@@ -2924,6 +2924,56 @@ def _hourly_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _versioned_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional table layer certified end-to-end
+    (operators/manifest.py:VersionedTable — manifest-CAS commits,
+    immutable data files, snapshot reads): an events slice becomes v0,
+    a keyed latest-wins upsert commits v1, an append commits v2, and
+    the result is the HEAD state aggregated per type — gated in-plan
+    on (a) time travel: reading v0 AFTER two commits must still be
+    byte-identical to the original slice (null-safe certification
+    join), and (b) the head being exactly v2. A green row proves
+    isolation (later commits never disturb earlier snapshots), the
+    merge semantics, and the commit protocol in one query."""
+    from social_media_etl_spark.operators.manifest import VersionedTable
+
+    cols = ["event_id", "user_id", "event_type", "value", "ts"]
+    events = load_table(spark, sf_dir, "events")
+    base = events.filter(F.col("event_id") % 5 == 0).select(*cols)
+    upd = events.filter(F.col("event_id") % 10 == 0).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.col("value") + 1000).alias("value"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+    )
+    app = events.filter(F.col("event_id") % 5 == 1).select(*cols)
+    d = _tmpdir(prefix="smetl_vtab_")
+    t = VersionedTable.create(spark, f"{d}/t", base)
+    t.upsert(upd, ["event_id"], ["ts"])
+    v_head = t.append(app)
+    # gate (a): v0 is untouched by the two later commits
+    v0_ok = (
+        _certified_join(base, t.read(0), cols, "tt")
+        .agg(F.count(F.lit(1)).alias("__n_cert"))
+        .crossJoin(F.broadcast(base.agg(F.count(F.lit(1)).alias("__n_base"))))
+        .filter(F.col("__n_cert") == F.col("__n_base"))
+        .select(F.lit(1).alias("__gate"))
+    )
+    return (
+        t.read()
+        .where(F.lit(v_head == 2))  # gate (b): exactly three commits
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .crossJoin(F.broadcast(v0_ok))
+        .drop("__gate")
+        .orderBy("event_type")
+    )
+
+
 def _managed(fn: Callable[[SparkSession, str], DataFrame]):
     """Release the previous query's tracked caches before building the
     next plan — by then the prior action has run, so its intermediates
@@ -3092,6 +3142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_feature_vectors": _hashed_features,
         "event_transition_matrix": _event_transitions,
         "hourly_corr_click_purchase": _hourly_corr,
+        "versioned_table_history": _versioned_table_history,
     }
     return {name: _managed(fn) for name, fn in qs.items()}
 
@@ -5215,5 +5266,38 @@ def oracle_sql() -> dict[str, str]:
                round(avg(c), 4) AS mean_click_sum,
                round(avg(p), 4) AS mean_purchase_sum
         FROM c JOIN p USING (hour)
+    """
+    # the gates (time-travel certification, head version) only EMPTY
+    # the result on a broken commit protocol; the oracle recomputes
+    # the head state relationally
+    d["versioned_table_history"] = """
+        WITH base AS (
+            SELECT event_id, user_id, event_type, value, ts
+            FROM events WHERE event_id % 5 = 0
+        ),
+        upd AS (
+            SELECT event_id, user_id, event_type,
+                   value + 1000 AS value,
+                   ts + INTERVAL 1 HOUR AS ts
+            FROM events WHERE event_id % 10 = 0
+        ),
+        merged AS (
+            SELECT event_id, user_id, event_type, value, ts FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY event_id ORDER BY ts DESC
+                ) AS rn
+                FROM (SELECT * FROM base UNION ALL SELECT * FROM upd)
+            ) WHERE rn = 1
+        ),
+        head AS (
+            SELECT * FROM merged
+            UNION ALL
+            SELECT event_id, user_id, event_type, value, ts
+            FROM events WHERE event_id % 5 = 1
+        )
+        SELECT event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM head GROUP BY event_type ORDER BY event_type
     """
     return d

@@ -1,0 +1,245 @@
+"""Manifest-committed versioned parquet table (minimal lakehouse).
+
+Plain parquet directories give the engine upsert/SCD2/compaction
+(``warehouse.py``) but no ISOLATION: a reader that lists files while a
+writer swaps directories can see half a table, and there is no
+history. This module adds the missing transactional layer with the
+same mechanism every table format (Iceberg/Delta/Hudi) builds on —
+an atomic COMPARE-AND-SWAP on a manifest pointer:
+
+- data files are IMMUTABLE: every commit writes new parquet files
+  under ``data/b<version>-<writeid>/`` and never touches old ones;
+- a commit is ONE atomic rename of a fully-written manifest JSON to
+  ``_manifests/v<NNNNNNNN>.json``. Hadoop ``FileSystem.rename`` onto
+  an existing destination returns false and leaves the source —
+  rename-if-absent IS the CAS (atomic on HDFS and local; on S3-class
+  stores swap this for a conditional PUT, as the formats themselves
+  do);
+- readers resolve the highest committed manifest and read exactly its
+  file list — they can NEVER observe a partial commit, and reading an
+  old version (time travel) is just resolving a lower manifest;
+- losers of a concurrent CAS retry: an ``append`` rebases its new
+  files onto the winner's file list (append commutes); an ``upsert``
+  REFUSES to rebase blindly (its merge read a now-stale snapshot) and
+  raises ``ConcurrentWriteError`` for the caller to re-run — snapshot
+  isolation with first-committer-wins, the standard optimistic
+  protocol;
+- ``vacuum`` deletes data directories no retained manifest
+  references, bounding history storage.
+
+At 100 TB the manifest lists files (thousands), never rows; commits
+move O(KB) of metadata no matter the data size. Reference parity:
+the reference has no transactional layer (it truncate-and-loads into
+Postgres); this closes the engine's own gap noted in round-5 review.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["VersionedTable", "ConcurrentWriteError"]
+
+
+class ConcurrentWriteError(RuntimeError):
+    """A non-commutable commit (upsert/overwrite) lost the CAS race:
+    its merge was computed against a snapshot that is no longer the
+    head. Re-run the operation against the new head."""
+
+
+class VersionedTable:
+    """A parquet table whose visible state is defined by the highest
+    committed manifest under ``<path>/_manifests/``."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        sc = spark.sparkContext
+        self._jvm = sc._jvm
+        self._P = sc._jvm.org.apache.hadoop.fs.Path
+        self._fs = self._P(self.path).getFileSystem(
+            sc._jsc.hadoopConfiguration()
+        )
+
+    # -- manifest IO --------------------------------------------------------
+
+    def _manifest_dir(self) -> str:
+        return f"{self.path}/_manifests"
+
+    def _manifest_path(self, version: int) -> str:
+        return f"{self._manifest_dir()}/v{version:08d}.json"
+
+    def versions(self) -> list[int]:
+        d = self._P(self._manifest_dir())
+        if not self._fs.exists(d):
+            return []
+        out = []
+        for st in self._fs.listStatus(d):
+            name = st.getPath().getName()
+            if name.startswith("v") and name.endswith(".json"):
+                out.append(int(name[1:-5]))
+        return sorted(out)
+
+    def _read_manifest(self, version: int) -> dict:
+        ins = self._fs.open(self._P(self._manifest_path(version)))
+        try:
+            text = self._jvm.org.apache.commons.io.IOUtils.toString(
+                ins, "UTF-8"
+            )
+        finally:
+            ins.close()
+        return json.loads(text)
+
+    def _try_commit(self, manifest: dict, version: int) -> bool:
+        """Write the manifest fully to a temp name, then CAS-rename it
+        to the version slot. False = another writer owns the slot."""
+        mdir = self._P(self._manifest_dir())
+        if not self._fs.exists(mdir):
+            self._fs.mkdirs(mdir)
+        tmp = self._P(f"{self._manifest_dir()}/.tmp-{uuid.uuid4().hex}.json")
+        out = self._fs.create(tmp, False)
+        try:
+            out.write(bytearray(json.dumps(manifest).encode("utf-8")))
+        finally:
+            out.close()
+        ok = bool(self._fs.rename(tmp, self._P(self._manifest_path(version))))
+        if not ok:
+            self._fs.delete(tmp, False)
+        return ok
+
+    # -- data IO ------------------------------------------------------------
+
+    def _write_data(self, df: DataFrame, version_hint: int) -> list[str]:
+        """Write immutable data files for one commit; returns their paths."""
+        ddir = f"{self.path}/data/b{version_hint:08d}-{uuid.uuid4().hex[:8]}"
+        df.write.mode("error").parquet(ddir)
+        files = []
+        for st in self._fs.listStatus(self._P(ddir)):
+            name = st.getPath().getName()
+            if name.endswith(".parquet") or name.startswith("part-"):
+                files.append(str(st.getPath().toUri().getPath()))
+        if not files:
+            raise IOError(f"VersionedTable: no part files written at {ddir}")
+        return sorted(files)
+
+    # -- public API ---------------------------------------------------------
+
+    @classmethod
+    def create(
+        cls, spark: SparkSession, path: str, df: DataFrame
+    ) -> "VersionedTable":
+        t = cls(spark, path)
+        if t.versions():
+            raise IOError(f"VersionedTable: {path} already initialized")
+        files = t._write_data(df, 0)
+        m = {
+            "version": 0,
+            "parent": None,
+            "op": "create",
+            "files": files,
+            "schema": df.schema.simpleString(),
+        }
+        if not t._try_commit(m, 0):
+            raise ConcurrentWriteError(
+                f"VersionedTable: concurrent create at {path}"
+            )
+        return t
+
+    def head_version(self) -> int:
+        vs = self.versions()
+        if not vs:
+            raise IOError(f"VersionedTable: {self.path} has no commits")
+        return vs[-1]
+
+    def read(self, version: int | None = None) -> DataFrame:
+        v = self.head_version() if version is None else version
+        m = self._read_manifest(v)
+        return self.spark.read.parquet(*m["files"])
+
+    def append(self, df: DataFrame, max_retries: int = 10) -> int:
+        """Commit new rows. Commutes with concurrent appends: a CAS
+        loser rebases its (already-written) files onto the winner."""
+        parent = self.head_version()
+        files = self._write_data(df, parent + 1)
+        for _ in range(max_retries):
+            base = self._read_manifest(parent)
+            v = parent + 1
+            m = {
+                "version": v,
+                "parent": parent,
+                "op": "append",
+                "files": sorted(base["files"] + files),
+                "schema": base["schema"],
+            }
+            if self._try_commit(m, v):
+                return v
+            parent = self.head_version()
+        raise ConcurrentWriteError(
+            f"VersionedTable: append lost {max_retries} CAS races"
+        )
+
+    def upsert(
+        self,
+        df: DataFrame,
+        key_cols: list[str],
+        order_cols: list[str],
+    ) -> int:
+        """Latest-wins MERGE as a new snapshot: read the head, merge,
+        write a FULL new file set, commit. First-committer-wins — if
+        the head moved while merging, the merge is stale and the
+        caller must re-run (snapshot isolation)."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        parent = self.head_version()
+        current = self.read(parent)
+        merged = current.unionByName(df.select(*current.columns))
+        w = Window.partitionBy(*key_cols).orderBy(
+            *[F.desc(c) for c in order_cols]
+        )
+        latest = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        files = self._write_data(latest, parent + 1)
+        v = parent + 1
+        m = {
+            "version": v,
+            "parent": parent,
+            "op": "upsert",
+            "files": files,
+            "schema": self._read_manifest(parent)["schema"],
+        }
+        if not self._try_commit(m, v):
+            raise ConcurrentWriteError(
+                f"VersionedTable: upsert merged against stale v{parent}; "
+                f"head is now v{self.head_version()} — re-run"
+            )
+        return v
+
+    def vacuum(self, keep_last: int = 2) -> int:
+        """Delete data directories referenced by NO retained manifest
+        (the newest ``keep_last`` versions are retained, and their
+        manifests' file lists are the liveness roots). Returns the
+        number of directories removed. Old manifests are kept (they
+        are tiny); their time travel simply becomes unreadable, as in
+        any vacuumed table format."""
+        vs = self.versions()
+        keep = vs[-keep_last:] if keep_last > 0 else []
+        live_dirs = set()
+        for v in keep:
+            for f in self._read_manifest(v)["files"]:
+                live_dirs.add(f.rsplit("/", 2)[-2])
+        droot = self._P(f"{self.path}/data")
+        removed = 0
+        if not self._fs.exists(droot):
+            return 0
+        for st in self._fs.listStatus(droot):
+            name = st.getPath().getName()
+            if name not in live_dirs:
+                self._fs.delete(st.getPath(), True)
+                removed += 1
+        return removed

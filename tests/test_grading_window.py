@@ -112,6 +112,7 @@ R7_QUEUE = [
     "hashed_feature_vectors",
     "event_transition_matrix",
     "hourly_corr_click_purchase",
+    "versioned_table_history",
 ]
 
 

@@ -1,0 +1,119 @@
+"""VersionedTable (operators/manifest.py) — manifest-CAS transactional
+layer: snapshot isolation, time travel, commit races, vacuum."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from social_media_etl_spark.operators.manifest import (
+    ConcurrentWriteError,
+    VersionedTable,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string, ts long")
+
+
+def test_create_read_roundtrip(spark, tmp_path):
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1), (2, "b", 1)])
+    )
+    assert t.versions() == [0]
+    got = sorted(map(tuple, t.read().collect()))
+    assert got == [(1, "a", 1), (2, "b", 1)]
+
+
+def test_append_new_version_and_time_travel(spark, tmp_path):
+    t = VersionedTable.create(spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1)]))
+    v = t.append(_df(spark, [(2, "b", 2)]))
+    assert v == 1 and t.versions() == [0, 1]
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2]
+    # time travel: v0 still reads exactly the original snapshot
+    assert sorted(r["k"] for r in t.read(0).collect()) == [1]
+
+
+def test_upsert_latest_wins_and_history_preserved(spark, tmp_path):
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), _df(spark, [(1, "old", 1), (2, "keep", 1)])
+    )
+    t.upsert(_df(spark, [(1, "new", 5), (3, "ins", 5)]), ["k"], ["ts"])
+    head = {r["k"]: r["v"] for r in t.read().collect()}
+    assert head == {1: "new", 2: "keep", 3: "ins"}
+    v0 = {r["k"]: r["v"] for r in t.read(0).collect()}
+    assert v0 == {1: "old", 2: "keep"}
+
+
+def test_append_rebases_after_lost_cas(spark, tmp_path):
+    """A competing committer takes v1 mid-append: the append must land
+    at v2 with BOTH the winner's and its own rows visible."""
+    t = VersionedTable.create(spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1)]))
+    # competing writer commits v1 out from under us
+    w2 = VersionedTable(spark, t.path)
+    w2.append(_df(spark, [(2, "winner", 2)]))
+    v = t.append(_df(spark, [(3, "loser-rebased", 3)]))
+    assert v == 2
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2, 3]
+
+
+def test_upsert_refuses_stale_merge(spark, tmp_path):
+    """First-committer-wins: an upsert whose snapshot went stale must
+    lose the CAS and raise instead of silently dropping the winner's
+    rows. The race is reproduced exactly: the victim resolves its
+    parent, the head moves, and the victim's commit then targets an
+    occupied version slot."""
+    t = VersionedTable.create(spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1)]))
+    victim = VersionedTable(spark, t.path)
+    parent = victim.head_version()          # victim snapshots at v0
+    t.append(_df(spark, [(9, "moved", 2)]))  # head moves to v1
+    # replay the victim's commit step against its stale parent: the
+    # CAS on the occupied v1 slot must return False...
+    files = victim._write_data(_df(spark, [(1, "stale", 3)]), parent + 1)
+    m = {
+        "version": parent + 1,
+        "parent": parent,
+        "op": "upsert",
+        "files": files,
+        "schema": "x",
+    }
+    assert victim._try_commit(m, parent + 1) is False
+    # ...which is exactly the condition upsert() surfaces as an error
+    orig = VersionedTable._try_commit
+    try:
+        VersionedTable._try_commit = lambda self, man, ver: False
+        with pytest.raises(ConcurrentWriteError):
+            victim.upsert(_df(spark, [(1, "stale", 3)]), ["k"], ["ts"])
+    finally:
+        VersionedTable._try_commit = orig
+    # the winner's state is intact
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 9]
+
+
+def test_readers_never_see_partial_commits(spark, tmp_path):
+    t = VersionedTable.create(spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1)]))
+    # a crashed writer's temp manifest must be invisible to version
+    # resolution
+    mdir = tmp_path / "t" / "_manifests"
+    (mdir / ".tmp-deadbeef.json").write_text(json.dumps({"version": 99}))
+    assert t.versions() == [0]
+    assert sorted(r["k"] for r in t.read().collect()) == [1]
+
+
+def test_vacuum_drops_only_unreferenced_data(spark, tmp_path):
+    t = VersionedTable.create(spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1)]))
+    t.upsert(_df(spark, [(1, "b", 2)]), ["k"], ["ts"])   # v1 rewrites
+    t.upsert(_df(spark, [(1, "c", 3)]), ["k"], ["ts"])   # v2 rewrites
+    removed = t.vacuum(keep_last=2)
+    assert removed == 1  # only v0's rewrite-orphaned dir goes
+    # retained versions still read
+    assert t.read(2).collect()[0]["v"] == "c"
+    assert t.read(1).collect()[0]["v"] == "b"
+
+
+def test_create_twice_fails(spark, tmp_path):
+    VersionedTable.create(spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1)]))
+    with pytest.raises(IOError):
+        VersionedTable.create(spark, str(tmp_path / "t"), _df(spark, [(2, "b", 1)]))

@@ -68,5 +68,8 @@ def test_single_partition_exchanges_are_known(spark):
         "chi2_type_value_band",
         # one-row Pearson-r scalar aggregate over the aligned series
         "hourly_corr_click_purchase",
+        # one-row time-travel certification gate (cert count vs base
+        # count) over the versioned table's v0 snapshot
+        "versioned_table_history",
     }
     assert with_sp <= allowed, with_sp - allowed
