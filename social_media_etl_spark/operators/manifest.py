@@ -128,7 +128,11 @@ class VersionedTable:
 
     @classmethod
     def create(
-        cls, spark: SparkSession, path: str, df: DataFrame
+        cls,
+        spark: SparkSession,
+        path: str,
+        df: DataFrame,
+        txn: str | None = None,
     ) -> "VersionedTable":
         t = cls(spark, path)
         if t.versions():
@@ -140,12 +144,33 @@ class VersionedTable:
             "op": "create",
             "files": files,
             "schema": df.schema.simpleString(),
+            "txn": txn,
         }
         if not t._try_commit(m, 0):
             raise ConcurrentWriteError(
                 f"VersionedTable: concurrent create at {path}"
             )
         return t
+
+    def committed_txns(self) -> set[str]:
+        """Application-level transaction ids recorded by past commits —
+        the idempotent-replay check (Delta's txnAppId pattern): a
+        streaming sink skips any batch whose txn already committed."""
+        out = set()
+        for v in self.versions():
+            txn = self._read_manifest(v).get("txn")
+            if txn is not None:
+                out.add(txn)
+        return out
+
+    def _check_schema(self, df: DataFrame, parent: int) -> None:
+        want = self._read_manifest(parent)["schema"]
+        got = df.schema.simpleString()
+        if got != want:
+            raise ValueError(
+                "VersionedTable: schema mismatch — a drifted append "
+                f"would corrupt snapshot reads. table={want} df={got}"
+            )
 
     def head_version(self) -> int:
         vs = self.versions()
@@ -158,10 +183,18 @@ class VersionedTable:
         m = self._read_manifest(v)
         return self.spark.read.parquet(*m["files"])
 
-    def append(self, df: DataFrame, max_retries: int = 10) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        max_retries: int = 10,
+        txn: str | None = None,
+    ) -> int:
         """Commit new rows. Commutes with concurrent appends: a CAS
-        loser rebases its (already-written) files onto the winner."""
+        loser rebases its (already-written) files onto the winner.
+        ``txn`` records an application transaction id in the manifest
+        (see :meth:`committed_txns`) for idempotent replay."""
         parent = self.head_version()
+        self._check_schema(df, parent)
         files = self._write_data(df, parent + 1)
         for _ in range(max_retries):
             base = self._read_manifest(parent)
@@ -172,6 +205,7 @@ class VersionedTable:
                 "op": "append",
                 "files": sorted(base["files"] + files),
                 "schema": base["schema"],
+                "txn": txn,
             }
             if self._try_commit(m, v):
                 return v

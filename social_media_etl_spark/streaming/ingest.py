@@ -43,6 +43,7 @@ __all__ = [
     "read_incremental_rollup",
     "write_foreach_batch_cms",
     "read_cms_sketch",
+    "write_foreach_batch_versioned",
 ]
 
 # The events table schema (TESTDATA.md), declared explicitly — file
@@ -483,3 +484,40 @@ def read_cms_sketch(spark: SparkSession, target_path: str) -> DataFrame:
         .groupBy("row", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def write_foreach_batch_versioned(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Exactly-once streaming commits into a VersionedTable
+    (operators/manifest.py): each micro-batch appends under the
+    application transaction id ``batch-<id>``; a REPLAYED batch (after
+    a checkpoint restart) finds its txn already in the manifest log
+    and skips — the Delta txnAppId pattern on top of the manifest CAS,
+    so the sink is idempotent without any engine-side transaction
+    support. Batch 0 creates the table."""
+    from social_media_etl_spark.operators.manifest import VersionedTable
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        txn = f"batch-{batch_id}"
+        t = VersionedTable(spark, table_path)
+        if not t.versions():
+            VersionedTable.create(spark, table_path, batch_df, txn=txn)
+            return
+        if txn in t.committed_txns():
+            return  # replayed batch — already committed
+        t.append(batch_df, txn=txn)
+
+    writer = stream_df.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    return q

@@ -117,3 +117,42 @@ def test_create_twice_fails(spark, tmp_path):
     VersionedTable.create(spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1)]))
     with pytest.raises(IOError):
         VersionedTable.create(spark, str(tmp_path / "t"), _df(spark, [(2, "b", 1)]))
+
+
+def test_append_rejects_schema_drift(spark, tmp_path):
+    t = VersionedTable.create(spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1)]))
+    drifted = spark.createDataFrame([(2, "b")], "k long, v string")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(drifted)
+
+
+def test_streaming_versioned_sink_exactly_once_on_replay(
+    spark, tmp_path
+):
+    """Drain a 3-file stream into a VersionedTable, then replay the
+    whole stream with a FRESH checkpoint: every batch's txn is already
+    committed, so the table must not grow and no rows may double."""
+    from social_media_etl_spark.streaming import ingest
+
+    src = tmp_path / "src"
+    _df(spark, [(i, f"r{i}", i) for i in range(30)]).repartition(
+        3
+    ).write.parquet(str(src))
+    table = str(tmp_path / "vtab")
+
+    def run(ckpt: str) -> None:
+        stream = (
+            spark.readStream.schema("k long, v string, ts long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        ingest.write_foreach_batch_versioned(stream, table, ckpt)
+
+    run(str(tmp_path / "ckpt1"))
+    t = VersionedTable(spark, table)
+    versions_after_first = t.versions()
+    rows_first = sorted(r["k"] for r in t.read().collect())
+    assert rows_first == list(range(30))
+    run(str(tmp_path / "ckpt2"))  # full replay, fresh checkpoint
+    assert t.versions() == versions_after_first  # no new commits
+    assert sorted(r["k"] for r in t.read().collect()) == rows_first
