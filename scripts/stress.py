@@ -306,6 +306,32 @@ def maintenance_probe(spark, events) -> None:
                 {"probe": "upsert_10pct_keys", "sec": round(time.time() - t0, 2)}
             )
         )
+        # versioned-table commit cost at volume: the data write
+        # dominates; the COMMIT itself (manifest CAS) is metadata-only
+        # and must stay ~constant no matter the inflation
+        from social_media_etl_spark.operators.manifest import VersionedTable
+
+        base = spark.read.parquet(p)
+        t0 = time.time()
+        vt = VersionedTable.create(spark, f"{d}/vtab", base)
+        create_s = time.time() - t0
+        t0 = time.time()
+        vt.append(base.filter(F.col("event_id") % 7 == 0))
+        append_s = time.time() - t0
+        t0 = time.time()
+        vt.read(0).count()
+        tt_read_s = time.time() - t0
+        print(
+            json.dumps(
+                {
+                    "probe": "versioned_table",
+                    "create_s": round(create_s, 2),
+                    "append_s": round(append_s, 2),
+                    "time_travel_read_s": round(tt_read_s, 2),
+                    "versions": vt.versions(),
+                }
+            )
+        )
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
