@@ -421,3 +421,40 @@ def test_regression_trend_single_pass_partial_aggs(spark):
     # one hash aggregate pass with map-side combine; no joins at all
     assert "partial_regr_slope" in p or "partial_" in p
     assert "Join" not in p
+
+
+def test_winsorize_bounds_broadcast(spark):
+    p = plan(entry.queries()["winsorized_stats_events"](spark, SF))
+    assert "CartesianProduct" not in p
+    # per-group percentile bounds (5 rows) broadcast onto the stream
+    assert "BroadcastHashJoin" in p
+
+
+def test_ohlc_single_aggregate_no_window(spark):
+    p = plan(entry.queries()["events_ohlc_bars"](spark, SF))
+    # the whole OHLC bar is ONE hash aggregate — no window sort pass
+    assert "Window" not in p
+    assert "partial_min_by" in p or "partial_" in p
+    assert "Join" not in p
+
+
+def test_transition_matrix_single_user_shuffle(spark):
+    p = plan(entry.queries()["event_transition_matrix"](spark, SF))
+    assert "CartesianProduct" not in p
+    # the lag window partitions by user — never a global-order window
+    assert "partitionBy=[user_id" in p.replace(" ", "").replace("#", "#") or "user_id#" in p
+    # marginals broadcast back onto the |types|^2 count table
+    assert "BroadcastHashJoin" in p
+
+
+def test_weighted_sample_is_distributed_takeordered(spark):
+    p = plan(entry.queries()["weighted_sample_aes"](spark, SF))
+    # top-k by jitter must be TakeOrdered (per-partition heads), not a
+    # global sort materialization
+    assert "TakeOrderedAndProject" in p
+
+
+def test_hashed_features_two_hash_aggregates_no_join(spark):
+    p = plan(entry.queries()["hashed_feature_vectors"](spark, SF))
+    assert "Join" not in p and "Window" not in p
+    assert p.count("HashAggregate") >= 2
