@@ -2974,6 +2974,65 @@ def _versioned_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup detection over REAL pixels with zero codec libs:
+    every pair of docs (2k, 2k+1) is synthesized as the SAME
+    deterministic pseudo-noise PPM (content id = doc_id//2, so the
+    corpus contains one planted duplicate per pair), each image is
+    perceptually hashed (sources/multimodal.py:ahash_images — decode →
+    8×8 downsample → mean-threshold → 64-bit fingerprint), and the
+    hashes flow through the SAME banded-Hamming join the text SimHash
+    path uses (dedup.simhash_pairs, sig_table form). The output is the
+    planted pair list, gated in-plan on the pipeline finding EVERY
+    planted pair at Hamming 0 — a green row certifies the decode →
+    hash → band-join chain end-to-end. Pseudo-noise (not gradients)
+    keeps distinct contents' hashes far apart: aHash is deliberately
+    illumination-invariant, so structured gradients would all collide."""
+    from social_media_etl_spark.sources import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def _gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from social_media_etl_spark.sources.multimodal import encode_ppm
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                p = int(d) // 2
+                h, w = 8 + p % 3, 8 + p % 5
+                y, x = np.mgrid[0:h, 0:w]
+                gray = ((p * 31 + y * 7 + x * 13) * 40503) % 256
+                img = np.stack([gray, (gray + 85) % 256, (gray + 170) % 256], axis=2)
+                payloads.append(encode_ppm(img.astype(np.uint8)))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(_gen, "media_id long, payload binary")
+    sig = multimodal.ahash_images(media, id_col="media_id")
+    found = dedup.simhash_pairs(
+        sig, "media_id", "unused", bits=64, band_bits=8, sig_table=sig
+    ).filter(F.col("hamming") == 0)
+    planted = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.col("doc_id").alias("id_a"))
+        .join(
+            docs.select(F.col("doc_id").alias("id_b")),
+            F.col("id_b") == F.col("id_a") + 1,
+        )
+    )
+    missed = planted.join(found, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_missed")
+    )
+    gate = missed.filter(F.col("n_missed") == 0).select(F.lit(1).alias("__gate"))
+    return (
+        planted.crossJoin(F.broadcast(gate))
+        .drop("__gate")
+        .orderBy("id_a")
+    )
+
+
 def _managed(fn: Callable[[SparkSession, str], DataFrame]):
     """Release the previous query's tracked caches before building the
     next plan — by then the prior action has run, so its intermediates
@@ -3143,6 +3202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transition_matrix": _event_transitions,
         "hourly_corr_click_purchase": _hourly_corr,
         "versioned_table_history": _versioned_table_history,
+        "image_phash_neardup": _image_phash_neardup,
     }
     return {name: _managed(fn) for name, fn in qs.items()}
 
@@ -5299,5 +5359,13 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_events,
                round(sum(value), 2) AS sum_value
         FROM head GROUP BY event_type ORDER BY event_type
+    """
+    # the result is the planted duplicate-pair list; the in-plan gate
+    # empties it if the decode→ahash→band-join pipeline misses any
+    d["image_phash_neardup"] = """
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        WHERE a.doc_id % 2 = 0
+        ORDER BY id_a
     """
     return d

@@ -51,6 +51,7 @@ __all__ = [
     "resize_images",
     "sample_video_frames",
     "extract_audio_features",
+    "ahash_images",
 ]
 
 # canonical typed-metadata layout for a media table
@@ -527,3 +528,56 @@ def extract_audio_features(
             yield pd.DataFrame({id_col: ids, "features": feats})
 
     return df.select(id_col, payload_col).mapInPandas(_feat, out_schema)
+
+
+def ahash_images(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    grid: int = 8,
+    backend: str = "numpy",
+) -> DataFrame:
+    """Perceptual average-hash per image: decode (real pixels via the
+    numpy codecs), nearest-neighbor downsample to ``grid``×``grid``,
+    grayscale by channel mean, threshold every cell against the global
+    mean → one ``grid``²-bit fingerprint packed into a long (row-major,
+    bit 0 = top-left). Returns (id, sh) — the SAME shape as the text
+    SimHash table, so ``dedup.simhash_pairs(sig_table=...)`` banding
+    turns it into an image near-dup candidate join: the two families
+    deliberately share one Hamming machinery.
+
+    Arrow-batched mapInPandas; ``backend='real'`` is the PIL call site
+    for compressed formats (NotImplementedError in this container).
+    """
+    if backend == "real":
+        raise NotImplementedError(
+            "compressed-image decode requires PIL/opencv (not in this "
+            "container); use backend='numpy' for PPM/BMP"
+        )
+    if grid * grid > 64:
+        raise ValueError("ahash_images: grid**2 must fit in a 64-bit long")
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                img = decode_image_array(bytes(payload)).astype(np.float64)
+                h, w = img.shape[0], img.shape[1]
+                ys = (np.arange(grid) * h) // grid
+                xs = (np.arange(grid) * w) // grid
+                cells = img[np.ix_(ys, xs)].mean(axis=2)  # grayscale grid
+                bits = (cells > cells.mean()).flatten()
+                sh = 0
+                for i, b in enumerate(bits):
+                    if b:
+                        sh |= 1 << i
+                ids.append(mid)
+                # pack as signed 64-bit (Spark long), matching simhash
+                hashes.append(sh - (1 << 64) if sh >= (1 << 63) else sh)
+            yield pd.DataFrame({id_col: ids, "sh": hashes})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _hash, f"{id_col} long, sh long"
+    )

@@ -113,6 +113,7 @@ R7_QUEUE = [
     "event_transition_matrix",
     "hourly_corr_click_purchase",
     "versioned_table_history",
+    "image_phash_neardup",
 ]
 
 

@@ -526,3 +526,45 @@ def test_merge_schema_reads_evolved_table(spark, tmp_path):
         formats.read_table(
             spark, p, fmt="parquet", schema="id long", merge_schema=True
         )
+
+
+def test_ahash_images_known_pattern_and_duplicates(spark):
+    """aHash ground truth on a hand-built 8x8 image: left half dark,
+    right half bright → bits set exactly where x >= 4 (row-major,
+    bit 0 = top-left); identical payloads hash identically and
+    distinct noise patterns do not."""
+    import numpy as np
+
+    from social_media_etl_spark.sources.multimodal import (
+        ahash_images,
+        encode_ppm,
+    )
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    img[:, 4:, :] = 255
+    half = encode_ppm(img)
+    rng = np.random.RandomState(3)
+    noise = encode_ppm(rng.randint(0, 256, (8, 8, 3)).astype(np.uint8))
+    df = spark.createDataFrame(
+        [(1, bytearray(half)), (2, bytearray(half)), (3, bytearray(noise))],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r["sh"] for r in ahash_images(df).collect()}
+    want = 0
+    for y in range(8):
+        for x in range(4, 8):
+            want |= 1 << (y * 8 + x)
+    want = want - (1 << 64) if want >= (1 << 63) else want
+    assert got[1] == want
+    assert got[1] == got[2]      # identical payload → identical hash
+    assert got[3] != got[1]      # different content → different hash
+
+
+def test_ahash_images_rejects_oversize_grid(spark):
+    from social_media_etl_spark.sources.multimodal import ahash_images
+
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "media_id long, payload binary")
+    import pytest
+
+    with pytest.raises(ValueError, match="grid"):
+        ahash_images(df, grid=9)
