@@ -3033,6 +3033,41 @@ def _image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _versioned_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats data skipping certified (operators/manifest.py:
+    read_where): the events slice is committed range-clustered on
+    event_id with per-file min/max recorded in the manifest (footer
+    reads, distributed, at commit time — the Iceberg stats pattern),
+    then a narrow range query is answered from ONLY the overlapping
+    files. Gated in-plan on the prune actually skipping files
+    (kept < total) — so a green row certifies both that skipping
+    happens AND that it never drops a row (result equals the oracle's
+    plain filter)."""
+    from social_media_etl_spark.operators.manifest import VersionedTable
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    clustered = events.repartitionByRange(8, "event_id").sortWithinPartitions(
+        "event_id"
+    )
+    d = _tmpdir(prefix="smetl_vprune_")
+    t = VersionedTable.create(
+        spark, f"{d}/t", clustered, stats_cols=["event_id"]
+    )
+    kept, total = t.pruned_file_count("event_id", lo=100, hi=599)
+    return (
+        t.read_where("event_id", 100, 599)
+        .where(F.lit(kept < total))  # the prune must actually skip
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _managed(fn: Callable[[SparkSession, str], DataFrame]):
     """Release the previous query's tracked caches before building the
     next plan — by then the prior action has run, so its intermediates
@@ -3203,6 +3238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_corr_click_purchase": _hourly_corr,
         "versioned_table_history": _versioned_table_history,
         "image_phash_neardup": _image_phash_neardup,
+        "versioned_pruned_read": _versioned_pruned_read,
     }
     return {name: _managed(fn) for name, fn in qs.items()}
 
@@ -5367,5 +5403,13 @@ def oracle_sql() -> dict[str, str]:
         FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
         WHERE a.doc_id % 2 = 0
         ORDER BY id_a
+    """
+    d["versioned_pruned_read"] = """
+        SELECT event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        WHERE event_id BETWEEN 100 AND 599
+        GROUP BY event_type ORDER BY event_type
     """
     return d

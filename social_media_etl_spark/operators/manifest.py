@@ -111,6 +111,108 @@ class VersionedTable:
 
     # -- data IO ------------------------------------------------------------
 
+    def _collect_stats(
+        self, files: list[str], stats_cols: list[str]
+    ) -> dict:
+        """Per-file min/max of ``stats_cols`` from the parquet FOOTERS —
+        read DISTRIBUTED (one Arrow-batched task set over the file
+        list, pyarrow on executors), collected as bounded metadata
+        (n_files × n_cols rows). This is the Iceberg manifest-stats
+        pattern: the pruning index costs footer reads once at commit
+        time, never a data scan."""
+        sdf = self.spark.createDataFrame([(f,) for f in files], "file string")
+
+        def _read(batches):
+            import pandas as pd
+            import pyarrow.parquet as pq
+
+            for pdf in batches:
+                out = {"file": [], "col": [], "lo": [], "hi": []}
+                for f in pdf["file"]:
+                    md = pq.ParquetFile(f).metadata
+                    for c in stats_cols:
+                        mins, maxs = [], []
+                        for rg in range(md.num_row_groups):
+                            rgm = md.row_group(rg)
+                            st = next(
+                                (
+                                    rgm.column(i).statistics
+                                    for i in range(rgm.num_columns)
+                                    if rgm.column(i).path_in_schema == c
+                                ),
+                                None,
+                            )
+                            if st is not None and st.has_min_max:
+                                mins.append(st.min)
+                                maxs.append(st.max)
+                        if mins:
+                            out["file"].append(f)
+                            out["col"].append(c)
+                            out["lo"].append(min(mins))
+                            out["hi"].append(max(maxs))
+                yield pd.DataFrame(out)
+
+        stats: dict = {}
+        for r in sdf.mapInPandas(
+            _read, "file string, col string, lo double, hi double"
+        ).collect():
+            stats.setdefault(r["file"], {})[r["col"]] = [r["lo"], r["hi"]]
+        return stats
+
+    def read_where(
+        self,
+        col: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Data-skipping read: open ONLY the files whose manifest
+        [min, max] for ``col`` overlaps [lo, hi] (files without
+        recorded stats are kept — pruning is never allowed to drop
+        data), then apply the exact filter. With a range-clustered
+        layout (warehouse.write_sorted shape) a point/range query
+        touches one file instead of all of them."""
+        v = self.head_version() if version is None else version
+        m = self._read_manifest(v)
+        stats = m.get("stats") or {}
+        kept = []
+        for f in m["files"]:
+            s = stats.get(f, {}).get(col)
+            if s is None:
+                kept.append(f)
+                continue
+            if (hi is not None and s[0] > hi) or (lo is not None and s[1] < lo):
+                continue
+            kept.append(f)
+        from pyspark.sql import functions as F
+
+        if not kept:
+            df = self.spark.read.parquet(*m["files"]).limit(0)
+        else:
+            df = self.spark.read.parquet(*kept)
+        if lo is not None:
+            df = df.filter(F.col(col) >= lo)
+        if hi is not None:
+            df = df.filter(F.col(col) <= hi)
+        return df
+
+    def pruned_file_count(
+        self, col: str, lo=None, hi=None, version: int | None = None
+    ) -> tuple[int, int]:
+        """(files kept, files total) for a read_where — the skip ratio."""
+        v = self.head_version() if version is None else version
+        m = self._read_manifest(v)
+        stats = m.get("stats") or {}
+        kept = 0
+        for f in m["files"]:
+            s = stats.get(f, {}).get(col)
+            if s is not None and (
+                (hi is not None and s[0] > hi) or (lo is not None and s[1] < lo)
+            ):
+                continue
+            kept += 1
+        return kept, len(m["files"])
+
     def _write_data(self, df: DataFrame, version_hint: int) -> list[str]:
         """Write immutable data files for one commit; returns their paths."""
         ddir = f"{self.path}/data/b{version_hint:08d}-{uuid.uuid4().hex[:8]}"
@@ -133,7 +235,10 @@ class VersionedTable:
         path: str,
         df: DataFrame,
         txn: str | None = None,
+        stats_cols: list[str] | None = None,
     ) -> "VersionedTable":
+        """``stats_cols`` (numeric) records per-file min/max in the
+        manifest for :meth:`read_where` data skipping."""
         t = cls(spark, path)
         if t.versions():
             raise IOError(f"VersionedTable: {path} already initialized")
@@ -145,6 +250,8 @@ class VersionedTable:
             "files": files,
             "schema": df.schema.simpleString(),
             "txn": txn,
+            "stats": t._collect_stats(files, stats_cols) if stats_cols else {},
+            "stats_cols": stats_cols or [],
         }
         if not t._try_commit(m, 0):
             raise ConcurrentWriteError(
@@ -196,9 +303,13 @@ class VersionedTable:
         parent = self.head_version()
         self._check_schema(df, parent)
         files = self._write_data(df, parent + 1)
+        new_stats = None
         for _ in range(max_retries):
             base = self._read_manifest(parent)
             v = parent + 1
+            stats_cols = base.get("stats_cols") or []
+            if stats_cols and new_stats is None:
+                new_stats = self._collect_stats(files, stats_cols)
             m = {
                 "version": v,
                 "parent": parent,
@@ -206,6 +317,8 @@ class VersionedTable:
                 "files": sorted(base["files"] + files),
                 "schema": base["schema"],
                 "txn": txn,
+                "stats": {**(base.get("stats") or {}), **(new_stats or {})},
+                "stats_cols": stats_cols,
             }
             if self._try_commit(m, v):
                 return v
@@ -240,12 +353,16 @@ class VersionedTable:
         )
         files = self._write_data(latest, parent + 1)
         v = parent + 1
+        base = self._read_manifest(parent)
+        stats_cols = base.get("stats_cols") or []
         m = {
             "version": v,
             "parent": parent,
             "op": "upsert",
             "files": files,
-            "schema": self._read_manifest(parent)["schema"],
+            "schema": base["schema"],
+            "stats": self._collect_stats(files, stats_cols) if stats_cols else {},
+            "stats_cols": stats_cols,
         }
         if not self._try_commit(m, v):
             raise ConcurrentWriteError(

@@ -114,6 +114,7 @@ R7_QUEUE = [
     "hourly_corr_click_purchase",
     "versioned_table_history",
     "image_phash_neardup",
+    "versioned_pruned_read",
 ]
 
 

@@ -156,3 +156,51 @@ def test_streaming_versioned_sink_exactly_once_on_replay(
     run(str(tmp_path / "ckpt2"))  # full replay, fresh checkpoint
     assert t.versions() == versions_after_first  # no new commits
     assert sorted(r["k"] for r in t.read().collect()) == rows_first
+
+
+def test_read_where_prunes_files_and_matches_full_scan(spark, tmp_path):
+    """Manifest-stats data skipping: a range-clustered table answers a
+    narrow range query from a strict subset of files, with results
+    identical to the unpruned filter."""
+    df = (
+        spark.range(10_000)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 97).cast("double").alias("v"),
+            F.lit(0).cast("long").alias("ts"),
+        )
+        .repartitionByRange(8, "k")
+        .sortWithinPartitions("k")
+    )
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), df, stats_cols=["k"]
+    )
+    kept, total = t.pruned_file_count("k", lo=100, hi=200)
+    assert total == 8 and kept < total
+    got = sorted(r["k"] for r in t.read_where("k", 100, 200).collect())
+    assert got == list(range(100, 201))
+
+
+def test_read_where_keeps_files_without_stats(spark, tmp_path):
+    """Pruning must never drop data: a table created WITHOUT stats
+    keeps every file for any range."""
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), _df(spark, [(i, "x", i) for i in range(10)])
+    )
+    kept, total = t.pruned_file_count("k", lo=3, hi=4)
+    assert kept == total
+    assert sorted(r["k"] for r in t.read_where("k", 3, 4).collect()) == [3, 4]
+
+
+def test_append_extends_stats_for_pruning(spark, tmp_path):
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        _df(spark, [(i, "a", i) for i in range(100)]).coalesce(1),
+        stats_cols=["k"],
+    )
+    t.append(_df(spark, [(i, "b", i) for i in range(1000, 1100)]).coalesce(1))
+    kept, total = t.pruned_file_count("k", lo=1000, hi=1100)
+    assert total == 2 and kept == 1  # the v0 file is skipped
+    got = sorted(r["k"] for r in t.read_where("k", 1000, 1004).collect())
+    assert got == [1000, 1001, 1002, 1003, 1004]
