@@ -2470,6 +2470,14 @@ def _pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
         )
     )
+    # materialize the pair mining ONCE before symmetrizing: the union's
+    # two branches otherwise each carry the full join+distinct lineage
+    # and the heavy subtree executes twice at edge-persist time
+    # (review r6)
+    from social_media_etl_spark.cache import persist_tracked
+
+    pairs = persist_tracked(pairs)
+    pairs.count()
     edges = pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     ranks = pagerank(edges, iters=3, damping=0.85, round_to=12)
     return (
@@ -5299,8 +5307,9 @@ def oracle_sql() -> dict[str, str]:
     d["weighted_sample_aes"] = """
         WITH j AS (
             SELECT doc_id, n_chars,
-                   -ln(('0x' || substr(md5('aes:' || CAST(doc_id AS VARCHAR)),
-                                       1, 8))::BIGINT / 4294967296.0)
+                   -ln((('0x' || substr(md5('aes:' || CAST(doc_id AS VARCHAR)),
+                                        1, 8))::BIGINT + 0.5)
+                       / 4294967296.0)
                        / CAST(n_chars AS DOUBLE) AS e
             FROM documents WHERE n_chars > 0
         )

@@ -226,7 +226,9 @@ def main() -> None:
             F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
         )
         .distinct()
+        .persist()
     )
+    g_pairs.count()  # mine pairs once; the union reads the cache twice
     g_edges = g_pairs.union(
         g_pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )

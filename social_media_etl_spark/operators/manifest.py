@@ -174,16 +174,7 @@ class VersionedTable:
         touches one file instead of all of them."""
         v = self.head_version() if version is None else version
         m = self._read_manifest(v)
-        stats = m.get("stats") or {}
-        kept = []
-        for f in m["files"]:
-            s = stats.get(f, {}).get(col)
-            if s is None:
-                kept.append(f)
-                continue
-            if (hi is not None and s[0] > hi) or (lo is not None and s[1] < lo):
-                continue
-            kept.append(f)
+        kept = self._kept_files(m, col, lo, hi)
         from pyspark.sql import functions as F
 
         if not kept:
@@ -196,22 +187,30 @@ class VersionedTable:
             df = df.filter(F.col(col) <= hi)
         return df
 
+    @staticmethod
+    def _kept_files(manifest: dict, col: str, lo, hi) -> list[str]:
+        """The files a [lo, hi] range read must open: everything whose
+        recorded [min, max] overlaps, plus everything with NO recorded
+        stats (pruning may never drop data). The single skip predicate
+        both read_where and pruned_file_count report from."""
+        stats = manifest.get("stats") or {}
+        kept = []
+        for f in manifest["files"]:
+            s = stats.get(f, {}).get(col)
+            if s is not None and (
+                (hi is not None and s[0] > hi) or (lo is not None and s[1] < lo)
+            ):
+                continue
+            kept.append(f)
+        return kept
+
     def pruned_file_count(
         self, col: str, lo=None, hi=None, version: int | None = None
     ) -> tuple[int, int]:
         """(files kept, files total) for a read_where — the skip ratio."""
         v = self.head_version() if version is None else version
         m = self._read_manifest(v)
-        stats = m.get("stats") or {}
-        kept = 0
-        for f in m["files"]:
-            s = stats.get(f, {}).get(col)
-            if s is not None and (
-                (hi is not None and s[0] > hi) or (lo is not None and s[1] < lo)
-            ):
-                continue
-            kept += 1
-        return kept, len(m["files"])
+        return len(self._kept_files(m, col, lo, hi)), len(m["files"])
 
     def _write_data(self, df: DataFrame, version_hint: int) -> list[str]:
         """Write immutable data files for one commit; returns their paths."""
@@ -250,6 +249,7 @@ class VersionedTable:
             "files": files,
             "schema": df.schema.simpleString(),
             "txn": txn,
+            "txns": [txn] if txn else [],
             "stats": t._collect_stats(files, stats_cols) if stats_cols else {},
             "stats_cols": stats_cols or [],
         }
@@ -262,13 +262,26 @@ class VersionedTable:
     def committed_txns(self) -> set[str]:
         """Application-level transaction ids recorded by past commits —
         the idempotent-replay check (Delta's txnAppId pattern): a
-        streaming sink skips any batch whose txn already committed."""
+        streaming sink skips any batch whose txn already committed.
+        The full set is CARRIED FORWARD in every manifest (the
+        SetTransaction-in-checkpoint pattern), so this reads ONE
+        manifest — the head — not the whole history; a per-batch check
+        stays O(1) metadata reads no matter the stream's age. Falls
+        back to the historical scan for pre-txns manifests."""
+        head = self._read_manifest(self.head_version())
+        if "txns" in head:
+            return set(head["txns"])
         out = set()
         for v in self.versions():
             txn = self._read_manifest(v).get("txn")
             if txn is not None:
                 out.add(txn)
         return out
+
+    @staticmethod
+    def _txns_after(base: dict, txn: str | None) -> list[str]:
+        prior = base.get("txns") or ([base["txn"]] if base.get("txn") else [])
+        return sorted(set(prior) | {txn}) if txn else sorted(set(prior))
 
     def _check_schema(self, df: DataFrame, parent: int) -> None:
         want = self._read_manifest(parent)["schema"]
@@ -317,6 +330,7 @@ class VersionedTable:
                 "files": sorted(base["files"] + files),
                 "schema": base["schema"],
                 "txn": txn,
+                "txns": self._txns_after(base, txn),
                 "stats": {**(base.get("stats") or {}), **(new_stats or {})},
                 "stats_cols": stats_cols,
             }
@@ -361,6 +375,7 @@ class VersionedTable:
             "op": "upsert",
             "files": files,
             "schema": base["schema"],
+            "txns": self._txns_after(base, None),
             "stats": self._collect_stats(files, stats_cols) if stats_cols else {},
             "stats_cols": stats_cols,
         }
@@ -378,8 +393,14 @@ class VersionedTable:
         number of directories removed. Old manifests are kept (they
         are tiny); their time travel simply becomes unreadable, as in
         any vacuumed table format."""
+        if keep_last < 1:
+            raise ValueError(
+                "vacuum: keep_last must be >= 1 — retaining zero "
+                "versions would delete the head's own data files and "
+                "leave every manifest pointing at nothing"
+            )
         vs = self.versions()
-        keep = vs[-keep_last:] if keep_last > 0 else []
+        keep = vs[-keep_last:]
         live_dirs = set()
         for v in keep:
             for f in self._read_manifest(v)["files"]:

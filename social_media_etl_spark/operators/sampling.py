@@ -25,6 +25,7 @@ __all__ = [
     "smoothed_mixture_sample",
     "budget_quota",
     "weighted_sample_fixed",
+    "hash_uniform_open",
 ]
 
 
@@ -227,6 +228,30 @@ def hash_uniform(key_col: str, salt: str) -> Column:
     )
 
 
+def hash_uniform_open(key_col: str, salt: str) -> Column:
+    """Deterministic uniform in the OPEN interval (0, 1):
+    (hash32 + 0.5) / 2^32 — for consumers that take a log of u (the
+    exponential-jitter sampler), where u = 0 would be NULL in Spark
+    and an error in DuckDB. Same exact-in-doubles cross-engine
+    property as :func:`hash_uniform`."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt + ":"), F.col(key_col).cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 32))
+
+
 def smoothed_mixture_sample(
     df: DataFrame,
     source_col: str,
@@ -333,11 +358,15 @@ def weighted_sample_fixed(
     reruns, retries, and any engine replay the identical sample — and
     the top-k is a distributed TakeOrdered (per-partition heads, no
     global sort materialization). Rows with non-positive weight are
-    excluded (their jitter is undefined). Returns the sampled rows
-    with the jitter in ``__e``.
+    excluded (their jitter is undefined). u uses the OPEN-interval
+    mapping (hash32 + 0.5) / 2^32 ∈ (0, 1): the half-open
+    ``hash_uniform`` can return exactly 0, where Spark's non-ANSI
+    log(0) yields NULL (a NULL jitter sorts FIRST and would enter the
+    sample unconditionally) while DuckDB's ln(0) raises — review r6.
+    Returns the sampled rows with the jitter in ``__e``.
     """
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
-    e = -F.log(hash_uniform(key_col, salt)) / w
+    e = -F.log(hash_uniform_open(key_col, salt)) / w
     return (
         df.filter(w > 0)
         .withColumn("__e", e)

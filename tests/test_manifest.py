@@ -204,3 +204,26 @@ def test_append_extends_stats_for_pruning(spark, tmp_path):
     assert total == 2 and kept == 1  # the v0 file is skipped
     got = sorted(r["k"] for r in t.read_where("k", 1000, 1004).collect())
     assert got == [1000, 1001, 1002, 1003, 1004]
+
+
+def test_vacuum_rejects_zero_retention(spark, tmp_path):
+    """keep_last=0 would delete the head's own data files — guarded."""
+    t = VersionedTable.create(spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1)]))
+    with pytest.raises(ValueError, match="keep_last"):
+        t.vacuum(keep_last=0)
+    assert t.read().count() == 1
+
+
+def test_committed_txns_carried_forward_reads_head_only(spark, tmp_path):
+    """The txn set rides every manifest (SetTransaction pattern), so
+    the idempotence check is one head read — and survives upserts."""
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1)]), txn="batch-0"
+    )
+    t.append(_df(spark, [(2, "b", 2)]), txn="batch-1")
+    t.upsert(_df(spark, [(1, "c", 9)]), ["k"], ["ts"])
+    t.append(_df(spark, [(3, "d", 3)]), txn="batch-2")
+    assert t.committed_txns() == {"batch-0", "batch-1", "batch-2"}
+    # and the head manifest alone carries the full set
+    head = t._read_manifest(t.head_version())
+    assert set(head["txns"]) == {"batch-0", "batch-1", "batch-2"}
