@@ -3076,6 +3076,63 @@ def _versioned_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup over REAL PCM with zero audio libs: every doc
+    pair (2k, 2k+1) synthesizes the SAME deterministic 3-tone WAV
+    (content id = doc_id//2; tone bins injective in the content id up
+    to 250), each clip is fingerprinted spectrally
+    (sources/multimodal.py:audio_fingerprint — decode → rfft → 64 log
+    band energies → mean threshold → 64-bit signature), and the
+    signatures flow through the SAME banded-Hamming join as text
+    SimHash and image aHash. Output = the planted pair list, gated
+    in-plan on every planted pair found at Hamming 0 — the third
+    modality certified through one shared Hamming machinery."""
+    from social_media_etl_spark.sources import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def _gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from social_media_etl_spark.sources.multimodal import encode_wav_pcm16
+
+        for pdf in batches:
+            payloads = []
+            t = np.arange(512, dtype=np.float64)
+            for d in pdf["doc_id"]:
+                p = int(d) // 2
+                x = np.zeros(512)
+                for j in range(3):
+                    tone = 4 + (p * 7 + j * 61) % 250
+                    x += 0.3 * np.sin(2 * np.pi * tone * t / 512.0)
+                payloads.append(encode_wav_pcm16(x / 3.0))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(_gen, "media_id long, payload binary")
+    sig = multimodal.audio_fingerprint(media, id_col="media_id")
+    found = dedup.simhash_pairs(
+        sig, "media_id", "unused", bits=64, band_bits=8, sig_table=sig
+    ).filter(F.col("hamming") == 0)
+    planted = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.col("doc_id").alias("id_a"))
+        .join(
+            docs.select(F.col("doc_id").alias("id_b")),
+            F.col("id_b") == F.col("id_a") + 1,
+        )
+    )
+    missed = planted.join(found, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_missed")
+    )
+    gate = missed.filter(F.col("n_missed") == 0).select(F.lit(1).alias("__gate"))
+    return (
+        planted.crossJoin(F.broadcast(gate))
+        .drop("__gate")
+        .orderBy("id_a")
+    )
+
+
 def _managed(fn: Callable[[SparkSession, str], DataFrame]):
     """Release the previous query's tracked caches before building the
     next plan — by then the prior action has run, so its intermediates
@@ -3247,6 +3304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "versioned_table_history": _versioned_table_history,
         "image_phash_neardup": _image_phash_neardup,
         "versioned_pruned_read": _versioned_pruned_read,
+        "audio_fingerprint_neardup": _audio_fp_neardup,
     }
     return {name: _managed(fn) for name, fn in qs.items()}
 
@@ -5421,4 +5479,5 @@ def oracle_sql() -> dict[str, str]:
         WHERE event_id BETWEEN 100 AND 599
         GROUP BY event_type ORDER BY event_type
     """
+    d["audio_fingerprint_neardup"] = d["image_phash_neardup"]
     return d

@@ -52,6 +52,7 @@ __all__ = [
     "sample_video_frames",
     "extract_audio_features",
     "ahash_images",
+    "audio_fingerprint",
 ]
 
 # canonical typed-metadata layout for a media table
@@ -580,4 +581,49 @@ def ahash_images(
 
     return df.select(id_col, payload_col).mapInPandas(
         _hash, f"{id_col} long, sh long"
+    )
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    n_bands: int = 64,
+    backend: str = "numpy",
+) -> DataFrame:
+    """Spectral-bitmap audio fingerprint: real PCM16 decode → rfft →
+    ``n_bands`` log band energies → threshold each band against the
+    mean → one ``n_bands``-bit signature packed into a long. The audio
+    twin of :func:`ahash_images`, emitted in the same (id, sh) shape so
+    ``dedup.simhash_pairs(sig_table=...)`` banding serves IMAGES,
+    AUDIO, and TEXT with one Hamming machinery. ``backend='real'`` is
+    the librosa/chromaprint call site (NotImplementedError here)."""
+    if backend == "real":
+        raise NotImplementedError(
+            "compressed-audio fingerprints require librosa/chromaprint"
+        )
+    if n_bands > 64:
+        raise ValueError("audio_fingerprint: n_bands must fit in a long")
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                x, _rate = decode_wav_pcm16(bytes(payload))
+                mag = np.abs(np.fft.rfft(x))
+                bands = np.array_split(mag, n_bands)
+                e = np.array([np.log1p((b * b).sum()) for b in bands])
+                bits = e > e.mean()
+                sh = 0
+                for i, b in enumerate(bits):
+                    if b:
+                        sh |= 1 << i
+                ids.append(mid)
+                hashes.append(sh - (1 << 64) if sh >= (1 << 63) else sh)
+            yield pd.DataFrame({id_col: ids, "sh": hashes})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _fp, f"{id_col} long, sh long"
     )

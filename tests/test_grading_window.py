@@ -115,6 +115,7 @@ R7_QUEUE = [
     "versioned_table_history",
     "image_phash_neardup",
     "versioned_pruned_read",
+    "audio_fingerprint_neardup",
 ]
 
 

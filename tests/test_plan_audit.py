@@ -71,7 +71,8 @@ def test_single_partition_exchanges_are_known(spark):
         # one-row time-travel certification gate (cert count vs base
         # count) over the versioned table's v0 snapshot
         "versioned_table_history",
-        # one-row planted-pair recall gate over the phash pipeline
-        "image_phash_neardup",
+        # one-row planted-pair recall gate over the phash/audio-fp
+        # pipelines
+        "image_phash_neardup", "audio_fingerprint_neardup",
     }
     assert with_sp <= allowed, with_sp - allowed

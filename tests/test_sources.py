@@ -568,3 +568,31 @@ def test_ahash_images_rejects_oversize_grid(spark):
 
     with pytest.raises(ValueError, match="grid"):
         ahash_images(df, grid=9)
+
+
+def test_audio_fingerprint_tones_set_expected_bands(spark):
+    """Spectral-bitmap ground truth: a pure tone at bin 128 of a
+    512-sample clip lights exactly the band containing that bin (bands
+    = 257 rfft bins split into 64 chunks); identical clips share the
+    fingerprint, different tone sets do not."""
+    import numpy as np
+
+    from social_media_etl_spark.sources.multimodal import (
+        audio_fingerprint,
+        encode_wav_pcm16,
+    )
+
+    t = np.arange(512, dtype=np.float64)
+    tone128 = encode_wav_pcm16(0.5 * np.sin(2 * np.pi * 128 * t / 512.0))
+    tone40 = encode_wav_pcm16(0.5 * np.sin(2 * np.pi * 40 * t / 512.0))
+    df = spark.createDataFrame(
+        [(1, bytearray(tone128)), (2, bytearray(tone128)), (3, bytearray(tone40))],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r["sh"] for r in audio_fingerprint(df).collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[3]
+    # bin 128 falls in band 128 // ceil(257/64) ≈ band 31 (np.array_split
+    # gives the first 257%64=1 band 5 bins, the rest 4): bins 0-4 band 0,
+    # then 4 per band → bin 128 ∈ band 1 + (128-5)//4 = band 31
+    assert got[1] & (1 << 31)
