@@ -3270,8 +3270,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _doc_chunks,
         "quota_per_source": _quota_per_source,
         "corpus_top_words": _top_words,
-        # -- R7_QUEUE (11 keys): the r04-green keys that did not fit the
-        # r6 window — rotate these to the FRONT of the r7 window --------
+        # -- R7_QUEUE part 1 (11 keys): the r04-green keys that did not
+        # fit the r6 window — rotate these to the FRONT of the r7
+        # window together with part 2 below (31 queued keys total:
+        # they fill 31 of the r7 window's 50 slots; the r6-graded keys
+        # rotate out) ---------------------------------------------------
         "sql_min_price_supplier": _sql_entrypoint,
         "approx_distinct_sketch_rollup": _sketch_rollup,
         "anti_join_customers_no_orders": _anti_join,
@@ -3283,8 +3286,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_revenue": _cube_revenue,
         "price_quantiles_exact": _price_quantiles,
         "set_ops_priority_custs": _set_ops,
-        # -- new in late r6 (never graded): queue for r7 after the 11
-        # above ----------------------------------------------------------
+        # -- R7_QUEUE part 2 (20 keys, added late r6, never graded):
+        # the late-r6 operator families — iterative (k-means,
+        # PageRank), sketches (CMS batch + streaming), statistics (KS,
+        # chi-square, regression, winsorize, KL, correlation), span
+        # dedup, A-ES sampling, feature hashing, transitions, OHLC,
+        # the versioned-table trio, and the image/audio fingerprint
+        # near-dups ------------------------------------------------------
         "kmeans_embeddings": _kmeans_embeddings,
         "pagerank_trade_graph": _pagerank_trade_graph,
         "cms_heavy_hitters": _cms_heavy_hitters,
