@@ -3133,6 +3133,52 @@ def _audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column — the 4×
+    serving-side compression step (functions/vectors.py: per-vector
+    uniform grid, quantize, reconstruct), entirely as codegen'd array
+    expressions. Gated in-plan on the quantization CONTRACT: every
+    vector's max reconstruction error ≤ scale/2 (+1 ulp headroom) —
+    so a green row certifies round-trip fidelity, not just that code
+    ran. Output: per-vector scale and the worst reconstruction error
+    as a fraction of the step."""
+    from social_media_etl_spark.functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = V.as_double(F.col("embedding"))
+    q = emb.select(
+        "vec_id",
+        v.alias("v"),
+        F.array_min(v).alias("lo"),
+        V.int8_scale(v).alias("scale"),
+        V.int8_codes(v).alias("codes"),
+    )
+    recon = V.int8_dequantize(F.col("codes"), F.col("lo"), F.col("scale"))
+    scored = q.select(
+        "vec_id",
+        "scale",
+        F.array_max(
+            F.zip_with(F.col("v"), recon, lambda a, b: F.abs(a - b))
+        ).alias("max_err"),
+    )
+    bad = scored.filter(
+        F.col("max_err") > F.col("scale") * F.lit(0.5000001)
+    ).agg(F.count(F.lit(1)).alias("n_bad"))
+    gate = bad.filter(F.col("n_bad") == 0).select(F.lit(1).alias("__gate"))
+    err_ratio = F.when(F.col("scale") == 0, F.lit(0.0)).otherwise(
+        F.col("max_err") / F.col("scale")
+    )
+    return (
+        scored.crossJoin(F.broadcast(gate))
+        .select(
+            "vec_id",
+            F.round("scale", 9).alias("scale"),
+            F.round(err_ratio, 6).alias("err_ratio"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 def _managed(fn: Callable[[SparkSession, str], DataFrame]):
     """Release the previous query's tracked caches before building the
     next plan — by then the prior action has run, so its intermediates
@@ -3313,6 +3359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_neardup": _image_phash_neardup,
         "versioned_pruned_read": _versioned_pruned_read,
         "audio_fingerprint_neardup": _audio_fp_neardup,
+        "embedding_int8_quantize": _embedding_quantize,
     }
     return {name: _managed(fn) for name, fn in qs.items()}
 
@@ -5488,4 +5535,26 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY event_type ORDER BY event_type
     """
     d["audio_fingerprint_neardup"] = d["image_phash_neardup"]
+    d["embedding_int8_quantize"] = """
+        WITH q AS (
+            SELECT vec_id,
+                   CAST(embedding AS DOUBLE[]) AS v,
+                   list_min(CAST(embedding AS DOUBLE[])) AS lo,
+                   (list_max(CAST(embedding AS DOUBLE[]))
+                    - list_min(CAST(embedding AS DOUBLE[]))) / 255.0 AS scale
+            FROM embeddings
+        ),
+        r AS (
+            SELECT vec_id, scale,
+                   CASE WHEN scale = 0 THEN 0.0 ELSE
+                       list_max([abs(v[i] - (lo + round((v[i] - lo) / scale)
+                                                  * scale))
+                                 FOR i IN range(1, len(v) + 1)]) / scale
+                   END AS err_ratio
+            FROM q
+        )
+        SELECT vec_id, round(scale, 9) AS scale,
+               round(err_ratio, 6) AS err_ratio
+        FROM r ORDER BY vec_id
+    """
     return d

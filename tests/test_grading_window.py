@@ -116,6 +116,7 @@ R7_QUEUE = [
     "image_phash_neardup",
     "versioned_pruned_read",
     "audio_fingerprint_neardup",
+    "embedding_int8_quantize",
 ]
 
 

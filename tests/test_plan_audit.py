@@ -74,5 +74,7 @@ def test_single_partition_exchanges_are_known(spark):
         # one-row planted-pair recall gate over the phash/audio-fp
         # pipelines
         "image_phash_neardup", "audio_fingerprint_neardup",
+        # one-row reconstruction-error gate over the int8 grid
+        "embedding_int8_quantize",
     }
     assert with_sp <= allowed, with_sp - allowed
