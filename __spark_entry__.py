@@ -3198,34 +3198,89 @@ def _managed(fn: Callable[[SparkSession, str], DataFrame]):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver grades only the FIRST 50
-    # entries per round (VERDICT r2). Round-6 window (pinned by
-    # tests/test_grading_window.py): the 7-key R6_QUEUE from the r5
-    # verdict leads (the 2 never-graded r5 additions, then the 5 keys
-    # whose last green is r03), then the 4 new r6 keys (compaction /
-    # upsert roundtrips, α-smoothed mixing, streaming upsert sink),
-    # then the first 39 of the 50 keys whose last green is
-    # CORRECTNESS_r04 — so the r05 ∪ r06 union covers every key except
-    # the explicit 11-key R7_QUEUE at the dict tail (r04-greens that
-    # did not fit, queued to lead). The 50
-    # r5-greens sit between. Keep this paragraph in sync with
-    # tests/test_grading_window.py — window planning is done from here
-    # (r2 postmortem).
+    # entries per round (VERDICT r2). Round-7 window (pinned by
+    # tests/test_grading_window.py): the 32-key R7_QUEUE from the r6
+    # verdict leads (11 r04-greens that did not fit the r6 window,
+    # then the 21 late-r6 keys never driver-graded), then the 18
+    # oldest r5-greens fill the window to 50 — so the r06 ∪ r07 union
+    # covers all keys declared through r6. The 50 r6-graded keys sit
+    # in the middle (freshest record); the remaining 32 r5-greens form
+    # the R8_QUEUE at the dict tail (their green turns 2 rounds old at
+    # r7 close, so they must lead the r8 window). Keep this paragraph
+    # in sync with tests/test_grading_window.py — window planning is
+    # done from here (r2 postmortem).
     qs = {
-        # -- R6_QUEUE: never-driver-graded r5 additions first ------------
+        # -- R7_QUEUE part 1 (11 keys): r04-greens that did not fit r6 --
+        "sql_min_price_supplier": _sql_entrypoint,
+        "approx_distinct_sketch_rollup": _sketch_rollup,
+        "anti_join_customers_no_orders": _anti_join,
+        "semi_join_urgent_suppliers": _semi_join,
+        "range_join_quantity_bands": _range_join_bands,
+        "rollup_revenue": _rollup_revenue,
+        "grouping_sets_revenue": _grouping_sets,
+        "udtf_ngrams_count": _udtf_ngrams,
+        "cube_revenue": _cube_revenue,
+        "price_quantiles_exact": _price_quantiles,
+        "set_ops_priority_custs": _set_ops,
+        # -- R7_QUEUE part 2 (21 keys, added late r6, never graded):
+        # iterative (k-means, PageRank), sketches (CMS batch +
+        # streaming), statistics (KS, chi-square, regression,
+        # winsorize, KL, correlation), span dedup, A-ES sampling,
+        # feature hashing, transitions, OHLC, the versioned-table
+        # trio, image/audio fingerprint near-dups, int8 quantize ---------
+        "kmeans_embeddings": _kmeans_embeddings,
+        "pagerank_trade_graph": _pagerank_trade_graph,
+        "cms_heavy_hitters": _cms_heavy_hitters,
+        "bigram_logprob_quality": _bigram_logprob,
+        "ks_drift_events": _ks_drift_events,
+        "duplicate_span_fraction": _duplicate_spans,
+        "regression_value_trend": _regression_value_trend,
+        "streaming_cms_topk": _streaming_cms_topk,
+        "source_token_kl": _source_token_kl,
+        "winsorized_stats_events": _winsorized_stats,
+        "events_ohlc_bars": _events_ohlc_bars,
+        "chi2_type_value_band": _chi2_type_band,
+        "weighted_sample_aes": _weighted_sample_aes,
+        "hashed_feature_vectors": _hashed_features,
+        "event_transition_matrix": _event_transitions,
+        "hourly_corr_click_purchase": _hourly_corr,
+        "versioned_table_history": _versioned_table_history,
+        "image_phash_neardup": _image_phash_neardup,
+        "versioned_pruned_read": _versioned_pruned_read,
+        "audio_fingerprint_neardup": _audio_fp_neardup,
+        "embedding_int8_quantize": _embedding_quantize,
+        # -- window fill (18 oldest r5-greens): their green is 2 rounds
+        # old, re-certify now ---------------------------------------------
+        "importance_sampling": _importance_sampling,
+        "token_budget_curation": _token_budget_curation,
+        "funnel_conversion": _funnel_conversion,
+        "streaming_stateful_totals_rocksdb": _streaming_stateful_totals_rocksdb,
+        "streaming_full_outer_join": _streaming_full_outer_join,
+        "formats_roundtrip": _formats_roundtrip,
+        "skew_salted_agg_events": _salted_agg_events,
+        "skew_salted_join_events": _salted_join_events,
+        "bucketed_join_priority_revenue": _bucketed_join_revenue,
+        "streaming_dedup_events": _streaming_dedup,
+        "streaming_stateful_totals": _streaming_stateful_totals,
+        "streaming_sliding_windows": _streaming_sliding,
+        "streaming_static_join": _streaming_static_join,
+        "streaming_incremental_rollup": _streaming_incremental,
+        "streaming_left_outer_join": _streaming_left_outer_join,
+        "pack_sequences_greedy": _pack_greedy_single,
+        "pii_redaction": _pii_redaction,
+        "tfidf_top_terms": _tfidf_top_terms,
+        # ------- middle: the 50 keys hash-matched in CORRECTNESS_r06 ----
         "zorder_layout_roundtrip": _zorder_layout_roundtrip,
         "corpus_shuffle": _corpus_shuffle,
-        # -- R6_QUEUE: last green r03 ------------------------------------
         "gopher_quality_flags": _gopher_quality,
         "semantic_dedup_representatives": _semantic_dedup,
         "bpe_pair_counts": _bpe_pair_counts,
         "embedding_label_centroids": _embedding_label_centroids,
         "source_mixing_weights": _source_mixing_weights,
-        # -- new this round (never graded) -------------------------------
         "compaction_roundtrip": _compaction_roundtrip,
         "upsert_events_latest": _upsert_events_latest,
         "smoothed_mixture_sample": _smoothed_mixture_sample,
         "streaming_upsert_latest": _streaming_upsert_latest,
-        # -- first 40 of the 50 keys whose last green is r4 --------------
         "pack_training_sequences": _pack_sequences,
         "clean_corpus_pipeline": _clean_corpus,
         "streaming_session_windows": _streaming_sessions,
@@ -3265,25 +3320,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": _events_json,
         "events_pivot_counts": _events_pivot,
         "events_unpivot_counts": _events_unpivot,
-        # ------- middle: the 50 keys hash-matched in CORRECTNESS_r05 ----
-        "importance_sampling": _importance_sampling,
-        "token_budget_curation": _token_budget_curation,
-        "funnel_conversion": _funnel_conversion,
-        "streaming_stateful_totals_rocksdb": _streaming_stateful_totals_rocksdb,
-        "streaming_full_outer_join": _streaming_full_outer_join,
-        "formats_roundtrip": _formats_roundtrip,
-        "skew_salted_agg_events": _salted_agg_events,
-        "skew_salted_join_events": _salted_join_events,
-        "bucketed_join_priority_revenue": _bucketed_join_revenue,
-        "streaming_dedup_events": _streaming_dedup,
-        "streaming_stateful_totals": _streaming_stateful_totals,
-        "streaming_sliding_windows": _streaming_sliding,
-        "streaming_static_join": _streaming_static_join,
-        "streaming_incremental_rollup": _streaming_incremental,
-        "streaming_left_outer_join": _streaming_left_outer_join,
-        "pack_sequences_greedy": _pack_greedy_single,
-        "pii_redaction": _pii_redaction,
-        "tfidf_top_terms": _tfidf_top_terms,
+        # -- R8_QUEUE (32 keys): the r5-greens that did not fit the r7
+        # window — at r7 close their last green is 2 rounds old, so
+        # they must lead the r8 window (pinned by
+        # tests/test_grading_window.py) -----------------------------------
         "unigram_logprob_quality": _unigram_logprob,
         "train_val_test_split": _train_val_test_split,
         "table_profile_orders": _table_profile,
@@ -3316,50 +3356,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _doc_chunks,
         "quota_per_source": _quota_per_source,
         "corpus_top_words": _top_words,
-        # -- R7_QUEUE part 1 (11 keys): the r04-green keys that did not
-        # fit the r6 window — rotate these to the FRONT of the r7
-        # window together with part 2 below (31 queued keys total:
-        # they fill 31 of the r7 window's 50 slots; the r6-graded keys
-        # rotate out) ---------------------------------------------------
-        "sql_min_price_supplier": _sql_entrypoint,
-        "approx_distinct_sketch_rollup": _sketch_rollup,
-        "anti_join_customers_no_orders": _anti_join,
-        "semi_join_urgent_suppliers": _semi_join,
-        "range_join_quantity_bands": _range_join_bands,
-        "rollup_revenue": _rollup_revenue,
-        "grouping_sets_revenue": _grouping_sets,
-        "udtf_ngrams_count": _udtf_ngrams,
-        "cube_revenue": _cube_revenue,
-        "price_quantiles_exact": _price_quantiles,
-        "set_ops_priority_custs": _set_ops,
-        # -- R7_QUEUE part 2 (20 keys, added late r6, never graded):
-        # the late-r6 operator families — iterative (k-means,
-        # PageRank), sketches (CMS batch + streaming), statistics (KS,
-        # chi-square, regression, winsorize, KL, correlation), span
-        # dedup, A-ES sampling, feature hashing, transitions, OHLC,
-        # the versioned-table trio, and the image/audio fingerprint
-        # near-dups ------------------------------------------------------
-        "kmeans_embeddings": _kmeans_embeddings,
-        "pagerank_trade_graph": _pagerank_trade_graph,
-        "cms_heavy_hitters": _cms_heavy_hitters,
-        "bigram_logprob_quality": _bigram_logprob,
-        "ks_drift_events": _ks_drift_events,
-        "duplicate_span_fraction": _duplicate_spans,
-        "regression_value_trend": _regression_value_trend,
-        "streaming_cms_topk": _streaming_cms_topk,
-        "source_token_kl": _source_token_kl,
-        "winsorized_stats_events": _winsorized_stats,
-        "events_ohlc_bars": _events_ohlc_bars,
-        "chi2_type_value_band": _chi2_type_band,
-        "weighted_sample_aes": _weighted_sample_aes,
-        "hashed_feature_vectors": _hashed_features,
-        "event_transition_matrix": _event_transitions,
-        "hourly_corr_click_purchase": _hourly_corr,
-        "versioned_table_history": _versioned_table_history,
-        "image_phash_neardup": _image_phash_neardup,
-        "versioned_pruned_read": _versioned_pruned_read,
-        "audio_fingerprint_neardup": _audio_fp_neardup,
-        "embedding_int8_quantize": _embedding_quantize,
     }
     return {name: _managed(fn) for name, fn in qs.items()}
 

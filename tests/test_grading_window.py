@@ -2,10 +2,10 @@
 
 The driver grades only the FIRST 50 dict entries per round, so order
 is load-bearing (round-2 postmortem: a mid-dict insertion silently
-ejected keys from the window). These tests pin the intended round-6
+ejected keys from the window). These tests pin the intended round-7
 window as a LITERAL list and assert the round-coverage union — every
-declared key either hash-matched in CORRECTNESS_r04/r05, sits inside
-this round's graded window, or is explicitly queued for round 7 — so
+declared key either hash-matched in CORRECTNESS_r05/r06, sits inside
+this round's graded window, or is explicitly queued for round 8 — so
 a driver-side sampling change or an accidental reorder is caught by
 CI instead of inferred from stale comments (ADVICE r3).
 """
@@ -19,72 +19,12 @@ import __spark_entry__ as entry
 
 REPO = Path(__file__).resolve().parent.parent
 
-# The intended round-6 grading window, in order: the 7-key R6_QUEUE from
-# the r5 verdict (2 never-driver-graded r5 additions, then the 5 keys
-# whose last green is CORRECTNESS_r03), the 4 new r6 keys, then the
-# first 39 of the 50 keys whose last green is CORRECTNESS_r04.
-R6_WINDOW = [
-    "zorder_layout_roundtrip",
-    "corpus_shuffle",
-    "gopher_quality_flags",
-    "semantic_dedup_representatives",
-    "bpe_pair_counts",
-    "embedding_label_centroids",
-    "source_mixing_weights",
-    "compaction_roundtrip",
-    "upsert_events_latest",
-    "smoothed_mixture_sample",
-    "streaming_upsert_latest",
-    "pack_training_sequences",
-    "clean_corpus_pipeline",
-    "streaming_session_windows",
-    "streaming_interval_join",
-    "table_profile_orders_approx",
-    "user_retention_cohorts",
-    "blog_a_most_active",
-    "blog_b_counts_per_key",
-    "blog_c_longest_text",
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "q5_regional_revenue",
-    "q6_forecast_revenue",
-    "q14_promo_share",
-    "q17_small_qty_revenue",
-    "q18_large_volume_customers",
-    "q4_late_shipment_priority",
-    "q10_returned_revenue_top",
-    "q16_brand_supplier_counts",
-    "q19_banded_revenue",
-    "q22_idle_rich_customers",
-    "q7_nation_trade",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "customer_value_deciles",
-    "full_outer_balance_bands",
-    "events_value_histogram",
-    "approx_quantiles_gated",
-    "fuzzy_name_match",
-    "customer_priority_profile",
-    "priority_share_by_year",
-    "topk_orders_per_customer",
-    "distinct_parts_per_flag",
-    "events_json_extract",
-    "events_pivot_counts",
-    "events_unpivot_counts",
-]
-
-
-def test_first_50_is_the_intended_r6_window():
-    assert list(entry.queries())[:50] == R6_WINDOW
-
-
-# Deferred keys that MUST lead the r7 window: the r04-green keys that
-# did not fit the r6 window (50-slot budget), then the late-r6
-# additions that have never been driver-graded.
-R7_QUEUE = [
+# The intended round-7 grading window, in order: the 32-key R7_QUEUE
+# from the r6 verdict (11 r04-greens that did not fit the r6 window,
+# then the 21 late-r6 keys never driver-graded), then the 18 oldest
+# r5-greens filling the window to 50.
+R7_WINDOW = [
+    # R7_QUEUE part 1: r04-greens that did not fit the r6 window
     "sql_min_price_supplier",
     "approx_distinct_sketch_rollup",
     "anti_join_customers_no_orders",
@@ -96,6 +36,7 @@ R7_QUEUE = [
     "cube_revenue",
     "price_quantiles_exact",
     "set_ops_priority_custs",
+    # R7_QUEUE part 2: late-r6 keys, never driver-graded
     "kmeans_embeddings",
     "pagerank_trade_graph",
     "cms_heavy_hitters",
@@ -117,24 +58,85 @@ R7_QUEUE = [
     "versioned_pruned_read",
     "audio_fingerprint_neardup",
     "embedding_int8_quantize",
+    # window fill: the 18 oldest r5-greens (green turns 2 rounds old)
+    "importance_sampling",
+    "token_budget_curation",
+    "funnel_conversion",
+    "streaming_stateful_totals_rocksdb",
+    "streaming_full_outer_join",
+    "formats_roundtrip",
+    "skew_salted_agg_events",
+    "skew_salted_join_events",
+    "bucketed_join_priority_revenue",
+    "streaming_dedup_events",
+    "streaming_stateful_totals",
+    "streaming_sliding_windows",
+    "streaming_static_join",
+    "streaming_incremental_rollup",
+    "streaming_left_outer_join",
+    "pack_sequences_greedy",
+    "pii_redaction",
+    "tfidf_top_terms",
+]
+
+
+def test_first_50_is_the_intended_r7_window():
+    assert list(entry.queries())[:50] == R7_WINDOW
+
+
+# Deferred keys that MUST lead the r8 window: the r5-greens that did
+# not fit the r7 window — their last green is 2 rounds old at r7 close.
+R8_QUEUE = [
+    "unigram_logprob_quality",
+    "train_val_test_split",
+    "table_profile_orders",
+    "text_stats",
+    "text_lang_id",
+    "doc_fingerprint",
+    "multimodal_metadata",
+    "multimodal_decode_images",
+    "multimodal_frame_sample",
+    "multimodal_audio_features",
+    "decontaminate_benchmark",
+    "events_windowed_agg",
+    "events_sessionize",
+    "events_rolling_avg",
+    "scd2_user_event_history",
+    "asof_purchase_last_click",
+    "asof_signup_next_purchase",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "streaming_windowed_agg",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_components",
+    "dedup_lines_c4",
+    "doc_repetition",
+    "embedding_neardup",
+    "ann_cosine_topk",
+    "doc_chunks",
+    "quota_per_source",
+    "corpus_top_words",
 ]
 
 
 def test_round_union_covers_every_key():
-    """Every declared key has a green row in CORRECTNESS_r04 or r05, is
-    in this round's graded window, or is explicitly queued for the r7
+    """Every declared key has a green row in CORRECTNESS_r05 or r06, is
+    in this round's graded window, or is explicitly queued for the r8
     window — no key can be SILENTLY stranded ungraded."""
     green = set()
-    for rec in ("CORRECTNESS_r04.json", "CORRECTNESS_r05.json"):
+    for rec in ("CORRECTNESS_r05.json", "CORRECTNESS_r06.json"):
         data = json.loads((REPO / rec).read_text())
         green |= {k for k, v in data.items() if v.get("hash_match") is True}
-    covered = green | set(R6_WINDOW) | set(R7_QUEUE)
+    covered = green | set(R7_WINDOW) | set(R8_QUEUE)
     missing = set(entry.queries()) - covered
     assert not missing, f"keys stranded outside the grading union: {missing}"
-    # the queued keys really are outside the r6 window (tail position)
-    assert not set(R7_QUEUE) & set(list(entry.queries())[:50])
+    # the queued keys really are outside the r7 window (tail position)
+    assert not set(R8_QUEUE) & set(list(entry.queries())[:50])
     # and the queue sits at the very end of the dict, ready to rotate
-    assert list(entry.queries())[-len(R7_QUEUE):] == R7_QUEUE
+    assert list(entry.queries())[-len(R8_QUEUE):] == R8_QUEUE
 
 
 def test_every_key_has_an_oracle():
