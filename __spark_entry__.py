@@ -3151,7 +3151,7 @@ def _embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.alias("v"),
         F.array_min(v).alias("lo"),
         V.int8_scale(v).alias("scale"),
-        V.int8_codes(v).alias("codes"),
+        V.uint8_codes(v).alias("codes"),
     )
     recon = V.int8_dequantize(F.col("codes"), F.col("lo"), F.col("scale"))
     scored = q.select(

@@ -128,6 +128,14 @@ def cms_build(
     One explode (×depth) and one hash aggregate; output is at most
     depth × width rows no matter the input size — the fixed-space
     contract that makes frequency tracking workable at 100 TB.
+
+    The sketch frame CARRIES its (depth, width, seed) as constant
+    columns (ADVICE r6): the hash parameters are part of the sketch's
+    identity, and merge/estimate validate them instead of trusting the
+    caller to re-supply the right ones — a silently mismatched width
+    or seed would still return plausible minima while voiding the
+    "estimate ≥ true" guarantee. Three constant int columns on a
+    ≤ depth×width-row frame are free (RLE'd to nothing in parquet).
     """
     rows = F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("row")
     return (
@@ -138,17 +146,69 @@ def cms_build(
             _cms_bucket(F.col("__item"), F.col("row"), width, seed).alias("bucket"),
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "row",
+            "bucket",
+            "cnt",
+            F.lit(depth).alias("depth"),
+            F.lit(width).alias("width"),
+            F.lit(seed).alias("seed"),
+        )
     )
+
+
+def _cms_params(df: DataFrame) -> Column:
+    return F.struct(F.col("depth"), F.col("width"), F.col("seed"))
 
 
 def cms_merge(*sketches: DataFrame) -> DataFrame:
     """Merge sketches built with the same (depth, width, seed):
     cell-wise addition via union + re-aggregate — never touches raw
-    data, so shards/days/tables combine for free."""
+    data, so shards/days/tables combine for free.
+
+    Parameter safety (ADVICE r6): the per-cell aggregate also folds
+    min/max over each input row's carried (depth, width, seed) and
+    RAISES on any cell fed by two different parameter triples —
+    validation rides the one merge aggregation, no extra pass over
+    the inputs. Mismatched widths always share the low bucket range
+    (both hash into [0, min(width))), so a wrong merge cannot slip
+    through on disjoint cells.
+    """
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+    merged = out.groupBy("row", "bucket").agg(
+        F.sum("cnt").alias("cnt"),
+        F.min(_cms_params(out)).alias("__plo"),
+        F.max(_cms_params(out)).alias("__phi"),
+    )
+    keep = lambda c: F.when(  # noqa: E731
+        F.col("__plo") == F.col("__phi"), F.col(f"__plo.{c}")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "cms_merge: sketches built with different "
+                    "(depth, width, seed) — cell (row="
+                ),
+                F.col("row"),
+                F.lit(", bucket="),
+                F.col("bucket"),
+                F.lit(") mixes "),
+                F.col("__plo").cast("string"),
+                F.lit(" and "),
+                F.col("__phi").cast("string"),
+            )
+        ).cast("int")
+    )
+    return merged.select(
+        "row",
+        "bucket",
+        "cnt",
+        keep("depth").alias("depth"),
+        keep("width").alias("width"),
+        keep("seed").alias("seed"),
+    )
 
 
 def cms_estimate(
@@ -161,7 +221,15 @@ def cms_estimate(
 ) -> DataFrame:
     """Point-frequency estimates for ``items[col]``: min over the
     item's depth cells (an absent cell reads 0). The sketch side is
-    bounded (≤ depth × width rows) and broadcast."""
+    bounded (≤ depth × width rows) and broadcast.
+
+    The probe buckets are hashed with the CALLER's (depth, width,
+    seed) — those must be concrete at plan time — but every joined
+    sketch cell carries the BUILDER's triple, and the plan raises on
+    the first cell whose carried parameters disagree with the
+    caller's (ADVICE r6). A mismatch can no longer return plausible
+    wrong minima; it fails loudly.
+    """
     probes = items.select(F.col(col).alias("item")).distinct()
     probes = probes.select(
         "item",
@@ -172,9 +240,25 @@ def cms_estimate(
         _cms_bucket(F.col("item"), F.col("row"), width, seed).alias("bucket"),
     )
     joined = probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
-    return joined.groupBy("item").agg(
-        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("estimate")
+    params_ok = F.col("depth").isNull() | (
+        (F.col("depth") == F.lit(depth))
+        & (F.col("width") == F.lit(width))
+        & (F.col("seed") == F.lit(seed))
     )
+    checked_cnt = F.when(params_ok, F.coalesce(F.col("cnt"), F.lit(0))).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("cms_estimate: sketch was built with (depth, width, seed)=("),
+                F.col("depth"),
+                F.lit(", "),
+                F.col("width"),
+                F.lit(", "),
+                F.col("seed"),
+                F.lit(f") but the caller passed ({depth}, {width}, {seed})"),
+            )
+        ).cast("bigint")
+    )
+    return joined.groupBy("item").agg(F.min(checked_cnt).alias("estimate"))
 
 
 def cms_error_bound(width: int) -> float:

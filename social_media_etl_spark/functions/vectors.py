@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "as_double", "dot", "norm", "cosine", "dot_fixed", "norm_fixed",
-    "vector_dim", "int8_scale", "int8_codes", "int8_dequantize",
+    "vector_dim", "int8_scale", "uint8_codes", "int8_codes", "int8_dequantize",
 ]
 
 
@@ -67,15 +67,19 @@ def norm_fixed(a: Column | str, dim: int) -> Column:
 def int8_scale(v: Column | str) -> Column:
     """Per-vector scalar-quantization step: (max − min) / 255 — the
     uniform int8 grid every embedding-serving stack uses. Zero for a
-    constant vector (see :func:`int8_codes`)."""
+    constant vector (see :func:`uint8_codes`)."""
     vv = as_double(v)
     return (F.array_max(vv) - F.array_min(vv)) / F.lit(255.0)
 
 
-def int8_codes(v: Column | str) -> Column:
-    """Quantize to int8 codes 0..255: round((x − min) / scale).
-    Constant vectors (scale 0) map to all-zero codes instead of a
-    division by zero. Pure ``transform`` — codegen'd, no Python."""
+def uint8_codes(v: Column | str) -> Column:
+    """Quantize to UNSIGNED 8-bit codes spanning 0..255:
+    round((x − min) / scale). The codes are offset-binary, NOT signed
+    int8 — storing them in a signed byte column would overflow every
+    value > 127 (ADVICE r6), so they are kept as int here and the name
+    says uint8. Constant vectors (scale 0) map to all-zero codes
+    instead of a division by zero. Pure ``transform`` — codegen'd, no
+    Python."""
     vv = as_double(v)
     lo = F.array_min(vv)
     scale = int8_scale(vv)
@@ -84,6 +88,12 @@ def int8_codes(v: Column | str) -> Column:
     ).otherwise(
         F.transform(vv, lambda x: F.round((x - lo) / scale).cast("int"))
     )
+
+
+# Historical alias: the quantization family is named int8_* after the
+# "int8 quantization" term of art, but the code values are unsigned —
+# use :func:`uint8_codes` in new code.
+int8_codes = uint8_codes
 
 
 def int8_dequantize(codes: Column, lo: Column, scale: Column) -> Column:

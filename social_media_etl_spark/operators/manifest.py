@@ -386,13 +386,25 @@ class VersionedTable:
             )
         return v
 
-    def vacuum(self, keep_last: int = 2) -> int:
+    def vacuum(self, keep_last: int = 2, min_age_seconds: float = 3600.0) -> int:
         """Delete data directories referenced by NO retained manifest
         (the newest ``keep_last`` versions are retained, and their
         manifests' file lists are the liveness roots). Returns the
         number of directories removed. Old manifests are kept (they
         are tiny); their time travel simply becomes unreadable, as in
-        any vacuumed table format."""
+        any vacuumed table format.
+
+        ``min_age_seconds`` is the concurrent-writer guard (ADVICE
+        r6): an in-flight append/upsert writes its data directory
+        BEFORE entering the commit loop, so an unreferenced-looking
+        directory younger than the window may belong to a writer about
+        to commit — deleting it would let that writer commit a
+        manifest pointing at vanished files, permanently breaking head
+        reads. Only directories whose modification time is older than
+        the window are deleted (Delta/Iceberg guard their vacuum the
+        same way, with hours-to-days defaults). Pass ``0`` only when
+        no writer can be concurrent (single-process tests, a paused
+        pipeline)."""
         if keep_last < 1:
             raise ValueError(
                 "vacuum: keep_last must be >= 1 — retaining zero "
@@ -409,9 +421,11 @@ class VersionedTable:
         removed = 0
         if not self._fs.exists(droot):
             return 0
+        now_ms = self._jvm.java.lang.System.currentTimeMillis()
         for st in self._fs.listStatus(droot):
             name = st.getPath().getName()
-            if name not in live_dirs:
+            age_s = (now_ms - st.getModificationTime()) / 1000.0
+            if name not in live_dirs and age_s >= min_age_seconds:
                 self._fs.delete(st.getPath(), True)
                 removed += 1
         return removed

@@ -300,9 +300,31 @@ def write_foreach_batch_overwrite(
     OVERWRITES the target — a full-refresh materialized view driven by
     the stream. Micro-batch id + checkpoint give exactly-once: a
     replayed batch overwrites with identical content.
+
+    Correctness contract (ADVICE r6): the target reflects ONE
+    micro-batch, so the view is a FULL refresh only when each trigger
+    sees the entire input — an ``availableNow`` drain of a bounded
+    source in a single batch. If the source splits the run into
+    multiple batches (``maxFilesPerTrigger``, a long-lived trigger),
+    overwriting would silently shrink the "full refresh" to the last
+    batch's rows; the sink detects a SECOND distinct batch id within
+    one run and raises instead. Re-delivery of the SAME batch id
+    (post-crash replay) stays allowed — that is the idempotent path.
+    Split inputs belong on the append/MERGE sinks.
     """
+    seen_batches: set[int] = set()
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if seen_batches and batch_id not in seen_batches:
+            raise RuntimeError(
+                "write_foreach_batch_overwrite: second micro-batch "
+                f"(id={batch_id}, after {sorted(seen_batches)}) — an "
+                "overwrite per batch would leave the target reflecting "
+                "only the LAST batch, not a full refresh. Drain the "
+                "source in one batch (availableNow, no "
+                "maxFilesPerTrigger) or use the append/MERGE sinks."
+            )
+        seen_batches.add(batch_id)
         out = transform(batch_df) if transform else batch_df
         out.write.mode("overwrite").format(fmt).save(target_path)
 
@@ -478,12 +500,13 @@ def write_foreach_batch_cms(
 
 def read_cms_sketch(spark: SparkSession, target_path: str) -> DataFrame:
     """Serve the streamed sketch: merge every batch's cells
-    (cell-wise sum — the CMS merge law)."""
-    return (
-        spark.read.parquet(target_path)
-        .groupBy("row", "bucket")
-        .agg(F.sum("cnt").alias("cnt"))
-    )
+    (cell-wise sum — the CMS merge law). Delegates to ``cms_merge``,
+    which also validates that every batch partial carries the same
+    (depth, width, seed) — a sink reconfigured mid-stream fails the
+    read instead of silently mixing incompatible cells (ADVICE r6)."""
+    from social_media_etl_spark.functions.sketches import cms_merge
+
+    return cms_merge(spark.read.parquet(target_path).drop("__batch_id"))
 
 
 def write_foreach_batch_versioned(

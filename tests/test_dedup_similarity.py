@@ -403,7 +403,7 @@ def test_int8_quantization_roundtrip_error_bound(spark):
     out = df.select(
         "vec_id",
         V.int8_scale(v).alias("scale"),
-        V.int8_codes(v).alias("codes"),
+        V.uint8_codes(v).alias("codes"),
         F.array_min(v).alias("lo"),
         v.alias("v"),
     )

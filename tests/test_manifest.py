@@ -106,11 +106,33 @@ def test_vacuum_drops_only_unreferenced_data(spark, tmp_path):
     t = VersionedTable.create(spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1)]))
     t.upsert(_df(spark, [(1, "b", 2)]), ["k"], ["ts"])   # v1 rewrites
     t.upsert(_df(spark, [(1, "c", 3)]), ["k"], ["ts"])   # v2 rewrites
-    removed = t.vacuum(keep_last=2)
+    removed = t.vacuum(keep_last=2, min_age_seconds=0)
     assert removed == 1  # only v0's rewrite-orphaned dir goes
     # retained versions still read
     assert t.read(2).collect()[0]["v"] == "c"
     assert t.read(1).collect()[0]["v"] == "b"
+
+
+def test_vacuum_retention_window_protects_young_directories(spark, tmp_path):
+    """The concurrent-writer guard (ADVICE r6): an unreferenced data
+    directory younger than ``min_age_seconds`` may belong to an
+    in-flight writer that wrote its files before entering the commit
+    loop — vacuum must leave it alone. With the default window, the
+    seconds-old orphan from a rewrite survives; with the window at 0
+    (no concurrency, as the caller asserts) it is collected."""
+    t = VersionedTable.create(spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1)]))
+    t.upsert(_df(spark, [(1, "b", 2)]), ["k"], ["ts"])
+    t.upsert(_df(spark, [(1, "c", 3)]), ["k"], ["ts"])
+    # simulate the in-flight writer: data written, commit not yet done
+    inflight = t._write_data(_df(spark, [(9, "z", 9)]), 99)
+    assert t.vacuum(keep_last=2) == 0  # default window: everything young
+    # the in-flight writer's files are intact and its commit still lands
+    assert all(
+        t._fs.exists(t._P(f)) for f in inflight
+    ), "vacuum deleted an in-flight writer's files"
+    removed = t.vacuum(keep_last=2, min_age_seconds=0)
+    assert removed == 2  # v0's orphan + the (never-committed) in-flight dir
+    assert t.read().collect()[0]["v"] == "c"
 
 
 def test_create_twice_fails(spark, tmp_path):

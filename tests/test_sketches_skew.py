@@ -159,6 +159,34 @@ def test_cms_merge_equals_direct_build(spark):
     assert a == b
 
 
+def test_cms_rejects_mismatched_parameters(spark):
+    """ADVICE r6: the sketch frame carries its (depth, width, seed);
+    estimating or merging with different parameters must FAIL loudly
+    instead of returning plausible wrong minima."""
+    from social_media_etl_spark.functions import sketches
+
+    df = spark.createDataFrame(
+        [(f"t{i % 20}",) for i in range(200)], "token string"
+    )
+    sk = sketches.cms_build(df, "token", depth=4, width=1024, seed=7)
+    # wrong width at estimate time
+    with pytest.raises(Exception, match="cms_estimate"):
+        sketches.cms_estimate(
+            sk, df.select("token").distinct(), "token",
+            depth=4, width=512, seed=7,
+        ).collect()
+    # wrong seed at estimate time
+    with pytest.raises(Exception, match="cms_estimate"):
+        sketches.cms_estimate(
+            sk, df.select("token").distinct(), "token",
+            depth=4, width=1024, seed=8,
+        ).collect()
+    # merging two sketches built with different widths
+    other = sketches.cms_build(df, "token", depth=4, width=512, seed=7)
+    with pytest.raises(Exception, match="cms_merge"):
+        sketches.cms_merge(sk, other).collect()
+
+
 def test_cms_sketch_size_is_bounded(spark):
     from social_media_etl_spark.functions import sketches
 

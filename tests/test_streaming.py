@@ -311,6 +311,25 @@ def test_foreach_batch_overwrite_idempotent(spark, events_stream_dir, tmp_path):
     assert got == want
 
 
+def test_foreach_batch_overwrite_rejects_split_input(
+    spark, events_stream_dir, tmp_path
+):
+    """ADVICE r6: with the input split across micro-batches
+    (maxFilesPerTrigger=1) an overwrite-per-batch would silently leave
+    the 'full refresh' reflecting only the LAST batch — the sink must
+    detect the second batch id and fail the query instead."""
+    stream = ingest.read_events_stream(
+        spark, events_stream_dir, max_files_per_trigger=1
+    )
+    with pytest.raises(Exception, match="second micro-batch"):
+        ingest.write_foreach_batch_overwrite(
+            stream,
+            str(tmp_path / "mv"),
+            str(tmp_path / "ckpt"),
+            transform=lambda df: df.groupBy("event_type").count(),
+        )
+
+
 def test_incremental_rollup_matches_batch_and_replay_is_idempotent(
     spark, events_stream_dir, tmp_path
 ):
