@@ -45,13 +45,34 @@ def cosine_topk(
     k: int = 5,
     include_self: bool = False,
     dim: int | None = None,
+    max_pairs: int = 10_000_000,
+    force: bool = False,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector.
 
     Deterministic: ranking orders by (rounded cosine desc, neighbor id)
     so ties never flap across runs/engines. Norms precomputed per
     vector; per-pair dot is the codegen'd fixed-dim sum.
+
+    This is the deliberate SMALL-N exact baseline: it materializes the
+    |queries| × |corpus| cross join row-wise. To stop a caller from
+    accidentally pointing it at two 10M-vector tables (VERDICT r6),
+    it refuses when the estimated pair count exceeds ``max_pairs``
+    unless ``force=True`` — the scale paths are
+    :func:`cosine_topk_blocked` (exact, blocked matmul),
+    :func:`ann_lsh_topk` and :func:`ann_ivf_topk` (approximate). Same
+    discipline as ``dedup.connected_components``' 1M-edge fallback.
     """
+    if not force:
+        est_pairs = queries.count() * corpus.count()
+        if est_pairs > max_pairs:
+            raise ValueError(
+                f"cosine_topk: {est_pairs:,} query×corpus pairs exceeds "
+                f"max_pairs={max_pairs:,} — this row-wise cross join is "
+                "the small-N exact baseline. Use cosine_topk_blocked "
+                "(exact) or the LSH/IVF ANN paths at this size, or pass "
+                "force=True if you really mean it."
+            )
     d = dim or vector_dim(corpus, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"),

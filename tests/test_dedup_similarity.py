@@ -154,6 +154,21 @@ def test_embedding_cosine_pairs(vecs):
     assert out[(1, 2)] > 0.99
 
 
+def test_cosine_topk_refuses_large_cross_join(vecs):
+    """VERDICT r6: the exact baseline must not silently run an
+    unbounded all-pairs join — above max_pairs it points the caller at
+    the blocked/LSH/IVF scale paths unless force=True."""
+    with pytest.raises(ValueError, match="cosine_topk_blocked"):
+        similarity.cosine_topk(vecs, vecs, "vec_id", "embedding", max_pairs=3)
+    # force opts back in; tiny input still computes fine
+    assert (
+        similarity.cosine_topk(
+            vecs, vecs, "vec_id", "embedding", k=1, max_pairs=3, force=True
+        ).count()
+        > 0
+    )
+
+
 def test_cosine_topk_exact(vecs):
     out = similarity.cosine_topk(
         vecs, vecs.filter(F.col("vec_id") == 1), "vec_id", "embedding", k=3

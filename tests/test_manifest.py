@@ -148,6 +148,68 @@ def test_append_rejects_schema_drift(spark, tmp_path):
         t.append(drifted)
 
 
+def test_append_rejects_type_drift(spark, tmp_path):
+    t = VersionedTable.create(spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1)]))
+    drifted = spark.createDataFrame(
+        [(2, "b", "not-a-long")], "k long, v string, ts string"
+    )
+    with pytest.raises(ValueError, match="type drift"):
+        t.append(drifted)
+
+
+def test_append_additive_schema_evolution(spark, tmp_path):
+    """VERDICT r6 #3: an append may ADD a nullable column. The head
+    reads the union schema with NULLs for pre-evolution rows; time
+    travel to the pre-evolution version still reads the ORIGINAL
+    narrow schema."""
+    t = VersionedTable.create(spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1)]))
+    wide = spark.createDataFrame(
+        [(2, "b", 2, "extra")], "k long, v string, ts long, note string"
+    )
+    v = t.append(wide)
+    assert v == 1
+    head = t.read()
+    assert [f.name for f in head.schema.fields] == ["k", "v", "ts", "note"]
+    rows = {r["k"]: r["note"] for r in head.collect()}
+    assert rows == {1: None, 2: "extra"}
+    # pre-evolution snapshot: original 3-column schema, original rows
+    v0 = t.read(0)
+    assert [f.name for f in v0.schema.fields] == ["k", "v", "ts"]
+    assert sorted(map(tuple, v0.collect())) == [(1, "a", 1)]
+    # further appends must carry the evolved schema (dropping the new
+    # column is non-additive drift)
+    with pytest.raises(ValueError, match="drops column 'note'"):
+        t.append(_df(spark, [(3, "c", 3)]))
+    # and a matching wide append still works, with NULL in the new col
+    wide2 = spark.createDataFrame(
+        [(3, "c", 3, None)], "k long, v string, ts long, note string"
+    )
+    assert t.append(wide2) == 2
+    assert {r["k"]: r["note"] for r in t.read().collect()} == {
+        1: None, 2: "extra", 3: None,
+    }
+
+
+def test_string_stats_prune_files(spark, tmp_path):
+    """VERDICT r6 #4: manifest stats on a STRING column prune files.
+    Three single-value files (event types a/b/c); a point read on 'b'
+    must open exactly one file and still return every 'b' row."""
+    rows = [(i, chr(ord("a") + i % 3) * 3, i) for i in range(30)]
+    df = spark.createDataFrame(rows, "k long, v string, ts long")
+    clustered = df.repartitionByRange(3, "v").sortWithinPartitions("v")
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), clustered, stats_cols=["v"]
+    )
+    kept, total = t.pruned_file_count("v", lo="bbb", hi="bbb")
+    assert total >= 3 and kept < total
+    got = sorted(r["k"] for r in t.read_where("v", "bbb", "bbb").collect())
+    assert got == sorted(i for i in range(30) if i % 3 == 1)
+    # numeric predicate against string stats: incomparable → keep all,
+    # never drop data
+    kept_all, total_all = t.pruned_file_count("v", lo=1, hi=2)
+    assert kept_all == total_all
+
+
 def test_streaming_versioned_sink_exactly_once_on_replay(
     spark, tmp_path
 ):
