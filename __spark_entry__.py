@@ -3179,6 +3179,165 @@ def _embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _versioned_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution certified end-to-end
+    (operators/manifest.py:_check_schema / _read_files — the
+    Delta/Iceberg add-column rule, VERDICT r6 #3): an events slice
+    becomes v0 with 3 columns, a WIDENED slice (new ``src`` column)
+    appends as v1, and the result is the head aggregated per
+    (event_type, src) where pre-evolution rows must surface src=NULL
+    (bucketed as 'none'). Gated on (a) a NON-additive append — value
+    retyped to string — still raising (evolution must not have
+    weakened drift rejection), (b) time travel to v0 reading the
+    ORIGINAL 3-column schema, and (c) every v0 row surviving
+    byte-identical through the evolution (null-safe certification
+    join). A green row certifies merged-footer reads, per-version
+    schema identity, and the additive/drift boundary in one query."""
+    from social_media_etl_spark.operators.manifest import VersionedTable
+
+    cols = ["event_id", "event_type", "value"]
+    events = load_table(spark, sf_dir, "events")
+    base = events.filter(F.col("event_id") % 4 == 0).select(*cols)
+    widened = events.filter(F.col("event_id") % 4 == 1).select(
+        *cols,
+        F.concat(F.lit("s"), (F.col("user_id") % 3).cast("string")).alias("src"),
+    )
+    d = _tmpdir(prefix="smetl_vevo_")
+    t = VersionedTable.create(spark, f"{d}/t", base)
+    t.append(widened)
+    # gate (a): type drift is still rejected after evolution landed
+    try:
+        t.append(
+            events.limit(5).select(
+                "event_id", "event_type", F.col("value").cast("string").alias("value")
+            )
+        )
+        drift_rejected = False
+    except ValueError:
+        drift_rejected = True
+    # gate (b): the pre-evolution snapshot keeps its own narrow schema
+    v0 = t.read(0)
+    v0_schema_ok = [f.name for f in v0.schema.fields] == cols
+    # gate (c): v0 rows byte-identical through the evolution
+    v0_cert = (
+        _certified_join(base, v0, cols, "evo")
+        .agg(F.count(F.lit(1)).alias("__n_cert"))
+        .crossJoin(F.broadcast(base.agg(F.count(F.lit(1)).alias("__n_base"))))
+        .filter(F.col("__n_cert") == F.col("__n_base"))
+        .select(F.lit(1).alias("__gate"))
+    )
+    return (
+        t.read()
+        .where(F.lit(drift_rejected and v0_schema_ok))
+        .groupBy("event_type", F.coalesce(F.col("src"), F.lit("none")).alias("src"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .crossJoin(F.broadcast(v0_cert))
+        .drop("__gate")
+        .orderBy("event_type", "src")
+    )
+
+
+def _versioned_string_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest data skipping on a STRING column (VERDICT r6 #4): the
+    events slice is committed clustered by event_type with per-file
+    min/max STRINGS recorded from the parquet footers, then a point
+    read on one type opens ONLY the files whose recorded [min, max]
+    covers it. Gated in-plan on the prune actually skipping files
+    (kept < total) — a green row certifies that string bounds prune
+    AND never drop a matching row (result equals the oracle's plain
+    filter). This is the most common 100 TB predicate shape
+    (type/date dimension filters), which numeric-only stats could
+    never serve."""
+    from social_media_etl_spark.operators.manifest import VersionedTable
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    clustered = events.repartitionByRange(
+        8, "event_type", "event_id"
+    ).sortWithinPartitions("event_type")
+    d = _tmpdir(prefix="smetl_vsprune_")
+    t = VersionedTable.create(
+        spark, f"{d}/t", clustered, stats_cols=["event_type"]
+    )
+    kept, total = t.pruned_file_count("event_type", lo="purchase", hi="purchase")
+    return (
+        t.read_where("event_type", "purchase", "purchase")
+        .where(F.lit(kept < total))  # the prune must actually skip
+        .groupBy(
+            F.coalesce(F.floor(F.col("value") / 100), F.lit(-1))
+            .cast("long")
+            .alias("band")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("band")
+    )
+
+
+def _versioned_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vacuum with the concurrent-writer retention guard certified
+    (operators/manifest.py:vacuum, VERDICT r6 #5 + ADVICE r6): three
+    commits (create → upsert rewrite → append), then (a) a vacuum at
+    the DEFAULT retention window must delete nothing — every
+    unreferenced directory is seconds old and could belong to an
+    in-flight writer; (b) a vacuum with the window waived (no
+    concurrency here, by construction) must delete EXACTLY the one
+    rewrite-orphaned v0 directory, verified gone on disk; (c) the
+    retained head must read bit-identically after both vacuums — the
+    returned aggregate IS that read, so the driver's hash check
+    certifies it against the oracle's replay of the merge + append."""
+    from social_media_etl_spark.operators.manifest import VersionedTable
+
+    cols = ["event_id", "user_id", "event_type", "value", "ts"]
+    events = load_table(spark, sf_dir, "events")
+    base = events.filter(F.col("event_id") % 3 == 0).select(*cols)
+    upd = events.filter(F.col("event_id") % 6 == 0).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.col("value") + 500).alias("value"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+    )
+    app = events.filter(F.col("event_id") % 3 == 1).select(*cols)
+    d = _tmpdir(prefix="smetl_vvac_")
+    t = VersionedTable.create(spark, f"{d}/t", base)
+    t.upsert(upd, ["event_id"], ["ts"])
+    t.append(app)
+    data_dirs_before = {
+        st.getPath().getName()
+        for st in t._fs.listStatus(t._P(f"{t.path}/data"))
+    }
+    guarded = t.vacuum(keep_last=2)  # default window: all dirs young
+    removed = t.vacuum(keep_last=2, min_age_seconds=0)
+    data_dirs_after = {
+        st.getPath().getName()
+        for st in t._fs.listStatus(t._P(f"{t.path}/data"))
+    }
+    gone = data_dirs_before - data_dirs_after
+    ok = (
+        guarded == 0  # retention guard held
+        and removed == 1  # exactly v0's rewrite-orphaned dir collected
+        and len(gone) == 1
+        and next(iter(gone)).startswith("b00000000")  # it was v0's
+    )
+    return (
+        t.read()
+        .where(F.lit(ok))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _managed(fn: Callable[[SparkSession, str], DataFrame]):
     """Release the previous query's tracked caches before building the
     next plan — by then the prior action has run, so its intermediates
@@ -3201,14 +3360,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries per round (VERDICT r2). Round-7 window (pinned by
     # tests/test_grading_window.py): the 32-key R7_QUEUE from the r6
     # verdict leads (11 r04-greens that did not fit the r6 window,
-    # then the 21 late-r6 keys never driver-graded), then the 18
-    # oldest r5-greens fill the window to 50 — so the r06 ∪ r07 union
-    # covers all keys declared through r6. The 50 r6-graded keys sit
-    # in the middle (freshest record); the remaining 32 r5-greens form
-    # the R8_QUEUE at the dict tail (their green turns 2 rounds old at
-    # r7 close, so they must lead the r8 window). Keep this paragraph
-    # in sync with tests/test_grading_window.py — window planning is
-    # done from here (r2 postmortem).
+    # then the 21 late-r6 keys never driver-graded), then the 3 new r7
+    # keys (schema evolution, string-stats pruning, guarded vacuum —
+    # the r6 verdict's asks #3-#5), then the 15 oldest r5-greens fill
+    # the window to 50 — so the r06 ∪ r07 union covers all keys
+    # declared through r6. The 50 r6-graded keys sit in the middle
+    # (freshest record); the remaining 35 r5-greens form the R8_QUEUE
+    # at the dict tail (their green turns 2 rounds old at r7 close, so
+    # they must lead the r8 window). Keep this paragraph in sync with
+    # tests/test_grading_window.py — window planning is done from here
+    # (r2 postmortem).
     qs = {
         # -- R7_QUEUE part 1 (11 keys): r04-greens that did not fit r6 --
         "sql_min_price_supplier": _sql_entrypoint,
@@ -3249,7 +3410,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "versioned_pruned_read": _versioned_pruned_read,
         "audio_fingerprint_neardup": _audio_fp_neardup,
         "embedding_int8_quantize": _embedding_quantize,
-        # -- window fill (18 oldest r5-greens): their green is 2 rounds
+        # -- new this round (never graded): the r6 verdict's asks #3-#5 —
+        # additive schema evolution, string-stats pruning, guarded
+        # vacuum ----------------------------------------------------------
+        "versioned_schema_evolution": _versioned_schema_evolution,
+        "versioned_string_pruned_read": _versioned_string_pruned_read,
+        "versioned_vacuum_retention": _versioned_vacuum_retention,
+        # -- window fill (15 oldest r5-greens): their green is 2 rounds
         # old, re-certify now ---------------------------------------------
         "importance_sampling": _importance_sampling,
         "token_budget_curation": _token_budget_curation,
@@ -3266,9 +3433,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_static_join": _streaming_static_join,
         "streaming_incremental_rollup": _streaming_incremental,
         "streaming_left_outer_join": _streaming_left_outer_join,
-        "pack_sequences_greedy": _pack_greedy_single,
-        "pii_redaction": _pii_redaction,
-        "tfidf_top_terms": _tfidf_top_terms,
         # ------- middle: the 50 keys hash-matched in CORRECTNESS_r06 ----
         "zorder_layout_roundtrip": _zorder_layout_roundtrip,
         "corpus_shuffle": _corpus_shuffle,
@@ -3320,10 +3484,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": _events_json,
         "events_pivot_counts": _events_pivot,
         "events_unpivot_counts": _events_unpivot,
-        # -- R8_QUEUE (32 keys): the r5-greens that did not fit the r7
+        # -- R8_QUEUE (35 keys): the r5-greens that did not fit the r7
         # window — at r7 close their last green is 2 rounds old, so
         # they must lead the r8 window (pinned by
         # tests/test_grading_window.py) -----------------------------------
+        "pack_sequences_greedy": _pack_greedy_single,
+        "pii_redaction": _pii_redaction,
+        "tfidf_top_terms": _tfidf_top_terms,
         "unigram_logprob_quality": _unigram_logprob,
         "train_val_test_split": _train_val_test_split,
         "table_profile_orders": _table_profile,
@@ -5529,6 +5696,67 @@ def oracle_sql() -> dict[str, str]:
         FROM events
         WHERE event_id BETWEEN 100 AND 599
         GROUP BY event_type ORDER BY event_type
+    """
+    # head = v0 (3-col slice) ∪ widened append; pre-evolution rows must
+    # surface src=NULL → bucketed 'none'. The in-plan gates (type drift
+    # still rejected, v0 keeps its narrow schema, v0 rows byte-identical)
+    # empty the output if evolution misbehaves.
+    d["versioned_schema_evolution"] = """
+        WITH base AS (
+            SELECT event_id, event_type, value, CAST(NULL AS VARCHAR) AS src
+            FROM events WHERE event_id % 4 = 0
+        ),
+        wide AS (
+            SELECT event_id, event_type, value, 's' || (user_id % 3) AS src
+            FROM events WHERE event_id % 4 = 1
+        )
+        SELECT event_type, coalesce(src, 'none') AS src,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM (SELECT * FROM base UNION ALL SELECT * FROM wide)
+        GROUP BY event_type, coalesce(src, 'none')
+        ORDER BY event_type, src
+    """
+    d["versioned_string_pruned_read"] = """
+        SELECT CAST(coalesce(floor(value / 100), -1) AS BIGINT) AS band,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY band ORDER BY band
+    """
+    # replay of create → latest-wins upsert → append; the vacuum gates
+    # (default-window no-op, exactly one orphan collected, head intact)
+    # are in-plan on the Spark side.
+    d["versioned_vacuum_retention"] = """
+        WITH base AS (
+            SELECT event_id, user_id, event_type, value, ts
+            FROM events WHERE event_id % 3 = 0
+        ),
+        upd AS (
+            SELECT event_id, user_id, event_type,
+                   value + 500 AS value,
+                   ts + INTERVAL 1 HOUR AS ts
+            FROM events WHERE event_id % 6 = 0
+        ),
+        merged AS (
+            SELECT event_id, user_id, event_type, value, ts FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY event_id ORDER BY ts DESC
+                ) AS rn
+                FROM (SELECT * FROM base UNION ALL SELECT * FROM upd)
+            ) WHERE rn = 1
+        ),
+        head AS (
+            SELECT * FROM merged
+            UNION ALL
+            SELECT event_id, user_id, event_type, value, ts
+            FROM events WHERE event_id % 3 = 1
+        )
+        SELECT event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM head GROUP BY event_type ORDER BY event_type
     """
     d["audio_fingerprint_neardup"] = d["image_phash_neardup"]
     d["embedding_int8_quantize"] = """
