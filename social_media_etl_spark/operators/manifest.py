@@ -523,6 +523,59 @@ class VersionedTable:
             )
         return v
 
+    def overwrite(
+        self,
+        df: DataFrame,
+        txn: str | None = None,
+        replace_schema: bool = False,
+    ) -> int:
+        """Transactional truncate-and-load (the reference's K4 on the
+        versioned layer): replace the table contents as ONE atomic
+        snapshot swap — readers see the old version or the new one,
+        never a mix, and time travel to pre-overwrite versions still
+        works. First-committer-wins like :meth:`upsert`: an overwrite
+        races a concurrent commit only if the caller's intent ("replace
+        what I last saw") is stale, so a lost CAS raises for a re-run.
+
+        By default the replacement must carry the table's schema
+        (additive widening allowed, same as append); pass
+        ``replace_schema=True`` to swap in a new schema entirely — the
+        full-rewrite analogue of Delta's ``overwriteSchema``."""
+        parent = self.head_version()
+        if replace_schema:
+            sch = {
+                "schema": df.schema.simpleString(),
+                "schema_json": df.schema.json(),
+                "mixed": False,
+            }
+        else:
+            sch = self._check_schema(df, parent)
+            # a full rewrite lands every logical column in every file
+            sch["mixed"] = False
+        files = self._write_data(df, parent + 1)
+        v = parent + 1
+        base = self._read_manifest(parent)
+        stats_cols = base.get("stats_cols") or []
+        m = {
+            "version": v,
+            "parent": parent,
+            "op": "overwrite",
+            "files": files,
+            "schema": sch["schema"],
+            "schema_json": sch["schema_json"],
+            "mixed": sch["mixed"],
+            "txn": txn,
+            "txns": self._txns_after(base, txn),
+            "stats": self._collect_stats(files, stats_cols) if stats_cols else {},
+            "stats_cols": stats_cols,
+        }
+        if not self._try_commit(m, v):
+            raise ConcurrentWriteError(
+                f"VersionedTable: overwrite raced past stale v{parent}; "
+                f"head is now v{self.head_version()} — re-run"
+            )
+        return v
+
     def vacuum(self, keep_last: int = 2, min_age_seconds: float = 3600.0) -> int:
         """Delete data directories referenced by NO retained manifest
         (the newest ``keep_last`` versions are retained, and their

@@ -102,6 +102,49 @@ def test_readers_never_see_partial_commits(spark, tmp_path):
     assert sorted(r["k"] for r in t.read().collect()) == [1]
 
 
+def test_overwrite_swaps_snapshot_atomically(spark, tmp_path):
+    """K4 on the versioned layer: overwrite replaces the contents as
+    one snapshot; pre-overwrite versions still time-travel."""
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1), (2, "b", 1)])
+    )
+    v = t.overwrite(_df(spark, [(9, "z", 9)]))
+    assert v == 1
+    assert sorted(map(tuple, t.read().collect())) == [(9, "z", 9)]
+    assert sorted(r["k"] for r in t.read(0).collect()) == [1, 2]
+    # schema contract matches append: drift rejected...
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.overwrite(spark.createDataFrame([(1, "x")], "k long, v string"))
+    # ...unless the caller explicitly replaces the schema
+    v2 = t.overwrite(
+        spark.createDataFrame([(5, "new-shape")], "k long, name string"),
+        replace_schema=True,
+    )
+    assert v2 == 2
+    assert [f.name for f in t.read().schema.fields] == ["k", "name"]
+    assert [f.name for f in t.read(1).schema.fields] == ["k", "v", "ts"]
+
+
+def test_overwrite_loses_cas_race_and_raises(spark, tmp_path):
+    t = VersionedTable.create(spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1)]))
+    winner = VersionedTable(spark, t.path)
+
+    # steal the CAS slot between head_version() and _try_commit by
+    # patching _write_data to commit the winner first
+    orig = t._write_data
+
+    def _race(df, hint):
+        files = orig(df, hint)
+        winner.append(_df(spark, [(7, "winner", 7)]))
+        return files
+
+    t._write_data = _race
+    with pytest.raises(ConcurrentWriteError, match="overwrite raced"):
+        t.overwrite(_df(spark, [(2, "loser", 2)]))
+    # the winner's commit is intact
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 7]
+
+
 def test_vacuum_drops_only_unreferenced_data(spark, tmp_path):
     t = VersionedTable.create(spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1)]))
     t.upsert(_df(spark, [(1, "b", 2)]), ["k"], ["ts"])   # v1 rewrites

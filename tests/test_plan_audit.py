@@ -71,6 +71,9 @@ def test_single_partition_exchanges_are_known(spark):
         # one-row time-travel certification gate (cert count vs base
         # count) over the versioned table's v0 snapshot
         "versioned_table_history",
+        # same one-row v0 byte-identity gate over the pre-evolution
+        # snapshot (the head aggregate itself stays distributed)
+        "versioned_schema_evolution",
         # one-row planted-pair recall gate over the phash/audio-fp
         # pipelines
         "image_phash_neardup", "audio_fingerprint_neardup",
