@@ -523,6 +523,49 @@ class VersionedTable:
             )
         return v
 
+    def read_changes(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Incremental read: the rows ADDED between two committed
+        versions (exclusive of ``from_version``, inclusive of
+        ``to_version``; default head) — the Delta/Iceberg
+        incremental-consumption pattern that drives downstream
+        backfills without rescanning the table.
+
+        Resolution is FILE-LEVEL metadata only: along an append-only
+        commit chain the delta is exactly the files present in the
+        newer manifest but not the older one, so at 100 TB this plans
+        a scan of just the new files and never touches existing data.
+        A rewrite commit (upsert/overwrite) in the range makes
+        "added rows" ill-defined at the file level — those manifests'
+        ``op`` says so, and this raises rather than double-counting
+        rewritten rows (consumers of a rewritten range re-read the
+        snapshot instead)."""
+        head = self.head_version()
+        to_v = head if to_version is None else to_version
+        if from_version > to_v:
+            raise ValueError(
+                f"read_changes: from_version {from_version} is newer "
+                f"than to_version {to_v}"
+            )
+        vs = [v for v in self.versions() if from_version < v <= to_v]
+        rewrites = [
+            v for v in vs if self._read_manifest(v).get("op") not in ("append",)
+        ]
+        if rewrites:
+            raise ValueError(
+                "read_changes: version range contains rewrite commits "
+                f"{rewrites} (upsert/overwrite) — added-rows semantics "
+                "are only defined along append-only chains; re-read the "
+                "snapshot instead"
+            )
+        base = self._read_manifest(from_version)
+        target = self._read_manifest(to_v)
+        new_files = sorted(set(target["files"]) - set(base["files"]))
+        if not new_files:
+            return self._read_files(target, target["files"]).limit(0)
+        return self._read_files(target, new_files)
+
     def overwrite(
         self,
         df: DataFrame,

@@ -145,6 +145,33 @@ def test_overwrite_loses_cas_race_and_raises(spark, tmp_path):
     assert sorted(r["k"] for r in t.read().collect()) == [1, 7]
 
 
+def test_read_changes_yields_only_appended_rows(spark, tmp_path):
+    """Incremental consumption: (from, to] yields exactly the appended
+    rows, resolved from file-level manifest diffs (no data rescan)."""
+    t = VersionedTable.create(spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1)]))
+    t.append(_df(spark, [(2, "b", 2), (3, "c", 3)]))
+    t.append(_df(spark, [(4, "d", 4)]))
+    assert sorted(r["k"] for r in t.read_changes(0).collect()) == [2, 3, 4]
+    assert sorted(r["k"] for r in t.read_changes(0, 1).collect()) == [2, 3]
+    assert sorted(r["k"] for r in t.read_changes(1, 2).collect()) == [4]
+    assert t.read_changes(2, 2).count() == 0  # empty range, stable schema
+    with pytest.raises(ValueError, match="newer than"):
+        t.read_changes(2, 1)
+
+
+def test_read_changes_refuses_rewrite_ranges(spark, tmp_path):
+    """A rewrite commit (upsert/overwrite) in the range makes 'added
+    rows' ill-defined at the file level — refuse rather than
+    double-count rewritten rows."""
+    t = VersionedTable.create(spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1)]))
+    t.append(_df(spark, [(2, "b", 2)]))
+    t.upsert(_df(spark, [(1, "A", 9)]), ["k"], ["ts"])
+    with pytest.raises(ValueError, match="rewrite commits"):
+        t.read_changes(0)
+    # a range that stops before the rewrite still works
+    assert sorted(r["k"] for r in t.read_changes(0, 1).collect()) == [2]
+
+
 def test_vacuum_drops_only_unreferenced_data(spark, tmp_path):
     t = VersionedTable.create(spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1)]))
     t.upsert(_df(spark, [(1, "b", 2)]), ["k"], ["ts"])   # v1 rewrites
