@@ -74,6 +74,10 @@ def test_single_partition_exchanges_are_known(spark):
         # same one-row v0 byte-identity gate over the pre-evolution
         # snapshot (the head aggregate itself stays distributed)
         "versioned_schema_evolution",
+        # three one-row count scalars feeding the split-exactness gate
+        # (|Δ01|+|Δ12|=|Δ02|); the incremental read itself is
+        # distributed over the appended files
+        "versioned_incremental_read",
         # one-row planted-pair recall gate over the phash/audio-fp
         # pipelines
         "image_phash_neardup", "audio_fingerprint_neardup",
