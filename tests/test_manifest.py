@@ -145,6 +145,21 @@ def test_overwrite_loses_cas_race_and_raises(spark, tmp_path):
     assert sorted(r["k"] for r in t.read().collect()) == [1, 7]
 
 
+def test_additive_evolution_flows_through_read_changes(spark, tmp_path):
+    """An incremental consumer reading across an additive-evolution
+    append gets the TARGET version's schema: pre-evolution appended
+    files surface NULL for the added column."""
+    t = VersionedTable.create(spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1)]))
+    t.append(_df(spark, [(2, "b", 2)]))
+    wide = spark.createDataFrame(
+        [(3, "c", 3, "x")], "k long, v string, ts long, note string"
+    )
+    t.append(wide)
+    delta = t.read_changes(0)
+    assert [f.name for f in delta.schema.fields] == ["k", "v", "ts", "note"]
+    assert {r["k"]: r["note"] for r in delta.collect()} == {2: None, 3: "x"}
+
+
 def test_read_changes_yields_only_appended_rows(spark, tmp_path):
     """Incremental consumption: (from, to] yields exactly the appended
     rows, resolved from file-level manifest diffs (no data rescan)."""
