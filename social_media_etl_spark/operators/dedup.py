@@ -612,15 +612,33 @@ def embedding_cosine_pairs(
     vec_col: str,
     threshold: float = 0.95,
     dim: int | None = None,
+    max_pairs: int = 10_000_000,
+    force: bool = False,
 ) -> DataFrame:
     """EXACT cosine near-dup pairs (id_a < id_b, cosine ≥ threshold).
 
     All-pairs join — correct baseline and the oracle target; the
     sub-quadratic scale path is hyperplane LSH (similarity.py).
     Norms are precomputed per vector (not per pair), and the per-pair
-    dot is the codegen'd fixed-dim unrolled sum (vectors.dot_fixed)."""
+    dot is the codegen'd fixed-dim unrolled sum (vectors.dot_fixed).
+
+    Refuses above ``max_pairs`` candidate pairs unless ``force=True``
+    (VERDICT r6 discipline, same as similarity.cosine_topk): the scale
+    paths are similarity.cosine_pairs_blocked (exact, blocked matmul)
+    and the SRP-LSH banded join."""
     from social_media_etl_spark.functions.vectors import dot_fixed, norm_fixed, vector_dim
 
+    if not force:
+        n = df.count()
+        if n * (n - 1) // 2 > max_pairs:
+            raise ValueError(
+                f"embedding_cosine_pairs: {n:,} vectors = "
+                f"{n * (n - 1) // 2:,} candidate pairs exceeds "
+                f"max_pairs={max_pairs:,} — this all-pairs join is the "
+                "small-N exact baseline. Use "
+                "similarity.cosine_pairs_blocked (exact) or the LSH "
+                "path at this size, or pass force=True."
+            )
     d = dim or vector_dim(df, vec_col)
     a = df.select(
         F.col(id_col).alias("id_a"),

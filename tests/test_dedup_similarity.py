@@ -154,6 +154,21 @@ def test_embedding_cosine_pairs(vecs):
     assert out[(1, 2)] > 0.99
 
 
+def test_embedding_cosine_pairs_refuses_large_all_pairs(vecs):
+    """Same discipline as cosine_topk: the exact all-pairs baseline
+    points the caller at the blocked/LSH scale paths above max_pairs."""
+    with pytest.raises(ValueError, match="cosine_pairs_blocked"):
+        dedup.embedding_cosine_pairs(
+            vecs, "vec_id", "embedding", 0.5, max_pairs=3
+        )
+    assert (
+        dedup.embedding_cosine_pairs(
+            vecs, "vec_id", "embedding", 0.5, max_pairs=3, force=True
+        ).count()
+        >= 0
+    )
+
+
 def test_cosine_topk_refuses_large_cross_join(vecs):
     """VERDICT r6: the exact baseline must not silently run an
     unbounded all-pairs join — above max_pairs it points the caller at
