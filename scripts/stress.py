@@ -334,6 +334,37 @@ def maintenance_probe(spark, events) -> None:
                 }
             )
         )
+        # manifest-stats data skipping at volume: a range-clustered
+        # commit with string stats, then a one-type point read — the
+        # skip ratio and the pruned-vs-full read wall clock. The prune
+        # decision itself is metadata-only (no footer reads at query
+        # time), so the win must track the file-skip ratio.
+        clustered = base.select(
+            "event_id", "event_type", "value"
+        ).repartitionByRange(16, "event_type", "event_id")
+        vt2 = VersionedTable.create(
+            spark, f"{d}/vtab_stats", clustered, stats_cols=["event_type"]
+        )
+        kept, total = vt2.pruned_file_count(
+            "event_type", lo="purchase", hi="purchase"
+        )
+        t0 = time.time()
+        vt2.read_where("event_type", "purchase", "purchase").count()
+        pruned_s = time.time() - t0
+        t0 = time.time()
+        vt2.read().filter(F.col("event_type") == "purchase").count()
+        full_s = time.time() - t0
+        print(
+            json.dumps(
+                {
+                    "probe": "stats_skipping",
+                    "files_kept": kept,
+                    "files_total": total,
+                    "pruned_read_s": round(pruned_s, 2),
+                    "full_read_s": round(full_s, 2),
+                }
+            )
+        )
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
