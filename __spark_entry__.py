@@ -3392,6 +3392,57 @@ def _versioned_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _versioned_overwrite_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional truncate-and-load certified
+    (operators/manifest.py:overwrite — the reference's K4 semantics on
+    the versioned layer): v0 is an events slice, then a recomputed
+    view (different rows, doubled values) OVERWRITES as v1 in one
+    atomic snapshot swap. Gated in-plan on (a) time travel: v0 must
+    still read byte-identical AFTER being fully replaced (null-safe
+    certification join — the replaced data files are untouched, only
+    the pointer moved), (b) the head being exactly v1, and (c)
+    read_changes over the overwrite REFUSING (rewrites have no
+    added-rows semantics). The returned head aggregate is certified
+    against the oracle's replay of the refresh."""
+    from social_media_etl_spark.operators.manifest import VersionedTable
+
+    cols = ["event_id", "event_type", "value"]
+    events = load_table(spark, sf_dir, "events")
+    base = events.filter(F.col("event_id") % 2 == 0).select(*cols)
+    refreshed = events.filter(F.col("event_id") % 2 == 1).select(
+        "event_id",
+        "event_type",
+        (F.col("value") * 2).alias("value"),
+    )
+    d = _tmpdir(prefix="smetl_vow_")
+    t = VersionedTable.create(spark, f"{d}/t", base)
+    v_head = t.overwrite(refreshed)
+    try:
+        t.read_changes(0)
+        rewrite_refused = False
+    except ValueError:
+        rewrite_refused = True
+    v0_cert = (
+        _certified_join(base, t.read(0), cols, "ow")
+        .agg(F.count(F.lit(1)).alias("__n_cert"))
+        .crossJoin(F.broadcast(base.agg(F.count(F.lit(1)).alias("__n_base"))))
+        .filter(F.col("__n_cert") == F.col("__n_base"))
+        .select(F.lit(1).alias("__gate"))
+    )
+    return (
+        t.read()
+        .where(F.lit(v_head == 1 and rewrite_refused))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .crossJoin(F.broadcast(v0_cert))
+        .drop("__gate")
+        .orderBy("event_type")
+    )
+
+
 def _managed(fn: Callable[[SparkSession, str], DataFrame]):
     """Release the previous query's tracked caches before building the
     next plan — by then the prior action has run, so its intermediates
@@ -3414,15 +3465,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries per round (VERDICT r2). Round-7 window (pinned by
     # tests/test_grading_window.py): the 32-key R7_QUEUE from the r6
     # verdict leads (11 r04-greens that did not fit the r6 window,
-    # then the 21 late-r6 keys never driver-graded), then the 4 new r7
+    # then the 21 late-r6 keys never driver-graded), then the 5 new r7
     # keys (schema evolution, string-stats pruning, guarded vacuum —
-    # the r6 verdict's asks #3-#5 — plus the incremental CDC read),
-    # then the 14 oldest r5-greens fill the window to 50 — so the
-    # r06 ∪ r07 union covers all keys declared through r6. The 50
-    # r6-graded keys sit in the middle (freshest record); the
-    # remaining 36 r5-greens form the R8_QUEUE at the dict tail (their
-    # green turns 2 rounds old at r7 close, so they must lead the r8
-    # window). Keep this paragraph in sync with
+    # the r6 verdict's asks #3-#5 — plus the incremental CDC read and
+    # the transactional overwrite), then the 13 oldest r5-greens fill
+    # the window to 50 — so the r06 ∪ r07 union covers all keys
+    # declared through r6. The 50 r6-graded keys sit in the middle
+    # (freshest record); the remaining 37 r5-greens form the R8_QUEUE
+    # at the dict tail (their green turns 2 rounds old at r7 close, so
+    # they must lead the r8 window). Keep this paragraph in sync with
     # tests/test_grading_window.py — window planning is done from here
     # (r2 postmortem).
     qs = {
@@ -3472,7 +3523,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "versioned_string_pruned_read": _versioned_string_pruned_read,
         "versioned_vacuum_retention": _versioned_vacuum_retention,
         "versioned_incremental_read": _versioned_incremental_read,
-        # -- window fill (14 oldest r5-greens): their green is 2 rounds
+        "versioned_overwrite_refresh": _versioned_overwrite_refresh,
+        # -- window fill (13 oldest r5-greens): their green is 2 rounds
         # old, re-certify now ---------------------------------------------
         "importance_sampling": _importance_sampling,
         "token_budget_curation": _token_budget_curation,
@@ -3487,7 +3539,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stateful_totals": _streaming_stateful_totals,
         "streaming_sliding_windows": _streaming_sliding,
         "streaming_static_join": _streaming_static_join,
-        "streaming_incremental_rollup": _streaming_incremental,
         # ------- middle: the 50 keys hash-matched in CORRECTNESS_r06 ----
         "zorder_layout_roundtrip": _zorder_layout_roundtrip,
         "corpus_shuffle": _corpus_shuffle,
@@ -3539,10 +3590,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": _events_json,
         "events_pivot_counts": _events_pivot,
         "events_unpivot_counts": _events_unpivot,
-        # -- R8_QUEUE (36 keys): the r5-greens that did not fit the r7
+        # -- R8_QUEUE (37 keys): the r5-greens that did not fit the r7
         # window — at r7 close their last green is 2 rounds old, so
         # they must lead the r8 window (pinned by
         # tests/test_grading_window.py) -----------------------------------
+        "streaming_incremental_rollup": _streaming_incremental,
         "streaming_left_outer_join": _streaming_left_outer_join,
         "pack_sequences_greedy": _pack_greedy_single,
         "pii_redaction": _pii_redaction,
@@ -5789,6 +5841,18 @@ def oracle_sql() -> dict[str, str]:
                round(sum(value), 2) AS sum_value
         FROM events
         WHERE event_id % 5 IN (1, 2)
+        GROUP BY event_type ORDER BY event_type
+    """
+    # head after the atomic truncate-and-load = the recomputed view;
+    # v0 byte-identity, head-version, and rewrite-refusal gates in-plan
+    d["versioned_overwrite_refresh"] = """
+        SELECT event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM (
+            SELECT event_id, event_type, value * 2 AS value
+            FROM events WHERE event_id % 2 = 1
+        )
         GROUP BY event_type ORDER BY event_type
     """
     # replay of create → latest-wins upsert → append; the vacuum gates

@@ -21,8 +21,8 @@ REPO = Path(__file__).resolve().parent.parent
 
 # The intended round-7 grading window, in order: the 32-key R7_QUEUE
 # from the r6 verdict (11 r04-greens that did not fit the r6 window,
-# then the 21 late-r6 keys never driver-graded), then the 4 new r7
-# keys, then the 14 oldest r5-greens filling the window to 50.
+# then the 21 late-r6 keys never driver-graded), then the 5 new r7
+# keys, then the 13 oldest r5-greens filling the window to 50.
 R7_WINDOW = [
     # R7_QUEUE part 1: r04-greens that did not fit the r6 window
     "sql_min_price_supplier",
@@ -58,12 +58,14 @@ R7_WINDOW = [
     "versioned_pruned_read",
     "audio_fingerprint_neardup",
     "embedding_int8_quantize",
-    # new r7 keys (never graded): the r6 verdict's asks #3-#5 + CDC read
+    # new r7 keys (never graded): the r6 verdict's asks #3-#5 + CDC
+    # read + transactional overwrite
     "versioned_schema_evolution",
     "versioned_string_pruned_read",
     "versioned_vacuum_retention",
     "versioned_incremental_read",
-    # window fill: the 14 oldest r5-greens (green turns 2 rounds old)
+    "versioned_overwrite_refresh",
+    # window fill: the 13 oldest r5-greens (green turns 2 rounds old)
     "importance_sampling",
     "token_budget_curation",
     "funnel_conversion",
@@ -77,7 +79,6 @@ R7_WINDOW = [
     "streaming_stateful_totals",
     "streaming_sliding_windows",
     "streaming_static_join",
-    "streaming_incremental_rollup",
 ]
 
 
@@ -88,6 +89,7 @@ def test_first_50_is_the_intended_r7_window():
 # Deferred keys that MUST lead the r8 window: the r5-greens that did
 # not fit the r7 window — their last green is 2 rounds old at r7 close.
 R8_QUEUE = [
+    "streaming_incremental_rollup",
     "streaming_left_outer_join",
     "pack_sequences_greedy",
     "pii_redaction",

@@ -71,9 +71,9 @@ def test_single_partition_exchanges_are_known(spark):
         # one-row time-travel certification gate (cert count vs base
         # count) over the versioned table's v0 snapshot
         "versioned_table_history",
-        # same one-row v0 byte-identity gate over the pre-evolution
-        # snapshot (the head aggregate itself stays distributed)
-        "versioned_schema_evolution",
+        # same one-row v0 byte-identity gate over the pre-evolution /
+        # pre-overwrite snapshot (the head aggregate stays distributed)
+        "versioned_schema_evolution", "versioned_overwrite_refresh",
         # three one-row count scalars feeding the split-exactness gate
         # (|Δ01|+|Δ12|=|Δ02|); the incremental read itself is
         # distributed over the appended files
