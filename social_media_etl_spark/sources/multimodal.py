@@ -12,15 +12,17 @@ memory stays bounded by the batch size, never the partition.
 Three backends per kernel:
 
 - ``backend='numpy'`` — a REAL decode path with no codec libraries:
-  pure-numpy/stdlib codecs for PPM (P6), BMP (24-bit BI_RGB), and WAV
-  (PCM16 via the stdlib ``wave`` module). decode → resize → feature
-  pipelines run end-to-end on genuine pixel/sample data.
+  pure-numpy/stdlib codecs for PPM (P6), BMP (24-bit BI_RGB), PNG
+  (stdlib zlib inflate + all five scanline filters — a genuinely
+  COMPRESSED format), and WAV (PCM16 via the stdlib ``wave`` module).
+  decode → resize → feature pipelines run end-to-end on genuine
+  pixel/sample data.
 - ``backend='fake'`` — deterministic pseudo-outputs derived from the
   payload digest (stable across runs/engines); for synthetic corpora
   whose payloads aren't real media.
-- ``backend='real'`` — the PIL/opencv/ffmpeg call site for compressed
-  formats (JPEG/PNG/MP4); raises ``NotImplementedError`` in this
-  container.
+- ``backend='real'`` — the PIL/opencv/ffmpeg call site for the
+  remaining compressed formats (JPEG/MP4); raises
+  ``NotImplementedError`` in this container.
 
 The Spark-side plumbing — schemas, UDF signatures, batch iteration,
 row multiplicity — is identical across backends and tested.
@@ -44,6 +46,8 @@ __all__ = [
     "decode_ppm",
     "encode_bmp",
     "decode_bmp",
+    "encode_png",
+    "decode_png",
     "encode_wav_pcm16",
     "decode_wav_pcm16",
     "decode_image_array",
@@ -264,6 +268,131 @@ def decode_bmp(payload: bytes):
     return img.copy()
 
 
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib as _zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", _zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr) -> bytes:
+    """uint8 (H, W, 3) array → real PNG bytes, stdlib zlib only
+    (filter 0 scanlines, 8-bit truecolor, no interlace). This is a
+    COMPRESSED format produced with zero codec libraries — any PNG
+    reader opens it."""
+    import struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("encode_png expects (H, W, 3) uint8")
+    h, w = a.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    # one filter byte (0 = None) per scanline, then raw RGB
+    raw = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), a.reshape(h, w * 3)], axis=1
+    ).tobytes()
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """PNG → uint8 (H, W, 3) numpy array, stdlib zlib only — a REAL
+    compressed-format decoder with zero codec libraries (closes the
+    'compressed codecs need PIL' boundary for PNG; JPEG stays behind
+    the documented backend='real' call site).
+
+    Supports the common still-image profile: 8-bit depth, color types
+    0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA), non-interlaced, all
+    five scanline filters (None/Sub/Up/Average/Paeth). Gray expands to
+    3 channels; alpha is dropped (decode_image_array's (H, W, 3)
+    contract). Sub-filter rows reconstruct via a vectorized per-stride
+    cumsum; Average/Paeth fall back to the spec's sequential recurrence.
+    """
+    import struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    if not payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (clen,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + clen]
+        pos += 12 + clen
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype_id, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype_id)
+    if depth != 8 or channels is None or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            "decode_png supports 8-bit gray/RGB/gray+alpha/RGBA, "
+            f"non-interlaced (got depth={depth} color_type={ctype_id} "
+            f"interlace={interlace})"
+        )
+    stride = w * channels
+    raw = np.frombuffer(_zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if raw.size != h * (stride + 1):
+        raise ValueError("PNG data size mismatch")
+    raw = raw.reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.int64)
+    bpp = channels
+    for y in range(h):
+        ftype, row = int(raw[y, 0]), raw[y, 1:].astype(np.int64)
+        up = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.int64)
+        if ftype == 0:
+            out[y] = row
+        elif ftype == 1:  # Sub: recon[x] = raw[x] + recon[x-bpp]
+            for k in range(bpp):
+                out[y, k::bpp] = np.cumsum(row[k::bpp]) % 256
+        elif ftype == 2:  # Up
+            out[y] = (row + up) % 256
+        elif ftype == 3:  # Average
+            r = out[y]
+            for x in range(stride):
+                left = r[x - bpp] if x >= bpp else 0
+                r[x] = (row[x] + (left + up[x]) // 2) % 256
+        elif ftype == 4:  # Paeth
+            r = out[y]
+            for x in range(stride):
+                a_ = r[x - bpp] if x >= bpp else 0
+                b_ = up[x]
+                c_ = up[x - bpp] if x >= bpp else 0
+                p = a_ + b_ - c_
+                pa, pb, pc = abs(p - a_), abs(p - b_), abs(p - c_)
+                pred = a_ if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c_)
+                r[x] = (row[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+    img = out.astype(np.uint8).reshape(h, w, channels)
+    if channels == 1:
+        img = np.repeat(img, 3, axis=2)
+    elif channels == 2:
+        img = np.repeat(img[:, :, :1], 3, axis=2)
+    elif channels == 4:
+        img = img[:, :, :3]
+    return img.copy()
+
+
 def encode_wav_pcm16(samples, rate: int = 16_000) -> bytes:
     """float array in [-1, 1] → mono PCM16 WAV bytes (stdlib wave)."""
     import io
@@ -303,14 +432,18 @@ def decode_wav_pcm16(payload: bytes):
 
 
 def decode_image_array(payload: bytes):
-    """Dispatch on magic bytes → uint8 (H, W, 3): PPM (P6) or BMP."""
+    """Dispatch on magic bytes → uint8 (H, W, 3): PPM (P6), BMP, or
+    PNG (a real zlib-compressed format, decoded with stdlib zlib —
+    see :func:`decode_png`)."""
     if payload.startswith(b"P6"):
         return decode_ppm(payload)
     if payload.startswith(b"BM"):
         return decode_bmp(payload)
+    if payload.startswith(b"\x89PNG"):
+        return decode_png(payload)
     raise ValueError(
-        "numpy backend decodes PPM(P6)/BMP only; compressed formats "
-        "(JPEG/PNG) need backend='real' (PIL/opencv)"
+        "numpy backend decodes PPM(P6)/BMP/PNG; JPEG needs "
+        "backend='real' (PIL/opencv)"
     )
 
 
@@ -322,10 +455,12 @@ def decode_images(
 ) -> DataFrame:
     """Decode stage: payload → (width, height, channels, mean_intensity).
 
-    ``backend='numpy'`` REALLY decodes PPM/BMP payloads (pure numpy —
-    see :func:`decode_image_array`) and reports true dimensions and the
-    mean over all pixel values. ``backend='real'`` is the PIL/opencv
-    call site for compressed formats — NotImplementedError here.
+    ``backend='numpy'`` REALLY decodes PPM/BMP/PNG payloads (pure
+    numpy + stdlib zlib — see :func:`decode_image_array`; PNG is a real
+    compressed format) and reports true dimensions and the mean over
+    all pixel values. ``backend='real'`` is the PIL/opencv call site
+    for the remaining compressed formats (JPEG) — NotImplementedError
+    here.
     ``backend='fake'`` derives deterministic pseudo-dimensions from the
     payload digest (synthetic corpora).
     """
@@ -552,8 +687,8 @@ def ahash_images(
     """
     if backend == "real":
         raise NotImplementedError(
-            "compressed-image decode requires PIL/opencv (not in this "
-            "container); use backend='numpy' for PPM/BMP"
+            "JPEG decode requires PIL/opencv (not in this container); "
+            "use backend='numpy' for PPM/BMP/PNG"
         )
     if grid * grid > 64:
         raise ValueError("ahash_images: grid**2 must fit in a 64-bit long")
