@@ -2985,17 +2985,20 @@ def _versioned_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup detection over REAL pixels with zero codec libs:
     every pair of docs (2k, 2k+1) is synthesized as the SAME
-    deterministic pseudo-noise PPM (content id = doc_id//2, so the
-    corpus contains one planted duplicate per pair), each image is
-    perceptually hashed (sources/multimodal.py:ahash_images — decode →
-    8×8 downsample → mean-threshold → 64-bit fingerprint), and the
-    hashes flow through the SAME banded-Hamming join the text SimHash
-    path uses (dedup.simhash_pairs, sig_table form). The output is the
+    deterministic pseudo-noise image, encoded as a real COMPRESSED PNG
+    (sources/multimodal.py:encode_png — stdlib zlib deflate; content
+    id = doc_id//2, so the corpus contains one planted duplicate per
+    pair), each image is decoded back through the stdlib-inflate PNG
+    decoder and perceptually hashed (ahash_images — decode → 8×8
+    downsample → mean-threshold → 64-bit fingerprint), and the hashes
+    flow through the SAME banded-Hamming join the text SimHash path
+    uses (dedup.simhash_pairs, sig_table form). The output is the
     planted pair list, gated in-plan on the pipeline finding EVERY
-    planted pair at Hamming 0 — a green row certifies the decode →
-    hash → band-join chain end-to-end. Pseudo-noise (not gradients)
-    keeps distinct contents' hashes far apart: aHash is deliberately
-    illumination-invariant, so structured gradients would all collide."""
+    planted pair at Hamming 0 — a green row certifies the compressed
+    encode → decode → hash → band-join chain end-to-end. Pseudo-noise
+    (not gradients) keeps distinct contents' hashes far apart: aHash
+    is deliberately illumination-invariant, so structured gradients
+    would all collide."""
     from social_media_etl_spark.sources import multimodal
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
@@ -3004,7 +3007,7 @@ def _image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        from social_media_etl_spark.sources.multimodal import encode_ppm
+        from social_media_etl_spark.sources.multimodal import encode_png
 
         for pdf in batches:
             payloads = []
@@ -3014,7 +3017,7 @@ def _image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 y, x = np.mgrid[0:h, 0:w]
                 gray = ((p * 31 + y * 7 + x * 13) * 40503) % 256
                 img = np.stack([gray, (gray + 85) % 256, (gray + 170) % 256], axis=2)
-                payloads.append(encode_ppm(img.astype(np.uint8)))
+                payloads.append(encode_png(img.astype(np.uint8)))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
     media = docs.mapInPandas(_gen, "media_id long, payload binary")
