@@ -13,15 +13,17 @@ Three backends per kernel:
 
 - ``backend='numpy'`` — a REAL decode path with no codec libraries:
   pure-numpy/stdlib codecs for PPM (P6), BMP (24-bit BI_RGB), PNG
-  (stdlib zlib inflate + all five scanline filters — a genuinely
-  COMPRESSED format), and WAV (PCM16 via the stdlib ``wave`` module).
-  decode → resize → feature pipelines run end-to-end on genuine
-  pixel/sample data.
+  (stdlib zlib inflate + all five scanline filters), baseline JPEG
+  (Annex-K Huffman + vectorized IDCT, 4:4:4/4:2:2/4:2:0, restart
+  markers — ``sources/jpeg.py``), and WAV (PCM16 via the stdlib
+  ``wave`` module). Two genuinely COMPRESSED formats decode with zero
+  codec libraries; decode → resize → feature pipelines run end-to-end
+  on genuine pixel/sample data.
 - ``backend='fake'`` — deterministic pseudo-outputs derived from the
   payload digest (stable across runs/engines); for synthetic corpora
   whose payloads aren't real media.
 - ``backend='real'`` — the PIL/opencv/ffmpeg call site for the
-  remaining compressed formats (JPEG/MP4); raises
+  remaining formats (progressive JPEG, MP4/WebM video); raises
   ``NotImplementedError`` in this container.
 
 The Spark-side plumbing — schemas, UDF signatures, batch iteration,
@@ -432,18 +434,23 @@ def decode_wav_pcm16(payload: bytes):
 
 
 def decode_image_array(payload: bytes):
-    """Dispatch on magic bytes → uint8 (H, W, 3): PPM (P6), BMP, or
-    PNG (a real zlib-compressed format, decoded with stdlib zlib —
-    see :func:`decode_png`)."""
+    """Dispatch on magic bytes → uint8 (H, W, 3): PPM (P6), BMP, PNG
+    (stdlib zlib inflate — :func:`decode_png`), or baseline JPEG
+    (pure-numpy Huffman + IDCT — ``sources/jpeg.py:decode_jpeg``).
+    Both compressed formats decode with zero codec libraries."""
     if payload.startswith(b"P6"):
         return decode_ppm(payload)
     if payload.startswith(b"BM"):
         return decode_bmp(payload)
     if payload.startswith(b"\x89PNG"):
         return decode_png(payload)
+    if payload.startswith(b"\xff\xd8\xff"):
+        from social_media_etl_spark.sources.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise ValueError(
-        "numpy backend decodes PPM(P6)/BMP/PNG; JPEG needs "
-        "backend='real' (PIL/opencv)"
+        "numpy backend decodes PPM(P6)/BMP/PNG/baseline-JPEG; other "
+        "formats need backend='real' (PIL/opencv)"
     )
 
 
@@ -687,8 +694,9 @@ def ahash_images(
     """
     if backend == "real":
         raise NotImplementedError(
-            "JPEG decode requires PIL/opencv (not in this container); "
-            "use backend='numpy' for PPM/BMP/PNG"
+            "progressive-JPEG/video decode requires PIL/opencv (not in "
+            "this container); use backend='numpy' for "
+            "PPM/BMP/PNG/baseline-JPEG"
         )
     if grid * grid > 64:
         raise ValueError("ahash_images: grid**2 must fit in a 64-bit long")

@@ -401,6 +401,84 @@ def test_png_decoder_reads_foreign_encoder_output():
     assert img[0, 0].tolist() == [255, 0, 0]
 
 
+def test_jpeg_roundtrip_within_dct_rounding():
+    """Baseline JPEG with flat quantization tables: the only loss is
+    DCT float rounding — every channel within ±2, including on pure
+    noise (the worst case for DCT energy compaction)."""
+    import numpy as np
+
+    from social_media_etl_spark.sources import jpeg as J
+
+    rng = np.random.RandomState(11)
+    y, x = np.mgrid[0:24, 0:17]
+    grad = np.stack(
+        [(x * 10) % 256, (y * 7) % 256, (x * 3 + y * 5) % 256], axis=2
+    ).astype(np.uint8)
+    noise = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    for img in (grad, noise):
+        payload = J.encode_jpeg_baseline(img)
+        assert payload.startswith(b"\xff\xd8\xff")  # real JPEG magic
+        dec = J.decode_jpeg(payload)
+        assert dec.shape == img.shape
+        assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 2
+
+
+def test_jpeg_restart_markers_and_subsampling():
+    """DRI/RSTn resynchronization (predictor resets, byte alignment)
+    and 4:2:0 chroma subsampling both decode: restart roundtrip stays
+    in the ±2 envelope; subsampled smooth chroma stays within the
+    2×2-box-average loss bound."""
+    import numpy as np
+
+    from social_media_etl_spark.sources import jpeg as J
+
+    y, x = np.mgrid[0:40, 0:33]
+    img = np.stack(
+        [x * 255 / 32, y * 255 / 39, (x + y) * 255 / 71], axis=2
+    ).astype(np.uint8)
+    dec = J.decode_jpeg(J.encode_jpeg_baseline(img, restart_interval=2))
+    assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 2
+    dec420 = J.decode_jpeg(J.encode_jpeg_baseline(img, subsample=True))
+    err = np.abs(dec420.astype(int) - img.astype(int))
+    assert float(err.mean()) < 3.0 and int(err.max()) <= 8
+
+
+def test_jpeg_rejects_progressive():
+    """SOF2 must raise with a precise message, not mis-decode."""
+    import numpy as np
+
+    from social_media_etl_spark.sources import jpeg as J
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    payload = bytearray(J.encode_jpeg_baseline(img))
+    i = payload.index(b"\xff\xc0")
+    payload[i + 1] = 0xC2  # rewrite SOF0 -> SOF2
+    with pytest.raises(ValueError, match="SOF2"):
+        J.decode_jpeg(bytes(payload))
+
+
+def test_jpeg_dispatches_through_decode_image_array(spark):
+    """JPEG payloads flow through the generic media decode stage and
+    the aHash near-dup pipeline like every other format."""
+    import numpy as np
+
+    from social_media_etl_spark.sources import jpeg as J
+    from social_media_etl_spark.sources import multimodal as mm
+
+    y, x = np.mgrid[0:16, 0:16]
+    img = np.stack([x * 15, y * 15, (x + y) * 7], axis=2).astype(np.uint8)
+    payload = J.encode_jpeg_baseline(img)
+    assert np.array_equal(
+        mm.decode_image_array(payload).shape, (16, 16, 3)
+    )
+    df = spark.createDataFrame([(1, bytearray(payload))], "media_id long, payload binary")
+    row = mm.decode_images(df, backend="numpy").collect()[0]
+    assert (row["width"], row["height"], row["channels"]) == (16, 16, 3)
+    # sniffed type is image/jpeg (JVM-side magic compare)
+    typed = mm.attach_media_metadata(df).collect()[0]
+    assert typed["media_type"] == "image/jpeg"
+
+
 def test_wav_pcm16_roundtrip():
     import numpy as np
 
