@@ -50,6 +50,10 @@ __all__ = [
     "decode_bmp",
     "encode_png",
     "decode_png",
+    "encode_gif",
+    "decode_gif",
+    "encode_gif_animated",
+    "decode_gif_frames",
     "encode_wav_pcm16",
     "decode_wav_pcm16",
     "decode_image_array",
@@ -395,6 +399,278 @@ def decode_png(payload: bytes):
     return img.copy()
 
 
+def _gif_frame_payload(arr):
+    """uint8 (H, W, 3) array → (bits, palette_bytes, min_code,
+    sub_blocked_lzw_bytes): the palette-quantize + LZW-compress stage
+    shared by the single-frame and animated encoders. Raises if the
+    frame needs more than 256 palette entries (GIF's hard limit;
+    quantize upstream)."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("encode_gif expects (H, W, 3) uint8")
+    flat = a.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(
+            f"encode_gif: {len(palette)} distinct colors > GIF's 256-"
+            "entry palette; quantize first"
+        )
+    # palette size must be a power of two, minimum 2
+    bits = max(1, int(len(palette) - 1).bit_length())
+    table = np.zeros((1 << bits, 3), dtype=np.uint8)
+    table[: len(palette)] = palette
+    min_code = max(2, bits)
+
+    # -- LZW compress the index stream --------------------------------------
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    codes = []
+    dict_next = end + 1
+    width = min_code + 1
+    table_d = {}
+    codes.append((clear, width))
+    prefix = None
+    for idx in map(int, inverse):
+        if prefix is None:
+            prefix = (idx,)
+            continue
+        cand = prefix + (idx,)
+        if cand in table_d:
+            prefix = cand
+            continue
+        code = table_d[prefix] if len(prefix) > 1 else prefix[0]
+        codes.append((code, width))
+        if dict_next < 4096:
+            table_d[cand] = dict_next
+            dict_next += 1
+            if dict_next - 1 == (1 << width) and width < 12:
+                width += 1
+        else:  # dictionary full: clear and restart
+            codes.append((clear, width))
+            table_d.clear()
+            dict_next = end + 1
+            width = min_code + 1
+        prefix = (idx,)
+    if prefix is not None:
+        codes.append((table_d[prefix] if len(prefix) > 1 else prefix[0], width))
+    codes.append((end, width))
+    # pack LSB-first
+    acc = n = 0
+    out = bytearray()
+    for code, cw in codes:
+        acc |= code << n
+        n += cw
+        while n >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        out.append(acc & 0xFF)
+    # sub-blocks of <=255 bytes
+    blocks = bytearray()
+    for i in range(0, len(out), 255):
+        chunk = out[i : i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks += b"\x00"
+    return bits, table.tobytes(), min_code, bytes(blocks)
+
+
+def encode_gif(arr) -> bytes:
+    """uint8 (H, W, 3) array (≤256 distinct colors) → single-frame
+    GIF89a with REAL LZW compression — the third compressed format
+    produced with zero codec libraries."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    bits, table, min_code, blocks = _gif_frame_payload(a)
+    h, w = a.shape[:2]
+    lsd_flags = 0x80 | ((bits - 1) & 0x07)  # GCT present, size 2^bits
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, lsd_flags, 0, 0)
+        + table
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + bytes([min_code])
+        + blocks
+        + b"\x3b"
+    )
+
+
+def encode_gif_animated(frames, delay_cs: int = 4, loop: int = 0) -> bytes:
+    """List of same-shape uint8 (H, W, 3) arrays → animated GIF89a:
+    NETSCAPE 2.0 loop extension, a graphic-control block per frame
+    (delay in centiseconds), and per-frame LOCAL color tables so each
+    frame palette-quantizes independently — the compressed VIDEO
+    container for the numpy backend (``sample_video_frames`` demuxes
+    it), replacing the uncompressed concatenated-PPM stream."""
+    import struct
+
+    import numpy as np
+
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not frames:
+        raise ValueError("encode_gif_animated needs at least one frame")
+    h, w = frames[0].shape[:2]
+    if any(f.shape != frames[0].shape for f in frames):
+        raise ValueError("encode_gif_animated frames must share one shape")
+    out = bytearray(b"GIF89a" + struct.pack("<HHBBB", w, h, 0, 0, 0))
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01" + struct.pack("<H", loop) + b"\x00"
+    for f in frames:
+        bits, table, min_code, blocks = _gif_frame_payload(f)
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack(
+            "<HHHHB", 0, 0, w, h, 0x80 | ((bits - 1) & 0x07)
+        )
+        out += table + bytes([min_code]) + blocks
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif(payload: bytes):
+    """GIF87a/89a → uint8 (H, W, 3) numpy array (first frame).
+
+    Animation frames after the first are ignored — this is the
+    still-image decode stage; frame SAMPLING belongs to
+    sample_video_frames (via decode_gif_frames)."""
+    return decode_gif_frames(payload, max_frames=1)[0]
+
+
+def decode_gif_frames(payload: bytes, max_frames: int | None = None):
+    """GIF87a/89a → list of composited uint8 (H, W, 3) frames.
+
+    Full LZW decode (variable code width, clear/end codes, 12-bit
+    dictionary), global and local color tables, interlaced frames
+    (four-pass row shuffle), animation compositing: each frame rect is
+    painted onto the running canvas, graphic-control transparency
+    leaves prior canvas pixels through, and disposal method 2 restores
+    the frame rect to background (black) after the frame is emitted.
+    Disposal 3 (restore-to-previous) is treated as 2 — rare in the
+    wild and not produced by encode_gif_animated."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload, dtype=np.uint8, count=3 * n, offset=pos).reshape(n, 3)
+        pos += 3 * n
+    frames_out = []
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    transparent = None
+    disposal = 0
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            label = payload[pos]
+            if label == 0xF9:  # graphic control: flags, delay, transp idx
+                gflags = payload[pos + 2]
+                disposal = (gflags >> 2) & 0x07
+                transparent = payload[pos + 5] if gflags & 0x01 else None
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"decode_gif: unexpected block 0x{block:02x}")
+        left, top, fw, fh, iflags = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        ct = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            ct = np.frombuffer(
+                payload, dtype=np.uint8, count=3 * n, offset=pos
+            ).reshape(n, 3)
+            pos += 3 * n
+        if ct is None:
+            raise ValueError("decode_gif: frame has no color table")
+        min_code = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos]:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+
+        # -- LZW decode ------------------------------------------------------
+        clear, end = 1 << min_code, (1 << min_code) + 1
+        width = min_code + 1
+        dictionary = [(i,) for i in range(clear)] + [(), ()]
+        acc = n = bit = 0
+        indices = []
+        prev = None
+        for byte in data:
+            acc |= byte << n
+            n += 8
+            while n >= width:
+                code = acc & ((1 << width) - 1)
+                acc >>= width
+                n -= width
+                if code == clear:
+                    dictionary = [(i,) for i in range(clear)] + [(), ()]
+                    width = min_code + 1
+                    prev = None
+                    continue
+                if code == end:
+                    prev = "done"
+                    break
+                if prev == "done":
+                    continue
+                if prev is None:
+                    entry = dictionary[code]
+                else:
+                    if code < len(dictionary):
+                        entry = dictionary[code]
+                        dictionary.append(prev + (entry[0],))
+                    else:  # the KwKwK case
+                        entry = prev + (prev[0],)
+                        dictionary.append(entry)
+                    if len(dictionary) == (1 << width) and width < 12:
+                        width += 1
+                indices.extend(entry)
+                prev = entry
+            if prev == "done":
+                break
+        idx = np.array(indices[: fw * fh], dtype=np.int32).reshape(fh, fw)
+        if iflags & 0x40:  # interlaced: four-pass row order
+            order = (
+                list(range(0, fh, 8))
+                + list(range(4, fh, 8))
+                + list(range(2, fh, 4))
+                + list(range(1, fh, 2))
+            )
+            deinter = np.zeros_like(idx)
+            deinter[order] = idx
+            idx = deinter
+        rect = canvas[top : top + fh, left : left + fw]
+        if transparent is not None:
+            opaque = idx != transparent
+            rect[opaque] = ct[idx[opaque]]
+        else:
+            rect[:] = ct[idx]
+        frames_out.append(canvas.copy())
+        if max_frames is not None and len(frames_out) >= max_frames:
+            return frames_out
+        if disposal in (2, 3):  # restore rect to background after emit
+            canvas[top : top + fh, left : left + fw] = 0
+        transparent, disposal = None, 0
+    if not frames_out:
+        raise ValueError("decode_gif: no image descriptor found")
+    return frames_out
+
+
 def encode_wav_pcm16(samples, rate: int = 16_000) -> bytes:
     """float array in [-1, 1] → mono PCM16 WAV bytes (stdlib wave)."""
     import io
@@ -448,9 +724,11 @@ def decode_image_array(payload: bytes):
         from social_media_etl_spark.sources.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload.startswith(b"GIF8"):
+        return decode_gif(payload)
     raise ValueError(
-        "numpy backend decodes PPM(P6)/BMP/PNG/baseline-JPEG; other "
-        "formats need backend='real' (PIL/opencv)"
+        "numpy backend decodes PPM(P6)/BMP/PNG/baseline-JPEG/GIF; "
+        "other formats need backend='real' (PIL/opencv)"
     )
 
 
@@ -565,12 +843,14 @@ def sample_video_frames(
     (1:N multiplicity through mapInPandas — the streaming-friendly
     explode).
 
-    ``backend='numpy'`` REALLY demuxes a concatenated-P6 PPM stream
-    (``encode_ppm_stream``), samples every ``every_n``-th frame, and
-    emits per-frame stats (digest of the canonical frame bytes + mean
-    pixel intensity); ``backend='fake'`` synthesizes a deterministic
-    frame count from the payload; ``backend='real'`` is the ffmpeg
-    call site for compressed containers (MP4/WebM)."""
+    ``backend='numpy'`` REALLY demuxes the container — animated GIF
+    (``decode_gif_frames``: LZW decode + animation compositing,
+    dispatched on the GIF8 magic) or a concatenated-P6 PPM stream
+    (``encode_ppm_stream``) — samples every ``every_n``-th frame, and
+    emits per-frame stats (digest of the canonical PPM frame bytes +
+    mean pixel intensity); ``backend='fake'`` synthesizes a
+    deterministic frame count from the payload; ``backend='real'`` is
+    the ffmpeg call site for compressed containers (MP4/WebM)."""
     if backend == "real":
         raise NotImplementedError(
             "compressed-container frame sampling requires ffmpeg; "
@@ -587,7 +867,10 @@ def sample_video_frames(
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload)
                 if backend == "numpy":
-                    frames = decode_ppm_stream(b)
+                    if b.startswith(b"GIF8"):
+                        frames = decode_gif_frames(b)
+                    else:
+                        frames = decode_ppm_stream(b)
                     for k, frame_i in enumerate(
                         range(0, len(frames), every_n)
                     ):

@@ -785,3 +785,145 @@ def test_audio_fingerprint_tones_set_expected_bands(spark):
     # gives the first 257%64=1 band 5 bins, the rest 4): bins 0-4 band 0,
     # then 4 per band → bin 128 ∈ band 1 + (128-5)//4 = band 31
     assert got[1] & (1 << 31)
+
+
+def test_gif_roundtrip_is_exact_with_lzw():
+    """Single-frame GIF89a with real LZW: palette images roundtrip
+    bit-exactly, including the 12-bit dictionary-clear path on images
+    large enough to exhaust the 4096-code table."""
+    import numpy as np
+
+    from social_media_etl_spark.sources import multimodal as mm
+
+    rng = np.random.RandomState(7)
+    img = np.repeat(
+        rng.randint(0, 6, size=(23, 17, 1)).astype(np.uint8) * 40, 3, axis=2
+    )
+    payload = mm.encode_gif(img)
+    assert payload.startswith(b"GIF89a")  # real GIF magic
+    assert np.array_equal(mm.decode_gif(payload), img)
+    # magic-byte dispatch routes GIF through decode_image_array
+    assert np.array_equal(mm.decode_image_array(payload), img)
+    # a 200x300 random-palette frame exhausts the LZW dictionary and
+    # exercises the clear-and-restart branch on both sides
+    big = np.repeat(
+        rng.randint(0, 250, size=(200, 300, 1)).astype(np.uint8), 3, axis=2
+    )
+    assert np.array_equal(mm.decode_gif(mm.encode_gif(big)), big)
+    # GIF's hard 256-color limit is a loud error, not silent quantization
+    noisy = rng.randint(0, 256, size=(40, 40, 3)).astype(np.uint8)
+    try:
+        mm.encode_gif(noisy)
+        raise AssertionError("expected ValueError on >256 colors")
+    except ValueError:
+        pass
+
+
+def test_gif_decoder_reads_foreign_encoder_output():
+    """The canonical 1×1 transparent-spacer GIF (a real-world foreign
+    payload with a graphic-control extension block) must decode to its
+    known black pixel — external validation, not a self-roundtrip."""
+    import base64
+
+    from social_media_etl_spark.sources import multimodal as mm
+
+    b64 = "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+    img = mm.decode_gif(base64.b64decode(b64))
+    assert img.shape == (1, 1, 3)
+    assert img[0, 0].tolist() == [0, 0, 0]
+
+
+def test_gif_decoder_deinterlaces_four_pass_frames():
+    """Interlaced GIFs store rows in 8/8/4/2-stride pass order; the
+    decoder must unshuffle them. Constructed by encoding the pass-
+    ordered rows and setting the interlace flag in the descriptor."""
+    import numpy as np
+
+    from social_media_etl_spark.sources import multimodal as mm
+
+    rng = np.random.RandomState(13)
+    h, w = 19, 11
+    img = np.repeat(
+        rng.randint(0, 8, size=(h, w, 1)).astype(np.uint8) * 30, 3, axis=2
+    )
+    order = (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+    payload = bytearray(mm.encode_gif(img[order]))
+    # image descriptor: header(6) + LSD(7) + GCT(3*2^bits) + 0x2c + 8
+    gct_size = 2 << (payload[10] & 0x07)
+    iflags_at = 13 + 3 * gct_size + 9
+    assert payload[iflags_at - 9] == 0x2C
+    payload[iflags_at] |= 0x40
+    assert np.array_equal(mm.decode_gif(bytes(payload)), img)
+
+
+def test_gif_animated_roundtrip_and_frame_sampling(spark):
+    """encode_gif_animated → decode_gif_frames roundtrips bit-exactly
+    (per-frame local palettes, NETSCAPE loop block), and
+    sample_video_frames(backend='numpy') demuxes the COMPRESSED
+    container by magic-byte dispatch with the same every_n/max_frames
+    semantics and canonical-PPM digests as the raw stream path."""
+    import hashlib
+
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    frames = [
+        np.repeat(
+            rng.randint(0, 7, size=(6, 5, 1)).astype(np.uint8) * (15 + 9 * i),
+            3,
+            axis=2,
+        )
+        for i in range(7)
+    ]
+    payload = multimodal.encode_gif_animated(frames, delay_cs=6)
+    assert payload.startswith(b"GIF89a")
+    back = multimodal.decode_gif_frames(payload)
+    assert len(back) == 7 and all(
+        np.array_equal(a, b) for a, b in zip(frames, back)
+    )
+    assert len(payload) < sum(f.nbytes for f in frames)  # really compressed
+
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    out = multimodal.sample_video_frames(
+        df, every_n=3, max_frames=2, backend="numpy"
+    ).collect()
+    assert [r["frame_idx"] for r in out] == [0, 3]
+    for r in out:
+        fr = frames[r["frame_idx"]]
+        assert r["frame_digest"] == hashlib.sha256(
+            multimodal.encode_ppm(fr)
+        ).hexdigest()
+        assert r["mean_intensity"] == round(float(fr.mean()), 2)
+
+
+def test_gif_animation_compositing_semantics():
+    """Partial-rect frames composite onto the running canvas and
+    graphic-control transparency leaves prior pixels through — the
+    real-world animated-GIF delta encoding."""
+    import struct
+
+    import numpy as np
+
+    f1 = np.full((8, 8, 3), 200, dtype=np.uint8)
+    base = multimodal.encode_gif_animated([f1])
+    # hand-append a 4x4 frame at offset (2,2): solid 50 with palette
+    # index 1 marked transparent via the graphic-control extension
+    patch = np.full((4, 4, 3), 50, dtype=np.uint8)
+    patch[0, 0] = [99, 99, 99]  # second palette entry -> index sorts after 50
+    bits, table, min_code, blocks = multimodal._gif_frame_payload(patch)
+    gce = b"\x21\xf9\x04\x01\x00\x00\x01\x00"  # transparency on, idx 1
+    desc = b"\x2c" + struct.pack("<HHHHB", 2, 2, 4, 4, 0x80 | ((bits - 1) & 7))
+    payload = base[:-1] + gce + desc + table + bytes([min_code]) + blocks + b"\x3b"
+    out = multimodal.decode_gif_frames(payload)
+    assert len(out) == 2
+    assert np.array_equal(out[0], f1)
+    assert (out[1][3:6, 3:6] == 50).all()  # painted rect
+    assert (out[1][2, 2] == 200).all()  # transparent pixel kept canvas
+    assert (out[1][0, 0] == 200).all()  # outside rect untouched
