@@ -2192,14 +2192,16 @@ def _streaming_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """END-TO-END video pipeline on a REAL container with zero codec
-    libs: synthesize a concatenated-P6 PPM stream per document (the
-    format ``ffmpeg -f image2pipe -c:v ppm`` emits) with 1 + doc_id%12
-    solid-color 4×3 frames, then demux + sample every 2nd frame (≤4)
-    through sample_video_frames(backend='numpy') and report true
-    per-frame mean intensity. The oracle reproduces frame indices and
-    means analytically, so the hash check certifies the actual
-    demux→decode path and the 1:N mapInPandas multiplicity."""
+    """END-TO-END video pipeline on a REAL COMPRESSED container with
+    zero codec libs: synthesize an animated GIF89a per document
+    (``encode_gif_animated``: real LZW, per-frame local palettes,
+    graphic-control blocks) with 1 + doc_id%12 solid-color 4×3 frames,
+    then demux + sample every 2nd frame (≤4) through
+    sample_video_frames(backend='numpy') and report true per-frame
+    mean intensity. The oracle reproduces frame indices and means
+    analytically, so the hash check certifies the actual LZW
+    decode→composite→sample path and the 1:N mapInPandas
+    multiplicity."""
     from social_media_etl_spark.sources import multimodal
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
@@ -2208,7 +2210,9 @@ def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        from social_media_etl_spark.sources.multimodal import encode_ppm_stream
+        from social_media_etl_spark.sources.multimodal import (
+            encode_gif_animated,
+        )
 
         for pdf in batches:
             payloads = []
@@ -2228,7 +2232,7 @@ def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                     for f in range(1 + d % 12)
                 ]
-                payloads.append(encode_ppm_stream(frames))
+                payloads.append(encode_gif_animated(frames))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
     media = docs.mapInPandas(_gen, "media_id long, payload binary")

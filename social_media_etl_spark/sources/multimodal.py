@@ -15,15 +15,17 @@ Three backends per kernel:
   pure-numpy/stdlib codecs for PPM (P6), BMP (24-bit BI_RGB), PNG
   (stdlib zlib inflate + all five scanline filters), baseline JPEG
   (Annex-K Huffman + vectorized IDCT, 4:4:4/4:2:2/4:2:0, restart
-  markers — ``sources/jpeg.py``), and WAV (PCM16 via the stdlib
-  ``wave`` module). Two genuinely COMPRESSED formats decode with zero
-  codec libraries; decode → resize → feature pipelines run end-to-end
-  on genuine pixel/sample data.
+  markers — ``sources/jpeg.py``), GIF (variable-width LZW, local/
+  global palettes, interlace, animated multi-frame compositing — the
+  compressed VIDEO container for frame sampling), and WAV (PCM16 via
+  the stdlib ``wave`` module). Three genuinely COMPRESSED formats
+  decode with zero codec libraries; decode → resize → feature
+  pipelines run end-to-end on genuine pixel/sample data.
 - ``backend='fake'`` — deterministic pseudo-outputs derived from the
   payload digest (stable across runs/engines); for synthetic corpora
   whose payloads aren't real media.
 - ``backend='real'`` — the PIL/opencv/ffmpeg call site for the
-  remaining formats (progressive JPEG, MP4/WebM video); raises
+  remaining formats (progressive JPEG, MP4/WebM); raises
   ``NotImplementedError`` in this container.
 
 The Spark-side plumbing — schemas, UDF signatures, batch iteration,
