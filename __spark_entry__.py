@@ -3084,16 +3084,19 @@ def _versioned_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio near-dup over REAL PCM with zero audio libs: every doc
-    pair (2k, 2k+1) synthesizes the SAME deterministic 3-tone WAV
-    (content id = doc_id//2; tone bins injective in the content id up
-    to 250), each clip is fingerprinted spectrally
-    (sources/multimodal.py:audio_fingerprint — decode → rfft → 64 log
-    band energies → mean threshold → 64-bit signature), and the
+    """Audio near-dup over REAL COMPRESSED audio with zero audio
+    libs: every doc pair (2k, 2k+1) synthesizes the SAME deterministic
+    3-tone clip (content id = doc_id//2; tone bins injective in the
+    content id up to 250) encoded as IMA-ADPCM WAV
+    (``encode_wav_adpcm``: 4-bit differential quantization, ~4:1),
+    each clip is fingerprinted spectrally
+    (sources/multimodal.py:audio_fingerprint — ADPCM decode → rfft →
+    64 log band energies → mean threshold → 64-bit signature), and the
     signatures flow through the SAME banded-Hamming join as text
     SimHash and image aHash. Output = the planted pair list, gated
     in-plan on every planted pair found at Hamming 0 — the third
-    modality certified through one shared Hamming machinery."""
+    modality certified, through its compressed codec, on one shared
+    Hamming machinery."""
     from social_media_etl_spark.sources import multimodal
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
@@ -3102,7 +3105,7 @@ def _audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        from social_media_etl_spark.sources.multimodal import encode_wav_pcm16
+        from social_media_etl_spark.sources.multimodal import encode_wav_adpcm
 
         for pdf in batches:
             payloads = []
@@ -3113,7 +3116,7 @@ def _audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for j in range(3):
                     tone = 4 + (p * 7 + j * 61) % 250
                     x += 0.3 * np.sin(2 * np.pi * tone * t / 512.0)
-                payloads.append(encode_wav_pcm16(x / 3.0))
+                payloads.append(encode_wav_adpcm(x / 3.0))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
     media = docs.mapInPandas(_gen, "media_id long, payload binary")

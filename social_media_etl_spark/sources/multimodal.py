@@ -17,8 +17,10 @@ Three backends per kernel:
   (Annex-K Huffman + vectorized IDCT, 4:4:4/4:2:2/4:2:0, restart
   markers — ``sources/jpeg.py``), GIF (variable-width LZW, local/
   global palettes, interlace, animated multi-frame compositing — the
-  compressed VIDEO container for frame sampling), and WAV (PCM16 via
-  the stdlib ``wave`` module). Three genuinely COMPRESSED formats
+  compressed VIDEO container for frame sampling), and WAV — PCM16
+  (stdlib ``wave``) plus compressed IMA ADPCM (format tag 0x11, 4-bit
+  differential quantization). Four genuinely COMPRESSED formats — one
+  per modality family (PNG/JPEG images, GIF video, ADPCM audio) —
   decode with zero codec libraries; decode → resize → feature
   pipelines run end-to-end on genuine pixel/sample data.
 - ``backend='fake'`` — deterministic pseudo-outputs derived from the
@@ -58,6 +60,8 @@ __all__ = [
     "decode_gif_frames",
     "encode_wav_pcm16",
     "decode_wav_pcm16",
+    "encode_wav_adpcm",
+    "decode_wav",
     "decode_image_array",
     "decode_images",
     "resize_images",
@@ -711,6 +715,154 @@ def decode_wav_pcm16(payload: bytes):
     return x, rate
 
 
+# IMA/DVI ADPCM quantizer tables (public spec: IMA "Recommended
+# Practices for Enhancing Digital Audio Compatibility", rev 3.00)
+_IMA_INDEX_TAB = (-1, -1, -1, -1, 2, 4, 6, 8)
+_IMA_STEP_TAB = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544,
+    598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707,
+    1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871,
+    5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635,
+    13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+
+
+def _ima_step(sample: int, pred: int, index: int):
+    """One IMA ADPCM quantizer step → (nibble, new_pred, new_index)."""
+    step = _IMA_STEP_TAB[index]
+    diff = sample - pred
+    nib = 0
+    if diff < 0:
+        nib = 8
+        diff = -diff
+    if diff >= step:
+        nib |= 4
+        diff -= step
+    if diff >= step >> 1:
+        nib |= 2
+        diff -= step >> 1
+    if diff >= step >> 2:
+        nib |= 1
+    # decoder-mirrored reconstruction keeps predictor drift at zero
+    dq = step >> 3
+    if nib & 4:
+        dq += step
+    if nib & 2:
+        dq += step >> 1
+    if nib & 1:
+        dq += step >> 2
+    pred = pred - dq if nib & 8 else pred + dq
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_INDEX_TAB[nib & 7]))
+    return nib, pred, index
+
+
+def encode_wav_adpcm(samples, rate: int = 16_000, block_align: int = 256) -> bytes:
+    """float array in [-1, 1] → mono IMA-ADPCM WAV bytes (format tag
+    0x11): REAL 4:1 lossy audio compression with zero codec libraries
+    — the compressed-audio twin of the PNG/JPEG/GIF image codecs.
+    Standard block layout (4-byte header carrying the block's seed
+    predictor + step index, then two samples per byte) and a ``fact``
+    chunk with the true sample count so trailing block padding is
+    trimmed on decode."""
+    import struct
+
+    import numpy as np
+
+    pcm = (np.clip(np.asarray(samples, dtype=np.float64), -1, 1) * 32767).astype(
+        np.int64
+    )
+    n_true = len(pcm)
+    if n_true == 0:
+        raise ValueError("encode_wav_adpcm: empty signal")
+    spb = (block_align - 4) * 2 + 1  # samples per block
+    n_blocks = max(1, -(-n_true // spb))
+    pad = n_blocks * spb - n_true
+    pcm = np.concatenate([pcm, np.repeat(pcm[-1], pad)])
+    index = 0
+    data = bytearray()
+    for b in range(n_blocks):
+        block = pcm[b * spb : (b + 1) * spb]
+        pred = int(block[0])
+        data += struct.pack("<hBB", pred, index, 0)
+        nibbles = []
+        for s in map(int, block[1:]):
+            nib, pred, index = _ima_step(s, pred, index)
+            nibbles.append(nib)
+        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
+            data.append(lo | (hi << 4))
+    byte_rate = (rate * block_align + spb - 1) // spb
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, rate, byte_rate, block_align, 4, 2, spb
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + 4 + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n_true)
+        + b"data" + struct.pack("<I", len(data)) + bytes(data)
+    )
+
+
+def decode_wav(payload: bytes):
+    """WAV → (float64 mono samples in [-1, 1], rate), dispatching on
+    the fmt tag: PCM16 (stdlib ``wave``) or IMA ADPCM (format 0x11,
+    pure-numpy RIFF walk + quantizer reconstruction). The single audio
+    decode entry point for the numpy backend."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, fmt, fact_n, data = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid, ln = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + ln]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"fact":
+            fact_n = struct.unpack_from("<I", body, 0)[0]
+        elif cid == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)
+    if fmt is None or data is None:
+        raise ValueError("decode_wav: missing fmt/data chunk")
+    tag, n_ch, rate = struct.unpack_from("<HHI", fmt, 0)
+    if tag == 1:  # PCM: the stdlib path handles widths/stereo
+        return decode_wav_pcm16(payload)
+    if tag != 0x11:
+        raise ValueError(f"decode_wav: unsupported format tag 0x{tag:x}")
+    if n_ch != 1:
+        raise ValueError("decode_wav: only mono IMA ADPCM supported")
+    block_align = struct.unpack_from("<H", fmt, 12)[0]
+    out = []
+    for off in range(0, len(data) - 3, block_align):
+        block = data[off : off + block_align]
+        pred, index = struct.unpack_from("<hB", block, 0)
+        index = max(0, min(88, index))
+        out.append(pred)
+        for byte in block[4:]:
+            for nib in (byte & 0x0F, byte >> 4):
+                step = _IMA_STEP_TAB[index]
+                dq = step >> 3
+                if nib & 4:
+                    dq += step
+                if nib & 2:
+                    dq += step >> 1
+                if nib & 1:
+                    dq += step >> 2
+                pred = pred - dq if nib & 8 else pred + dq
+                pred = max(-32768, min(32767, pred))
+                index = max(0, min(88, index + _IMA_INDEX_TAB[nib & 7]))
+                out.append(pred)
+    x = np.array(out[: fact_n if fact_n is not None else len(out)], dtype=np.float64)
+    return x / 32767.0, rate
+
+
 def decode_image_array(payload: bytes):
     """Dispatch on magic bytes → uint8 (H, W, 3): PPM (P6), BMP, PNG
     (stdlib zlib inflate — :func:`decode_png`), or baseline JPEG
@@ -922,9 +1074,10 @@ def extract_audio_features(
     """Feature-extract stage: payload → fixed-dim float feature vector
     (the embedding-column shape similarity.py consumes).
 
-    ``backend='numpy'`` really decodes PCM16 WAV (stdlib ``wave``) and
-    computes ``n_mels`` log-spectral band energies from an rfft — a
-    mel-filterbank-shaped feature with zero audio dependencies;
+    ``backend='numpy'`` really decodes WAV — PCM16 (stdlib ``wave``)
+    or compressed IMA ADPCM (:func:`decode_wav` fmt-tag dispatch) —
+    and computes ``n_mels`` log-spectral band energies from an rfft —
+    a mel-filterbank-shaped feature with zero audio dependencies;
     ``backend='fake'`` emits a digest-derived vector; ``backend='real'``
     is the librosa call site (mp3/flac)."""
     if backend == "real":
@@ -939,7 +1092,7 @@ def extract_audio_features(
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload)
                 if backend == "numpy":
-                    x, _rate = decode_wav_pcm16(b)
+                    x, _rate = decode_wav(b)
                     mag = np.abs(np.fft.rfft(x))
                     bands = np.array_split(mag, n_mels)
                     vec = [
@@ -1019,9 +1172,10 @@ def audio_fingerprint(
     n_bands: int = 64,
     backend: str = "numpy",
 ) -> DataFrame:
-    """Spectral-bitmap audio fingerprint: real PCM16 decode → rfft →
-    ``n_bands`` log band energies → threshold each band against the
-    mean → one ``n_bands``-bit signature packed into a long. The audio
+    """Spectral-bitmap audio fingerprint: real decode (PCM16 or
+    compressed IMA ADPCM via :func:`decode_wav`) → rfft → ``n_bands``
+    log band energies → threshold each band against the mean → one
+    ``n_bands``-bit signature packed into a long. The audio
     twin of :func:`ahash_images`, emitted in the same (id, sh) shape so
     ``dedup.simhash_pairs(sig_table=...)`` banding serves IMAGES,
     AUDIO, and TEXT with one Hamming machinery. ``backend='real'`` is
@@ -1039,7 +1193,7 @@ def audio_fingerprint(
         for pdf in batches:
             ids, hashes = [], []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                x, _rate = decode_wav_pcm16(bytes(payload))
+                x, _rate = decode_wav(bytes(payload))
                 mag = np.abs(np.fft.rfft(x))
                 bands = np.array_split(mag, n_bands)
                 e = np.array([np.log1p((b * b).sum()) for b in bands])
