@@ -894,12 +894,11 @@ def decode_images(
 ) -> DataFrame:
     """Decode stage: payload → (width, height, channels, mean_intensity).
 
-    ``backend='numpy'`` REALLY decodes PPM/BMP/PNG payloads (pure
-    numpy + stdlib zlib — see :func:`decode_image_array`; PNG is a real
-    compressed format) and reports true dimensions and the mean over
-    all pixel values. ``backend='real'`` is the PIL/opencv call site
-    for the remaining compressed formats (JPEG) — NotImplementedError
-    here.
+    ``backend='numpy'`` REALLY decodes PPM/BMP/PNG/baseline-JPEG/GIF
+    payloads (pure numpy + stdlib — see :func:`decode_image_array`)
+    and reports true dimensions and the mean over all pixel values.
+    ``backend='real'`` is the PIL/opencv call site for the remaining
+    formats (progressive JPEG) — NotImplementedError here.
     ``backend='fake'`` derives deterministic pseudo-dimensions from the
     payload digest (synthetic corpora).
     """
@@ -1132,9 +1131,9 @@ def ahash_images(
     """
     if backend == "real":
         raise NotImplementedError(
-            "progressive-JPEG/video decode requires PIL/opencv (not in "
+            "progressive-JPEG/MP4 decode requires PIL/opencv (not in "
             "this container); use backend='numpy' for "
-            "PPM/BMP/PNG/baseline-JPEG"
+            "PPM/BMP/PNG/baseline-JPEG/GIF"
         )
     if grid * grid > 64:
         raise ValueError("ahash_images: grid**2 must fit in a 64-bit long")
