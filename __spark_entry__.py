@@ -639,6 +639,22 @@ def _events_stream_schema(sf_dir: str):
     return schema, is_nanos
 
 
+def _codec_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The doc_id frame that seeds every synthesized-media corpus,
+    repartitioned to cluster parallelism BEFORE the codec mapInPandas
+    stages. The frame is a few KB but each row EXPANDS into CPU-heavy
+    Python codec work (synth → encode → decode → hash), so its
+    partitioning — not its size — sets the pipeline's parallelism: a
+    single small parquet file would otherwise collapse the whole codec
+    chain onto ONE Python worker. At 100 TB the media column arrives
+    pre-partitioned; this is the local-small-file equivalent."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+
+
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the testdata events parquet (ts read
     natively as micros TimestampType; nanos fallback in-plan)."""
@@ -2021,7 +2037,7 @@ def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip."""
     from social_media_etl_spark.sources import multimodal
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _codec_corpus_docs(spark, sf_dir)
 
     def _gen(batches):
         import numpy as np
@@ -2073,7 +2089,7 @@ def _multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     actual encode→decode→FFT round-trip, not a fake."""
     from social_media_etl_spark.sources import multimodal
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _codec_corpus_docs(spark, sf_dir)
 
     def _gen(batches):
         import numpy as np
@@ -2204,7 +2220,7 @@ def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiplicity."""
     from social_media_etl_spark.sources import multimodal
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _codec_corpus_docs(spark, sf_dir)
 
     def _gen(batches):
         import numpy as np
@@ -3005,7 +3021,7 @@ def _image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     would all collide."""
     from social_media_etl_spark.sources import multimodal
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _codec_corpus_docs(spark, sf_dir)
 
     def _gen(batches):
         import numpy as np
@@ -3099,25 +3115,32 @@ def _audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming machinery."""
     from social_media_etl_spark.sources import multimodal
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _codec_corpus_docs(spark, sf_dir)
 
     def _gen(batches):
         import numpy as np
         import pandas as pd
 
-        from social_media_etl_spark.sources.multimodal import encode_wav_adpcm
+        from social_media_etl_spark.sources.multimodal import (
+            encode_wav_adpcm_batch,
+        )
 
+        t = np.arange(512, dtype=np.float64)
         for pdf in batches:
-            payloads = []
-            t = np.arange(512, dtype=np.float64)
-            for d in pdf["doc_id"]:
-                p = int(d) // 2
-                x = np.zeros(512)
-                for j in range(3):
-                    tone = 4 + (p * 7 + j * 61) % 250
-                    x += 0.3 * np.sin(2 * np.pi * tone * t / 512.0)
-                payloads.append(encode_wav_adpcm(x / 3.0))
-            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+            if not len(pdf):
+                continue
+            # vectorized 3-tone synthesis: (n, 3) tone bins → (n, 512)
+            p = pdf["doc_id"].to_numpy() // 2
+            tones = 4 + (p[:, None] * 7 + np.arange(3) * 61) % 250
+            x = (0.3 * np.sin(2 * np.pi * tones[:, :, None] * t / 512.0)).sum(
+                axis=1
+            ) / 3.0
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": encode_wav_adpcm_batch(x),
+                }
+            )
 
     media = docs.mapInPandas(_gen, "media_id long, payload binary")
     sig = multimodal.audio_fingerprint(media, id_col="media_id")

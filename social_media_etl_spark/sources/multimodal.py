@@ -61,7 +61,9 @@ __all__ = [
     "encode_wav_pcm16",
     "decode_wav_pcm16",
     "encode_wav_adpcm",
+    "encode_wav_adpcm_batch",
     "decode_wav",
+    "decode_wav_batch",
     "decode_image_array",
     "decode_images",
     "resize_images",
@@ -729,34 +731,112 @@ _IMA_STEP_TAB = (
 )
 
 
-def _ima_step(sample: int, pred: int, index: int):
-    """One IMA ADPCM quantizer step → (nibble, new_pred, new_index)."""
-    step = _IMA_STEP_TAB[index]
-    diff = sample - pred
-    nib = 0
-    if diff < 0:
-        nib = 8
-        diff = -diff
-    if diff >= step:
-        nib |= 4
-        diff -= step
-    if diff >= step >> 1:
-        nib |= 2
-        diff -= step >> 1
-    if diff >= step >> 2:
-        nib |= 1
-    # decoder-mirrored reconstruction keeps predictor drift at zero
-    dq = step >> 3
-    if nib & 4:
-        dq += step
-    if nib & 2:
-        dq += step >> 1
-    if nib & 1:
-        dq += step >> 2
-    pred = pred - dq if nib & 8 else pred + dq
-    pred = max(-32768, min(32767, pred))
-    index = max(0, min(88, index + _IMA_INDEX_TAB[nib & 7]))
-    return nib, pred, index
+_IMA_ARRAYS = None
+
+
+def _ima_arrays():
+    """Cached numpy copies of the IMA quantizer tables."""
+    global _IMA_ARRAYS
+    if _IMA_ARRAYS is None:
+        import numpy as np
+
+        _IMA_ARRAYS = (
+            np.array(_IMA_STEP_TAB, dtype=np.int64),
+            np.array(_IMA_INDEX_TAB, dtype=np.int64),
+        )
+    return _IMA_ARRAYS
+
+
+def _adpcm_encode_blocks(blocks):
+    """Vectorized IMA ADPCM block encode: int64 (n, spb) sample matrix
+    → (uint8 (n, (spb-1)//2) packed-nibble matrix, (n,) seed index
+    vector for the block headers). Blocks are INDEPENDENT lanes (the
+    4-byte block header re-seeds the decoder with pred + step index),
+    so one sequential pass over the spb-1 intra-block sample positions
+    encodes every block of every signal in a batch at once — the
+    per-sample Python loop becomes a ~spb-step numpy loop over
+    thousands of lanes, which is what makes a 100 TB audio corpus
+    affordable on an executor's Python worker. Each block's seed step
+    index is estimated from its own median |Δsample| (the header field
+    exists precisely so the encoder may pick any seed), which matches
+    carried-index quality without serializing blocks."""
+    import numpy as np
+
+    step_tab, index_tab = _ima_arrays()
+    n, spb = blocks.shape
+    pred = blocks[:, 0].astype(np.int64)
+    index0 = np.clip(
+        np.searchsorted(step_tab, np.median(np.abs(np.diff(blocks, axis=1)), axis=1)),
+        0,
+        88,
+    ).astype(np.int64)
+    index = index0.copy()
+    nibs = np.empty((n, spb - 1), dtype=np.uint8)
+    for t in range(1, spb):
+        step = step_tab[index]
+        diff = blocks[:, t] - pred
+        sign = diff < 0
+        diff = np.abs(diff)
+        b4 = diff >= step
+        diff -= np.where(b4, step, 0)
+        half = step >> 1
+        b2 = diff >= half
+        diff -= np.where(b2, half, 0)
+        b1 = diff >= (step >> 2)
+        nib = (
+            np.where(sign, 8, 0)
+            | np.where(b4, 4, 0)
+            | np.where(b2, 2, 0)
+            | np.where(b1, 1, 0)
+        )
+        # decoder-mirrored reconstruction keeps predictor drift at zero
+        dq = (
+            (step >> 3)
+            + np.where(b4, step, 0)
+            + np.where(b2, half, 0)
+            + np.where(b1, step >> 2, 0)
+        )
+        pred = np.clip(np.where(sign, pred - dq, pred + dq), -32768, 32767)
+        index = np.clip(index + index_tab[nib & 7], 0, 88)
+        nibs[:, t - 1] = nib
+    return nibs[:, 0::2] | (nibs[:, 1::2] << 4), index0
+
+
+def _adpcm_decode_blocks(raw):
+    """Vectorized IMA ADPCM block decode: uint8 (n, block_align) raw
+    block matrix → int64 (n, spb) sample matrix. Exact integer twin of
+    the published per-sample recurrence (differentially tested against
+    a scalar reference in tests/test_sources.py), run as one
+    sequential pass over intra-block positions with every block as a
+    numpy lane — blocks decode independently from their 4-byte seed
+    header, so a whole Arrow batch of payloads decodes in one call."""
+    import numpy as np
+
+    step_tab, index_tab = _ima_arrays()
+    n, ba = raw.shape
+    raw = raw.astype(np.int64)
+    pred = raw[:, 0] | (raw[:, 1] << 8)
+    pred = np.where(pred >= 32768, pred - 65536, pred)
+    index = np.clip(raw[:, 2], 0, 88)
+    body = raw[:, 4:]
+    nibs = np.empty((n, (ba - 4) * 2), dtype=np.int64)
+    nibs[:, 0::2] = body & 0x0F
+    nibs[:, 1::2] = body >> 4
+    out = np.empty((n, 1 + (ba - 4) * 2), dtype=np.int64)
+    out[:, 0] = pred
+    for t in range(nibs.shape[1]):
+        nib = nibs[:, t]
+        step = step_tab[index]
+        dq = (
+            (step >> 3)
+            + np.where(nib & 4, step, 0)
+            + np.where(nib & 2, step >> 1, 0)
+            + np.where(nib & 1, step >> 2, 0)
+        )
+        pred = np.clip(np.where(nib & 8, pred - dq, pred + dq), -32768, 32767)
+        index = np.clip(index + index_tab[nib & 7], 0, 88)
+        out[:, t + 1] = pred
+    return out
 
 
 def encode_wav_adpcm(samples, rate: int = 16_000, block_align: int = 256) -> bytes:
@@ -781,18 +861,16 @@ def encode_wav_adpcm(samples, rate: int = 16_000, block_align: int = 256) -> byt
     n_blocks = max(1, -(-n_true // spb))
     pad = n_blocks * spb - n_true
     pcm = np.concatenate([pcm, np.repeat(pcm[-1], pad)])
-    index = 0
+    # Each block is SELF-CONTAINED (header seeds pred + step index) —
+    # the layout every block-seekable ADPCM reader assumes, and what
+    # lets encode/decode vectorize over all blocks of a batch at once
+    # (_adpcm_encode_blocks lanes).
+    blocks = pcm.reshape(n_blocks, spb)
+    packed, index0 = _adpcm_encode_blocks(blocks)
     data = bytearray()
     for b in range(n_blocks):
-        block = pcm[b * spb : (b + 1) * spb]
-        pred = int(block[0])
-        data += struct.pack("<hBB", pred, index, 0)
-        nibbles = []
-        for s in map(int, block[1:]):
-            nib, pred, index = _ima_step(s, pred, index)
-            nibbles.append(nib)
-        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
-            data.append(lo | (hi << 4))
+        data += struct.pack("<hBB", int(blocks[b, 0]), int(index0[b]), 0)
+        data += packed[b].tobytes()
     byte_rate = (rate * block_align + spb - 1) // spb
     fmt = struct.pack(
         "<HHIIHHHH", 0x11, 1, rate, byte_rate, block_align, 4, 2, spb
@@ -807,14 +885,57 @@ def encode_wav_adpcm(samples, rate: int = 16_000, block_align: int = 256) -> byt
     )
 
 
-def decode_wav(payload: bytes):
-    """WAV → (float64 mono samples in [-1, 1], rate), dispatching on
-    the fmt tag: PCM16 (stdlib ``wave``) or IMA ADPCM (format 0x11,
-    pure-numpy RIFF walk + quantizer reconstruction). The single audio
-    decode entry point for the numpy backend."""
+def encode_wav_adpcm_batch(
+    signals, rate: int = 16_000, block_align: int = 256
+) -> list:
+    """Batch twin of :func:`encode_wav_adpcm`: float (n, L) matrix of
+    equal-length signals in [-1, 1] → list of n mono IMA-ADPCM WAV
+    payloads. ALL blocks of ALL signals encode as lanes of ONE
+    vectorized pass (_adpcm_encode_blocks), so a synthesis/encode
+    mapInPandas stage pays the sequential quantizer recurrence once
+    per Arrow batch instead of once per sample — byte-identical to
+    calling encode_wav_adpcm per row."""
     import struct
 
     import numpy as np
+
+    sig = np.asarray(signals, dtype=np.float64)
+    if sig.ndim != 2 or sig.shape[1] == 0:
+        raise ValueError("encode_wav_adpcm_batch expects a (n, L>0) matrix")
+    n_sig, n_true = sig.shape
+    pcm = (np.clip(sig, -1, 1) * 32767).astype(np.int64)
+    spb = (block_align - 4) * 2 + 1
+    n_blocks = max(1, -(-n_true // spb))
+    pad = n_blocks * spb - n_true
+    if pad:
+        pcm = np.concatenate([pcm, np.repeat(pcm[:, -1:], pad, axis=1)], axis=1)
+    blocks = pcm.reshape(n_sig * n_blocks, spb)
+    packed, index0 = _adpcm_encode_blocks(blocks)
+    byte_rate = (rate * block_align + spb - 1) // spb
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, rate, byte_rate, block_align, 4, 2, spb)
+    data_len = n_blocks * block_align
+    head = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + 4 + 8 + data_len)
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n_true)
+        + b"data" + struct.pack("<I", data_len)
+    )
+    out = []
+    for s in range(n_sig):
+        data = bytearray()
+        for b in range(s * n_blocks, (s + 1) * n_blocks):
+            data += struct.pack("<hBB", int(blocks[b, 0]), int(index0[b]), 0)
+            data += packed[b].tobytes()
+        out.append(head + bytes(data))
+    return out
+
+
+def _parse_wav_chunks(payload: bytes):
+    """RIFF walk → (fmt_chunk_bytes, fact_sample_count_or_None,
+    data_chunk_bytes). Shared by the scalar and batch decoders."""
+    import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
@@ -831,6 +952,44 @@ def decode_wav(payload: bytes):
         pos += 8 + ln + (ln & 1)
     if fmt is None or data is None:
         raise ValueError("decode_wav: missing fmt/data chunk")
+    return fmt, fact_n, data
+
+
+def _adpcm_data_to_samples(data: bytes, block_align: int, fact_n):
+    """ADPCM data chunk → int64 sample vector (fact-trimmed): whole
+    blocks decode as one vectorized lane matrix; a truncated trailing
+    block (foreign encoders) pads to block width and trims back to the
+    bytes actually present, which reproduces the scalar recurrence
+    exactly (trailing zero-pad nibbles only produce samples BEYOND the
+    real ones, which are sliced off before the fact trim)."""
+    import numpy as np
+
+    n_whole, rem = divmod(len(data), block_align)
+    parts = []
+    if n_whole:
+        raw = np.frombuffer(
+            data, dtype=np.uint8, count=n_whole * block_align
+        ).reshape(n_whole, block_align)
+        parts.append(_adpcm_decode_blocks(raw).ravel())
+    if rem >= 4:  # partial trailing block: pad, decode, slice real samples
+        tail = np.zeros((1, block_align), dtype=np.uint8)
+        tail[0, :rem] = np.frombuffer(data, dtype=np.uint8, offset=n_whole * block_align)
+        n_real = 1 + (rem - 4) * 2
+        parts.append(_adpcm_decode_blocks(tail)[0, :n_real])
+    out = np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+    return out[:fact_n] if fact_n is not None else out
+
+
+def decode_wav(payload: bytes):
+    """WAV → (float64 mono samples in [-1, 1], rate), dispatching on
+    the fmt tag: PCM16 (stdlib ``wave``) or IMA ADPCM (format 0x11,
+    pure-numpy RIFF walk + vectorized quantizer reconstruction —
+    every block of the payload decodes as a lane of one
+    _adpcm_decode_blocks pass). The single audio decode entry point
+    for the numpy backend."""
+    import struct
+
+    fmt, fact_n, data = _parse_wav_chunks(payload)
     tag, n_ch, rate = struct.unpack_from("<HHI", fmt, 0)
     if tag == 1:  # PCM: the stdlib path handles widths/stereo
         return decode_wav_pcm16(payload)
@@ -839,28 +998,54 @@ def decode_wav(payload: bytes):
     if n_ch != 1:
         raise ValueError("decode_wav: only mono IMA ADPCM supported")
     block_align = struct.unpack_from("<H", fmt, 12)[0]
-    out = []
-    for off in range(0, len(data) - 3, block_align):
-        block = data[off : off + block_align]
-        pred, index = struct.unpack_from("<hB", block, 0)
-        index = max(0, min(88, index))
-        out.append(pred)
-        for byte in block[4:]:
-            for nib in (byte & 0x0F, byte >> 4):
-                step = _IMA_STEP_TAB[index]
-                dq = step >> 3
-                if nib & 4:
-                    dq += step
-                if nib & 2:
-                    dq += step >> 1
-                if nib & 1:
-                    dq += step >> 2
-                pred = pred - dq if nib & 8 else pred + dq
-                pred = max(-32768, min(32767, pred))
-                index = max(0, min(88, index + _IMA_INDEX_TAB[nib & 7]))
-                out.append(pred)
-    x = np.array(out[: fact_n if fact_n is not None else len(out)], dtype=np.float64)
-    return x / 32767.0, rate
+    x = _adpcm_data_to_samples(data, block_align, fact_n)
+    return x.astype("float64") / 32767.0, rate
+
+
+def decode_wav_batch(payloads):
+    """List of WAV payloads → list of (float64 samples, rate).
+
+    The ADPCM fast path stacks ALL whole blocks of ALL same-block_align
+    payloads into one lane matrix and runs ONE vectorized decode pass
+    for the entire Arrow batch — per-payload work drops to RIFF header
+    parsing plus a row split. Payloads that aren't mono ADPCM (PCM16,
+    stereo) fall back to :func:`decode_wav` individually. Result order
+    matches input order; identical bytes to the scalar path."""
+    import struct
+
+    import numpy as np
+
+    results: list = [None] * len(payloads)
+    groups: dict = {}  # block_align -> list of (i, data, fact_n, rate)
+    for i, payload in enumerate(payloads):
+        try:
+            fmt, fact_n, data = _parse_wav_chunks(payload)
+            tag, n_ch, rate = struct.unpack_from("<HHI", fmt, 0)
+        except (ValueError, struct.error):
+            results[i] = decode_wav(payload)  # raise with the scalar message
+            continue
+        if tag != 0x11 or n_ch != 1 or len(data) % struct.unpack_from(
+            "<H", fmt, 12
+        )[0]:
+            results[i] = decode_wav(payload)
+            continue
+        block_align = struct.unpack_from("<H", fmt, 12)[0]
+        groups.setdefault(block_align, []).append((i, data, fact_n, rate))
+    for block_align, members in groups.items():
+        counts = [len(d) // block_align for _, d, _, _ in members]
+        raw = np.frombuffer(
+            b"".join(d for _, d, _, _ in members), dtype=np.uint8
+        ).reshape(sum(counts), block_align)
+        samples = _adpcm_decode_blocks(raw)
+        spb = samples.shape[1]
+        row = 0
+        for (i, _d, fact_n, rate), nb in zip(members, counts):
+            x = samples[row : row + nb].ravel()
+            row += nb
+            if fact_n is not None:
+                x = x[:fact_n]
+            results[i] = (x.astype("float64") / 32767.0, rate)
+    return results
 
 
 def decode_image_array(payload: bytes):
@@ -1063,6 +1248,42 @@ def sample_video_frames(
     return df.select(id_col, payload_col).mapInPandas(_frames, out_schema)
 
 
+def _group_by_length(decoded) -> dict:
+    """Index (x, rate) decode results by sample length so equal-length
+    signals (the overwhelmingly common case inside one corpus) batch
+    into stacked rfft/band passes."""
+    by_len: dict = {}
+    for i, (x, _rate) in enumerate(decoded):
+        by_len.setdefault(len(x), []).append(i)
+    return by_len
+
+
+def _band_log_energies(x_rows, n_bands: int):
+    """(n, L) signal matrix → (n, n_bands) log1p spectral band
+    energies, with band boundaries matching ``np.array_split``. One
+    batched rfft + one ``np.add.reduceat`` replaces the per-payload
+    band loop; falls back to the array_split reference when the
+    spectrum is shorter than the band count (reduceat's repeated-
+    offset semantics differ from array_split's empty segments there)."""
+    import numpy as np
+
+    mag2 = np.abs(np.fft.rfft(x_rows, axis=1)) ** 2
+    nf = mag2.shape[1]
+    if nf < n_bands:
+        return np.stack(
+            [
+                np.array([np.log1p(b.sum()) for b in np.array_split(row, n_bands)])
+                for row in mag2
+            ]
+        )
+    div, mod = divmod(nf, n_bands)
+    sizes = np.full(n_bands, div, dtype=np.int64)
+    sizes[:mod] += 1
+    offs = np.zeros(n_bands, dtype=np.int64)
+    np.cumsum(sizes[:-1], out=offs[1:])
+    return np.log1p(np.add.reduceat(mag2, offs, axis=1))
+
+
 def extract_audio_features(
     df: DataFrame,
     n_mels: int = 16,
@@ -1087,22 +1308,27 @@ def extract_audio_features(
         import numpy as np
 
         for pdf in batches:
+            if backend == "numpy":
+                payloads = [bytes(p) for p in pdf[payload_col]]
+                decoded = decode_wav_batch(payloads)  # one pass per batch
+                feats: list = [None] * len(decoded)
+                for L, idxs in _group_by_length(decoded).items():
+                    e = _band_log_energies(
+                        np.stack([decoded[i][0] for i in idxs]), n_mels
+                    )
+                    for j, i in enumerate(idxs):
+                        feats[i] = np.round(e[j], 4).tolist()
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col].to_numpy(), "features": feats}
+                )
+                continue
             ids, feats = [], []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload)
-                if backend == "numpy":
-                    x, _rate = decode_wav(b)
-                    mag = np.abs(np.fft.rfft(x))
-                    bands = np.array_split(mag, n_mels)
-                    vec = [
-                        round(float(np.log1p((band * band).sum())), 4)
-                        for band in bands
-                    ]
-                else:
-                    vec = [
-                        round((_fake_u32(b, f"m{j}") % 2000) / 1000.0 - 1.0, 4)
-                        for j in range(n_mels)
-                    ]
+                vec = [
+                    round((_fake_u32(b, f"m{j}") % 2000) / 1000.0 - 1.0, 4)
+                    for j in range(n_mels)
+                ]
                 ids.append(mid)
                 feats.append(vec)
             yield pd.DataFrame({id_col: ids, "features": feats})
@@ -1190,20 +1416,21 @@ def audio_fingerprint(
         import numpy as np
 
         for pdf in batches:
-            ids, hashes = [], []
-            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                x, _rate = decode_wav(bytes(payload))
-                mag = np.abs(np.fft.rfft(x))
-                bands = np.array_split(mag, n_bands)
-                e = np.array([np.log1p((b * b).sum()) for b in bands])
-                bits = e > e.mean()
-                sh = 0
-                for i, b in enumerate(bits):
-                    if b:
-                        sh |= 1 << i
-                ids.append(mid)
-                hashes.append(sh - (1 << 64) if sh >= (1 << 63) else sh)
-            yield pd.DataFrame({id_col: ids, "sh": hashes})
+            payloads = [bytes(p) for p in pdf[payload_col]]
+            decoded = decode_wav_batch(payloads)  # ONE ADPCM pass per batch
+            sh = np.zeros(len(decoded), dtype=np.int64)
+            for L, idxs in _group_by_length(decoded).items():
+                e = _band_log_energies(
+                    np.stack([decoded[i][0] for i in idxs]), n_bands
+                )
+                bits = e > e.mean(axis=1, keepdims=True)
+                vals = (
+                    (bits.astype(np.uint64) << np.arange(n_bands, dtype=np.uint64))
+                    .sum(axis=1, dtype=np.uint64)
+                    .view(np.int64)
+                )
+                sh[idxs] = vals
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "sh": sh})
 
     return df.select(id_col, payload_col).mapInPandas(
         _fp, f"{id_col} long, sh long"
