@@ -419,12 +419,26 @@ def _gif_frame_payload(arr):
     if a.ndim != 3 or a.shape[2] != 3:
         raise ValueError("encode_gif expects (H, W, 3) uint8")
     flat = a.reshape(-1, 3)
-    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
-    if len(palette) > 256:
+    # pack RGB rows into one uint32 per pixel: unique on a flat int
+    # vector is ~10x cheaper than np.unique(axis=0)'s row-structured
+    # sort, and at 100 TB the palette pass runs once per frame
+    packed_px = (
+        flat[:, 0].astype(np.uint32) << 16
+    ) | (flat[:, 1].astype(np.uint32) << 8) | flat[:, 2]
+    pal_packed, inverse = np.unique(packed_px, return_inverse=True)
+    if len(pal_packed) > 256:
         raise ValueError(
-            f"encode_gif: {len(palette)} distinct colors > GIF's 256-"
+            f"encode_gif: {len(pal_packed)} distinct colors > GIF's 256-"
             "entry palette; quantize first"
         )
+    palette = np.stack(
+        [
+            (pal_packed >> 16).astype(np.uint8),
+            ((pal_packed >> 8) & 0xFF).astype(np.uint8),
+            (pal_packed & 0xFF).astype(np.uint8),
+        ],
+        axis=1,
+    )
     # palette size must be a power of two, minimum 2
     bits = max(1, int(len(palette) - 1).bit_length())
     table = np.zeros((1 << bits, 3), dtype=np.uint8)
@@ -436,19 +450,22 @@ def _gif_frame_payload(arr):
     codes = []
     dict_next = end + 1
     width = min_code + 1
-    table_d = {}
+    # dictionary keyed by (prefix_code << 8 | next_index) int pairs:
+    # a prefix string is fully identified by its own code, so the
+    # tuple-building per pixel collapses to one int op + dict probe
+    table_d: dict = {}
     codes.append((clear, width))
-    prefix = None
+    prefix_code = -1
     for idx in map(int, inverse):
-        if prefix is None:
-            prefix = (idx,)
+        if prefix_code < 0:
+            prefix_code = idx
             continue
-        cand = prefix + (idx,)
-        if cand in table_d:
-            prefix = cand
+        cand = (prefix_code << 8) | idx
+        hit = table_d.get(cand)
+        if hit is not None:
+            prefix_code = hit
             continue
-        code = table_d[prefix] if len(prefix) > 1 else prefix[0]
-        codes.append((code, width))
+        codes.append((prefix_code, width))
         if dict_next < 4096:
             table_d[cand] = dict_next
             dict_next += 1
@@ -459,9 +476,9 @@ def _gif_frame_payload(arr):
             table_d.clear()
             dict_next = end + 1
             width = min_code + 1
-        prefix = (idx,)
-    if prefix is not None:
-        codes.append((table_d[prefix] if len(prefix) > 1 else prefix[0], width))
+        prefix_code = idx
+    if prefix_code >= 0:
+        codes.append((prefix_code, width))
     codes.append((end, width))
     # pack LSB-first
     acc = n = 0
