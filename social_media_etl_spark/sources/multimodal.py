@@ -1038,15 +1038,22 @@ def decode_wav_batch(payloads):
         try:
             fmt, fact_n, data = _parse_wav_chunks(payload)
             tag, n_ch, rate = struct.unpack_from("<HHI", fmt, 0)
+            block_align = (
+                struct.unpack_from("<H", fmt, 12)[0] if len(fmt) >= 14 else 0
+            )
         except (ValueError, struct.error):
             results[i] = decode_wav(payload)  # raise with the scalar message
             continue
-        if tag != 0x11 or n_ch != 1 or len(data) % struct.unpack_from(
-            "<H", fmt, 12
-        )[0]:
+        if (
+            tag != 0x11
+            or n_ch != 1
+            or block_align < 5
+            or len(data) % block_align
+        ):
+            # PCM, stereo, malformed, or partial trailing block:
+            # the scalar path decides (and raises its own messages)
             results[i] = decode_wav(payload)
             continue
-        block_align = struct.unpack_from("<H", fmt, 12)[0]
         groups.setdefault(block_align, []).append((i, data, fact_n, rate))
     for block_align, members in groups.items():
         counts = [len(d) // block_align for _, d, _, _ in members]

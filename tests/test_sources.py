@@ -988,6 +988,36 @@ def test_adpcm_roundtrip_snr_and_block_structure():
     )
 
 
+def test_adpcm_batch_twins_match_scalar_bytes_and_samples():
+    """The vectorized batch codec is a pure speed path: batch encode
+    emits byte-identical payloads to per-signal encode, and batch
+    decode returns sample-identical results for a MIXED batch (ADPCM
+    fast path + PCM16 fallback in one call), preserving input order."""
+    import numpy as np
+
+    t = np.arange(700, dtype=np.float64)
+    sigs = np.stack(
+        [
+            0.4 * np.sin(2 * np.pi * 19 * t / 512),
+            0.2 * np.sin(2 * np.pi * 67 * t / 512) + 0.1 * np.cos(t / 5),
+            np.clip(np.sin(t / 3.0) * 1.5, -1, 1),  # clipped square-ish
+        ]
+    )
+    batch = multimodal.encode_wav_adpcm_batch(sigs, rate=8_000)
+    assert [multimodal.encode_wav_adpcm(s, rate=8_000) for s in sigs] == batch
+
+    mixed = [batch[1], multimodal.encode_wav_pcm16(sigs[0]), batch[2], batch[0]]
+    outs = multimodal.decode_wav_batch(mixed)
+    assert len(outs) == 4
+    for payload, (x_b, rate_b) in zip(mixed, outs):
+        x_s, rate_s = multimodal.decode_wav(payload)
+        assert rate_b == rate_s
+        assert np.array_equal(x_b, x_s)
+    # malformed payloads surface the scalar path's error, not a numpy one
+    with pytest.raises(ValueError):
+        multimodal.decode_wav_batch([b"RIFF\x00\x00\x00\x00WAVEjunk"])
+
+
 def test_decode_wav_dispatches_pcm_and_rejects_unknown(spark):
     """decode_wav is the single audio entry point: PCM16 payloads
     route through the stdlib path unchanged, unknown format tags
