@@ -394,3 +394,64 @@ def test_kept_files_never_prunes_an_overlapping_file(stats, q):
             assert f in kept  # incomparable predicate -> never pruned
         elif not (s[0] > hi or s[1] < lo):
             assert f in kept  # overlapping range -> must be read
+
+
+@given(
+    data=st.data(),
+    n_sig=st.integers(1, 4),
+    length=st.integers(1, 1200),
+    block_align=st.integers(8, 96),
+)
+@settings(**{**_SETTINGS, "max_examples": 30})
+def test_adpcm_batch_codec_roundtrip_property(data, n_sig, length, block_align):
+    """For ANY signal batch, length, and block size: batch encode is
+    byte-identical to per-signal encode; decode reproduces an
+    independent per-sample evaluation of the published IMA recurrence
+    over the emitted bytes (the vectorized lanes ARE the spec); and
+    the fact chunk trims decode output to the true sample count."""
+    import struct
+
+    import numpy as np
+
+    from social_media_etl_spark.sources import multimodal as M
+
+    raw = data.draw(
+        st.lists(
+            st.lists(
+                st.floats(-1.5, 1.5, allow_nan=False), min_size=length, max_size=length
+            ),
+            min_size=n_sig,
+            max_size=n_sig,
+        )
+    )
+    sigs = np.array(raw, dtype=np.float64)
+    batch = M.encode_wav_adpcm_batch(sigs, rate=8_000, block_align=block_align)
+    assert batch == [
+        M.encode_wav_adpcm(s, rate=8_000, block_align=block_align) for s in sigs
+    ]
+    decoded = M.decode_wav_batch(batch)
+    for payload, (x, rate) in zip(batch, decoded):
+        assert rate == 8_000 and len(x) == length  # fact-chunk trim
+        # independent scalar replay of the IMA recurrence on the bytes
+        fmt, fact_n, d = M._parse_wav_chunks(payload)
+        ba = struct.unpack_from("<H", fmt, 12)[0]
+        assert ba == block_align
+        ref = []
+        for off in range(0, len(d), ba):
+            block = d[off : off + ba]
+            pred, index = struct.unpack_from("<hB", block, 0)
+            index = max(0, min(88, index))
+            ref.append(pred)
+            for byte in block[4:]:
+                for nib in (byte & 0x0F, byte >> 4):
+                    step = M._IMA_STEP_TAB[index]
+                    dq = (step >> 3) + (step if nib & 4 else 0)
+                    dq += (step >> 1) if nib & 2 else 0
+                    dq += (step >> 2) if nib & 1 else 0
+                    pred = pred - dq if nib & 8 else pred + dq
+                    pred = min(32767, max(-32768, pred))
+                    index = min(88, max(0, index + M._IMA_INDEX_TAB[nib & 7]))
+                    ref.append(pred)
+        assert np.array_equal(
+            np.round(x * 32767).astype(int), np.array(ref[:fact_n])
+        )
