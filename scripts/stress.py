@@ -260,6 +260,102 @@ def main() -> None:
 
     zipf_skew_probe(spark, events)
     maintenance_probe(spark, events)
+    codec_probe(spark, mult)
+
+
+def codec_probe(spark, mult: int) -> None:
+    """Times the compressed-codec media pipelines at mult× the sf0.1
+    corpus (mult×5000 synthesized docs): the full ADPCM chain (vector
+    synth → batch encode → batch decode → spectral fingerprint) and
+    the GIF chain (palette+LZW encode → demux → frame sample). Both
+    repartition the seed frame first — the probe certifies that the
+    codec stages scale with PARTITIONS, not with file count, and that
+    per-doc cost stays flat as the corpus grows (the vectorized-lane
+    contract of _adpcm_encode_blocks/_decode_blocks)."""
+    from pyspark.sql import functions as F
+
+    n_docs = 5000 * mult
+    seed = (
+        spark.range(n_docs)
+        .select(F.col("id").alias("doc_id"))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+
+    def _gen_audio(batches):
+        import numpy as np
+        import pandas as pd
+
+        from social_media_etl_spark.sources.multimodal import (
+            encode_wav_adpcm_batch,
+        )
+
+        t = np.arange(512, dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            p = pdf["doc_id"].to_numpy() // 2
+            tones = 4 + (p[:, None] * 7 + np.arange(3) * 61) % 250
+            x = (0.3 * np.sin(2 * np.pi * tones[:, :, None] * t / 512.0)).sum(
+                axis=1
+            ) / 3.0
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": encode_wav_adpcm_batch(x)}
+            )
+
+    from social_media_etl_spark.sources import multimodal
+
+    t0 = time.time()
+    media = seed.mapInPandas(_gen_audio, "media_id long, payload binary")
+    n_fp = multimodal.audio_fingerprint(media, id_col="media_id").count()
+    print(
+        json.dumps(
+            {
+                "probe": "codec_audio_adpcm",
+                "docs": n_docs,
+                "fingerprints": n_fp,
+                "sec": round(time.time() - t0, 2),
+            }
+        )
+    )
+
+    def _gen_gif(batches):
+        import numpy as np
+        import pandas as pd
+
+        from social_media_etl_spark.sources.multimodal import encode_gif_animated
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                frames = [
+                    np.broadcast_to(
+                        np.array(
+                            [(d + 7 * f) % 256, (d * 3) % 256, (d * 5) % 256],
+                            dtype=np.uint8,
+                        ),
+                        (3, 4, 3),
+                    )
+                    for f in range(1 + d % 12)
+                ]
+                payloads.append(encode_gif_animated(frames))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    t0 = time.time()
+    media = seed.mapInPandas(_gen_gif, "media_id long, payload binary")
+    n_frames = multimodal.sample_video_frames(
+        media, every_n=2, max_frames=4, backend="numpy"
+    ).count()
+    print(
+        json.dumps(
+            {
+                "probe": "codec_video_gif",
+                "docs": n_docs,
+                "frames_sampled": n_frames,
+                "sec": round(time.time() - t0, 2),
+            }
+        )
+    )
 
 
 def maintenance_probe(spark, events) -> None:
