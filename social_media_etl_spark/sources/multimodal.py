@@ -1053,14 +1053,33 @@ def decode_wav_batch(payloads):
         except (ValueError, struct.error):
             results[i] = decode_wav(payload)  # raise with the scalar message
             continue
+        if tag == 1 and n_ch in (1, 2) and len(fmt) >= 16:
+            # PCM16 fast path: width check then a direct frombuffer —
+            # same samples as the stdlib-wave scalar path without its
+            # per-payload chunk re-parse
+            bits = struct.unpack_from("<H", fmt, 14)[0]
+            if bits != 16:
+                results[i] = decode_wav(payload)  # scalar error surface
+                continue
+            x = (
+                np.frombuffer(
+                    data, dtype="<i2", count=(len(data) // (2 * n_ch)) * n_ch
+                ).astype(np.float64)
+                / 32767.0  # divide BEFORE the stereo mean: bit-parity
+            )  # with decode_wav_pcm16's operation order
+            if n_ch == 2:
+                x = x.reshape(-1, 2).mean(axis=1)
+            results[i] = (x, rate)
+            continue
         if (
             tag != 0x11
             or n_ch != 1
             or block_align < 5
             or len(data) % block_align
         ):
-            # PCM, stereo, malformed, or partial trailing block:
-            # the scalar path decides (and raises its own messages)
+            # non-PCM16/ADPCM, stereo ADPCM, malformed, or partial
+            # trailing block: the scalar path decides (and raises its
+            # own messages)
             results[i] = decode_wav(payload)
             continue
         groups.setdefault(block_align, []).append((i, data, fact_n, rate))

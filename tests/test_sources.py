@@ -1006,9 +1006,27 @@ def test_adpcm_batch_twins_match_scalar_bytes_and_samples():
     batch = multimodal.encode_wav_adpcm_batch(sigs, rate=8_000)
     assert [multimodal.encode_wav_adpcm(s, rate=8_000) for s in sigs] == batch
 
-    mixed = [batch[1], multimodal.encode_wav_pcm16(sigs[0]), batch[2], batch[0]]
+    import io
+    import wave
+
+    stereo_pcm = (
+        np.clip(np.stack([sigs[0], -sigs[0]], axis=1).ravel(), -1, 1) * 32767
+    ).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(22_050)
+        wf.writeframes(stereo_pcm.tobytes())
+    mixed = [
+        batch[1],
+        multimodal.encode_wav_pcm16(sigs[0]),
+        batch[2],
+        buf.getvalue(),  # stereo PCM16: fast path averages to mono
+        batch[0],
+    ]
     outs = multimodal.decode_wav_batch(mixed)
-    assert len(outs) == 4
+    assert len(outs) == 5
     for payload, (x_b, rate_b) in zip(mixed, outs):
         x_s, rate_s = multimodal.decode_wav(payload)
         assert rate_b == rate_s
