@@ -3238,11 +3238,17 @@ def _versioned_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _tmpdir(prefix="smetl_vevo_")
     t = VersionedTable.create(spark, f"{d}/t", base)
     t.append(widened)
-    # gate (a): type drift is still rejected after evolution landed
+    # gate (a): type drift is still rejected after evolution landed.
+    # The drifted frame carries ALL evolved columns (src included) so
+    # _check_schema gets past the dropped-column branch and the
+    # ValueError provably comes from the type-drift check (ADVICE r7).
     try:
         t.append(
             events.limit(5).select(
-                "event_id", "event_type", F.col("value").cast("string").alias("value")
+                "event_id",
+                "event_type",
+                F.col("value").cast("string").alias("value"),
+                F.lit("s0").alias("src"),
             )
         )
         drift_rejected = False

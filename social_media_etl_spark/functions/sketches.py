@@ -168,19 +168,33 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
 
     Parameter safety (ADVICE r6): the per-cell aggregate also folds
     min/max over each input row's carried (depth, width, seed) and
-    RAISES on any cell fed by two different parameter triples —
-    validation rides the one merge aggregation, no extra pass over
-    the inputs. Mismatched widths always share the low bucket range
-    (both hash into [0, min(width))), so a wrong merge cannot slip
-    through on disjoint cells.
+    RAISES on any cell fed by two different parameter triples.
+    Per-cell alone is not airtight for SPARSE inputs (ADVICE r7): two
+    same-width sketches with different seeds can occupy disjoint
+    (row, bucket) cells and never collide on one, so a GLOBAL min/max
+    of the params struct across the whole union is folded in as well —
+    a bounded aggregate over ≤ Σ depth×width rows, broadcast onto the
+    merged cells — and any global disagreement raises too. Validation
+    still never touches raw data.
     """
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    merged = out.groupBy("row", "bucket").agg(
-        F.sum("cnt").alias("cnt"),
-        F.min(_cms_params(out)).alias("__plo"),
-        F.max(_cms_params(out)).alias("__phi"),
+    glob = out.agg(
+        F.min(_cms_params(out)).alias("__glo"),
+        F.max(_cms_params(out)).alias("__ghi"),
+    )
+    merged = (
+        out.groupBy("row", "bucket")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.min(_cms_params(out)).alias("__plo"),
+            F.max(_cms_params(out)).alias("__phi"),
+        )
+        .crossJoin(F.broadcast(glob))
+        .withColumn("__plo", F.least("__plo", "__glo"))
+        .withColumn("__phi", F.greatest("__phi", "__ghi"))
+        .drop("__glo", "__ghi")
     )
     keep = lambda c: F.when(  # noqa: E731
         F.col("__plo") == F.col("__phi"), F.col(f"__plo.{c}")

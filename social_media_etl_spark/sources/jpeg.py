@@ -321,6 +321,16 @@ def encode_jpeg_baseline(
     h, w = a.shape[:2]
     ql = np.ones((8, 8)) if quant_luma is None else np.asarray(quant_luma, dtype=np.float64)
     qc = ql if quant_chroma is None else np.asarray(quant_chroma, dtype=np.float64)
+    for name, q in (("quant_luma", ql), ("quant_chroma", qc)):
+        # baseline DQT entries are 8-bit: a value outside [1, 255]
+        # would silently wrap in the header (& 0xFF) while _quantize
+        # divides by the full value — every decoder would then
+        # dequantize wrongly. Raise instead of emitting a broken file.
+        if q.shape != (8, 8) or (q < 1).any() or (q > 255).any():
+            raise ValueError(
+                f"encode_jpeg_baseline: {name} must be an 8x8 table of "
+                "integers in [1, 255] (baseline 8-bit DQT)"
+            )
     y, cb, cr = _rgb_to_ycbcr(a)
 
     if subsample:
@@ -436,6 +446,13 @@ def decode_jpeg(payload: bytes):
         if payload[pos] != 0xFF:
             pos += 1
             continue
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+        # marker code — skip them so a foreign file with padding does
+        # not parse marker=0xFF and misread the following length
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(payload):
+            break
         marker = payload[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:

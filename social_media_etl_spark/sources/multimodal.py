@@ -570,23 +570,31 @@ def decode_gif_frames(payload: bytes, max_frames: int | None = None):
     dictionary), global and local color tables, interlaced frames
     (four-pass row shuffle), animation compositing: each frame rect is
     painted onto the running canvas, graphic-control transparency
-    leaves prior canvas pixels through, and disposal method 2 restores
-    the frame rect to background (black) after the frame is emitted.
-    Disposal 3 (restore-to-previous) is treated as 2 — rare in the
-    wild and not produced by encode_gif_animated."""
+    leaves prior canvas pixels through, disposal method 2 restores the
+    frame rect to the logical-screen BACKGROUND COLOR (the LSD
+    background index resolved through the global color table; black
+    when there is no GCT), and disposal method 3 restores the rect to
+    the canvas state BEFORE the frame was painted — both as a
+    spec-compliant decoder composites foreign files (ADVICE r7;
+    encode_gif_animated itself only emits disposal 0/2)."""
     import struct
 
     import numpy as np
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
-    w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    w, h, flags, bg_idx, _ar = struct.unpack_from("<HHBBB", payload, 6)
     pos = 13
     gct = None
     if flags & 0x80:
         n = 2 << (flags & 0x07)
         gct = np.frombuffer(payload, dtype=np.uint8, count=3 * n, offset=pos).reshape(n, 3)
         pos += 3 * n
+    bg_rgb = (
+        gct[bg_idx].copy()
+        if gct is not None and bg_idx < len(gct)
+        else np.zeros(3, dtype=np.uint8)
+    )
     frames_out = []
     canvas = np.zeros((h, w, 3), dtype=np.uint8)
     transparent = None
@@ -689,6 +697,7 @@ def decode_gif_frames(payload: bytes, max_frames: int | None = None):
             deinter[order] = idx
             idx = deinter
         rect = canvas[top : top + fh, left : left + fw]
+        prev_rect = rect.copy() if disposal == 3 else None
         if transparent is not None:
             opaque = idx != transparent
             rect[opaque] = ct[idx[opaque]]
@@ -697,8 +706,10 @@ def decode_gif_frames(payload: bytes, max_frames: int | None = None):
         frames_out.append(canvas.copy())
         if max_frames is not None and len(frames_out) >= max_frames:
             return frames_out
-        if disposal in (2, 3):  # restore rect to background after emit
-            canvas[top : top + fh, left : left + fw] = 0
+        if disposal == 2:  # restore rect to the LSD background color
+            canvas[top : top + fh, left : left + fw] = bg_rgb
+        elif disposal == 3:  # restore rect to the pre-frame canvas
+            canvas[top : top + fh, left : left + fw] = prev_rect
         transparent, disposal = None, 0
     if not frames_out:
         raise ValueError("decode_gif: no image descriptor found")

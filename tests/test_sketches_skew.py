@@ -195,3 +195,26 @@ def test_cms_sketch_size_is_bounded(spark):
     )
     sk = sketches.cms_build(df, "token", depth=3, width=64)
     assert sk.count() <= 3 * 64
+
+
+def test_cms_merge_rejects_disjoint_cell_seed_mismatch(spark):
+    """ADVICE r7: two SPARSE sketches with the same width but
+    different seeds can occupy disjoint (row, bucket) cells, so the
+    per-cell min/max fold alone never sees both triples on one cell.
+    The global params fold must still raise."""
+    from social_media_etl_spark.functions import sketches
+
+    schema = (
+        "row int, bucket int, cnt long, depth int, width int, seed int"
+    )
+    sk_a = spark.createDataFrame([(0, 5, 10, 1, 1024, 7)], schema)
+    sk_b = spark.createDataFrame([(0, 6, 3, 1, 1024, 8)], schema)
+    with pytest.raises(Exception, match="cms_merge"):
+        sketches.cms_merge(sk_a, sk_b).collect()
+    # same-parameter disjoint cells still merge fine
+    sk_c = spark.createDataFrame([(0, 6, 3, 1, 1024, 7)], schema)
+    rows = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in sketches.cms_merge(sk_a, sk_c).collect()
+    }
+    assert rows == {(0, 5): 10, (0, 6): 3}

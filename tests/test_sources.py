@@ -1066,3 +1066,102 @@ def test_decode_wav_dispatches_pcm_and_rejects_unknown(spark):
         for r in multimodal.audio_fingerprint(df, id_col="media_id").collect()
     }
     assert sig[1] == sig[2] != sig[3]
+
+
+def test_jpeg_decoder_skips_fill_bytes():
+    """T.81 B.1.1.2 allows runs of 0xFF fill bytes before any marker;
+    a foreign baseline file padded that way must decode identically to
+    the unpadded stream instead of misreading marker=0xFF (ADVICE r7)."""
+    import numpy as np
+
+    from social_media_etl_spark.sources import jpeg
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    payload = jpeg.encode_jpeg_baseline(img)
+    # pad fill bytes before the first DQT and before the SOS marker
+    padded = payload.replace(b"\xff\xdb", b"\xff\xff\xff\xdb", 1)
+    padded = padded.replace(b"\xff\xda", b"\xff\xff\xff\xff\xda", 1)
+    assert len(padded) == len(payload) + 5
+    assert np.array_equal(jpeg.decode_jpeg(padded), jpeg.decode_jpeg(payload))
+
+
+def test_jpeg_encoder_rejects_out_of_range_dqt():
+    """Baseline DQT entries are 8-bit; a table value outside [1, 255]
+    used to wrap silently in the header (& 0xFF) while quantization
+    divided by the full value — now it raises (ADVICE r7)."""
+    import numpy as np
+
+    from social_media_etl_spark.sources import jpeg
+
+    img = np.full((8, 8, 3), 128, dtype=np.uint8)
+    with pytest.raises(ValueError, match="quant_luma"):
+        jpeg.encode_jpeg_baseline(img, quant_luma=np.full((8, 8), 256))
+    with pytest.raises(ValueError, match="quant_luma"):
+        jpeg.encode_jpeg_baseline(img, quant_luma=np.zeros((8, 8)))
+    with pytest.raises(ValueError, match="quant_chroma"):
+        jpeg.encode_jpeg_baseline(
+            img,
+            quant_luma=np.ones((8, 8)),
+            quant_chroma=np.full((8, 8), 999),
+        )
+
+
+def test_gif_disposal_2_restores_background_color():
+    """Disposal 2 must restore the frame rect to the LSD background
+    color resolved through the GLOBAL color table — not to black
+    (ADVICE r7). Hand-built: GCT [200-gray, (10,20,30)], bg index 1,
+    frame 1 full-rect disposal-2, frame 2 a small patch."""
+    import struct
+
+    import numpy as np
+
+    f1 = np.full((8, 8, 3), 200, dtype=np.uint8)
+    bits, _table, min_code, blocks = multimodal._gif_frame_payload(f1)
+    gct = bytes([200, 200, 200, 10, 20, 30])
+    header = b"GIF89a" + struct.pack("<HHBBB", 8, 8, 0x80, 1, 0) + gct
+    gce_d2 = b"\x21\xf9\x04\x08\x00\x00\x00\x00"  # disposal=2
+    desc1 = b"\x2c" + struct.pack("<HHHHB", 0, 0, 8, 8, 0)  # uses GCT
+    patch = np.full((2, 2, 3), 99, dtype=np.uint8)
+    b2, t2, mc2, bl2 = multimodal._gif_frame_payload(patch)
+    desc2 = b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 2, 0x80 | ((b2 - 1) & 7))
+    payload = (
+        header
+        + gce_d2 + desc1 + bytes([min_code]) + blocks
+        + desc2 + t2 + bytes([mc2]) + bl2
+        + b"\x3b"
+    )
+    out = multimodal.decode_gif_frames(payload)
+    assert len(out) == 2
+    assert (out[0] == 200).all()
+    assert (out[1][0:2, 0:2] == 99).all()  # frame 2's own patch
+    assert (out[1][5, 5] == (10, 20, 30)).all()  # bg color, not black
+
+
+def test_gif_disposal_3_restores_previous_canvas():
+    """Disposal 3 (restore-to-previous) must put back the pre-frame
+    canvas pixels, not blank the rect (ADVICE r7)."""
+    import struct
+
+    import numpy as np
+
+    f1 = np.full((8, 8, 3), 200, dtype=np.uint8)
+    base = multimodal.encode_gif_animated([f1])
+    patch = np.full((2, 2, 3), 50, dtype=np.uint8)
+    b2, t2, mc2, bl2 = multimodal._gif_frame_payload(patch)
+    gce_d3 = b"\x21\xf9\x04\x0c\x00\x00\x00\x00"  # disposal=3
+    desc2 = b"\x2c" + struct.pack("<HHHHB", 2, 2, 2, 2, 0x80 | ((b2 - 1) & 7))
+    patch3 = np.full((2, 2, 3), 70, dtype=np.uint8)
+    b3, t3, mc3, bl3 = multimodal._gif_frame_payload(patch3)
+    desc3 = b"\x2c" + struct.pack("<HHHHB", 5, 5, 2, 2, 0x80 | ((b3 - 1) & 7))
+    payload = (
+        base[:-1]
+        + gce_d3 + desc2 + t2 + bytes([mc2]) + bl2
+        + desc3 + t3 + bytes([mc3]) + bl3
+        + b"\x3b"
+    )
+    out = multimodal.decode_gif_frames(payload)
+    assert len(out) == 3
+    assert (out[1][2:4, 2:4] == 50).all()  # frame 2 painted its rect
+    assert (out[2][2:4, 2:4] == 200).all()  # restored to previous
+    assert (out[2][5:7, 5:7] == 70).all()  # frame 3's own patch
