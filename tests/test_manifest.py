@@ -133,8 +133,8 @@ def test_overwrite_loses_cas_race_and_raises(spark, tmp_path):
     # patching _write_data to commit the winner first
     orig = t._write_data
 
-    def _race(df, hint):
-        files = orig(df, hint)
+    def _race(df, hint, partition_by=None):
+        files = orig(df, hint, partition_by)
         winner.append(_df(spark, [(7, "winner", 7)]))
         return files
 
@@ -396,3 +396,199 @@ def test_committed_txns_carried_forward_reads_head_only(spark, tmp_path):
     # and the head manifest alone carries the full set
     head = t._read_manifest(t.head_version())
     assert set(head["txns"]) == {"batch-0", "batch-1", "batch-2"}
+
+
+# -- row-level DELETE (copy-on-write) ---------------------------------------
+
+
+def _clustered_events(spark, n=400, files=8):
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("t"), (F.col("id") % 4).cast("string")).alias("v"),
+            (F.col("id") % 7).alias("ts"),
+        )
+        .repartitionByRange(files, "k")
+        .sortWithinPartitions("k")
+    )
+
+
+def test_delete_rewrites_only_touched_files(spark, tmp_path):
+    """Copy-on-write DELETE: files outside the predicate's range are
+    carried into the new manifest BYTE-IDENTICAL (same paths), the
+    head equals the anti-filter, and time travel still reads the
+    pre-delete snapshot."""
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), _clustered_events(spark),
+        stats_cols=["k"],
+    )
+    v0_files = set(t._read_manifest(0)["files"])
+    v = t.delete("k BETWEEN 100 AND 199")
+    assert v == 1
+    m1 = t._read_manifest(1)
+    reused = set(m1["files"]) & v0_files
+    assert reused, "untouched files must be carried over unrewritten"
+    assert set(m1["files"]) != v0_files
+    got = sorted(r["k"] for r in t.read().collect())
+    assert got == [k for k in range(400) if not (100 <= k <= 199)]
+    # time travel intact
+    assert sorted(r["k"] for r in t.read(0).collect()) == list(range(400))
+    # stats entries only for live files
+    assert set(m1["stats"]) <= set(m1["files"])
+
+
+def test_delete_null_predicate_rows_are_kept(spark, tmp_path):
+    """DML semantics: DELETE removes rows where the predicate is TRUE;
+    FALSE and NULL rows stay."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "k long, tag string"
+    )
+    t = VersionedTable.create(spark, str(tmp_path / "t"), df)
+    t.delete("tag = 'a'")
+    assert sorted(r["k"] for r in t.read().collect()) == [2, 3]
+
+
+def test_delete_no_match_is_a_noop(spark, tmp_path):
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), _clustered_events(spark, n=50, files=2)
+    )
+    v = t.delete("k > 1000000")
+    assert v == 0 and t.versions() == [0]
+
+
+def test_delete_all_rows_commits_empty_file_set_for_touched(spark, tmp_path):
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), _clustered_events(spark, n=50, files=2)
+    )
+    v = t.delete("k >= 0")
+    assert v == 1
+    assert t.read().count() == 0
+    assert t.read(0).count() == 50
+
+
+def test_delete_refused_in_read_changes_range(spark, tmp_path):
+    t = VersionedTable.create(spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1)]))
+    t.append(_df(spark, [(2, "b", 2)]))
+    t.delete("k = 1")
+    with pytest.raises(ValueError, match="rewrite"):
+        t.read_changes(0)
+
+
+def test_delete_loses_cas_race_and_raises(spark, tmp_path):
+    t = VersionedTable.create(spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1)]))
+    orig = t._try_commit
+
+    def racing(manifest, version):
+        w2 = VersionedTable(spark, t.path)
+        w2.append(_df(spark, [(9, "winner", 9)]))
+        t._try_commit = orig
+        return orig(manifest, version)
+
+    t._try_commit = racing
+    with pytest.raises(ConcurrentWriteError, match="delete"):
+        t.delete("k = 1")
+
+
+# -- partition-spec'd tables --------------------------------------------------
+
+
+def test_partitioned_create_prunes_on_partition_value(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, ["click", "view", "purchase"][i % 3], float(i)) for i in range(90)],
+        "k long, typ string, val double",
+    )
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), df, partition_by="typ"
+    )
+    m = t._read_manifest(0)
+    assert m["partition_by"] == "typ"
+    assert set(m["parts"].values()) == {"click", "view", "purchase"}
+    kept, total = t.pruned_file_count("typ", "purchase", "purchase")
+    assert kept < total
+    got = t.read_where("typ", "purchase", "purchase")
+    assert sorted(r["k"] for r in got.collect()) == [
+        i for i in range(90) if i % 3 == 2
+    ]
+    # the partition column survives in the data files (snapshot read
+    # needs no basePath reconstruction)
+    assert set(t.read().columns) == {"k", "typ", "val"}
+    assert t.read().count() == 90
+
+
+def test_partitioned_read_combines_partition_and_stats_pruning(spark, tmp_path):
+    df = (
+        spark.range(300)
+        .select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("typ"),
+            (F.col("id") * 2).alias("val"),
+        )
+        .repartitionByRange(4, "k")
+        .sortWithinPartitions("k")
+    )
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), df, partition_by="typ", stats_cols=["k"]
+    )
+    part_only, total = t.pruned_file_count_all([("typ", "s1", "s1")])
+    combined, _ = t.pruned_file_count_all(
+        [("typ", "s1", "s1"), ("k", 0, 74)]
+    )
+    assert part_only < total
+    assert combined < part_only  # stats pruning stacks on partition pruning
+    got = t.read_where_all([("typ", "s1", "s1"), ("k", 0, 74)])
+    assert sorted(r["k"] for r in got.collect()) == [
+        i for i in range(75) if i % 3 == 1
+    ]
+
+
+def test_partitioned_append_upsert_delete_inherit_spec(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2], i) for i in range(20)], "k long, typ string, ts long"
+    )
+    t = VersionedTable.create(spark, str(tmp_path / "t"), df, partition_by="typ")
+    t.append(
+        spark.createDataFrame(
+            [(i, "c", i) for i in range(20, 30)], "k long, typ string, ts long"
+        ).coalesce(1)
+    )
+    m1 = t._read_manifest(1)
+    assert m1["partition_by"] == "typ"
+    assert set(m1["parts"].values()) == {"a", "b", "c"}
+    kept, total = t.pruned_file_count("typ", "c", "c")
+    assert kept < total
+    assert t.read_where("typ", "c", "c").count() == 10
+    # delete within one partition keeps the other partitions' files
+    v1_files = set(m1["files"])
+    t.delete("typ = 'c' AND k >= 25")
+    m2 = t._read_manifest(t.head_version())
+    assert set(m2["files"]) & v1_files
+    assert set(m2["parts"].values()) == {"a", "b", "c"}
+    assert t.read().count() == 25
+    # vacuum at partition layouts collects whole commit dirs only
+    removed = t.vacuum(keep_last=1, min_age_seconds=0)
+    assert removed >= 1
+    assert t.read().count() == 25
+
+
+def test_partitioned_null_values_always_kept(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "k long, typ string"
+    )
+    t = VersionedTable.create(spark, str(tmp_path / "t"), df, partition_by="typ")
+    # the null-partition file records no value and must never be pruned
+    kept, total = t.pruned_file_count("typ", "a", "a")
+    assert kept >= 2  # the a-file plus the null file
+    assert sorted(r["k"] for r in t.read_where("typ", "a", "a").collect()) == [1]
+    assert t.read().count() == 3
+
+
+def test_partitioned_reserved_column_and_missing_column_raise(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a")], "k long, typ string")
+    with pytest.raises(ValueError, match="not in"):
+        VersionedTable.create(spark, str(tmp_path / "t1"), df, partition_by="zzz")
+    df2 = df.withColumn("smetl_pt", F.lit("x"))
+    with pytest.raises(ValueError, match="reserved"):
+        VersionedTable.create(
+            spark, str(tmp_path / "t2"), df2, partition_by="typ"
+        )

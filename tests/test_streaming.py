@@ -566,3 +566,80 @@ def test_streaming_cms_matches_batch_sketch_and_replay_idempotent(
         map(tuple, ingest.read_cms_sketch(spark, target).collect())
     )
     assert got2 == want
+
+
+# -- CDC consumption over VersionedTable (sync_table_changes) ---------------
+
+
+def _vt_df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def test_sync_table_changes_replicates_and_is_replay_idempotent(
+    spark, tmp_path
+):
+    """One poll lands snapshot + every append as separate txn-tagged
+    batches; the drained sink equals the source head; a replayed poll
+    applies NOTHING (exactly-once via the sink's txn log)."""
+    from social_media_etl_spark.operators.manifest import VersionedTable
+
+    src = VersionedTable.create(
+        spark, str(tmp_path / "src"), _vt_df(spark, [(1, "a"), (2, "b")])
+    )
+    src.append(_vt_df(spark, [(3, "c")]))
+    src.append(_vt_df(spark, [(4, "d"), (5, "e")]))
+
+    applied = ingest.sync_table_changes(
+        spark, src.path, str(tmp_path / "dst"), app_id="cdc-test"
+    )
+    assert applied == ["cdc-test:snapshot:v0", "cdc-test:v1", "cdc-test:v2"]
+    dst = VersionedTable(spark, str(tmp_path / "dst"))
+    assert sorted(r["k"] for r in dst.read().collect()) == [1, 2, 3, 4, 5]
+    head_before = dst.head_version()
+
+    # replayed poll: nothing new
+    again = ingest.sync_table_changes(
+        spark, src.path, dst.path, app_id="cdc-test"
+    )
+    assert again == []
+    assert dst.head_version() == head_before
+
+
+def test_sync_table_changes_resumes_mid_chain(spark, tmp_path):
+    from social_media_etl_spark.operators.manifest import VersionedTable
+
+    src = VersionedTable.create(
+        spark, str(tmp_path / "src"), _vt_df(spark, [(1, "a")])
+    )
+    src.append(_vt_df(spark, [(2, "b")]))
+    first = ingest.sync_table_changes(
+        spark, src.path, str(tmp_path / "dst"), app_id="cdc"
+    )
+    assert first == ["cdc:snapshot:v0", "cdc:v1"]
+    # new source commits arrive; the next poll lands only those
+    src.append(_vt_df(spark, [(3, "c")]))
+    src.append(_vt_df(spark, [(4, "d")]))
+    second = ingest.sync_table_changes(
+        spark, src.path, str(tmp_path / "dst"), app_id="cdc"
+    )
+    assert second == ["cdc:v2", "cdc:v3"]
+    dst = VersionedTable(spark, str(tmp_path / "dst"))
+    assert sorted(r["k"] for r in dst.read().collect()) == [1, 2, 3, 4]
+
+
+def test_sync_table_changes_refuses_rewritten_chain(spark, tmp_path):
+    from social_media_etl_spark.operators.manifest import VersionedTable
+
+    src = VersionedTable.create(
+        spark, str(tmp_path / "src"), _vt_df(spark, [(1, "a"), (2, "b")])
+    )
+    src.upsert(
+        spark.createDataFrame([(1, "a2", 9)], "k long, v string, o long")
+        .select("k", "v"),
+        ["k"],
+        ["v"],
+    )
+    with pytest.raises(ValueError, match="rewrite"):
+        ingest.sync_table_changes(
+            spark, src.path, str(tmp_path / "dst2"), app_id="cdc"
+        )
