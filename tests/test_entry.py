@@ -290,3 +290,21 @@ def test_rocksdb_graded_twin_restores_session_confs(spark, sf_dir):
     assert spark.conf.get(provider_key, None) == before
     heap = entrymod._streaming_stateful_totals(spark, sf_dir).collect()
     assert rocks == heap
+
+
+def test_bucketed_memo_invalidates_on_session_identity(spark, sf_dir):
+    """The bucketed-layout guard keys on (applicationId, sf_dir)
+    (VERDICT r7 nit): a stale guard left by a DIFFERENT session must
+    not be trusted — the layout rebuilds and the query still answers
+    correctly."""
+    first = entrymod._bucketed_join_revenue(spark, sf_dir).collect()
+    assert first
+    # simulate a guard written by another session in the same process
+    spark._smetl_bucketed_for = ("stale-app-id", sf_dir)
+    second = entrymod._bucketed_join_revenue(spark, sf_dir).collect()
+    assert [tuple(r) for r in first] == [tuple(r) for r in second]
+    # the guard now records THIS session's identity
+    assert spark._smetl_bucketed_for == (
+        spark.sparkContext.applicationId,
+        sf_dir,
+    )

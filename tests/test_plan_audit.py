@@ -83,5 +83,13 @@ def test_single_partition_exchanges_are_known(spark):
         "image_phash_neardup", "audio_fingerprint_neardup",
         # one-row reconstruction-error gate over the int8 grid
         "embedding_int8_quantize",
+        # one-row v0 byte-identity gate after the copy-on-write delete
+        # (the head aggregate stays distributed)
+        "versioned_delete_where",
+        # two one-row gates: drained-equals-head certification counts
+        # and the batch-count/replay check over the CDC sink
+        "versioned_cdc_stream",
+        # one-row ±2 roundtrip-tolerance gate over the JPEG corpus
+        "multimodal_decode_jpeg",
     }
     assert with_sp <= allowed, with_sp - allowed
