@@ -832,6 +832,162 @@ class VersionedTable:
             )
         return v
 
+    def update(
+        self,
+        predicate: str,
+        assignments: dict[str, str],
+        txn: str | None = None,
+    ) -> int:
+        """Row-level UPDATE as COPY-ON-WRITE — the DML sibling of
+        :meth:`delete` (Delta UPDATE pattern): for every row where
+        ``predicate`` is TRUE, each ``assignments`` column is replaced
+        by its SQL expression (evaluated against the row's PRE-update
+        values, standard UPDATE semantics); FALSE/NULL rows are kept
+        unchanged. Only files containing matching rows are rewritten —
+        untouched files carry over byte-identical. Every assigned
+        expression is cast to the column's existing type (an UPDATE
+        can never drift the table schema). Commit is op ``update``
+        with first-committer-wins CAS; ``read_changes`` refuses ranges
+        crossing it. Returns the new version, or the current version
+        unchanged if no row matched."""
+        from urllib.parse import unquote, urlparse
+
+        parent = self.head_version()
+        base = self._read_manifest(parent)
+        schema = self._manifest_schema(base)
+        if schema is None:
+            raise ValueError(
+                "VersionedTable.update: legacy manifest without "
+                "schema_json cannot type-check assignments"
+            )
+        types = {f.name: f.dataType for f in schema.fields}
+        unknown = set(assignments) - set(types)
+        if unknown:
+            raise ValueError(
+                f"VersionedTable.update: assignment to unknown "
+                f"column(s) {sorted(unknown)}; table columns are "
+                f"{sorted(types)}"
+            )
+        matched = (
+            self._read_files(base, base["files"])
+            .filter(F.expr(predicate))
+            .select(F.input_file_name().alias("__f"))
+            .distinct()
+            .collect()
+        )
+        touched = {unquote(urlparse(r["__f"]).path) for r in matched}
+        touched_files = [f for f in base["files"] if f in touched]
+        if not touched_files:
+            return parent
+        kept_files = [f for f in base["files"] if f not in touched]
+        hit = F.coalesce(F.expr(predicate), F.lit(False))
+        rewritten = self._read_files(base, touched_files).select(
+            *[
+                (
+                    F.when(hit, F.expr(assignments[f.name]).cast(types[f.name]))
+                    .otherwise(F.col(f.name))
+                    .alias(f.name)
+                    if f.name in assignments
+                    else F.col(f.name)
+                )
+                for f in schema.fields
+            ]
+        )
+        partition_by = base.get("partition_by")
+        new_files = self._write_data(rewritten, parent + 1, partition_by)
+        v = parent + 1
+        stats_cols = base.get("stats_cols") or []
+        kept_set = set(kept_files)
+        m = {
+            "version": v,
+            "parent": parent,
+            "op": "update",
+            "predicate": predicate,
+            "files": sorted(kept_files + new_files),
+            "schema": base["schema"],
+            "schema_json": base.get("schema_json"),
+            "mixed": bool(base.get("mixed")),
+            "txn": txn,
+            "txns": self._txns_after(base, txn),
+            "stats": {
+                **{
+                    f: s
+                    for f, s in (base.get("stats") or {}).items()
+                    if f in kept_set
+                },
+                **(
+                    self._collect_stats(new_files, stats_cols)
+                    if stats_cols
+                    else {}
+                ),
+            },
+            "stats_cols": stats_cols,
+            "partition_by": partition_by,
+            "parts": {
+                **{
+                    f: p
+                    for f, p in (base.get("parts") or {}).items()
+                    if f in kept_set
+                },
+                **(self._partition_values(new_files) if partition_by else {}),
+            },
+        }
+        if not self._try_commit(m, v):
+            raise ConcurrentWriteError(
+                f"VersionedTable: update rewrote against stale v{parent}; "
+                f"head is now v{self.head_version()} — re-run"
+            )
+        return v
+
+    def optimize(
+        self, target_files: int = 1, recluster_by: str | None = None
+    ) -> int:
+        """Small-file compaction as a snapshot rewrite (the
+        Delta/Iceberg OPTIMIZE pattern): re-lay the head's rows into
+        ``target_files`` files — range-clustered on ``recluster_by``
+        when given (re-tightening stats bounds for pruning), hash-laid
+        otherwise — and commit op ``optimize``. Content is unchanged
+        (reads before and after are identical); what changes is the
+        FILE GEOMETRY: a long append chain accumulates many small
+        files, and at 100 TB open/seek overhead on thousands of tiny
+        files dominates scans long before data volume does. Old
+        versions still time-travel to the fragmented layout until
+        vacuumed. First-committer-wins CAS, like every rewrite."""
+        parent = self.head_version()
+        base = self._read_manifest(parent)
+        df = self._read_files(base, base["files"])
+        if recluster_by is not None:
+            df = df.repartitionByRange(
+                target_files, recluster_by
+            ).sortWithinPartitions(recluster_by)
+        else:
+            df = df.repartition(target_files)
+        partition_by = base.get("partition_by")
+        files = self._write_data(df, parent + 1, partition_by)
+        v = parent + 1
+        stats_cols = base.get("stats_cols") or []
+        m = {
+            "version": v,
+            "parent": parent,
+            "op": "optimize",
+            "files": files,
+            "schema": base["schema"],
+            "schema_json": base.get("schema_json"),
+            # a full rewrite lands every logical column in every file
+            "mixed": False,
+            "txns": self._txns_after(base, None),
+            "stats": self._collect_stats(files, stats_cols) if stats_cols else {},
+            "stats_cols": stats_cols,
+            "partition_by": partition_by,
+            "parts": self._partition_values(files) if partition_by else {},
+        }
+        if not self._try_commit(m, v):
+            raise ConcurrentWriteError(
+                f"VersionedTable: optimize raced past stale v{parent}; "
+                f"head is now v{self.head_version()} — re-run"
+            )
+        return v
+
     def vacuum(self, keep_last: int = 2, min_age_seconds: float = 3600.0) -> int:
         """Delete data directories referenced by NO retained manifest
         (the newest ``keep_last`` versions are retained, and their

@@ -592,3 +592,95 @@ def test_partitioned_reserved_column_and_missing_column_raise(spark, tmp_path):
         VersionedTable.create(
             spark, str(tmp_path / "t2"), df2, partition_by="typ"
         )
+
+
+# -- row-level UPDATE (copy-on-write) ----------------------------------------
+
+
+def test_update_rewrites_matching_rows_only(spark, tmp_path):
+    """UPDATE applies assignments to TRUE-predicate rows (evaluated
+    against pre-update values), keeps FALSE/NULL rows byte-identical,
+    reuses untouched files, and time travel still reads pre-update."""
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), _clustered_events(spark), stats_cols=["k"]
+    )
+    v0_files = set(t._read_manifest(0)["files"])
+    v = t.update("k BETWEEN 100 AND 149", {"v": "concat(v, '-upd')", "ts": "ts + 100"})
+    assert v == 1
+    m1 = t._read_manifest(1)
+    assert set(m1["files"]) & v0_files  # untouched files byte-reused
+    rows = {r["k"]: (r["v"], r["ts"]) for r in t.read().collect()}
+    assert rows[120] == ("t0-upd", 120 % 7 + 100)
+    assert rows[50] == ("t2", 50 % 7)  # outside predicate: unchanged
+    assert len(rows) == 400  # UPDATE never changes cardinality
+    v0 = {r["k"]: r["v"] for r in t.read(0).collect()}
+    assert v0[120] == "t0"  # time travel pre-update
+    with pytest.raises(ValueError, match="rewrite"):
+        t.read_changes(0)
+
+
+def test_update_casts_to_column_type_and_rejects_unknown_columns(
+    spark, tmp_path
+):
+    t = VersionedTable.create(spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1)]))
+    # integer-literal assignment to a string column arrives as string
+    t.update("k = 1", {"v": "42"})
+    assert t.read().collect()[0]["v"] == "42"
+    assert t._read_manifest(1)["schema"] == t._read_manifest(0)["schema"]
+    with pytest.raises(ValueError, match="unknown"):
+        t.update("k = 1", {"nope": "1"})
+
+
+def test_update_no_match_is_a_noop(spark, tmp_path):
+    t = VersionedTable.create(spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1)]))
+    assert t.update("k = 99", {"v": "'x'"}) == 0
+    assert t.versions() == [0]
+
+
+# -- OPTIMIZE (small-file compaction) ----------------------------------------
+
+
+def test_optimize_compacts_files_and_preserves_content(spark, tmp_path):
+    """A long append chain fragments the table; optimize re-lays the
+    head into few files, content-identical, with stats re-tightened
+    for pruning, and old versions still time-travel."""
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        _df(spark, [(0, "a", 0)]).coalesce(1),
+        stats_cols=["k"],
+    )
+    for i in range(1, 6):
+        t.append(_df(spark, [(i, "a", i)]).coalesce(1))
+    frag = t._read_manifest(t.head_version())
+    assert len(frag["files"]) == 6
+    before = sorted(map(tuple, t.read().collect()))
+    v = t.optimize(target_files=1, recluster_by="k")
+    m = t._read_manifest(v)
+    assert m["op"] == "optimize"
+    assert len(m["files"]) < len(frag["files"])
+    assert sorted(map(tuple, t.read().collect())) == before
+    # stats re-collected over the compacted layout
+    assert set(m["stats"]) == set(m["files"])
+    # pre-optimize snapshot still reads the fragmented layout
+    assert len(t._read_manifest(v - 1)["files"]) == 6
+    assert sorted(map(tuple, t.read(v - 1).collect())) == before
+    with pytest.raises(ValueError, match="rewrite"):
+        t.read_changes(0)
+
+
+def test_optimize_preserves_partition_spec(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2]) for i in range(40)], "k long, typ string"
+    )
+    t = VersionedTable.create(spark, str(tmp_path / "t"), df, partition_by="typ")
+    t.append(
+        spark.createDataFrame([(99, "a")], "k long, typ string").coalesce(1)
+    )
+    v = t.optimize(target_files=1)
+    m = t._read_manifest(v)
+    assert m["partition_by"] == "typ"
+    assert set(m["parts"].values()) == {"a", "b"}
+    kept, total = t.pruned_file_count("typ", "b", "b")
+    assert kept < total
+    assert t.read().count() == 41
