@@ -461,6 +461,46 @@ def maintenance_probe(spark, events) -> None:
                 }
             )
         )
+        # copy-on-write DML at volume (r8): a narrow-range DELETE on a
+        # range-clustered table must rewrite only the overlapping
+        # files — the rewritten-file count, not table volume, sets the
+        # cost. Then an UPDATE over a similarly narrow slice, and an
+        # OPTIMIZE of the fragmented result. The reused-file count is
+        # the scale signal: at 100 TB a point delete that rewrote
+        # every file would be a full-table write.
+        lo = int(base.agg(F.expr("percentile(event_id, 0.4)")).collect()[0][0])
+        hi = int(base.agg(F.expr("percentile(event_id, 0.45)")).collect()[0][0])
+        n_before = len(vt2._read_manifest(vt2.head_version())["files"])
+        files_before = set(vt2._read_manifest(vt2.head_version())["files"])
+        t0 = time.time()
+        vt2.delete(f"event_id BETWEEN {lo} AND {hi}")
+        delete_s = time.time() - t0
+        m_del = vt2._read_manifest(vt2.head_version())
+        reused = len(set(m_del["files"]) & files_before)
+        t0 = time.time()
+        vt2.update(
+            f"event_id BETWEEN {hi + 1} AND {hi + 50}",
+            {"value": "value * 2"},
+        )
+        update_s = time.time() - t0
+        t0 = time.time()
+        vt2.optimize(target_files=16, recluster_by="event_id")
+        optimize_s = time.time() - t0
+        print(
+            json.dumps(
+                {
+                    "probe": "dml_cow",
+                    "files_before": n_before,
+                    "files_reused_by_delete": reused,
+                    "delete_s": round(delete_s, 2),
+                    "update_s": round(update_s, 2),
+                    "optimize_s": round(optimize_s, 2),
+                    "files_after_optimize": len(
+                        vt2._read_manifest(vt2.head_version())["files"]
+                    ),
+                }
+            )
+        )
     finally:
         shutil.rmtree(d, ignore_errors=True)
 

@@ -531,7 +531,19 @@ class VersionedTable:
         if manifest.get("mixed"):
             schema = self._manifest_schema(manifest)
             df = self.spark.read.option("mergeSchema", "true").parquet(*files)
-            return df.select(*[F.col(f.name) for f in schema.fields])
+            # a SUBSET read (delete's touched files, a CDC range) may
+            # span only pre-evolution files — columns the manifest
+            # declares but no opened footer carries NULL-fill, exactly
+            # as they would in a full-snapshot read
+            present = set(df.columns)
+            return df.select(
+                *[
+                    F.col(f.name)
+                    if f.name in present
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in schema.fields
+                ]
+            )
         return self.spark.read.parquet(*files)
 
     def read(self, version: int | None = None) -> DataFrame:

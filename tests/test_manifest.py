@@ -684,3 +684,48 @@ def test_optimize_preserves_partition_spec(spark, tmp_path):
     kept, total = t.pruned_file_count("typ", "b", "b")
     assert kept < total
     assert t.read().count() == 41
+
+
+def test_delete_on_evolved_mixed_table(spark, tmp_path):
+    """Copy-on-write DELETE after additive evolution: the rewrite of
+    touched pre-evolution files lands under the MERGED schema (NULL
+    for the added column), kept files stay narrow, and reads remain
+    consistent across the mixed layout."""
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1), (2, "b", 2)]).coalesce(1)
+    )
+    wide = spark.createDataFrame(
+        [(3, "c", 3, "x")], "k long, v string, ts long, note string"
+    )
+    t.append(wide.coalesce(1))
+    t.delete("k = 1")
+    rows = {r["k"]: (r["v"], r["note"]) for r in t.read().collect()}
+    assert rows == {2: ("b", None), 3: ("c", "x")}
+    assert [f.name for f in t.read().schema.fields] == ["k", "v", "ts", "note"]
+    # time travel: both pre-delete snapshots intact
+    assert sorted(r["k"] for r in t.read(1).collect()) == [1, 2, 3]
+    assert [f.name for f in t.read(0).schema.fields] == ["k", "v", "ts"]
+
+
+def test_read_changes_and_cdc_sync_over_partitioned_appends(spark, tmp_path):
+    """File-level CDC stays exact under the partitioned layout: the
+    manifest diff is partition-dir-agnostic, and the sync consumer
+    replicates a partitioned source chain including the spec."""
+    from social_media_etl_spark.streaming import ingest
+
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2]) for i in range(10)], "k long, typ string"
+    )
+    t = VersionedTable.create(spark, str(tmp_path / "src"), df, partition_by="typ")
+    t.append(
+        spark.createDataFrame([(10, "c"), (11, "a")], "k long, typ string")
+    )
+    delta = t.read_changes(0)
+    assert sorted(r["k"] for r in delta.collect()) == [10, 11]
+    assert set(delta.columns) == {"k", "typ"}
+    applied = ingest.sync_table_changes(
+        spark, t.path, str(tmp_path / "dst"), app_id="p"
+    )
+    assert len(applied) == 2
+    dst = VersionedTable(spark, str(tmp_path / "dst"))
+    assert sorted(r["k"] for r in dst.read().collect()) == list(range(12))
