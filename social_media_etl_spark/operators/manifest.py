@@ -514,6 +514,52 @@ class VersionedTable:
             raise IOError(f"VersionedTable: {self.path} has no commits")
         return vs[-1]
 
+    def version_as_of(self, ts_ms: int) -> int:
+        """Highest version committed at or before the epoch-millis
+        timestamp — Delta's ``TIMESTAMP AS OF`` resolution. Commit time
+        is the manifest file's modification time (the CAS rename IS
+        the commit instant). O(versions) metadata stats, no data IO."""
+        best = None
+        for v in self.versions():
+            mt = self._fs.getFileStatus(
+                self._P(self._manifest_path(v))
+            ).getModificationTime()
+            if mt <= ts_ms:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"VersionedTable: no version committed at or before "
+                f"ts_ms={ts_ms} (earliest commit is after it)"
+            )
+        return best
+
+    def history(self) -> DataFrame:
+        """Commit log as a DataFrame (the DESCRIBE HISTORY surface):
+        one row per version with op, parent, txn, file count, and
+        commit time (epoch millis). O(versions) manifest reads —
+        bounded metadata, never data."""
+        rows = []
+        for v in self.versions():
+            m = self._read_manifest(v)
+            mt = self._fs.getFileStatus(
+                self._P(self._manifest_path(v))
+            ).getModificationTime()
+            rows.append(
+                (
+                    v,
+                    m.get("parent"),
+                    m.get("op"),
+                    m.get("txn"),
+                    len(m.get("files") or []),
+                    int(mt),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "version int, parent int, op string, txn string,"
+            " n_files int, commit_ts_ms long",
+        )
+
     def _read_files(self, manifest: dict, files: list[str]) -> DataFrame:
         """Read a manifest's files under the MANIFEST's schema. A
         ``mixed`` manifest (additive evolution happened) merges the

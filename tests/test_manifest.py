@@ -729,3 +729,27 @@ def test_read_changes_and_cdc_sync_over_partitioned_appends(spark, tmp_path):
     assert len(applied) == 2
     dst = VersionedTable(spark, str(tmp_path / "dst"))
     assert sorted(r["k"] for r in dst.read().collect()) == list(range(12))
+
+
+def test_version_as_of_and_history(spark, tmp_path):
+    """Timestamp time travel resolves to the highest commit at or
+    before the instant (commit instant = the manifest's CAS rename
+    mtime), and history() surfaces the commit log as a DataFrame."""
+    import time
+
+    t = VersionedTable.create(spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1)]))
+    time.sleep(0.05)
+    mid_ms = int(time.time() * 1000)
+    time.sleep(0.05)
+    t.append(_df(spark, [(2, "b", 2)]), txn="tx-1")
+    assert t.version_as_of(mid_ms) == 0
+    assert t.version_as_of(int(time.time() * 1000) + 1000) == 1
+    with pytest.raises(ValueError, match="no version"):
+        t.version_as_of(mid_ms - 3_600_000)
+    # the resolved version reads the snapshot of that instant
+    assert sorted(r["k"] for r in t.read(t.version_as_of(mid_ms)).collect()) == [1]
+    hist = {r["version"]: r for r in t.history().collect()}
+    assert hist[0]["op"] == "create" and hist[0]["parent"] is None
+    assert hist[1]["op"] == "append" and hist[1]["txn"] == "tx-1"
+    assert hist[1]["n_files"] > hist[0]["n_files"] - 1
+    assert hist[0]["commit_ts_ms"] <= mid_ms <= hist[1]["commit_ts_ms"]
