@@ -753,3 +753,21 @@ def test_version_as_of_and_history(spark, tmp_path):
     assert hist[1]["op"] == "append" and hist[1]["txn"] == "tx-1"
     assert hist[1]["n_files"] > hist[0]["n_files"] - 1
     assert hist[0]["commit_ts_ms"] <= mid_ms <= hist[1]["commit_ts_ms"]
+
+
+def test_delete_with_prune_hints_narrows_find_scan(spark, tmp_path):
+    """Predicate-implied prune hints let the manifest narrow the
+    find-files scan before any footer opens; the result is identical
+    to the unhinted delete."""
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), _clustered_events(spark), stats_cols=["k"]
+    )
+    # the hint mirrors the predicate's range — the caller's contract
+    v = t.delete("k BETWEEN 120 AND 170", prune=[("k", 120, 170)])
+    assert v == 1
+    got = sorted(r["k"] for r in t.read().collect())
+    assert got == [k for k in range(400) if not (120 <= k <= 170)]
+    # an update with hints behaves the same
+    t.update("k BETWEEN 0 AND 10", {"v": "'hit'"}, prune=[("k", 0, 10)])
+    rows = {r["k"]: r["v"] for r in t.read().collect()}
+    assert rows[5] == "hit" and rows[300] == "t0"
