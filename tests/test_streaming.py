@@ -643,3 +643,85 @@ def test_sync_table_changes_refuses_rewritten_chain(spark, tmp_path):
         ingest.sync_table_changes(
             spark, src.path, str(tmp_path / "dst2"), app_id="cdc"
         )
+
+
+# -- versioned_cdc: Structured Streaming source over the change feed --------
+
+
+def test_versioned_cdc_stream_source_initial_snapshot_and_resume(
+    spark, tmp_path
+):
+    """The engine-native CDC source: offsets are table versions,
+    checkpointed by the engine. First drain emits the whole table
+    (initial snapshot + appends); after NEW commits, a restart from
+    the same checkpoint emits ONLY the new rows — exactly-once across
+    restarts with zero sink cooperation."""
+    from social_media_etl_spark.operators.manifest import VersionedTable
+    from social_media_etl_spark.sources.versioned_stream import (
+        register_versioned_cdc_source,
+    )
+
+    register_versioned_cdc_source(spark)
+    src = VersionedTable.create(
+        spark, str(tmp_path / "src"), _vt_df(spark, [(1, "a"), (2, "b")])
+    )
+    src.append(_vt_df(spark, [(3, "c")]))
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("versioned_cdc")
+            .option("path", src.path)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    got1 = sorted(r["k"] for r in spark.read.parquet(out).collect())
+    assert got1 == [1, 2, 3]  # initial snapshot + the append
+    # new commits arrive; resume from the checkpoint
+    src.append(_vt_df(spark, [(4, "d"), (5, "e")]))
+    drain()
+    got2 = sorted(r["k"] for r in spark.read.parquet(out).collect())
+    assert got2 == [1, 2, 3, 4, 5]  # only the delta was re-emitted
+    # a re-drain with no new commits emits nothing
+    drain()
+    assert sorted(r["k"] for r in spark.read.parquet(out).collect()) == got2
+
+
+def test_versioned_cdc_stream_source_schema_from_manifest(spark, tmp_path):
+    from social_media_etl_spark.operators.manifest import VersionedTable
+    from social_media_etl_spark.sources.versioned_stream import (
+        register_versioned_cdc_source,
+    )
+
+    register_versioned_cdc_source(spark)
+    VersionedTable.create(
+        spark, str(tmp_path / "t"), _vt_df(spark, [(1, "a")])
+    )
+    stream = (
+        spark.readStream.format("versioned_cdc")
+        .option("path", str(tmp_path / "t"))
+        .load()
+    )
+    assert stream.schema.simpleString() == "struct<k:bigint,v:string>"
+
+
+def test_versioned_cdc_stream_source_refuses_rewritten_chain(
+    spark, tmp_path
+):
+    from social_media_etl_spark.sources import versioned_stream as vs
+    from social_media_etl_spark.operators.manifest import VersionedTable
+
+    src = VersionedTable.create(
+        spark, str(tmp_path / "t"), _vt_df(spark, [(1, "a"), (2, "b")])
+    )
+    src.delete("k = 1")
+    with pytest.raises(ValueError, match="rewrite"):
+        vs._span_files(src.path, 0, src.head_version())
