@@ -455,3 +455,55 @@ def test_adpcm_batch_codec_roundtrip_property(data, n_sig, length, block_align):
         assert np.array_equal(
             np.round(x * 32767).astype(int), np.array(ref[:fact_n])
         )
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 30),
+            st.one_of(st.none(), st.sampled_from(["x", "y", "z"])),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    lo=st.integers(0, 30),
+    span=st.integers(0, 10),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_versioned_dml_matches_filter_semantics(spark, tmp_path_factory, rows, lo, span):
+    """Copy-on-write DELETE/UPDATE against the relational definition on
+    random data including NULL predicate columns: DELETE removes
+    exactly the TRUE rows (NULLs kept), UPDATE rewrites exactly the
+    TRUE rows with pre-update-value expressions, and cardinality and
+    time travel hold on every path."""
+    from social_media_etl_spark.operators.manifest import VersionedTable
+
+    d = tmp_path_factory.mktemp("vdml")
+    # a row id disambiguates duplicates so multiset compares are exact
+    data = [(i, k, tag) for i, (k, tag) in enumerate(rows)]
+    df = spark.createDataFrame(data, "rid long, k long, tag string")
+    hi = lo + span
+    pred = f"(k BETWEEN {lo} AND {hi}) AND tag = 'x'"
+
+    t = VersionedTable.create(spark, str(d / "t"), df)
+    t.delete(pred)
+    got = sorted(map(tuple, t.read().collect()))
+    want = sorted(
+        (rid, k, tag)
+        for rid, k, tag in data
+        if not (lo <= k <= hi and tag == "x")
+    )
+    assert got == want
+    assert sorted(map(tuple, t.read(0).collect())) == sorted(data)
+
+    t2 = VersionedTable.create(spark, str(d / "t2"), df)
+    t2.update(pred, {"tag": "concat(tag, '!')", "k": "k + 100"})
+    got2 = sorted(map(tuple, t2.read().collect()))
+    want2 = sorted(
+        (rid, k + 100, tag + "!") if (lo <= k <= hi and tag == "x")
+        else (rid, k, tag)
+        for rid, k, tag in data
+    )
+    assert got2 == want2
+    assert len(got2) == len(data)
