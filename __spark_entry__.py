@@ -3189,12 +3189,23 @@ def _embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     v = V.as_double(F.col("embedding"))
-    q = emb.select(
+    # lo/scale as OUTER columns, then codes referencing them: a bound
+    # embedded in the transform lambda would re-scan the vector per
+    # element (O(dim²) — measured 3.6× slower at dim 64, BENCH_NOTES r8)
+    bounds = emb.select(
         "vec_id",
         v.alias("v"),
         F.array_min(v).alias("lo"),
         V.int8_scale(v).alias("scale"),
-        V.uint8_codes(v).alias("codes"),
+    )
+    q = bounds.select(
+        "vec_id",
+        "v",
+        "lo",
+        "scale",
+        V.uint8_codes(
+            F.col("v"), lo=F.col("lo"), scale=F.col("scale")
+        ).alias("codes"),
     )
     recon = V.int8_dequantize(F.col("codes"), F.col("lo"), F.col("scale"))
     scored = q.select(

@@ -72,17 +72,28 @@ def int8_scale(v: Column | str) -> Column:
     return (F.array_max(vv) - F.array_min(vv)) / F.lit(255.0)
 
 
-def uint8_codes(v: Column | str) -> Column:
+def uint8_codes(
+    v: Column | str, lo: Column | None = None, scale: Column | None = None
+) -> Column:
     """Quantize to UNSIGNED 8-bit codes spanning 0..255:
     round((x − min) / scale). The codes are offset-binary, NOT signed
     int8 — storing them in a signed byte column would overflow every
     value > 127 (ADVICE r6), so they are kept as int here and the name
     says uint8. Constant vectors (scale 0) map to all-zero codes
-    instead of a division by zero. Pure ``transform`` — codegen'd, no
-    Python."""
+    instead of a division by zero. Pure ``transform`` — JVM-side, no
+    Python.
+
+    PASS PRECOMPUTED ``lo``/``scale`` COLUMNS when you have them:
+    higher-order lambdas are evaluated per ELEMENT, so an array_min
+    embedded in the lambda re-scans the vector for every element —
+    O(dim²) per vector, measured 3.6× slower at dim 64 (r8). With
+    outer columns the bounds are computed once per row and the lambda
+    is O(dim)."""
     vv = as_double(v)
-    lo = F.array_min(vv)
-    scale = int8_scale(vv)
+    if lo is None:
+        lo = F.array_min(vv)
+    if scale is None:
+        scale = int8_scale(vv)
     return F.when(
         scale == 0, F.transform(vv, lambda _: F.lit(0))
     ).otherwise(
