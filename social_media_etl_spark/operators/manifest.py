@@ -1019,7 +1019,10 @@ class VersionedTable:
         return v
 
     def optimize(
-        self, target_files: int = 1, recluster_by: str | None = None
+        self,
+        target_files: int = 1,
+        recluster_by: str | None = None,
+        max_retries: int = 10,
     ) -> int:
         """Small-file compaction as a snapshot rewrite (the
         Delta/Iceberg OPTIMIZE pattern): re-lay the head's rows into
@@ -1031,7 +1034,15 @@ class VersionedTable:
         files, and at 100 TB open/seek overhead on thousands of tiny
         files dominates scans long before data volume does. Old
         versions still time-travel to the fragmented layout until
-        vacuumed. First-committer-wins CAS, like every rewrite."""
+        vacuumed.
+
+        CONCURRENCY: optimize COMMUTES with appends, exactly like
+        Delta's — compaction must never abort ingest. A lost CAS race
+        against an append-only span rebases: the new manifest is the
+        compacted files PLUS the winners' appended files (their stats
+        and partition values carried from the winning head). Only a
+        concurrent REWRITE (upsert/overwrite/delete/update/another
+        optimize) raises — the compacted content is then stale."""
         parent = self.head_version()
         base = self._read_manifest(parent)
         df = self._read_files(base, base["files"])
@@ -1043,29 +1054,66 @@ class VersionedTable:
             df = df.repartition(target_files)
         partition_by = base.get("partition_by")
         files = self._write_data(df, parent + 1, partition_by)
-        v = parent + 1
         stats_cols = base.get("stats_cols") or []
-        m = {
-            "version": v,
-            "parent": parent,
-            "op": "optimize",
-            "files": files,
-            "schema": base["schema"],
-            "schema_json": base.get("schema_json"),
-            # a full rewrite lands every logical column in every file
-            "mixed": False,
-            "txns": self._txns_after(base, None),
-            "stats": self._collect_stats(files, stats_cols) if stats_cols else {},
-            "stats_cols": stats_cols,
-            "partition_by": partition_by,
-            "parts": self._partition_values(files) if partition_by else {},
-        }
-        if not self._try_commit(m, v):
-            raise ConcurrentWriteError(
-                f"VersionedTable: optimize raced past stale v{parent}; "
-                f"head is now v{self.head_version()} — re-run"
-            )
-        return v
+        new_stats = self._collect_stats(files, stats_cols) if stats_cols else {}
+        new_parts = self._partition_values(files) if partition_by else {}
+        compacted_parent = parent
+        for _ in range(max_retries):
+            head = self.head_version()
+            head_m = self._read_manifest(head)
+            if head != compacted_parent:
+                # rebase over the winners IF the span is append-only
+                span = [
+                    v2
+                    for v2 in self.versions()
+                    if compacted_parent < v2 <= head
+                ]
+                rewrites = [
+                    v2
+                    for v2 in span
+                    if self._read_manifest(v2).get("op") != "append"
+                ]
+                if rewrites:
+                    raise ConcurrentWriteError(
+                        "VersionedTable: optimize raced a rewrite commit "
+                        f"{rewrites}; the compacted content is stale — "
+                        "re-run"
+                    )
+            appended = sorted(set(head_m["files"]) - set(base["files"]))
+            head_stats = head_m.get("stats") or {}
+            head_parts = head_m.get("parts") or {}
+            v = head + 1
+            m = {
+                "version": v,
+                "parent": head,
+                "op": "optimize",
+                "files": sorted(files + appended),
+                # appends may have evolved the schema; the rebase keeps
+                # the HEAD's logical schema (compacted files are then a
+                # pre-evolution physical layout → mixed)
+                "schema": head_m["schema"],
+                "schema_json": head_m.get("schema_json"),
+                "mixed": bool(appended) and (
+                    bool(head_m.get("mixed"))
+                    or head_m["schema"] != base["schema"]
+                ),
+                "txns": self._txns_after(head_m, None),
+                "stats": {
+                    **new_stats,
+                    **{f: head_stats[f] for f in appended if f in head_stats},
+                },
+                "stats_cols": stats_cols,
+                "partition_by": partition_by,
+                "parts": {
+                    **new_parts,
+                    **{f: head_parts[f] for f in appended if f in head_parts},
+                },
+            }
+            if self._try_commit(m, v):
+                return v
+        raise ConcurrentWriteError(
+            f"VersionedTable: optimize lost {max_retries} CAS races"
+        )
 
     def vacuum(self, keep_last: int = 2, min_age_seconds: float = 3600.0) -> int:
         """Delete data directories referenced by NO retained manifest

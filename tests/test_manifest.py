@@ -771,3 +771,55 @@ def test_delete_with_prune_hints_narrows_find_scan(spark, tmp_path):
     t.update("k BETWEEN 0 AND 10", {"v": "'hit'"}, prune=[("k", 0, 10)])
     rows = {r["k"]: r["v"] for r in t.read().collect()}
     assert rows[5] == "hit" and rows[300] == "t0"
+
+
+def test_optimize_rebases_over_concurrent_append(spark, tmp_path):
+    """Compaction must never abort ingest: an append that wins the CAS
+    mid-optimize is REBASED — the committed manifest holds the
+    compacted files plus the winner's appended rows."""
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1)]).coalesce(1)
+    )
+    for i in range(2, 5):
+        t.append(_df(spark, [(i, "a", i)]).coalesce(1))
+    orig = t._try_commit
+    fired = {"done": False}
+
+    def racing(manifest, version):
+        if not fired["done"]:
+            fired["done"] = True
+            w = VersionedTable(spark, t.path)
+            w.append(_df(spark, [(9, "winner", 9)]).coalesce(1))
+        return orig(manifest, version)
+
+    t._try_commit = racing
+    v = t.optimize(target_files=1)
+    t._try_commit = orig
+    m = t._read_manifest(v)
+    assert m["op"] == "optimize"
+    got = sorted(r["k"] for r in t.read().collect())
+    assert got == [1, 2, 3, 4, 9]  # compacted rows + the winner's row
+    # fewer files than the fragmented chain + the appended one
+    assert len(m["files"]) <= 2
+
+
+def test_optimize_races_rewrite_and_raises(spark, tmp_path):
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1), (2, "b", 2)])
+    )
+    orig = t._try_commit
+    fired = {"done": False}
+
+    def racing(manifest, version):
+        if not fired["done"]:
+            fired["done"] = True
+            w = VersionedTable(spark, t.path)
+            w.delete("k = 1")
+        return orig(manifest, version)
+
+    t._try_commit = racing
+    with pytest.raises(ConcurrentWriteError, match="rewrite"):
+        t.optimize(target_files=1)
+    t._try_commit = orig
+    # the delete's state is intact
+    assert sorted(r["k"] for r in t.read().collect()) == [2]
