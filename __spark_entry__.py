@@ -3530,7 +3530,11 @@ def _versioned_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, f"{d}/t", clustered, stats_cols=["event_id"]
     )
     v0_files = set(t._read_manifest(0)["files"])
-    v_head = t.delete("event_id BETWEEN 200 AND 699")
+    # prune hint = the predicate's own range: manifest stats narrow the
+    # find-files scan itself before any footer opens
+    v_head = t.delete(
+        "event_id BETWEEN 200 AND 699", prune=[("event_id", 200, 699)]
+    )
     m1 = t._read_manifest(v_head)
     reused = set(m1["files"]) & v0_files
     ok = v_head == 1 and bool(reused) and set(m1["files"]) != v0_files
