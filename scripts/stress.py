@@ -357,6 +357,55 @@ def codec_probe(spark, mult: int) -> None:
         )
     )
 
+    def _gen_jpeg(batches):
+        import numpy as np
+        import pandas as pd
+
+        from social_media_etl_spark.sources.jpeg import (
+            decode_jpeg,
+            encode_jpeg_baseline,
+        )
+
+        for pdf in batches:
+            out = {"media_id": [], "ok": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 5 + d % 12, 4 + d % 9
+                color = np.array(
+                    [d % 256, (d * 7) % 256, (d * 13) % 256], dtype=np.uint8
+                )
+                img = np.broadcast_to(color, (h, w, 3))
+                dec = decode_jpeg(
+                    encode_jpeg_baseline(
+                        img,
+                        subsample=True,
+                        restart_interval=2 if d % 3 == 0 else 0,
+                    )
+                )
+                err = int(
+                    np.abs(dec.astype(np.int16) - img.astype(np.int16)).max()
+                )
+                out["media_id"].append(d)
+                out["ok"].append(dec.shape[:2] == (h, w) and err <= 2)
+            yield pd.DataFrame(out)
+
+    t0 = time.time()
+    n_ok = (
+        seed.mapInPandas(_gen_jpeg, "media_id long, ok boolean")
+        .filter(F.col("ok"))
+        .count()
+    )
+    print(
+        json.dumps(
+            {
+                "probe": "codec_image_jpeg",
+                "docs": n_docs,
+                "roundtrips_in_tolerance": n_ok,
+                "sec": round(time.time() - t0, 2),
+            }
+        )
+    )
+
 
 def maintenance_probe(spark, events) -> None:
     """Times the r6 warehouse maintenance ops at the inflated volume,
