@@ -166,35 +166,27 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     cell-wise addition via union + re-aggregate — never touches raw
     data, so shards/days/tables combine for free.
 
-    Parameter safety (ADVICE r6): the per-cell aggregate also folds
-    min/max over each input row's carried (depth, width, seed) and
-    RAISES on any cell fed by two different parameter triples.
-    Per-cell alone is not airtight for SPARSE inputs (ADVICE r7): two
-    same-width sketches with different seeds can occupy disjoint
-    (row, bucket) cells and never collide on one, so a GLOBAL min/max
-    of the params struct across the whole union is folded in as well —
-    a bounded aggregate over ≤ Σ depth×width rows, broadcast onto the
-    merged cells — and any global disagreement raises too. Validation
-    still never touches raw data.
+    Parameter safety (ADVICE r6/r7): a GLOBAL min/max of the carried
+    (depth, width, seed) struct across the whole union — a bounded
+    aggregate over ≤ Σ depth×width rows, broadcast onto the merged
+    cells — RAISES on any disagreement. Global (not per-cell)
+    validation is the airtight form: two sparse sketches with
+    different seeds can occupy disjoint cells and would never collide
+    on one, and the global fold strictly subsumes what a per-cell fold
+    could see (r8 review removed the then-dead per-cell aggregates).
+    Validation still never touches raw data.
     """
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
     glob = out.agg(
-        F.min(_cms_params(out)).alias("__glo"),
-        F.max(_cms_params(out)).alias("__ghi"),
+        F.min(_cms_params(out)).alias("__plo"),
+        F.max(_cms_params(out)).alias("__phi"),
     )
     merged = (
         out.groupBy("row", "bucket")
-        .agg(
-            F.sum("cnt").alias("cnt"),
-            F.min(_cms_params(out)).alias("__plo"),
-            F.max(_cms_params(out)).alias("__phi"),
-        )
+        .agg(F.sum("cnt").alias("cnt"))
         .crossJoin(F.broadcast(glob))
-        .withColumn("__plo", F.least("__plo", "__glo"))
-        .withColumn("__phi", F.greatest("__phi", "__ghi"))
-        .drop("__glo", "__ghi")
     )
     keep = lambda c: F.when(  # noqa: E731
         F.col("__plo") == F.col("__phi"), F.col(f"__plo.{c}")
@@ -203,12 +195,8 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
             F.concat(
                 F.lit(
                     "cms_merge: sketches built with different "
-                    "(depth, width, seed) — cell (row="
+                    "(depth, width, seed) — the union mixes "
                 ),
-                F.col("row"),
-                F.lit(", bucket="),
-                F.col("bucket"),
-                F.lit(") mixes "),
                 F.col("__plo").cast("string"),
                 F.lit(" and "),
                 F.col("__phi").cast("string"),

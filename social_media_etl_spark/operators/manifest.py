@@ -245,24 +245,49 @@ class VersionedTable:
         return df
 
     @staticmethod
-    def _file_overlaps(manifest: dict, f: str, col: str, lo, hi) -> bool:
+    def _pv_excludes(pv: str, lo, hi, pt_is_string: bool) -> bool:
+        """Does the recorded partition value (a STRING from the dir
+        name) fall outside [lo, hi]? Compared in the BOUND's domain:
+        numeric bounds parse the value as float (the dir string of an
+        int/float column round-trips exactly); string bounds compare
+        lexicographically ONLY when the partition column is genuinely
+        string-typed — a numeric column's stringified values would
+        order lexicographically ('10' < '2') and silently prune
+        in-range files (r8 review). Anything incomparable keeps the
+        file — never data loss."""
+
+        def outside(bound, hi_side: bool) -> bool:
+            if bound is None or isinstance(bound, bool):
+                return False
+            if isinstance(bound, (int, float)):
+                try:
+                    v = float(pv)
+                except ValueError:
+                    return False
+                return v > bound if hi_side else v < bound
+            if isinstance(bound, str) and pt_is_string:
+                return pv > bound if hi_side else pv < bound
+            return False
+
+        return outside(hi, True) or outside(lo, False)
+
+    @staticmethod
+    def _file_overlaps(
+        manifest: dict, f: str, col: str, lo, hi, pt_is_string: bool = False
+    ) -> bool:
         """Can file ``f`` hold rows with ``col`` in [lo, hi]? Consults
-        the file's recorded PARTITION VALUE (exact, when ``col`` is the
-        table's partition column — partition values are recorded as
-        strings, so only str bounds compare) and its footer [min, max]
-        stats. Bounds are compared in the metadata's own domain; a
-        predicate whose type can't be compared keeps the file —
-        mis-typed bounds degrade to a full read, never to data loss."""
+        the file's recorded PARTITION VALUE (when ``col`` is the
+        table's partition column; see :meth:`_pv_excludes` for the
+        domain rules) and its footer [min, max] stats. Bounds are
+        compared in the metadata's own domain; a predicate whose type
+        can't be compared keeps the file — mis-typed bounds degrade to
+        a full read, never to data loss."""
         if manifest.get("partition_by") == col:
             pv = (manifest.get("parts") or {}).get(f)
-            if pv is not None:
-                try:
-                    if (hi is not None and pv > hi) or (
-                        lo is not None and pv < lo
-                    ):
-                        return False
-                except TypeError:
-                    pass
+            if pv is not None and VersionedTable._pv_excludes(
+                pv, lo, hi, pt_is_string
+            ):
+                return False
         s = (manifest.get("stats") or {}).get(f, {}).get(col)
         if s is not None:
             try:
@@ -281,10 +306,22 @@ class VersionedTable:
         recorded metadata (pruning may never drop data). The single
         skip predicate read_where* and pruned_file_count* report
         from."""
+        pt_is_string = False
+        pb = manifest.get("partition_by")
+        if pb:
+            schema = cls._manifest_schema(manifest)
+            if schema is not None:
+                fld = next((x for x in schema.fields if x.name == pb), None)
+                pt_is_string = fld is not None and isinstance(
+                    fld.dataType, T.StringType
+                )
         return [
             f
             for f in manifest["files"]
-            if all(cls._file_overlaps(manifest, f, c, lo, hi) for c, lo, hi in preds)
+            if all(
+                cls._file_overlaps(manifest, f, c, lo, hi, pt_is_string)
+                for c, lo, hi in preds
+            )
         ]
 
     @classmethod
@@ -1143,15 +1180,18 @@ class VersionedTable:
         vs = self.versions()
         keep = vs[-keep_last:]
         live_dirs = set()
-        prefix = f"{self.path}/data/"
         for v in keep:
             for f in self._read_manifest(v)["files"]:
                 # liveness root = the commit directory directly under
                 # data/ (partitioned layouts nest smetl_pt=<val> dirs
                 # below it, so a plain parent-dir split would collect
-                # the wrong granularity)
-                if f.startswith(prefix):
-                    live_dirs.add(f[len(prefix):].split("/", 1)[0])
+                # the wrong granularity). Anchor on the "/data/"
+                # segment, NOT a self.path prefix: recorded file paths
+                # are scheme-stripped (toUri().getPath()) and would
+                # miss a scheme-qualified table path, and a wrong
+                # fallback here deletes LIVE data (r8 review).
+                if "/data/" in f:
+                    live_dirs.add(f.rsplit("/data/", 1)[1].split("/", 1)[0])
                 else:
                     live_dirs.add(f.rsplit("/", 2)[-2])
         droot = self._P(f"{self.path}/data")

@@ -326,7 +326,13 @@ def encode_jpeg_baseline(
         # would silently wrap in the header (& 0xFF) while _quantize
         # divides by the full value — every decoder would then
         # dequantize wrongly. Raise instead of emitting a broken file.
-        if q.shape != (8, 8) or (q < 1).any() or (q > 255).any():
+        if (
+            q.shape != (8, 8)
+            or (q < 1).any()
+            or (q > 255).any()
+            or (q != np.round(q)).any()  # fractional values would divide
+            # by q but emit int(q) in the header — same mismatch class
+        ):
             raise ValueError(
                 f"encode_jpeg_baseline: {name} must be an 8x8 table of "
                 "integers in [1, 255] (baseline 8-bit DQT)"

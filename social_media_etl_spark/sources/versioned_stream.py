@@ -63,7 +63,14 @@ def _manifest(path: str, version: int) -> dict:
 def _span_files(path: str, start_v: int, end_v: int) -> list[str]:
     """New files committed over (start_v, end_v] — the read_changes
     file diff, with the same rewrite refusal. start_v == -1 means the
-    initial snapshot (every file of end_v)."""
+    INITIAL SNAPSHOT: every file of end_v, which is well-defined no
+    matter what ops produced it, so historic rewrites are NOT checked
+    there (a table that once saw a delete/upsert/optimize can still
+    START a stream — Delta-source semantics; only rewrites arriving
+    AFTER the stream's snapshot refuse)."""
+    target = _manifest(path, end_v)
+    if start_v < 0:
+        return sorted(target["files"])
     for v in _versions(path):
         if start_v < v <= end_v:
             op = _manifest(path, v).get("op")
@@ -73,9 +80,6 @@ def _span_files(path: str, start_v: int, end_v: int) -> list[str]:
                     "a change stream is only defined along append-only "
                     "chains; restart the stream from a fresh snapshot"
                 )
-    target = _manifest(path, end_v)
-    if start_v < 0:
-        return sorted(target["files"])
     base = set(_manifest(path, start_v)["files"])
     return sorted(set(target["files"]) - base)
 

@@ -597,6 +597,12 @@ def sync_table_changes(
     for v in src.versions():
         if v <= start_version:
             continue
+        txn = f"{app_id}:v{v}"
+        if txn in committed:
+            # already applied → it was validated as an append when it
+            # first landed; skipping BEFORE the manifest read keeps a
+            # poll O(new commits), not O(chain length) (r8 review)
+            continue
         m = src._read_manifest(v)
         if m.get("op") != "append":
             raise ValueError(
@@ -605,9 +611,6 @@ def sync_table_changes(
                 "exist along append-only chains; re-snapshot the sink "
                 "from that version instead"
             )
-        txn = f"{app_id}:v{v}"
-        if txn in committed:
-            continue
         dst.append(src.read_changes(m["parent"], v), txn=txn)
         applied.append(txn)
     return applied

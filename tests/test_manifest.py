@@ -823,3 +823,34 @@ def test_optimize_races_rewrite_and_raises(spark, tmp_path):
     t._try_commit = orig
     # the delete's state is intact
     assert sorted(r["k"] for r in t.read().collect()) == [2]
+
+
+def test_partition_pruning_numeric_column_domains(spark, tmp_path):
+    """Partition values are recorded as dir STRINGS; pruning must
+    compare in the bound's domain (r8 review): numeric bounds on a
+    numeric partition column prune correctly ('10' vs 2 compares as
+    floats), while STRING bounds on a numeric column never prune —
+    lexicographic '10' < '2' would silently drop in-range files."""
+    df = spark.createDataFrame(
+        [(i, i % 12) for i in range(60)], "k long, month long"
+    )
+    t = VersionedTable.create(spark, str(tmp_path / "t"), df, partition_by="month")
+    # numeric bounds: real pruning, correct result across 2..11
+    kept, total = t.pruned_file_count("month", 2, 11)
+    assert kept < total
+    got = sorted(r["k"] for r in t.read_where("month", 2, 11).collect())
+    assert got == [i for i in range(60) if 2 <= i % 12 <= 11]
+    # string bounds on the numeric column: no pruning (month=10 would
+    # be lexicographically outside ['2','11']), result still exact
+    kept_s, _ = t.pruned_file_count("month", "2", "11")
+    assert kept_s == total
+
+
+def test_jpeg_encoder_rejects_fractional_dqt():
+    import numpy as np
+
+    from social_media_etl_spark.sources import jpeg
+
+    img = np.full((8, 8, 3), 128, dtype=np.uint8)
+    with pytest.raises(ValueError, match="quant_luma"):
+        jpeg.encode_jpeg_baseline(img, quant_luma=np.full((8, 8), 1.5))

@@ -725,3 +725,41 @@ def test_versioned_cdc_stream_source_refuses_rewritten_chain(
     src.delete("k = 1")
     with pytest.raises(ValueError, match="rewrite"):
         vs._span_files(src.path, 0, src.head_version())
+
+
+def test_versioned_cdc_stream_starts_after_historic_rewrite(spark, tmp_path):
+    """A table that once saw a rewrite can still START a stream: the
+    initial snapshot is well-defined regardless of history (r8
+    review); only rewrites arriving AFTER the snapshot refuse."""
+    from social_media_etl_spark.operators.manifest import VersionedTable
+    from social_media_etl_spark.sources import versioned_stream as vs
+    from social_media_etl_spark.sources.versioned_stream import (
+        register_versioned_cdc_source,
+    )
+
+    register_versioned_cdc_source(spark)
+    src = VersionedTable.create(
+        spark, str(tmp_path / "src"), _vt_df(spark, [(1, "a"), (2, "b")])
+    )
+    src.delete("k = 1")  # historic rewrite BEFORE the stream starts
+    src.append(_vt_df(spark, [(3, "c")]))
+    head = src.head_version()
+    # snapshot start resolves every head file despite the delete at v1
+    assert vs._span_files(src.path, -1, head)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("versioned_cdc")
+        .option("path", src.path)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(r["k"] for r in spark.read.parquet(out).collect()) == [2, 3]
+    # a rewrite AFTER the consumed snapshot still refuses
+    src.update("k = 2", {"v": "'b2'"})
+    with pytest.raises(ValueError, match="rewrite"):
+        vs._span_files(src.path, head, src.head_version())
