@@ -410,6 +410,44 @@ class VersionedTable:
 
     # -- public API ---------------------------------------------------------
 
+    class ConstraintViolation(ValueError):
+        """A data-adding commit carried rows that fail a table CHECK
+        constraint; nothing was committed (the staged files are
+        unreferenced and vacuum collects them)."""
+
+    def _check_constraints(self, files: list[str], manifest_like: dict) -> None:
+        """Enforce the table's CHECK constraints over the rows in
+        ``files`` (a commit's NEW files — for rewrites that is the
+        whole new snapshot, so enforcement is total). SQL CHECK
+        semantics: a row violates only when the expression is FALSE;
+        NULL/unknown passes. One aggregate over the staged files per
+        commit (the Delta write-job constraint check); raises
+        ConstraintViolation with per-constraint violation counts
+        BEFORE the CAS, so a violating commit never becomes visible."""
+        constraints = manifest_like.get("constraints") or {}
+        if not constraints or not files:
+            return
+        df = self._read_files(manifest_like, files)
+        row = df.agg(
+            *[
+                F.count(
+                    F.when(~F.coalesce(F.expr(expr), F.lit(True)), 1)
+                ).alias(name)
+                for name, expr in constraints.items()
+            ]
+        ).collect()[0]
+        violated = {n: row[n] for n in constraints if row[n] > 0}
+        if violated:
+            raise VersionedTable.ConstraintViolation(
+                "VersionedTable: CHECK constraint(s) violated by this "
+                f"commit — {violated} (constraint -> violating rows); "
+                "nothing was committed"
+            )
+
+    def constraints(self) -> dict:
+        """The table's CHECK constraints, name -> SQL expression."""
+        return dict(self._read_manifest(self.head_version()).get("constraints") or {})
+
     @classmethod
     def create(
         cls,
@@ -419,6 +457,7 @@ class VersionedTable:
         txn: str | None = None,
         stats_cols: list[str] | None = None,
         partition_by: str | None = None,
+        constraints: dict | None = None,
     ) -> "VersionedTable":
         """``stats_cols`` records per-file min/max in the manifest for
         :meth:`read_where` data skipping — numeric, string, and
@@ -427,7 +466,12 @@ class VersionedTable:
         lay data out by (one directory per value, the value recorded
         per-file in the manifest — see :meth:`_write_data`); every
         later commit inherits the spec, and :meth:`read_where_all`
-        combines partition pruning with stats pruning."""
+        combines partition pruning with stats pruning.
+        ``constraints`` maps constraint names to SQL CHECK expressions
+        (Delta table-constraint semantics: FALSE rows are violations,
+        NULL passes); every data-adding commit — this create, appends,
+        upserts, overwrites, updates — validates its new rows against
+        them and refuses to commit on violation."""
         t = cls(spark, path)
         if t.versions():
             raise IOError(f"VersionedTable: {path} already initialized")
@@ -446,7 +490,9 @@ class VersionedTable:
             "stats_cols": stats_cols or [],
             "partition_by": partition_by,
             "parts": t._partition_values(files) if partition_by else {},
+            "constraints": constraints or {},
         }
+        t._check_constraints(files, m)
         if not t._try_commit(m, 0):
             raise ConcurrentWriteError(
                 f"VersionedTable: concurrent create at {path}"
@@ -654,6 +700,7 @@ class VersionedTable:
         files = self._write_data(df, parent + 1, partition_by)
         new_parts = self._partition_values(files) if partition_by else {}
         new_stats = None
+        new_checked = False
         for _ in range(max_retries):
             base = self._read_manifest(parent)
             v = parent + 1
@@ -674,7 +721,11 @@ class VersionedTable:
                 "stats_cols": stats_cols,
                 "partition_by": partition_by,
                 "parts": {**(base.get("parts") or {}), **new_parts},
+                "constraints": base.get("constraints") or {},
             }
+            if new_checked is False:
+                self._check_constraints(files, m)
+                new_checked = True
             if self._try_commit(m, v):
                 return v
             parent = self.head_version()
@@ -727,7 +778,9 @@ class VersionedTable:
             "stats_cols": stats_cols,
             "partition_by": partition_by,
             "parts": self._partition_values(files) if partition_by else {},
+            "constraints": base.get("constraints") or {},
         }
+        self._check_constraints(files, m)
         if not self._try_commit(m, v):
             raise ConcurrentWriteError(
                 f"VersionedTable: upsert merged against stale v{parent}; "
@@ -828,7 +881,9 @@ class VersionedTable:
             "stats_cols": stats_cols,
             "partition_by": partition_by,
             "parts": self._partition_values(files) if partition_by else {},
+            "constraints": base.get("constraints") or {},
         }
+        self._check_constraints(files, m)
         if not self._try_commit(m, v):
             raise ConcurrentWriteError(
                 f"VersionedTable: overwrite raced past stale v{parent}; "
@@ -946,6 +1001,8 @@ class VersionedTable:
                 **kept_parts,
                 **(self._partition_values(new_files) if partition_by else {}),
             },
+            # a delete keeps a subset of already-valid rows — no check
+            "constraints": base.get("constraints") or {},
         }
         if not self._try_commit(m, v):
             raise ConcurrentWriteError(
@@ -1047,7 +1104,10 @@ class VersionedTable:
                 },
                 **(self._partition_values(new_files) if partition_by else {}),
             },
+            "constraints": base.get("constraints") or {},
         }
+        # assignments can push rows outside a CHECK constraint
+        self._check_constraints(new_files, m)
         if not self._try_commit(m, v):
             raise ConcurrentWriteError(
                 f"VersionedTable: update rewrote against stale v{parent}; "
@@ -1145,6 +1205,8 @@ class VersionedTable:
                     **new_parts,
                     **{f: head_parts[f] for f in appended if f in head_parts},
                 },
+                # content-identical rewrite of already-valid rows
+                "constraints": head_m.get("constraints") or {},
             }
             if self._try_commit(m, v):
                 return v

@@ -854,3 +854,45 @@ def test_jpeg_encoder_rejects_fractional_dqt():
     img = np.full((8, 8, 3), 128, dtype=np.uint8)
     with pytest.raises(ValueError, match="quant_luma"):
         jpeg.encode_jpeg_baseline(img, quant_luma=np.full((8, 8), 1.5))
+
+
+# -- CHECK constraints --------------------------------------------------------
+
+
+def test_check_constraints_enforced_on_every_data_adding_commit(
+    spark, tmp_path
+):
+    """Delta-style table constraints: FALSE rows refuse the commit
+    (nothing becomes visible), NULL passes (SQL CHECK semantics), and
+    appends/upserts/updates all enforce."""
+    good = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 0.0)], "k long, val double"
+    )
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), good,
+        constraints={"val_nonneg": "val >= 0"},
+    )
+    assert t.constraints() == {"val_nonneg": "val >= 0"}
+    # violating create never initializes
+    with pytest.raises(VersionedTable.ConstraintViolation, match="val_nonneg"):
+        VersionedTable.create(
+            spark,
+            str(tmp_path / "t2"),
+            spark.createDataFrame([(9, -1.0)], "k long, val double"),
+            constraints={"val_nonneg": "val >= 0"},
+        )
+    # violating append refuses; head unchanged
+    with pytest.raises(VersionedTable.ConstraintViolation, match="val_nonneg"):
+        t.append(spark.createDataFrame([(4, -2.0)], "k long, val double"))
+    assert t.head_version() == 0
+    # clean append lands and carries the constraint forward
+    t.append(spark.createDataFrame([(5, 7.0)], "k long, val double"))
+    assert t.constraints() == {"val_nonneg": "val >= 0"}
+    # an UPDATE whose assignment breaks the constraint refuses
+    with pytest.raises(VersionedTable.ConstraintViolation, match="val_nonneg"):
+        t.update("k = 1", {"val": "-5.0"})
+    assert {r["k"]: r["val"] for r in t.read().collect()}[1] == 5.0
+    # a compliant update is fine; delete never needs a check
+    t.update("k = 1", {"val": "val + 1"})
+    t.delete("k = 3")
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2, 5]
