@@ -2440,7 +2440,9 @@ def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
-    return dedup.benchmark_overlap(corpus, bench, n=5, flag_fraction=0.2)
+    return dedup.benchmark_overlap(
+        corpus, bench, n=5, flag_fraction=0.2
+    ).orderBy("doc_id")
 
 
 def _kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5666,8 +5668,17 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
             ),
             corpus AS (SELECT * FROM g WHERE doc_id % 97 <> 0),
+            -- totals anchor on the CORPUS id set, not the gram index:
+            -- docs too short to produce any n-gram stay in the verdict
+            -- as clean (n_grams 0, overlap 0) — matching
+            -- benchmark_overlap (r8)
             totals AS (
-                SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY doc_id
+                SELECT d.doc_id, coalesce(gc.n_grams, 0) AS n_grams
+                FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+                LEFT JOIN (
+                    SELECT doc_id, count(*) AS n_grams
+                    FROM corpus GROUP BY doc_id
+                ) gc ON d.doc_id = gc.doc_id
             ),
             hits AS (
                 SELECT doc_id, count(*) AS n_overlap
@@ -5677,10 +5688,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.doc_id,
                    t.n_grams,
                    coalesce(h.n_overlap, 0) AS n_overlap,
-                   round(coalesce(h.n_overlap, 0) * 1.0 / t.n_grams, 6)
-                       AS overlap_frac,
-                   (round(coalesce(h.n_overlap, 0) * 1.0 / t.n_grams, 6)
-                    >= 0.2) AS contaminated
+                   CASE WHEN t.n_grams = 0 THEN 0.0 ELSE
+                       round(coalesce(h.n_overlap, 0) * 1.0 / t.n_grams, 6)
+                   END AS overlap_frac,
+                   (CASE WHEN t.n_grams = 0 THEN 0.0 ELSE
+                       round(coalesce(h.n_overlap, 0) * 1.0 / t.n_grams, 6)
+                   END >= 0.2) AS contaminated
             FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
             ORDER BY t.doc_id
         """,

@@ -22,8 +22,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from social_media_etl_spark.cache import persist_tracked, track
+from social_media_etl_spark.cache import persist_tracked
 from social_media_etl_spark.functions import text as TXT
 
 __all__ = [
@@ -83,10 +84,14 @@ def jaccard_pairs(
     Returns (id_a, id_b, jaccard) for unordered pairs with
     jaccard ≥ threshold. ``max_df`` (scale lever) drops shingles
     appearing in more than that many docs before the join — bounding
-    the worst-case candidate blowup; exactness holds for pairs whose
-    overlap isn't exclusively hot shingles (dial it by corpus).
-    ``shingles`` lets callers supply an already-materialized
-    (id, shingle) index shared across the dedup family.
+    the worst-case candidate blowup. With the cap active, BOTH the
+    intersection AND the per-doc sizes come from the filtered index,
+    so the score is exact Jaccard over the rare-shingle universe — a
+    CONSISTENT measure (r8 review: sizes from the unfiltered index
+    systematically underestimated any pair sharing a hot shingle,
+    silently dropping true near-dups below threshold). ``shingles``
+    lets callers supply an already-materialized (id, shingle) index
+    shared across the dedup family.
     """
     # the shingle index feeds three consumers (sizes, both join sides);
     # materialize it once — at warehouse scale this is the persisted
@@ -95,7 +100,6 @@ def jaccard_pairs(
         sh = persist_tracked(shingle_sets(df, id_col, text_col, n))
     else:
         sh = shingles.select(id_col, "shingle")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     if max_df is not None:
         rare = (
             sh.groupBy("shingle")
@@ -103,7 +107,8 @@ def jaccard_pairs(
             .filter(F.col("df") <= max_df)
             .select("shingle")
         )
-        sh = sh.join(rare, "shingle")
+        sh = persist_tracked(sh.join(rare, "shingle"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
@@ -203,14 +208,26 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    # ``signatures`` = an already-materialized __h0..__h{k-1} min table
-    # (one row per doc — the persisted minhash index); rebuilt from the
-    # shingle index otherwise
-    mins = (
-        signatures
-        if signatures is not None
-        else _minhash_mins(df, id_col, text_col, n, num_hashes, shingle_hashes)
-    )
+    # ``signatures`` = an already-materialized minhash index, in EITHER
+    # shape (r8 review — the public minhash_signature emits the array
+    # form, so its output must pair with this function): the internal
+    # wide __h0..__h{k-1} min table, or (id, sig array) which is
+    # expanded here
+    if signatures is not None:
+        if "sig" in signatures.columns:
+            mins = signatures.select(
+                F.col(id_col),
+                *[
+                    F.col("sig")[i].alias(f"__h{i}")
+                    for i in range(num_hashes)
+                ],
+            )
+        else:
+            mins = signatures
+    else:
+        mins = _minhash_mins(
+            df, id_col, text_col, n, num_hashes, shingle_hashes
+        )
     # band bucket = one fixed-width hash over the band's min columns —
     # no array construction, no long→string casts, no concat
     banded = mins.select(
@@ -284,7 +301,11 @@ def exact_jaccard_rerank(
         doc_sets = df.select(
             F.col(id_col), TXT.word_shingles(text_col, n).alias("sh")
         )
-    sets = doc_sets.join(F.broadcast(cand_ids), id_col, "left_semi")
+    # no forced broadcast on the candidate-id set (r8 review): a
+    # degenerate LSH bucket can make it millions of rows, and a forced
+    # broadcast would OOM where a plain semi-join completes — AQE still
+    # broadcasts it at runtime when it IS small (the common case)
+    sets = doc_sets.join(cand_ids, id_col, "left_semi")
     # the shingle-set sides carry fat arrays — never let a size
     # misestimate broadcast them (shuffle-hash keeps the join
     # partitioned with no sort and no driver-side build)
@@ -428,9 +449,17 @@ def dedup_lines_global(
     documents whose every line was seen earlier come back with empty
     text, not dropped rows (filtering is the caller's policy call).
     """
+    import re as _re
+
+    # F.split treats sep as a REGEX while array_join below treats it
+    # literally — escape so the two sides stay symmetric for separators
+    # carrying regex metacharacters (r8 review: sep='.' would explode
+    # on every character and reassemble garbage)
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "line"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias(
+            "idx", "line"
+        ),
     )
     w = Window.partitionBy("line").orderBy(id_col, "idx")
     flagged = lines.withColumn("rn", F.row_number().over(w))
@@ -523,8 +552,18 @@ def connected_components(
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
         out = [(n, find(n)) for n in parent]
+        # schema follows the edge id type (r8 review: a hardcoded
+        # 'long' crashed string-id graphs — but only on SMALL ones,
+        # since the distributed path below is type-generic)
+        id_type = pairs.schema[id_a].dataType
         return pairs.sparkSession.createDataFrame(
-            out, "node long, component long"
+            out,
+            T.StructType(
+                [
+                    T.StructField("node", id_type),
+                    T.StructField("component", id_type),
+                ]
+            ),
         )
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -585,7 +624,11 @@ def connected_components(
             f"connected_components: no fixed point after {max_iter} rounds "
             "— raise max_iter (labels would be silently wrong otherwise)"
         )
-    track(labels)  # released by the caller's next release sweep
+    # NOT registered with the release sweep (r8 review): ``labels`` is
+    # localCheckpoint'ed — its blocks are the ONLY copy (no lineage to
+    # recompute from), the same never-release doctrine as the entry
+    # module's memoized frames. The blocks are reclaimed by the
+    # ContextCleaner when the frame is garbage-collected.
     return labels.select(F.col("node"), F.col("comp").alias("component"))
 
 
@@ -684,9 +727,12 @@ def benchmark_overlap(
     inner join against the corpus's exploded gram index (never a
     corpus-side self-join), then one groupBy(doc) to count hits. Docs
     with zero overlap never survive the inner join, so the hit counts
-    are LEFT-joined back onto the per-doc gram totals — the join that
-    keeps the (overwhelmingly common) clean documents in the output
-    with overlap 0.
+    are LEFT-joined back onto the per-doc totals — anchored on the
+    CORPUS id set, not the gram index, so even documents too short to
+    produce any n-gram stay in the output as clean (n_grams 0,
+    overlap 0 — r8 review: anchoring on the gram index silently
+    dropped short docs from the decontamination verdict). No output
+    ordering — a corpus-sized cosmetic sort is the caller's choice.
     """
     # the gram index feeds both the totals and the hit counts — persist
     # so the tokenize→zip→explode pipeline executes once, not per branch
@@ -696,9 +742,11 @@ def benchmark_overlap(
             F.explode(TXT.word_shingles(text_col, n)).alias("gram"),
         )
     )
-    totals = doc_grams.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_grams")
-    )
+    totals = corpus.select(id_col).join(
+        doc_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams")),
+        id_col,
+        "left",
+    ).withColumn("n_grams", F.coalesce("n_grams", F.lit(0)))
     bench_grams = (
         benchmark.select(F.explode(TXT.word_shingles(text_col, n)).alias("gram"))
         .distinct()
@@ -716,7 +764,6 @@ def benchmark_overlap(
         .withColumn(
             "contaminated", (F.col("overlap_frac") >= flag_fraction).cast("boolean")
         )
-        .orderBy(id_col)
     )
 
 
@@ -749,14 +796,19 @@ def duplicate_span_stats(
     toks = corpus.select(
         F.col(id_col), TXT.tokens(text_col).alias("w")
     ).filter(F.size("w") >= span_tokens)
-    spans = toks.select(
-        id_col,
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, size(w) - {span_tokens}),"
-                f" i -> concat_ws(' ', slice(w, i + 1, {span_tokens})))"
-            )
-        ).alias("span"),
+    # the span stream feeds BOTH the corpus-count aggregate and the
+    # probe side of the join back — persist so the tokenize→transform→
+    # explode pipeline (the dominant cost) runs once, not twice
+    spans = persist_tracked(
+        toks.select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(w) - {span_tokens}),"
+                    f" i -> concat_ws(' ', slice(w, i + 1, {span_tokens})))"
+                )
+            ).alias("span"),
+        )
     )
     counts = spans.groupBy("span").agg(F.count(F.lit(1)).alias("c"))
     return (

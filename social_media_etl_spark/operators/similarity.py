@@ -91,6 +91,11 @@ def cosine_topk(
     scored = pairs.withColumn(
         "cosine", F.round(F.when(denom > 0, dot_fixed("qv", "cv", d) / denom), 6)
     )
+    # zero-norm pairs have UNDEFINED cosine — exclude them from the
+    # ranking entirely, matching cosine_topk_blocked's -inf cut (r8
+    # review: NULL-cosine filler rows used to pad short top-k lists in
+    # this path only, so the two exact paths could disagree)
+    scored = scored.filter(F.col("cosine").isNotNull())
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.col("neighbor_id")
     )

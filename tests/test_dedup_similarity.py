@@ -456,3 +456,107 @@ def test_int8_quantization_roundtrip_error_bound(spark):
     assert got[2]["scale"] == 0.0
     assert got[2]["codes"] == [0, 0, 0, 0]
     assert got[2]["max_err"] == 0.0
+
+
+# -- r8 review fixes ----------------------------------------------------------
+
+
+def test_jaccard_max_df_sizes_use_filtered_universe(spark):
+    """With the hot-shingle cap active, sizes AND intersection come
+    from the same filtered index — a pair sharing hot shingles scores
+    exact Jaccard over the rare universe instead of being silently
+    underestimated (r8 review)."""
+    # 4 docs share the hot shingle source ('x0 x1 x2' appears in all);
+    # docs 1 and 2 additionally share all their rare shingles
+    rows = [
+        (1, "x0 x1 x2 a b c d"),
+        (2, "x0 x1 x2 a b c d"),
+        (3, "x0 x1 x2 p q r s"),
+        (4, "x0 x1 x2 t u v w"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=0.99, max_df=3
+        ).collect()
+    }
+    # docs 1,2 are identical: over the filtered (rare) universe their
+    # jaccard is exactly 1.0; the old unfiltered-size denominator gave
+    # 4/(5+5-4) = 0.667 and dropped the pair
+    assert got == {(1, 2): 1.0}
+
+
+def test_connected_components_string_ids_small_graph(spark):
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "id_a string, id_b string"
+    )
+    comp = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert comp == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_dedup_lines_global_regex_metachar_separator(spark):
+    df = spark.createDataFrame(
+        [(1, "keep.me"), (2, "keep.me")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["n_kept_lines"])
+        for r in dedup.dedup_lines_global(df, sep=".").collect()
+    }
+    # '.' splits on the literal dot, not on every character
+    assert out[1] == ("keep.me", 2)
+    assert out[2] == ("", 0)  # both its lines were seen in doc 1
+
+
+def test_minhash_lsh_accepts_public_signature_frame(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again"),
+            (2, "the quick brown fox jumps over the lazy dog again"),
+            (3, "completely different text with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = dedup.minhash_signature(docs, "doc_id", "text", num_hashes=32)
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=32, bands=8, signatures=sigs
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+
+def test_benchmark_overlap_keeps_short_documents(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "too short"),  # < n tokens -> zero grams
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(99, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_overlap"], r["contaminated"])
+        for r in dedup.benchmark_overlap(corpus, bench, n=5).collect()
+    }
+    assert out[1][0] > 0 and out[1][2] is True
+    assert out[2] == (0, 0, False)  # short doc present, clean
+
+
+def test_cosine_topk_excludes_zero_norm_pairs(spark):
+    from social_media_etl_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 0.0]),  # zero vector: undefined cosine
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = similarity.cosine_topk(emb, emb.filter("vec_id = 0"), k=5).collect()
+    assert all(r["cosine"] is not None for r in rows)
+    assert sorted(r["neighbor_id"] for r in rows) == [1]  # no filler row
