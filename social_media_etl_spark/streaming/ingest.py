@@ -21,7 +21,6 @@ Scale notes:
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -45,6 +44,8 @@ __all__ = [
     "read_cms_sketch",
     "write_foreach_batch_versioned",
     "sync_table_changes",
+    "state_partitions",
+    "ROCKSDB_STATE_CONF",
 ]
 
 # The events table schema (TESTDATA.md), declared explicitly — file
@@ -316,6 +317,21 @@ def write_foreach_batch_overwrite(
     seen_batches: set[int] = set()
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not seen_batches and batch_id != 0:
+            # a resumed checkpoint delivers only the NEW files with a
+            # batch id > 0 — overwriting from them would silently
+            # shrink the "full refresh" to the tail of the input (the
+            # in-run guard below cannot see batches from a previous
+            # process; r8 review). Post-crash replay of batch 0 stays
+            # allowed — that is the idempotent path.
+            raise RuntimeError(
+                "write_foreach_batch_overwrite: first batch of this "
+                f"run has id={batch_id} (a RESUMED checkpoint) — it "
+                "carries only files arriving after the previous drain, "
+                "so an overwrite would discard the earlier batches' "
+                "contribution. Use a fresh checkpoint per full refresh "
+                "or the append/MERGE sinks for incremental input."
+            )
         if seen_batches and batch_id not in seen_batches:
             raise RuntimeError(
                 "write_foreach_batch_overwrite: second micro-batch "
@@ -515,19 +531,26 @@ def write_foreach_batch_versioned(
     table_path: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    app_id: str = "stream",
 ):
     """Exactly-once streaming commits into a VersionedTable
     (operators/manifest.py): each micro-batch appends under the
-    application transaction id ``batch-<id>``; a REPLAYED batch (after
-    a checkpoint restart) finds its txn already in the manifest log
-    and skips — the Delta txnAppId pattern on top of the manifest CAS,
-    so the sink is idempotent without any engine-side transaction
-    support. Batch 0 creates the table."""
+    application transaction id ``<app_id>:batch-<id>``; a REPLAYED
+    batch (after a checkpoint restart) finds its txn already in the
+    manifest log and skips — the Delta txnAppId pattern on top of the
+    manifest CAS, so the sink is idempotent without any engine-side
+    transaction support. Batch 0 creates the table.
+
+    ``app_id`` namespaces the txn ids exactly as Delta's txnAppId does
+    (r8 review): two DIFFERENT streams sinking into one table both
+    produce batch ids 0, 1, ... — without the namespace the second
+    stream's batches would collide with the first's txns and be
+    silently skipped. Give each logical stream its own app_id."""
     from social_media_etl_spark.operators.manifest import VersionedTable
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        txn = f"batch-{batch_id}"
+        txn = f"{app_id}:batch-{batch_id}"
         t = VersionedTable(spark, table_path)
         if not t.versions():
             VersionedTable.create(spark, table_path, batch_df, txn=txn)
@@ -589,6 +612,21 @@ def sync_table_changes(
         VersionedTable.create(spark, dst_path, src.read(start_version), txn=snap_txn)
         applied.append(snap_txn)
     committed = dst.committed_txns()
+    # a poll that changes start_version mid-consumption would append a
+    # FULL overlapping snapshot on top of already-replicated rows —
+    # refuse instead of silently double-counting (r8 review)
+    prior_snaps = {
+        t for t in committed
+        if t.startswith(f"{app_id}:snapshot:v") and t != snap_txn
+    }
+    if prior_snaps:
+        raise ValueError(
+            f"sync_table_changes: sink already consumed snapshot(s) "
+            f"{sorted(prior_snaps)} for app_id '{app_id}' — re-polling "
+            f"with start_version={start_version} would append an "
+            "overlapping snapshot and double-count rows. Keep the "
+            "original start_version (or use a new app_id + sink)."
+        )
     if snap_txn not in committed and snap_txn not in applied:
         dst.append(src.read(start_version), txn=snap_txn)
         applied.append(snap_txn)

@@ -40,7 +40,10 @@ def _update_totals(
         n += len(pdf)
         total += float(pdf["value"].fillna(0.0).sum())
         batch_max = pdf["ts"].max()
-        if max_ts is None or (batch_max is not None and batch_max > max_ts):
+        # pandas max() of an all-null ts column is NaT, never None —
+        # pd.isna is the real guard (r8 review: the old `is not None`
+        # check was dead and could assign NaT into timestamp state)
+        if not pd.isna(batch_max) and (max_ts is None or batch_max > max_ts):
             max_ts = batch_max
     state.update((n, total, max_ts))
     yield pd.DataFrame(

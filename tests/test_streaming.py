@@ -763,3 +763,68 @@ def test_versioned_cdc_stream_starts_after_historic_rewrite(spark, tmp_path):
     src.update("k = 2", {"v": "'b2'"})
     with pytest.raises(ValueError, match="rewrite"):
         vs._span_files(src.path, head, src.head_version())
+
+
+def test_overwrite_sink_refuses_resumed_checkpoint(spark, tmp_path):
+    """A reused checkpoint delivers only NEW files with batch id > 0;
+    overwriting from them would silently shrink the full refresh to
+    the tail of the input (r8 review) — the sink raises instead."""
+    import glob as _glob
+
+    src_dir, target = str(tmp_path / "src"), str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(1, 1, "click", None, 1.0, None)], ingest.EVENTS_SCHEMA
+    ).coalesce(1).write.mode("overwrite").json(src_dir)
+    stream = ingest.read_events_stream(spark, src_dir)
+    ingest.write_foreach_batch_overwrite(stream, target, ckpt)
+    assert spark.read.parquet(target).count() == 1
+    # a new file lands; re-draining on the SAME checkpoint must refuse
+    spark.createDataFrame(
+        [(2, 2, "view", None, 2.0, None)], ingest.EVENTS_SCHEMA
+    ).coalesce(1).write.mode("append").json(src_dir)
+    with pytest.raises(Exception, match="RESUMED checkpoint"):
+        ingest.write_foreach_batch_overwrite(
+            ingest.read_events_stream(spark, src_dir), target, ckpt
+        )
+    # the target still reflects the last FULL refresh
+    assert spark.read.parquet(target).count() == 1
+
+
+def test_versioned_sink_app_id_namespaces_txns(spark, tmp_path):
+    """Two streams sinking into one table both emit batch ids 0,1,...;
+    without an app namespace the second stream's batches would collide
+    with the first's txns and be silently dropped (r8 review)."""
+    from social_media_etl_spark.operators.manifest import VersionedTable
+
+    src_a, src_b = str(tmp_path / "a"), str(tmp_path / "b")
+    table = str(tmp_path / "t")
+    for i, d in ((1, src_a), (2, src_b)):
+        spark.createDataFrame(
+            [(i, i, "click", None, float(i), None)], ingest.EVENTS_SCHEMA
+        ).coalesce(1).write.mode("overwrite").json(d)
+    ingest.write_foreach_batch_versioned(
+        ingest.read_events_stream(spark, src_a), table,
+        str(tmp_path / "ck_a"), app_id="stream-a",
+    )
+    ingest.write_foreach_batch_versioned(
+        ingest.read_events_stream(spark, src_b), table,
+        str(tmp_path / "ck_b"), app_id="stream-b",
+    )
+    t = VersionedTable(spark, table)
+    assert sorted(r["event_id"] for r in t.read().collect()) == [1, 2]
+    assert {"stream-a:batch-0", "stream-b:batch-0"} <= t.committed_txns()
+
+
+def test_sync_table_changes_refuses_changed_start_version(spark, tmp_path):
+    from social_media_etl_spark.operators.manifest import VersionedTable
+
+    src = VersionedTable.create(
+        spark, str(tmp_path / "src"), _vt_df(spark, [(1, "a")])
+    )
+    src.append(_vt_df(spark, [(2, "b")]))
+    ingest.sync_table_changes(spark, src.path, str(tmp_path / "dst"), "cdc")
+    with pytest.raises(ValueError, match="overlapping snapshot"):
+        ingest.sync_table_changes(
+            spark, src.path, str(tmp_path / "dst"), "cdc", start_version=1
+        )
