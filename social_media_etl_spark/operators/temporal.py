@@ -58,12 +58,18 @@ def asof_join(
         *keys, F.col(right_ts).alias("__ts"), *[F.col(v) for v in vals]
     )
     if dedup_right:
-        wded = Window.partitionBy(*keys, "__ts").orderBy(F.desc(vals[0]))
-        r = (
-            r.withColumn("__rn", F.row_number().over(wded))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
+        if vals:
+            wded = Window.partitionBy(*keys, "__ts").orderBy(F.desc(vals[0]))
+            r = (
+                r.withColumn("__rn", F.row_number().over(wded))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            # no value columns → same-(key, ts) right rows are
+            # indistinguishable; plain distinct dedups without the
+            # vals[0] ordering (r8 review: IndexError before)
+            r = r.distinct()
     # tag order decides inclusivity at equal ts: right-before-left (0<1)
     # means an equal-ts right row IS visible to the left row (≤); strict
     # flips the tags so the left row sorts first and can't see it.
@@ -131,5 +137,14 @@ def range_join(
         cond = c if cond is None else cond & c
     for c in conditions:
         cond = c if cond is None else cond & c
+    if cond is None:
+        # a dynamically-built empty condition list would silently run
+        # join(None) = a full cartesian product (r8 review) — at fact-
+        # table scale that never finishes; demand an explicit predicate
+        raise ValueError(
+            "range_join: no join condition — pass at least one range "
+            "condition or equi key (an unconditioned join would be a "
+            "cartesian product; use crossJoin explicitly if intended)"
+        )
     r = F.broadcast(right) if broadcast_right else right
     return left.join(r, cond, how)

@@ -106,11 +106,19 @@ def write_partitioned(
         n_files = max(1, -(-n_rows // target_file_rows))  # ceil
     out = df
     if n_files is not None:
-        # sub-bucket within each partition so big partitions still split
-        # into ~target-sized files; hash keeps it shuffle-deterministic
+        # n_files is the TABLE-WIDE budget, but the sub-bucket modulus
+        # applies inside EVERY partition directory — divide by the dir
+        # count or each dir gets n_files shards of 1/n_dirs the target
+        # size (r8 review: 365 daily dirs × 360 buckets ≈ 130k tiny
+        # files where ~365 were requested). The distinct count is a
+        # column-pruned scan, far cheaper than the write it sizes.
+        # Assumes roughly uniform dirs; heavily skewed layouts should
+        # size per-partition upstream.
+        n_dirs = df.select(*partition_cols).distinct().count()
+        per_dir = max(1, -(-n_files // max(1, n_dirs)))  # ceil
         out = df.withColumn(
             "__bucket",
-            F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_files)),
+            F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(per_dir)),
         ).repartition(*([F.col(c) for c in partition_cols] + [F.col("__bucket")]))
         out = out.drop("__bucket")
     writer = out.write.mode(mode).partitionBy(*partition_cols)
@@ -266,6 +274,15 @@ def upsert_parquet(
     """
     from pyspark.errors.exceptions.captured import AnalysisException
 
+    sc0 = spark.sparkContext
+    _recover_interrupted_swap(
+        sc0._jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+            sc0._jsc.hadoopConfiguration()
+        ),
+        sc0._jvm,
+        path,
+        op="upsert_parquet",
+    )
     try:
         current = spark.read.parquet(path)
         merged = current.unionByName(updates, allowMissingColumns=False)
@@ -348,9 +365,10 @@ def write_jdbc(
     you almost always want this well below the cluster's parallelism —
     the DB, not Spark, is the bottleneck).
     """
-    out = df
-    if num_partitions is not None and df.rdd.getNumPartitions() > num_partitions:
-        out = df.coalesce(num_partitions)
+    # coalesce(n) is already a no-op when the frame has fewer
+    # partitions — no need to force a DataFrame→RDD plan conversion
+    # just to pre-check the count (r8 review)
+    out = df.coalesce(num_partitions) if num_partitions is not None else df
     opts = jdbc_options(url, table, driver, batch_size, extra=extra)
     if truncate:
         opts["truncate"] = "true"
@@ -373,6 +391,15 @@ def read_jdbc(
     (the only way a JDBC read scales past one connection)."""
     opts = jdbc_options(url, table, driver, extra=extra)
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            # str(None) would reach Spark's JDBC relation as the
+            # literal "None" and die deep in the scan with a parse
+            # error (r8 review) — fail fast with the real cause
+            raise ValueError(
+                "read_jdbc: partition_column requires lower_bound AND "
+                "upper_bound (the range Spark splits into "
+                "numPartitions per-partition queries)"
+            )
         opts.update(
             {
                 "partitionColumn": partition_column,
@@ -409,7 +436,12 @@ def scd2_apply(
     inputs = updates.select(*base_cols)
     if dim is not None:
         inputs = dim.select(*base_cols).unionByName(inputs)
-    w = Window.partitionBy(*keys).orderBy(effective_col)
+    # tracked columns break ties at equal effective time (r8 review:
+    # ordering by effective alone made the winner of a same-instant
+    # update pair shuffle-dependent — one run kept A current with B as
+    # a zero-length [t, t) version, the next run the reverse)
+    order_cols = [effective_col] + tracked
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
     change = None
     for c in tracked:
         prev = F.lag(c).over(w)
@@ -421,7 +453,7 @@ def scd2_apply(
         .filter(F.col("__is_first") | F.col("__changed"))
         .drop("__is_first", "__changed")
     )
-    w2 = Window.partitionBy(*keys).orderBy(effective_col)
+    w2 = Window.partitionBy(*keys).orderBy(*order_cols)
     return versions.withColumn(
         end_col, F.lead(effective_col).over(w2)
     ).withColumn(current_col, F.col(end_col).isNull())
@@ -452,6 +484,7 @@ def compact_parquet_dir(
     jvm = sc._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    _recover_interrupted_swap(fs, jvm, path, op="compact_parquet_dir")
     total = fs.getContentSummary(jpath).getLength()
     n_files = max(1, -(-total // target_file_bytes))  # ceil
 
@@ -465,6 +498,29 @@ def compact_parquet_dir(
     df.repartition(int(n_files)).write.mode("overwrite").parquet(str(tmp))
     _swap_into_place(fs, jvm, tmp, jpath, path, op="compact_parquet_dir")
     return int(n_files)
+
+
+def _recover_interrupted_swap(fs, jvm, dest_str: str, op: str) -> bool:
+    """Heal a crash that landed INSIDE a previous ``_swap_into_place``
+    window: if the table dir is missing but its ``__prereplace`` backup
+    exists, the crash hit between the two renames and the backup is
+    the ONLY copy — restore it before anything reads the path (r8
+    review: without this, a checkpointed upsert replay read
+    PATH_NOT_FOUND, re-initialized from one batch, and the swap's own
+    backup cleanup then deleted the real table). Returns True if a
+    restore happened. Call this before the first read of any
+    swap-managed path."""
+    dest = jvm.org.apache.hadoop.fs.Path(dest_str)
+    old = jvm.org.apache.hadoop.fs.Path(dest_str.rstrip("/") + "__prereplace")
+    if not fs.exists(dest) and fs.exists(old):
+        if not fs.rename(old, dest):
+            raise IOError(
+                f"{op}: found interrupted swap (table missing, backup "
+                f"at {old}) but restoring it failed — intervene "
+                "manually before retrying; the backup is the only copy"
+            )
+        return True
+    return False
 
 
 def _swap_into_place(fs, jvm, tmp, dest, dest_str: str, op: str) -> None:

@@ -98,3 +98,26 @@ def test_range_join_bands(spark):
     ).select("id", "band")
     got = dict((r["id"], r["band"]) for r in out.collect())
     assert got == {1: 0, 2: 1, 3: 0, 4: 2}  # boundary 10.0 → lower band
+
+
+def test_asof_join_empty_right_values(spark):
+    """dedup_right with no value columns must not crash; the matched
+    asof timestamp alone comes back (r8 review: IndexError before)."""
+    from social_media_etl_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 100)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 90), (1, 90), (1, 95)], "k long, qts long"
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="qts", right_values=[]
+    ).collect()
+    assert len(out) == 1 and out[0]["asof_qts"] == 95
+
+
+def test_range_join_refuses_empty_conditions(spark):
+    from social_media_etl_spark.operators.temporal import range_join
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="cartesian"):
+        range_join(df, df, conditions=[])
