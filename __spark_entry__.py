@@ -4629,7 +4629,7 @@ def oracle_sql() -> dict[str, str]:
         # Hash-sort shuffle: DuckDB recomputes the identical md5
         # permutation — cross-engine determinism IS the semantics.
         "corpus_shuffle": """
-            SELECT doc_id, source, md5('7:' || doc_id) AS shuffle_key
+            SELECT doc_id, source, md5('7:' || coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'null')) AS shuffle_key
             FROM documents ORDER BY shuffle_key
         """,
         # Layout-rewrite gate mirrors formats_roundtrip: the null-safe
@@ -4720,7 +4720,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, d.tier, r.mix_rate
             FROM tiered d JOIN rates r USING (tier)
-            WHERE ('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)),
+            WHERE ('0x' || substr(md5('mix:' || coalesce(CAST(d.doc_id AS VARCHAR), chr(0) || 'null')),
                                   1, 8))::BIGINT / 4294967296.0 < r.mix_rate
             ORDER BY d.doc_id
         """,
@@ -5309,9 +5309,9 @@ def oracle_sql() -> dict[str, str]:
         # Identical md5 hex-digit mapping: 0-b train, c-d val, e-f test.
         "train_val_test_split": """
             SELECT doc_id,
-                   CASE WHEN substring(md5('split:' || doc_id), 1, 1) <= 'b'
+                   CASE WHEN substring(md5('split:' || coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'null')), 1, 1) <= 'b'
                         THEN 'train'
-                        WHEN substring(md5('split:' || doc_id), 1, 1) <= 'd'
+                        WHEN substring(md5('split:' || coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'null')), 1, 1) <= 'd'
                         THEN 'val'
                         ELSE 'test' END AS split
             FROM documents ORDER BY doc_id
@@ -5726,7 +5726,7 @@ def oracle_sql() -> dict[str, str]:
             WITH wdocs AS (
                 SELECT doc_id, source,
                        least(1.0, n_chars / 400.0) AS weight,
-                       ('0x' || substr(md5('imp:' || CAST(doc_id AS VARCHAR)),
+                       ('0x' || substr(md5('imp:' || coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'null')),
                                        1, 8))::BIGINT / 4294967296.0 AS u
                 FROM documents
             )
@@ -6010,7 +6010,7 @@ def oracle_sql() -> dict[str, str]:
     d["weighted_sample_aes"] = """
         WITH j AS (
             SELECT doc_id, n_chars,
-                   -ln((('0x' || substr(md5('aes:' || CAST(doc_id AS VARCHAR)),
+                   -ln((('0x' || substr(md5('aes:' || coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'null')),
                                         1, 8))::BIGINT + 0.5)
                        / 4294967296.0)
                        / CAST(n_chars AS DOUBLE) AS e

@@ -34,21 +34,30 @@ def chunk_documents(
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
-    t = TXT.tokens(text_col)
+    # tokenize ONCE into a projected column and derive the window
+    # starts from it — referencing TXT.tokens(text_col) in both the
+    # Generate and the projection ran the regex tokenizer twice per
+    # document (no subexpression elimination across operators; r8
+    # review), a 2x cost on the corpus-scan hot path
+    toks = df.select(F.col(id_col), TXT.tokens(text_col).alias("__toks")).filter(
+        F.size("__toks") > 0
+    )
     starts = F.sequence(
         F.lit(0),
         F.greatest(
             F.lit(0),
-            F.floor((F.size(t) - F.lit(overlap) - 1) / F.lit(stride)).cast("int")
+            F.floor(
+                (F.size("__toks") - F.lit(overlap) - 1) / F.lit(stride)
+            ).cast("int")
             * F.lit(stride),
         ),
         F.lit(stride),
     )
-    exploded = df.select(
+    exploded = toks.select(
         F.col(id_col),
-        t.alias("__toks"),
+        F.col("__toks"),
         F.posexplode(starts).alias("chunk_idx", "start"),
-    ).filter(F.size("__toks") > 0)
+    )
     chunk = F.slice(F.col("__toks"), F.col("start") + 1, chunk_tokens)
     return exploded.select(
         F.col(id_col),
@@ -118,11 +127,22 @@ def pack_chunks(
     sharded = chunks.withColumn("__shard", shard_expr)
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        oversize = pdf[tokens_col] > max_tokens
+        if oversize.any():
+            # clamping would emit a sequence whose reported token sum
+            # exceeds the max_tokens contract every trainer allocates
+            # buffers by — refuse loudly instead (r8 review)
+            bad = pdf.loc[oversize, tokens_col].max()
+            raise ValueError(
+                f"pack_chunks: chunk of {int(bad)} tokens exceeds "
+                f"max_tokens={max_tokens} — re-chunk with "
+                "chunk_tokens <= max_tokens before packing"
+            )
         pdf = pdf.sort_values([id_col, idx_col], kind="mergesort")
         seq_nos, positions = [], []
         seq_no, used = 0, 0
         for n in pdf[tokens_col]:
-            n = int(min(n, max_tokens))
+            n = int(n)
             if used + n > max_tokens:
                 seq_no += 1
                 used = 0
@@ -134,9 +154,13 @@ def pack_chunks(
         out["pos_in_seq"] = positions
         return out
 
+    # the id column keeps its INPUT type (r8 review: a hardcoded
+    # 'long' broke string ids the portable shard hash explicitly
+    # supports)
+    id_type = chunks.schema[id_col].dataType.simpleString()
     out_schema = (
-        f"__shard long, {id_col} long, {idx_col} long, {tokens_col} long, "
-        "seq_no long, pos_in_seq long"
+        f"__shard long, {id_col} {id_type}, {idx_col} long, "
+        f"{tokens_col} long, seq_no long, pos_in_seq long"
     )
     return (
         sharded.groupBy("__shard")

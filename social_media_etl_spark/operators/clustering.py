@@ -137,6 +137,11 @@ def kmeans_fit_df(
     every earlier iteration's full-corpus pass; pass False to keep the
     plan fully lazy (the oracle-replica mode).
     """
+    if iters < 1:
+        raise ValueError(
+            f"kmeans_fit_df: iters must be >= 1, got {iters} — zero "
+            "iterations would return no assignment"
+        )
     cent = init_centroids(df, id_col, vec_col, k)
     assigned = None
     for _ in range(iters):

@@ -82,12 +82,17 @@ def pagerank(
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    total = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     if materialize:
         p = e.sparkSession.sparkContext.defaultParallelism
         nodes = persist_tracked(nodes.coalesce(p))
         outdeg = persist_tracked(outdeg.coalesce(p))
+    # derive the broadcast total from the POST-persist nodes plan —
+    # cache lookup matches canonicalized plans, so a total built from
+    # the pre-persist plan would re-run the node distinct over |E|
+    # rows on every action instead of hitting the cache (r8 review)
+    total = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    if materialize:
         # materialize the shared frames EAGERLY: several branches of
         # every iteration (contrib, the broadcast total, the rank
         # rebuild) hit them in parallel, and concurrent stages racing

@@ -94,11 +94,15 @@ def md5_split(
     weights = weights or {"train": 12, "val": 2, "test": 2}
     if sum(weights.values()) != 16:
         raise ValueError("md5_split weights are sixteenths; must sum to 16")
+    # NULL keys hash the \x00null marker (like _shuffle_key) instead
+    # of null-propagating into a NULL split that every filter drops
+    # (r8 review: silent corpus loss vs deterministic_split's bucket)
     digit = F.substring(
         F.md5(
-            F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")).cast(
-                "binary"
-            )
+            F.concat(
+                F.lit(salt + ":"),
+                F.coalesce(F.col(key_col).cast("string"), F.lit("\x00null")),
+            ).cast("binary")
         ),
         1,
         1,
@@ -215,7 +219,14 @@ def hash_uniform(key_col: str, salt: str) -> Column:
             F.substring(
                 F.md5(
                     F.concat(
-                        F.lit(salt + ":"), F.col(key_col).cast("string")
+                        F.lit(salt + ":"),
+                        # NULL keys take the marker — a NULL uniform
+                        # would silently fail every comparison (drop in
+                        # the Bernoulli samplers) or sort FIRST and win
+                        # unconditionally in the A-ES top-k (r8 review)
+                        F.coalesce(
+                            F.col(key_col).cast("string"), F.lit("\x00null")
+                        ),
                     ).cast("binary")
                 ),
                 1,
@@ -239,7 +250,14 @@ def hash_uniform_open(key_col: str, salt: str) -> Column:
             F.substring(
                 F.md5(
                     F.concat(
-                        F.lit(salt + ":"), F.col(key_col).cast("string")
+                        F.lit(salt + ":"),
+                        # NULL keys take the marker — a NULL uniform
+                        # would silently fail every comparison (drop in
+                        # the Bernoulli samplers) or sort FIRST and win
+                        # unconditionally in the A-ES top-k (r8 review)
+                        F.coalesce(
+                            F.col(key_col).cast("string"), F.lit("\x00null")
+                        ),
                     ).cast("binary")
                 ),
                 1,

@@ -44,16 +44,22 @@ def salted_agg(
 
     ``aggs`` maps output column → (input column, fn) with fn in
     {sum, count, min, max} (the re-combinable aggregates; avg = sum
-    pair downstream). Phase 1 groups by (key, salt) — the hot key
-    becomes ``n_salts`` partial groups computed in parallel; phase 2
-    combines partials per key (sum/sum/min/max of partials).
+    pair downstream). ``count`` follows SQL semantics: count(col)
+    skips NULLs in the named column; pass ``"*"`` as the input column
+    for count(*) (r8 review: 'count' used to ignore the named column
+    and always count rows). Phase 1 groups by (key, salt) — the hot
+    key becomes ``n_salts`` partial groups computed in parallel; phase
+    2 combines partials per key (sum/sum/min/max of partials).
     """
     recombine = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
     phase1_aggs = []
     for out, (col, fn) in aggs.items():
         if fn not in recombine:
             raise ValueError(f"unsupported salted agg fn: {fn}")
-        first = F.count(F.lit(1)) if fn == "count" else getattr(F, fn)(col)
+        if fn == "count":
+            first = F.count(F.lit(1)) if col == "*" else F.count(F.col(col))
+        else:
+            first = getattr(F, fn)(col)
         phase1_aggs.append(first.alias(f"__p_{out}"))
     salted = with_salt(df, n_salts)
     partial = salted.groupBy(*group_cols, "__salt").agg(*phase1_aggs)
@@ -77,7 +83,21 @@ def salted_join(
     straggler; cost is build-side duplication — use when the build side
     is small-ish but above the broadcast threshold. Row multiplicity is
     unchanged (each probe row joins exactly the one replica matching
-    its salt)."""
+    its salt) — but ONLY for probe-preserving join types: a right or
+    full outer join would surface every unmatched build REPLICA as a
+    spurious null-probe row (n_salts of them per unmatched key), so
+    those types are refused (r8 review)."""
+    probe_preserving = {
+        "inner", "cross", "left", "leftouter", "left_outer",
+        "semi", "leftsemi", "left_semi", "anti", "leftanti", "left_anti",
+    }
+    if how not in probe_preserving:
+        raise ValueError(
+            f"salted_join: how='{how}' is not probe-preserving — the "
+            "replicated build side would emit spurious null-probe rows "
+            "for every unmatched replica. Swap the sides (salt the "
+            "other table) or use a plain join for right/full outer."
+        )
     keys = list(on)
     probe_s = with_salt(probe, n_salts)
     build_r = build.crossJoin(

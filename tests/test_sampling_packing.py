@@ -400,3 +400,79 @@ def test_weighted_sample_fixed_excludes_nonpositive_weights(spark):
     got = [r["id"] for r in
            sampling.weighted_sample_fixed(df, "id", "w", 10).collect()]
     assert got == [3]
+
+
+# -- r8 review fixes ----------------------------------------------------------
+
+
+def test_samplers_handle_null_keys(spark):
+    """NULL keys hash the null marker instead of null-propagating: the
+    split family assigns a real bucket, the Bernoulli samplers make a
+    real accept/reject decision, and the A-ES top-k no longer lets
+    NULL jitter sort first and win unconditionally (r8 review)."""
+    from social_media_etl_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(None, 0.5), (1, 0.5), (2, 0.5), (3, 0.5)],
+        "doc_id long, w double",
+    )
+    # md5_split: the NULL row lands in a real split
+    splits = sampling.md5_split(df, "doc_id")
+    assert splits.filter("split IS NULL").count() == 0
+    # weighted top-k: with equal weights, a NULL key must not be an
+    # automatic winner — its jitter is a real hash draw
+    got = sampling.weighted_sample_fixed(df, "doc_id", "w", k=4)
+    assert got.count() == 4  # all rows rank, none crash or vanish
+
+
+def test_salted_join_refuses_outer_build_side(spark):
+    from social_media_etl_spark.operators import skew
+
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    with pytest.raises(ValueError, match="probe-preserving"):
+        skew.salted_join(df, df, ["k"], how="right")
+    with pytest.raises(ValueError, match="probe-preserving"):
+        skew.salted_join(df, df, ["k"], how="full")
+
+
+def test_salted_agg_count_skips_nulls_in_named_column(spark):
+    from pyspark.sql import functions as F
+
+    from social_media_etl_spark.operators import skew
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 2.0), ("b", None)],
+        "k string, x double",
+    )
+    out = {
+        r["k"]: (r["n_x"], r["n_rows"])
+        for r in skew.salted_agg(
+            df, ["k"], {"n_x": ("x", "count"), "n_rows": ("*", "count")}
+        ).collect()
+    }
+    assert out == {"a": (2, 3), "b": (0, 1)}
+
+
+def test_pack_chunks_string_ids_and_oversize_refusal(spark):
+    from social_media_etl_spark.operators import chunking
+
+    chunks = spark.createDataFrame(
+        [("doc-a", 0, 100), ("doc-a", 1, 100), ("doc-b", 0, 150)],
+        "doc_id string, chunk_idx long, n_chunk_tokens long",
+    )
+    packed = chunking.pack_chunks(chunks, max_tokens=512, n_shards=2)
+    assert packed.count() == 3
+    assert dict(packed.dtypes)["doc_id"] == "string"
+    oversize = spark.createDataFrame(
+        [("doc-a", 0, 600)], "doc_id string, chunk_idx long, n_chunk_tokens long"
+    )
+    with pytest.raises(Exception, match="exceeds"):
+        chunking.pack_chunks(oversize, max_tokens=512, n_shards=1).collect()
+
+
+def test_kmeans_rejects_zero_iterations(spark):
+    from social_media_etl_spark.operators.clustering import kmeans_fit_df
+
+    df = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="iters"):
+        kmeans_fit_df(df, iters=0)
