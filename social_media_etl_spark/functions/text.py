@@ -111,8 +111,14 @@ def char_class_ratio(text: Column | str, char_class: str = PUNCT_CLASS) -> Colum
 
 
 def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] | None = None) -> Column:
-    """Fraction of token OCCURRENCES that are stopwords."""
-    words = stopwords or LANG_STOPWORDS["en"]
+    """Fraction of token OCCURRENCES that are stopwords. An explicitly
+    EMPTY stopword tuple means "no stopwords" (ratio 0), not the
+    English default (r8 review: the falsy-or check silently swapped in
+    English for languages configured with no list)."""
+    words = stopwords if stopwords is not None else LANG_STOPWORDS["en"]
+    if not words:
+        t = tokens(text)
+        return F.when(F.size(t) > 0, F.lit(0.0))
     t = tokens(text)
     lit_words = F.array(*[F.lit(w) for w in words])
     hits = F.size(F.filter(t, lambda w: F.array_contains(lit_words, w)))
@@ -179,18 +185,23 @@ def simhash(text: Column | str, bits: int = 32) -> Column:
     """SimHash over tokens: per-bit majority vote of token hashes
     (xxhash64). Near-duplicate texts differ in few bits (Charikar'02).
     """
-    t = tokens(text)
+    if not 1 <= bits <= 64:
+        raise ValueError(f"simhash: bits must be in [1, 64], got {bits}")
+    # hash each token ONCE into an array, then vote over the hashes —
+    # referencing xxhash64(w) inside the per-bit whens re-hashed every
+    # token `bits` times (no CSE inside HOF lambdas; r8 review)
+    hashes = F.transform(tokens(text), lambda w: F.xxhash64(w))
     # per-token ±1 contributions for each bit, summed across tokens
     zeros = F.array_repeat(F.lit(0), bits)
     sums = F.aggregate(
-        t,
+        hashes,
         zeros,
-        lambda acc, w: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             F.array(
                 *[
                     F.when(
-                        F.shiftright(F.xxhash64(w), i).bitwiseAND(F.lit(1)) == 1, 1
+                        F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
                     ).otherwise(-1)
                     for i in range(bits)
                 ]
@@ -200,8 +211,11 @@ def simhash(text: Column | str, bits: int = 32) -> Column:
     )
     out = F.lit(0).cast("long")
     for i in range(bits):
+        # bit 63 of a signed long is the sign bit: its two's-complement
+        # weight is -2^63 (a +2^63 literal would overflow LongType)
+        weight = -(1 << 63) if i == 63 else (1 << i)
         out = out + F.when(
-            F.element_at(sums, i + 1) > 0, F.lit(1 << i).cast("long")
+            F.element_at(sums, i + 1) > 0, F.lit(weight).cast("long")
         ).otherwise(F.lit(0).cast("long"))
     return out
 

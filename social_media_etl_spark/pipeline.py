@@ -113,9 +113,23 @@ class Pipeline:
 
 
 def source_available(url: str) -> bool:
-    """S4 gate: the source answers (HTTP 200 / readable file)."""
+    """S4 gate: the source answers (HTTP 200 / readable file). Like
+    the reference's HttpSensor this is a STATUS probe — it opens the
+    source and reads one byte, never downloading or parsing the whole
+    payload (r8 review: the gate used to do a full fetch+parse that
+    the stage body immediately repeated, doubling every extract's IO
+    and leaving a TOCTOU gap either way)."""
+    from urllib.parse import urlparse
+    from urllib.request import urlopen
+
     try:
-        rest_api.fetch_json_records(url)
+        if urlparse(url).scheme in ("http", "https"):
+            with urlopen(url, timeout=10.0) as resp:  # noqa: S310
+                resp.read(1)
+        else:
+            path = url[len("file://"):] if url.startswith("file://") else url
+            with open(path, "rb") as fh:
+                fh.read(1)
         return True
     except Exception:  # noqa: BLE001
         return False
@@ -124,8 +138,12 @@ def source_available(url: str) -> bool:
 def overwrite_parquet(df: DataFrame, path: str) -> None:
     """K4: idempotent full refresh — overwrite is atomic-per-run and a
     replay converges to identical state (vs. the reference's separate
-    DELETE + INSERT tasks)."""
-    df.write.mode("overwrite").parquet(path)
+    DELETE + INSERT tasks). Routed through formats.write_table so the
+    warehouse tables get the repo's parquet+zstd default instead of a
+    divergent snappy write (r8 review)."""
+    from social_media_etl_spark.sources.formats import write_table
+
+    write_table(df, path)
 
 
 # ---------------------------------------------------------------------------

@@ -48,14 +48,22 @@ def fetch_json_records(url: str, timeout: float = 30.0) -> list[dict]:
     array of objects; NDJSON bodies (one object per line) are accepted
     too (S3). Local paths / file:// URLs read from disk.
     """
-    scheme = urlparse(url).scheme
-    if scheme in ("http", "https"):
+    parsed = urlparse(url)
+    if parsed.scheme in ("http", "https"):
         from urllib.request import urlopen  # stdlib; no extra deps
 
         with urlopen(url, timeout=timeout) as resp:  # noqa: S310
             body = resp.read().decode("utf-8")
     else:
-        path = url[len("file://") :] if url.startswith("file://") else url
+        if parsed.scheme == "file":
+            # RFC 8089: honor the netloc form (file://localhost/...)
+            # and percent-encoding, instead of a raw prefix strip
+            from urllib.request import url2pathname
+
+            netloc = "" if parsed.netloc in ("", "localhost") else parsed.netloc
+            path = url2pathname(f"//{netloc}{parsed.path}" if netloc else parsed.path)
+        else:
+            path = url
         with open(path, encoding="utf-8") as fh:
             body = fh.read()
     body = body.strip()
@@ -63,10 +71,19 @@ def fetch_json_records(url: str, timeout: float = 30.0) -> list[dict]:
         return []
     if body.startswith("["):
         records = json.loads(body)
+        if not isinstance(records, list):
+            raise ValueError(f"expected JSON array at {url!r}")
     else:  # NDJSON
         records = [json.loads(line) for line in body.splitlines() if line.strip()]
-    if not isinstance(records, list):
-        raise ValueError(f"expected JSON array at {url!r}")
+    # both branches produce a LIST; the contract is records-of-objects,
+    # so validate the elements (r8 review: a scalar/error body used to
+    # pass silently and crash later inside an executor)
+    bad = next((r for r in records if not isinstance(r, dict)), None)
+    if bad is not None:
+        raise ValueError(
+            f"expected JSON array of objects (or NDJSON) at {url!r}; "
+            f"got element of type {type(bad).__name__}"
+        )
     return records
 
 

@@ -1165,3 +1165,22 @@ def test_gif_disposal_3_restores_previous_canvas():
     assert (out[1][2:4, 2:4] == 50).all()  # frame 2 painted its rect
     assert (out[2][2:4, 2:4] == 200).all()  # restored to previous
     assert (out[2][5:7, 5:7] == 70).all()  # frame 3's own patch
+
+
+def test_fetch_json_records_rejects_non_object_payloads(tmp_path):
+    """r8 review: a scalar/array-of-scalars body used to pass the dead
+    isinstance check and crash later in an executor — now it raises at
+    fetch time with the real cause."""
+    p = tmp_path / "scalar.json"
+    p.write_text("42")
+    with pytest.raises(ValueError, match="objects"):
+        rest_api.fetch_json_records(str(p))
+    p2 = tmp_path / "mixed.json"
+    p2.write_text('[{"a": 1}, 7]')
+    with pytest.raises(ValueError, match="objects"):
+        rest_api.fetch_json_records(str(p2))
+    # RFC 8089 localhost form reads fine
+    p3 = tmp_path / "ok.json"
+    p3.write_text('[{"a": 1}]')
+    assert rest_api.fetch_json_records(f"file://localhost{p3}") == [{"a": 1}]
+    assert rest_api.fetch_json_records(f"file://{p3}") == [{"a": 1}]

@@ -153,3 +153,33 @@ def test_pii_redaction_counts_and_output(spark):
     assert "bob.smith" not in out[1][4] and "ex.io" not in out[1][4]
     assert out[2][4].count("<PII>") == 3
     assert out[3][4] == "nothing sensitive here"
+
+
+def test_simhash_64_bit_and_explicit_empty_stopwords(spark):
+    """r8 review: bits=64 used to overflow LongType on the sign-bit
+    weight; an explicitly empty stopword tuple used to silently swap
+    in the English list."""
+    from social_media_etl_spark.functions import text as TXT
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox and the lazy dog",)], "id long, text string"
+    )
+    row = df.select(
+        TXT.simhash("text", 64).alias("h64"),
+        TXT.simhash("text", 32).alias("h32"),
+        TXT.stopword_ratio(F.col("text"), stopwords=()).alias("r_none"),
+        TXT.stopword_ratio(F.col("text")).alias("r_en"),
+    ).collect()[0]
+    assert isinstance(row["h64"], int)
+    assert row["h64"] != row["h32"]
+    assert row["r_none"] == 0.0
+    assert row["r_en"] > 0.0
+
+
+def test_simhash_bits_validation(spark):
+    import pytest
+
+    from social_media_etl_spark.functions import text as TXT
+
+    with pytest.raises(ValueError, match="bits"):
+        TXT.simhash("text", 65)
