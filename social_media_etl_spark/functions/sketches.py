@@ -91,10 +91,25 @@ def approx_quantiles(
 ) -> DataFrame:
     """Approximate percentiles as a 1-row frame (native
     ``approx_percentile`` — mergeable quantile sketch under the hood)."""
+    def _name(p: float) -> str:
+        # int(p*100) truncates float error (0.29*100 -> 28.999... ->
+        # "p28") and collides 0.99/0.999 on "p99" (r8 review): keep
+        # enough digits to stay faithful and unique
+        scaled = p * 100
+        r = round(scaled)
+        return f"p{r}" if abs(scaled - r) < 1e-9 else (
+            "p" + f"{scaled:.6f}".rstrip("0").rstrip(".").replace(".", "_")
+        )
+
+    names = [_name(p) for p in probabilities]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"approx_quantiles: probability aliases collide: {names}"
+        )
     return df.agg(
         *[
-            F.percentile_approx(col, p, accuracy).alias(f"p{int(p * 100)}")
-            for p in probabilities
+            F.percentile_approx(col, p, accuracy).alias(n)
+            for p, n in zip(probabilities, names)
         ]
     )
 
@@ -229,10 +244,49 @@ def cms_estimate(
     seed) — those must be concrete at plan time — but every joined
     sketch cell carries the BUILDER's triple, and the plan raises on
     the first cell whose carried parameters disagree with the
-    caller's (ADVICE r6). A mismatch can no longer return plausible
-    wrong minima; it fails loudly.
+    caller's (ADVICE r6). Per-cell alone is not airtight for SPARSE
+    sketches (r8 review, the same hole cms_merge closed): a wrong-seed
+    probe can hash every item onto UNOCCUPIED cells, pass the
+    NULL-cell check, and return silent 0 under-estimates — so the
+    builder's triple is also folded GLOBALLY from the sketch (a
+    bounded one-row aggregate, broadcast) and validated once against
+    the caller's. A mismatch can no longer return plausible wrong
+    minima; it fails loudly.
     """
+    glob = sketch.agg(
+        F.min(_cms_params(sketch)).alias("__blo"),
+        F.max(_cms_params(sketch)).alias("__bhi"),
+    )
+    want = F.struct(
+        F.lit(depth).alias("depth"),
+        F.lit(width).alias("width"),
+        F.lit(seed).alias("seed"),
+    )
+    glob_gate = F.when(
+        F.col("__blo").isNull()  # empty sketch: nothing to disagree with
+        | ((F.col("__blo") == want) & (F.col("__bhi") == want)),
+        F.lit(1),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("cms_estimate: sketch carries (depth, width, seed) "),
+                F.col("__blo").cast("string"),
+                F.lit(".."),
+                F.col("__bhi").cast("string"),
+                F.lit(f" but the caller passed ({depth}, {width}, {seed})"),
+            )
+        ).cast("int")
+    )
     probes = items.select(F.col(col).alias("item")).distinct()
+    # the gate column must stay LOAD-BEARING (filtered on, not
+    # dropped) or column pruning eliminates the raise_error entirely
+    probes = (
+        probes.crossJoin(
+            F.broadcast(glob.select(glob_gate.alias("__params_checked")))
+        )
+        .filter(F.col("__params_checked") == 1)
+        .drop("__params_checked")
+    )
     probes = probes.select(
         "item",
         F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("row"),

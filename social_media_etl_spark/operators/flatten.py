@@ -35,9 +35,18 @@ def flattened_columns(schema: T.StructType, sep: str = "_") -> list[Column]:
     """Column expressions flattening every nested StructType field; key
     paths concatenate with ``sep`` exactly like the reference's
     ``flatten_dict`` (``utils.py:12-15``)."""
+    paths = _walk(schema, ())
+    names = [sep.join(p) for p in paths]
+    dupes = {n for n in names if names.count(n) > 1}
+    if dupes:
+        raise ValueError(
+            f"flatten: flattened paths collide on {sorted(dupes)} — "
+            "pass a different sep or rename the nested fields (a "
+            "duplicate-name frame fails downstream as ambiguous)"
+        )
     return [
-        F.col(".".join(f"`{part}`" for part in path)).alias(sep.join(path))
-        for path in _walk(schema, ())
+        F.col(".".join(f"`{part}`" for part in path)).alias(name)
+        for path, name in zip(paths, names)
     ]
 
 

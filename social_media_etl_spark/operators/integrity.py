@@ -36,6 +36,12 @@ def fk_violations(
     """Child rows whose FK has no matching parent (NULL FKs pass, as in
     SQL FK semantics). Left-anti join — Catalyst broadcasts small
     parents automatically."""
+    if len(fk_cols) != len(pk_cols):
+        raise ValueError(
+            f"fk_violations: fk_cols {list(fk_cols)} and pk_cols "
+            f"{list(pk_cols)} differ in length — zip would silently "
+            "truncate the join condition and miss violations"
+        )
     cond = None
     for fk, pk in zip(fk_cols, pk_cols):
         c = child[fk] == parent[pk]

@@ -33,7 +33,13 @@ def surrogate_key(child_name: str, key_cols: Sequence[str]) -> Column:
     natural-key columns). One child row per parent row, like the
     reference's per-row ``uuid4()`` (``users_etl.py:103,107``), but
     reproducible."""
-    parts = [F.lit(child_name)] + [F.col(c).cast("string") for c in key_cols]
+    # concat_ws SKIPS NULL arguments, which would let distinct key
+    # tuples containing NULLs collide (("ann", NULL) vs (NULL, "ann"));
+    # NULL parts hash an explicit marker instead (r8 review)
+    parts = [F.lit(child_name)] + [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+        for c in key_cols
+    ]
     return F.sha2(F.concat_ws(_SEP, *parts), 256)
 
 

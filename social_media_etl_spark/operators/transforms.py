@@ -28,10 +28,21 @@ def rename_columns(df: DataFrame, mapping: Mapping[str, str]) -> DataFrame:
 
 def to_snake_case(df: DataFrame) -> DataFrame:
     """Rename every camelCase column to snake_case (the reference's
-    API-to-warehouse naming convention, generalized)."""
-    return df.withColumnsRenamed(
-        {c: _CAMEL.sub("_", c).lower() for c in df.columns if _CAMEL.search(c)}
-    )
+    API-to-warehouse naming convention, generalized). Raises if two
+    columns would collide on one snake_case name (or onto an existing
+    column) — a silent duplicate-name frame fails far from the cause
+    with AMBIGUOUS_REFERENCE (r8 review)."""
+    mapping = {
+        c: _CAMEL.sub("_", c).lower() for c in df.columns if _CAMEL.search(c)
+    }
+    out_names = [mapping.get(c, c) for c in df.columns]
+    dupes = {n for n in out_names if out_names.count(n) > 1}
+    if dupes:
+        raise ValueError(
+            f"to_snake_case: renames collide on {sorted(dupes)} — rename "
+            "the conflicting columns explicitly first"
+        )
+    return df.withColumnsRenamed(mapping)
 
 
 def cast_columns(
@@ -40,14 +51,30 @@ def cast_columns(
     strict: bool = False,
 ) -> DataFrame:
     """Cast columns (T5). Policy per SURVEY §5.2: invalid input → NULL
-    (``try_cast``) by default; ``strict=True`` raises via ANSI cast —
-    the reference's ``float('bad')`` would raise (``users_etl.py:110``).
-    """
-    cols = {
-        name: (F.col(name).cast(t) if strict else F.col(name).try_cast(t))
-        for name, t in casts.items()
-    }
-    return df.withColumns(cols)
+    (``try_cast``) by default; ``strict=True`` raises on any value the
+    cast cannot represent — the reference's ``float('bad')`` would
+    raise (``users_etl.py:110``). Strict mode is enforced IN-PLAN
+    (non-NULL input that casts to NULL raises), not via ANSI cast:
+    the project session pins spark.sql.ansi.enabled=false, under which
+    Column.cast silently nulls exactly like try_cast (r8 review — the
+    old strict mode never raised)."""
+    def _one(name, t):
+        if not strict:
+            return F.col(name).try_cast(t)
+        casted = F.col(name).cast(t)
+        return F.when(
+            F.col(name).isNotNull() & casted.isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"cast_columns: strict cast of column '{name}' "),
+                    F.lit("failed for value '"),
+                    F.col(name).cast("string"),
+                    F.lit("'"),
+                )
+            ).cast(t),
+        ).otherwise(casted)
+
+    return df.withColumns({name: _one(name, t) for name, t in casts.items()})
 
 
 def select_aligned(df: DataFrame, target_cols: Sequence[str]) -> DataFrame:

@@ -206,3 +206,94 @@ def test_table_profile_certified_gate_empties_on_breach(spark):
     )
     out = table_profile_certified(df, rel_err=0.0, abs_slack=-1.0)
     assert out.count() == 0
+
+
+# -- r8 review fixes ----------------------------------------------------------
+
+
+def test_cast_columns_strict_raises_without_ansi(spark):
+    """strict=True must raise on uncastable values even though the
+    project session pins ANSI off (r8 review: Column.cast only raises
+    under ANSI, so the old strict mode silently nulled)."""
+    import pytest
+
+    from social_media_etl_spark.operators.transforms import cast_columns
+
+    df = spark.createDataFrame([("1.5",), ("bad",)], "x string")
+    ok = cast_columns(df.filter("x = '1.5'"), {"x": "double"}, strict=True)
+    assert ok.collect()[0]["x"] == 1.5
+    with pytest.raises(Exception, match="strict cast"):
+        cast_columns(df, {"x": "double"}, strict=True).collect()
+    # default stays try_cast: NULL, no raise
+    lax = cast_columns(df, {"x": "double"})
+    assert sorted(r["x"] for r in lax.collect() if r["x"] is not None) == [1.5]
+
+
+def test_surrogate_key_null_parts_do_not_collide(spark):
+    from social_media_etl_spark.operators.normalize import surrogate_key
+
+    df = spark.createDataFrame(
+        [("ann", None), (None, "ann")], "first string, last string"
+    )
+    keys = [
+        r["k"]
+        for r in df.select(
+            surrogate_key("child", ["first", "last"]).alias("k")
+        ).collect()
+    ]
+    assert keys[0] != keys[1]
+
+
+def test_fk_violations_rejects_mismatched_key_lists(spark):
+    import pytest
+
+    from social_media_etl_spark.operators.integrity import fk_violations
+
+    df = spark.createDataFrame([(1, 2)], "a long, b long")
+    with pytest.raises(ValueError, match="length"):
+        fk_violations(df, ["a", "b"], df, ["a"])
+
+
+def test_to_snake_case_and_flatten_collisions_raise(spark):
+    import pytest
+
+    from social_media_etl_spark.operators.flatten import flatten_struct
+    from social_media_etl_spark.operators.transforms import to_snake_case
+
+    df = spark.createDataFrame([(1, 2)], "userId long, user_id long")
+    with pytest.raises(ValueError, match="collide"):
+        to_snake_case(df)
+    nested = spark.sql(
+        "SELECT named_struct('b_c', 1) AS a, named_struct('c', 2) AS a_b"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        flatten_struct(nested)
+
+
+def test_approx_quantile_aliases_faithful(spark):
+    import pytest
+
+    from social_media_etl_spark.functions.sketches import approx_quantiles
+
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+    out = approx_quantiles(df, "x", probabilities=(0.29, 0.99, 0.999))
+    assert set(out.columns) == {"p29", "p99", "p99_9"}
+    with pytest.raises(ValueError, match="collide"):
+        approx_quantiles(df, "x", probabilities=(0.5, 0.5))
+
+
+def test_cms_estimate_rejects_wrong_seed_on_sparse_sketch(spark):
+    """A wrong-seed probe whose buckets all land on unoccupied cells
+    used to pass the NULL-cell check and return silent 0s — the global
+    params fold now raises (r8 review)."""
+    import pytest
+
+    from social_media_etl_spark.functions import sketches
+
+    df = spark.createDataFrame([(f"t{i}",) for i in range(5)], "token string")
+    sk = sketches.cms_build(df, "token", depth=2, width=4096, seed=7)
+    with pytest.raises(Exception, match="cms_estimate"):
+        sketches.cms_estimate(
+            sk, df.select("token").distinct(), "token",
+            depth=2, width=4096, seed=1234,
+        ).collect()
