@@ -58,6 +58,8 @@ __all__ = [
     "decode_gif",
     "encode_gif_animated",
     "decode_gif_frames",
+    "encode_ppm_stream",
+    "decode_ppm_stream",
     "encode_wav_pcm16",
     "decode_wav_pcm16",
     "encode_wav_adpcm",
@@ -243,6 +245,8 @@ def encode_bmp(arr) -> bytes:
     import numpy as np
 
     a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("encode_bmp expects (H, W, 3) uint8")
     h, w = a.shape[:2]
     row_size = (w * 3 + 3) & ~3  # rows pad to 4 bytes
     img_size = row_size * h
@@ -696,7 +700,19 @@ def decode_gif_frames(payload: bytes, max_frames: int | None = None):
             deinter = np.zeros_like(idx)
             deinter[order] = idx
             idx = deinter
-        rect = canvas[top : top + fh, left : left + fw]
+        # foreign frames may overflow the logical screen — clip the
+        # rect to the canvas (spec renderers crop) instead of dying in
+        # a broadcast error; out-of-table pixel indices get a clean
+        # ValueError (r8 review)
+        vh = min(fh, max(0, h - top))
+        vw = min(fw, max(0, w - left))
+        idx = idx[:vh, :vw]
+        if idx.size and int(idx.max()) >= len(ct):
+            raise ValueError(
+                f"decode_gif: pixel index {int(idx.max())} exceeds the "
+                f"{len(ct)}-entry color table"
+            )
+        rect = canvas[top : top + vh, left : left + vw]
         prev_rect = rect.copy() if disposal == 3 else None
         if transparent is not None:
             opaque = idx != transparent
@@ -707,9 +723,9 @@ def decode_gif_frames(payload: bytes, max_frames: int | None = None):
         if max_frames is not None and len(frames_out) >= max_frames:
             return frames_out
         if disposal == 2:  # restore rect to the LSD background color
-            canvas[top : top + fh, left : left + fw] = bg_rgb
+            canvas[top : top + vh, left : left + vw] = bg_rgb
         elif disposal == 3:  # restore rect to the pre-frame canvas
-            canvas[top : top + fh, left : left + fw] = prev_rect
+            canvas[top : top + vh, left : left + vw] = prev_rect
         transparent, disposal = None, 0
     if not frames_out:
         raise ValueError("decode_gif: no image descriptor found")
@@ -1001,6 +1017,12 @@ def _adpcm_data_to_samples(data: bytes, block_align: int, fact_n):
     real ones, which are sliced off before the fact trim)."""
     import numpy as np
 
+    if block_align < 5:
+        # 4-byte header + at least one nibble byte per block; a corrupt
+        # header otherwise dies in divmod/indexing (r8 review)
+        raise ValueError(
+            f"ADPCM block_align must be >= 5, got {block_align}"
+        )
     n_whole, rem = divmod(len(data), block_align)
     parts = []
     if n_whole:
@@ -1100,7 +1122,6 @@ def decode_wav_batch(payloads):
             b"".join(d for _, d, _, _ in members), dtype=np.uint8
         ).reshape(sum(counts), block_align)
         samples = _adpcm_decode_blocks(raw)
-        spb = samples.shape[1]
         row = 0
         for (i, _d, fact_n, rate), nb in zip(members, counts):
             x = samples[row : row + nb].ravel()
@@ -1134,6 +1155,17 @@ def decode_image_array(payload: bytes):
     )
 
 
+def _check_backend(fn: str, backend: str, allowed: tuple) -> None:
+    """Backend dispatch guard (r8 review): an unknown string used to
+    fall silently into whichever branch the if-chain ended on — a typo
+    like 'Numpy' wrote FAKE metadata for a whole corpus with no error,
+    and 'fake' on the hash stages silently ran the real decode."""
+    if backend not in allowed:
+        raise ValueError(
+            f"{fn}: unknown backend {backend!r}; allowed: {allowed}"
+        )
+
+
 def decode_images(
     df: DataFrame,
     payload_col: str = "payload",
@@ -1150,6 +1182,7 @@ def decode_images(
     ``backend='fake'`` derives deterministic pseudo-dimensions from the
     payload digest (synthetic corpora).
     """
+    _check_backend("decode_images", backend, ("fake", "numpy", "real"))
     if backend == "real":
         raise NotImplementedError(
             "compressed-image decode requires PIL/opencv (not in this "
@@ -1203,6 +1236,7 @@ def resize_images(
     via integer index maps — pure numpy) and re-encodes the result as
     PPM; ``backend='fake'`` emits a digest-stamped placeholder payload;
     ``backend='real'`` is the PIL/opencv call site."""
+    _check_backend("resize_images", backend, ("fake", "numpy", "real"))
     if backend == "real":
         raise NotImplementedError("compressed-image resize requires PIL/opencv")
     tw, th = target
@@ -1252,6 +1286,7 @@ def sample_video_frames(
     mean pixel intensity); ``backend='fake'`` synthesizes a
     deterministic frame count from the payload; ``backend='real'`` is
     the ffmpeg call site for compressed containers (MP4/WebM)."""
+    _check_backend("sample_video_frames", backend, ("fake", "numpy", "real"))
     if backend == "real":
         raise NotImplementedError(
             "compressed-container frame sampling requires ffmpeg; "
@@ -1269,7 +1304,11 @@ def sample_video_frames(
                 b = bytes(payload)
                 if backend == "numpy":
                     if b.startswith(b"GIF8"):
-                        frames = decode_gif_frames(b)
+                        # only the sampled prefix is ever read — bound
+                        # the LZW decode + compositing by it instead of
+                        # paying for every frame (r8 review)
+                        need = (max_frames - 1) * every_n + 1
+                        frames = decode_gif_frames(b, max_frames=need)
                     else:
                         frames = decode_ppm_stream(b)
                     for k, frame_i in enumerate(
@@ -1330,6 +1369,12 @@ def _band_log_energies(x_rows, n_bands: int):
     offset semantics differ from array_split's empty segments there)."""
     import numpy as np
 
+    x_rows = np.asarray(x_rows)
+    if x_rows.shape[-1] == 0:
+        # a degenerate payload (empty data chunk / fact_n=0) has no
+        # spectrum; all-zero bands instead of an rfft crash that would
+        # kill the whole Arrow batch (r8 review)
+        return np.zeros((x_rows.shape[0], n_bands))
     mag2 = np.abs(np.fft.rfft(x_rows, axis=1)) ** 2
     nf = mag2.shape[1]
     if nf < n_bands:
@@ -1363,6 +1408,7 @@ def extract_audio_features(
     a mel-filterbank-shaped feature with zero audio dependencies;
     ``backend='fake'`` emits a digest-derived vector; ``backend='real'``
     is the librosa call site (mp3/flac)."""
+    _check_backend("extract_audio_features", backend, ("fake", "numpy", "real"))
     if backend == "real":
         raise NotImplementedError("compressed-audio features require librosa")
     out_schema = f"{id_col} long, features array<float>"
@@ -1418,6 +1464,7 @@ def ahash_images(
     Arrow-batched mapInPandas; ``backend='real'`` is the PIL call site
     for compressed formats (NotImplementedError in this container).
     """
+    _check_backend("ahash_images", backend, ("numpy", "real"))
     if backend == "real":
         raise NotImplementedError(
             "progressive-JPEG/MP4 decode requires PIL/opencv (not in "
@@ -1468,6 +1515,7 @@ def audio_fingerprint(
     ``dedup.simhash_pairs(sig_table=...)`` banding serves IMAGES,
     AUDIO, and TEXT with one Hamming machinery. ``backend='real'`` is
     the librosa/chromaprint call site (NotImplementedError here)."""
+    _check_backend("audio_fingerprint", backend, ("numpy", "real"))
     if backend == "real":
         raise NotImplementedError(
             "compressed-audio fingerprints require librosa/chromaprint"

@@ -1184,3 +1184,70 @@ def test_fetch_json_records_rejects_non_object_payloads(tmp_path):
     p3.write_text('[{"a": 1}]')
     assert rest_api.fetch_json_records(f"file://localhost{p3}") == [{"a": 1}]
     assert rest_api.fetch_json_records(f"file://{p3}") == [{"a": 1}]
+
+
+# -- r8 multimodal review fixes ------------------------------------------------
+
+
+def test_backend_typos_raise_instead_of_silent_fake(spark, media):
+    """r8 review: an unknown backend string silently selected the fake
+    branch (or the real decode on the hash stages) — now it raises."""
+    with pytest.raises(Exception, match="unknown backend"):
+        multimodal.decode_images(media, backend="Numpy").collect()
+    with pytest.raises(Exception, match="unknown backend"):
+        multimodal.ahash_images(media, backend="fake").collect()
+
+
+def test_audio_features_survive_empty_wav(spark):
+    """An empty data chunk must yield all-zero bands, not an rfft
+    crash that kills the whole Arrow batch (r8 review)."""
+    import numpy as np
+
+    empty = multimodal.encode_wav_pcm16(np.zeros(0), rate=8_000)
+    df = spark.createDataFrame(
+        [(1, bytearray(empty))], "media_id long, payload binary"
+    )
+    rows = multimodal.extract_audio_features(df, backend="numpy").collect()
+    assert len(rows) == 1
+
+
+def test_encode_bmp_rejects_non_rgb(spark):
+    import numpy as np
+
+    with pytest.raises(ValueError, match="encode_bmp"):
+        multimodal.encode_bmp(np.zeros((4, 4, 4), dtype=np.uint8))
+    with pytest.raises(ValueError, match="encode_bmp"):
+        multimodal.encode_bmp(np.zeros((4, 4), dtype=np.uint8))
+
+
+def test_adpcm_rejects_corrupt_block_align(spark):
+    import struct
+
+    import numpy as np
+
+    good = multimodal.encode_wav_adpcm(np.zeros(512))
+    # fmt chunk: block_align lives 12 bytes into the fmt payload
+    pos = good.index(b"fmt ") + 8 + 12
+    bad = good[:pos] + struct.pack("<H", 0) + good[pos + 2 :]
+    with pytest.raises(ValueError, match="block_align"):
+        multimodal.decode_wav(bad)
+
+
+def test_gif_foreign_oversized_frame_is_clipped(spark):
+    """A frame rect exceeding the logical screen crops (as spec
+    renderers do) instead of crashing in a broadcast error."""
+    import struct
+
+    import numpy as np
+
+    patch = np.full((4, 4, 3), 50, dtype=np.uint8)
+    bits, t, mc, bl = multimodal._gif_frame_payload(patch)
+    # logical screen 2x2, frame descriptor 4x4
+    payload = (
+        b"GIF89a" + struct.pack("<HHBBB", 2, 2, 0, 0, 0)
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, 4, 4, 0x80 | ((bits - 1) & 7))
+        + t + bytes([mc]) + bl + b"\x3b"
+    )
+    out = multimodal.decode_gif_frames(payload)
+    assert out[0].shape == (2, 2, 3)
+    assert (out[0] == 50).all()
