@@ -415,16 +415,13 @@ def test_adpcm_batch_codec_roundtrip_property(data, n_sig, length, block_align):
 
     from social_media_etl_spark.sources import multimodal as M
 
-    raw = data.draw(
-        st.lists(
-            st.lists(
-                st.floats(-1.5, 1.5, allow_nan=False), min_size=length, max_size=length
-            ),
-            min_size=n_sig,
-            max_size=n_sig,
-        )
-    )
-    sigs = np.array(raw, dtype=np.float64)
+    # generate the signal matrix from ONE drawn seed instead of
+    # n_sig×length element-wise float draws: per-element drawing
+    # routinely overruns hypothesis's entropy budget at length ~1200
+    # and trips the data_too_large health check (flaked in r8's gate)
+    seed = data.draw(st.integers(0, 2**32 - 1))
+    rng = np.random.default_rng(seed)
+    sigs = rng.uniform(-1.5, 1.5, size=(n_sig, length))
     batch = M.encode_wav_adpcm_batch(sigs, rate=8_000, block_align=block_align)
     assert batch == [
         M.encode_wav_adpcm(s, rate=8_000, block_align=block_align) for s in sigs
