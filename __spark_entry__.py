@@ -3773,131 +3773,21 @@ def _managed(fn: Callable[[SparkSession, str], DataFrame]):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver grades only the FIRST 50
-    # entries per round (VERDICT r2). Round-8 window (pinned by
-    # tests/test_grading_window.py): the 37-key R8_QUEUE from the r7
-    # verdict leads (the r5-greens whose record turned 2 rounds old at
-    # r7 close), then the 4 new r8 keys (row-level DELETE, streaming
-    # CDC consumption, partition-spec'd table, JPEG-graded corpus —
-    # the r7 verdict's asks #3-#6; surface growth held to the rotation
-    # budget per ask #1), then the 9 oldest r6-greens fill the window
-    # to 50. The 50 r7-graded keys sit in the middle (freshest
-    # record); the remaining 41 r6-greens form the R9_QUEUE at the
-    # dict tail (their green turns 2 rounds old at r8 close, so they
-    # must lead the r9 window). Keep this paragraph in sync with
+    # entries per round (VERDICT r2). Round-9 window (pinned by
+    # tests/test_grading_window.py): the 41-key R9_QUEUE from the r8
+    # verdict leads (the r6-greens whose record turned 2 rounds old at
+    # r8 close), then any new r9 keys (the r8 verdict's asks #3/#5/#6/
+    # #8 — manifest segments, merge-on-read delete, MERGE INTO, SQL
+    # time travel), then the oldest r7-greens fill the window to 50.
+    # The 50 r8-graded keys sit in the middle (freshest record); the
+    # remaining r7-greens form the R10_QUEUE at the dict tail (their
+    # green turns 2 rounds old at r9 close, so they must lead the r10
+    # window). Keep this paragraph in sync with
     # tests/test_grading_window.py — window planning is done from here
     # (r2 postmortem).
     qs = {
-        # -- R8_QUEUE (37 keys): r5-greens, re-certify now ----------------
-        "streaming_incremental_rollup": _streaming_incremental,
-        "streaming_left_outer_join": _streaming_left_outer_join,
-        "pack_sequences_greedy": _pack_greedy_single,
-        "pii_redaction": _pii_redaction,
-        "tfidf_top_terms": _tfidf_top_terms,
-        "unigram_logprob_quality": _unigram_logprob,
-        "train_val_test_split": _train_val_test_split,
-        "table_profile_orders": _table_profile,
-        "text_stats": _text_stats,
-        "text_lang_id": _text_lang,
-        "doc_fingerprint": _text_fingerprint,
-        "multimodal_metadata": _multimodal_metadata,
-        "multimodal_decode_images": _multimodal_decode,
-        "multimodal_frame_sample": _multimodal_frames,
-        "multimodal_audio_features": _multimodal_audio,
-        "decontaminate_benchmark": _decontaminate,
-        "events_windowed_agg": _events_window,
-        "events_sessionize": _events_sessions,
-        "events_rolling_avg": _events_rolling,
-        "scd2_user_event_history": _scd2_history,
-        "asof_purchase_last_click": _asof_purchase_click,
-        "asof_signup_next_purchase": _asof_signup_next_purchase,
-        "dedup_minhash_lsh": _dedup_minhash,
-        "dedup_simhash": _dedup_simhash,
-        "ann_lsh_topk": _ann_lsh,
-        "ann_ivf_topk": _ann_ivf,
-        "streaming_windowed_agg": _streaming_windowed,
-        "dedup_exact": _dedup_exact,
-        "dedup_ngram_jaccard": _dedup_jaccard,
-        "dedup_components": _dedup_components,
-        "dedup_lines_c4": _dedup_lines,
-        "doc_repetition": _doc_repetition,
-        "embedding_neardup": _embedding_neardup,
-        "ann_cosine_topk": _ann_topk,
-        "doc_chunks": _doc_chunks,
-        "quota_per_source": _quota_per_source,
-        "corpus_top_words": _top_words,
-        # -- new this round (never graded): the r7 verdict's asks
-        # #3-#6 — copy-on-write DELETE, streaming CDC consumption,
-        # partition-spec'd VersionedTable, JPEG-certified corpus ---------
-        "versioned_delete_where": _versioned_delete_where,
-        "versioned_cdc_stream": _versioned_cdc_stream,
-        "versioned_partitioned_read": _versioned_partitioned_read,
-        "multimodal_decode_jpeg": _multimodal_decode_jpeg,
-        # -- window fill (9 oldest r6-greens): their green is 2 rounds
-        # old at r8 close, re-certify now ---------------------------------
-        "zorder_layout_roundtrip": _zorder_layout_roundtrip,
-        "corpus_shuffle": _corpus_shuffle,
-        "gopher_quality_flags": _gopher_quality,
-        "semantic_dedup_representatives": _semantic_dedup,
-        "bpe_pair_counts": _bpe_pair_counts,
-        "embedding_label_centroids": _embedding_label_centroids,
-        "source_mixing_weights": _source_mixing_weights,
-        "compaction_roundtrip": _compaction_roundtrip,
-        "upsert_events_latest": _upsert_events_latest,
-        # ------- middle: the 50 keys hash-matched in CORRECTNESS_r07 ----
-        "sql_min_price_supplier": _sql_entrypoint,
-        "approx_distinct_sketch_rollup": _sketch_rollup,
-        "anti_join_customers_no_orders": _anti_join,
-        "semi_join_urgent_suppliers": _semi_join,
-        "range_join_quantity_bands": _range_join_bands,
-        "rollup_revenue": _rollup_revenue,
-        "grouping_sets_revenue": _grouping_sets,
-        "udtf_ngrams_count": _udtf_ngrams,
-        "cube_revenue": _cube_revenue,
-        "price_quantiles_exact": _price_quantiles,
-        "set_ops_priority_custs": _set_ops,
-        "kmeans_embeddings": _kmeans_embeddings,
-        "pagerank_trade_graph": _pagerank_trade_graph,
-        "cms_heavy_hitters": _cms_heavy_hitters,
-        "bigram_logprob_quality": _bigram_logprob,
-        "ks_drift_events": _ks_drift_events,
-        "duplicate_span_fraction": _duplicate_spans,
-        "regression_value_trend": _regression_value_trend,
-        "streaming_cms_topk": _streaming_cms_topk,
-        "source_token_kl": _source_token_kl,
-        "winsorized_stats_events": _winsorized_stats,
-        "events_ohlc_bars": _events_ohlc_bars,
-        "chi2_type_value_band": _chi2_type_band,
-        "weighted_sample_aes": _weighted_sample_aes,
-        "hashed_feature_vectors": _hashed_features,
-        "event_transition_matrix": _event_transitions,
-        "hourly_corr_click_purchase": _hourly_corr,
-        "versioned_table_history": _versioned_table_history,
-        "image_phash_neardup": _image_phash_neardup,
-        "versioned_pruned_read": _versioned_pruned_read,
-        "audio_fingerprint_neardup": _audio_fp_neardup,
-        "embedding_int8_quantize": _embedding_quantize,
-        "versioned_schema_evolution": _versioned_schema_evolution,
-        "versioned_string_pruned_read": _versioned_string_pruned_read,
-        "versioned_vacuum_retention": _versioned_vacuum_retention,
-        "versioned_incremental_read": _versioned_incremental_read,
-        "versioned_overwrite_refresh": _versioned_overwrite_refresh,
-        "importance_sampling": _importance_sampling,
-        "token_budget_curation": _token_budget_curation,
-        "funnel_conversion": _funnel_conversion,
-        "streaming_stateful_totals_rocksdb": _streaming_stateful_totals_rocksdb,
-        "streaming_full_outer_join": _streaming_full_outer_join,
-        "formats_roundtrip": _formats_roundtrip,
-        "skew_salted_agg_events": _salted_agg_events,
-        "skew_salted_join_events": _salted_join_events,
-        "bucketed_join_priority_revenue": _bucketed_join_revenue,
-        "streaming_dedup_events": _streaming_dedup,
-        "streaming_stateful_totals": _streaming_stateful_totals,
-        "streaming_sliding_windows": _streaming_sliding,
-        "streaming_static_join": _streaming_static_join,
-        # -- R9_QUEUE (41 keys): the r6-greens that did not fit the r8
-        # window — at r8 close their last green is 2 rounds old, so
-        # they must lead the r9 window (pinned by
-        # tests/test_grading_window.py) -----------------------------------
+        # -- R9_QUEUE (41 keys): last green in r6, 2 rounds old at r8
+        # close — re-certify now (r8 verdict ask #1) ----------------------
         "smoothed_mixture_sample": _smoothed_mixture_sample,
         "streaming_upsert_latest": _streaming_upsert_latest,
         "pack_training_sequences": _pack_sequences,
@@ -3939,6 +3829,114 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": _events_json,
         "events_pivot_counts": _events_pivot,
         "events_unpivot_counts": _events_unpivot,
+        # -- new r9 keys are inserted here as they land (asks #3/#5/#6/#8),
+        # each displacing the LAST window fill below into the R10_QUEUE --
+        # -- window fill: the oldest r7-greens (2 rounds old at r9 close) -
+        "sql_min_price_supplier": _sql_entrypoint,
+        "approx_distinct_sketch_rollup": _sketch_rollup,
+        "anti_join_customers_no_orders": _anti_join,
+        "semi_join_urgent_suppliers": _semi_join,
+        "range_join_quantity_bands": _range_join_bands,
+        "rollup_revenue": _rollup_revenue,
+        "grouping_sets_revenue": _grouping_sets,
+        "udtf_ngrams_count": _udtf_ngrams,
+        "cube_revenue": _cube_revenue,
+        # ------- middle: the 50 keys hash-matched in CORRECTNESS_r08 ----
+        "streaming_incremental_rollup": _streaming_incremental,
+        "streaming_left_outer_join": _streaming_left_outer_join,
+        "pack_sequences_greedy": _pack_greedy_single,
+        "pii_redaction": _pii_redaction,
+        "tfidf_top_terms": _tfidf_top_terms,
+        "unigram_logprob_quality": _unigram_logprob,
+        "train_val_test_split": _train_val_test_split,
+        "table_profile_orders": _table_profile,
+        "text_stats": _text_stats,
+        "text_lang_id": _text_lang,
+        "doc_fingerprint": _text_fingerprint,
+        "multimodal_metadata": _multimodal_metadata,
+        "multimodal_decode_images": _multimodal_decode,
+        "multimodal_frame_sample": _multimodal_frames,
+        "multimodal_audio_features": _multimodal_audio,
+        "decontaminate_benchmark": _decontaminate,
+        "events_windowed_agg": _events_window,
+        "events_sessionize": _events_sessions,
+        "events_rolling_avg": _events_rolling,
+        "scd2_user_event_history": _scd2_history,
+        "asof_purchase_last_click": _asof_purchase_click,
+        "asof_signup_next_purchase": _asof_signup_next_purchase,
+        "dedup_minhash_lsh": _dedup_minhash,
+        "dedup_simhash": _dedup_simhash,
+        "ann_lsh_topk": _ann_lsh,
+        "ann_ivf_topk": _ann_ivf,
+        "streaming_windowed_agg": _streaming_windowed,
+        "dedup_exact": _dedup_exact,
+        "dedup_ngram_jaccard": _dedup_jaccard,
+        "dedup_components": _dedup_components,
+        "dedup_lines_c4": _dedup_lines,
+        "doc_repetition": _doc_repetition,
+        "embedding_neardup": _embedding_neardup,
+        "ann_cosine_topk": _ann_topk,
+        "doc_chunks": _doc_chunks,
+        "quota_per_source": _quota_per_source,
+        "corpus_top_words": _top_words,
+        "versioned_delete_where": _versioned_delete_where,
+        "versioned_cdc_stream": _versioned_cdc_stream,
+        "versioned_partitioned_read": _versioned_partitioned_read,
+        "multimodal_decode_jpeg": _multimodal_decode_jpeg,
+        "zorder_layout_roundtrip": _zorder_layout_roundtrip,
+        "corpus_shuffle": _corpus_shuffle,
+        "gopher_quality_flags": _gopher_quality,
+        "semantic_dedup_representatives": _semantic_dedup,
+        "bpe_pair_counts": _bpe_pair_counts,
+        "embedding_label_centroids": _embedding_label_centroids,
+        "source_mixing_weights": _source_mixing_weights,
+        "compaction_roundtrip": _compaction_roundtrip,
+        "upsert_events_latest": _upsert_events_latest,
+        # -- R10_QUEUE (41 keys): the r7-greens that did not fit the r9
+        # window — at r9 close their last green is 2 rounds old, so they
+        # must lead the r10 window (pinned by
+        # tests/test_grading_window.py) -----------------------------------
+        "price_quantiles_exact": _price_quantiles,
+        "set_ops_priority_custs": _set_ops,
+        "kmeans_embeddings": _kmeans_embeddings,
+        "pagerank_trade_graph": _pagerank_trade_graph,
+        "cms_heavy_hitters": _cms_heavy_hitters,
+        "bigram_logprob_quality": _bigram_logprob,
+        "ks_drift_events": _ks_drift_events,
+        "duplicate_span_fraction": _duplicate_spans,
+        "regression_value_trend": _regression_value_trend,
+        "streaming_cms_topk": _streaming_cms_topk,
+        "source_token_kl": _source_token_kl,
+        "winsorized_stats_events": _winsorized_stats,
+        "events_ohlc_bars": _events_ohlc_bars,
+        "chi2_type_value_band": _chi2_type_band,
+        "weighted_sample_aes": _weighted_sample_aes,
+        "hashed_feature_vectors": _hashed_features,
+        "event_transition_matrix": _event_transitions,
+        "hourly_corr_click_purchase": _hourly_corr,
+        "versioned_table_history": _versioned_table_history,
+        "image_phash_neardup": _image_phash_neardup,
+        "versioned_pruned_read": _versioned_pruned_read,
+        "audio_fingerprint_neardup": _audio_fp_neardup,
+        "embedding_int8_quantize": _embedding_quantize,
+        "versioned_schema_evolution": _versioned_schema_evolution,
+        "versioned_string_pruned_read": _versioned_string_pruned_read,
+        "versioned_vacuum_retention": _versioned_vacuum_retention,
+        "versioned_incremental_read": _versioned_incremental_read,
+        "versioned_overwrite_refresh": _versioned_overwrite_refresh,
+        "importance_sampling": _importance_sampling,
+        "token_budget_curation": _token_budget_curation,
+        "funnel_conversion": _funnel_conversion,
+        "streaming_stateful_totals_rocksdb": _streaming_stateful_totals_rocksdb,
+        "streaming_full_outer_join": _streaming_full_outer_join,
+        "formats_roundtrip": _formats_roundtrip,
+        "skew_salted_agg_events": _salted_agg_events,
+        "skew_salted_join_events": _salted_join_events,
+        "bucketed_join_priority_revenue": _bucketed_join_revenue,
+        "streaming_dedup_events": _streaming_dedup,
+        "streaming_stateful_totals": _streaming_stateful_totals,
+        "streaming_sliding_windows": _streaming_sliding,
+        "streaming_static_join": _streaming_static_join,
     }
     return {name: _managed(fn) for name, fn in qs.items()}
 

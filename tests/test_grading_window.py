@@ -2,10 +2,10 @@
 
 The driver grades only the FIRST 50 dict entries per round, so order
 is load-bearing (round-2 postmortem: a mid-dict insertion silently
-ejected keys from the window). These tests pin the intended round-8
+ejected keys from the window). These tests pin the intended round-9
 window as a LITERAL list and assert the round-coverage union — every
-declared key either hash-matched in CORRECTNESS_r06/r07, sits inside
-this round's graded window, or is explicitly queued for round 9 — so
+declared key either hash-matched in CORRECTNESS_r07/r08, sits inside
+this round's graded window, or is explicitly queued for round 10 — so
 a driver-side sampling change or an accidental reorder is caught by
 CI instead of inferred from stale comments (ADVICE r3).
 """
@@ -19,79 +19,8 @@ import __spark_entry__ as entry
 
 REPO = Path(__file__).resolve().parent.parent
 
-# The intended round-8 grading window, in order: the 37-key R8_QUEUE
-# from the r7 verdict (r5-greens whose record turned 2 rounds old at
-# r7 close), then the 4 new r8 keys (the r7 verdict's asks #3-#6),
-# then the 9 oldest r6-greens filling the window to 50.
-R8_WINDOW = [
-    # R8_QUEUE: r5-greens, pinned by the r7 verdict ask #1
-    "streaming_incremental_rollup",
-    "streaming_left_outer_join",
-    "pack_sequences_greedy",
-    "pii_redaction",
-    "tfidf_top_terms",
-    "unigram_logprob_quality",
-    "train_val_test_split",
-    "table_profile_orders",
-    "text_stats",
-    "text_lang_id",
-    "doc_fingerprint",
-    "multimodal_metadata",
-    "multimodal_decode_images",
-    "multimodal_frame_sample",
-    "multimodal_audio_features",
-    "decontaminate_benchmark",
-    "events_windowed_agg",
-    "events_sessionize",
-    "events_rolling_avg",
-    "scd2_user_event_history",
-    "asof_purchase_last_click",
-    "asof_signup_next_purchase",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "streaming_windowed_agg",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_components",
-    "dedup_lines_c4",
-    "doc_repetition",
-    "embedding_neardup",
-    "ann_cosine_topk",
-    "doc_chunks",
-    "quota_per_source",
-    "corpus_top_words",
-    # new r8 keys (never graded): the r7 verdict's asks #3-#6 —
-    # copy-on-write DELETE, streaming CDC consumption, partition-
-    # spec'd VersionedTable, JPEG-certified corpus
-    "versioned_delete_where",
-    "versioned_cdc_stream",
-    "versioned_partitioned_read",
-    "multimodal_decode_jpeg",
-    # window fill: the 9 oldest r6-greens (green turns 2 rounds old)
-    "zorder_layout_roundtrip",
-    "corpus_shuffle",
-    "gopher_quality_flags",
-    "semantic_dedup_representatives",
-    "bpe_pair_counts",
-    "embedding_label_centroids",
-    "source_mixing_weights",
-    "compaction_roundtrip",
-    "upsert_events_latest",
-]
-
-
-def test_first_50_is_the_intended_r8_window():
-    assert list(entry.queries())[:50] == R8_WINDOW
-
-
-# Deferred keys that MUST lead the r9 window: the r6-greens that did
-# not fit the r8 window — their last green is 2 rounds old at r8
-# close. 41 keys: with the 50-slot window that leaves 9 fill slots
-# for r9, so r9 must add at most 9 new keys (prefer 0 — the
-# steady-state arithmetic in the r7 verdict: at 141 keys the rotation
-# cycle is already 2.8 rounds).
+# The 41-key R9_QUEUE from the r8 verdict (ask #1): r6-greens whose
+# record turned 2 rounds old at r8 close. They MUST lead the window.
 R9_QUEUE = [
     "smoothed_mixture_sample",
     "streaming_upsert_latest",
@@ -136,22 +65,113 @@ R9_QUEUE = [
     "events_unpivot_counts",
 ]
 
+# New r9 keys (never graded): the r8 verdict's asks — inserted between
+# the queue and the fills, each displacing one fill into the R10_QUEUE.
+# Updated as features land this round.
+R9_NEW = []
+
+# Window fill: the oldest r7-greens (their green is 2 rounds old at r9
+# close), in r7-window order. Shrinks from the END as R9_NEW grows.
+R9_FILL = [
+    "sql_min_price_supplier",
+    "approx_distinct_sketch_rollup",
+    "anti_join_customers_no_orders",
+    "semi_join_urgent_suppliers",
+    "range_join_quantity_bands",
+    "rollup_revenue",
+    "grouping_sets_revenue",
+    "udtf_ngrams_count",
+    "cube_revenue",
+][: 9 - len(R9_NEW)]
+
+R9_WINDOW = R9_QUEUE + R9_NEW + R9_FILL
+
+
+def test_first_50_is_the_intended_r9_window():
+    assert len(R9_WINDOW) == 50
+    assert list(entry.queries())[:50] == R9_WINDOW
+
+
+# Deferred keys that MUST lead the r10 window: the r7-greens that did
+# not fit the r9 window — their last green is 2 rounds old at r9
+# close. The displaced fills (if any) rejoin at the FRONT in r7 order.
+R10_QUEUE = [
+    "sql_min_price_supplier",
+    "approx_distinct_sketch_rollup",
+    "anti_join_customers_no_orders",
+    "semi_join_urgent_suppliers",
+    "range_join_quantity_bands",
+    "rollup_revenue",
+    "grouping_sets_revenue",
+    "udtf_ngrams_count",
+    "cube_revenue",
+    "price_quantiles_exact",
+    "set_ops_priority_custs",
+    "kmeans_embeddings",
+    "pagerank_trade_graph",
+    "cms_heavy_hitters",
+    "bigram_logprob_quality",
+    "ks_drift_events",
+    "duplicate_span_fraction",
+    "regression_value_trend",
+    "streaming_cms_topk",
+    "source_token_kl",
+    "winsorized_stats_events",
+    "events_ohlc_bars",
+    "chi2_type_value_band",
+    "weighted_sample_aes",
+    "hashed_feature_vectors",
+    "event_transition_matrix",
+    "hourly_corr_click_purchase",
+    "versioned_table_history",
+    "image_phash_neardup",
+    "versioned_pruned_read",
+    "audio_fingerprint_neardup",
+    "embedding_int8_quantize",
+    "versioned_schema_evolution",
+    "versioned_string_pruned_read",
+    "versioned_vacuum_retention",
+    "versioned_incremental_read",
+    "versioned_overwrite_refresh",
+    "importance_sampling",
+    "token_budget_curation",
+    "funnel_conversion",
+    "streaming_stateful_totals_rocksdb",
+    "streaming_full_outer_join",
+    "formats_roundtrip",
+    "skew_salted_agg_events",
+    "skew_salted_join_events",
+    "bucketed_join_priority_revenue",
+    "streaming_dedup_events",
+    "streaming_stateful_totals",
+    "streaming_sliding_windows",
+    "streaming_static_join",
+]
+
+
+def _r10_tail():
+    """The r7-greens outside this round's window, in r7-window order —
+    the tail the r10 rotation will consume."""
+    in_window = set(R9_WINDOW)
+    return [k for k in R10_QUEUE if k not in in_window]
+
 
 def test_round_union_covers_every_key():
-    """Every declared key has a green row in CORRECTNESS_r06 or r07, is
-    in this round's graded window, or is explicitly queued for the r9
+    """Every declared key has a green row in CORRECTNESS_r07 or r08, is
+    in this round's graded window, or is explicitly queued for the r10
     window — no key can be SILENTLY stranded ungraded."""
     green = set()
-    for rec in ("CORRECTNESS_r06.json", "CORRECTNESS_r07.json"):
+    for rec in ("CORRECTNESS_r07.json", "CORRECTNESS_r08.json"):
         data = json.loads((REPO / rec).read_text())
         green |= {k for k, v in data.items() if v.get("hash_match") is True}
-    covered = green | set(R8_WINDOW) | set(R9_QUEUE)
+    covered = green | set(R9_WINDOW) | set(R10_QUEUE)
     missing = set(entry.queries()) - covered
     assert not missing, f"keys stranded outside the grading union: {missing}"
-    # the queued keys really are outside the r8 window (tail position)
-    assert not set(R9_QUEUE) & set(list(entry.queries())[:50])
+    # the queued keys really are outside the r9 window (tail position)
+    tail = _r10_tail()
+    assert not set(tail) & set(list(entry.queries())[:50])
     # and the queue sits at the very end of the dict, ready to rotate
-    assert list(entry.queries())[-len(R9_QUEUE):] == R9_QUEUE
+    assert list(entry.queries())[-len(tail):] == tail
 
 
 def test_every_key_has_an_oracle():
