@@ -3682,6 +3682,65 @@ def _versioned_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _versioned_manifest_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmented manifests certified (operators/manifest.py — the
+    Iceberg manifest-list pattern, VERDICT r8 #3): commits write a
+    small POINTER plus per-commit SEGMENT files, so an append to an
+    N-file table moves O(appended files) of metadata instead of
+    re-inlining all N paths/stats. An events slice is committed as 6
+    files, then two appends of 2 files each land. Gated in-plan on
+    (a) the head pointer carrying NO inline file list (files/stats/
+    parts all live in segments), (b) each append adding EXACTLY ONE
+    segment and reusing every parent segment BY NAME (zero metadata
+    rewrite for existing files), (c) the new segment listing exactly
+    the appended files — strictly fewer than the table's total (the
+    O(appended) contract), and (d) the pointer's n_files matching the
+    resolved file count. The returned head aggregate is certified
+    against the oracle's union of the three slices, so the segmented
+    read path provably loses and invents nothing."""
+    from social_media_etl_spark.operators.manifest import VersionedTable
+
+    cols = ["event_id", "event_type", "value"]
+    events = load_table(spark, sf_dir, "events")
+    a = events.filter(F.col("event_id") % 7 == 0).select(*cols)
+    b = events.filter(F.col("event_id") % 7 == 1).select(*cols)
+    c = events.filter(F.col("event_id") % 7 == 2).select(*cols)
+    d = _tmpdir(prefix="smetl_vseg_")
+    t = VersionedTable.create(spark, f"{d}/t", a.repartition(6))
+    ptr0 = t._read_pointer(0)
+    v1 = t.append(b.repartition(2))
+    ptr1 = t._read_pointer(v1)
+    v2 = t.append(c.repartition(2))
+    ptr2 = t._read_pointer(v2)
+    seg2 = t._read_segment(ptr2["segments"][-1])
+    resolved = t._read_manifest(v2)
+    appended_files = set(resolved["files"]) - set(t._read_manifest(v1)["files"])
+    ok = (
+        # (a) pointers never inline file metadata
+        all("files" not in p and "stats" not in p and "parts" not in p
+            for p in (ptr0, ptr1, ptr2))
+        # (b) one new segment per append, parents reused by name
+        and ptr1["segments"][:-1] == ptr0["segments"]
+        and ptr2["segments"][:-1] == ptr1["segments"]
+        and len(ptr2["segments"]) == 3
+        # (c) the new segment is exactly the appended files — O(appended)
+        and set(seg2["files"]) == appended_files
+        and len(seg2["files"]) < len(resolved["files"])
+        # (d) the pointer's running count matches the resolved set
+        and ptr2["n_files"] == len(resolved["files"])
+    )
+    return (
+        t.read()
+        .where(F.lit(ok))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The from-scratch baseline JPEG codec certified on a graded
     corpus (sources/jpeg.py — Annex-K Huffman, 4:2:0 subsampling,
@@ -3831,6 +3890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_unpivot_counts": _events_unpivot,
         # -- new r9 keys are inserted here as they land (asks #3/#5/#6/#8),
         # each displacing the LAST window fill below into the R10_QUEUE --
+        "versioned_manifest_segments": _versioned_manifest_segments,
         # -- window fill: the oldest r7-greens (2 rounds old at r9 close) -
         "sql_min_price_supplier": _sql_entrypoint,
         "approx_distinct_sketch_rollup": _sketch_rollup,
@@ -3840,7 +3900,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": _rollup_revenue,
         "grouping_sets_revenue": _grouping_sets,
         "udtf_ngrams_count": _udtf_ngrams,
-        "cube_revenue": _cube_revenue,
         # ------- middle: the 50 keys hash-matched in CORRECTNESS_r08 ----
         "streaming_incremental_rollup": _streaming_incremental,
         "streaming_left_outer_join": _streaming_left_outer_join,
@@ -3896,6 +3955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window — at r9 close their last green is 2 rounds old, so they
         # must lead the r10 window (pinned by
         # tests/test_grading_window.py) -----------------------------------
+        "cube_revenue": _cube_revenue,
         "price_quantiles_exact": _price_quantiles,
         "set_ops_priority_custs": _set_ops,
         "kmeans_embeddings": _kmeans_embeddings,
@@ -6214,6 +6274,19 @@ def oracle_sql() -> dict[str, str]:
                round(sum(value), 2) AS sum_value
         FROM events
         WHERE event_id % 3 = 2 AND NOT (event_id BETWEEN 200 AND 699)
+        GROUP BY event_type ORDER BY event_type
+    """
+    # head after create + two appends on the SEGMENTED manifest layout
+    # = the union of the three slices; the O(appended-files) metadata
+    # gates (pointer-has-no-file-list, one-new-segment-per-append with
+    # parent names reused, new segment == appended files, n_files
+    # consistent) are in-plan on the Spark side
+    d["versioned_manifest_segments"] = """
+        SELECT event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        WHERE event_id % 7 IN (0, 1, 2)
         GROUP BY event_type ORDER BY event_type
     """
     # the CDC-drained sink = snapshot ∪ the two appended slices; batch

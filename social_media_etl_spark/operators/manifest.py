@@ -31,6 +31,27 @@ At 100 TB the manifest lists files (thousands), never rows; commits
 move O(KB) of metadata no matter the data size. Reference parity:
 the reference has no transactional layer (it truncate-and-loads into
 Postgres); this closes the engine's own gap noted in round-5 review.
+
+MANIFEST SEGMENTS (VERDICT r8 #3 — the Iceberg manifest-list
+pattern): a naive manifest inlines EVERY live file's path/stats/
+partition value, so an append to an N-file table writes (and holds in
+driver memory) O(N) JSON — the long-append-chain killer at 10⁵–10⁶
+files. A SEGMENTED table (the default for new tables) instead commits
+a small POINTER manifest listing immutable SEGMENT files
+(``_manifests/seg-<id>.json``), each carrying the file/stats/
+partition metadata for ONE commit's files:
+
+- ``append`` writes ONE new segment of size O(appended files) and a
+  pointer whose segment list is the parent's plus that name — it
+  never materializes the table's file list at all;
+- ``delete``/``update`` rewrite only the segments that lost files
+  (O(affected segments)), carrying untouched segment NAMES forward;
+- full rewrites (upsert/overwrite/optimize) consolidate into one
+  fresh segment — they rewrite all data anyway;
+- readers resolve a pointer by unioning its segments (immutable →
+  cached process-wide), so snapshot isolation, time travel, CDC and
+  pruning semantics are unchanged; per-commit stats collection was
+  already O(new files) and stays that way.
 """
 
 from __future__ import annotations
@@ -84,8 +105,8 @@ class VersionedTable:
                 out.append(int(name[1:-5]))
         return sorted(out)
 
-    def _read_manifest(self, version: int) -> dict:
-        ins = self._fs.open(self._P(self._manifest_path(version)))
+    def _read_json(self, path: str) -> dict:
+        ins = self._fs.open(self._P(path))
         try:
             text = self._jvm.org.apache.commons.io.IOUtils.toString(
                 ins, "UTF-8"
@@ -93,6 +114,112 @@ class VersionedTable:
         finally:
             ins.close()
         return json.loads(text)
+
+    def _read_pointer(self, version: int) -> dict:
+        """The manifest JSON exactly as committed — for a SEGMENTED
+        table that is the small pointer (no file list). Commit paths
+        work on pointers so their metadata IO is O(changed files)."""
+        return self._read_json(self._manifest_path(version))
+
+    def _read_manifest(self, version: int) -> dict:
+        """The RESOLVED manifest: pointer plus materialized
+        files/stats/parts (unioned from its segments). Read paths and
+        external callers see one shape whether the table is segmented
+        or legacy-inline."""
+        return self._resolve(self._read_pointer(version))
+
+    # segments are immutable once a pointer references them — cache
+    # them process-wide so long commit chains re-read nothing
+    _SEG_CACHE: dict = {}
+    _SEG_CACHE_MAX = 4096
+
+    def _segment_path(self, name: str) -> str:
+        return f"{self._manifest_dir()}/{name}"
+
+    def _read_segment(self, name: str) -> dict:
+        key = (self.path, name)
+        cached = VersionedTable._SEG_CACHE.get(key)
+        if cached is None:
+            cached = self._read_json(self._segment_path(name))
+            if len(VersionedTable._SEG_CACHE) >= self._SEG_CACHE_MAX:
+                VersionedTable._SEG_CACHE.clear()
+            VersionedTable._SEG_CACHE[key] = cached
+        return cached
+
+    def _write_segment(
+        self, files: list[str], stats: dict, parts: dict
+    ) -> str:
+        """Write one immutable segment file; returns its name. Written
+        BEFORE the pointer CAS — a lost race leaves an orphan segment
+        that vacuum's age-guarded sweep collects."""
+        mdir = self._P(self._manifest_dir())
+        if not self._fs.exists(mdir):
+            self._fs.mkdirs(mdir)
+        name = f"seg-{uuid.uuid4().hex}.json"
+        out = self._fs.create(self._P(self._segment_path(name)), False)
+        try:
+            out.write(
+                bytearray(
+                    json.dumps(
+                        {"files": files, "stats": stats, "parts": parts}
+                    ).encode("utf-8")
+                )
+            )
+        finally:
+            out.close()
+        return name
+
+    def _resolve(self, ptr: dict) -> dict:
+        """Materialize files/stats/parts from a pointer's segments; a
+        legacy inline manifest passes through unchanged."""
+        if "segments" not in ptr:
+            return ptr
+        files: list[str] = []
+        stats: dict = {}
+        parts: dict = {}
+        for name in ptr["segments"]:
+            seg = self._read_segment(name)
+            files.extend(seg["files"])
+            stats.update(seg.get("stats") or {})
+            parts.update(seg.get("parts") or {})
+        out = dict(ptr)
+        out["files"] = sorted(files)
+        out["stats"] = stats
+        out["parts"] = parts
+        return out
+
+    def _segments_without(self, ptr: dict, removed: set[str]) -> list[str]:
+        """Segment list with ``removed`` files dropped: untouched
+        segments carry forward BY NAME (zero IO, zero rewrite);
+        segments that lost files are re-written filtered; segments
+        that lost everything disappear. O(affected segments) metadata
+        — the DML analogue of copy-on-write at the metadata layer."""
+        out = []
+        for name in ptr["segments"]:
+            seg = self._read_segment(name)
+            if removed.isdisjoint(seg["files"]):
+                out.append(name)
+                continue
+            kept = [f for f in seg["files"] if f not in removed]
+            if not kept:
+                continue
+            kept_set = set(kept)
+            out.append(
+                self._write_segment(
+                    kept,
+                    {
+                        f: s
+                        for f, s in (seg.get("stats") or {}).items()
+                        if f in kept_set
+                    },
+                    {
+                        f: p
+                        for f, p in (seg.get("parts") or {}).items()
+                        if f in kept_set
+                    },
+                )
+            )
+        return out
 
     def _try_commit(self, manifest: dict, version: int) -> bool:
         """Write the manifest fully to a temp name, then CAS-rename it
@@ -446,7 +573,7 @@ class VersionedTable:
 
     def constraints(self) -> dict:
         """The table's CHECK constraints, name -> SQL expression."""
-        return dict(self._read_manifest(self.head_version()).get("constraints") or {})
+        return dict(self._read_pointer(self.head_version()).get("constraints") or {})
 
     @classmethod
     def create(
@@ -458,6 +585,7 @@ class VersionedTable:
         stats_cols: list[str] | None = None,
         partition_by: str | None = None,
         constraints: dict | None = None,
+        segmented: bool = True,
     ) -> "VersionedTable":
         """``stats_cols`` records per-file min/max in the manifest for
         :meth:`read_where` data skipping — numeric, string, and
@@ -471,27 +599,35 @@ class VersionedTable:
         (Delta table-constraint semantics: FALSE rows are violations,
         NULL passes); every data-adding commit — this create, appends,
         upserts, overwrites, updates — validates its new rows against
-        them and refuses to commit on violation."""
+        them and refuses to commit on violation. ``segmented`` (the
+        default) stores file metadata in per-commit SEGMENT files so
+        appends write O(appended files) of metadata (see module
+        docstring); ``False`` keeps the legacy inline layout — the
+        format is fixed per table at create time."""
         t = cls(spark, path)
         if t.versions():
             raise IOError(f"VersionedTable: {path} already initialized")
         files = t._write_data(df, 0, partition_by)
+        stats = t._collect_stats(files, stats_cols) if stats_cols else {}
+        parts = t._partition_values(files) if partition_by else {}
         m = {
             "version": 0,
             "parent": None,
             "op": "create",
-            "files": files,
             "schema": df.schema.simpleString(),
             "schema_json": df.schema.json(),
             "mixed": False,
             "txn": txn,
             "txns": [txn] if txn else [],
-            "stats": t._collect_stats(files, stats_cols) if stats_cols else {},
             "stats_cols": stats_cols or [],
             "partition_by": partition_by,
-            "parts": t._partition_values(files) if partition_by else {},
             "constraints": constraints or {},
         }
+        if segmented:
+            m["segments"] = [t._write_segment(files, stats, parts)]
+            m["n_files"] = len(files)
+        else:
+            m.update({"files": files, "stats": stats, "parts": parts})
         t._check_constraints(files, m)
         if not t._try_commit(m, 0):
             raise ConcurrentWriteError(
@@ -508,7 +644,7 @@ class VersionedTable:
         manifest — the head — not the whole history; a per-batch check
         stays O(1) metadata reads no matter the stream's age. Falls
         back to the historical scan for pre-txns manifests."""
-        head = self._read_manifest(self.head_version())
+        head = self._read_pointer(self.head_version())
         if "txns" in head:
             return set(head["txns"])
         out = set()
@@ -544,7 +680,7 @@ class VersionedTable:
         drift: that would corrupt snapshot reads. ``mixed`` marks a
         manifest whose file set spans more than one physical schema,
         switching reads to footer-merged mode."""
-        base = self._read_manifest(parent)
+        base = self._read_pointer(parent)
         table = self._manifest_schema(base)
         if table is None:
             want = base["schema"]
@@ -623,17 +759,25 @@ class VersionedTable:
         bounded metadata, never data."""
         rows = []
         for v in self.versions():
-            m = self._read_manifest(v)
+            m = self._read_pointer(v)
             mt = self._fs.getFileStatus(
                 self._P(self._manifest_path(v))
             ).getModificationTime()
+            if "segments" in m:
+                # the pointer records its file count — history never
+                # needs to open a segment
+                n_files = m.get("n_files")
+                if n_files is None:  # pragma: no cover - belt and braces
+                    n_files = len(self._resolve(m)["files"])
+            else:
+                n_files = len(m.get("files") or [])
             rows.append(
                 (
                     v,
                     m.get("parent"),
                     m.get("op"),
                     m.get("txn"),
-                    len(m.get("files") or []),
+                    n_files,
                     int(mt),
                 )
             )
@@ -693,16 +837,36 @@ class VersionedTable:
         ``txn`` records an application transaction id in the manifest
         (see :meth:`committed_txns`) for idempotent replay. Additive
         schema evolution (new nullable columns) is allowed; see
-        :meth:`_check_schema`."""
+        :meth:`_check_schema`.
+
+        METADATA COST: on a segmented table this writes ONE segment of
+        size O(appended files) and a pointer listing segment names —
+        the table's own file list is never materialized, so a commit
+        to a 10⁶-file table moves the same few KB as a commit to a
+        10-file one. Legacy inline tables keep the old O(all files)
+        manifest write."""
         parent = self.head_version()
         sch = self._check_schema(df, parent)
-        partition_by = self._read_manifest(parent).get("partition_by")
+        partition_by = self._read_pointer(parent).get("partition_by")
         files = self._write_data(df, parent + 1, partition_by)
         new_parts = self._partition_values(files) if partition_by else {}
         new_stats = None
+        new_seg = None
         new_checked = False
         for _ in range(max_retries):
-            base = self._read_manifest(parent)
+            base = self._read_pointer(parent)
+            # a raced writer may have changed the PARTITION SPEC (an
+            # overwrite(replace_schema=True) can drop the partition
+            # column); our files are already laid out under the stale
+            # spec, so rebasing would commit a manifest whose
+            # partition_by disagrees with its file layout (ADVICE r8)
+            if base.get("partition_by") != partition_by:
+                raise ConcurrentWriteError(
+                    "VersionedTable: append raced a commit that changed "
+                    f"the partition spec ({partition_by!r} → "
+                    f"{base.get('partition_by')!r}); the staged files "
+                    "follow the old layout — re-run"
+                )
             v = parent + 1
             stats_cols = base.get("stats_cols") or []
             if stats_cols and new_stats is None:
@@ -711,18 +875,29 @@ class VersionedTable:
                 "version": v,
                 "parent": parent,
                 "op": "append",
-                "files": sorted(base["files"] + files),
                 "schema": sch["schema"],
                 "schema_json": sch["schema_json"],
                 "mixed": sch["mixed"],
                 "txn": txn,
                 "txns": self._txns_after(base, txn),
-                "stats": {**(base.get("stats") or {}), **(new_stats or {})},
                 "stats_cols": stats_cols,
                 "partition_by": partition_by,
-                "parts": {**(base.get("parts") or {}), **new_parts},
                 "constraints": base.get("constraints") or {},
             }
+            if "segments" in base:
+                if new_seg is None:
+                    new_seg = self._write_segment(
+                        files, new_stats or {}, new_parts
+                    )
+                m["segments"] = base["segments"] + [new_seg]
+                m["n_files"] = base.get("n_files", 0) + len(files)
+            else:
+                m["files"] = sorted(base["files"] + files)
+                m["stats"] = {
+                    **(base.get("stats") or {}),
+                    **(new_stats or {}),
+                }
+                m["parts"] = {**(base.get("parts") or {}), **new_parts}
             if new_checked is False:
                 self._check_constraints(files, m)
                 new_checked = True
@@ -758,7 +933,7 @@ class VersionedTable:
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        base = self._read_manifest(parent)
+        base = self._read_pointer(parent)
         partition_by = base.get("partition_by")
         files = self._write_data(latest, parent + 1, partition_by)
         v = parent + 1
@@ -767,19 +942,24 @@ class VersionedTable:
             "version": v,
             "parent": parent,
             "op": "upsert",
-            "files": files,
             "schema": base["schema"],
             "schema_json": base.get("schema_json", latest.schema.json()),
             # a full rewrite lands every logical column in every file,
             # collapsing any earlier mixed layout back to uniform
             "mixed": False,
             "txns": self._txns_after(base, None),
-            "stats": self._collect_stats(files, stats_cols) if stats_cols else {},
             "stats_cols": stats_cols,
             "partition_by": partition_by,
-            "parts": self._partition_values(files) if partition_by else {},
             "constraints": base.get("constraints") or {},
         }
+        stats = self._collect_stats(files, stats_cols) if stats_cols else {}
+        parts = self._partition_values(files) if partition_by else {}
+        if "segments" in base:
+            # full rewrite → one fresh consolidated segment
+            m["segments"] = [self._write_segment(files, stats, parts)]
+            m["n_files"] = len(files)
+        else:
+            m.update({"files": files, "stats": stats, "parts": parts})
         self._check_constraints(files, m)
         if not self._try_commit(m, v):
             raise ConcurrentWriteError(
@@ -815,7 +995,7 @@ class VersionedTable:
             )
         vs = [v for v in self.versions() if from_version < v <= to_v]
         rewrites = [
-            v for v in vs if self._read_manifest(v).get("op") not in ("append",)
+            v for v in vs if self._read_pointer(v).get("op") not in ("append",)
         ]
         if rewrites:
             raise ValueError(
@@ -824,11 +1004,29 @@ class VersionedTable:
                 "are only defined along append-only chains; re-read the "
                 "snapshot instead"
             )
-        base = self._read_manifest(from_version)
-        target = self._read_manifest(to_v)
-        new_files = sorted(set(target["files"]) - set(base["files"]))
+        base_ptr = self._read_pointer(from_version)
+        target_ptr = self._read_pointer(to_v)
+        if "segments" in base_ptr and "segments" in target_ptr:
+            # segment-level diff: along an append-only span the target
+            # only ADDED segments, so the delta never materializes the
+            # base file list — O(new segments) metadata at any table
+            # size
+            base_segs = set(base_ptr["segments"])
+            new_files = sorted(
+                f
+                for s in target_ptr["segments"]
+                if s not in base_segs
+                for f in self._read_segment(s)["files"]
+            )
+            target = target_ptr
+        else:
+            base = self._resolve(base_ptr)
+            target = self._resolve(target_ptr)
+            new_files = sorted(set(target["files"]) - set(base["files"]))
         if not new_files:
-            return self._read_files(target, target["files"]).limit(0)
+            return self._read_files(
+                target, self._resolve(target_ptr)["files"]
+            ).limit(0)
         return self._read_files(target, new_files)
 
     def overwrite(
@@ -860,7 +1058,7 @@ class VersionedTable:
             sch = self._check_schema(df, parent)
             # a full rewrite lands every logical column in every file
             sch["mixed"] = False
-        base = self._read_manifest(parent)
+        base = self._read_pointer(parent)
         partition_by = base.get("partition_by")
         if replace_schema and partition_by and partition_by not in df.columns:
             partition_by = None  # new schema dropped the partition column
@@ -871,18 +1069,22 @@ class VersionedTable:
             "version": v,
             "parent": parent,
             "op": "overwrite",
-            "files": files,
             "schema": sch["schema"],
             "schema_json": sch["schema_json"],
             "mixed": sch["mixed"],
             "txn": txn,
             "txns": self._txns_after(base, txn),
-            "stats": self._collect_stats(files, stats_cols) if stats_cols else {},
             "stats_cols": stats_cols,
             "partition_by": partition_by,
-            "parts": self._partition_values(files) if partition_by else {},
             "constraints": base.get("constraints") or {},
         }
+        stats = self._collect_stats(files, stats_cols) if stats_cols else {}
+        parts = self._partition_values(files) if partition_by else {}
+        if "segments" in base:
+            m["segments"] = [self._write_segment(files, stats, parts)]
+            m["n_files"] = len(files)
+        else:
+            m.update({"files": files, "stats": stats, "parts": parts})
         self._check_constraints(files, m)
         if not self._try_commit(m, v):
             raise ConcurrentWriteError(
@@ -892,7 +1094,11 @@ class VersionedTable:
         return v
 
     def _touched_files(
-        self, base: dict, predicate: str, prune: list[tuple] | None
+        self,
+        base: dict,
+        predicate: str,
+        prune: list[tuple] | None,
+        verify_prune: bool = False,
     ) -> list[str]:
         """The find-files-to-rewrite scan shared by :meth:`delete` and
         :meth:`update`: distinct source files of predicate-matching
@@ -902,14 +1108,36 @@ class VersionedTable:
         manifest stats/partition metadata then narrow the scan to the
         overlapping files BEFORE any footer is opened, so a point
         delete on a clustered 100 TB table plans a scan of a handful
-        of files, not a full-table find-scan. The caller owns the
-        implication — bounds the predicate does not imply would hide
-        matching rows from the rewrite."""
+        of files, not a full-table find-scan. THE CALLER OWNS THE
+        IMPLICATION — bounds the predicate does not imply silently
+        hide matching rows from the rewrite (they survive unchanged).
+        ``verify_prune=True`` buys the proof back: it scans the
+        pruned-OUT files for predicate matches and raises on the first
+        hit — full-scan cost, so it is a debugging/audit knob, not the
+        production path (ADVICE r8: the contract is now explicit and
+        checkable at call sites)."""
         from urllib.parse import unquote, urlparse
 
         candidates = (
             self._kept_files_all(base, prune) if prune else base["files"]
         )
+        if prune and verify_prune:
+            cand = set(candidates)
+            pruned_out = [f for f in base["files"] if f not in cand]
+            if pruned_out:
+                stray = (
+                    self._read_files(base, pruned_out)
+                    .filter(F.expr(predicate))
+                    .limit(1)
+                    .count()
+                )
+                if stray:
+                    raise ValueError(
+                        "VersionedTable: prune hint does not cover the "
+                        f"predicate — rows matching {predicate!r} exist "
+                        "in files the hint pruned out; fix the bounds "
+                        "(they must be IMPLIED by the predicate)"
+                    )
         if not candidates:
             return []
         matched = (
@@ -927,6 +1155,7 @@ class VersionedTable:
         predicate: str,
         txn: str | None = None,
         prune: list[tuple] | None = None,
+        verify_prune: bool = False,
     ) -> int:
         """Row-level DELETE as COPY-ON-WRITE (the Delta DELETE pattern,
         VERDICT r7 #3): remove every row where ``predicate`` (a SQL
@@ -950,8 +1179,11 @@ class VersionedTable:
         predicate-implied range conjuncts that let manifest metadata
         narrow the find-scan itself (see :meth:`_touched_files`)."""
         parent = self.head_version()
-        base = self._read_manifest(parent)
-        touched_files = self._touched_files(base, predicate, prune)
+        ptr = self._read_pointer(parent)
+        base = self._resolve(ptr)
+        touched_files = self._touched_files(
+            base, predicate, prune, verify_prune
+        )
         touched = set(touched_files)
         if not touched_files:
             return parent
@@ -969,41 +1201,57 @@ class VersionedTable:
         )
         v = parent + 1
         stats_cols = base.get("stats_cols") or []
-        kept_stats = {
-            f: s for f, s in (base.get("stats") or {}).items() if f in set(kept_files)
-        }
-        kept_parts = {
-            f: p for f, p in (base.get("parts") or {}).items() if f in set(kept_files)
-        }
+        new_stats = (
+            self._collect_stats(new_files, stats_cols)
+            if stats_cols and new_files
+            else {}
+        )
+        new_parts = (
+            self._partition_values(new_files) if partition_by else {}
+        )
         m = {
             "version": v,
             "parent": parent,
             "op": "delete",
             "predicate": predicate,
-            "files": sorted(kept_files + new_files),
             "schema": base["schema"],
             "schema_json": base.get("schema_json"),
             # kept files may still span pre-evolution physical schemas
             "mixed": bool(base.get("mixed")),
             "txn": txn,
             "txns": self._txns_after(base, txn),
-            "stats": {
-                **kept_stats,
-                **(
-                    self._collect_stats(new_files, stats_cols)
-                    if stats_cols and new_files
-                    else {}
-                ),
-            },
             "stats_cols": stats_cols,
             "partition_by": partition_by,
-            "parts": {
-                **kept_parts,
-                **(self._partition_values(new_files) if partition_by else {}),
-            },
             # a delete keeps a subset of already-valid rows — no check
             "constraints": base.get("constraints") or {},
         }
+        if "segments" in ptr:
+            segs = self._segments_without(ptr, touched)
+            if new_files:
+                segs.append(
+                    self._write_segment(new_files, new_stats, new_parts)
+                )
+            m["segments"] = segs
+            m["n_files"] = len(kept_files) + len(new_files)
+        else:
+            kept_set = set(kept_files)
+            m["files"] = sorted(kept_files + new_files)
+            m["stats"] = {
+                **{
+                    f: s
+                    for f, s in (base.get("stats") or {}).items()
+                    if f in kept_set
+                },
+                **new_stats,
+            }
+            m["parts"] = {
+                **{
+                    f: p
+                    for f, p in (base.get("parts") or {}).items()
+                    if f in kept_set
+                },
+                **new_parts,
+            }
         if not self._try_commit(m, v):
             raise ConcurrentWriteError(
                 f"VersionedTable: delete rewrote against stale v{parent}; "
@@ -1017,6 +1265,7 @@ class VersionedTable:
         assignments: dict[str, str],
         txn: str | None = None,
         prune: list[tuple] | None = None,
+        verify_prune: bool = False,
     ) -> int:
         """Row-level UPDATE as COPY-ON-WRITE — the DML sibling of
         :meth:`delete` (Delta UPDATE pattern): for every row where
@@ -1026,14 +1275,20 @@ class VersionedTable:
         unchanged. Only files containing matching rows are rewritten —
         untouched files carry over byte-identical. Every assigned
         expression is cast to the column's existing type (an UPDATE
-        can never drift the table schema). Commit is op ``update``
+        can never drift the table schema) — STRICTLY: an assignment
+        value the cast cannot represent raises in-plan rather than
+        silently writing NULL into rewritten rows (ADVICE r8; the
+        session pins ANSI off, under which a bare ``.cast`` nulls like
+        ``try_cast``, so the guard is the same in-plan raise
+        ``cast_columns(strict=True)`` uses). Commit is op ``update``
         with first-committer-wins CAS; ``read_changes`` refuses ranges
         crossing it. Returns the new version, or the current version
         unchanged if no row matched. ``prune``: optional
         predicate-implied range conjuncts that let manifest metadata
         narrow the find-scan itself (see :meth:`_touched_files`)."""
         parent = self.head_version()
-        base = self._read_manifest(parent)
+        ptr = self._read_pointer(parent)
+        base = self._resolve(ptr)
         schema = self._manifest_schema(base)
         if schema is None:
             raise ValueError(
@@ -1048,16 +1303,40 @@ class VersionedTable:
                 f"column(s) {sorted(unknown)}; table columns are "
                 f"{sorted(types)}"
             )
-        touched_files = self._touched_files(base, predicate, prune)
+        touched_files = self._touched_files(
+            base, predicate, prune, verify_prune
+        )
         touched = set(touched_files)
         if not touched_files:
             return parent
         kept_files = [f for f in base["files"] if f not in touched]
         hit = F.coalesce(F.expr(predicate), F.lit(False))
+
+        def _assigned(name):
+            """The assignment expression strict-cast to the column's
+            type: a non-NULL value the cast cannot represent raises
+            in-plan (never a silent NULL — ADVICE r8)."""
+            val = F.expr(assignments[name])
+            casted = val.cast(types[name])
+            return F.when(
+                val.isNotNull() & casted.isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "VersionedTable.update: assignment to "
+                            f"column '{name}' does not fit type "
+                            f"{types[name].simpleString()} for value '"
+                        ),
+                        val.cast("string"),
+                        F.lit("'"),
+                    )
+                ).cast(types[name]),
+            ).otherwise(casted)
+
         rewritten = self._read_files(base, touched_files).select(
             *[
                 (
-                    F.when(hit, F.expr(assignments[f.name]).cast(types[f.name]))
+                    F.when(hit, _assigned(f.name))
                     .otherwise(F.col(f.name))
                     .alias(f.name)
                     if f.name in assignments
@@ -1071,41 +1350,49 @@ class VersionedTable:
         v = parent + 1
         stats_cols = base.get("stats_cols") or []
         kept_set = set(kept_files)
+        new_stats = (
+            self._collect_stats(new_files, stats_cols) if stats_cols else {}
+        )
+        new_parts = (
+            self._partition_values(new_files) if partition_by else {}
+        )
         m = {
             "version": v,
             "parent": parent,
             "op": "update",
             "predicate": predicate,
-            "files": sorted(kept_files + new_files),
             "schema": base["schema"],
             "schema_json": base.get("schema_json"),
             "mixed": bool(base.get("mixed")),
             "txn": txn,
             "txns": self._txns_after(base, txn),
-            "stats": {
+            "stats_cols": stats_cols,
+            "partition_by": partition_by,
+            "constraints": base.get("constraints") or {},
+        }
+        if "segments" in ptr:
+            m["segments"] = self._segments_without(ptr, touched) + [
+                self._write_segment(new_files, new_stats, new_parts)
+            ]
+            m["n_files"] = len(kept_files) + len(new_files)
+        else:
+            m["files"] = sorted(kept_files + new_files)
+            m["stats"] = {
                 **{
                     f: s
                     for f, s in (base.get("stats") or {}).items()
                     if f in kept_set
                 },
-                **(
-                    self._collect_stats(new_files, stats_cols)
-                    if stats_cols
-                    else {}
-                ),
-            },
-            "stats_cols": stats_cols,
-            "partition_by": partition_by,
-            "parts": {
+                **new_stats,
+            }
+            m["parts"] = {
                 **{
                     f: p
                     for f, p in (base.get("parts") or {}).items()
                     if f in kept_set
                 },
-                **(self._partition_values(new_files) if partition_by else {}),
-            },
-            "constraints": base.get("constraints") or {},
-        }
+                **new_parts,
+            }
         # assignments can push rows outside a CHECK constraint
         self._check_constraints(new_files, m)
         if not self._try_commit(m, v):
@@ -1141,7 +1428,8 @@ class VersionedTable:
         concurrent REWRITE (upsert/overwrite/delete/update/another
         optimize) raises — the compacted content is then stale."""
         parent = self.head_version()
-        base = self._read_manifest(parent)
+        base_ptr = self._read_pointer(parent)
+        base = self._resolve(base_ptr)
         df = self._read_files(base, base["files"])
         if recluster_by is not None:
             df = df.repartitionByRange(
@@ -1154,10 +1442,15 @@ class VersionedTable:
         stats_cols = base.get("stats_cols") or []
         new_stats = self._collect_stats(files, stats_cols) if stats_cols else {}
         new_parts = self._partition_values(files) if partition_by else {}
+        compacted_seg = (
+            self._write_segment(files, new_stats, new_parts)
+            if "segments" in base_ptr
+            else None
+        )
         compacted_parent = parent
         for _ in range(max_retries):
             head = self.head_version()
-            head_m = self._read_manifest(head)
+            head_ptr = self._read_pointer(head)
             if head != compacted_parent:
                 # rebase over the winners IF the span is append-only
                 span = [
@@ -1168,7 +1461,7 @@ class VersionedTable:
                 rewrites = [
                     v2
                     for v2 in span
-                    if self._read_manifest(v2).get("op") != "append"
+                    if self._read_pointer(v2).get("op") != "append"
                 ]
                 if rewrites:
                     raise ConcurrentWriteError(
@@ -1176,38 +1469,57 @@ class VersionedTable:
                         f"{rewrites}; the compacted content is stale — "
                         "re-run"
                     )
-            appended = sorted(set(head_m["files"]) - set(base["files"]))
-            head_stats = head_m.get("stats") or {}
-            head_parts = head_m.get("parts") or {}
             v = head + 1
             m = {
                 "version": v,
                 "parent": head,
                 "op": "optimize",
-                "files": sorted(files + appended),
                 # appends may have evolved the schema; the rebase keeps
                 # the HEAD's logical schema (compacted files are then a
                 # pre-evolution physical layout → mixed)
-                "schema": head_m["schema"],
-                "schema_json": head_m.get("schema_json"),
-                "mixed": bool(appended) and (
-                    bool(head_m.get("mixed"))
-                    or head_m["schema"] != base["schema"]
-                ),
-                "txns": self._txns_after(head_m, None),
-                "stats": {
-                    **new_stats,
-                    **{f: head_stats[f] for f in appended if f in head_stats},
-                },
+                "schema": head_ptr["schema"],
+                "schema_json": head_ptr.get("schema_json"),
+                "txns": self._txns_after(head_ptr, None),
                 "stats_cols": stats_cols,
                 "partition_by": partition_by,
-                "parts": {
+                # content-identical rewrite of already-valid rows
+                "constraints": head_ptr.get("constraints") or {},
+            }
+            if compacted_seg is not None:
+                # segment-level rebase: the winners of an append-only
+                # span only ADDED segments, so their contribution is
+                # exactly the segment names HEAD has that base lacked
+                base_segs = set(base_ptr["segments"])
+                appended_segs = [
+                    s for s in head_ptr["segments"] if s not in base_segs
+                ]
+                m["segments"] = [compacted_seg] + appended_segs
+                m["n_files"] = len(files) + sum(
+                    len(self._read_segment(s)["files"])
+                    for s in appended_segs
+                )
+                m["mixed"] = bool(appended_segs) and (
+                    bool(head_ptr.get("mixed"))
+                    or head_ptr["schema"] != base["schema"]
+                )
+            else:
+                head_m = self._resolve(head_ptr)
+                appended = sorted(set(head_m["files"]) - set(base["files"]))
+                head_stats = head_m.get("stats") or {}
+                head_parts = head_m.get("parts") or {}
+                m["files"] = sorted(files + appended)
+                m["mixed"] = bool(appended) and (
+                    bool(head_m.get("mixed"))
+                    or head_m["schema"] != base["schema"]
+                )
+                m["stats"] = {
+                    **new_stats,
+                    **{f: head_stats[f] for f in appended if f in head_stats},
+                }
+                m["parts"] = {
                     **new_parts,
                     **{f: head_parts[f] for f in appended if f in head_parts},
-                },
-                # content-identical rewrite of already-valid rows
-                "constraints": head_m.get("constraints") or {},
-            }
+                }
             if self._try_commit(m, v):
                 return v
         raise ConcurrentWriteError(
@@ -1220,7 +1532,11 @@ class VersionedTable:
         manifests' file lists are the liveness roots). Returns the
         number of directories removed. Old manifests are kept (they
         are tiny); their time travel simply becomes unreadable, as in
-        any vacuumed table format.
+        any vacuumed table format. Segment files referenced by ANY
+        manifest are kept (they are the manifests' other half); only
+        ORPHAN segments — written by a commit that then lost its CAS
+        race — are swept, under the same age guard as data
+        directories.
 
         ``min_age_seconds`` is the concurrent-writer guard (ADVICE
         r6): an in-flight append/upsert writes its data directory
@@ -1258,13 +1574,31 @@ class VersionedTable:
                     live_dirs.add(f.rsplit("/", 2)[-2])
         droot = self._P(f"{self.path}/data")
         removed = 0
-        if not self._fs.exists(droot):
-            return 0
         now_ms = self._jvm.java.lang.System.currentTimeMillis()
-        for st in self._fs.listStatus(droot):
-            name = st.getPath().getName()
-            age_s = (now_ms - st.getModificationTime()) / 1000.0
-            if name not in live_dirs and age_s >= min_age_seconds:
-                self._fs.delete(st.getPath(), True)
-                removed += 1
+        if self._fs.exists(droot):
+            for st in self._fs.listStatus(droot):
+                name = st.getPath().getName()
+                age_s = (now_ms - st.getModificationTime()) / 1000.0
+                if name not in live_dirs and age_s >= min_age_seconds:
+                    self._fs.delete(st.getPath(), True)
+                    removed += 1
+        # orphan segments: lost CAS races leave segment files no
+        # pointer references; referenced-by-ANY-manifest segments stay
+        # (old versions' metadata remains readable even after their
+        # data is vacuumed)
+        referenced = set()
+        for v in vs:
+            referenced.update(self._read_pointer(v).get("segments") or [])
+        mdir = self._P(self._manifest_dir())
+        if self._fs.exists(mdir):
+            for st in self._fs.listStatus(mdir):
+                name = st.getPath().getName()
+                age_s = (now_ms - st.getModificationTime()) / 1000.0
+                if (
+                    name.startswith("seg-")
+                    and name not in referenced
+                    and age_s >= min_age_seconds
+                ):
+                    self._fs.delete(st.getPath(), False)
+                    removed += 1
         return removed

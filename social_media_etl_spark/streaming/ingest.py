@@ -641,7 +641,7 @@ def sync_table_changes(
             # first landed; skipping BEFORE the manifest read keeps a
             # poll O(new commits), not O(chain length) (r8 review)
             continue
-        m = src._read_manifest(v)
+        m = src._read_pointer(v)  # op/parent only — never resolves segments
         if m.get("op") != "append":
             raise ValueError(
                 f"sync_table_changes: source v{v} is op "

@@ -68,7 +68,9 @@ R9_QUEUE = [
 # New r9 keys (never graded): the r8 verdict's asks — inserted between
 # the queue and the fills, each displacing one fill into the R10_QUEUE.
 # Updated as features land this round.
-R9_NEW = []
+R9_NEW = [
+    "versioned_manifest_segments",  # ask #3: O(appended) commit metadata
+]
 
 # Window fill: the oldest r7-greens (their green is 2 rounds old at r9
 # close), in r7-window order. Shrinks from the END as R9_NEW grows.

@@ -648,14 +648,19 @@ def test_sync_table_changes_refuses_rewritten_chain(spark, tmp_path):
 # -- versioned_cdc: Structured Streaming source over the change feed --------
 
 
+@pytest.mark.parametrize("scheme", ["", "file://"])
 def test_versioned_cdc_stream_source_initial_snapshot_and_resume(
-    spark, tmp_path
+    spark, tmp_path, scheme
 ):
     """The engine-native CDC source: offsets are table versions,
     checkpointed by the engine. First drain emits the whole table
     (initial snapshot + appends); after NEW commits, a restart from
     the same checkpoint emits ONLY the new rows — exactly-once across
-    restarts with zero sink cooperation."""
+    restarts with zero sink cooperation. Parameterized over a plain
+    path and a ``file://`` URI — the manifest IO goes through
+    pyarrow.fs resolved from the table path's scheme (VERDICT r8 #4),
+    so the scheme'd form is the in-container proxy for an s3://gs://
+    table."""
     from social_media_etl_spark.operators.manifest import VersionedTable
     from social_media_etl_spark.sources.versioned_stream import (
         register_versioned_cdc_source,
@@ -672,7 +677,7 @@ def test_versioned_cdc_stream_source_initial_snapshot_and_resume(
     def drain():
         q = (
             spark.readStream.format("versioned_cdc")
-            .option("path", src.path)
+            .option("path", scheme + src.path)
             .load()
             .writeStream.format("parquet")
             .option("path", out)
@@ -713,6 +718,16 @@ def test_versioned_cdc_stream_source_schema_from_manifest(spark, tmp_path):
     assert stream.schema.simpleString() == "struct<k:bigint,v:string>"
 
 
+def test_versioned_cdc_refuses_unreachable_scheme():
+    """A table path whose scheme pyarrow.fs cannot resolve must refuse
+    with a clear error naming the URI — never silently read nothing
+    (VERDICT r8 #4)."""
+    from social_media_etl_spark.sources import versioned_stream as vs
+
+    with pytest.raises(ValueError, match="cannot resolve a filesystem"):
+        vs._fs_for("notascheme://bucket/table")
+
+
 def test_versioned_cdc_stream_source_refuses_rewritten_chain(
     spark, tmp_path
 ):
@@ -724,7 +739,7 @@ def test_versioned_cdc_stream_source_refuses_rewritten_chain(
     )
     src.delete("k = 1")
     with pytest.raises(ValueError, match="rewrite"):
-        vs._span_files(src.path, 0, src.head_version())
+        vs._span_files(*vs._fs_for(src.path), 0, src.head_version())
 
 
 def test_versioned_cdc_stream_starts_after_historic_rewrite(spark, tmp_path):
@@ -745,7 +760,7 @@ def test_versioned_cdc_stream_starts_after_historic_rewrite(spark, tmp_path):
     src.append(_vt_df(spark, [(3, "c")]))
     head = src.head_version()
     # snapshot start resolves every head file despite the delete at v1
-    assert vs._span_files(src.path, -1, head)
+    assert vs._span_files(*vs._fs_for(src.path), -1, head)
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
     q = (
         spark.readStream.format("versioned_cdc")
@@ -762,7 +777,7 @@ def test_versioned_cdc_stream_starts_after_historic_rewrite(spark, tmp_path):
     # a rewrite AFTER the consumed snapshot still refuses
     src.update("k = 2", {"v": "'b2'"})
     with pytest.raises(ValueError, match="rewrite"):
-        vs._span_files(src.path, head, src.head_version())
+        vs._span_files(*vs._fs_for(src.path), head, src.head_version())
 
 
 def test_overwrite_sink_refuses_resumed_checkpoint(spark, tmp_path):
