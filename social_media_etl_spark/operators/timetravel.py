@@ -1,0 +1,144 @@
+"""SQL time-travel surface over :class:`VersionedTable` (VERDICT r8
+stretch #8): make the lakehouse layer reachable from the ``spark.sql``
+entry point like everything else.
+
+Spark only parses ``VERSION AS OF`` / ``TIMESTAMP AS OF`` for
+DataSourceV2 catalog tables (a JVM extension point a Python-only
+engine cannot implement), so this module does what Delta's early
+Python bindings did: a REGISTRY of table name → table path plus a thin
+``sql()`` wrapper that resolves the travel clauses BEFORE handing the
+query to Catalyst —
+
+    register_table(spark, "events_v", path)
+    sql(spark, "SELECT * FROM events_v VERSION AS OF 2 WHERE ...")
+    sql(spark, "SELECT * FROM events_v TIMESTAMP AS OF "
+               "'2026-01-01 00:00:00'")
+
+Each travel clause is resolved to the pinned snapshot (``read(v)`` /
+``version_as_of(ts)``) and registered as a uniquely named temp view;
+the clause text is rewritten to that view name and the rest of the
+query — joins, CTEs, aggregates — flows through the full Catalyst
+path untouched. A bare registered name reads the CURRENT head (the
+view is refreshed per ``sql()`` call, so a long-lived session never
+serves a stale snapshot by accident).
+
+The rewrite is deliberately conservative: clause syntax is matched
+only as ``<registered-name> VERSION AS OF <int>`` or
+``<registered-name> TIMESTAMP AS OF '<literal>'`` outside of string
+literals; unregistered names with travel clauses raise (silent
+pass-through would hand Catalyst a parse error pointing at the wrong
+layer).
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+
+from social_media_etl_spark.operators.manifest import VersionedTable
+
+__all__ = ["register_table", "registered_tables", "sql"]
+
+# session-scoped registry: (spark applicationId, name) -> table path.
+# Keyed by app id so test sessions never leak names into each other.
+_REGISTRY: dict[tuple[str, str], str] = {}
+
+_NAME = r"[A-Za-z_][A-Za-z0-9_]*"
+_TRAVEL = re.compile(
+    rf"\b({_NAME})\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+    rf"(\d+|'[^']*')",
+    re.IGNORECASE,
+)
+
+
+def register_table(spark: SparkSession, name: str, path: str) -> None:
+    """Register ``name`` as a SQL-addressable VersionedTable. The head
+    is also registered as a temp view immediately, so plain
+    ``spark.sql`` queries (no travel clause) work too."""
+    if not re.fullmatch(_NAME, name):
+        raise ValueError(
+            f"register_table: {name!r} is not a valid SQL identifier"
+        )
+    _REGISTRY[(spark.sparkContext.applicationId, name)] = path
+    VersionedTable(spark, path).read().createOrReplaceTempView(name)
+
+
+def registered_tables(spark: SparkSession) -> dict[str, str]:
+    app = spark.sparkContext.applicationId
+    return {n: p for (a, n), p in _REGISTRY.items() if a == app}
+
+
+def _ts_ms(literal: str) -> int:
+    """Epoch millis of a ``'YYYY-MM-DD[ HH:MM:SS[.ffffff]]'`` literal,
+    UTC — the session pins spark.sql.session.timeZone=UTC, so SQL
+    timestamp literals are UTC-naive everywhere in this engine."""
+    dt = datetime.fromisoformat(literal)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1000)
+
+
+def sql(spark: SparkSession, query: str) -> DataFrame:
+    """Run ``query`` through ``spark.sql`` with ``VERSION AS OF`` /
+    ``TIMESTAMP AS OF`` clauses resolved against registered
+    VersionedTables. Snapshot views are named
+    ``<name>__v<version>`` — deterministic, so repeated queries of the
+    same pinned snapshot reuse one view."""
+    tables = registered_tables(spark)
+
+    def _replace(m: re.Match) -> str:
+        name, kind, operand = m.group(1), m.group(2).upper(), m.group(3)
+        path = tables.get(name)
+        if path is None:
+            raise ValueError(
+                f"time travel on unregistered table {name!r} — "
+                f"registered: {sorted(tables) or '(none)'}; call "
+                "register_table(spark, name, path) first"
+            )
+        t = VersionedTable(spark, path)
+        if kind == "VERSION":
+            if not operand.isdigit():
+                raise ValueError(
+                    f"VERSION AS OF needs an integer version, got "
+                    f"{operand} for table {name!r}"
+                )
+            version = int(operand)
+        else:
+            if not (operand.startswith("'") and operand.endswith("'")):
+                raise ValueError(
+                    f"TIMESTAMP AS OF needs a quoted literal, got "
+                    f"{operand} for table {name!r}"
+                )
+            version = t.version_as_of(_ts_ms(operand[1:-1]))
+        view = f"{name}__v{version}"
+        t.read(version).createOrReplaceTempView(view)
+        return view
+
+    # mask string literal CONTENTS (quotes kept, so a TIMESTAMP AS OF
+    # operand still parses) — a quoted "VERSION AS OF" never rewrites
+    masked = re.sub(
+        r"'[^']*'",
+        lambda m: "'" + "\x00" * (len(m.group(0)) - 2) + "'",
+        query,
+    )
+    out = []
+    last = 0
+    for m in _TRAVEL.finditer(masked):
+        out.append(query[last : m.start()])
+        # re-run the match on the REAL text for the operand (the mask
+        # blanked quoted literals, incl. a TIMESTAMP AS OF operand)
+        real = _TRAVEL.match(query, m.start(), m.end())
+        if real is None:  # operand was inside a string literal → skip
+            out.append(query[m.start() : m.end()])
+        else:
+            out.append(_replace(real))
+        last = m.end()
+    out.append(query[last:])
+    rewritten = "".join(out)
+    # refresh head views for bare names so a long session reads current
+    for name, path in tables.items():
+        if re.search(rf"\b{name}\b", masked):
+            VersionedTable(spark, path).read().createOrReplaceTempView(name)
+    return spark.sql(rewritten)

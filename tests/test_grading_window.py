@@ -70,6 +70,9 @@ R9_QUEUE = [
 # Updated as features land this round.
 R9_NEW = [
     "versioned_manifest_segments",  # ask #3: O(appended) commit metadata
+    "versioned_mor_delete",  # ask #5: deletion vectors, zero rewrites
+    "versioned_merge_into",  # ask #6: 3-batch MERGE, one COW commit each
+    "sql_time_travel",  # ask #8: VERSION/TIMESTAMP AS OF via spark.sql
 ]
 
 # Window fill: the oldest r7-greens (their green is 2 rounds old at r9

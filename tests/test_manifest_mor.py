@@ -1,0 +1,179 @@
+"""Merge-on-read DELETE via deletion vectors (VERDICT r8 #5 — the
+Delta deletion-vector pattern): a ``delete(mode='mor')`` commits a
+parquet (file, row-position) vector instead of rewriting files; reads
+anti-join it out; OPTIMIZE and full rewrites compact vectors away."""
+
+from __future__ import annotations
+
+import pytest
+
+from social_media_etl_spark.operators.manifest import VersionedTable
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def _files(t, v=None):
+    return set(t._read_manifest(t.head_version() if v is None else v)["files"])
+
+
+def test_mor_delete_rewrites_zero_files(spark, tmp_path):
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), _df(spark, [(i, "x") for i in range(8)])
+    )
+    before = _files(t, 0)
+    v = t.delete("k IN (2, 5)", mode="mor")
+    assert v == 1
+    # THE contract: zero data files rewritten at commit
+    assert _files(t, 1) == before
+    assert t._read_pointer(1).get("delete_vectors")
+    # the read equals the anti-filter
+    assert sorted(r["k"] for r in t.read().collect()) == [0, 1, 3, 4, 6, 7]
+    # time travel still sees the pre-delete rows
+    assert sorted(r["k"] for r in t.read(0).collect()) == list(range(8))
+
+
+def test_mor_deletes_accumulate(spark, tmp_path):
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), _df(spark, [(i, "x") for i in range(6)])
+    )
+    t.delete("k = 0", mode="mor")
+    t.delete("k = 5", mode="mor")
+    assert len(t._read_pointer(2)["delete_vectors"]) == 2
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2, 3, 4]
+    # intermediate version applies only the first vector
+    assert sorted(r["k"] for r in t.read(1).collect()) == [1, 2, 3, 4, 5]
+
+
+def test_mor_redelete_same_slice_is_noop(spark, tmp_path):
+    """The find-scan is DV-applied: already-deleted rows never match
+    again, so a replayed delete returns the current version."""
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), _df(spark, [(1, "a"), (2, "b")])
+    )
+    v = t.delete("k = 1", mode="mor")
+    assert t.delete("k = 1", mode="mor") == v
+    assert t.head_version() == v
+
+
+def test_optimize_compacts_vectors_away(spark, tmp_path):
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), _df(spark, [(i, "x") for i in range(8)])
+    )
+    t.delete("k >= 6", mode="mor")
+    v = t.optimize(target_files=1)
+    ptr = t._read_pointer(v)
+    assert not ptr.get("delete_vectors")
+    assert sorted(r["k"] for r in t.read().collect()) == list(range(6))
+    # deleted rows are physically gone from the compacted layout
+    raw = spark.read.parquet(*t._read_manifest(v)["files"])
+    assert sorted(r["k"] for r in raw.collect()) == list(range(6))
+
+
+def test_append_after_mor_keeps_vectors_applied(spark, tmp_path):
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), _df(spark, [(1, "a"), (2, "b")])
+    )
+    t.delete("k = 1", mode="mor")
+    t.append(_df(spark, [(3, "c")]))
+    assert sorted(r["k"] for r in t.read().collect()) == [2, 3]
+    assert t._read_pointer(t.head_version()).get("delete_vectors")
+
+
+def test_cow_delete_after_mor_does_not_resurrect(spark, tmp_path):
+    """A COW rewrite of a file with live vectors reads DV-applied, so
+    the rewritten file drops BOTH delete sets."""
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), _df(spark, [(i, "x") for i in range(6)]).coalesce(1)
+    )
+    t.delete("k = 1", mode="mor")
+    t.delete("k = 4")  # COW rewrite of the single file
+    assert sorted(r["k"] for r in t.read().collect()) == [0, 2, 3, 5]
+
+
+def test_update_after_mor_does_not_resurrect(spark, tmp_path):
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), _df(spark, [(i, "x") for i in range(4)]).coalesce(1)
+    )
+    t.delete("k = 2", mode="mor")
+    t.update("k = 3", {"v": "'updated'"})
+    got = sorted((r["k"], r["v"]) for r in t.read().collect())
+    assert got == [(0, "x"), (1, "x"), (3, "updated")]
+
+
+def test_mor_prune_hint_narrows_and_verify_catches_lies(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.lit("x").alias("v")
+    )
+    clustered = df.repartitionByRange(4, "k").sortWithinPartitions("k")
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), clustered, stats_cols=["k"]
+    )
+    with pytest.raises(ValueError, match="prune hint does not cover"):
+        t.delete(
+            "k = 5 OR k = 90",
+            prune=[("k", 0, 10)],
+            verify_prune=True,
+            mode="mor",
+        )
+    v = t.delete("k BETWEEN 10 AND 19", prune=[("k", 10, 19)], mode="mor")
+    assert v == 1
+    assert _files(t, 1) == _files(t, 0)  # still zero rewrites
+    assert t.read().count() == 90
+
+
+def test_full_rewrites_clear_vectors(spark, tmp_path):
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), _df(spark, [(1, "a"), (2, "b")])
+    )
+    t.delete("k = 1", mode="mor")
+    t.overwrite(_df(spark, [(7, "z")]))
+    assert not t._read_pointer(t.head_version()).get("delete_vectors")
+    assert [r["k"] for r in t.read().collect()] == [7]
+
+
+def test_read_changes_refuses_ranges_crossing_mor_delete(spark, tmp_path):
+    t = VersionedTable.create(spark, str(tmp_path / "t"), _df(spark, [(1, "a")]))
+    t.append(_df(spark, [(2, "b")]))
+    t.delete("k = 1", mode="mor")
+    with pytest.raises(ValueError, match="rewrite"):
+        t.read_changes(0)
+    # pre-delete append-only spans still resolve
+    assert [r["k"] for r in t.read_changes(0, 1).collect()] == [2]
+
+
+def test_vacuum_keeps_live_vectors_sweeps_dead_ones(spark, tmp_path):
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), _df(spark, [(i, "x") for i in range(4)])
+    )
+    t.delete("k = 0", mode="mor")
+    t.optimize(target_files=1)  # head no longer references the vector
+    t.append(_df(spark, [(9, "y")]))
+    removed = t.vacuum(keep_last=2, min_age_seconds=0.0)
+    assert removed >= 1
+    dv_root = tmp_path / "t" / "dv"
+    assert not dv_root.exists() or not any(dv_root.iterdir())
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2, 3, 9]
+
+
+def test_mor_delete_unknown_mode_raises(spark, tmp_path):
+    t = VersionedTable.create(spark, str(tmp_path / "t"), _df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="unknown mode"):
+        t.delete("k = 1", mode="bogus")
+
+
+def test_mor_on_evolved_mixed_table(spark, tmp_path):
+    """DV application composes with mergeSchema reads: pre-evolution
+    files NULL-fill added columns AND drop their DV'd rows."""
+    t = VersionedTable.create(spark, str(tmp_path / "t"), _df(spark, [(1, "a"), (2, "b")]))
+    t.append(
+        spark.createDataFrame([(3, "c", 30)], "k long, v string, extra long")
+    )
+    t.delete("k = 2", mode="mor")
+    got = sorted(
+        (r["k"], r["v"], r["extra"]) for r in t.read().collect()
+    )
+    assert got == [(1, "a", None), (3, "c", 30)]
