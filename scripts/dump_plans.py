@@ -136,6 +136,13 @@ SHOWCASE = {
         "(`transform`+`slice` inside codegen), not via a position "
         "self-join."
     ),
+    "versioned_mor_delete": (
+        "Merge-on-read read path: the deletion vector applies as a "
+        "LEFT ANTI join on the parquet `_metadata` (file, row_index) "
+        "key — the small DV side broadcasts (`BroadcastHashJoin ... "
+        "LeftAnti`), the data scan never reshuffles, and no data file "
+        "was rewritten to produce this snapshot."
+    ),
 }
 
 HEADER = """# PLANS — physical plans of representative queries

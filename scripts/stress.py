@@ -260,6 +260,7 @@ def main() -> None:
 
     zipf_skew_probe(spark, events)
     maintenance_probe(spark, events)
+    lakehouse_metadata_probe(spark, events)
     codec_probe(spark, mult)
 
 
@@ -547,6 +548,101 @@ def maintenance_probe(spark, events) -> None:
                     "files_after_optimize": len(
                         vt2._read_manifest(vt2.head_version())["files"]
                     ),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def lakehouse_metadata_probe(spark, events) -> None:
+    """r9 (VERDICT r8 #3/#5): quantify the manifest-segment and
+    deletion-vector contracts at chain length.
+
+    (a) APPEND-CHAIN METADATA: run the same 30-append chain against a
+    SEGMENTED table and a legacy INLINE table and measure the metadata
+    bytes the LAST commit writes (pointer+segment vs full manifest).
+    Inline grows O(all files); segmented stays O(appended files) — at
+    10⁵ files that asymmetry is the difference between a KB commit and
+    a multi-MB driver-held JSON per append.
+
+    (b) MERGE-ON-READ DELETE: the same narrow-range delete the COW
+    probe runs, as a deletion vector — files reused must equal files
+    total (zero rewrites), and the DV-applied head read is timed
+    against the pre-delete read to bound the anti-join tax."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from social_media_etl_spark.operators.manifest import VersionedTable
+
+    d = tempfile.mkdtemp(prefix="smetl_stress_meta_")
+    try:
+        base = (
+            events.select("event_id", "event_type", "value")
+            .filter(F.col("event_id") % 7 == 0)
+            .repartitionByRange(8, "event_id")
+        )
+        chunk = events.select("event_id", "event_type", "value").filter(
+            F.col("event_id") % 97 == 3
+        )
+        sizes = {}
+        times = {}
+        for layout, segmented in (("segmented", True), ("inline", False)):
+            t = VersionedTable.create(
+                spark, f"{d}/{layout}", base, segmented=segmented
+            )
+            t0 = time.time()
+            for _ in range(30):
+                t.append(chunk)
+            times[layout] = round(time.time() - t0, 2)
+            head = t.head_version()
+            mdir = f"{d}/{layout}/_manifests"
+            ptr_path = f"{mdir}/v{head:08d}.json"
+            written = os.path.getsize(ptr_path)
+            ptr = t._read_pointer(head)
+            if "segments" in ptr:
+                written += os.path.getsize(f"{mdir}/{ptr['segments'][-1]}")
+            sizes[layout] = written
+        print(
+            json.dumps(
+                {
+                    "probe": "append_chain_metadata",
+                    "appends": 30,
+                    "last_commit_metadata_bytes": sizes,
+                    "chain_wall_s": times,
+                    "inline_over_segmented": round(
+                        sizes["inline"] / max(sizes["segmented"], 1), 1
+                    ),
+                }
+            )
+        )
+        # (b) merge-on-read delete on the segmented chain
+        t = VersionedTable(spark, f"{d}/segmented")
+        files_before = set(t._read_manifest(t.head_version())["files"])
+        t0 = time.time()
+        t.read().write.format("noop").mode("overwrite").save()
+        read_before_s = time.time() - t0
+        lo = int(base.agg(F.expr("percentile(event_id, 0.4)")).collect()[0][0])
+        hi = int(base.agg(F.expr("percentile(event_id, 0.45)")).collect()[0][0])
+        t0 = time.time()
+        t.delete(f"event_id BETWEEN {lo} AND {hi}", mode="mor")
+        delete_s = time.time() - t0
+        files_after = set(t._read_manifest(t.head_version())["files"])
+        t0 = time.time()
+        t.read().write.format("noop").mode("overwrite").save()
+        read_after_s = time.time() - t0
+        print(
+            json.dumps(
+                {
+                    "probe": "dml_mor",
+                    "files_total": len(files_before),
+                    "files_rewritten": len(files_after - files_before),
+                    "delete_s": round(delete_s, 2),
+                    "head_read_before_s": round(read_before_s, 2),
+                    "head_read_with_dv_s": round(read_after_s, 2),
                 }
             )
         )

@@ -113,20 +113,30 @@ def _files_of(fs, root: str, ptr: dict) -> list[str]:
     return sorted(ptr["files"])
 
 
-def _span_files(fs, root: str, start_v: int, end_v: int) -> list[str]:
+def _span_files(
+    fs, root: str, start_v: int, end_v: int, op_cache: dict | None = None
+) -> list[str]:
     """New files committed over (start_v, end_v] — the read_changes
     file diff, with the same rewrite refusal. start_v == -1 means the
     INITIAL SNAPSHOT: every file of end_v, which is well-defined no
     matter what ops produced it, so historic rewrites are NOT checked
     there (a table that once saw a delete/upsert/optimize can still
     START a stream — Delta-source semantics; only rewrites arriving
-    AFTER the stream's snapshot refuse)."""
+    AFTER the stream's snapshot refuse). ``op_cache`` (version → op)
+    is filled across polls — committed manifests are immutable, so a
+    long-lived reader stats each version's op ONCE, keeping per-poll
+    IO O(new commits) on object stores where every read is a request
+    (r8 watch item)."""
     target = _pointer(fs, root, end_v)
     if start_v < 0:
         return _files_of(fs, root, target)
     for v in _versions(fs, root):
         if start_v < v <= end_v:
-            op = _pointer(fs, root, v).get("op")
+            op = op_cache.get(v) if op_cache is not None else None
+            if op is None:
+                op = _pointer(fs, root, v).get("op")
+                if op_cache is not None:
+                    op_cache[v] = op
             if op not in ("append", "create"):
                 raise ValueError(
                     f"versioned_cdc: version {v} is op '{op}' (rewrite) — "
@@ -171,6 +181,7 @@ try:
             self._fields = [f.name for f in schema.fields]
             sv = options.get("startingversion", options.get("startingVersion"))
             self._start = int(sv) if sv is not None else -1
+            self._op_cache: dict[int, str] = {}
 
         def initialOffset(self) -> dict:
             return {"version": self._start}
@@ -183,7 +194,7 @@ try:
             s, e = start["version"], end["version"]
             if e <= s:
                 return [_FilePartition(None)]
-            files = _span_files(self._fs, self._root, s, e)
+            files = _span_files(self._fs, self._root, s, e, self._op_cache)
             if not files:
                 return [_FilePartition(None)]
             return [_FilePartition(f) for f in files]
