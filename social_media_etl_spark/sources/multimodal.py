@@ -27,7 +27,7 @@ Three backends per kernel:
   payload digest (stable across runs/engines); for synthetic corpora
   whose payloads aren't real media.
 - ``backend='real'`` — the PIL/opencv/ffmpeg call site for the
-  remaining formats (progressive JPEG, MP4/WebM); raises
+  remaining formats (MP4/WebM video); raises
   ``NotImplementedError`` in this container.
 
 The Spark-side plumbing — schemas, UDF signatures, batch iteration,
@@ -1134,9 +1134,10 @@ def decode_wav_batch(payloads):
 
 def decode_image_array(payload: bytes):
     """Dispatch on magic bytes → uint8 (H, W, 3): PPM (P6), BMP, PNG
-    (stdlib zlib inflate — :func:`decode_png`), or baseline JPEG
-    (pure-numpy Huffman + IDCT — ``sources/jpeg.py:decode_jpeg``).
-    Both compressed formats decode with zero codec libraries."""
+    (stdlib zlib inflate — :func:`decode_png`), or JPEG — baseline AND
+    progressive SOF2 (pure-numpy Huffman + IDCT —
+    ``sources/jpeg.py:decode_jpeg``). All compressed formats decode
+    with zero codec libraries."""
     if payload.startswith(b"P6"):
         return decode_ppm(payload)
     if payload.startswith(b"BM"):
@@ -1177,8 +1178,10 @@ def decode_images(
     ``backend='numpy'`` REALLY decodes PPM/BMP/PNG/baseline-JPEG/GIF
     payloads (pure numpy + stdlib — see :func:`decode_image_array`)
     and reports true dimensions and the mean over all pixel values.
-    ``backend='real'`` is the PIL/opencv call site for the remaining
-    formats (progressive JPEG) — NotImplementedError here.
+    ``backend='real'`` is the PIL/opencv call site for formats outside
+    the from-scratch codecs — NotImplementedError here. Progressive
+    JPEG (SOF2) decodes REALLY under ``backend='numpy'`` since r9
+    (``sources/jpeg.py`` Annex-G decoder).
     ``backend='fake'`` derives deterministic pseudo-dimensions from the
     payload digest (synthetic corpora).
     """
@@ -1467,9 +1470,9 @@ def ahash_images(
     _check_backend("ahash_images", backend, ("numpy", "real"))
     if backend == "real":
         raise NotImplementedError(
-            "progressive-JPEG/MP4 decode requires PIL/opencv (not in "
-            "this container); use backend='numpy' for "
-            "PPM/BMP/PNG/baseline-JPEG/GIF"
+            "MP4/WebM decode requires PIL/opencv (not in this "
+            "container); use backend='numpy' for "
+            "PPM/BMP/PNG/JPEG(baseline+progressive)/GIF"
         )
     if grid * grid > 64:
         raise ValueError("ahash_images: grid**2 must fit in a 64-bit long")

@@ -443,8 +443,9 @@ def test_jpeg_restart_markers_and_subsampling():
     assert float(err.mean()) < 3.0 and int(err.max()) <= 8
 
 
-def test_jpeg_rejects_progressive():
-    """SOF2 must raise with a precise message, not mis-decode."""
+def test_jpeg_rejects_arithmetic_and_lossless_frames():
+    """SOF9 (arithmetic) must raise with a precise message, not
+    mis-decode. (SOF2 progressive is SUPPORTED since r9.)"""
     import numpy as np
 
     from social_media_etl_spark.sources import jpeg as J
@@ -452,9 +453,114 @@ def test_jpeg_rejects_progressive():
     img = np.zeros((8, 8, 3), dtype=np.uint8)
     payload = bytearray(J.encode_jpeg_baseline(img))
     i = payload.index(b"\xff\xc0")
-    payload[i + 1] = 0xC2  # rewrite SOF0 -> SOF2
-    with pytest.raises(ValueError, match="SOF2"):
+    payload[i + 1] = 0xC9  # rewrite SOF0 -> SOF9 (arithmetic)
+    with pytest.raises(ValueError, match="SOF9"):
         J.decode_jpeg(bytes(payload))
+
+
+def test_jpeg_progressive_roundtrip_both_scan_scripts():
+    """Progressive encode→decode (T.81 Annex G) stays inside the same
+    flat-quant DCT-rounding bound as baseline, for BOTH scan scripts:
+    successive approximation (DC Al=1 + AC Al=1 first scans, then
+    refinement scans — exercising correction bits, ZRL-in-refine and
+    EOB spans) and spectral selection only (AC bands 1-5 / 6-63)."""
+    import numpy as np
+
+    from social_media_etl_spark.sources import jpeg as J
+
+    rng = np.random.default_rng(11)
+    imgs = [
+        (np.arange(16 * 24 * 3).reshape(16, 24, 3) % 256).astype(np.uint8),
+        rng.integers(0, 256, (21, 13, 3), dtype=np.uint8),
+        rng.integers(0, 256, (3, 5, 3), dtype=np.uint8),
+    ]
+    for img in imgs:
+        for successive in (True, False):
+            payload = J.encode_jpeg_progressive(img, successive=successive)
+            assert b"\xff\xc2" in payload  # genuinely SOF2
+            dec = J.decode_jpeg(payload)
+            assert dec.shape == img.shape
+            err = int(np.abs(dec.astype(int) - img.astype(int)).max())
+            assert err <= 2, (img.shape, successive, err)
+
+
+def test_jpeg_progressive_decodes_foreign_eobn_runs():
+    """Our encoder caps EOB runs at 1 (Annex-K tables carry no EOBn
+    symbols), but FOREIGN progressive files use them freely — craft a
+    minimal SOF2 stream with a custom AC table whose EOB2 symbol
+    (0x10 + 1 appended bit) covers both blocks' AC bands, and check
+    the decoder honors the run."""
+    import struct
+
+    import numpy as np
+
+    from social_media_etl_spark.sources import jpeg as J
+
+    # grayscale 8x16 → two 8x8 blocks; DC-only content 128 / 129
+    dc_codes = J._build_codes(J.DC_LUM_BITS, J.DC_LUM_VALS)
+
+    def dht(tc_th, bits, vals):
+        body = bytes([tc_th]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + bytes([1] * 64)
+    sof = b"\xff\xc2" + struct.pack(">H", 11) + struct.pack(
+        ">BHHB", 8, 8, 16, 1
+    ) + bytes([1, 0x11, 0])
+    # DC scan: diffs 0 then 8 (block2 pixels end up +1)
+    wdc = J._BitWriter()
+    for diff in (0, 8):
+        ssss, bits = J._magnitude(diff)
+        code, length = dc_codes[ssss]
+        wdc.write(code, length)
+        wdc.write(bits, ssss)
+    wdc.flush()
+    sos_dc = b"\xff\xda" + struct.pack(">H", 8) + bytes(
+        [1, 1, 0x00, 0, 0, 0]
+    ) + bytes(wdc.out)
+    # custom AC table: single 1-bit code for symbol 0x10 (EOB2..3)
+    ac_bits = [1] + [0] * 15
+    sos_ac_hdr = b"\xff\xda" + struct.pack(">H", 8) + bytes(
+        [1, 1, 0x00, 1, 63, 0]
+    )
+    wac = J._BitWriter()
+    wac.write(0, 1)  # the 0x10 symbol
+    wac.write(0, 1)  # appended run bit → EOBRUN covers exactly 2 blocks
+    wac.flush()
+    payload = (
+        b"\xff\xd8"
+        + dqt
+        + sof
+        + dht(0x00, J.DC_LUM_BITS, J.DC_LUM_VALS)
+        + dht(0x10, ac_bits, [0x10])
+        + sos_dc
+        + sos_ac_hdr
+        + bytes(wac.out)
+        + b"\xff\xd9"
+    )
+    dec = J.decode_jpeg(payload)
+    assert dec.shape == (8, 16, 3)
+    assert np.all(dec[:, :8] == 128)
+    assert np.all(dec[:, 8:] == 129)
+
+
+def test_jpeg_progressive_420_matches_baseline_decode_exactly():
+    """With identical quantization and subsampling, the progressive
+    entropy layering must be LOSSLESS relative to baseline: decoding
+    the progressive file equals decoding the baseline file bit for
+    bit — any drift means a scan mis-ordered its correction bits."""
+    import numpy as np
+
+    from social_media_etl_spark.sources import jpeg as J
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (18, 22, 3), dtype=np.uint8)
+    base = J.decode_jpeg(J.encode_jpeg_baseline(img, subsample=True))
+    for successive in (True, False):
+        prog = J.decode_jpeg(
+            J.encode_jpeg_progressive(img, subsample=True, successive=successive)
+        )
+        assert np.array_equal(base, prog), f"successive={successive}"
 
 
 def test_jpeg_dispatches_through_decode_image_array(spark):
@@ -471,9 +577,23 @@ def test_jpeg_dispatches_through_decode_image_array(spark):
     assert np.array_equal(
         mm.decode_image_array(payload).shape, (16, 16, 3)
     )
-    df = spark.createDataFrame([(1, bytearray(payload))], "media_id long, payload binary")
-    row = mm.decode_images(df, backend="numpy").collect()[0]
-    assert (row["width"], row["height"], row["channels"]) == (16, 16, 3)
+    # progressive SOF2 rides the SAME magic-byte dispatch (r9)
+    prog = J.encode_jpeg_progressive(img)
+    assert np.array_equal(mm.decode_image_array(prog).shape, (16, 16, 3))
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(prog))],
+        "media_id long, payload binary",
+    )
+    rows = {
+        r["media_id"]: r
+        for r in mm.decode_images(df, backend="numpy").collect()
+    }
+    for mid in (1, 2):
+        r = rows[mid]
+        assert (r["width"], r["height"], r["channels"]) == (16, 16, 3)
+    # baseline and progressive of the same source decode to (nearly)
+    # the same pixels → the Arrow stage reports matching intensities
+    assert abs(rows[1]["mean_intensity"] - rows[2]["mean_intensity"]) < 0.5
     # sniffed type is image/jpeg (JVM-side magic compare)
     typed = mm.attach_media_metadata(df).collect()[0]
     assert typed["media_type"] == "image/jpeg"
