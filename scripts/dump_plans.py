@@ -136,12 +136,43 @@ SHOWCASE = {
         "(`transform`+`slice` inside codegen), not via a position "
         "self-join."
     ),
-    "versioned_mor_delete": (
-        "Merge-on-read read path: the deletion vector applies as a "
-        "LEFT ANTI join on the parquet `_metadata` (file, row_index) "
-        "key — the small DV side broadcasts (`BroadcastHashJoin ... "
-        "LeftAnti`), the data scan never reshuffles, and no data file "
-        "was rewritten to produce this snapshot."
+}
+
+
+def _mor_read_plan(spark, sf):
+    """The DV-applied snapshot read itself (the graded key's OUTPUT
+    reads the post-OPTIMIZE layout, where vectors are already
+    compacted — the interesting plan is the one BEFORE compaction)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from social_media_etl_spark.catalog import load_table
+    from social_media_etl_spark.operators.manifest import VersionedTable
+
+    d = tempfile.mkdtemp(prefix="smetl_planmor_")
+    events = load_table(spark, sf, "events").select(
+        "event_id", "event_type", "value"
+    )
+    t = VersionedTable.create(
+        spark, f"{d}/t", events.repartitionByRange(8, "event_id")
+    )
+    t.delete("event_id BETWEEN 100 AND 299", mode="mor")
+    return t.read().groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+# showcase frames that are not queries() outputs: name -> (builder,
+# blurb). Used for plans whose graded key deliberately returns a
+# different (post-maintenance) snapshot.
+EXTRA = {
+    "mor_deletion_vector_read": (
+        _mor_read_plan,
+        "Merge-on-read read path (pre-OPTIMIZE): the deletion vector "
+        "applies as a LEFT ANTI join on the parquet `_metadata` "
+        "(file_path, row_index) key — the small DV side broadcasts "
+        "(`BroadcastHashJoin LeftAnti BuildRight`), the data scan "
+        "never reshuffles, and ZERO data files were rewritten to "
+        "produce this snapshot.",
     ),
 }
 
@@ -159,8 +190,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry.queries()
     sections = [HEADER]
-    for name, blurb in SHOWCASE.items():
-        df = qs[name](spark, SF)
+    frames = [(name, lambda s, f, n=name: qs[n](s, f), blurb)
+              for name, blurb in SHOWCASE.items()]
+    frames += [(name, fn, blurb) for name, (fn, blurb) in EXTRA.items()]
+    for name, build, blurb in frames:
+        df = build(spark, SF)
         plan = df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                 "formatted"
@@ -172,7 +206,7 @@ def main() -> None:
         sections.append(f"## {name}\n\n{blurb}\n\n```\n{plan}\n```\n")
     with open("/root/repo/PLANS.md", "w", encoding="utf-8") as fh:
         fh.write("\n".join(sections))
-    print(f"wrote PLANS.md ({len(SHOWCASE)} plans)")
+    print(f"wrote PLANS.md ({len(frames)} plans)")
 
 
 if __name__ == "__main__":
