@@ -1499,7 +1499,10 @@ class VersionedTable:
         src_keys = source.select(*on).distinct()
 
         # ambiguity: a target row matched by >1 source row has no
-        # deterministic clause outcome — refuse, as Delta does
+        # deterministic clause outcome — refuse, as Delta does. The
+        # target-side probe only runs when the source actually HAS
+        # duplicate keys (deduped sources — the common case — cost one
+        # source-side aggregate, never a table scan).
         dup_keys = (
             source.groupBy(*on)
             .agg(F.count(F.lit(1)).alias("__n"))
@@ -1507,7 +1510,9 @@ class VersionedTable:
             .drop("__n")
         )
         target_keys = self._read_files(base, base["files"]).select(*on)
-        if dup_keys.join(target_keys, on, "left_semi").limit(1).count():
+        if dup_keys.limit(1).count() and (
+            dup_keys.join(target_keys, on, "left_semi").limit(1).count()
+        ):
             raise ValueError(
                 "VersionedTable.merge: a target row matches multiple "
                 "source rows — reduce the source to one row per key "
@@ -1541,7 +1546,14 @@ class VersionedTable:
             t_rows = self._read_files(base, touched_files).alias("t")
             cond = None
             for c in on:
-                eq = F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}"))
+                # PLAIN equality, never null-safe: SQL MERGE semantics
+                # say NULL keys match nothing — a NULL-keyed source row
+                # falls through to the not-matched (insert) clause, and
+                # a NULL-keyed target row is never updated/deleted.
+                # (eqNullSafe here would also contradict the find-files
+                # semi-join, which uses null-unsafe equality — r9
+                # self-review.)
+                eq = F.col(f"t.{c}") == F.col(f"s.{c}")
                 cond = eq if cond is None else cond & eq
             joined = t_rows.join(marked_src, cond, "left")
             is_matched = F.col("__s_hit").isNotNull()
@@ -1713,8 +1725,11 @@ class VersionedTable:
                 },
                 **new_parts,
             }
-        # updates and inserts can both push rows outside a CHECK
-        self._check_constraints(new_files, m)
+        # updates and inserts can both push rows outside a CHECK; new
+        # files carry no deletion vectors, so skip the DV anti-join
+        self._check_constraints(
+            new_files, {**m, "delete_vectors": []}
+        )
         if not self._try_commit(m, v):
             raise ConcurrentWriteError(
                 f"VersionedTable: merge computed against stale v{parent}; "

@@ -26,9 +26,12 @@ Three backends per kernel:
 - ``backend='fake'`` — deterministic pseudo-outputs derived from the
   payload digest (stable across runs/engines); for synthetic corpora
   whose payloads aren't real media.
-- ``backend='real'`` — the PIL/opencv/ffmpeg call site for the
-  remaining formats (MP4/WebM video); raises
-  ``NotImplementedError`` in this container.
+- ``backend='real'`` — the PIL/opencv/ffmpeg call site for what
+  remains: CODEC-compressed video tracks (H.264/VP9 inside MP4/WebM);
+  raises ``NotImplementedError`` in this container. The MP4 CONTAINER
+  itself demuxes for real (``sources/mp4.py``: ISO-BMFF box walk +
+  sample tables; uncompressed ``raw `` RGB24 tracks decode end to
+  end), so the boundary is codec entropy, not the format.
 
 The Spark-side plumbing — schemas, UDF signatures, batch iteration,
 row multiplicity — is identical across backends and tested.
@@ -1283,17 +1286,21 @@ def sample_video_frames(
 
     ``backend='numpy'`` REALLY demuxes the container — animated GIF
     (``decode_gif_frames``: LZW decode + animation compositing,
-    dispatched on the GIF8 magic) or a concatenated-P6 PPM stream
-    (``encode_ppm_stream``) — samples every ``every_n``-th frame, and
-    emits per-frame stats (digest of the canonical PPM frame bytes +
-    mean pixel intensity); ``backend='fake'`` synthesizes a
-    deterministic frame count from the payload; ``backend='real'`` is
-    the ffmpeg call site for compressed containers (MP4/WebM)."""
+    dispatched on the GIF8 magic), MP4 with uncompressed ``raw ``
+    RGB24 tracks (``sources/mp4.py``: full ISO-BMFF box walk +
+    stsc/stsz/stco sample resolution, dispatched on the ftyp magic;
+    compressed codecs raise naming the fourcc), or a concatenated-P6
+    PPM stream (``encode_ppm_stream``) — samples every ``every_n``-th
+    frame, and emits per-frame stats (digest of the canonical PPM
+    frame bytes + mean pixel intensity); ``backend='fake'`` synthesizes
+    a deterministic frame count from the payload; ``backend='real'``
+    is the ffmpeg call site for codec-compressed tracks (H.264/VP9
+    inside MP4/WebM)."""
     _check_backend("sample_video_frames", backend, ("fake", "numpy", "real"))
     if backend == "real":
         raise NotImplementedError(
-            "compressed-container frame sampling requires ffmpeg; "
-            "use backend='numpy' for PPM streams"
+            "codec-compressed frame sampling requires ffmpeg; "
+            "use backend='numpy' for GIF / raw-track MP4 / PPM streams"
         )
     out_schema = (
         f"{id_col} long, frame_idx int, frame_digest string,"
@@ -1312,6 +1319,13 @@ def sample_video_frames(
                         # paying for every frame (r8 review)
                         need = (max_frames - 1) * every_n + 1
                         frames = decode_gif_frames(b, max_frames=need)
+                    elif len(b) >= 8 and b[4:8] == b"ftyp":
+                        from social_media_etl_spark.sources.mp4 import (
+                            decode_mp4_frames,
+                        )
+
+                        need = (max_frames - 1) * every_n + 1
+                        frames = decode_mp4_frames(b, max_frames=need)
                     else:
                         frames = decode_ppm_stream(b)
                     for k, frame_i in enumerate(

@@ -203,6 +203,35 @@ def test_merge_respects_check_constraints(spark, tmp_path):
     assert t.head_version() == 0
 
 
+def test_merge_null_keys_never_match(spark, tmp_path):
+    """SQL MERGE semantics: NULL join keys match NOTHING — a
+    NULL-keyed source row takes the not-matched (insert) path and a
+    NULL-keyed target row survives untouched (r9 self-review: an
+    eqNullSafe rewrite join silently violated both)."""
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        _df(spark, [(None, "t-null", 1.0), (2, "b", 2.0)]),
+    )
+    src = _df(spark, [(None, "s-null", 9.0), (2, "b2", 0.0)])
+    t.merge(
+        src,
+        on=["k"],
+        when_matched_update={"v": "s.v", "amt": "s.amt"},
+        when_not_matched_insert="*",
+    )
+    got = sorted(
+        ((r["k"] if r["k"] is not None else -1), r["v"], r["amt"])
+        for r in t.read().collect()
+    )
+    # target NULL row untouched; source NULL row inserted; k=2 updated
+    assert got == [
+        (-1, "s-null", 9.0),
+        (-1, "t-null", 1.0),
+        (2, "b2", 0.0),
+    ]
+
+
 def test_merge_on_mor_table_does_not_resurrect(spark, tmp_path):
     t = VersionedTable.create(
         spark,
