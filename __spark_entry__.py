@@ -3822,10 +3822,11 @@ def _versioned_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/manifest.py:merge — Delta MERGE semantics as one
     copy-on-write commit, VERDICT r8 #6): an events slice is committed
     range-clustered on event_id (8 files), then batch 1 MERGEs a mixed
-    source — matched keys (event_id ≤ 999) take ``value = s.value``
+    source — matched keys (event_id ≤ 399) take ``value = s.value``
     (doubled), unmatched keys (the %11=5 slice) INSERT — in ONE atomic
     commit; batch 2 MERGEs a delete-only source (matched keys in
-    [1500, 2999] removed); batch 3 REPLAYS batch 2's txn and is
+    [500, 899] removed — ranges chosen to exist at EVERY testdata SF,
+    sf0.001's ids stop at 999); batch 3 REPLAYS batch 2's txn and is
     skipped by the committed_txns idempotency check (Delta txnAppId
     pattern). Gated in-plan on (a) the head being exactly v2 (one
     commit per effective batch, none for the replay), (b) batch 1
@@ -3849,7 +3850,7 @@ def _versioned_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     v0_files = set(t._read_manifest(0)["files"])
     # batch 1: matched update (value doubled for event_id <= 999) +
     # not-matched insert (the disjoint %11=5 slice)
-    src1 = base.filter(F.col("event_id") <= 999).withColumn(
+    src1 = base.filter(F.col("event_id") <= 399).withColumn(
         "value", F.col("value") * 2
     ).unionByName(
         events.filter(F.col("event_id") % 11 == 5).select(*cols)
@@ -3864,7 +3865,7 @@ def _versioned_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     m1_files = set(t._read_manifest(v1)["files"])
     cow_reused = bool(m1_files & v0_files) and m1_files != v0_files
     # batch 2: matched delete over a key range
-    src2 = base.filter(F.col("event_id").between(1500, 2999)).select(
+    src2 = base.filter(F.col("event_id").between(500, 899)).select(
         "event_id"
     )
     v2 = t.merge(
@@ -6537,7 +6538,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         b1 AS (
             SELECT event_id, event_type,
-                   CASE WHEN event_id <= 999 THEN value * 2
+                   CASE WHEN event_id <= 399 THEN value * 2
                         ELSE value END AS value
             FROM t0
             UNION ALL
@@ -6547,7 +6548,7 @@ def oracle_sql() -> dict[str, str]:
         b2 AS (
             SELECT * FROM b1
             WHERE NOT (event_id % 11 = 0
-                       AND event_id BETWEEN 1500 AND 2999)
+                       AND event_id BETWEEN 500 AND 899)
         )
         SELECT event_type,
                count(*) AS n_events,

@@ -953,7 +953,8 @@ class VersionedTable:
                 }
                 m["parts"] = {**(base.get("parts") or {}), **new_parts}
             if new_checked is False:
-                self._check_constraints(files, m)
+                # new files carry no deletion vectors — skip the anti-join
+                self._check_constraints(files, {**m, "delete_vectors": []})
                 new_checked = True
             if self._try_commit(m, v):
                 return v
@@ -1396,6 +1397,11 @@ class VersionedTable:
         dv_dir = f"{self.path}/dv/b{v:08d}-{uuid.uuid4().hex[:8]}"
         hits.write.mode("error").parquet(dv_dir)
         m = dict(ptr)
+        # drop op-specific keys a previous commit may have left in the
+        # pointer (a stale merge_on/predicate would misdescribe THIS
+        # commit in history inspection)
+        for stale in ("merge_on", "mode", "predicate", "txn"):
+            m.pop(stale, None)
         m.update(
             {
                 "version": v,
@@ -1875,8 +1881,9 @@ class VersionedTable:
                 },
                 **new_parts,
             }
-        # assignments can push rows outside a CHECK constraint
-        self._check_constraints(new_files, m)
+        # assignments can push rows outside a CHECK constraint; the
+        # rewritten files carry no deletion vectors — skip the anti-join
+        self._check_constraints(new_files, {**m, "delete_vectors": []})
         if not self._try_commit(m, v):
             raise ConcurrentWriteError(
                 f"VersionedTable: update rewrote against stale v{parent}; "
