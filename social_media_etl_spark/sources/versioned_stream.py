@@ -19,6 +19,10 @@ streaming source re-expressed through Spark 4's Python DataSource API:
   semantics passes ``N - 1`` (ADVICE r8 — documented rather than
   changed, because the exclusive form is what an offset checkpoint
   naturally stores and replaying it must not duplicate rows).
+  ``startingTimestamp`` (mutually exclusive, ISO-8601, UTC like every
+  timestamp in this engine) replays commits whose CAS instant is at or
+  after the timestamp — the Delta option, resolved against manifest
+  mtimes through the same pyarrow.fs layer.
 - ``latestOffset`` lists the manifest directory — O(versions) metadata,
   no data IO. Each micro-batch covers a committed version span.
 - ``partitions(start, end)`` resolves the span to the FILE-LEVEL
@@ -90,6 +94,26 @@ def _versions(fs, root: str) -> list[int]:
         if name.startswith("v") and name.endswith(".json"):
             out.append(int(name[1:-5]))
     return sorted(out)
+
+
+def _start_for_timestamp(fs, root: str, ts_ms: int) -> int:
+    """The offset for ``startingTimestamp``: commits whose CAS-rename
+    instant (manifest mtime) is AT OR AFTER the timestamp replay;
+    everything earlier counts as already consumed. Returns
+    ``first_commit_at_or_after - 1`` (our offsets are
+    last-consumed-exclusive), or the head when no commit qualifies yet
+    (the stream waits for new commits)."""
+    vs = _versions(fs, root)
+    if not vs:
+        raise ValueError(f"versioned_cdc: no commits at {root}")
+    for v in vs:
+        info = fs.get_file_info(
+            posixpath.join(root, "_manifests", f"v{v:08d}.json")
+        )
+        mtime_ms = int(info.mtime.timestamp() * 1000)
+        if mtime_ms >= ts_ms:
+            return v - 1
+    return vs[-1]
 
 
 def _pointer(fs, root: str, version: int) -> dict:
@@ -180,7 +204,25 @@ try:
             self._fs, self._root = _fs_for(self._path)
             self._fields = [f.name for f in schema.fields]
             sv = options.get("startingversion", options.get("startingVersion"))
-            self._start = int(sv) if sv is not None else -1
+            sts = options.get(
+                "startingtimestamp", options.get("startingTimestamp")
+            )
+            if sv is not None and sts is not None:
+                raise ValueError(
+                    "versioned_cdc: startingVersion and startingTimestamp "
+                    "are mutually exclusive"
+                )
+            if sts is not None:
+                from datetime import datetime, timezone
+
+                dt = datetime.fromisoformat(sts)
+                if dt.tzinfo is None:
+                    dt = dt.replace(tzinfo=timezone.utc)
+                self._start = _start_for_timestamp(
+                    self._fs, self._root, int(dt.timestamp() * 1000)
+                )
+            else:
+                self._start = int(sv) if sv is not None else -1
             self._op_cache: dict[int, str] = {}
 
         def initialOffset(self) -> dict:

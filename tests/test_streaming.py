@@ -718,6 +718,61 @@ def test_versioned_cdc_stream_source_schema_from_manifest(spark, tmp_path):
     assert stream.schema.simpleString() == "struct<k:bigint,v:string>"
 
 
+def test_versioned_cdc_starting_timestamp_replays_from_commit_instant(
+    spark, tmp_path
+):
+    """startingTimestamp (the Delta option): commits whose CAS instant
+    is at or after the timestamp replay; earlier ones count as
+    consumed. Resolved against manifest mtimes through pyarrow.fs."""
+    from datetime import datetime, timezone
+
+    from social_media_etl_spark.operators.manifest import VersionedTable
+    from social_media_etl_spark.sources.versioned_stream import (
+        register_versioned_cdc_source,
+    )
+
+    register_versioned_cdc_source(spark)
+    src = VersionedTable.create(
+        spark, str(tmp_path / "src"), _vt_df(spark, [(1, "a"), (2, "b")])
+    )
+    src.append(_vt_df(spark, [(3, "c")]))
+    ts1 = (
+        src.history().filter("version = 1").collect()[0]["commit_ts_ms"]
+    )
+    lit = datetime.fromtimestamp(ts1 / 1000.0, tz=timezone.utc).strftime(
+        "%Y-%m-%d %H:%M:%S.%f"
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("versioned_cdc")
+        .option("path", src.path)
+        .option("startingTimestamp", lit)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # only v1's rows replay — v0 predates the timestamp
+    assert sorted(r["k"] for r in spark.read.parquet(out).collect()) == [3]
+    # both options together refuse
+    with pytest.raises(Exception, match="mutually exclusive"):
+        q2 = (
+            spark.readStream.format("versioned_cdc")
+            .option("path", src.path)
+            .option("startingVersion", "0")
+            .option("startingTimestamp", lit)
+            .load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
+
+
 def test_versioned_cdc_refuses_unreachable_scheme():
     """A table path whose scheme pyarrow.fs cannot resolve must refuse
     with a clear error naming the URI — never silently read nothing
