@@ -1895,12 +1895,18 @@ class VersionedTable:
         self,
         target_files: int = 1,
         recluster_by: str | None = None,
+        zorder_by: list[str] | None = None,
         max_retries: int = 10,
     ) -> int:
         """Small-file compaction as a snapshot rewrite (the
         Delta/Iceberg OPTIMIZE pattern): re-lay the head's rows into
         ``target_files`` files — range-clustered on ``recluster_by``
-        when given (re-tightening stats bounds for pruning), hash-laid
+        when given (re-tightening stats bounds for pruning),
+        Z-ORDER-clustered on ``zorder_by`` (2-4 columns bit-interleaved
+        via ``warehouse.zorder_value`` — Delta's OPTIMIZE ZORDER BY:
+        every output file bounds a small min/max rectangle in ALL the
+        clustered dimensions, so manifest-stats pruning skips files for
+        predicates on ANY of them), hash-laid
         otherwise — and commit op ``optimize``. Content is unchanged
         (reads before and after are identical); what changes is the
         FILE GEOMETRY: a long append chain accumulates many small
@@ -1916,11 +1922,27 @@ class VersionedTable:
         and partition values carried from the winning head). Only a
         concurrent REWRITE (upsert/overwrite/delete/update/another
         optimize) raises — the compacted content is then stale."""
+        if recluster_by is not None and zorder_by:
+            raise ValueError(
+                "VersionedTable.optimize: recluster_by and zorder_by "
+                "are mutually exclusive clusterings"
+            )
         parent = self.head_version()
         base_ptr = self._read_pointer(parent)
         base = self._resolve(base_ptr)
         df = self._read_files(base, base["files"])
-        if recluster_by is not None:
+        if zorder_by:
+            from social_media_etl_spark.operators.warehouse import (
+                zorder_value,
+            )
+
+            df = (
+                zorder_value(df, zorder_by)
+                .repartitionByRange(target_files, F.col("__z"))
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        elif recluster_by is not None:
             df = df.repartitionByRange(
                 target_files, recluster_by
             ).sortWithinPartitions(recluster_by)

@@ -227,3 +227,36 @@ def test_segment_files_are_valid_json_with_expected_shape(spark, tmp_path):
     seg = json.loads((tmp_path / "t" / "_manifests" / name).read_text())
     assert set(seg) == {"files", "stats", "parts"}
     assert seg["files"] and set(seg["stats"]) <= set(seg["files"])
+
+
+def test_optimize_zorder_by_tightens_stats_on_every_dimension(spark, tmp_path):
+    """OPTIMIZE ZORDER BY (Delta's multi-column clustering on the
+    versioned layer): after compaction the manifest's per-file stats
+    prune narrow ranges on EITHER clustered column — a single-column
+    range layout can only do one."""
+    from pyspark.sql import functions as F
+
+    n = 1024
+    grid = spark.range(n).select(
+        (F.col("id") % 32).alias("x"),
+        (F.col("id") / 32).cast("long").alias("y"),
+        F.lit("p").alias("v"),
+    )
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        grid.repartition(8),
+        stats_cols=["x", "y"],
+    )
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        t.optimize(recluster_by="x", zorder_by=["x", "y"])
+    v = t.optimize(target_files=16, zorder_by=["x", "y"])
+    kept_x, total = t.pruned_file_count("x", 3, 4, version=v)
+    kept_y, _ = t.pruned_file_count("y", 3, 4, version=v)
+    assert total == 16
+    assert kept_x < total and kept_y < total  # BOTH dims skip files
+    # content identical
+    assert t.read(v).count() == n
+    assert t.read(v).agg(F.sum("x"), F.sum("y")).collect() == grid.agg(
+        F.sum("x"), F.sum("y")
+    ).collect()
