@@ -555,6 +555,7 @@ def encode_jpeg_progressive(
     quant_chroma=None,
     subsample=False,
     successive=True,
+    scans=None,
 ) -> bytes:
     """uint8 (H, W, 3) RGB → PROGRESSIVE JFIF JPEG bytes (SOF2,
     T.81 Annex G) — closes the r8 verdict's missing #4 for JPEG with a
@@ -570,7 +571,16 @@ def encode_jpeg_progressive(
     EOB runs are capped at 1 so the standard Annex-K Huffman tables
     suffice (they carry no EOBn symbols); the decoder accepts full EOBn
     from foreign files regardless. Quant-table rules match the baseline
-    encoder."""
+    encoder.
+
+    ``scans`` overrides the script entirely: a list of
+    ``(comps, ss, se, ah, al)`` tuples — DC scans (``ss == se == 0``)
+    must name all components ``[0, 1, 2]`` (interleaved), AC scans one
+    component. LEGALITY is the caller's contract (first scan before
+    refinements, Al stepping down by 1, DC before a component's AC) —
+    the randomized-script property test drives this to prove the
+    decoder handles arbitrary legal progressions, not just the two
+    canned scripts."""
     import numpy as np  # noqa: F401 - numpy comes back via the helper
 
     (h, w, hs, vs, mcus_x, mcus_y, ql, qc, yq, cbq, crq, ybw, cbw) = (
@@ -653,15 +663,42 @@ def encode_jpeg_progressive(
         writer.flush()
         return _sos([ci], ss, se, ah, al) + bytes(writer.out)
 
-    if successive:
-        scans = [_dc_first_scan(1)]
-        scans += [_ac_scan(ci, 1, 63, 0, 1) for ci in range(3)]
-        scans.append(_dc_refine_scan(1, 0))
-        scans += [_ac_scan(ci, 1, 63, 1, 0) for ci in range(3)]
+    if scans is not None:
+        script = list(scans)
+    elif successive:
+        script = [([0, 1, 2], 0, 0, 0, 1)]
+        script += [([ci], 1, 63, 0, 1) for ci in range(3)]
+        script.append(([0, 1, 2], 0, 0, 1, 0))
+        script += [([ci], 1, 63, 1, 0) for ci in range(3)]
     else:
-        scans = [_dc_first_scan(0)]
-        scans += [_ac_scan(ci, 1, 5, 0, 0) for ci in range(3)]
-        scans += [_ac_scan(ci, 6, 63, 0, 0) for ci in range(3)]
+        script = [([0, 1, 2], 0, 0, 0, 0)]
+        script += [([ci], 1, 5, 0, 0) for ci in range(3)]
+        script += [([ci], 6, 63, 0, 0) for ci in range(3)]
+
+    emitted = []
+    for comps, ss, se, ah, al in script:
+        if ss == 0:
+            if se != 0:
+                raise ValueError(
+                    "encode_jpeg_progressive: a scan may not mix the DC "
+                    "coefficient with an AC band"
+                )
+            if list(comps) != [0, 1, 2]:
+                raise ValueError(
+                    "encode_jpeg_progressive: DC scans are interleaved "
+                    "over all three components in this encoder"
+                )
+            emitted.append(
+                _dc_first_scan(al) if ah == 0 else _dc_refine_scan(ah, al)
+            )
+        else:
+            if len(comps) != 1:
+                raise ValueError(
+                    "encode_jpeg_progressive: AC scans are "
+                    "single-component (T.81 G.1.1)"
+                )
+            emitted.append(_ac_scan(comps[0], ss, se, ah, al))
+    scans = emitted
 
     def _dqt(tq, table):
         zzb = bytes(int(table[r, c]) & 0xFF for r, c in _ZZ)

@@ -484,6 +484,63 @@ def test_jpeg_progressive_roundtrip_both_scan_scripts():
             assert err <= 2, (img.shape, successive, err)
 
 
+def test_jpeg_progressive_randomized_scan_scripts_bit_match_baseline():
+    """The decoder must handle ANY legal progression, not just the two
+    canned scripts: random contiguous AC band splits per component,
+    random successive-approximation depth per band and for DC, and
+    random legal interleavings of the scan chains — each decode must be
+    BIT-IDENTICAL to the baseline decode of the same quantized data
+    (the layering is lossless by construction; any drift is a
+    correction-bit ordering bug)."""
+    import random
+
+    import numpy as np
+
+    from social_media_etl_spark.sources import jpeg as J
+
+    rng = np.random.default_rng(31)
+    pyr = random.Random(31)
+    img = rng.integers(0, 256, (19, 14, 3), dtype=np.uint8)
+    base = J.decode_jpeg(J.encode_jpeg_baseline(img))
+    for trial in range(6):
+        # chains: each is an ordered list of scans that must stay in
+        # order; different chains interleave arbitrarily
+        dc_al = pyr.randint(0, 2)
+        chains = [
+            [([0, 1, 2], 0, 0, 0, dc_al)]
+            + [([0, 1, 2], 0, 0, a + 1, a) for a in range(dc_al - 1, -1, -1)]
+        ]
+        ac_chains = []
+        for ci in range(3):
+            # split [1, 63] into 1-3 contiguous bands
+            cuts = sorted(pyr.sample(range(2, 63), pyr.randint(0, 2)))
+            bounds = [1] + cuts + [64]
+            for lo, hi in zip(bounds, bounds[1:]):
+                al = pyr.randint(0, 2)
+                chain = [([ci], lo, hi - 1, 0, al)]
+                chain += [
+                    ([ci], lo, hi - 1, a + 1, a)
+                    for a in range(al - 1, -1, -1)
+                ]
+                ac_chains.append(chain)
+        # a component's AC scans must follow the DC first scan: emit
+        # the DC chain's head first, then merge everything else
+        pyr.shuffle(ac_chains)
+        chains += ac_chains
+        script = [chains[0][0]]
+        cursors = [1] + [0] * (len(chains) - 1)
+        remaining = sum(len(c) for c in chains) - 1
+        while remaining:
+            i = pyr.randrange(len(chains))
+            if cursors[i] < len(chains[i]):
+                script.append(chains[i][cursors[i]])
+                cursors[i] += 1
+                remaining -= 1
+        payload = J.encode_jpeg_progressive(img, scans=script)
+        dec = J.decode_jpeg(payload)
+        assert np.array_equal(dec, base), f"trial={trial} script={script}"
+
+
 def test_jpeg_progressive_decodes_foreign_eobn_runs():
     """Our encoder caps EOB runs at 1 (Annex-K tables carry no EOBn
     symbols), but FOREIGN progressive files use them freely — craft a
