@@ -508,7 +508,11 @@ def _driver_component_threshold(spark) -> int:
     if mem and mem[-1] in units:
         heap = int(float(mem[:-1]) * units[mem[-1]])
     else:
-        heap = int(mem) if mem.isdigit() else 1 << 30
+        # Spark reads a suffix-less memory string as MiB, not bytes
+        # (ADVICE r9: '2048' is 2 GiB — parsing it as 2048 BYTES hit
+        # the 10k floor and flipped medium edge sets onto the
+        # distributed loop the bench records as 3.6x slower)
+        heap = (int(mem) << 20) if mem.isdigit() else 1 << 30
     return max(10_000, min(1_000_000, heap // 50 // 300))
 
 

@@ -19,10 +19,15 @@ streaming source re-expressed through Spark 4's Python DataSource API:
   semantics passes ``N - 1`` (ADVICE r8 — documented rather than
   changed, because the exclusive form is what an offset checkpoint
   naturally stores and replaying it must not duplicate rows).
-  ``startingTimestamp`` (mutually exclusive, ISO-8601, UTC like every
-  timestamp in this engine) replays commits whose CAS instant is at or
-  after the timestamp — the Delta option, resolved against manifest
-  mtimes through the same pyarrow.fs layer.
+  ``startingVersionInclusive`` is the Delta-INCLUSIVE form of the same
+  option (ADVICE r8 #1, closed in code r10): ``N`` means version N's
+  own rows ARE emitted — internally it stores the exclusive offset
+  ``N - 1``, so checkpoints keep the replay-safe exclusive contract
+  and a ported Delta consumer loses no commit. ``startingTimestamp``
+  (all three mutually exclusive, ISO-8601, UTC like every timestamp
+  in this engine) replays commits whose CAS instant is at or after
+  the timestamp — the Delta option, resolved against manifest mtimes
+  through the same pyarrow.fs layer.
 - ``latestOffset`` lists the manifest directory — O(versions) metadata,
   no data IO. Each micro-batch covers a committed version span.
 - ``partitions(start, end)`` resolves the span to the FILE-LEVEL
@@ -37,6 +42,13 @@ streaming source re-expressed through Spark 4's Python DataSource API:
   the span raises, like ``read_changes``: added-rows semantics only
   exist along append-only chains; a consumer of a rewritten range must
   re-snapshot.
+- DELETION VECTORS (ADVICE r9, high): a snapshot taken AT OR AFTER a
+  ``delete(mode='mor')`` applies the head's delete vectors — each file
+  partition anti-filters its (file, row-position) keys while
+  enumerating rows, so MoR-deleted rows are never resurrected by the
+  stream. Spans with ``start >= 0`` need no filtering: their new files
+  postdate every vector (a MoR delete inside the span is op ``delete``
+  and raises via the rewrite refusal above).
 
 FILESYSTEM: all manifest/segment/data IO goes through ``pyarrow.fs``
 resolved from the table path's own scheme (VERDICT r8 #4) — plain
@@ -47,7 +59,13 @@ unrecognized scheme raises immediately with the offending URI (the
 stream reader runs in a Python worker without a JVM, so Hadoop FS
 itself is not reachable — pyarrow.fs is the same abstraction at the
 Arrow layer, and it is what the batch side's footer-stats reader
-already uses on executors).
+already uses on executors). Manifests record DATA-FILE paths with the
+scheme and authority stripped (``toUri().getPath()``), so before any
+open the reader RE-QUALIFIES a recorded path against the table URI's
+own root (``_requalify`` — ADVICE r9: without this an ``s3://bucket``
+table would lose its bucket); plain paths and ``file://`` — the forms
+exercised in this container — pass through unchanged, remote schemes
+resolve but are untested here.
 """
 
 from __future__ import annotations
@@ -81,6 +99,52 @@ def _fs_for(path: str):
 def _read_json(fs, path: str) -> dict:
     with fs.open_input_stream(path) as f:
         return json.loads(f.read().decode("utf-8"))
+
+
+def _requalify(root: str, table_path: str, p: str) -> str:
+    """Map a manifest-recorded data-file/DV path (the JVM writer
+    records ``toUri().getPath()`` — scheme AND authority stripped)
+    onto the stream's pyarrow filesystem root, so a remote table's
+    bucket/authority is restored before ``open_input_file`` (ADVICE
+    r9). Local paths and ``file://`` tables pass through unchanged —
+    their recorded paths are already openable."""
+    if "://" not in table_path or table_path.startswith("file://"):
+        return p
+    from urllib.parse import urlparse
+
+    tbl = urlparse(table_path).path.rstrip("/")
+    if tbl and p.startswith(tbl + "/"):
+        # fs root is "<authority><uri-path>"; graft the sub-table
+        # suffix of the recorded path under it
+        return root.rstrip("/") + p[len(tbl):]
+    return p
+
+
+def _dv_positions(fs, root: str, table_path: str, dv_dirs, file_path) -> set:
+    """Row positions of ``file_path`` deleted by the given deletion-
+    vector directories (parquet of (file, row-position) keys written
+    by ``VersionedTable.delete(mode='mor')`` — column names pinned in
+    operators/manifest.py:_DV_FILE/_DV_POS). The vector's file column
+    holds the scan-side ``_metadata.file_path`` URI; the manifest
+    records plain paths — compare on the unquoted URI path, the same
+    normalization the batch layer's ``_touched_files`` uses. Bounded
+    by deleted rows, read once per (file, batch)."""
+    from urllib.parse import unquote, urlparse
+
+    import pyarrow.dataset as ds
+
+    out: set = set()
+    for d in dv_dirs:
+        dset = ds.dataset(
+            _requalify(root, table_path, d), filesystem=fs, format="parquet"
+        )
+        tbl = dset.to_table(columns=["__smetl_dv_file", "__smetl_dv_pos"])
+        for v, pos in zip(
+            tbl.column(0).to_pylist(), tbl.column(1).to_pylist()
+        ):
+            if unquote(urlparse(v).path) == file_path:
+                out.add(pos)
+    return out
 
 
 def _versions(fs, root: str) -> list[int]:
@@ -191,8 +255,11 @@ try:
     )
 
     class _FilePartition(InputPartition):
-        def __init__(self, file: str | None):
+        def __init__(self, file: str | None, dv_dirs: list | None = None):
             self.file = file
+            # deletion-vector dirs to anti-filter while reading this
+            # file (initial-snapshot batches of MoR-deleted tables)
+            self.dv_dirs = dv_dirs
 
     class _VersionedCdcStreamReader(DataSourceStreamReader):
         def __init__(self, options, schema: T.StructType):
@@ -204,15 +271,25 @@ try:
             self._fs, self._root = _fs_for(self._path)
             self._fields = [f.name for f in schema.fields]
             sv = options.get("startingversion", options.get("startingVersion"))
+            svi = options.get(
+                "startingversioninclusive",
+                options.get("startingVersionInclusive"),
+            )
             sts = options.get(
                 "startingtimestamp", options.get("startingTimestamp")
             )
-            if sv is not None and sts is not None:
+            if sum(x is not None for x in (sv, svi, sts)) > 1:
                 raise ValueError(
-                    "versioned_cdc: startingVersion and startingTimestamp "
-                    "are mutually exclusive"
+                    "versioned_cdc: startingVersion, "
+                    "startingVersionInclusive and startingTimestamp are "
+                    "mutually exclusive"
                 )
-            if sts is not None:
+            if svi is not None:
+                # Delta-inclusive form (ADVICE r8 #1): version N's own
+                # rows ARE emitted. The checkpointable offset stays
+                # exclusive — N inclusive is N-1 consumed.
+                self._start = int(svi) - 1
+            elif sts is not None:
                 from datetime import datetime, timezone
 
                 dt = datetime.fromisoformat(sts)
@@ -239,20 +316,44 @@ try:
             files = _span_files(self._fs, self._root, s, e, self._op_cache)
             if not files:
                 return [_FilePartition(None)]
-            return [_FilePartition(f) for f in files]
+            dv_dirs = None
+            if s < 0:
+                # initial snapshot: the end version's deletion vectors
+                # apply (ADVICE r9 high — without this, rows removed by
+                # delete(mode='mor') resurrect in the stream). Spans
+                # with s >= 0 never need them: their files postdate
+                # every vector, and a MoR delete inside the span raises
+                # via the rewrite refusal in _span_files.
+                dv_dirs = (
+                    _pointer(self._fs, self._root, e).get("delete_vectors")
+                    or None
+                )
+            return [_FilePartition(f, dv_dirs) for f in files]
 
         def read(self, partition):
             if partition.file is None:
                 return
             import pyarrow.parquet as pq
 
-            # data file paths are recorded scheme-stripped; read them
-            # through the TABLE's filesystem so remote tables resolve
-            fs, _ = _fs_for(self._path)
-            with fs.open_input_file(partition.file) as f:
+            # data file paths are recorded scheme-stripped; re-qualify
+            # against the TABLE's own URI and read through its
+            # filesystem so remote tables resolve (ADVICE r9)
+            fs, root = _fs_for(self._path)
+            drop = (
+                _dv_positions(
+                    fs, root, self._path,
+                    partition.dv_dirs, partition.file,
+                )
+                if getattr(partition, "dv_dirs", None)
+                else None
+            )
+            fpath = _requalify(root, self._path, partition.file)
+            with fs.open_input_file(fpath) as f:
                 tbl = pq.read_table(f)
             names = set(tbl.schema.names)
-            for rec in tbl.to_pylist():
+            for pos, rec in enumerate(tbl.to_pylist()):
+                if drop is not None and pos in drop:
+                    continue  # MoR-deleted row — never emitted
                 # pre-evolution files NULL-fill manifest columns their
                 # footer does not carry, as in snapshot reads
                 yield tuple(

@@ -587,3 +587,28 @@ def test_cosine_topk_excludes_zero_norm_pairs(spark):
     rows = similarity.cosine_topk(emb, emb.filter("vec_id = 0"), k=5).collect()
     assert all(r["cosine"] is not None for r in rows)
     assert sorted(r["neighbor_id"] for r in rows) == [1]  # no filler row
+
+
+def test_component_threshold_parses_suffixless_memory_as_mib():
+    """ADVICE r9: Spark reads a suffix-less ``spark.driver.memory``
+    value as MiB; parsing '2048' as BYTES hit the 10k floor and
+    flipped medium edge sets onto the distributed loop the repo's own
+    bench records as 3.6x slower. '2048' must equal '2g'."""
+
+    class _Conf:
+        def __init__(self, mem):
+            self._m = mem
+
+        def get(self, key, default=None):
+            if key == "spark.driver.memory":
+                return self._m
+            return default
+
+    class _S:
+        def __init__(self, mem):
+            self.conf = _Conf(mem)
+
+    assert dedup._driver_component_threshold(
+        _S("2048")
+    ) == dedup._driver_component_threshold(_S("2g"))
+    assert dedup._driver_component_threshold(_S("2048")) > 10_000

@@ -898,3 +898,129 @@ def test_sync_table_changes_refuses_changed_start_version(spark, tmp_path):
         ingest.sync_table_changes(
             spark, src.path, str(tmp_path / "dst"), "cdc", start_version=1
         )
+
+
+def test_versioned_cdc_snapshot_applies_mor_delete_vectors(spark, tmp_path):
+    """ADVICE r9 (high): a stream whose initial snapshot is taken AT
+    OR AFTER a ``delete(mode='mor')`` must not resurrect the deleted
+    rows — the reader anti-filters the head's deletion vectors per
+    file partition. Appends after the snapshot still flow untouched
+    (new files postdate every vector)."""
+    from social_media_etl_spark.operators.manifest import VersionedTable
+    from social_media_etl_spark.sources.versioned_stream import (
+        register_versioned_cdc_source,
+    )
+
+    register_versioned_cdc_source(spark)
+    src = VersionedTable.create(
+        spark,
+        str(tmp_path / "src"),
+        _vt_df(spark, [(1, "a"), (2, "b"), (3, "c")]),
+    )
+    src.delete("k = 2", mode="mor")
+    assert sorted(r["k"] for r in src.read().collect()) == [1, 3]
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("versioned_cdc")
+            .option("path", src.path)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    # the MoR-deleted row must NOT appear in the snapshot batch
+    assert sorted(r["k"] for r in spark.read.parquet(out).collect()) == [1, 3]
+    # an append after the snapshot is a plain DV-free delta
+    src.append(_vt_df(spark, [(4, "d")]))
+    drain()
+    assert sorted(r["k"] for r in spark.read.parquet(out).collect()) == [
+        1,
+        3,
+        4,
+    ]
+
+
+@pytest.mark.parametrize(
+    "option, value, expected_first",
+    [
+        ("startingVersion", "1", [4]),  # exclusive: v1 already consumed
+        ("startingVersionInclusive", "1", [3, 4]),  # Delta form: v1 emits
+    ],
+)
+def test_versioned_cdc_starting_version_forms_exactly_once(
+    spark, tmp_path, option, value, expected_first
+):
+    """ADVICE r8 #1 closed in code (VERDICT r9 #6): ``startingVersion``
+    keeps the exclusive offset-checkpoint contract; the new
+    ``startingVersionInclusive`` is the Delta-ported inclusive form —
+    version N's own rows ARE emitted. Both forms stay exactly-once
+    across a checkpoint resume."""
+    from social_media_etl_spark.operators.manifest import VersionedTable
+    from social_media_etl_spark.sources.versioned_stream import (
+        register_versioned_cdc_source,
+    )
+
+    register_versioned_cdc_source(spark)
+    src = VersionedTable.create(
+        spark, str(tmp_path / "src"), _vt_df(spark, [(1, "a"), (2, "b")])
+    )
+    src.append(_vt_df(spark, [(3, "c")]))  # v1
+    src.append(_vt_df(spark, [(4, "d")]))  # v2
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("versioned_cdc")
+            .option("path", src.path)
+            .option(option, value)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    got = sorted(r["k"] for r in spark.read.parquet(out).collect())
+    assert got == expected_first
+    # resume: only genuinely new commits are emitted, once
+    src.append(_vt_df(spark, [(5, "e")]))  # v3
+    drain()
+    got2 = sorted(r["k"] for r in spark.read.parquet(out).collect())
+    assert got2 == expected_first + [5]
+
+
+def test_versioned_cdc_starting_options_mutually_exclusive(spark, tmp_path):
+    from social_media_etl_spark.operators.manifest import VersionedTable
+    from social_media_etl_spark.sources.versioned_stream import (
+        register_versioned_cdc_source,
+    )
+
+    register_versioned_cdc_source(spark)
+    src = VersionedTable.create(
+        spark, str(tmp_path / "src"), _vt_df(spark, [(1, "a")])
+    )
+    stream = (
+        spark.readStream.format("versioned_cdc")
+        .option("path", src.path)
+        .option("startingVersion", "0")
+        .option("startingVersionInclusive", "0")
+        .load()
+    )
+    with pytest.raises(Exception, match="mutually exclusive"):
+        (
+            stream.writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
