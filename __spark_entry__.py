@@ -3701,6 +3701,223 @@ def _versioned_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _versioned_multipart_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column partition spec certified (operators/manifest.py
+    create(partition_by=[...]) — VERDICT r9 #3, the Iceberg
+    partition-tuple-per-file): the events slice is committed
+    partitioned by the ORDERED tuple (event_type, uband) — uband =
+    user_id % 3, so the layout is the two-level (category, shard)
+    shape real lakehouse tables run — AND range-clustered on event_id
+    with footer stats. Gated in-plan on the tuple actually pruning on
+    BOTH dimensions: (a) the first spec column alone skips files,
+    (b) the SECOND column alone skips files (tuple metadata, not just
+    Hive prefix paths), (c) the two-dim conjunct is strictly tighter
+    than either alone, and (d) event_id stats pruning stacks on top.
+    The result is certified against the oracle's plain filter, so
+    tuple pruning provably never drops a row (NULL user_ids land as
+    NULL tuple positions and are kept by the metadata, dropped only by
+    the exact filter — both engines agree)."""
+    from social_media_etl_spark.operators.manifest import VersionedTable
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.pmod(F.col("user_id"), F.lit(3)).cast("long").alias("uband"),
+    )
+    clustered = events.repartitionByRange(4, "event_id").sortWithinPartitions(
+        "event_id"
+    )
+    d = _tmpdir(prefix="smetl_vmpart_")
+    t = VersionedTable.create(
+        spark,
+        f"{d}/t",
+        clustered,
+        partition_by=["event_type", "uband"],
+        stats_cols=["event_id"],
+    )
+    preds_a = [("event_type", "purchase", "purchase")]
+    preds_b = [("uband", 1, 1)]
+    k_a, total = t.pruned_file_count_all(preds_a)
+    k_b, _ = t.pruned_file_count_all(preds_b)
+    k_ab, _ = t.pruned_file_count_all(preds_a + preds_b)
+    k_stats, _ = t.pruned_file_count_all(
+        preds_a + preds_b + [("event_id", 100, 899)]
+    )
+    ok = (
+        k_a < total
+        and k_b < total
+        and k_ab < min(k_a, k_b)
+        and k_stats <= k_ab
+    )
+    return (
+        t.read_where_all(preds_a + preds_b + [("event_id", 100, 899)])
+        .where(F.lit(ok))
+        .groupBy(
+            F.coalesce(F.floor(F.col("value") / 100), F.lit(-1))
+            .cast("long")
+            .alias("band")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("band")
+    )
+
+
+def _versioned_column_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-mapping RENAME certified (operators/manifest.py:
+    rename_column — VERDICT r9 #4, schema evolution v2): the events
+    slice is committed range-clustered on event_id with footer stats,
+    then event_id→eid and value→amount rename as two METADATA-ONLY
+    commits (name→field-id indirection; the alias chain records the
+    old physical names). Gated in-plan on (a) ZERO data IO — both
+    rename commits keep the file list byte-identical to v0, (b) time
+    travel: the PRE-RENAME snapshot v0 still reads byte-identically
+    under its own manifest, OLD column names and all (null-safe
+    certification join on every column), (c) stats pruning on the
+    RENAMED column still skipping files — the pre-rename files
+    recorded stats under 'event_id', so a green prune proves the
+    alias-chain fallthrough works — and (d) the field ids surviving
+    the renames. The returned aggregate reads the head under the NEW
+    names and is certified against the oracle's plain filter on the
+    ORIGINAL names — the mapping provably changes nothing but names."""
+    from social_media_etl_spark.operators.manifest import VersionedTable
+
+    cols = ["event_id", "event_type", "value"]
+    events = load_table(spark, sf_dir, "events").select(*cols)
+    clustered = events.repartitionByRange(8, "event_id").sortWithinPartitions(
+        "event_id"
+    )
+    d = _tmpdir(prefix="smetl_vrename_")
+    t = VersionedTable.create(
+        spark, f"{d}/t", clustered, stats_cols=["event_id"]
+    )
+    v0_files = t._read_manifest(0)["files"]
+    t.rename_column("event_id", "eid")
+    t.rename_column("value", "amount")
+    m2 = t._read_manifest(2)
+    kept, total = t.pruned_file_count("eid", 100, 599)
+    ids = m2.get("field_ids") or {}
+    ok = (
+        m2["files"] == v0_files  # metadata-only: zero files moved
+        and kept < total  # stats prune through the alias chain
+        and ids.get("eid") == 1
+        and ids.get("amount") == 3
+        and [f.name for f in t.read().schema.fields]
+        == ["eid", "event_type", "amount"]
+    )
+    v0_cert = (
+        _certified_join(clustered, t.read(0), cols, "ren")
+        .agg(F.count(F.lit(1)).alias("__n_cert"))
+        .crossJoin(
+            F.broadcast(clustered.agg(F.count(F.lit(1)).alias("__n_base")))
+        )
+        .filter(F.col("__n_cert") == F.col("__n_base"))
+        .select(F.lit(1).alias("__gate"))
+    )
+    return (
+        t.read_where("eid", 100, 599)
+        .where(F.lit(ok))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("amount"), 2).alias("sum_amount"),
+        )
+        .crossJoin(F.broadcast(v0_cert))
+        .drop("__gate")
+        .orderBy("event_type")
+    )
+
+
+def _versioned_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket spec in the VERSIONED layer certified (operators/
+    manifest.py create(bucket_by=...) + register_bucketed — VERDICT r9
+    #5, marrying test_bucketing.py's zero-exchange layout to the
+    transactional layer): orders and lineitem slices are committed as
+    VersionedTables bucket-hashed 8-ways on the order key — lineitem
+    in TWO commits, because the zero-exchange plan must SURVIVE AN
+    APPEND (the bucket hash is stable, so every commit's files join
+    one bucket universe) — then each head registers as a session-
+    catalog bucketed table through a hard-linked view dir (O(files)
+    metadata, zero data copied). Gated in-plan on the probe join's AQE
+    FINAL plan being a SortMergeJoin with BOTH scans bucket-pruned
+    (SelectedBucketsCount 8/8) and ZERO exchange on either join key —
+    broadcast disabled for the probe so bucketing, not a size
+    estimate, is what eliminates the shuffle. The returned aggregate
+    reads the registered tables and is certified against the oracle's
+    plain join. The layout is a stored artifact, built once per
+    (session, sf_dir) and amortized, as a warehouse would."""
+    from social_media_etl_spark.operators.manifest import VersionedTable
+
+    built = getattr(spark, "_smetl_vbkt_for", None)
+    want = (spark.sparkContext.applicationId, sf_dir)
+    if built is None or built.get("key") != want:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount", "l_quantity"
+        )
+        d = _tmpdir(prefix="smetl_vbktj_")
+        to = VersionedTable.create(
+            spark, f"{d}/o", orders, bucket_by=("o_orderkey", 8)
+        )
+        tl = VersionedTable.create(
+            spark,
+            f"{d}/l",
+            li.where("l_orderkey % 2 = 0"),
+            bucket_by=("l_orderkey", 8),
+        )
+        tl.append(li.where("l_orderkey % 2 != 0"))
+        odf = to.register_bucketed("smetl_vbkt_orders")
+        ldf = tl.register_bucketed("smetl_vbkt_lineitem")
+        old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            probe = (
+                ldf.join(odf, F.col("l_orderkey") == F.col("o_orderkey"))
+                .groupBy("o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            probe.collect()
+            plan = (
+                probe._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+                .split("== Initial Plan ==")[0]
+            )
+            ok = (
+                "SortMergeJoin" in plan
+                and "Exchange hashpartitioning(l_orderkey" not in plan
+                and "Exchange hashpartitioning(o_orderkey" not in plan
+                and plan.count("SelectedBucketsCount: 8 out of 8") == 2
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", old_thresh
+            )
+        spark._smetl_vbkt_for = {"key": want, "ok": ok}
+    ok = spark._smetl_vbkt_for["ok"]
+    o = spark.table("smetl_vbkt_orders")
+    li = spark.table("smetl_vbkt_lineitem")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.lit(ok))
+        .where(F.col("l_quantity") >= 10)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def _versioned_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read DELETE via deletion vectors certified
     (operators/manifest.py:delete(mode='mor') — the Delta
@@ -4067,21 +4284,77 @@ def _managed(fn: Callable[[SparkSession, str], DataFrame]):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver grades only the FIRST 50
-    # entries per round (VERDICT r2). Round-9 window (pinned by
-    # tests/test_grading_window.py): the 41-key R9_QUEUE from the r8
-    # verdict leads (the r6-greens whose record turned 2 rounds old at
-    # r8 close), then any new r9 keys (the r8 verdict's asks #3/#5/#6/
-    # #8 — manifest segments, merge-on-read delete, MERGE INTO, SQL
-    # time travel), then the oldest r7-greens fill the window to 50.
-    # The 50 r8-graded keys sit in the middle (freshest record); the
-    # remaining r7-greens form the R10_QUEUE at the dict tail (their
-    # green turns 2 rounds old at r9 close, so they must lead the r10
+    # entries per round (VERDICT r2). Round-10 window (pinned by
+    # tests/test_grading_window.py): the 45-key R10_QUEUE from the r9
+    # verdict leads (the r7-greens whose record turned 2 rounds old at
+    # r9 close), then any new r10 keys (the r9 verdict's asks #3/#4/#5
+    # — multi-column partition specs, column-mapping RENAME, versioned
+    # bucket spec), then the oldest r8-greens fill the window to 50.
+    # The 50 r9-graded keys sit in the middle (freshest record); the
+    # remaining r8-greens form the R11_QUEUE at the dict tail (their
+    # green turns 2 rounds old at r10 close, so they must lead the r11
     # window). Keep this paragraph in sync with
     # tests/test_grading_window.py — window planning is done from here
     # (r2 postmortem).
     qs = {
-        # -- R9_QUEUE (41 keys): last green in r6, 2 rounds old at r8
-        # close — re-certify now (r8 verdict ask #1) ----------------------
+        # -- R10_QUEUE (45 keys): last green in r7, 2 rounds old at r9
+        # close — re-certify now (r9 verdict ask #1) ----------------------
+        "rollup_revenue": _rollup_revenue,
+        "grouping_sets_revenue": _grouping_sets,
+        "udtf_ngrams_count": _udtf_ngrams,
+        "cube_revenue": _cube_revenue,
+        "price_quantiles_exact": _price_quantiles,
+        "set_ops_priority_custs": _set_ops,
+        "kmeans_embeddings": _kmeans_embeddings,
+        "pagerank_trade_graph": _pagerank_trade_graph,
+        "cms_heavy_hitters": _cms_heavy_hitters,
+        "bigram_logprob_quality": _bigram_logprob,
+        "ks_drift_events": _ks_drift_events,
+        "duplicate_span_fraction": _duplicate_spans,
+        "regression_value_trend": _regression_value_trend,
+        "streaming_cms_topk": _streaming_cms_topk,
+        "source_token_kl": _source_token_kl,
+        "winsorized_stats_events": _winsorized_stats,
+        "events_ohlc_bars": _events_ohlc_bars,
+        "chi2_type_value_band": _chi2_type_band,
+        "weighted_sample_aes": _weighted_sample_aes,
+        "hashed_feature_vectors": _hashed_features,
+        "event_transition_matrix": _event_transitions,
+        "hourly_corr_click_purchase": _hourly_corr,
+        "versioned_table_history": _versioned_table_history,
+        "image_phash_neardup": _image_phash_neardup,
+        "versioned_pruned_read": _versioned_pruned_read,
+        "audio_fingerprint_neardup": _audio_fp_neardup,
+        "embedding_int8_quantize": _embedding_quantize,
+        "versioned_schema_evolution": _versioned_schema_evolution,
+        "versioned_string_pruned_read": _versioned_string_pruned_read,
+        "versioned_vacuum_retention": _versioned_vacuum_retention,
+        "versioned_incremental_read": _versioned_incremental_read,
+        "versioned_overwrite_refresh": _versioned_overwrite_refresh,
+        "importance_sampling": _importance_sampling,
+        "token_budget_curation": _token_budget_curation,
+        "funnel_conversion": _funnel_conversion,
+        "streaming_stateful_totals_rocksdb": _streaming_stateful_totals_rocksdb,
+        "streaming_full_outer_join": _streaming_full_outer_join,
+        "formats_roundtrip": _formats_roundtrip,
+        "skew_salted_agg_events": _salted_agg_events,
+        "skew_salted_join_events": _salted_join_events,
+        "bucketed_join_priority_revenue": _bucketed_join_revenue,
+        "streaming_dedup_events": _streaming_dedup,
+        "streaming_stateful_totals": _streaming_stateful_totals,
+        "streaming_sliding_windows": _streaming_sliding,
+        "streaming_static_join": _streaming_static_join,
+        # -- new r10 keys are inserted here as they land (r9 verdict asks
+        # #3/#4/#5 — multi-column partition specs, column-mapping RENAME,
+        # versioned bucket spec), each displacing the LAST window fill
+        # below into the R11_QUEUE ----------------------------------------
+        "versioned_multipart_read": _versioned_multipart_read,
+        "versioned_column_rename": _versioned_column_rename,
+        "versioned_bucketed_join": _versioned_bucketed_join,
+        # -- window fill: the oldest r8-greens (2 rounds old at r10 close) -
+        "streaming_incremental_rollup": _streaming_incremental,
+        "streaming_left_outer_join": _streaming_left_outer_join,
+        # ------- middle: the 50 keys hash-matched in CORRECTNESS_r09 ----
         "smoothed_mixture_sample": _smoothed_mixture_sample,
         "streaming_upsert_latest": _streaming_upsert_latest,
         "pack_training_sequences": _pack_sequences,
@@ -4123,21 +4396,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": _events_json,
         "events_pivot_counts": _events_pivot,
         "events_unpivot_counts": _events_unpivot,
-        # -- new r9 keys are inserted here as they land (asks #3/#5/#6/#8),
-        # each displacing the LAST window fill below into the R10_QUEUE --
         "versioned_manifest_segments": _versioned_manifest_segments,
         "versioned_mor_delete": _versioned_mor_delete,
         "versioned_merge_into": _versioned_merge_into,
         "sql_time_travel": _sql_time_travel,
-        # -- window fill: the oldest r7-greens (2 rounds old at r9 close) -
         "sql_min_price_supplier": _sql_entrypoint,
         "approx_distinct_sketch_rollup": _sketch_rollup,
         "anti_join_customers_no_orders": _anti_join,
         "semi_join_urgent_suppliers": _semi_join,
         "range_join_quantity_bands": _range_join_bands,
-        # ------- middle: the 50 keys hash-matched in CORRECTNESS_r08 ----
-        "streaming_incremental_rollup": _streaming_incremental,
-        "streaming_left_outer_join": _streaming_left_outer_join,
+        # -- R11_QUEUE: the r8-greens that did not fit the r10 window — at
+        # r10 close their last green is 2 rounds old, so they must lead
+        # the r11 window (pinned by tests/test_grading_window.py) ---------
         "pack_sequences_greedy": _pack_greedy_single,
         "pii_redaction": _pii_redaction,
         "tfidf_top_terms": _tfidf_top_terms,
@@ -4186,55 +4456,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mixing_weights": _source_mixing_weights,
         "compaction_roundtrip": _compaction_roundtrip,
         "upsert_events_latest": _upsert_events_latest,
-        # -- R10_QUEUE (41 keys): the r7-greens that did not fit the r9
-        # window — at r9 close their last green is 2 rounds old, so they
-        # must lead the r10 window (pinned by
-        # tests/test_grading_window.py) -----------------------------------
-        "rollup_revenue": _rollup_revenue,
-        "grouping_sets_revenue": _grouping_sets,
-        "udtf_ngrams_count": _udtf_ngrams,
-        "cube_revenue": _cube_revenue,
-        "price_quantiles_exact": _price_quantiles,
-        "set_ops_priority_custs": _set_ops,
-        "kmeans_embeddings": _kmeans_embeddings,
-        "pagerank_trade_graph": _pagerank_trade_graph,
-        "cms_heavy_hitters": _cms_heavy_hitters,
-        "bigram_logprob_quality": _bigram_logprob,
-        "ks_drift_events": _ks_drift_events,
-        "duplicate_span_fraction": _duplicate_spans,
-        "regression_value_trend": _regression_value_trend,
-        "streaming_cms_topk": _streaming_cms_topk,
-        "source_token_kl": _source_token_kl,
-        "winsorized_stats_events": _winsorized_stats,
-        "events_ohlc_bars": _events_ohlc_bars,
-        "chi2_type_value_band": _chi2_type_band,
-        "weighted_sample_aes": _weighted_sample_aes,
-        "hashed_feature_vectors": _hashed_features,
-        "event_transition_matrix": _event_transitions,
-        "hourly_corr_click_purchase": _hourly_corr,
-        "versioned_table_history": _versioned_table_history,
-        "image_phash_neardup": _image_phash_neardup,
-        "versioned_pruned_read": _versioned_pruned_read,
-        "audio_fingerprint_neardup": _audio_fp_neardup,
-        "embedding_int8_quantize": _embedding_quantize,
-        "versioned_schema_evolution": _versioned_schema_evolution,
-        "versioned_string_pruned_read": _versioned_string_pruned_read,
-        "versioned_vacuum_retention": _versioned_vacuum_retention,
-        "versioned_incremental_read": _versioned_incremental_read,
-        "versioned_overwrite_refresh": _versioned_overwrite_refresh,
-        "importance_sampling": _importance_sampling,
-        "token_budget_curation": _token_budget_curation,
-        "funnel_conversion": _funnel_conversion,
-        "streaming_stateful_totals_rocksdb": _streaming_stateful_totals_rocksdb,
-        "streaming_full_outer_join": _streaming_full_outer_join,
-        "formats_roundtrip": _formats_roundtrip,
-        "skew_salted_agg_events": _salted_agg_events,
-        "skew_salted_join_events": _salted_join_events,
-        "bucketed_join_priority_revenue": _bucketed_join_revenue,
-        "streaming_dedup_events": _streaming_dedup,
-        "streaming_stateful_totals": _streaming_stateful_totals,
-        "streaming_sliding_windows": _streaming_sliding,
-        "streaming_static_join": _streaming_static_join,
     }
     return {name: _managed(fn) for name, fn in qs.items()}
 
@@ -6605,6 +6826,43 @@ def oracle_sql() -> dict[str, str]:
         FROM events
         WHERE event_type = 'purchase' AND event_id BETWEEN 100 AND 599
         GROUP BY band ORDER BY band
+    """
+    # tuple-prune gates (both dims skip files, conjunct tighter than
+    # either, stats stack) are in-plan; the oracle replays the exact
+    # filter — user_id % 3 mirrors the committed uband column, NULL
+    # user_ids drop in both engines' exact filters
+    d["versioned_multipart_read"] = """
+        SELECT CAST(coalesce(floor(value / 100), -1) AS BIGINT) AS band,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        WHERE event_type = 'purchase' AND user_id % 3 = 1
+          AND event_id BETWEEN 100 AND 899
+        GROUP BY band ORDER BY band
+    """
+    # bucketing gates (SMJ final plan, zero join-key exchange, 8/8
+    # buckets both sides, append survived) are in-plan; the oracle is
+    # the plain join — co-location provably changes the plan, not the
+    # answer
+    d["versioned_bucketed_join"] = """
+        SELECT o_orderpriority,
+               count(*) AS n_items,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_quantity >= 10
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
+    # rename gates (zero files moved, v0 byte-identity, alias-chain
+    # stats prune, id stability) are in-plan; the oracle replays the
+    # head read under the ORIGINAL names — the mapping changes nothing
+    # but names
+    d["versioned_column_rename"] = """
+        SELECT event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_amount
+        FROM events
+        WHERE event_id BETWEEN 100 AND 599
+        GROUP BY event_type ORDER BY event_type
     """
     # the decoder's reported dims, reproduced analytically from doc_id;
     # the ±2 flat-quant roundtrip tolerance gate is in-plan

@@ -261,6 +261,7 @@ def main() -> None:
     zipf_skew_probe(spark, events)
     maintenance_probe(spark, events)
     lakehouse_metadata_probe(spark, events)
+    segment_memory_probe(spark, events)
     codec_probe(spark, mult)
 
 
@@ -651,6 +652,65 @@ def lakehouse_metadata_probe(spark, events) -> None:
                 }
             )
         )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def segment_memory_probe(spark, events) -> None:
+    """r10 (VERDICT r9 #7): commit-metadata driver memory must be
+    O(chunk), never O(commit files). Build a many-file table, then
+    build its commit segments twice over the SAME file list — chunked
+    at the shipped _SEG_FILES_MAX=4096 vs a single whole-commit chunk
+    (the pre-r10 shape) — and compare the Python-heap PEAK
+    (tracemalloc) of the metadata step at two file counts. Flat =
+    the chunked peak does not grow with the file count while the
+    whole-commit peak does."""
+    import shutil
+    import tempfile
+    import tracemalloc
+
+    from social_media_etl_spark.operators.manifest import VersionedTable
+
+    d = tempfile.mkdtemp(prefix="smetl_stress_seg_")
+    try:
+        base = events.select("event_id", "event_type", "value")
+        for n_files in (2000, 10000):
+            t = VersionedTable.create(
+                spark,
+                f"{d}/t{n_files}",
+                base.repartition(n_files),
+                stats_cols=["event_id"],
+            )
+            files = t._read_manifest(0)["files"]
+            out = {}
+            for label, chunk in (
+                ("chunked_4096", 4096),
+                ("whole_commit", len(files) + 1),
+            ):
+                old_max = VersionedTable._SEG_FILES_MAX
+                VersionedTable._SEG_FILES_MAX = chunk
+                try:
+                    tracemalloc.start()
+                    t0 = time.time()
+                    t._build_segments(files, ["event_id"], None)
+                    _, peak = tracemalloc.get_traced_memory()
+                finally:
+                    tracemalloc.stop()
+                    VersionedTable._SEG_FILES_MAX = old_max
+                out[label] = {
+                    "py_heap_peak_mb": round(peak / 1e6, 1),
+                    "s": round(time.time() - t0, 1),
+                }
+            print(
+                json.dumps(
+                    {
+                        "probe": "segment_metadata_memory",
+                        "n_files": len(files),
+                        **out,
+                    }
+                )
+            )
+            shutil.rmtree(f"{d}/t{n_files}", ignore_errors=True)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 

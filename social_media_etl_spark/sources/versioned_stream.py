@@ -313,6 +313,11 @@ try:
             s, e = start["version"], end["version"]
             if e <= s:
                 return [_FilePartition(None)]
+            if len(self._op_cache) > 65536:
+                # committed ops are immutable so the cache only saves
+                # re-stats; cap it so a years-long commit chain cannot
+                # grow reader memory unboundedly (r9 watch item)
+                self._op_cache.clear()
             files = _span_files(self._fs, self._root, s, e, self._op_cache)
             if not files:
                 return [_FilePartition(None)]

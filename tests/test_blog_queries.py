@@ -47,6 +47,7 @@ def comments(spark):
     return spark.createDataFrame(rows, COMMENTS_SCHEMA)
 
 
+@pytest.mark.slow
 def test_query_a_ties_kept(spark, users, comments):
     out = blog.most_comments_by_attribute(
         comments, "email", users, "email", "id"

@@ -79,3 +79,140 @@ def test_bucketed_join_matches_unbucketed(spark, bucketed_tables):
         .collect()
     }
     assert got == want
+
+
+# -- bucket spec in the VERSIONED layer (VERDICT r9 #5) ----------------------
+
+
+def _final_plan(df) -> str:
+    """The AQE final-plan section (the Initial Plan duplicate would
+    false-positive any textual exchange check)."""
+    return (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+
+
+def test_versioned_bucketed_join_zero_exchange_survives_append(
+    spark, tmp_path
+):
+    from social_media_etl_spark.operators.manifest import VersionedTable
+
+    left = spark.range(0, 4000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(0, 6000).select(
+        F.col("id").alias("k"), F.concat(F.lit("t"), F.col("id") % 3).alias("tag")
+    )
+    tl = VersionedTable.create(
+        spark, str(tmp_path / "l"), left.where("k < 2000"), bucket_by=("k", 8)
+    )
+    tl.append(left.where("k >= 2000"))  # the append the plan must survive
+    tr = VersionedTable.create(
+        spark, str(tmp_path / "r"), right, bucket_by=("k", 8)
+    )
+    l_df = tl.register_bucketed("vbkt_l")
+    r_df = tr.register_bucketed("vbkt_r")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (
+            l_df.join(r_df, "k")
+            .groupBy("tag")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("a").alias("sum_a"))
+        )
+        got = {r["tag"]: (r["n"], r["sum_a"]) for r in j.collect()}
+        plan = _final_plan(j)
+        assert "SortMergeJoin" in plan
+        # both scans arrive bucket-partitioned: the join key never
+        # shuffles on either side
+        assert "Exchange hashpartitioning(k" not in plan
+        assert plan.count("SelectedBucketsCount: 8 out of 8") == 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS vbkt_l")
+        spark.sql("DROP TABLE IF EXISTS vbkt_r")
+    want = {
+        r["tag"]: (r["n"], r["sum_a"])
+        for r in left.join(right, "k")
+        .groupBy("tag")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("a").alias("sum_a"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_versioned_bucketed_refusals_and_dml_compaction(spark, tmp_path):
+    from social_media_etl_spark.operators.manifest import VersionedTable
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    with pytest.raises(ValueError, match="does not compose"):
+        VersionedTable.create(
+            spark,
+            str(tmp_path / "bad"),
+            df,
+            partition_by="v",
+            bucket_by=("k", 4),
+        )
+    plain = VersionedTable.create(spark, str(tmp_path / "plain"), df)
+    with pytest.raises(ValueError, match="no bucket spec"):
+        plain.register_bucketed("vbkt_nospec")
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), df, bucket_by=("k", 4)
+    )
+    # a MoR delete leaves vectors → registration refuses, OPTIMIZE
+    # compacts them away and the refusal lifts; the COW rewrite path
+    # (delete/upsert) keeps the bucket layout
+    t.delete("k = 5", mode="mor")
+    with pytest.raises(ValueError, match="deletion vectors"):
+        t.register_bucketed("vbkt_dv")
+    t.optimize(target_files=4)
+    out = t.register_bucketed("vbkt_ok")
+    try:
+        assert out.count() == 99
+        assert sorted(r["k"] for r in out.where("k < 8").collect()) == [
+            0, 1, 2, 3, 4, 6, 7,
+        ]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS vbkt_ok")
+    t.delete("k >= 90")  # COW rewrite inherits the bucket layout
+    out2 = t.register_bucketed("vbkt_after_cow")
+    try:
+        assert out2.count() == 89
+    finally:
+        spark.sql("DROP TABLE IF EXISTS vbkt_after_cow")
+
+
+def test_vacuum_sweeps_stale_bucketed_view_dirs(spark, tmp_path):
+    """View dirs are hard links — left in place they keep vacuumed
+    bytes alive through their inodes. Vacuum sweeps views of
+    non-retained versions (age-guarded); the head's view survives."""
+    import os
+
+    from social_media_etl_spark.operators.manifest import VersionedTable
+
+    df = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("v")
+    )
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), df, bucket_by=("k", 4)
+    )
+    t.register_bucketed("vbkt_v0")
+    spark.sql("DROP TABLE vbkt_v0")  # catalog entry gone, view dir stays
+    t.append(df.withColumn("k", F.col("k") + 100))
+    t.append(df.withColumn("k", F.col("k") + 200))
+    t.register_bucketed("vbkt_head")
+    spark.sql("DROP TABLE vbkt_head")
+    vroot = str(tmp_path / "t" / "_bucketed_views")
+    assert len(os.listdir(vroot)) == 2
+    # age guard: young view dirs survive even when stale
+    assert t.vacuum(keep_last=2, min_age_seconds=3600) == 0
+    assert len(os.listdir(vroot)) == 2
+    # waived guard: the v0 view (version not retained) is swept, the
+    # head-version view stays
+    t.vacuum(keep_last=2, min_age_seconds=0)
+    left = os.listdir(vroot)
+    assert len(left) == 1 and left[0].startswith("v00000002-")

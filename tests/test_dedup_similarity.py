@@ -172,6 +172,7 @@ def vecs(spark):
     return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
 
 
+@pytest.mark.slow
 def test_embedding_cosine_pairs(vecs):
     out = {
         (r["id_a"], r["id_b"]): r["cosine"]
@@ -181,6 +182,7 @@ def test_embedding_cosine_pairs(vecs):
     assert out[(1, 2)] > 0.99
 
 
+@pytest.mark.slow
 def test_embedding_cosine_pairs_refuses_large_all_pairs(vecs):
     """Same discipline as cosine_topk: the exact all-pairs baseline
     points the caller at the blocked/LSH scale paths above max_pairs."""
@@ -196,6 +198,7 @@ def test_embedding_cosine_pairs_refuses_large_all_pairs(vecs):
     )
 
 
+@pytest.mark.slow
 def test_cosine_topk_refuses_large_cross_join(vecs):
     """VERDICT r6: the exact baseline must not silently run an
     unbounded all-pairs join — above max_pairs it points the caller at
@@ -211,6 +214,7 @@ def test_cosine_topk_refuses_large_cross_join(vecs):
     )
 
 
+@pytest.mark.slow
 def test_cosine_topk_exact(vecs):
     out = similarity.cosine_topk(
         vecs, vecs.filter(F.col("vec_id") == 1), "vec_id", "embedding", k=3
@@ -223,6 +227,7 @@ def test_cosine_topk_exact(vecs):
     assert all(r["neighbor_id"] != 5 for r in out)
 
 
+@pytest.mark.slow
 def test_cosine_pairs_blocked_matches_expression_path(spark):
     import random
 
@@ -247,6 +252,7 @@ def test_cosine_pairs_blocked_matches_expression_path(spark):
         assert math.isclose(expr[k], blocked[k], abs_tol=1e-6)
 
 
+@pytest.mark.slow
 def test_cosine_topk_blocked_matches_exact(spark):
     import random
 
@@ -267,6 +273,7 @@ def test_cosine_topk_blocked_matches_exact(spark):
     assert exact == blocked
 
 
+@pytest.mark.slow
 def test_ann_ivf_recall_and_exactness_at_full_probe(spark):
     import random
 
@@ -420,6 +427,7 @@ def test_duplicate_span_stats_skips_short_docs(spark):
     assert duplicate_span_stats(df).count() == 0
 
 
+@pytest.mark.slow
 def test_ivf_distributed_trainer_full_probe_is_exact(spark):
     """trainer='distributed' (full-corpus Lloyd via
     operators/clustering.py) must give the same exactness guarantee:
@@ -573,6 +581,7 @@ def test_benchmark_overlap_keeps_short_documents(spark):
     assert out[2] == (0, 0, False)  # short doc present, clean
 
 
+@pytest.mark.slow
 def test_cosine_topk_excludes_zero_norm_pairs(spark):
     from social_media_etl_spark.operators import similarity
 

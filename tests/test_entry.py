@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import sys
 
+import pytest
+
 sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entrymod
@@ -15,6 +17,7 @@ def test_entry_returns_rows(spark):
     assert df.columns == ["l_orderkey", "n_items"]
 
 
+@pytest.mark.slow
 def test_queries_and_oracles_aligned(spark, sf_dir):
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()

@@ -232,6 +232,7 @@ def test_merge_null_keys_never_match(spark, tmp_path):
     ]
 
 
+@pytest.mark.slow
 def test_merge_on_mor_table_does_not_resurrect(spark, tmp_path):
     t = VersionedTable.create(
         spark,

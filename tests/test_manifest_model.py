@@ -112,6 +112,7 @@ def _apply_table(t, next_k, op):
         t.optimize(target_files=2)
 
 
+@pytest.mark.slow
 @settings(
     max_examples=6,
     deadline=None,

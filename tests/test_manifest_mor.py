@@ -81,6 +81,7 @@ def test_append_after_mor_keeps_vectors_applied(spark, tmp_path):
     assert t._read_pointer(t.head_version()).get("delete_vectors")
 
 
+@pytest.mark.slow
 def test_cow_delete_after_mor_does_not_resurrect(spark, tmp_path):
     """A COW rewrite of a file with live vectors reads DV-applied, so
     the rewritten file drops BOTH delete sets."""
@@ -92,6 +93,7 @@ def test_cow_delete_after_mor_does_not_resurrect(spark, tmp_path):
     assert sorted(r["k"] for r in t.read().collect()) == [0, 2, 3, 5]
 
 
+@pytest.mark.slow
 def test_update_after_mor_does_not_resurrect(spark, tmp_path):
     t = VersionedTable.create(
         spark, str(tmp_path / "t"), _df(spark, [(i, "x") for i in range(4)]).coalesce(1)

@@ -164,7 +164,7 @@ def test_append_raced_by_partition_spec_change_raises(spark, tmp_path):
 
     VersionedTable._try_commit = steal_then_fail
     try:
-        with pytest.raises(ConcurrentWriteError, match="partition spec"):
+        with pytest.raises(ConcurrentWriteError, match="partition/bucket spec"):
             victim.append(_df(spark, [(2, "b")]))
     finally:
         VersionedTable._try_commit = orig
@@ -260,3 +260,39 @@ def test_optimize_zorder_by_tightens_stats_on_every_dimension(spark, tmp_path):
     assert t.read(v).agg(F.sum("x"), F.sum("y")).collect() == grid.agg(
         F.sum("x"), F.sum("y")
     ).collect()
+
+
+@pytest.mark.slow
+def test_large_commit_chunks_segments_and_reads_identically(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r9 #7: a commit writing more files than _SEG_FILES_MAX
+    splits its metadata into multiple segments — driver memory per
+    chunk, never per commit — and readers union them exactly as one
+    segment. Pruning and appends compose across the chunk boundary."""
+    monkeypatch.setattr(VersionedTable, "_SEG_FILES_MAX", 3)
+    df = (
+        spark.range(80)
+        .selectExpr("id AS k", "CAST(id AS double) AS v")
+        .repartitionByRange(8, "k")
+        .sortWithinPartitions("k")
+    )
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), df, stats_cols=["k"]
+    )
+    ptr = _pointer(t, 0)
+    n_files = t._read_manifest(0)["files"]
+    assert len(ptr["segments"]) == -(-len(n_files) // 3)  # ceil
+    assert ptr["n_files"] == len(n_files)
+    assert sorted(r["k"] for r in t.read().collect()) == list(range(80))
+    # stats pruning works across chunked segments
+    kept, total = t.pruned_file_count("k", 0, 9)
+    assert kept < total
+    assert sorted(r["k"] for r in t.read_where("k", 0, 9).collect()) == list(
+        range(10)
+    )
+    # an append appends its own (chunked) segments after the others
+    t.append(
+        spark.range(80, 120).selectExpr("id AS k", "CAST(id AS double) AS v")
+    )
+    assert t.read().count() == 120

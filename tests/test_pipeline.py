@@ -87,6 +87,7 @@ def test_warehouse_tables_and_normalization(warehouse):
     assert "post_id" in warehouse["comments"].columns
 
 
+@pytest.mark.slow
 def test_pipeline_idempotent_rerun(spark, api_dir, warehouse, tmp_path_factory):
     wh2 = tmp_path_factory.mktemp("warehouse2")
     again = pipeline.blog_etl(
@@ -102,6 +103,7 @@ def test_pipeline_idempotent_rerun(spark, api_dir, warehouse, tmp_path_factory):
         assert a == b, name  # deterministic surrogate keys ⇒ equal state
 
 
+@pytest.mark.slow
 def test_pipeline_via_python_datasource(spark, api_dir, warehouse, tmp_path_factory):
     """The same pipeline with extraction through the rest_json Python
     DataSource scan produces an identical warehouse."""

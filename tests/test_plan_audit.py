@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import sys
 
+import pytest
+
 sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entry
@@ -18,6 +20,7 @@ from scripts.audit_plans import audit
 SF = "/root/testdata/sf0.001"
 
 
+@pytest.mark.slow
 def test_no_cartesian_or_row_udf_anywhere(spark):
     results = audit(spark, SF)
     assert len(results) == len(entry.queries())
@@ -31,6 +34,7 @@ def test_no_cartesian_or_row_udf_anywhere(spark):
     assert {k for k, v in results.items() if v["udtf"]} == {"udtf_ngrams_count"}
 
 
+@pytest.mark.slow
 def test_single_partition_exchanges_are_known(spark):
     """Single-partition exchanges only where a scalar/gate/deliberate
     global window justifies them — a new one appearing in a query that
@@ -94,5 +98,8 @@ def test_single_partition_exchanges_are_known(spark):
         # one-row v0 byte-identity gate after the MoR delete / the
         # 3-batch MERGE replay (head aggregates stay distributed)
         "versioned_mor_delete", "versioned_merge_into",
+        # one-row pre-rename v0 byte-identity gate (the head aggregate
+        # over the alias-resolving read stays distributed)
+        "versioned_column_rename",
     }
     assert with_sp <= allowed, with_sp - allowed

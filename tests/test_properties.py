@@ -9,6 +9,8 @@ well-typed results).
 
 from __future__ import annotations
 
+import pytest
+
 from datetime import datetime, timedelta
 
 from hypothesis import HealthCheck, given, settings
@@ -29,6 +31,7 @@ _SETTINGS = dict(
 )
 
 
+@pytest.mark.slow
 @given(
     rows=st.lists(
         st.tuples(st.integers(0, 50), st.integers(0, 5)), min_size=1, max_size=40
@@ -46,6 +49,7 @@ def test_argmax_with_ties_matches_bruteforce(spark, rows):
     assert got == want_rows
 
 
+@pytest.mark.slow
 @given(
     events=st.lists(
         st.tuples(st.integers(0, 3), st.integers(0, 100)),  # (key, minute)
@@ -85,6 +89,7 @@ def test_asof_join_matches_bruteforce(spark, events, quotes):
     assert got == want
 
 
+@pytest.mark.slow
 @given(
     texts=st.lists(
         st.text(
@@ -182,6 +187,7 @@ def test_budget_quota_matches_bruteforce(spark, rows, budget):
     assert got == sorted(want)
 
 
+@pytest.mark.slow
 @given(
     ids=st.lists(st.integers(0, 10_000), min_size=1, max_size=60, unique=True),
     w=st.floats(0.0, 1.0, allow_nan=False),
@@ -202,6 +208,7 @@ def test_importance_sample_is_pure_function_of_key(spark, ids, w):
     assert sub == full & set(half_ids)
 
 
+@pytest.mark.slow
 @given(
     rows=st.lists(
         st.tuples(st.integers(0, 10_000), st.integers(0, 3)),
@@ -244,6 +251,7 @@ def test_smoothed_mixture_rates_match_model(spark, rows, alpha):
         assert set(got) == {i for i, _ in rows}
 
 
+@pytest.mark.slow
 @given(
     keys=st.lists(st.integers(0, 10_000), min_size=1, max_size=50, unique=True),
     n_shards=st.integers(1, 6),
@@ -278,6 +286,7 @@ def test_sharded_shuffle_replays_total_order(spark, keys, n_shards, tmp_path_fac
     assert replay == total
 
 
+@pytest.mark.slow
 @given(
     tokens=st.lists(st.integers(0, 30), min_size=1, max_size=60),
     width=st.sampled_from([4, 16, 64]),
@@ -304,6 +313,7 @@ def test_cms_never_undercounts_property(spark, tokens, width):
         assert est[tok] >= n
 
 
+@pytest.mark.slow
 @given(
     weights=st.lists(
         st.floats(0.1, 50.0, allow_nan=False), min_size=1, max_size=40
@@ -327,6 +337,7 @@ def test_weighted_sample_fixed_size_and_membership_property(spark, weights, k):
     assert got == again
 
 
+@pytest.mark.slow
 @given(
     a=st.lists(st.floats(-50, 50, allow_nan=False), min_size=1, max_size=30),
     b=st.lists(st.floats(-50, 50, allow_nan=False), min_size=1, max_size=30),
@@ -454,6 +465,7 @@ def test_adpcm_batch_codec_roundtrip_property(data, n_sig, length, block_align):
         )
 
 
+@pytest.mark.slow
 @given(
     rows=st.lists(
         st.tuples(

@@ -249,6 +249,7 @@ def test_extract_audio_features_dim_and_dtype(media):
     assert all(-1.0 <= x <= 1.0 for r in rows for x in r["features"])
 
 
+@pytest.mark.slow
 def test_multimodal_feature_to_ann_chain(media):
     """Integration: binary payload → feature extraction → similarity
     search — the multimodal output plugs straight into the embedding

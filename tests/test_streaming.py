@@ -648,6 +648,7 @@ def test_sync_table_changes_refuses_rewritten_chain(spark, tmp_path):
 # -- versioned_cdc: Structured Streaming source over the change feed --------
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("scheme", ["", "file://"])
 def test_versioned_cdc_stream_source_initial_snapshot_and_resume(
     spark, tmp_path, scheme
@@ -835,6 +836,7 @@ def test_versioned_cdc_stream_starts_after_historic_rewrite(spark, tmp_path):
         vs._span_files(*vs._fs_for(src.path), head, src.head_version())
 
 
+@pytest.mark.slow
 def test_overwrite_sink_refuses_resumed_checkpoint(spark, tmp_path):
     """A reused checkpoint delivers only NEW files with batch id > 0;
     overwriting from them would silently shrink the full refresh to
@@ -861,6 +863,7 @@ def test_overwrite_sink_refuses_resumed_checkpoint(spark, tmp_path):
     assert spark.read.parquet(target).count() == 1
 
 
+@pytest.mark.slow
 def test_versioned_sink_app_id_namespaces_txns(spark, tmp_path):
     """Two streams sinking into one table both emit batch ids 0,1,...;
     without an app namespace the second stream's batches would collide
@@ -900,6 +903,7 @@ def test_sync_table_changes_refuses_changed_start_version(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_versioned_cdc_snapshot_applies_mor_delete_vectors(spark, tmp_path):
     """ADVICE r9 (high): a stream whose initial snapshot is taken AT
     OR AFTER a ``delete(mode='mor')`` must not resurrect the deleted
@@ -947,6 +951,7 @@ def test_versioned_cdc_snapshot_applies_mor_delete_vectors(spark, tmp_path):
     ]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize(
     "option, value, expected_first",
     [

@@ -4,6 +4,8 @@ validated here on real-ish sentences)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from social_media_etl_spark.functions import text as TXT
@@ -155,6 +157,7 @@ def test_pii_redaction_counts_and_output(spark):
     assert out[3][4] == "nothing sensitive here"
 
 
+@pytest.mark.slow
 def test_simhash_64_bit_and_explicit_empty_stopwords(spark):
     """r8 review: bits=64 used to overflow LongType on the sign-bit
     weight; an explicitly empty stopword tuple used to silently swap

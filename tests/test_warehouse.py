@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from datetime import datetime
 
 from pyspark.sql import functions as F
@@ -223,6 +225,7 @@ def test_jdbc_options_shape():
     }
 
 
+@pytest.mark.slow
 def test_jdbc_roundtrip_append_and_truncate_load(spark, tmp_path):
     """Real JDBC round-trip against embedded Derby (ships with Spark):
     append, truncate-and-load full refresh (the reference's load
