@@ -3918,6 +3918,114 @@ def _versioned_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _versioned_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed certified (operators/manifest.py:
+    read_change_feed — the Delta CDF surface, r10): the events slice
+    builds a 4-commit chain — create (ids ≡0 mod 3), append (≡1),
+    ``delete('event_id BETWEEN 100 AND 599', mode='mor')``, append
+    (≡2) — and ONE feed read over (0, head] emits every change as a
+    TYPED row: appended rows as ``insert``, the rows the deletion
+    vector hid as ``delete`` WITH their full content recovered from
+    the (file, row-position) keys, each tagged ``_commit_version``.
+    This is the row-level consumption read_changes must refuse (it has
+    no delete semantics). Gated in-plan on (a) the head being exactly
+    v3 and (b) the feed covering exactly the 3 post-base commits
+    (countDistinct(_commit_version) == 3). The aggregate by
+    (_change_type, event_type) is certified against the oracle's
+    relational replay of the same slices — inserts = the two appended
+    slices, deletes = the predicate rows present at delete time."""
+    from social_media_etl_spark.operators.manifest import VersionedTable
+
+    cols = ["event_id", "event_type", "value"]
+    events = load_table(spark, sf_dir, "events").select(*cols)
+    sl = [
+        events.filter(F.pmod(F.col("event_id"), F.lit(3)) == i) for i in (0, 1, 2)
+    ]
+    d = _tmpdir(prefix="smetl_vcdf_")
+    t = VersionedTable.create(spark, f"{d}/t", sl[0])
+    t.append(sl[1])
+    t.delete("event_id BETWEEN 100 AND 599", mode="mor")
+    t.append(sl[2])
+    feed = t.read_change_feed(0)
+    ok = t.head_version() == 3
+    gate = (
+        feed.agg(F.countDistinct("_commit_version").alias("__n"))
+        .filter(F.col("__n") == 3)
+        .select(F.lit(1).alias("__gate"))
+    )
+    return (
+        feed.where(F.lit(ok))
+        .groupBy("_change_type", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .crossJoin(F.broadcast(gate))
+        .drop("__gate")
+        .orderBy("_change_type", "event_type")
+    )
+
+
+def _streaming_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed change-feed STREAMING certified (sources/
+    versioned_stream.py readChangeFeed=true — r10, the streaming twin
+    of read_change_feed): the events slice builds the same 4-commit
+    chain as the batch CDF key but on mod-5 slices — create (≡0),
+    append (≡1), ``delete('event_id BETWEEN 100 AND 599', mode='mor')``,
+    append (≡2) — and ONE availableNow drain of the
+    ``versioned_cdc`` source with ``readChangeFeed=true`` and
+    ``startingVersion=0`` streams every change typed: appended rows as
+    ``insert`` partitions, the delete commit's hidden rows as
+    ``delete`` partitions with full content recovered executor-side
+    from the vector's (file, row-position) keys — the case the plain
+    stream must refuse as a rewrite. Gated in-plan on (a) the head
+    being exactly v3 and (b) the drained feed covering exactly the 3
+    post-base commits. The aggregate by (_change_type, event_type) is
+    certified against the oracle's relational replay of the slices."""
+    from social_media_etl_spark.operators.manifest import VersionedTable
+    from social_media_etl_spark.sources.versioned_stream import (
+        register_versioned_cdc_source,
+    )
+
+    register_versioned_cdc_source(spark)
+    cols = ["event_id", "event_type", "value"]
+    events = load_table(spark, sf_dir, "events")
+    sl = [
+        events.filter(F.pmod(F.col("event_id"), F.lit(5)) == i).select(*cols)
+        for i in (0, 1, 2)
+    ]
+    d = _tmpdir(prefix="smetl_scf_")
+    t = VersionedTable.create(spark, f"{d}/t", sl[0])
+    t.append(sl[1])
+    t.delete("event_id BETWEEN 100 AND 599", mode="mor")
+    t.append(sl[2])
+    stream = (
+        spark.readStream.format("versioned_cdc")
+        .option("path", t.path)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .load()
+    )
+    out = _drain(stream, "stream_cdf", mode="append")
+    ok = t.head_version() == 3
+    gate = (
+        out.agg(F.countDistinct("_commit_version").alias("__n"))
+        .filter(F.col("__n") == 3)
+        .select(F.lit(1).alias("__gate"))
+    )
+    return (
+        out.where(F.lit(ok))
+        .groupBy("_change_type", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .crossJoin(F.broadcast(gate))
+        .drop("__gate")
+        .orderBy("_change_type", "event_type")
+    )
+
+
 def _versioned_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read DELETE via deletion vectors certified
     (operators/manifest.py:delete(mode='mor') — the Delta
@@ -4351,9 +4459,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "versioned_multipart_read": _versioned_multipart_read,
         "versioned_column_rename": _versioned_column_rename,
         "versioned_bucketed_join": _versioned_bucketed_join,
+        "versioned_change_feed": _versioned_change_feed,
+        "streaming_change_feed": _streaming_change_feed,
         # -- window fill: the oldest r8-greens (2 rounds old at r10 close) -
-        "streaming_incremental_rollup": _streaming_incremental,
-        "streaming_left_outer_join": _streaming_left_outer_join,
         # ------- middle: the 50 keys hash-matched in CORRECTNESS_r09 ----
         "smoothed_mixture_sample": _smoothed_mixture_sample,
         "streaming_upsert_latest": _streaming_upsert_latest,
@@ -4408,6 +4516,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- R11_QUEUE: the r8-greens that did not fit the r10 window — at
         # r10 close their last green is 2 rounds old, so they must lead
         # the r11 window (pinned by tests/test_grading_window.py) ---------
+        "streaming_incremental_rollup": _streaming_incremental,
+        "streaming_left_outer_join": _streaming_left_outer_join,
         "pack_sequences_greedy": _pack_greedy_single,
         "pii_redaction": _pii_redaction,
         "tfidf_top_terms": _tfidf_top_terms,
@@ -6839,6 +6949,55 @@ def oracle_sql() -> dict[str, str]:
         WHERE event_type = 'purchase' AND user_id % 3 = 1
           AND event_id BETWEEN 100 AND 899
         GROUP BY band ORDER BY band
+    """
+    # CDF gates (head v3, 3-commit coverage) are in-plan; the oracle
+    # replays the slices relationally — inserts are the two appended
+    # slices, deletes the predicate rows present at delete time
+    d["versioned_change_feed"] = """
+        WITH ab AS (
+            SELECT event_id, event_type, value FROM events
+            WHERE event_id % 3 IN (0, 1)
+        ),
+        changes AS (
+            SELECT event_type, value, 'insert' AS _change_type
+            FROM events WHERE event_id % 3 = 1
+            UNION ALL
+            SELECT event_type, value, 'insert' FROM events
+            WHERE event_id % 3 = 2
+            UNION ALL
+            SELECT event_type, value, 'delete' FROM ab
+            WHERE event_id BETWEEN 100 AND 599
+        )
+        SELECT _change_type, event_type,
+               count(*) AS n_rows,
+               round(sum(value), 2) AS sum_value
+        FROM changes
+        GROUP BY _change_type, event_type
+        ORDER BY _change_type, event_type
+    """
+    # the streaming twin of the CDF oracle on mod-5 slices; gates
+    # (head v3, 3-commit coverage of the DRAINED feed) are in-plan
+    d["streaming_change_feed"] = """
+        WITH ab AS (
+            SELECT event_id, event_type, value FROM events
+            WHERE event_id % 5 IN (0, 1)
+        ),
+        changes AS (
+            SELECT event_type, value, 'insert' AS _change_type
+            FROM events WHERE event_id % 5 = 1
+            UNION ALL
+            SELECT event_type, value, 'insert' FROM events
+            WHERE event_id % 5 = 2
+            UNION ALL
+            SELECT event_type, value, 'delete' FROM ab
+            WHERE event_id BETWEEN 100 AND 599
+        )
+        SELECT _change_type, event_type,
+               count(*) AS n_rows,
+               round(sum(value), 2) AS sum_value
+        FROM changes
+        GROUP BY _change_type, event_type
+        ORDER BY _change_type, event_type
     """
     # bucketing gates (SMJ final plan, zero join-key exchange, 8/8
     # buckets both sides, append survived) are in-plan; the oracle is

@@ -42,6 +42,13 @@ streaming source re-expressed through Spark 4's Python DataSource API:
   the span raises, like ``read_changes``: added-rows semantics only
   exist along append-only chains; a consumer of a rewritten range must
   re-snapshot.
+- ``readChangeFeed=true`` (r10 — the streaming twin of
+  ``VersionedTable.read_change_feed``): the schema gains
+  ``_change_type``/``_commit_version``, appends stream as typed
+  ``insert`` rows, and a MoR delete INSIDE the span streams the rows
+  its vector hid as ``delete`` rows with full content — instead of the
+  rewrite refusal below. Ops whose row diff is not file-recoverable
+  still raise.
 - DELETION VECTORS (ADVICE r9, high): a snapshot taken AT OR AFTER a
   ``delete(mode='mor')`` applies the head's delete vectors — each file
   partition anti-filters its (file, row-position) keys while
@@ -247,6 +254,99 @@ def _span_files(
     return sorted(set(_files_of(fs, root, target)) - base_files)
 
 
+def _span_changes(
+    fs,
+    root: str,
+    table_path: str,
+    start_v: int,
+    end_v: int,
+    op_cache: dict | None = None,
+) -> list[tuple]:
+    """CHANGE-FEED resolution of a span (r10 — the streaming twin of
+    ``VersionedTable.read_change_feed``): a list of (file, kind,
+    commit_version, dv_dirs) partition specs. ``insert`` partitions
+    are a commit's new files (``dv_dirs`` set only on the initial
+    snapshot, where the end version's vectors ANTI-filter); ``delete``
+    partitions re-read the files a MoR delete's NEW vector touched and
+    INNER-join its positions, so deleted rows stream out typed with
+    full content. Ops whose row diff is not file-recoverable (COW
+    delete/update/merge, upsert, overwrite, optimize, rename) raise —
+    same contract as the batch feed."""
+    if start_v < 0:
+        target = _pointer(fs, root, end_v)
+        dvs = target.get("delete_vectors") or None
+        return [
+            (f, "insert", end_v, dvs) for f in _files_of(fs, root, target)
+        ]
+    out: list[tuple] = []
+    for v in _versions(fs, root):
+        if not (start_v < v <= end_v):
+            continue
+        ptr = _pointer(fs, root, v)
+        op = ptr.get("op")
+        if op_cache is not None:
+            op_cache[v] = op
+        if op in ("append", "create"):
+            parent = ptr.get("parent")
+            base = _pointer(fs, root, parent) if parent is not None else None
+            if base is not None and "segments" in base and "segments" in ptr:
+                base_segs = set(base["segments"])
+                new_files = sorted(
+                    f
+                    for s in ptr["segments"]
+                    if s not in base_segs
+                    for f in _segment_files(fs, root, s)
+                )
+            else:
+                base_files = (
+                    set(_files_of(fs, root, base)) if base is not None else set()
+                )
+                new_files = sorted(
+                    set(_files_of(fs, root, ptr)) - base_files
+                )
+            out.extend((f, "insert", v, None) for f in new_files)
+            continue
+        if op == "delete" and ptr.get("mode") == "mor":
+            parent_dvs = set(
+                _pointer(fs, root, ptr["parent"]).get("delete_vectors") or []
+            )
+            new_dvs = [
+                d
+                for d in (ptr.get("delete_vectors") or [])
+                if d not in parent_dvs
+            ]
+            if not new_dvs:
+                continue
+            # the vector names the touched files — bounded metadata
+            import pyarrow.dataset as ds
+            from urllib.parse import unquote, urlparse
+
+            touched = set()
+            for d in new_dvs:
+                tbl = ds.dataset(
+                    _requalify(root, table_path, d), filesystem=fs,
+                    format="parquet",
+                ).to_table(columns=["__smetl_dv_file"])
+                touched.update(
+                    unquote(urlparse(u).path)
+                    for u in set(tbl.column(0).to_pylist())
+                )
+            live = set(_files_of(fs, root, ptr))
+            out.extend(
+                (f, "delete", v, new_dvs)
+                for f in sorted(touched & live)
+            )
+            continue
+        raise ValueError(
+            f"versioned_cdc: version {v} is op '{op}'"
+            + (f"/mode '{ptr.get('mode')}'" if op == "delete" else "")
+            + " — readChangeFeed recovers rows only for append and"
+            " merge-on-read delete commits; restart from a fresh"
+            " snapshot"
+        )
+    return out
+
+
 try:
     from pyspark.sql.datasource import (
         DataSource,
@@ -255,11 +355,22 @@ try:
     )
 
     class _FilePartition(InputPartition):
-        def __init__(self, file: str | None, dv_dirs: list | None = None):
+        def __init__(
+            self,
+            file: str | None,
+            dv_dirs: list | None = None,
+            kind: str = "insert",
+            version: int | None = None,
+        ):
             self.file = file
-            # deletion-vector dirs to anti-filter while reading this
-            # file (initial-snapshot batches of MoR-deleted tables)
+            # deletion-vector dirs: for an "insert" partition they
+            # ANTI-filter (initial snapshots of MoR-deleted tables);
+            # for a "delete" partition (readChangeFeed) they INNER-
+            # select — the partition emits exactly the rows its
+            # commit's new vector hid
             self.dv_dirs = dv_dirs
+            self.kind = kind
+            self.version = version
 
     class _VersionedCdcStreamReader(DataSourceStreamReader):
         def __init__(self, options, schema: T.StructType):
@@ -270,6 +381,9 @@ try:
             # stream construction, not first poll
             self._fs, self._root = _fs_for(self._path)
             self._fields = [f.name for f in schema.fields]
+            cdf = str(options.get("readchangefeed",
+                                  options.get("readChangeFeed", ""))).lower()
+            self._cdf = cdf in ("true", "1", "yes")
             sv = options.get("startingversion", options.get("startingVersion"))
             svi = options.get(
                 "startingversioninclusive",
@@ -318,6 +432,19 @@ try:
                 # re-stats; cap it so a years-long commit chain cannot
                 # grow reader memory unboundedly (r9 watch item)
                 self._op_cache.clear()
+            if self._cdf:
+                # readChangeFeed (r10): typed insert/delete partitions
+                # — MoR deletes in the span stream their hidden rows
+                # instead of refusing
+                specs = _span_changes(
+                    self._fs, self._root, self._path, s, e, self._op_cache
+                )
+                if not specs:
+                    return [_FilePartition(None)]
+                return [
+                    _FilePartition(f, dvs, kind, v)
+                    for f, kind, v, dvs in specs
+                ]
             files = _span_files(self._fs, self._root, s, e, self._op_cache)
             if not files:
                 return [_FilePartition(None)]
@@ -344,7 +471,8 @@ try:
             # against the TABLE's own URI and read through its
             # filesystem so remote tables resolve (ADVICE r9)
             fs, root = _fs_for(self._path)
-            drop = (
+            kind = getattr(partition, "kind", "insert")
+            positions = (
                 _dv_positions(
                     fs, root, self._path,
                     partition.dv_dirs, partition.file,
@@ -356,13 +484,24 @@ try:
             with fs.open_input_file(fpath) as f:
                 tbl = pq.read_table(f)
             names = set(tbl.schema.names)
+            meta = {
+                "_change_type": kind,
+                "_commit_version": getattr(partition, "version", None),
+            }
             for pos, rec in enumerate(tbl.to_pylist()):
-                if drop is not None and pos in drop:
+                if kind == "delete":
+                    # CDF delete partition: emit ONLY the rows this
+                    # commit's vector hid
+                    if positions is None or pos not in positions:
+                        continue
+                elif positions is not None and pos in positions:
                     continue  # MoR-deleted row — never emitted
                 # pre-evolution files NULL-fill manifest columns their
                 # footer does not carry, as in snapshot reads
                 yield tuple(
-                    rec.get(name) if name in names else None
+                    rec.get(name)
+                    if name in names
+                    else meta.get(name)
                     for name in self._fields
                 )
 
@@ -392,7 +531,23 @@ try:
                 raise ValueError(
                     "versioned_cdc: legacy manifest without schema_json"
                 )
-            return T.StructType.fromJson(json.loads(m["schema_json"]))
+            out = T.StructType.fromJson(json.loads(m["schema_json"]))
+            cdf = str(
+                self.options.get(
+                    "readchangefeed", self.options.get("readChangeFeed", "")
+                )
+            ).lower()
+            if cdf in ("true", "1", "yes"):
+                out = T.StructType(
+                    list(out.fields)
+                    + [
+                        T.StructField("_change_type", T.StringType(), False),
+                        T.StructField(
+                            "_commit_version", T.IntegerType(), True
+                        ),
+                    ]
+                )
+            return out
 
         def streamReader(self, schema: T.StructType):
             return _VersionedCdcStreamReader(self.options, schema)

@@ -76,6 +76,8 @@ R10_NEW = [
     "versioned_multipart_read",  # ask #3: (date, region)-style tuple specs
     "versioned_column_rename",  # ask #4: column-mapping RENAME
     "versioned_bucketed_join",  # ask #5: bucket spec in the versioned layer
+    "versioned_change_feed",  # r10 extra: Delta-CDF typed insert/delete feed
+    "streaming_change_feed",  # r10 extra: the CDF's streaming twin
 ]
 
 # Window fill: the oldest r8-greens (their green is 2 rounds old at

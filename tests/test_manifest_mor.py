@@ -179,3 +179,78 @@ def test_mor_on_evolved_mixed_table(spark, tmp_path):
         (r["k"], r["v"], r["extra"]) for r in t.read().collect()
     )
     assert got == [(1, "a", None), (3, "c", 30)]
+
+
+# -- change data feed (r10) --------------------------------------------------
+
+
+def test_change_feed_emits_typed_inserts_and_deletes(spark, tmp_path):
+    """read_change_feed: appends emit insert rows, a MoR delete emits
+    the rows its vector hid as delete rows — full content, tagged with
+    the commit version — so a consumer can maintain a replica across
+    row-removing commits read_changes must refuse."""
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), _df(spark, [(1, "a"), (2, "b"), (3, "c")])
+    )
+    t.append(_df(spark, [(4, "d"), (5, "e")]))  # v1
+    t.delete("k IN (2, 4)", mode="mor")  # v2
+    t.append(_df(spark, [(6, "f")]))  # v3
+    feed = t.read_change_feed(0)
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"], r["v"])
+        for r in feed.collect()
+    )
+    assert got == [
+        (1, "insert", 4, "d"),
+        (1, "insert", 5, "e"),
+        (2, "delete", 2, "b"),
+        (2, "delete", 4, "d"),
+        (3, "insert", 6, "f"),
+    ]
+    # a consumer replaying the feed over the v0 snapshot reproduces
+    # the head
+    state = {r["k"]: r["v"] for r in t.read(0).collect()}
+    for _, kind, k, v in got:
+        if kind == "insert":
+            state[k] = v
+        else:
+            state.pop(k)
+    assert state == {r["k"]: r["v"] for r in t.read().collect()}
+    # sub-ranges slice cleanly
+    assert sorted(
+        (r["_change_type"], r["k"])
+        for r in t.read_change_feed(1, 2).collect()
+    ) == [("delete", 2), ("delete", 4)]
+    # from_version=-1 includes the create as inserts
+    assert t.read_change_feed(-1, 0).count() == 3
+    # empty range → typed empty frame
+    empty = t.read_change_feed(3)
+    assert empty.count() == 0
+    assert "_change_type" in empty.columns
+
+
+def test_change_feed_refuses_unrecoverable_rewrites(spark, tmp_path):
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), _df(spark, [(1, "a"), (2, "b")])
+    )
+    t.delete("k = 1")  # COW — row diff not recoverable from metadata
+    with pytest.raises(ValueError, match="only recoverable"):
+        t.read_change_feed(0)
+    # but a range that stops before the rewrite still reads
+    assert t.read_change_feed(0, 0).count() == 0
+
+
+def test_change_feed_double_delete_never_duplicates(spark, tmp_path):
+    """Two MoR deletes with overlapping predicates: a position deletes
+    once (the find-scan is DV-applied), so the feed emits each row's
+    delete exactly once, at the commit that actually hid it."""
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), _df(spark, [(1, "a"), (2, "b"), (3, "c")])
+    )
+    t.delete("k <= 2", mode="mor")  # v1 hides 1, 2
+    t.delete("k >= 2", mode="mor")  # v2 hides 3 only (2 already gone)
+    got = sorted(
+        (r["_commit_version"], r["k"])
+        for r in t.read_change_feed(0).collect()
+    )
+    assert got == [(1, 1), (1, 2), (2, 3)]

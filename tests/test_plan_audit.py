@@ -101,5 +101,8 @@ def test_single_partition_exchanges_are_known(spark):
         # one-row pre-rename v0 byte-identity gate (the head aggregate
         # over the alias-resolving read stays distributed)
         "versioned_column_rename",
+        # one-row commit-coverage gate (countDistinct == 3) over the
+        # change feed (the feed scan + aggregate stay distributed)
+        "versioned_change_feed", "streaming_change_feed",
     }
     assert with_sp <= allowed, with_sp - allowed

@@ -1029,3 +1029,123 @@ def test_versioned_cdc_starting_options_mutually_exclusive(spark, tmp_path):
             .start()
             .awaitTermination()
         )
+
+
+@pytest.mark.slow
+def test_versioned_cdc_read_change_feed_streams_typed_deletes(
+    spark, tmp_path
+):
+    """readChangeFeed=true (r10): the stream emits appends as typed
+    insert rows and a MoR delete's hidden rows as delete rows — full
+    content, commit-tagged — instead of the rewrite refusal; a resumed
+    checkpoint picks up later changes exactly once."""
+    from social_media_etl_spark.operators.manifest import VersionedTable
+    from social_media_etl_spark.sources.versioned_stream import (
+        register_versioned_cdc_source,
+    )
+
+    register_versioned_cdc_source(spark)
+    src = VersionedTable.create(
+        spark, str(tmp_path / "src"), _vt_df(spark, [(1, "a"), (2, "b")])
+    )
+    src.append(_vt_df(spark, [(3, "c"), (4, "d")]))  # v1
+    src.delete("k IN (2, 3)", mode="mor")  # v2
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("versioned_cdc")
+            .option("path", src.path)
+            .option("readChangeFeed", "true")
+            .option("startingVersion", "0")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"], r["v"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [
+        (1, "insert", 3, "c"),
+        (1, "insert", 4, "d"),
+        (2, "delete", 2, "b"),
+        (2, "delete", 3, "c"),
+    ]
+    # resume: a later append and another MoR delete stream typed too
+    src.append(_vt_df(spark, [(5, "e")]))  # v3
+    src.delete("k = 1", mode="mor")  # v4
+    drain()
+    got2 = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got2 == [
+        (1, "insert", 3),
+        (1, "insert", 4),
+        (2, "delete", 2),
+        (2, "delete", 3),
+        (3, "insert", 5),
+        (4, "delete", 1),
+    ]
+    # replaying the feed over the v0 snapshot reproduces the head
+    state = {r["k"] for r in src.read(0).collect()}
+    for _, kind, k in got2:
+        state.add(k) if kind == "insert" else state.discard(k)
+    assert state == {r["k"] for r in src.read().collect()}
+
+
+@pytest.mark.slow
+def test_versioned_cdc_change_feed_snapshot_start_and_cow_refusal(
+    spark, tmp_path
+):
+    from social_media_etl_spark.operators.manifest import VersionedTable
+    from social_media_etl_spark.sources.versioned_stream import (
+        register_versioned_cdc_source,
+    )
+
+    register_versioned_cdc_source(spark)
+    src = VersionedTable.create(
+        spark, str(tmp_path / "src"), _vt_df(spark, [(1, "a"), (2, "b"), (3, "c")])
+    )
+    src.delete("k = 2", mode="mor")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    # snapshot start (-1): current rows stream as inserts at the head
+    # version, with the vector anti-applied (no resurrected row 2)
+    q = (
+        spark.readStream.format("versioned_cdc")
+        .option("path", src.path)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [(1, "insert", 1), (1, "insert", 3)]
+    # a COW rewrite arriving later still refuses (not recoverable)
+    src.delete("k = 3")
+    q = (
+        spark.readStream.format("versioned_cdc")
+        .option("path", src.path)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="readChangeFeed|recover"):
+        q.awaitTermination()
