@@ -618,6 +618,16 @@ class VersionedTable:
             raise IOError(f"VersionedTable: no part files written at {ddir}")
         return sorted(files)
 
+    def _write_cdc(self, df: DataFrame, version_hint: int) -> str:
+        """Write one commit's row-level CDC records (rows already
+        tagged ``_change_type``) as an immutable parquet dir — the
+        Delta ``_change_data`` pattern. Written BEFORE the CAS; a lost
+        race leaves an orphan dir that vacuum sweeps age-guarded.
+        Bounded by the commit's own changed rows, distributed write."""
+        cdir = f"{self.path}/cdc/b{version_hint:08d}-{uuid.uuid4().hex[:8]}"
+        df.write.mode("error").parquet(cdir)
+        return cdir
+
     @classmethod
     def _partition_values(cls, files: list[str], partition_by=None) -> dict:
         """Per-file partition value(s) parsed from the ``smetl_pt*=``
@@ -709,6 +719,7 @@ class VersionedTable:
         constraints: dict | None = None,
         segmented: bool = True,
         bucket_by: tuple | None = None,
+        change_data_feed: bool = False,
     ) -> "VersionedTable":
         """``stats_cols`` records per-file min/max in the manifest for
         :meth:`read_where` data skipping — numeric, string, and
@@ -754,6 +765,10 @@ class VersionedTable:
             "stats_cols": stats_cols or [],
             "partition_by": partition_by,
             "bucket_by": bucket,
+            # Delta's enableChangeDataFeed: COW DELETE/UPDATE commits
+            # then write their row-level changes as CDC files, making
+            # read_change_feed/readChangeFeed cover them (r10)
+            "cdf": bool(change_data_feed),
             "constraints": constraints or {},
             # name→field-id indirection (VERDICT r9 #4, the Iceberg/
             # Delta column-mapping substrate): ids are assigned once
@@ -808,7 +823,7 @@ class VersionedTable:
         later DML. Full rewrites keep ``aliases`` too: once no live
         footer carries an old physical name the alias entries are
         inert (the read path only coalesces names actually present)."""
-        for k in ("field_ids", "aliases", "bucket_by"):
+        for k in ("field_ids", "aliases", "bucket_by", "cdf"):
             if base.get(k):
                 m[k] = base[k]
         return m
@@ -1404,11 +1419,24 @@ class VersionedTable:
                     )
                 )
                 continue
+            if ptr.get("cdc"):
+                # a change-data-feed table's COW commit recorded its
+                # row-level changes at commit time (_change_type rides
+                # in the CDC parquet: delete / update_preimage /
+                # update_postimage)
+                frames.append(
+                    self.spark.read.parquet(ptr["cdc"]).select(
+                        "*",
+                        F.lit(v).cast("int").alias(self._CDF_VERSION),
+                    )
+                )
+                continue
             raise ValueError(
                 f"read_change_feed: version {v} is op '{op}'"
                 + (f"/mode '{ptr.get('mode')}'" if op == "delete" else "")
-                + " — row-level changes are only recoverable for append"
-                " and merge-on-read delete commits; re-snapshot instead"
+                + " — row-level changes are only recoverable for append,"
+                " merge-on-read delete, and CDC-recorded commits"
+                " (create(change_data_feed=True)); re-snapshot instead"
             )
         target_schema = self._manifest_schema(self._read_pointer(to_v))
         meta_cols = [self._CDF_TYPE, self._CDF_VERSION]
@@ -1833,6 +1861,17 @@ class VersionedTable:
         kept_files = [f for f in base["files"] if f not in touched]
         keep_rows = ~F.coalesce(F.expr(predicate), F.lit(False))
         remaining = self._read_files(base, touched_files).filter(keep_rows)
+        cdc_dir = None
+        if base.get("cdf"):
+            # change-data-feed table: record the removed rows as CDC
+            # files so read_change_feed covers this COW commit (the
+            # Delta enableChangeDataFeed contract)
+            removed = (
+                self._read_files(base, touched_files)
+                .filter(F.coalesce(F.expr(predicate), F.lit(False)))
+                .select("*", F.lit("delete").alias("_change_type"))
+            )
+            cdc_dir = self._write_cdc(removed, parent + 1)
         partition_by = base.get("partition_by")
         # bounded action over the touched files only: an all-rows-
         # deleted rewrite must commit an empty file set, and parquet
@@ -1873,6 +1912,8 @@ class VersionedTable:
             "constraints": base.get("constraints") or {},
         }
         m = self._carry_mapping(m, base)
+        if cdc_dir:
+            m["cdc"] = cdc_dir
         if base.get("delete_vectors"):
             # rewritten files dropped their DV'd rows physically; kept
             # files still need the vectors applied at read time
@@ -2402,6 +2443,27 @@ class VersionedTable:
                 for f in schema.fields
             ]
         )
+        cdc_dir = None
+        if base.get("cdf"):
+            pre = self._read_files(base, touched_files).filter(hit)
+            post = pre.select(
+                *[
+                    _assigned(f.name).alias(f.name)
+                    if f.name in assignments
+                    else F.col(f.name)
+                    for f in schema.fields
+                ]
+            )
+            cdc_dir = self._write_cdc(
+                pre.select(
+                    "*", F.lit("update_preimage").alias("_change_type")
+                ).unionByName(
+                    post.select(
+                        "*", F.lit("update_postimage").alias("_change_type")
+                    )
+                ),
+                parent + 1,
+            )
         partition_by = base.get("partition_by")
         new_files = self._write_data(
             rewritten, parent + 1, partition_by, base.get("bucket_by")
@@ -2461,6 +2523,8 @@ class VersionedTable:
                 **new_parts,
             }
         m = self._carry_mapping(m, base)
+        if cdc_dir:
+            m["cdc"] = cdc_dir
         # assignments can push rows outside a CHECK constraint; the
         # rewritten files carry no deletion vectors — skip the anti-join
         self._check_constraints(new_files, {**m, "delete_vectors": []})
@@ -2698,6 +2762,22 @@ class VersionedTable:
                 name = st.getPath().getName()
                 age_s = (now_ms - st.getModificationTime()) / 1000.0
                 if name not in live_dv and age_s >= min_age_seconds:
+                    self._fs.delete(st.getPath(), True)
+                    removed += 1
+        # CDC dirs (change-data-feed commits): keep those any RETAINED
+        # manifest references; sweep the rest (old versions' records
+        # and lost-race orphans) under the same age guard
+        live_cdc = set()
+        for v in keep:
+            c = self._read_pointer(v).get("cdc")
+            if c:
+                live_cdc.add(c.rstrip("/").rsplit("/", 1)[-1])
+        croot = self._P(f"{self.path}/cdc")
+        if self._fs.exists(croot):
+            for st in self._fs.listStatus(croot):
+                name = st.getPath().getName()
+                age_s = (now_ms - st.getModificationTime()) / 1000.0
+                if name not in live_cdc and age_s >= min_age_seconds:
                     self._fs.delete(st.getPath(), True)
                     removed += 1
         # bucketed view dirs (register_bucketed): HARD LINKS into data

@@ -337,11 +337,26 @@ def _span_changes(
                 for f in sorted(touched & live)
             )
             continue
+        if ptr.get("cdc"):
+            # COW commit on a change-data-feed table: its CDC parquet
+            # already carries _change_type per row — stream the dir's
+            # files; the reader emits rows as recorded ("cdc" kind)
+            import pyarrow.fs as pafs
+
+            cdir = _requalify(root, table_path, ptr["cdc"])
+            sel = pafs.FileSelector(cdir, recursive=True)
+            out.extend(
+                (info.path, "cdc", v, None)
+                for info in fs.get_file_info(sel)
+                if info.is_file and info.base_name.endswith(".parquet")
+            )
+            continue
         raise ValueError(
             f"versioned_cdc: version {v} is op '{op}'"
             + (f"/mode '{ptr.get('mode')}'" if op == "delete" else "")
-            + " — readChangeFeed recovers rows only for append and"
-            " merge-on-read delete commits; restart from a fresh"
+            + " — readChangeFeed recovers rows only for append,"
+            " merge-on-read delete, and CDC-recorded commits"
+            " (create(change_data_feed=True)); restart from a fresh"
             " snapshot"
         )
     return out

@@ -254,3 +254,69 @@ def test_change_feed_double_delete_never_duplicates(spark, tmp_path):
         for r in t.read_change_feed(0).collect()
     )
     assert got == [(1, 1), (1, 2), (2, 3)]
+
+
+def test_change_feed_covers_cow_commits_on_cdf_tables(spark, tmp_path):
+    """create(change_data_feed=True): COW DELETE/UPDATE record their
+    row-level changes as CDC files at commit time (the Delta
+    enableChangeDataFeed contract), so read_change_feed covers them —
+    deletes with full content, updates as pre/postimage pairs."""
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        _df(spark, [(1, "a"), (2, "b"), (3, "c")]),
+        change_data_feed=True,
+    )
+    t.delete("k = 2")  # v1: COW — CDC-recorded
+    t.update("k = 3", {"v": "upper(v)"})  # v2: CDC pre/post
+    t.append(_df(spark, [(4, "d")]))  # v3: plain file-diff insert
+    feed = t.read_change_feed(0)
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"], r["v"])
+        for r in feed.collect()
+    )
+    assert got == [
+        (1, "delete", 2, "b"),
+        (2, "update_postimage", 3, "C"),
+        (2, "update_preimage", 3, "c"),
+        (3, "insert", 4, "d"),
+    ]
+    # replica replay: postimage upserts, preimage is informational
+    state = {r["k"]: r["v"] for r in t.read(0).collect()}
+    for _, kind, k, v in got:
+        if kind in ("insert", "update_postimage"):
+            state[k] = v
+        elif kind == "delete":
+            state.pop(k)
+    assert state == {r["k"]: r["v"] for r in t.read().collect()}
+    # a NON-cdf table's COW delete still refuses
+    t2 = VersionedTable.create(
+        spark, str(tmp_path / "t2"), _df(spark, [(1, "a")])
+    )
+    t2.delete("k = 1")
+    with pytest.raises(ValueError, match="only recoverable"):
+        t2.read_change_feed(0)
+
+
+def test_vacuum_sweeps_dead_cdc_dirs(spark, tmp_path):
+    import os
+
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        _df(spark, [(1, "a"), (2, "b"), (3, "c"), (4, "d")]),
+        change_data_feed=True,
+    )
+    t.delete("k = 1")  # v1 cdc
+    t.delete("k = 2")  # v2 cdc
+    t.delete("k = 3")  # v3 cdc
+    croot = str(tmp_path / "t" / "cdc")
+    assert len(os.listdir(croot)) == 3
+    # retained manifests (v2, v3) keep their CDC dirs; v1's sweeps
+    assert t.vacuum(keep_last=2, min_age_seconds=0) >= 1
+    live = {
+        t._read_pointer(v)["cdc"].rsplit("/", 1)[-1] for v in (2, 3)
+    }
+    assert set(os.listdir(croot)) == live
+    # the retained range still reads its feed
+    assert t.read_change_feed(1).count() == 2

@@ -1149,3 +1149,43 @@ def test_versioned_cdc_change_feed_snapshot_start_and_cow_refusal(
     )
     with pytest.raises(Exception, match="readChangeFeed|recover"):
         q.awaitTermination()
+
+
+@pytest.mark.slow
+def test_versioned_cdc_change_feed_streams_cow_cdc_commits(spark, tmp_path):
+    """On a change-data-feed table, a COW delete/update inside the
+    span streams its CDC-recorded rows typed — instead of the
+    rewrite refusal a plain table hits."""
+    from social_media_etl_spark.operators.manifest import VersionedTable
+    from social_media_etl_spark.sources.versioned_stream import (
+        register_versioned_cdc_source,
+    )
+
+    register_versioned_cdc_source(spark)
+    src = VersionedTable.create(
+        spark,
+        str(tmp_path / "src"),
+        _vt_df(spark, [(1, "a"), (2, "b"), (3, "c")]),
+        change_data_feed=True,
+    )
+    src.delete("k = 2")  # v1: COW, CDC-recorded
+    src.append(_vt_df(spark, [(4, "d")]))  # v2
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("versioned_cdc")
+        .option("path", src.path)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [(1, "delete", 2), (2, "insert", 4)]
