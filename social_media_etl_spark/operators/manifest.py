@@ -147,24 +147,29 @@ class VersionedTable:
         return cached
 
     def _write_segment(
-        self, files: list[str], stats: dict, parts: dict
+        self,
+        files: list[str],
+        stats: dict,
+        parts: dict,
+        spec: list | None = None,
     ) -> str:
         """Write one immutable segment file; returns its name. Written
         BEFORE the pointer CAS — a lost race leaves an orphan segment
-        that vacuum's age-guarded sweep collects."""
+        that vacuum's age-guarded sweep collects. ``spec`` records the
+        PARTITION SPEC the segment's files were laid out under (r10 —
+        Iceberg spec evolution): after a ``set_partition_spec`` the
+        table holds files from several specs, and pruning interprets
+        each file's recorded values under its OWN spec."""
         mdir = self._P(self._manifest_dir())
         if not self._fs.exists(mdir):
             self._fs.mkdirs(mdir)
         name = f"seg-{uuid.uuid4().hex}.json"
+        body = {"files": files, "stats": stats, "parts": parts}
+        if spec:
+            body["spec"] = list(spec)
         out = self._fs.create(self._P(self._segment_path(name)), False)
         try:
-            out.write(
-                bytearray(
-                    json.dumps(
-                        {"files": files, "stats": stats, "parts": parts}
-                    ).encode("utf-8")
-                )
-            )
+            out.write(bytearray(json.dumps(body).encode("utf-8")))
         finally:
             out.close()
         return name
@@ -199,7 +204,11 @@ class VersionedTable:
                 if partition_by
                 else {}
             )
-            segs.append(self._write_segment(chunk, stats, parts))
+            segs.append(
+                self._write_segment(
+                    chunk, stats, parts, self._pb_cols(partition_by) or None
+                )
+            )
         return segs
 
     def _resolve(self, ptr: dict) -> dict:
@@ -210,15 +219,25 @@ class VersionedTable:
         files: list[str] = []
         stats: dict = {}
         parts: dict = {}
+        specs: dict = {}
+        cur_spec = self._pb_cols(ptr.get("partition_by"))
         for name in ptr["segments"]:
             seg = self._read_segment(name)
             files.extend(seg["files"])
             stats.update(seg.get("stats") or {})
             parts.update(seg.get("parts") or {})
+            seg_spec = seg.get("spec")
+            if seg_spec and seg_spec != cur_spec:
+                # spec evolution happened: pruning must read this
+                # segment's files under THEIR spec, not the table's
+                for f in seg["files"]:
+                    specs[f] = seg_spec
         out = dict(ptr)
         out["files"] = sorted(files)
         out["stats"] = stats
         out["parts"] = parts
+        if specs:
+            out["specs"] = specs
         return out
 
     def _segments_without(self, ptr: dict, removed: set[str]) -> list[str]:
@@ -250,6 +269,7 @@ class VersionedTable:
                         for f, p in (seg.get("parts") or {}).items()
                         if f in kept_set
                     },
+                    seg.get("spec"),
                 )
             )
         return out
@@ -442,8 +462,24 @@ class VersionedTable:
         compared in the metadata's own domain; a predicate whose type
         can't be compared keeps the file — mis-typed bounds degrade to
         a full read, never to data loss."""
-        pbs = VersionedTable._pb_cols(manifest.get("partition_by"))
-        if col in pbs:
+        # the file's OWN spec: after set_partition_spec the table spans
+        # specs and each file's recorded values read under the spec it
+        # was written with (r10 — Iceberg spec evolution); files from
+        # the current spec use the manifest's. Specs record WRITE-TIME
+        # physical names, so a RENAMED column matches through its
+        # alias chain — same fallthrough as footer stats below.
+        pbs = (manifest.get("specs") or {}).get(
+            f
+        ) or VersionedTable._pb_cols(manifest.get("partition_by"))
+        spec_col = next(
+            (
+                n
+                for n in [col, *(manifest.get("aliases") or {}).get(col, ())]
+                if n in pbs
+            ),
+            None,
+        )
+        if spec_col is not None:
             entry = (manifest.get("parts") or {}).get(f)
             # legacy single-column manifests record a plain string;
             # multi-column specs record the per-file partition TUPLE —
@@ -451,7 +487,7 @@ class VersionedTable:
             pv = (
                 entry
                 if isinstance(entry, str) or entry is None
-                else entry[pbs.index(col)]
+                else entry[pbs.index(spec_col)]
             )
             if pv is not None and VersionedTable._pv_excludes(
                 pv, lo, hi, pt_is_string
@@ -485,13 +521,15 @@ class VersionedTable:
         skip predicate read_where* and pruned_file_count* report
         from."""
         pt_str: dict = {}
-        pbs = cls._pb_cols(manifest.get("partition_by"))
-        if pbs:
-            schema = cls._manifest_schema(manifest)
-            if schema is not None:
-                for x in schema.fields:
-                    if x.name in pbs:
-                        pt_str[x.name] = isinstance(x.dataType, T.StringType)
+        # string-domain lookup for EVERY predicate column: historical
+        # specs (set_partition_spec) may record values for columns
+        # outside the current spec, and those files still prune
+        pred_cols = {c for c, _, _ in preds}
+        schema = cls._manifest_schema(manifest)
+        if schema is not None:
+            for x in schema.fields:
+                if x.name in pred_cols:
+                    pt_str[x.name] = isinstance(x.dataType, T.StringType)
         return [
             f
             for f in manifest["files"]
@@ -1265,7 +1303,10 @@ class VersionedTable:
             )
         vs = [v for v in self.versions() if from_version < v <= to_v]
         rewrites = [
-            v for v in vs if self._read_pointer(v).get("op") not in ("append",)
+            v
+            for v in vs
+            if self._read_pointer(v).get("op")
+            not in ("append", "set_partition_spec")
         ]
         if rewrites:
             raise ValueError(
@@ -1351,6 +1392,8 @@ class VersionedTable:
         for v in span:
             ptr = self._read_pointer(v)
             op = ptr.get("op")
+            if op == "set_partition_spec":
+                continue  # metadata-only: no rows changed
             if op in ("append", "create"):
                 base_ptr = self._read_pointer(ptr["parent"]) if ptr.get(
                     "parent"
@@ -1738,6 +1781,79 @@ class VersionedTable:
             f"INTO {spec['n']} BUCKETS LOCATION '{vdir}'"
         )
         return self.spark.table(name)
+
+    def set_partition_spec(
+        self, partition_by: str | list | None, txn: str | None = None
+    ) -> int:
+        """Change the table's PARTITION SPEC as a METADATA-ONLY commit
+        (r10 — Iceberg partition-spec evolution): zero files move.
+        Existing files keep pruning under the spec they were written
+        with (each segment records its spec; :meth:`_resolve` builds a
+        per-file map, :meth:`_file_overlaps` reads it); commits from
+        here lay out under the NEW spec — the unpartitioned→(date) and
+        (date)→(date, region) growth paths every long-lived table
+        walks, without a rewrite. ``None`` drops partitioning for new
+        commits (old files keep their recorded values). OPTIMIZE after
+        an evolution consolidates everything into the current spec.
+
+        Refusals: unknown columns, legacy inline tables (their parts
+        have no per-segment spec record), bucket-spec'd tables
+        (bucket/partition layouts don't compose), and tables whose
+        pre-feature segments lack a spec record while partitioned —
+        each would make old values misread under the new spec."""
+        parent = self.head_version()
+        ptr = self._read_pointer(parent)
+        if "segments" not in ptr:
+            raise ValueError(
+                "VersionedTable.set_partition_spec: legacy inline "
+                "tables carry no per-segment spec — only segmented "
+                "tables support spec evolution"
+            )
+        if ptr.get("bucket_by"):
+            raise ValueError(
+                "VersionedTable.set_partition_spec: bucket_by does not "
+                "compose with partition_by"
+            )
+        new_spec = self._pb_cols(partition_by)
+        schema = self._manifest_schema(ptr)
+        if schema is not None and new_spec:
+            names = {f.name for f in schema.fields}
+            missing = [c for c in new_spec if c not in names]
+            if missing:
+                raise ValueError(
+                    "VersionedTable.set_partition_spec: unknown "
+                    f"partition column(s) {missing}"
+                )
+        old_spec = self._pb_cols(ptr.get("partition_by"))
+        if old_spec:
+            for name in ptr["segments"]:
+                if not self._read_segment(name).get("spec"):
+                    raise ValueError(
+                        "VersionedTable.set_partition_spec: segment "
+                        f"{name} predates spec records — its values "
+                        "would misread under a new spec; OPTIMIZE "
+                        "first to rewrite under a recorded spec"
+                    )
+        v = parent + 1
+        m = dict(ptr)
+        for stale in ("merge_on", "mode", "predicate"):
+            m.pop(stale, None)
+        m.update(
+            {
+                "version": v,
+                "parent": parent,
+                "op": "set_partition_spec",
+                "partition_by": partition_by,
+                "txn": txn,
+                "txns": self._txns_after(ptr, txn),
+            }
+        )
+        if not self._try_commit(m, v):
+            raise ConcurrentWriteError(
+                f"VersionedTable: set_partition_spec raced past stale "
+                f"v{parent}; head is now v{self.head_version()} — re-run"
+            )
+        return v
 
     def _touched_files(
         self,

@@ -232,7 +232,7 @@ def _span_files(
                 op = _pointer(fs, root, v).get("op")
                 if op_cache is not None:
                     op_cache[v] = op
-            if op not in ("append", "create"):
+            if op not in ("append", "create", "set_partition_spec"):
                 raise ValueError(
                     f"versioned_cdc: version {v} is op '{op}' (rewrite) — "
                     "a change stream is only defined along append-only "
@@ -286,6 +286,8 @@ def _span_changes(
         op = ptr.get("op")
         if op_cache is not None:
             op_cache[v] = op
+        if op == "set_partition_spec":
+            continue  # metadata-only: no rows changed
         if op in ("append", "create"):
             parent = ptr.get("parent")
             base = _pointer(fs, root, parent) if parent is not None else None

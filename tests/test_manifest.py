@@ -1177,3 +1177,104 @@ def test_rename_partition_column_keeps_pruning(spark, tmp_path):
         )
     )
     assert t.read().count() == 41
+
+
+# -- partition-spec evolution (r10) ------------------------------------------
+
+
+def test_set_partition_spec_unpartitioned_to_partitioned(spark, tmp_path):
+    """The growth path every long-lived table walks: start flat, add
+    partitioning later — METADATA-ONLY, no rewrite. Old files are
+    never pruned (no recorded values); new commits lay out and prune
+    under the new spec."""
+    df = spark.createDataFrame(
+        [(i, ["x", "y"][i % 2], float(i)) for i in range(40)],
+        "k long, typ string, val double",
+    )
+    t = VersionedTable.create(spark, str(tmp_path / "t"), df)
+    files_v0 = t._read_manifest(0)["files"]
+    t.set_partition_spec("typ")
+    m1 = t._read_manifest(1)
+    assert m1["files"] == files_v0  # zero data IO
+    assert m1["op"] == "set_partition_spec"
+    t.append(
+        spark.createDataFrame(
+            [(i, ["x", "y"][i % 2], float(i)) for i in range(40, 80)],
+            "k long, typ string, val double",
+        )
+    )
+    kept, total = t.pruned_file_count("typ", "x", "x")
+    assert kept < total  # the new generation's y-files skipped
+    got = t.read_where("typ", "x", "x")
+    assert sorted(r["k"] for r in got.collect()) == [
+        i for i in range(80) if i % 2 == 0
+    ]
+    assert t.read().count() == 80
+
+
+def test_set_partition_spec_widens_and_old_files_keep_pruning(
+    spark, tmp_path
+):
+    """(dt) → (dt, region): files written under the OLD spec still
+    prune on dt via their own recorded spec; files under the NEW spec
+    prune on both; reads stay exact throughout."""
+    def gen(lo, hi):
+        return spark.createDataFrame(
+            [
+                (
+                    i,
+                    f"2024-0{1 + i % 2}-01",
+                    "emea" if i % 3 == 0 else "apac",
+                    float(i),
+                )
+                for i in range(lo, hi)
+            ],
+            "k long, dt string, region string, val double",
+        )
+
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), gen(0, 60), partition_by="dt"
+    )
+    t.set_partition_spec(["dt", "region"])
+    t.append(gen(60, 120))
+    total = len(t._read_manifest(t.head_version())["files"])
+    # dt prunes BOTH generations (old via old spec, new via tuple)
+    k_dt, _ = t.pruned_file_count("dt", "2024-01-01", "2024-01-01")
+    assert k_dt < total
+    got = t.read_where("dt", "2024-01-01", "2024-01-01")
+    assert got.count() == sum(1 for i in range(120) if 1 + i % 2 == 1)
+    # region prunes only the new generation; old files are kept —
+    # strictly fewer than total but more than the new slice alone
+    k_rg, _ = t.pruned_file_count("region", "emea", "emea")
+    assert k_rg < total
+    got_rg = t.read_where("region", "emea", "emea")
+    assert got_rg.count() == sum(1 for i in range(120) if i % 3 == 0)
+    # OPTIMIZE consolidates everything under the CURRENT spec: region
+    # then prunes the whole table
+    t.optimize(target_files=2)
+    k_rg2, total2 = t.pruned_file_count("region", "emea", "emea")
+    assert k_rg2 < total2
+    assert t.read_where("region", "emea", "emea").count() == got_rg.count()
+    assert t.read().count() == 120
+
+
+def test_set_partition_spec_refusals_and_cdc_transparency(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    t = VersionedTable.create(spark, str(tmp_path / "t"), df)
+    with pytest.raises(ValueError, match="unknown"):
+        t.set_partition_spec("zzz")
+    tb = VersionedTable.create(
+        spark, str(tmp_path / "tb"), df, bucket_by=("k", 2)
+    )
+    with pytest.raises(ValueError, match="compose"):
+        tb.set_partition_spec("v")
+    ti = VersionedTable.create(
+        spark, str(tmp_path / "ti"), df, segmented=False
+    )
+    with pytest.raises(ValueError, match="inline"):
+        ti.set_partition_spec("v")
+    # a spec change is metadata-only: read_changes spans CROSS it
+    t.set_partition_spec("v")
+    t.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+    got = sorted(r["k"] for r in t.read_changes(0).collect())
+    assert got == [2]

@@ -1189,3 +1189,35 @@ def test_versioned_cdc_change_feed_streams_cow_cdc_commits(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     )
     assert got == [(1, "delete", 2), (2, "insert", 4)]
+
+
+def test_versioned_cdc_stream_crosses_partition_spec_change(spark, tmp_path):
+    """A set_partition_spec commit is metadata-only — the CDC stream
+    crosses it silently and emits only the rows the surrounding
+    appends added (under either layout)."""
+    from social_media_etl_spark.operators.manifest import VersionedTable
+    from social_media_etl_spark.sources.versioned_stream import (
+        register_versioned_cdc_source,
+    )
+
+    register_versioned_cdc_source(spark)
+    src = VersionedTable.create(
+        spark, str(tmp_path / "src"), _vt_df(spark, [(1, "a")])
+    )
+    src.append(_vt_df(spark, [(2, "b")]))  # v1
+    src.set_partition_spec("v")  # v2 — metadata only
+    src.append(_vt_df(spark, [(3, "c")]))  # v3, partitioned layout
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("versioned_cdc")
+        .option("path", src.path)
+        .option("startingVersion", "0")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(r["k"] for r in spark.read.parquet(out).collect()) == [2, 3]
