@@ -1465,8 +1465,8 @@ class VersionedTable:
             if ptr.get("cdc"):
                 # a change-data-feed table's COW commit recorded its
                 # row-level changes at commit time (_change_type rides
-                # in the CDC parquet: delete / update_preimage /
-                # update_postimage)
+                # in the CDC parquet: insert / delete /
+                # update_preimage / update_postimage)
                 frames.append(
                     self.spark.read.parquet(ptr["cdc"]).select(
                         "*",
@@ -1474,6 +1474,8 @@ class VersionedTable:
                     )
                 )
                 continue
+            if ptr.get("cdf") and op in ("delete", "update", "merge"):
+                continue  # CDF-recorded commit that changed zero rows
             raise ValueError(
                 f"read_change_feed: version {v} is op '{op}'"
                 + (f"/mode '{ptr.get('mode')}'" if op == "delete" else "")
@@ -2273,6 +2275,7 @@ class VersionedTable:
             source["*"], F.lit(True).alias("__s_hit")
         ).alias("s")
         new_frames = []
+        cdc_frames: list = []
         if touched_files:
             t_rows = self._read_files(base, touched_files).alias("t")
             cond = None
@@ -2330,6 +2333,40 @@ class VersionedTable:
                 ]
             )
             new_frames.append(rewritten)
+            if base.get("cdf"):
+                # classify this commit's row-level changes from the
+                # SAME join (CDF tables record merge changes at commit
+                # time, completing the Delta-CDF DML matrix)
+                t_cols = [
+                    F.col(f"t.{f.name}").alias(f.name)
+                    for f in schema.fields
+                ]
+                cdc_frames.append(
+                    joined.filter(take_delete).select(
+                        *t_cols, F.lit("delete").alias("_change_type")
+                    )
+                )
+                if when_matched_update:
+                    upd_rows = joined.filter(take_update)
+                    cdc_frames.append(
+                        upd_rows.select(
+                            *t_cols,
+                            F.lit("update_preimage").alias("_change_type"),
+                        )
+                    )
+                    cdc_frames.append(
+                        upd_rows.select(
+                            *[
+                                (
+                                    _upd(f.name).alias(f.name)
+                                    if f.name in when_matched_update
+                                    else F.col(f"t.{f.name}").alias(f.name)
+                                )
+                                for f in schema.fields
+                            ],
+                            F.lit("update_postimage").alias("_change_type"),
+                        )
+                    )
 
         if when_not_matched_insert is not None:
             unmatched_src = source.alias("s").join(
@@ -2387,6 +2424,12 @@ class VersionedTable:
                 *[_ins(f.name).alias(f.name) for f in schema.fields]
             )
             new_frames.append(inserts)
+            if base.get("cdf"):
+                cdc_frames.append(
+                    inserts.select(
+                        "*", F.lit("insert").alias("_change_type")
+                    )
+                )
 
         if not new_frames:
             return parent
@@ -2404,6 +2447,17 @@ class VersionedTable:
         )
         if not touched_files and not new_files:
             return parent  # nothing matched, nothing inserted
+        cdc_dir = None
+        if cdc_frames:
+            cdc = cdc_frames[0]
+            for fr in cdc_frames[1:]:
+                cdc = cdc.unionByName(fr)
+            # a clause set can legitimately change zero rows (e.g. an
+            # insert-only merge whose source keys all matched) — an
+            # empty parquet dir is unreadable, so skip recording and
+            # the feed treats the commit as change-free
+            if cdc.limit(1).count():
+                cdc_dir = self._write_cdc(cdc, v)
         stats_cols = base.get("stats_cols") or []
         new_stats = (
             self._collect_stats(new_files, stats_cols)
@@ -2461,6 +2515,8 @@ class VersionedTable:
                 **new_parts,
             }
         m = self._carry_mapping(m, base)
+        if cdc_dir:
+            m["cdc"] = cdc_dir
         # updates and inserts can both push rows outside a CHECK; new
         # files carry no deletion vectors, so skip the DV anti-join
         self._check_constraints(

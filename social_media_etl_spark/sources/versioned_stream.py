@@ -353,6 +353,8 @@ def _span_changes(
                 if info.is_file and info.base_name.endswith(".parquet")
             )
             continue
+        if ptr.get("cdf") and op in ("delete", "update", "merge"):
+            continue  # CDF-recorded commit that changed zero rows
         raise ValueError(
             f"versioned_cdc: version {v} is op '{op}'"
             + (f"/mode '{ptr.get('mode')}'" if op == "delete" else "")

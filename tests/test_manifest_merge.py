@@ -247,3 +247,71 @@ def test_merge_on_mor_table_does_not_resurrect(spark, tmp_path):
     )
     got = sorted((r["k"], r["v"]) for r in t.read().collect())
     assert got == [(2, "b2")]
+
+
+def test_merge_records_classified_cdc_on_cdf_tables(spark, tmp_path):
+    """On a change-data-feed table, MERGE records its row-level
+    changes classified at commit time — delete preimages, update
+    pre/postimage pairs, inserts — completing the CDF DML matrix; the
+    feed replays them typed."""
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        _df(spark, [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 950.0)]),
+        change_data_feed=True,
+    )
+    src = _df(spark, [(2, "B", 30.0), (3, "C", 1.0), (9, "i", 7.0)])
+    t.merge(
+        src,
+        on=["k"],
+        when_matched_delete="t.amt > 900.0",
+        when_matched_update={"v": "s.v", "amt": "s.amt"},
+        when_not_matched_insert="*",
+    )
+    feed = t.read_change_feed(0)
+    got = sorted(
+        (r["_change_type"], r["k"], r["v"], r["amt"])
+        for r in feed.collect()
+    )
+    assert got == [
+        ("delete", 3, "c", 950.0),
+        ("insert", 9, "i", 7.0),
+        ("update_postimage", 2, "B", 30.0),
+        ("update_preimage", 2, "b", 20.0),
+    ]
+    # replica replay reproduces the head
+    state = {
+        r["k"]: (r["v"], r["amt"]) for r in t.read(0).collect()
+    }
+    for kind, k, v, amt in got:
+        if kind in ("insert", "update_postimage"):
+            state[k] = (v, amt)
+        elif kind == "delete":
+            state.pop(k)
+    assert state == {
+        r["k"]: (r["v"], r["amt"]) for r in t.read().collect()
+    }
+
+
+def test_merge_with_zero_row_changes_is_feed_transparent(spark, tmp_path):
+    """An insert-only merge whose source keys all matched rewrites
+    files but changes no rows — the feed must cross it silently (no
+    unreadable empty CDC dir, no refusal)."""
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        _df(spark, [(1, "a", 1.0), (2, "b", 2.0)]),
+        change_data_feed=True,
+    )
+    t.merge(
+        _df(spark, [(1, "x", 9.0)]),
+        on=["k"],
+        when_not_matched_insert="*",
+    )
+    assert t.head_version() == 1
+    assert t.read_change_feed(0).count() == 0
+    t.append(_df(spark, [(5, "e", 5.0)]))
+    got = sorted(
+        (r["_change_type"], r["k"]) for r in t.read_change_feed(0).collect()
+    )
+    assert got == [("insert", 5)]
