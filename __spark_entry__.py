@@ -50,7 +50,7 @@ def _cleanup_tmpdirs() -> None:
         spark = SparkSession.getActiveSession()
         if spark is not None:
             for t in spark.catalog.listTables():
-                if t.name.startswith("smetl_bucketed_"):
+                if t.name.startswith(("smetl_bucketed_", "smetl_vbkt_")):
                     spark.sql(f"DROP TABLE IF EXISTS {t.name}")
     except Exception:
         pass
@@ -3909,10 +3909,20 @@ def _versioned_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
+            # Decimal operands make the sum EXACT and associative —
+            # round(sum(double), 2) flipped the last cent with
+            # accumulation order when a group sum landed 1.8e-4 cents
+            # from the half boundary (VERDICT r10 #1); decimal sums
+            # replay identically at any parallelism.
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * (1 - F.col("l_discount").cast("decimal(12,2)"))
+                ),
                 2,
-            ).alias("revenue"),
+            )
+            .cast("double")
+            .alias("revenue"),
         )
         .orderBy("o_orderpriority")
     )
@@ -7002,11 +7012,15 @@ def oracle_sql() -> dict[str, str]:
     # bucketing gates (SMJ final plan, zero join-key exchange, 8/8
     # buckets both sides, append survived) are in-plan; the oracle is
     # the plain join — co-location provably changes the plan, not the
-    # answer
+    # answer. DECIMAL operands on both engines: the sum is exact and
+    # associative, so the rounded cent cannot flip with accumulation
+    # order (r10's one red row).
     d["versioned_bucketed_join"] = """
         SELECT o_orderpriority,
                count(*) AS n_items,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2)
+                    AS DOUBLE) AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE l_quantity >= 10
         GROUP BY o_orderpriority ORDER BY o_orderpriority
