@@ -1306,7 +1306,11 @@ class VersionedTable:
             v
             for v in vs
             if self._read_pointer(v).get("op")
-            not in ("append", "set_partition_spec")
+            # rename is metadata-only (zero files move), so the
+            # file-level diff stays well-defined across it; optimize
+            # is NOT allowed here — compaction rewrites files and the
+            # diff would double-count their rows (ADVICE r10)
+            not in ("append", "set_partition_spec", "rename")
         ]
         if rewrites:
             raise ValueError(
@@ -1392,8 +1396,13 @@ class VersionedTable:
         for v in span:
             ptr = self._read_pointer(v)
             op = ptr.get("op")
-            if op == "set_partition_spec":
+            if op in ("set_partition_spec", "rename"):
                 continue  # metadata-only: no rows changed
+            if op == "optimize":
+                # content-identical rewrite (compaction / Z-order /
+                # DV fold-in): zero logical row changes — Delta CDF
+                # likewise emits nothing for OPTIMIZE (ADVICE r10)
+                continue
             if op in ("append", "create"):
                 base_ptr = self._read_pointer(ptr["parent"]) if ptr.get(
                     "parent"
@@ -1782,6 +1791,12 @@ class VersionedTable:
             f"CLUSTERED BY (`{spec['col']}`) SORTED BY (`{spec['col']}`) "
             f"INTO {spec['n']} BUCKETS LOCATION '{vdir}'"
         )
+        # marker so vacuum can DROP the catalog entry before sweeping
+        # this dir — otherwise the registered table silently reads
+        # empty after its backing links vanish (ADVICE r10). An
+        # underscore-prefixed file is invisible to Spark's FileIndex.
+        with open(os.path.join(vdir, "_registered_as"), "w") as fh:
+            fh.write(name)
         return self.spark.table(name)
 
     def set_partition_spec(
@@ -1989,7 +2004,14 @@ class VersionedTable:
                 .filter(F.coalesce(F.expr(predicate), F.lit(False)))
                 .select("*", F.lit("delete").alias("_change_type"))
             )
-            cdc_dir = self._write_cdc(removed, parent + 1)
+            # _touched_files over-approximates (its find-scan skips
+            # DVs) while this preimage read is DV-applied — if every
+            # predicate match was already vector-hidden, the frame is
+            # empty and an empty parquet dir is unreadable; skip
+            # recording like merge does and the feed treats the
+            # commit as change-free (ADVICE r10)
+            if removed.limit(1).count():
+                cdc_dir = self._write_cdc(removed, parent + 1)
         partition_by = base.get("partition_by")
         # bounded action over the touched files only: an all-rows-
         # deleted rewrite must commit an empty file set, and parquet
@@ -2626,16 +2648,21 @@ class VersionedTable:
                     for f in schema.fields
                 ]
             )
-            cdc_dir = self._write_cdc(
-                pre.select(
-                    "*", F.lit("update_preimage").alias("_change_type")
-                ).unionByName(
-                    post.select(
-                        "*", F.lit("update_postimage").alias("_change_type")
-                    )
-                ),
-                parent + 1,
-            )
+            # same empty guard as merge/delete: every match may be
+            # DV-hidden (the find-scan over-approximates), and an
+            # empty parquet dir breaks the feed's schema inference
+            if pre.limit(1).count():
+                cdc_dir = self._write_cdc(
+                    pre.select(
+                        "*", F.lit("update_preimage").alias("_change_type")
+                    ).unionByName(
+                        post.select(
+                            "*",
+                            F.lit("update_postimage").alias("_change_type"),
+                        )
+                    ),
+                    parent + 1,
+                )
         partition_by = base.get("partition_by")
         new_files = self._write_data(
             rewritten, parent + 1, partition_by, base.get("bucket_by")
@@ -2864,6 +2891,39 @@ class VersionedTable:
             f"VersionedTable: optimize lost {max_retries} CAS races"
         )
 
+    def _drop_view_registration(self, view_path) -> None:
+        """DROP the session-catalog table registered over a bucketed
+        view dir vacuum is about to sweep (``register_bucketed``
+        leaves a ``_registered_as`` marker) — otherwise the catalog
+        entry outlives its backing hard links and silently reads
+        empty (ADVICE r10). The name may have been re-registered over
+        a NEWER snapshot's dir since, so the drop only fires if the
+        table's current location is this very dir. View dirs are
+        local-FS by construction (register_bucketed refuses remote
+        paths), so plain file IO is the right tool here."""
+        import os
+        from urllib.parse import urlparse
+
+        local = view_path.toUri().getPath()
+        try:
+            with open(os.path.join(local, "_registered_as")) as fh:
+                name = fh.read().strip()
+        except OSError:
+            return  # pre-marker dir or foreign layout: nothing to drop
+        if not name:
+            return
+        try:
+            rows = self.spark.sql(
+                f"DESCRIBE TABLE EXTENDED `{name}`"
+            ).collect()
+        except Exception:
+            return  # table already dropped
+        loc = next(
+            (r[1] for r in rows if r[0] == "Location"), ""
+        ) or ""
+        if urlparse(loc).path.rstrip("/") == local.rstrip("/"):
+            self.spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+
     def vacuum(self, keep_last: int = 2, min_age_seconds: float = 3600.0) -> int:
         """Delete data directories referenced by NO retained manifest
         (the newest ``keep_last`` versions are retained, and their
@@ -2968,6 +3028,7 @@ class VersionedTable:
                 except ValueError:  # pragma: no cover - foreign dir
                     continue
                 if view_v not in keep and age_s >= min_age_seconds:
+                    self._drop_view_registration(st.getPath())
                     self._fs.delete(st.getPath(), True)
                     removed += 1
         # orphan segments: lost CAS races leave segment files no

@@ -209,7 +209,12 @@ def _files_of(fs, root: str, ptr: dict) -> list[str]:
 
 
 def _span_files(
-    fs, root: str, start_v: int, end_v: int, op_cache: dict | None = None
+    fs,
+    root: str,
+    start_v: int,
+    end_v: int,
+    op_cache: dict | None = None,
+    strict_v0: bool = False,
 ) -> list[str]:
     """New files committed over (start_v, end_v] — the read_changes
     file diff, with the same rewrite refusal. start_v == -1 means the
@@ -224,6 +229,31 @@ def _span_files(
     (r8 watch item)."""
     target = _pointer(fs, root, end_v)
     if start_v < 0:
+        if strict_v0:
+            # explicit startingVersionInclusive=0 (ADVICE r10): the
+            # caller asked for genuine from-v0 replay, not snapshot
+            # semantics — enforce the same append-only refusal the
+            # per-commit path applies, so behavior is continuous with
+            # inclusive=1. Along an append-only chain the v0..end file
+            # union IS the end snapshot, so the efficient return stays.
+            for v in _versions(fs, root):
+                if v > end_v:
+                    continue
+                op = op_cache.get(v) if op_cache is not None else None
+                if op is None:
+                    op = _pointer(fs, root, v).get("op")
+                    if op_cache is not None:
+                        op_cache[v] = op
+                if op not in (
+                    "append", "create", "set_partition_spec", "rename"
+                ):
+                    raise ValueError(
+                        f"versioned_cdc: version {v} is op '{op}' "
+                        "(rewrite) — startingVersionInclusive=0 replays "
+                        "every commit, which is only defined along "
+                        "append-only chains; omit the option to start "
+                        "from the current snapshot instead"
+                    )
         return _files_of(fs, root, target)
     for v in _versions(fs, root):
         if start_v < v <= end_v:
@@ -232,7 +262,9 @@ def _span_files(
                 op = _pointer(fs, root, v).get("op")
                 if op_cache is not None:
                     op_cache[v] = op
-            if op not in ("append", "create", "set_partition_spec"):
+            if op not in (
+                "append", "create", "set_partition_spec", "rename"
+            ):
                 raise ValueError(
                     f"versioned_cdc: version {v} is op '{op}' (rewrite) — "
                     "a change stream is only defined along append-only "
@@ -261,6 +293,7 @@ def _span_changes(
     start_v: int,
     end_v: int,
     op_cache: dict | None = None,
+    snapshot_v0: bool = True,
 ) -> list[tuple]:
     """CHANGE-FEED resolution of a span (r10 — the streaming twin of
     ``VersionedTable.read_change_feed``): a list of (file, kind,
@@ -272,12 +305,18 @@ def _span_changes(
     full content. Ops whose row diff is not file-recoverable (COW
     delete/update/merge, upsert, overwrite, optimize, rename) raise —
     same contract as the batch feed."""
-    if start_v < 0:
+    if start_v < 0 and snapshot_v0:
         target = _pointer(fs, root, end_v)
         dvs = target.get("delete_vectors") or None
         return [
             (f, "insert", end_v, dvs) for f in _files_of(fs, root, target)
         ]
+    # snapshot_v0=False (explicit startingVersionInclusive=0, ADVICE
+    # r10): fall through to genuine per-commit replay from v0 — the
+    # loop's (start_v, end_v] span includes the create commit, so v0's
+    # own rows emit typed under their true _commit_version and
+    # historical MoR-delete events are preserved, exactly like
+    # inclusive=1 does for v1.
     out: list[tuple] = []
     for v in _versions(fs, root):
         if not (start_v < v <= end_v):
@@ -286,8 +325,13 @@ def _span_changes(
         op = ptr.get("op")
         if op_cache is not None:
             op_cache[v] = op
-        if op == "set_partition_spec":
+        if op in ("set_partition_spec", "rename"):
             continue  # metadata-only: no rows changed
+        if op == "optimize":
+            # content-identical rewrite (compaction / Z-order / DV
+            # fold-in): zero logical row changes — same skip as the
+            # batch feed and Delta CDF (ADVICE r10)
+            continue
         if op in ("append", "create"):
             parent = ptr.get("parent")
             base = _pointer(fs, root, parent) if parent is not None else None
@@ -417,11 +461,18 @@ try:
                     "startingVersionInclusive and startingTimestamp are "
                     "mutually exclusive"
                 )
+            self._v0_per_commit = False
             if svi is not None:
                 # Delta-inclusive form (ADVICE r8 #1): version N's own
                 # rows ARE emitted. The checkpointable offset stays
-                # exclusive — N inclusive is N-1 consumed.
+                # exclusive — N inclusive is N-1 consumed. inclusive=0
+                # stores start=-1, which collides with the default
+                # snapshot sentinel, so an explicit flag keeps it on
+                # the per-commit path (ADVICE r10: behavior was
+                # discontinuous at 0 — snapshot-collapsed rows, wrong
+                # _commit_version, dropped historical deletes).
                 self._start = int(svi) - 1
+                self._v0_per_commit = int(svi) == 0
             elif sts is not None:
                 from datetime import datetime, timezone
 
@@ -456,7 +507,8 @@ try:
                 # — MoR deletes in the span stream their hidden rows
                 # instead of refusing
                 specs = _span_changes(
-                    self._fs, self._root, self._path, s, e, self._op_cache
+                    self._fs, self._root, self._path, s, e, self._op_cache,
+                    snapshot_v0=not self._v0_per_commit,
                 )
                 if not specs:
                     return [_FilePartition(None)]
@@ -464,7 +516,10 @@ try:
                     _FilePartition(f, dvs, kind, v)
                     for f, kind, v, dvs in specs
                 ]
-            files = _span_files(self._fs, self._root, s, e, self._op_cache)
+            files = _span_files(
+                self._fs, self._root, s, e, self._op_cache,
+                strict_v0=self._v0_per_commit,
+            )
             if not files:
                 return [_FilePartition(None)]
             dv_dirs = None

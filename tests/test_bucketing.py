@@ -216,3 +216,37 @@ def test_vacuum_sweeps_stale_bucketed_view_dirs(spark, tmp_path):
     t.vacuum(keep_last=2, min_age_seconds=0)
     left = os.listdir(vroot)
     assert len(left) == 1 and left[0].startswith("v00000002-")
+
+
+def test_vacuum_drops_catalog_tables_over_swept_view_dirs(spark, tmp_path):
+    """A registered table whose view dir vacuum sweeps must not
+    outlive its backing hard links as a silently-empty catalog entry
+    (ADVICE r10): vacuum DROPs it. A name RE-registered over a newer
+    snapshot's dir is untouched when the old dir sweeps."""
+    import os
+
+    from social_media_etl_spark.operators.manifest import VersionedTable
+
+    df = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("v")
+    )
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), df, bucket_by=("k", 4)
+    )
+    t.register_bucketed("vbkt_stale")  # points at the v0 view dir
+    t.register_bucketed("vbkt_moved")  # v0 now; re-registered below
+    t.append(df.withColumn("k", F.col("k") + 100))
+    t.append(df.withColumn("k", F.col("k") + 200))
+    t.register_bucketed("vbkt_moved")  # now points at the HEAD view dir
+    names = {x.name for x in spark.catalog.listTables()}
+    assert {"vbkt_stale", "vbkt_moved"} <= names
+    t.vacuum(keep_last=2, min_age_seconds=0)
+    names = {x.name for x in spark.catalog.listTables()}
+    # the table over the swept v0 dir is dropped with it...
+    assert "vbkt_stale" not in names
+    # ...the re-registered name survives and still reads the head
+    assert "vbkt_moved" in names
+    assert spark.table("vbkt_moved").count() == 150
+    vroot = str(tmp_path / "t" / "_bucketed_views")
+    assert sum(n.startswith("v00000002-") for n in os.listdir(vroot)) == 1
+    spark.sql("DROP TABLE vbkt_moved")

@@ -320,3 +320,79 @@ def test_vacuum_sweeps_dead_cdc_dirs(spark, tmp_path):
     assert set(os.listdir(croot)) == live
     # the retained range still reads its feed
     assert t.read_change_feed(1).count() == 2
+
+
+def test_cdf_cow_dml_on_fully_dv_hidden_matches_records_no_cdc(
+    spark, tmp_path
+):
+    """The find-scan over-approximates (it skips DVs) while the CDC
+    preimage read is DV-applied — a COW delete/update whose every
+    predicate match is already vector-hidden must SKIP recording
+    (an empty parquet dir is unreadable) and the feed must treat the
+    commit as change-free instead of failing schema inference
+    (ADVICE r10 medium)."""
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        _df(spark, [(1, "a"), (2, "b"), (3, "c")]),
+        change_data_feed=True,
+    )
+    t.delete("k = 2", mode="mor")  # v1: DV hides k=2
+    v = t.delete("k = 2")  # v2: COW — every match already hidden
+    assert v == 2
+    assert not t._read_pointer(2).get("cdc")
+    # the feed crosses the no-change commit without erroring and
+    # emits only the MoR delete's typed row
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"])
+        for r in t.read_change_feed(0).collect()
+    )
+    assert got == [(1, "delete", 2)]
+    assert {r["k"] for r in t.read().collect()} == {1, 3}
+    # same guard through UPDATE (fresh table: a COW rewrite drops
+    # vector-hidden rows physically, so the scenario needs its own DV)
+    u = VersionedTable.create(
+        spark,
+        str(tmp_path / "u"),
+        _df(spark, [(1, "a"), (2, "b"), (3, "c")]),
+        change_data_feed=True,
+    )
+    u.delete("k = 3", mode="mor")  # v1: DV hides k=3
+    v = u.update("k = 3", {"v": "'zz'"})  # v2: every match hidden
+    assert v == 2
+    assert not u._read_pointer(2).get("cdc")
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"])
+        for r in u.read_change_feed(0).collect()
+    )
+    assert got == [(1, "delete", 3)]
+    assert {(r["k"], r["v"]) for r in u.read().collect()} == {
+        (1, "a"),
+        (2, "b"),
+    }
+
+
+def test_change_feed_skips_rename_and_optimize_commits(spark, tmp_path):
+    """rename is metadata-only and optimize is a content-identical
+    rewrite — neither changes a logical row, so the feed (batch) and
+    read_changes skip them instead of permanently breaking every
+    range that crosses one (ADVICE r10; Delta CDF skips both)."""
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), _df(spark, [(1, "a"), (2, "b")])
+    )
+    t.append(_df(spark, [(3, "c")]))  # v1
+    t.rename_column("v", "tag")  # v2: metadata-only
+    t.append(_df(spark, [(4, "d")]).withColumnRenamed("v", "tag"))  # v3
+    t.optimize()  # v4: compaction, zero logical changes
+    t.append(_df(spark, [(5, "e")]).withColumnRenamed("v", "tag"))  # v5
+    feed = t.read_change_feed(0)
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"])
+        for r in feed.collect()
+    )
+    assert got == [(1, "insert", 3), (3, "insert", 4), (5, "insert", 5)]
+    # read_changes tolerates the rename (zero files moved) but still
+    # refuses across the optimize (file diff would double-count)
+    assert {r["k"] for r in t.read_changes(0, 3).collect()} == {3, 4}
+    with pytest.raises(ValueError, match="rewrite"):
+        t.read_changes(0, 5)

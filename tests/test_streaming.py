@@ -1221,3 +1221,73 @@ def test_versioned_cdc_stream_crosses_partition_spec_change(spark, tmp_path):
     )
     q.awaitTermination()
     assert sorted(r["k"] for r in spark.read.parquet(out).collect()) == [2, 3]
+
+
+@pytest.mark.slow
+def test_versioned_cdc_starting_version_inclusive_zero_replays_per_commit(
+    spark, tmp_path
+):
+    """startingVersionInclusive=0 must behave like the other inclusive
+    values — genuine per-commit replay from v0 (true _commit_version,
+    historical MoR deletes preserved) — not fall into the snapshot
+    path its -1 internal offset collides with (ADVICE r10: rows were
+    collapsed at the end version and delete events silently dropped).
+    In plain mode the same option enforces the append-only refusal
+    from v0 instead of skipping history checks."""
+    from social_media_etl_spark.operators.manifest import VersionedTable
+    from social_media_etl_spark.sources.versioned_stream import (
+        register_versioned_cdc_source,
+    )
+
+    register_versioned_cdc_source(spark)
+    src = VersionedTable.create(
+        spark, str(tmp_path / "src"), _vt_df(spark, [(1, "a"), (2, "b")])
+    )
+    src.append(_vt_df(spark, [(3, "c")]))  # v1
+    src.delete("k = 2", mode="mor")  # v2
+
+    def drain(tag, **opts):
+        out = str(tmp_path / f"out{tag}")
+        reader = spark.readStream.format("versioned_cdc").option(
+            "path", src.path
+        )
+        for k_, v_ in opts.items():
+            reader = reader.option(k_, v_)
+        q = (
+            reader.load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / f"ckpt{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out)
+
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"])
+        for r in drain(
+            "cdf", readChangeFeed="true", startingVersionInclusive="0"
+        ).collect()
+    )
+    # v0's own rows emit AT v0, the MoR delete emits typed — nothing
+    # collapses into an end-version snapshot
+    assert got == [
+        (0, "insert", 1),
+        (0, "insert", 2),
+        (1, "insert", 3),
+        (2, "delete", 2),
+    ]
+    # plain mode: inclusive=0 over a chain containing a rewrite
+    # refuses like inclusive=1 would (continuous semantics at 0)...
+    with pytest.raises(Exception, match="append-only"):
+        drain("plain", startingVersionInclusive="0").collect()
+    # ...and over an append-only chain emits every commit's rows
+    clean = VersionedTable.create(
+        spark, str(tmp_path / "clean"), _vt_df(spark, [(1, "a")])
+    )
+    clean.append(_vt_df(spark, [(2, "b")]))
+    src = clean
+    assert {
+        r["k"] for r in drain("clean", startingVersionInclusive="0").collect()
+    } == {1, 2}
