@@ -861,7 +861,7 @@ class VersionedTable:
         later DML. Full rewrites keep ``aliases`` too: once no live
         footer carries an old physical name the alias entries are
         inert (the read path only coalesces names actually present)."""
-        for k in ("field_ids", "aliases", "bucket_by", "cdf"):
+        for k in ("field_ids", "aliases", "bucket_by", "cdf", "dropped_phys"):
             if base.get(k):
                 m[k] = base[k]
         return m
@@ -932,6 +932,22 @@ class VersionedTable:
             for f in df.schema.fields
             if f.name not in table_names
         ]
+        # a new column may not take a name some live footer still
+        # carries PHYSICALLY — a DROPPED column's name (or any of its
+        # aliases) would resurrect the old bytes through the
+        # name-mapped read, and a renamed column's pre-rename physical
+        # name would feed TWO logical columns at once
+        forbidden = set(base.get("dropped_phys") or [])
+        for chain in (base.get("aliases") or {}).values():
+            forbidden.update(chain)
+        for f in new_fields:
+            if f.name in forbidden:
+                raise ValueError(
+                    "VersionedTable: schema mismatch — new column "
+                    f"'{f.name}' collides with a physical name live in "
+                    "pre-drop/pre-rename files; a name-mapped read "
+                    "would surface the OLD bytes. Pick a fresh name."
+                )
         merged = T.StructType(list(table.fields) + new_fields)
         return {
             "schema": merged.simpleString(),
@@ -1310,7 +1326,7 @@ class VersionedTable:
             # file-level diff stays well-defined across it; optimize
             # is NOT allowed here — compaction rewrites files and the
             # diff would double-count their rows (ADVICE r10)
-            not in ("append", "set_partition_spec", "rename")
+            not in ("append", "set_partition_spec", "rename", "drop")
         ]
         if rewrites:
             raise ValueError(
@@ -1396,7 +1412,7 @@ class VersionedTable:
         for v in span:
             ptr = self._read_pointer(v)
             op = ptr.get("op")
-            if op in ("set_partition_spec", "rename"):
+            if op in ("set_partition_spec", "rename", "drop"):
                 continue  # metadata-only: no rows changed
             if op == "optimize":
                 # content-identical rewrite (compaction / Z-order /
@@ -1505,11 +1521,31 @@ class VersionedTable:
         for f in frames[1:]:
             out = out.unionByName(f, allowMissingColumns=True)
         if target_schema is not None:
-            cols = [f.name for f in target_schema.fields if f.name in out.columns]
-            extra = [
-                c for c in out.columns if c not in cols and c not in meta_cols
-            ]
-            out = out.select(*(cols + extra + meta_cols))
+            # emit the feed under the TARGET version's schema: a
+            # column renamed mid-range coalesces through its alias
+            # chain (earlier commits' frames carry the old logical
+            # name), a column dropped by to_v is omitted entirely
+            # (its tombstoned bytes must not resurface — r11), and a
+            # column added after a frame's commit NULL-fills, exactly
+            # like snapshot reads across evolution.
+            aliases = self._read_pointer(to_v).get("aliases") or {}
+            present = set(out.columns)
+            cols = []
+            for f in target_schema.fields:
+                cands = [
+                    n
+                    for n in [f.name, *aliases.get(f.name, [])]
+                    if n in present
+                ]
+                if not cands:
+                    cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+                elif len(cands) == 1:
+                    cols.append(F.col(cands[0]).alias(f.name))
+                else:
+                    cols.append(
+                        F.coalesce(*[F.col(n) for n in cands]).alias(f.name)
+                    )
+            out = out.select(*cols, *[F.col(c) for c in meta_cols])
         return out
 
     def overwrite(
@@ -1609,8 +1645,9 @@ class VersionedTable:
         old file could then feed two logical columns), or renaming a
         column referenced by a CHECK constraint (the stored SQL text
         would break at the next data-adding commit — drop and re-add
-        the constraint around the rename). DROP remains refused
-        entirely (:meth:`_check_schema`)."""
+        the constraint around the rename). DROP is :meth:`drop_column`
+        (r11); an APPEND that silently omits a column still refuses
+        (:meth:`_check_schema`)."""
         import re as _re
 
         parent = self.head_version()
@@ -1628,7 +1665,11 @@ class VersionedTable:
                 f"{names}"
             )
         aliases = {k: list(v) for k, v in (ptr.get("aliases") or {}).items()}
-        live_phys = set(names) | {a for v in aliases.values() for a in v}
+        live_phys = (
+            set(names)
+            | {a for v in aliases.values() for a in v}
+            | set(ptr.get("dropped_phys") or [])
+        )
         if new in live_phys:
             raise ValueError(
                 f"VersionedTable.rename_column: {new!r} collides with a "
@@ -1697,6 +1738,116 @@ class VersionedTable:
         if not self._try_commit(m, v):
             raise ConcurrentWriteError(
                 f"VersionedTable: rename_column raced past stale "
+                f"v{parent}; head is now v{self.head_version()} — re-run"
+            )
+        return v
+
+    def drop_column(self, name: str, txn: str | None = None) -> int:
+        """Column DROP as a METADATA-ONLY commit (VERDICT r10 #7 —
+        schema evolution v3, completing the add/rename/drop triad on
+        the r10 column-mapping layer): zero data files move. The new
+        manifest's schema simply omits the field; old files still
+        physically carry the column, and because a drop marks the
+        manifest ``mixed``, every read projects exactly the manifest
+        schema, so the dropped bytes are never surfaced (and column
+        pruning means they are never even decoded). Time travel to a
+        pre-drop version resolves that version's own manifest —
+        byte-identical, dropped column and all.
+
+        The dropped column's physical name — and every alias it ever
+        had — joins a TOMBSTONE set (``dropped_phys``, carried by
+        every later commit): re-ADDING a column under a tombstoned
+        name is refused, because live pre-drop footers still carry
+        that physical name and a name-mapped read would resurrect the
+        old bytes into the new logical column (Delta solves this with
+        id-based physical names; this engine's name-mapped files make
+        the refusal the honest contract — pick a fresh name, or
+        OPTIMIZE-rewrite and re-create to reclaim one).
+
+        Refusals (each would corrupt semantics silently otherwise):
+        the last remaining column, a partition or bucket column (the
+        layout and its pruning are keyed on the values), a column a
+        CHECK constraint references (drop the constraint first), and
+        legacy manifests without ``schema_json``."""
+        import re as _re
+
+        parent = self.head_version()
+        ptr = self._read_pointer(parent)
+        schema = self._manifest_schema(ptr)
+        if schema is None:
+            raise ValueError(
+                "VersionedTable.drop_column: legacy manifest without "
+                "schema_json cannot track column mapping"
+            )
+        names = [f.name for f in schema.fields]
+        if name not in names:
+            raise ValueError(
+                f"VersionedTable.drop_column: no column {name!r} in "
+                f"{names}"
+            )
+        if len(names) == 1:
+            raise ValueError(
+                "VersionedTable.drop_column: cannot drop the last "
+                "column — a table needs at least one"
+            )
+        pb = ptr.get("partition_by")
+        pb_cols = self._pb_cols(pb)
+        if name in pb_cols:
+            raise ValueError(
+                f"VersionedTable.drop_column: {name!r} is a partition "
+                "column — set_partition_spec away from it first"
+            )
+        bk = ptr.get("bucket_by")
+        if bk and bk.get("col") == name:
+            raise ValueError(
+                f"VersionedTable.drop_column: {name!r} is the bucket "
+                "column — the layout is keyed on its values"
+            )
+        for cname, expr in (ptr.get("constraints") or {}).items():
+            if _re.search(rf"\b{_re.escape(name)}\b", expr):
+                raise ValueError(
+                    "VersionedTable.drop_column: CHECK constraint "
+                    f"{cname!r} references {name!r}; drop the "
+                    "constraint first"
+                )
+        merged = T.StructType([f for f in schema.fields if f.name != name])
+        aliases = {k: list(v) for k, v in (ptr.get("aliases") or {}).items()}
+        tombstones = {name} | set(aliases.pop(name, []))
+        dropped = sorted(set(ptr.get("dropped_phys") or []) | tombstones)
+        field_ids = dict(
+            ptr.get("field_ids") or {n: i + 1 for i, n in enumerate(names)}
+        )
+        field_ids.pop(name, None)
+        n_files = ptr.get("n_files")
+        if n_files is None:
+            n_files = len(ptr.get("files") or [])
+        v = parent + 1
+        m = dict(ptr)
+        for stale in ("merge_on", "mode", "predicate"):
+            m.pop(stale, None)
+        m.update(
+            {
+                "version": v,
+                "parent": parent,
+                "op": "drop",
+                "schema": merged.simpleString(),
+                "schema_json": merged.json(),
+                # existing files carry MORE columns than the manifest
+                # declares → reads must project the manifest schema
+                "mixed": bool(ptr.get("mixed")) or n_files > 0,
+                "txn": txn,
+                "txns": self._txns_after(ptr, txn),
+                "stats_cols": [
+                    c for c in (ptr.get("stats_cols") or []) if c != name
+                ],
+                "aliases": aliases,
+                "field_ids": field_ids,
+                "dropped_phys": dropped,
+            }
+        )
+        if not self._try_commit(m, v):
+            raise ConcurrentWriteError(
+                f"VersionedTable: drop_column raced past stale "
                 f"v{parent}; head is now v{self.head_version()} — re-run"
             )
         return v

@@ -245,7 +245,8 @@ def _span_files(
                     if op_cache is not None:
                         op_cache[v] = op
                 if op not in (
-                    "append", "create", "set_partition_spec", "rename"
+                    "append", "create", "set_partition_spec", "rename",
+                    "drop",
                 ):
                     raise ValueError(
                         f"versioned_cdc: version {v} is op '{op}' "
@@ -263,7 +264,8 @@ def _span_files(
                 if op_cache is not None:
                     op_cache[v] = op
             if op not in (
-                "append", "create", "set_partition_spec", "rename"
+                "append", "create", "set_partition_spec", "rename",
+                "drop",
             ):
                 raise ValueError(
                     f"versioned_cdc: version {v} is op '{op}' (rewrite) — "
@@ -325,7 +327,7 @@ def _span_changes(
         op = ptr.get("op")
         if op_cache is not None:
             op_cache[v] = op
-        if op in ("set_partition_spec", "rename"):
+        if op in ("set_partition_spec", "rename", "drop"):
             continue  # metadata-only: no rows changed
         if op == "optimize":
             # content-identical rewrite (compaction / Z-order / DV
@@ -424,6 +426,7 @@ try:
             dv_dirs: list | None = None,
             kind: str = "insert",
             version: int | None = None,
+            aliases: dict | None = None,
         ):
             self.file = file
             # deletion-vector dirs: for an "insert" partition they
@@ -434,6 +437,10 @@ try:
             self.dv_dirs = dv_dirs
             self.kind = kind
             self.version = version
+            # head-manifest alias chains (r11): pre-rename files carry
+            # a column's OLD physical name — the reader maps each
+            # schema field to whichever candidate its footer has
+            self.aliases = aliases
 
     class _VersionedCdcStreamReader(DataSourceStreamReader):
         def __init__(self, options, schema: T.StructType):
@@ -502,6 +509,11 @@ try:
                 # re-stats; cap it so a years-long commit chain cannot
                 # grow reader memory unboundedly (r9 watch item)
                 self._op_cache.clear()
+            # alias chains of the span's END manifest: pre-rename
+            # files carry old physical names that the reader must map
+            # back to current schema fields (r11; one driver-side
+            # metadata read per batch)
+            amap = _pointer(self._fs, self._root, e).get("aliases") or None
             if self._cdf:
                 # readChangeFeed (r10): typed insert/delete partitions
                 # — MoR deletes in the span stream their hidden rows
@@ -513,7 +525,7 @@ try:
                 if not specs:
                     return [_FilePartition(None)]
                 return [
-                    _FilePartition(f, dvs, kind, v)
+                    _FilePartition(f, dvs, kind, v, amap)
                     for f, kind, v, dvs in specs
                 ]
             files = _span_files(
@@ -534,7 +546,7 @@ try:
                     _pointer(self._fs, self._root, e).get("delete_vectors")
                     or None
                 )
-            return [_FilePartition(f, dv_dirs) for f in files]
+            return [_FilePartition(f, dv_dirs, aliases=amap) for f in files]
 
         def read(self, partition):
             if partition.file is None:
@@ -562,6 +574,22 @@ try:
                 "_change_type": kind,
                 "_commit_version": getattr(partition, "version", None),
             }
+            # map each schema field to the physical name THIS footer
+            # carries: the field itself, or — for pre-rename files —
+            # the first alias present (r11); neither present means a
+            # pre-evolution file, which NULL-fills like snapshot reads
+            amap = getattr(partition, "aliases", None) or {}
+            src_for = {
+                name: next(
+                    (
+                        n
+                        for n in [name, *amap.get(name, [])]
+                        if n in names
+                    ),
+                    None,
+                )
+                for name in self._fields
+            }
             for pos, rec in enumerate(tbl.to_pylist()):
                 if kind == "delete":
                     # CDF delete partition: emit ONLY the rows this
@@ -573,8 +601,8 @@ try:
                 # pre-evolution files NULL-fill manifest columns their
                 # footer does not carry, as in snapshot reads
                 yield tuple(
-                    rec.get(name)
-                    if name in names
+                    rec.get(src_for[name])
+                    if src_for[name] is not None
                     else meta.get(name)
                     for name in self._fields
                 )

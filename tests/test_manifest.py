@@ -1278,3 +1278,194 @@ def test_set_partition_spec_refusals_and_cdc_transparency(spark, tmp_path):
     t.append(spark.createDataFrame([(2, "b")], "k long, v string"))
     got = sorted(r["k"] for r in t.read_changes(0).collect())
     assert got == [2]
+
+
+# -- drop_column (r11: schema evolution v3 on the mapping layer) -----------
+
+
+def test_drop_column_is_metadata_only_and_hides_the_column(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, f"s{i}", float(i)) for i in range(40)],
+        "k long, v string, val double",
+    )
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        df.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        stats_cols=["k", "val"],
+    )
+    files_before = t._read_manifest(0)["files"]
+    t.drop_column("v")
+    m = t._read_manifest(1)
+    # zero data IO: the file list is IDENTICAL
+    assert m["files"] == files_before
+    assert m["op"] == "drop"
+    # reads surface exactly the new schema — old footers' bytes never do
+    assert [f.name for f in t.read().schema.fields] == ["k", "val"]
+    assert t.read().count() == 40
+    assert "v" not in m["field_ids"] and m["field_ids"] == {"k": 1, "val": 3}
+    assert m["dropped_phys"] == ["v"]
+    assert m["stats_cols"] == ["k", "val"]
+    # time travel: the pre-drop snapshot reads byte-identical
+    v0 = t.read(0)
+    assert [f.name for f in v0.schema.fields] == ["k", "v", "val"]
+    assert sorted(r["v"] for r in v0.collect()) == sorted(
+        f"s{i}" for i in range(40)
+    )
+
+
+def test_drop_then_append_and_stats_prune_on_renamed_survivor(
+    spark, tmp_path
+):
+    """The VERDICT r10 #7 'done' shape: drop, append, time-travel, and
+    stats-prune on a SURVIVING renamed column — the alias chain and
+    the tombstone coexist."""
+    df = spark.createDataFrame(
+        [(i, f"s{i}", float(i)) for i in range(100)],
+        "k long, v string, val double",
+    )
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        df.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        stats_cols=["k"],
+    )
+    t.rename_column("k", "key")  # v1
+    t.drop_column("v")  # v2
+    t.append(  # v3: the post-drop schema
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(100, 200)], "key long, val double"
+        )
+        .repartitionByRange(2, "key")
+        .sortWithinPartitions("key")
+    )
+    assert t.read().count() == 200
+    assert [f.name for f in t.read().schema.fields] == ["key", "val"]
+    # stats pruning on the renamed survivor falls through the alias
+    # chain across BOTH generations of files
+    kept, total = t.pruned_file_count("key", 0, 20)
+    assert kept < total
+    assert sorted(r["key"] for r in t.read_where("key", 0, 20).collect()) == (
+        list(range(21))
+    )
+    # time travel before the drop still reads v
+    assert "v" in t.read(1).columns
+    # DML after the drop: rewritten files carry the post-drop schema
+    t.delete("key < 10")
+    assert t.read().count() == 190
+    t.update("key = 150", {"val": "val + 1000"})
+    assert (
+        t.read().where("key = 150").collect()[0]["val"] == 1150.0
+    )
+
+
+def test_drop_column_tombstones_block_resurrecting_names(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "k long, v string, val double"
+    )
+    t = VersionedTable.create(spark, str(tmp_path / "t"), df)
+    t.rename_column("v", "tag")  # old files carry physical 'v'
+    t.drop_column("tag")  # tombstones: tag AND v
+    assert set(t._read_pointer(2)["dropped_phys"]) == {"tag", "v"}
+    add = spark.createDataFrame(
+        [(3, 3.0, "zz")], "k long, val double, tag string"
+    )
+    # re-ADDING either physical name would resurrect old bytes
+    with pytest.raises(ValueError, match="physical name"):
+        t.append(add)
+    with pytest.raises(ValueError, match="physical name"):
+        t.append(add.withColumnRenamed("tag", "v"))
+    # renaming a survivor TO a tombstoned name refuses too
+    with pytest.raises(ValueError, match="collides"):
+        t.rename_column("val", "v")
+    # a genuinely fresh name is fine
+    t.append(add.withColumnRenamed("tag", "note"))
+    assert t.read().count() == 3
+    assert {f.name for f in t.read().schema.fields} == {"k", "val", "note"}
+    # old rows NULL-fill the new column; dropped bytes stay hidden
+    assert sorted(
+        (r["k"], r["note"]) for r in t.read().collect()
+    ) == [(1, None), (2, None), (3, "zz")]
+
+
+def test_drop_column_refusals(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "k long, v string, val double"
+    )
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        df,
+        partition_by="v",
+        constraints={"val_pos": "val > 0"},
+    )
+    with pytest.raises(ValueError, match="no column"):
+        t.drop_column("zzz")
+    with pytest.raises(ValueError, match="partition column"):
+        t.drop_column("v")
+    with pytest.raises(ValueError, match="constraint"):
+        t.drop_column("val")
+    b = VersionedTable.create(
+        spark,
+        str(tmp_path / "b"),
+        df.select("k", "v"),
+        bucket_by=("k", 4),
+    )
+    with pytest.raises(ValueError, match="bucket column"):
+        b.drop_column("k")
+    one = VersionedTable.create(
+        spark, str(tmp_path / "one"), df.select("k")
+    )
+    with pytest.raises(ValueError, match="last"):
+        one.drop_column("k")
+
+
+def test_change_feed_and_read_changes_skip_drop_commits(spark, tmp_path):
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0)], "k long, v string, val double"
+        ),
+    )
+    t.append(
+        spark.createDataFrame(
+            [(3, "c", 3.0)], "k long, v string, val double"
+        )
+    )  # v1
+    t.drop_column("v")  # v2: metadata-only
+    t.append(
+        spark.createDataFrame([(4, 4.0)], "k long, val double")
+    )  # v3
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"])
+        for r in t.read_change_feed(0).collect()
+    )
+    assert got == [(1, "insert", 3), (3, "insert", 4)]
+    # read_changes: the drop moves zero files, the diff stays defined
+    assert {r["k"] for r in t.read_changes(0).collect()} == {3, 4}
+
+
+def test_change_feed_emits_target_schema_across_rename(spark, tmp_path):
+    """A feed range crossing a RENAME emits the TARGET version's
+    schema: earlier commits' rows surface under the new name via the
+    alias chain — not as a duplicate old-name column (r11, found
+    while wiring drop: the old projection leaked pre-rename names as
+    extra columns)."""
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame([(1, "a")], "k long, v string"),
+    )
+    t.append(spark.createDataFrame([(2, "b")], "k long, v string"))  # v1
+    t.rename_column("v", "tag")  # v2
+    t.append(
+        spark.createDataFrame([(3, "c")], "k long, tag string")
+    )  # v3
+    feed = t.read_change_feed(0)
+    assert feed.columns == ["k", "tag", "_change_type", "_commit_version"]
+    got = sorted(
+        (r["_commit_version"], r["k"], r["tag"]) for r in feed.collect()
+    )
+    # the pre-rename insert's value arrives under the CURRENT name
+    assert got == [(1, 2, "b"), (3, 3, "c")]

@@ -1291,3 +1291,45 @@ def test_versioned_cdc_starting_version_inclusive_zero_replays_per_commit(
     assert {
         r["k"] for r in drain("clean", startingVersionInclusive="0").collect()
     } == {1, 2}
+
+
+@pytest.mark.slow
+def test_versioned_cdc_stream_maps_renamed_columns_through_aliases(
+    spark, tmp_path
+):
+    """Streaming across a RENAME: pre-rename files carry the old
+    physical name — the reader maps each schema field through the
+    head manifest's alias chain instead of NULL-filling it (r11)."""
+    from social_media_etl_spark.operators.manifest import VersionedTable
+    from social_media_etl_spark.sources.versioned_stream import (
+        register_versioned_cdc_source,
+    )
+
+    register_versioned_cdc_source(spark)
+    src = VersionedTable.create(
+        spark, str(tmp_path / "src"), _vt_df(spark, [(1, "a"), (2, "b")])
+    )
+    src.rename_column("v", "tag")  # v1: metadata-only
+    src.append(
+        spark.createDataFrame([(3, "c")], "k long, tag string")
+    )  # v2
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("versioned_cdc")
+        .option("path", src.path)
+        .option("readChangeFeed", "true")
+        .option("startingVersionInclusive", "0")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["_commit_version"], r["k"], r["tag"])
+        for r in spark.read.parquet(out).collect()
+    )
+    # v0's rows stream with their values under the NEW name
+    assert got == [(0, 1, "a"), (0, 2, "b"), (2, 3, "c")]
