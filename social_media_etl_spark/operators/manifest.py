@@ -1229,7 +1229,15 @@ class VersionedTable:
         """Latest-wins MERGE as a new snapshot: read the head, merge,
         write a FULL new file set, commit. First-committer-wins — if
         the head moved while merging, the merge is stale and the
-        caller must re-run (snapshot isolation)."""
+        caller must re-run (snapshot isolation).
+
+        On a ``change_data_feed=True`` table the commit also records
+        classified CDC rows (insert / update_preimage /
+        update_postimage — VERDICT r10 #8), so ``read_change_feed``
+        and the ``versioned_cdc`` stream cover upsert commits: the
+        foreachBatch-MERGE serving pattern is the commonest rewrite a
+        CDF consumer sits downstream of. Classification is bounded by
+        the SOURCE's distinct keys, not the table."""
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
@@ -1250,6 +1258,78 @@ class VersionedTable:
             latest, parent + 1, partition_by, base.get("bucket_by")
         )
         v = parent + 1
+        cdc_dir = None
+        if base.get("cdf"):
+            # change-data-feed table (VERDICT r10 #8): classify the
+            # upsert's row-level changes at commit time — the
+            # foreachBatch-MERGE serving pattern is the commonest
+            # rewrite a CDF consumer sits behind. Work is bounded by
+            # the SOURCE: only its distinct keys can change, so both
+            # snapshots semi-filter to O(touched keys) before the
+            # compare (the small side broadcasts in the common
+            # serving case). Null-SAFE key equality throughout,
+            # matching the latest-wins window's null grouping. A key
+            # whose winning row is unchanged (the incoming row lost,
+            # or tied content) records nothing.
+            val_cols = [c for c in current.columns if c not in key_cols]
+            skeys = df.select(
+                F.struct(*key_cols).alias("__sk")
+            ).distinct()
+
+            def _packed(frame, tag):
+                p = frame.select(
+                    F.struct(*key_cols).alias("__k"),
+                    F.struct(
+                        F.lit(True).alias("__one"),
+                        *[F.col(c) for c in val_cols],
+                    ).alias(tag),
+                )
+                return p.join(
+                    skeys, p["__k"].eqNullSafe(skeys["__sk"]), "left_semi"
+                )
+
+            cur_t = _packed(current, "__pre")
+            new_t = _packed(latest, "__post")
+            j = new_t.join(
+                cur_t, new_t["__k"].eqNullSafe(cur_t["__k"]), "left"
+            ).select(new_t["__k"], cur_t["__pre"], new_t["__post"])
+
+            def _unpack(tag):
+                return [
+                    (
+                        F.col(f"__k.{c}")
+                        if c in key_cols
+                        else F.col(f"{tag}.{c}")
+                    ).alias(c)
+                    for c in current.columns
+                ]
+
+            changed = j.where(
+                F.col("__pre").isNull()
+                | ~F.col("__pre").eqNullSafe(F.col("__post"))
+            )
+            inserts = changed.where(F.col("__pre").isNull()).select(
+                *_unpack("__post"), F.lit("insert").alias("_change_type")
+            )
+            upd = changed.where(F.col("__pre").isNotNull())
+            cdc = (
+                inserts.unionByName(
+                    upd.select(
+                        *_unpack("__pre"),
+                        F.lit("update_preimage").alias("_change_type"),
+                    )
+                ).unionByName(
+                    upd.select(
+                        *_unpack("__post"),
+                        F.lit("update_postimage").alias("_change_type"),
+                    )
+                )
+            )
+            # same non-empty guard as merge/delete/update: a source
+            # whose every row lost (or tied) changes nothing, and an
+            # empty parquet dir is unreadable
+            if cdc.limit(1).count():
+                cdc_dir = self._write_cdc(cdc, v)
         stats_cols = base.get("stats_cols") or []
         m = {
             "version": v,
@@ -1266,6 +1346,8 @@ class VersionedTable:
             "constraints": base.get("constraints") or {},
         }
         m = self._carry_mapping(m, base)
+        if cdc_dir:
+            m["cdc"] = cdc_dir
         stats = parts = None
         if "segments" not in base:
             stats = (
@@ -1499,7 +1581,7 @@ class VersionedTable:
                     )
                 )
                 continue
-            if ptr.get("cdf") and op in ("delete", "update", "merge"):
+            if ptr.get("cdf") and op in ("delete", "update", "merge", "upsert"):
                 continue  # CDF-recorded commit that changed zero rows
             raise ValueError(
                 f"read_change_feed: version {v} is op '{op}'"

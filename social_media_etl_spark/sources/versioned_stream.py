@@ -399,7 +399,7 @@ def _span_changes(
                 if info.is_file and info.base_name.endswith(".parquet")
             )
             continue
-        if ptr.get("cdf") and op in ("delete", "update", "merge"):
+        if ptr.get("cdf") and op in ("delete", "update", "merge", "upsert"):
             continue  # CDF-recorded commit that changed zero rows
         raise ValueError(
             f"versioned_cdc: version {v} is op '{op}'"

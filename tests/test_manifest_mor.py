@@ -396,3 +396,101 @@ def test_change_feed_skips_rename_and_optimize_commits(spark, tmp_path):
     assert {r["k"] for r in t.read_changes(0, 3).collect()} == {3, 4}
     with pytest.raises(ValueError, match="rewrite"):
         t.read_changes(0, 5)
+
+
+def test_cdf_upsert_records_classified_cdc(spark, tmp_path):
+    """VERDICT r10 #8: an upsert on a CDF table records its row-level
+    changes at commit time — new keys as insert, replaced keys as
+    pre/postimage pairs, losing (stale) and tied source rows as
+    NOTHING — and both the batch feed and the streaming source read
+    across the commit."""
+
+    def _edf(rows):
+        return spark.createDataFrame(rows, "k long, v string, ts long")
+
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        _edf([(1, "a", 10), (2, "b", 10), (3, "c", 10)]),
+        change_data_feed=True,
+    )
+    t.upsert(
+        _edf(
+            [
+                (2, "B", 20),  # newer: replaces
+                (3, "zzz", 5),  # stale: loses, no change
+                (4, "d", 20),  # new key: insert
+            ]
+        ),
+        ["k"],
+        ["ts"],
+    )
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"], r["v"])
+        for r in t.read_change_feed(0).collect()
+    )
+    assert got == [
+        (1, "insert", 4, "d"),
+        (1, "update_postimage", 2, "B"),
+        (1, "update_preimage", 2, "b"),
+    ]
+    # replica replay reproduces the head
+    state = {r["k"]: r["v"] for r in t.read(0).collect()}
+    for _, kind, k, v in got:
+        if kind in ("insert", "update_postimage"):
+            state[k] = v
+    assert state == {r["k"]: r["v"] for r in t.read().collect()}
+    # an upsert whose every source row loses records NO cdc and the
+    # feed treats the commit as change-free
+    v = t.upsert(_edf([(1, "stale", 1)]), ["k"], ["ts"])
+    assert v == 2
+    assert not t._read_pointer(2).get("cdc")
+    assert t.read_change_feed(1).count() == 0
+    # the full range still resolves across both upserts
+    assert t.read_change_feed(0).count() == 3
+
+
+@pytest.mark.slow
+def test_cdf_upsert_streams_through_versioned_cdc(spark, tmp_path):
+    """The streaming twin: readChangeFeed drains typed rows across an
+    upsert commit — the serving-table pattern a CDF consumer sits
+    behind (VERDICT r10 #8, streaming half)."""
+    from social_media_etl_spark.sources.versioned_stream import (
+        register_versioned_cdc_source,
+    )
+
+    register_versioned_cdc_source(spark)
+
+    def _edf(rows):
+        return spark.createDataFrame(rows, "k long, v string, ts long")
+
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        _edf([(1, "a", 10), (2, "b", 10)]),
+        change_data_feed=True,
+    )
+    t.upsert(_edf([(2, "B", 20), (3, "c", 20)]), ["k"], ["ts"])  # v1
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("versioned_cdc")
+        .option("path", t.path)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"], r["v"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [
+        (1, "insert", 3, "c"),
+        (1, "update_postimage", 2, "B"),
+        (1, "update_preimage", 2, "b"),
+    ]
