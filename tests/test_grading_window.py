@@ -2,10 +2,10 @@
 
 The driver grades only the FIRST 50 dict entries per round, so order
 is load-bearing (round-2 postmortem: a mid-dict insertion silently
-ejected keys from the window). These tests pin the intended round-10
+ejected keys from the window). These tests pin the intended round-11
 window as a LITERAL list and assert the round-coverage union — every
-declared key either hash-matched in CORRECTNESS_r08/r09, sits inside
-this round's graded window, or is explicitly queued for round 11 — so
+declared key either hash-matched in CORRECTNESS_r09/r10, sits inside
+this round's graded window, or is explicitly queued for round 12 — so
 a driver-side sampling change or an accidental reorder is caught by
 CI instead of inferred from stale comments (ADVICE r3).
 """
@@ -19,89 +19,20 @@ import __spark_entry__ as entry
 
 REPO = Path(__file__).resolve().parent.parent
 
-# The 45-key R10_QUEUE from the r9 verdict (ask #1): r7-greens whose
-# record turned 2 rounds old at r9 close. They MUST lead the window.
-R10_QUEUE = [
-    "rollup_revenue",
-    "grouping_sets_revenue",
-    "udtf_ngrams_count",
-    "cube_revenue",
-    "price_quantiles_exact",
-    "set_ops_priority_custs",
-    "kmeans_embeddings",
-    "pagerank_trade_graph",
-    "cms_heavy_hitters",
-    "bigram_logprob_quality",
-    "ks_drift_events",
-    "duplicate_span_fraction",
-    "regression_value_trend",
-    "streaming_cms_topk",
-    "source_token_kl",
-    "winsorized_stats_events",
-    "events_ohlc_bars",
-    "chi2_type_value_band",
-    "weighted_sample_aes",
-    "hashed_feature_vectors",
-    "event_transition_matrix",
-    "hourly_corr_click_purchase",
-    "versioned_table_history",
-    "image_phash_neardup",
-    "versioned_pruned_read",
-    "audio_fingerprint_neardup",
-    "embedding_int8_quantize",
-    "versioned_schema_evolution",
-    "versioned_string_pruned_read",
-    "versioned_vacuum_retention",
-    "versioned_incremental_read",
-    "versioned_overwrite_refresh",
-    "importance_sampling",
-    "token_budget_curation",
-    "funnel_conversion",
-    "streaming_stateful_totals_rocksdb",
-    "streaming_full_outer_join",
-    "formats_roundtrip",
-    "skew_salted_agg_events",
-    "skew_salted_join_events",
-    "bucketed_join_priority_revenue",
-    "streaming_dedup_events",
-    "streaming_stateful_totals",
-    "streaming_sliding_windows",
-    "streaming_static_join",
+# The r11 window head (VERDICT r10 asks #1/#2): versioned_bucketed_join
+# MUST lead — it is the only key never driver-green (the r10 red row,
+# re-certified this round with exact decimal sums on both engines) —
+# followed by the keys NEW in r11 (asks #7/#8).
+R11_HEAD = [
+    "versioned_bucketed_join",
+    "versioned_column_drop",  # ask #7: DROP on the mapping layer
+    "versioned_upsert_change_feed",  # ask #8: CDC across an upsert
+    "streaming_upsert_change_feed",  # ask #8: its streaming twin
 ]
 
-# New r10 keys (never graded): the r9 verdict's asks — inserted between
-# the queue and the fills, each displacing one fill into the R11_QUEUE.
-# Updated as features land this round.
-R10_NEW = [
-    "versioned_multipart_read",  # ask #3: (date, region)-style tuple specs
-    "versioned_column_rename",  # ask #4: column-mapping RENAME
-    "versioned_bucketed_join",  # ask #5: bucket spec in the versioned layer
-    "versioned_change_feed",  # r10 extra: Delta-CDF typed insert/delete feed
-    "streaming_change_feed",  # r10 extra: the CDF's streaming twin
-]
-
-# Window fill: the oldest r8-greens (their green is 2 rounds old at
-# r10 close), in r8-window order. Shrinks from the END as R10_NEW
-# grows.
-R10_FILL = [
-    "streaming_incremental_rollup",
-    "streaming_left_outer_join",
-    "pack_sequences_greedy",
-    "pii_redaction",
-    "tfidf_top_terms",
-][: 5 - len(R10_NEW)]
-
-R10_WINDOW = R10_QUEUE + R10_NEW + R10_FILL
-
-
-def test_first_50_is_the_intended_r10_window():
-    assert len(R10_WINDOW) == 50
-    assert list(entry.queries())[:50] == R10_WINDOW
-
-
-# Deferred keys that MUST lead the r11 window: the r8-greens that did
-# not fit the r10 window — their last green is 2 rounds old at r10
-# close. The displaced fills (if any) rejoin at the FRONT in r8 order.
+# The 50-key R11_QUEUE pinned by the r10 round (r8-greens whose record
+# turned 2 rounds old at r10 close). With 4 head keys only the first
+# 46 fit; the displaced tail slips to the R12_QUEUE below.
 R11_QUEUE = [
     "streaming_incremental_rollup",
     "streaming_left_outer_join",
@@ -149,6 +80,15 @@ R11_QUEUE = [
     "gopher_quality_flags",
     "semantic_dedup_representatives",
     "bpe_pair_counts",
+]
+
+R11_WINDOW = R11_HEAD + R11_QUEUE
+assert len(R11_WINDOW) == 50
+
+# Deferred keys that MUST lead the r12 window: the r8-greens the 4
+# head keys displaced — their last green turns 3 rounds old at r11
+# close. Kept in r8-window order.
+R12_QUEUE = [
     "embedding_label_centroids",
     "source_mixing_weights",
     "compaction_roundtrip",
@@ -156,29 +96,25 @@ R11_QUEUE = [
 ]
 
 
-def _r11_tail():
-    """The r8-greens outside this round's window, in r8-window order —
-    the tail the r11 rotation will consume."""
-    in_window = set(R10_WINDOW)
-    return [k for k in R11_QUEUE if k not in in_window]
+def test_first_50_is_the_intended_r11_window():
+    assert list(entry.queries())[:50] == R11_WINDOW
 
 
 def test_round_union_covers_every_key():
-    """Every declared key has a green row in CORRECTNESS_r08 or r09, is
-    in this round's graded window, or is explicitly queued for the r11
-    window — no key can be SILENTLY stranded ungraded."""
+    """Every declared key has a green row in CORRECTNESS_r09 or r10,
+    is in this round's graded window, or is explicitly queued for the
+    r12 window — no key can be SILENTLY stranded ungraded."""
     green = set()
-    for rec in ("CORRECTNESS_r08.json", "CORRECTNESS_r09.json"):
+    for rec in ("CORRECTNESS_r09.json", "CORRECTNESS_r10.json"):
         data = json.loads((REPO / rec).read_text())
         green |= {k for k, v in data.items() if v.get("hash_match") is True}
-    covered = green | set(R10_WINDOW) | set(R11_QUEUE)
+    covered = green | set(R11_WINDOW) | set(R12_QUEUE)
     missing = set(entry.queries()) - covered
     assert not missing, f"keys stranded outside the grading union: {missing}"
-    # the queued keys really are outside the r10 window (tail position)
-    tail = _r11_tail()
-    assert not set(tail) & set(list(entry.queries())[:50])
-    # and the queue sits at the very end of the dict, ready to rotate
-    assert list(entry.queries())[-len(tail):] == tail
+    # the queued keys really are outside the r11 window...
+    assert not set(R12_QUEUE) & set(list(entry.queries())[:50])
+    # ...and sit at the very end of the dict, ready to rotate
+    assert list(entry.queries())[-len(R12_QUEUE):] == R12_QUEUE
 
 
 def test_every_key_has_an_oracle():

@@ -104,5 +104,11 @@ def test_single_partition_exchanges_are_known(spark):
         # one-row commit-coverage gate (countDistinct == 3) over the
         # change feed (the feed scan + aggregate stay distributed)
         "versioned_change_feed", "streaming_change_feed",
+        # one-row pre-drop v0 byte-identity gate (the head aggregate
+        # over the tombstone-hiding read stays distributed)
+        "versioned_column_drop",
+        # one-row commit-coverage gate (countDistinct == 1) over the
+        # upsert's CDC feed (scan + aggregate stay distributed)
+        "versioned_upsert_change_feed", "streaming_upsert_change_feed",
     }
     assert with_sp <= allowed, with_sp - allowed
