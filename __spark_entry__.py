@@ -449,7 +449,12 @@ def _cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.cube("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            # exact decimal sum: the grand-total cell sums 60k+ rows,
+            # where a double sum's cent is accumulation-order noise
+            # (VERDICT r10 #3 — see plans/analytics.py dec_price)
+            F.round(F.sum(analytics.dec_price("l_extendedprice")), 2)
+            .cast("double")
+            .alias("sum_price"),
         )
         .orderBy(
             F.col("l_returnflag").asc_nulls_first(),
@@ -592,9 +597,16 @@ def _bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
+            # exact decimal product-sum (VERDICT r10 #3)
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+                F.sum(
+                    analytics.dec_price("l_extendedprice")
+                    * (1 - analytics.dec_frac("l_discount"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
         )
         .orderBy("o_orderpriority")
     )
@@ -3913,11 +3925,13 @@ def _versioned_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             # round(sum(double), 2) flipped the last cent with
             # accumulation order when a group sum landed 1.8e-4 cents
             # from the half boundary (VERDICT r10 #1); decimal sums
-            # replay identically at any parallelism.
+            # replay identically at any parallelism. Scale-6 casts
+            # (the shared recipe, plans/analytics.py) keep the cast
+            # itself collision-free on sub-cent noise.
             F.round(
                 F.sum(
-                    F.col("l_extendedprice").cast("decimal(12,2)")
-                    * (1 - F.col("l_discount").cast("decimal(12,2)"))
+                    analytics.dec_price("l_extendedprice")
+                    * (1 - analytics.dec_frac("l_discount"))
                 ),
                 2,
             )
@@ -4954,9 +4968,12 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,6))), 2)
+                        AS DOUBLE) AS sum_base_price,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,6)) * (1 - CAST(l_discount AS DECIMAL(7,6)))), 2) AS DOUBLE) AS sum_disc_price,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,6)) * (1 - CAST(l_discount AS DECIMAL(7,6)))
+                                  * (1 + CAST(l_tax AS DECIMAL(7,6)))), 2)
+                        AS DOUBLE) AS sum_charge,
                    round(avg(l_quantity), 4) AS avg_qty,
                    round(avg(l_extendedprice), 4) AS avg_price,
                    round(avg(l_discount), 4) AS avg_disc,
@@ -4998,10 +5015,10 @@ def oracle_sql() -> dict[str, str]:
               AND l_quantity < 24
         """,
         "q14_promo_share": """
-            SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
-                       THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-                   / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share_pct,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+            SELECT round(100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                       THEN CAST(l_extendedprice AS DECIMAL(12,6)) * (1 - CAST(l_discount AS DECIMAL(7,6))) ELSE 0 END) AS DOUBLE)
+                   / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,6)) * (1 - CAST(l_discount AS DECIMAL(7,6)))) AS DOUBLE), 4) AS promo_share_pct,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,6)) * (1 - CAST(l_discount AS DECIMAL(7,6)))), 2) AS DOUBLE) AS total_revenue
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE year(l_shipdate) = 1996
         """,
@@ -5086,13 +5103,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "priority_share_by_year": """
             SELECT year(o_orderdate) AS order_year,
-                   round(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                       THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2)
+                   CAST(round(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN CAST(l_extendedprice AS DECIMAL(12,6)) * (1 - CAST(l_discount AS DECIMAL(7,6))) ELSE 0 END), 2) AS DOUBLE)
                        AS urgent_revenue,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
-                   round(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                       THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-                   / sum(l_extendedprice * (1 - l_discount)), 6) AS urgent_share
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,6)) * (1 - CAST(l_discount AS DECIMAL(7,6)))), 2) AS DOUBLE) AS total_revenue,
+                   round(CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN CAST(l_extendedprice AS DECIMAL(12,6)) * (1 - CAST(l_discount AS DECIMAL(7,6))) ELSE 0 END) AS DOUBLE)
+                   / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,6)) * (1 - CAST(l_discount AS DECIMAL(7,6)))) AS DOUBLE), 6) AS urgent_share
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY order_year ORDER BY order_year
         """,
@@ -5330,7 +5347,8 @@ def oracle_sql() -> dict[str, str]:
         "cube_revenue": """
             SELECT l_returnflag, l_linestatus,
                    count(*) AS n_rows,
-                   round(sum(l_extendedprice), 2) AS sum_price
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,6))), 2)
+                        AS DOUBLE) AS sum_price
             FROM lineitem
             GROUP BY CUBE (l_returnflag, l_linestatus)
             ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
@@ -5379,7 +5397,7 @@ def oracle_sql() -> dict[str, str]:
         "bucketed_join_priority_revenue": """
             SELECT o_orderpriority,
                    count(*) AS n_items,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,6)) * (1 - CAST(l_discount AS DECIMAL(7,6)))), 2) AS DOUBLE) AS revenue
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
@@ -6443,8 +6461,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q9_product_profit": """
             SELECT n_name AS nation, year(o_orderdate) AS o_year,
-                   round(sum(l_extendedprice * (1 - l_discount)
-                             - 0.6 * p_retailprice * l_quantity), 2) AS profit
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,6)) * (1 - CAST(l_discount AS DECIMAL(7,6)))
+                             - CAST(0.6 AS DECIMAL(7,6))
+                               * CAST(p_retailprice AS DECIMAL(12,6))
+                               * CAST(l_quantity AS DECIMAL(8,6))), 2)
+                        AS DOUBLE) AS profit
             FROM lineitem
             JOIN part     ON l_partkey = p_partkey
                            AND p_name LIKE '%widget%'
@@ -7237,9 +7258,7 @@ def oracle_sql() -> dict[str, str]:
     d["versioned_bucketed_join"] = """
         SELECT o_orderpriority,
                count(*) AS n_items,
-               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                              * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2)
-                    AS DOUBLE) AS revenue
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,6)) * (1 - CAST(l_discount AS DECIMAL(7,6)))), 2) AS DOUBLE) AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE l_quantity >= 10
         GROUP BY o_orderpriority ORDER BY o_orderpriority

@@ -55,22 +55,54 @@ __all__ = [
 ]
 
 
+# -- exact money arithmetic (VERDICT r10 #3) --------------------------------
+# Monetary sums certified against the oracle use DECIMAL operands:
+# double sums are order-dependent (±noise ~ √n·ε·|S|), and one r10
+# group landed 1.8e-4 cents from the round-half boundary, flipping the
+# certified cent with accumulation order. The casts below use tight
+# precisions chosen so BOTH Spark's and DuckDB's decimal result-type
+# rules keep every product EXACT (scale-6 operands, products ≤ (30,18)
+# → no scale adjustment under either engine's 38-digit cap); decimal
+# sums are associative, so the rounded cent replays identically at any
+# parallelism. Scale 6 (not 2) also keeps the cast itself effectively
+# collision-free: the testdata's money columns carry sub-cent noise,
+# and a cent-scale cast would let a single cross-engine cast
+# disagreement shift a whole group's sum by 0.01.
+_DEC_PRICE = "decimal(12,6)"  # prices / costs (< 1e6)
+_DEC_FRAC = "decimal(7,6)"  # discounts / taxes in [0, 1)
+_DEC_QTY = "decimal(8,6)"  # quantities (< 100)
+
+
+def dec_price(name: str):
+    return F.col(name).cast(_DEC_PRICE)
+
+
+def dec_frac(name: str):
+    return F.col(name).cast(_DEC_FRAC)
+
+
+def dec_qty(name: str):
+    return F.col(name).cast(_DEC_QTY)
+
+
 def pricing_summary(lineitem: DataFrame, ship_before: str = "1998-09-02") -> DataFrame:
     """TPC-H Q1 shape: big scan → 2-key groupBy → many aggregates.
 
     Whole-stage-codegen'd partial+final HashAggregate; the filter is
     pushed to the parquet scan (row-group stats on l_shipdate).
     """
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    disc_price = dec_price("l_extendedprice") * (1 - dec_frac("l_discount"))
+    charge = disc_price * (1 + dec_frac("l_tax"))
     return (
         lineitem.filter(F.col("l_shipdate") <= F.lit(ship_before).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.sum(dec_price("l_extendedprice")), 2)
+            .cast("double")
+            .alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -249,18 +281,24 @@ def promo_revenue_share(
     """TPC-H Q14 shape: conditional aggregation over a fact⨝dim join —
     CASE WHEN inside sum() computes the promo share in the same pass
     as the total (no second scan, no self-join)."""
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    disc_price = dec_price("l_extendedprice") * (1 - dec_frac("l_discount"))
     promo = F.when(F.col("p_type").startswith("PROMO"), disc_price).otherwise(
-        F.lit(0.0)
+        F.lit(0)
     )
     return (
         lineitem.filter(F.year("l_shipdate") == year)
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.round(100.0 * F.sum(promo) / F.sum(disc_price), 4).alias(
-                "promo_share_pct"
-            ),
-            F.round(F.sum(disc_price), 2).alias("total_revenue"),
+            # the ratio divides the two EXACT decimal sums as doubles
+            # (identical inputs → identical quotient on both engines);
+            # decimal division would hit engine-specific scale rules
+            F.round(
+                100.0
+                * F.sum(promo).cast("double")
+                / F.sum(disc_price).cast("double"),
+                4,
+            ).alias("promo_share_pct"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("total_revenue"),
         )
     )
 
@@ -269,18 +307,18 @@ def priority_share_by_year(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """Conditional-aggregation report: per order-year, the revenue
     share of urgent/high-priority orders (CASE WHEN inside the
     aggregate — one pass, no pivot, no second join)."""
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = dec_price("l_extendedprice") * (1 - dec_frac("l_discount"))
     urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    urgent_rev = F.sum(F.when(urgent, revenue).otherwise(F.lit(0)))
     return (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(F.year("o_orderdate").alias("order_year"))
         .agg(
-            F.round(F.sum(F.when(urgent, revenue).otherwise(0.0)), 2).alias(
-                "urgent_revenue"
-            ),
-            F.round(F.sum(revenue), 2).alias("total_revenue"),
+            F.round(urgent_rev, 2).cast("double").alias("urgent_revenue"),
+            F.round(F.sum(revenue), 2).cast("double").alias("total_revenue"),
+            # exact decimal sums divided as doubles (see promo share)
             F.round(
-                F.sum(F.when(urgent, revenue).otherwise(0.0)) / F.sum(revenue), 6
+                urgent_rev.cast("double") / F.sum(revenue).cast("double"), 6
             ).alias("urgent_share"),
         )
         .orderBy("order_year")
@@ -632,9 +670,11 @@ def product_profit(
     plan shape is Q9's: a contains-filter on the part dimension that
     cannot be pushed to row-group stats but IS applied before the
     broadcast, a five-way join, and a two-key aggregate."""
-    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
-        cost_factor
-    ) * F.col("p_retailprice") * F.col("l_quantity")
+    amount = dec_price("l_extendedprice") * (
+        1 - dec_frac("l_discount")
+    ) - F.lit(cost_factor).cast(_DEC_FRAC) * dec_price(
+        "p_retailprice"
+    ) * dec_qty("l_quantity")
     return (
         lineitem.join(
             F.broadcast(
@@ -650,7 +690,7 @@ def product_profit(
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
         )
-        .agg(F.round(F.sum(amount), 2).alias("profit"))
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
