@@ -1468,13 +1468,18 @@ class VersionedTable:
           deleted rows' full content. A position can only be deleted
           once (the MoR find-scan is DV-applied), so emissions never
           duplicate;
-        - other rewrite commits (COW delete/update/merge, upsert,
-          overwrite, optimize, rename) still raise: their row-level
-          diff is not recoverable from file metadata alone (Delta
-          solves this by WRITING CDC files at commit time; this engine
-          keeps commits lean and scopes the feed to the append +
-          MoR-delete chains its own streaming sink and MoR DML
-          produce).
+        - on a ``change_data_feed=True`` table, COW delete/update,
+          MERGE, upsert, and overwrite commits recorded their
+          row-level changes as CDC files at commit time (r10-r11, the
+          Delta enableChangeDataFeed contract) and the feed reads
+          them typed (insert / delete / update_preimage /
+          update_postimage);
+        - rename, drop, set_partition_spec (metadata-only) and
+          optimize (content-identical rewrite) change zero logical
+          rows and are skipped, as Delta CDF does;
+        - a rewrite commit on a NON-cdf table still raises: its
+          row-level diff is not recoverable from file metadata alone
+          — enable the feed at create() or re-snapshot.
 
         Rows read under each commit's own manifest and union BY NAME
         with NULL-fill, so additive evolution mid-range is fine; the
@@ -1581,7 +1586,9 @@ class VersionedTable:
                     )
                 )
                 continue
-            if ptr.get("cdf") and op in ("delete", "update", "merge", "upsert"):
+            if ptr.get("cdf") and op in (
+                "delete", "update", "merge", "upsert", "overwrite",
+            ):
                 continue  # CDF-recorded commit that changed zero rows
             raise ValueError(
                 f"read_change_feed: version {v} is op '{op}'"
@@ -1669,6 +1676,28 @@ class VersionedTable:
             df, parent + 1, partition_by, base.get("bucket_by")
         )
         v = parent + 1
+        cdc_dir = None
+        if base.get("cdf"):
+            # change-data-feed table (r11, completing the DML set
+            # after r10 delete/update/merge and upsert): a
+            # truncate-and-load replaces every row, so the CDC is the
+            # old snapshot as ``delete`` plus the replacement as
+            # ``insert`` — exactly Delta's CDF-on-overwrite, and like
+            # Delta it costs O(old + new) extra IO, the price of
+            # making a full refresh consumable downstream. Union BY
+            # NAME so replace_schema=True overwrites record across
+            # the schema swap (the feed NULL-fills either side).
+            old_m = self._resolve(base)
+            cdc = (
+                self._read_files(old_m, old_m["files"])
+                .select("*", F.lit("delete").alias("_change_type"))
+                .unionByName(
+                    df.select("*", F.lit("insert").alias("_change_type")),
+                    allowMissingColumns=True,
+                )
+            )
+            if cdc.limit(1).count():
+                cdc_dir = self._write_cdc(cdc, v)
         stats_cols = base.get("stats_cols") or []
         m = {
             "version": v,
@@ -1684,6 +1713,8 @@ class VersionedTable:
             "constraints": base.get("constraints") or {},
         }
         m = self._carry_mapping(m, base)
+        if cdc_dir:
+            m["cdc"] = cdc_dir
         stats = parts = None
         if "segments" not in base:
             stats = (

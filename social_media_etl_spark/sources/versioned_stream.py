@@ -45,10 +45,13 @@ streaming source re-expressed through Spark 4's Python DataSource API:
 - ``readChangeFeed=true`` (r10 — the streaming twin of
   ``VersionedTable.read_change_feed``): the schema gains
   ``_change_type``/``_commit_version``, appends stream as typed
-  ``insert`` rows, and a MoR delete INSIDE the span streams the rows
-  its vector hid as ``delete`` rows with full content — instead of the
-  rewrite refusal below. Ops whose row diff is not file-recoverable
-  still raise.
+  ``insert`` rows, a MoR delete INSIDE the span streams the rows its
+  vector hid as ``delete`` rows with full content, and commits that
+  recorded CDC files at commit time (COW delete/update, merge,
+  upsert, overwrite on ``change_data_feed=True`` tables — r10-r11)
+  stream their recorded typed rows; rename/drop/set_partition_spec/
+  optimize are change-free skips. Rewrites on NON-cdf tables still
+  raise.
 - DELETION VECTORS (ADVICE r9, high): a snapshot taken AT OR AFTER a
   ``delete(mode='mor')`` applies the head's delete vectors — each file
   partition anti-filters its (file, row-position) keys while
@@ -399,7 +402,9 @@ def _span_changes(
                 if info.is_file and info.base_name.endswith(".parquet")
             )
             continue
-        if ptr.get("cdf") and op in ("delete", "update", "merge", "upsert"):
+        if ptr.get("cdf") and op in (
+            "delete", "update", "merge", "upsert", "overwrite",
+        ):
             continue  # CDF-recorded commit that changed zero rows
         raise ValueError(
             f"versioned_cdc: version {v} is op '{op}'"

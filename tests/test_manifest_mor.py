@@ -494,3 +494,45 @@ def test_cdf_upsert_streams_through_versioned_cdc(spark, tmp_path):
         (1, "update_postimage", 2, "B"),
         (1, "update_preimage", 2, "b"),
     ]
+
+
+def test_cdf_overwrite_records_full_delete_insert_images(spark, tmp_path):
+    """A truncate-and-load on a CDF table records the old snapshot as
+    delete rows and the replacement as insert rows (Delta's
+    CDF-on-overwrite), so a feed consumer survives a full refresh —
+    including a replace_schema swap, where the images NULL-fill
+    across the schema change (r11)."""
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        _df(spark, [(1, "a"), (2, "b")]),
+        change_data_feed=True,
+    )
+    t.overwrite(_df(spark, [(2, "B"), (3, "c")]))  # v1
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"], r["v"])
+        for r in t.read_change_feed(0).collect()
+    )
+    assert got == [
+        (1, "delete", 1, "a"),
+        (1, "delete", 2, "b"),
+        (1, "insert", 2, "B"),
+        (1, "insert", 3, "c"),
+    ]
+    # replica replay reproduces the head
+    state = {(r["k"], r["v"]) for r in t.read(0).collect()}
+    for _, kind, k, v in got:
+        state.discard((k, v)) if kind == "delete" else state.add((k, v))
+    assert state == {(r["k"], r["v"]) for r in t.read().collect()}
+    # replace_schema: images span both schemas, NULL-filled by name
+    new = spark.createDataFrame([(7, 70.0)], "k long, score double")
+    t.overwrite(new, replace_schema=True)  # v2
+    rows = {
+        (r["_commit_version"], r["_change_type"], r["k"])
+        for r in t.read_change_feed(1).collect()
+    }
+    assert rows == {
+        (2, "delete", 2),
+        (2, "delete", 3),
+        (2, "insert", 7),
+    }
