@@ -250,3 +250,60 @@ def test_vacuum_drops_catalog_tables_over_swept_view_dirs(spark, tmp_path):
     vroot = str(tmp_path / "t" / "_bucketed_views")
     assert sum(n.startswith("v00000002-") for n in os.listdir(vroot)) == 1
     spark.sql("DROP TABLE vbkt_moved")
+
+
+def test_register_bucketed_ctas_mode_accepts_what_link_refuses(
+    spark, tmp_path
+):
+    """mode='ctas' (r11, the remote-table materialization): one
+    distributed bucketed rewrite of the LOGICAL snapshot — works for
+    DV'd and renamed/mixed snapshots link mode must refuse, and the
+    result joins with zero exchange exactly like a linked view."""
+    from social_media_etl_spark.operators.manifest import VersionedTable
+
+    left = spark.range(0, 3000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(0, 3000).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("g")
+    )
+    tl = VersionedTable.create(
+        spark, str(tmp_path / "l"), left, bucket_by=("k", 4)
+    )
+    tl.delete("k >= 2000", mode="mor")  # live DV: link mode refuses
+    tl.rename_column("a", "amount")  # mixed layout: link refuses too
+    with pytest.raises(ValueError, match="deletion vectors"):
+        tl.register_bucketed("vbkt_ctas_l")
+    tr = VersionedTable.create(
+        spark, str(tmp_path / "r"), right, bucket_by=("k", 4)
+    )
+    l_df = tl.register_bucketed("vbkt_ctas_l", mode="ctas")
+    r_df = tr.register_bucketed("vbkt_ctas_r", mode="ctas")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (
+            l_df.join(r_df, "k")
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("amount").alias("s"))
+        )
+        got = {r["g"]: (r["n"], r["s"]) for r in j.collect()}
+        plan = _final_plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning(k" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    # rows are the LOGICAL snapshot: DV applied, rename resolved
+    want = {
+        r["g"]: (r["n"], r["s"])
+        for r in left.where("k < 2000")
+        .withColumnRenamed("a", "amount")
+        .join(right, "k")
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("amount").alias("s"))
+        .collect()
+    }
+    assert got == want
+    with pytest.raises(ValueError, match="unknown mode"):
+        tl.register_bucketed("vbkt_ctas_x", mode="bogus")
+    spark.sql("DROP TABLE IF EXISTS vbkt_ctas_l")
+    spark.sql("DROP TABLE IF EXISTS vbkt_ctas_r")
