@@ -4260,6 +4260,53 @@ def _streaming_upsert_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _versioned_overwrite_change_feed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Change feed ACROSS A TRUNCATE-AND-LOAD certified (operators/
+    manifest.py:overwrite CDC recording — r11, completing the CDF DML
+    set): the mod-4≡0 events slice creates a ``change_data_feed=True``
+    table, then ONE overwrite replaces it with the mod-4≡1 slice — the
+    reference's K4 full refresh as a CDF producer. The commit records
+    the ENTIRE old snapshot as ``delete`` rows and the replacement as
+    ``insert`` rows (Delta's CDF-on-overwrite), so a downstream
+    consumer survives the refresh instead of refusing or silently
+    missing it. Gated in-plan on the head being exactly v1 and the
+    feed carrying exactly one commit version. The aggregate by
+    (_change_type, event_type) is certified against the oracle's
+    relational replay: deletes = the old slice, inserts = the new."""
+    from social_media_etl_spark.operators.manifest import VersionedTable
+
+    cols = ["event_id", "event_type", "value"]
+    events = load_table(spark, sf_dir, "events").select(*cols)
+    d = _tmpdir(prefix="smetl_vocdf_")
+    t = VersionedTable.create(
+        spark,
+        f"{d}/t",
+        events.filter(F.pmod(F.col("event_id"), F.lit(4)) == 0),
+        change_data_feed=True,
+    )
+    t.overwrite(events.filter(F.pmod(F.col("event_id"), F.lit(4)) == 1))
+    feed = t.read_change_feed(0)
+    ok = t.head_version() == 1
+    gate = (
+        feed.agg(F.countDistinct("_commit_version").alias("__n"))
+        .filter(F.col("__n") == 1)
+        .select(F.lit(1).alias("__gate"))
+    )
+    return (
+        feed.where(F.lit(ok))
+        .groupBy("_change_type", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .crossJoin(F.broadcast(gate))
+        .drop("__gate")
+        .orderBy("_change_type", "event_type")
+    )
+
+
 def _versioned_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read DELETE via deletion vectors certified
     (operators/manifest.py:delete(mode='mor') — the Delta
@@ -4809,6 +4856,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mixing_weights": _source_mixing_weights,
         "compaction_roundtrip": _compaction_roundtrip,
         "upsert_events_latest": _upsert_events_latest,
+        # -- new-in-r11, first graded in r12 (never-graded keys lead
+        # the next window, before the stale greens above) -------------
+        "versioned_overwrite_change_feed": _versioned_overwrite_change_feed,
     }
     return {name: _managed(fn) for name, fn in qs.items()}
 
@@ -7304,6 +7354,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, round(value + 1000, 2), 'update_postimage'
             FROM events
             WHERE event_id % 3 = 0 AND event_id BETWEEN 100 AND 599
+        )
+        SELECT _change_type, event_type,
+               count(*) AS n_rows,
+               round(sum(value), 2) AS sum_value
+        FROM changes
+        GROUP BY _change_type, event_type
+        ORDER BY _change_type, event_type
+    """
+    # overwrite-CDC gates (head v1, single-commit coverage) are
+    # in-plan; the oracle replays the refresh relationally — the old
+    # slice as deletes, the replacement as inserts
+    d["versioned_overwrite_change_feed"] = """
+        WITH changes AS (
+            SELECT event_type, value, 'delete' AS _change_type
+            FROM events WHERE event_id % 4 = 0
+            UNION ALL
+            SELECT event_type, value, 'insert' FROM events
+            WHERE event_id % 4 = 1
         )
         SELECT _change_type, event_type,
                count(*) AS n_rows,

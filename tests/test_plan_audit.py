@@ -110,5 +110,7 @@ def test_single_partition_exchanges_are_known(spark):
         # one-row commit-coverage gate (countDistinct == 1) over the
         # upsert's CDC feed (scan + aggregate stay distributed)
         "versioned_upsert_change_feed", "streaming_upsert_change_feed",
+        # same gate over the overwrite's recorded images
+        "versioned_overwrite_change_feed",
     }
     assert with_sp <= allowed, with_sp - allowed
