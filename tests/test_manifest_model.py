@@ -1,13 +1,22 @@
-"""Model-based property test over the whole VersionedTable DML
+"""Model-based property tests over the whole VersionedTable DML
 surface: hypothesis drives RANDOM op sequences (append / COW delete /
-MoR delete / UPDATE / MERGE / OPTIMIZE / column RENAME) against both
-the real table
-and a pure-Python reference model, then asserts the head reads equal —
-the shrunk counterexample is the exact op sequence that disagrees.
-Sequences mix copy-on-write with deletion vectors and metadata-only
-commits, so cross-op interactions (DV'd rows surviving a later
-rewrite, merges over vectored files, compaction clearing vectors) get
-coverage no hand-written scenario enumerates."""
+MoR delete / UPDATE / MERGE / upsert / overwrite / OPTIMIZE / column
+RENAME / column DROP) against both the real table and a pure-Python
+reference model, then asserts the head reads equal — the shrunk
+counterexample is the exact op sequence that disagrees. Sequences mix
+copy-on-write with deletion vectors and metadata-only commits, so
+cross-op interactions (DV'd rows surviving a later rewrite, merges
+over vectored files, compaction clearing vectors, appends under a
+post-drop schema) get coverage no hand-written scenario enumerates.
+
+The second property is the r11 CDF invariant: on a
+``change_data_feed=True`` table, REPLAYING ``read_change_feed(-1)``
+from an empty state — inserts/postimages upsert by key, deletes
+remove, preimages informational — must reconstruct the head exactly,
+whatever random DML chain produced it. One invariant, the entire CDC
+surface (MoR vector recovery, commit-time CDC files for COW
+delete/update/merge/upsert/overwrite, metadata-only skips, the
+target-schema alias projection across renames and drops)."""
 
 from __future__ import annotations
 
@@ -31,10 +40,11 @@ def _hold_spark(spark):
     yield
 
 
-def _df(rows, vname="v"):
-    return _SPARK["spark"].createDataFrame(
-        rows, f"k long, {vname} string, amt double"
-    )
+def _df(rows, vname="v", has_extra=True):
+    schema = f"k long, {vname} string, amt double"
+    if has_extra:
+        schema += ", extra double"
+    return _SPARK["spark"].createDataFrame(rows, schema)
 
 
 # one op = (kind, modulus, remainder); ranges kept tiny so predicates
@@ -43,7 +53,7 @@ _OP = st.tuples(
     st.sampled_from(
         [
             "append", "delete_cow", "delete_mor", "update", "merge",
-            "optimize", "rename",
+            "upsert", "overwrite", "optimize", "rename", "drop",
         ]
     ),
     st.integers(min_value=2, max_value=5),
@@ -51,61 +61,84 @@ _OP = st.tuples(
 )
 
 
-def _apply_model(model, next_k, op, vname):
-    """The reference semantics, on a dict k -> (v, amt). Returns
-    (next_k, vname) — a rename only moves the column NAME; values are
-    untouched (the column-mapping contract)."""
+def _apply_model(model, next_k, op, vname, has_extra):
+    """The reference semantics, on a dict k -> (v, amt, extra).
+    Returns (next_k, vname, has_extra) — a rename only moves the
+    column NAME, a drop only hides the extra column (values in the
+    model stay; reads compare the visible columns)."""
     kind, m, r = op
     r = r % m
     if kind == "rename":
-        return next_k, f"{vname}x"
+        return next_k, f"{vname}x", has_extra
+    if kind == "drop":
+        return next_k, vname, False
     if kind == "append":
         for i in range(3):
             k = next_k + i
-            model[k] = (f"a{k}", float(k))
-        return next_k + 3, vname
+            model[k] = (f"a{k}", float(k), float(k) * 2)
+        return next_k + 3, vname, has_extra
     if kind in ("delete_cow", "delete_mor"):
         for k in [k for k in model if k % m == r]:
             del model[k]
-        return next_k, vname
+        return next_k, vname, has_extra
     if kind == "update":
         for k in list(model):
             if k % m == r:
-                v, amt = model[k]
-                model[k] = (v.upper(), amt + 10.0)
-        return next_k, vname
+                v, amt, ex = model[k]
+                model[k] = (v.upper(), amt + 10.0, ex)
+        return next_k, vname, has_extra
     if kind == "merge":
         # source: matched ks take s.amt (doubled); one new k inserts;
         # matched ks where amt would exceed 900 delete instead
-        src = {k: (f"m{k}", amt * 2) for k, (v, amt) in model.items() if k % m == r}
-        src[next_k] = (f"i{next_k}", 7.0)
-        for k, (v, amt) in src.items():
+        src = {
+            k: (f"m{k}", amt * 2, ex)
+            for k, (v, amt, ex) in model.items()
+            if k % m == r
+        }
+        src[next_k] = (f"i{next_k}", 7.0, 1.5)
+        for k, (v, amt, ex) in src.items():
             if k in model:
                 if amt > 900.0:
                     del model[k]
                 else:
-                    model[k] = (v, amt)
+                    model[k] = (v, amt, ex)
             else:
-                model[k] = (v, amt)
-        return next_k + 1, vname
-    return next_k, vname  # optimize: content-identical
+                model[k] = (v, amt, ex)
+        return next_k + 1, vname, has_extra
+    if kind == "upsert":
+        # latest-wins on amt: matched sources carry amt+100 (always
+        # newer), plus one fresh key
+        for k in [k for k in model if k % m == r]:
+            v, amt, ex = model[k]
+            model[k] = (f"u{k}", amt + 100.0, ex)
+        model[next_k] = (f"n{next_k}", 3.0, 0.5)
+        return next_k + 1, vname, has_extra
+    if kind == "overwrite":
+        model.clear()
+        for i in range(3):
+            k = next_k + i
+            model[k] = (f"o{k}", float(k), float(k) * 3)
+        return next_k + 3, vname, has_extra
+    return next_k, vname, has_extra  # optimize: content-identical
 
 
 def _apply_table(t, next_k, op, vname):
     kind, m, r = op
     r = r % m
+    has_extra = "extra" in t.read().columns
     if kind == "rename":
         t.rename_column(vname, f"{vname}x")
+    elif kind == "drop":
+        if has_extra:
+            t.drop_column("extra")
+        # else: already dropped — metadata no-op, like the model
     elif kind == "append":
-        t.append(
-            _df(
-                [
-                    (next_k + i, f"a{next_k + i}", float(next_k + i))
-                    for i in range(3)
-                ],
-                vname,
-            )
-        )
+        rows = [
+            (next_k + i, f"a{next_k + i}", float(next_k + i))
+            + ((float(next_k + i) * 2,) if has_extra else ())
+            for i in range(3)
+        ]
+        t.append(_df(rows, vname, has_extra))
     elif kind == "delete_cow":
         t.delete(f"k % {m} = {r}")
     elif kind == "delete_mor":
@@ -117,22 +150,48 @@ def _apply_table(t, next_k, op, vname):
         )
     elif kind == "merge":
         cur = {
-            row["k"]: (row[vname], row["amt"]) for row in t.read().collect()
+            row["k"]: (row[vname], row["amt"], row["extra"] if has_extra else None)
+            for row in t.read().collect()
         }
         src_rows = [
-            (k, f"m{k}", amt * 2)
-            for k, (v, amt) in cur.items()
+            (k, f"m{k}", amt * 2) + ((ex,) if has_extra else ())
+            for k, (v, amt, ex) in cur.items()
             if k % m == r
-        ] + [(next_k, f"i{next_k}", 7.0)]
+        ] + [(next_k, f"i{next_k}", 7.0) + ((1.5,) if has_extra else ())]
         t.merge(
-            _df(src_rows, vname),
+            _df(src_rows, vname, has_extra),
             on=["k"],
             when_matched_delete="s.amt > 900.0",
-            when_matched_update={vname: f"s.{vname}", "amt": "s.amt"},
+            when_matched_update=(
+                {vname: f"s.{vname}", "amt": "s.amt"}
+                | ({"extra": "s.extra"} if has_extra else {})
+            ),
             when_not_matched_insert="*",
         )
+    elif kind == "upsert":
+        cur = {
+            row["k"]: (row[vname], row["amt"], row["extra"] if has_extra else None)
+            for row in t.read().collect()
+        }
+        src_rows = [
+            (k, f"u{k}", amt + 100.0) + ((ex,) if has_extra else ())
+            for k, (v, amt, ex) in cur.items()
+            if k % m == r
+        ] + [(next_k, f"n{next_k}", 3.0) + ((0.5,) if has_extra else ())]
+        t.upsert(_df(src_rows, vname, has_extra), ["k"], ["amt"])
+    elif kind == "overwrite":
+        rows = [
+            (next_k + i, f"o{next_k + i}", float(next_k + i))
+            + ((float(next_k + i) * 3,) if has_extra else ())
+            for i in range(3)
+        ]
+        t.overwrite(_df(rows, vname, has_extra))
     elif kind == "optimize":
         t.optimize(target_files=2)
+
+
+def _base_rows():
+    return [(k, f"a{k}", float(k), float(k) * 2) for k in range(10)]
 
 
 @pytest.mark.slow
@@ -148,23 +207,85 @@ def _apply_table(t, next_k, op, vname):
 def test_dml_op_sequences_match_reference_model(ops):
     d = tempfile.mkdtemp(prefix="smetl_model_")
     try:
-        base = [(k, f"a{k}", float(k)) for k in range(10)]
+        base = _base_rows()
         t = VersionedTable.create(_SPARK["spark"], f"{d}/t", _df(base))
-        model = {k: (v, amt) for k, v, amt in base}
-        next_k, vname = 10, "v"
+        model = {k: (v, amt, ex) for k, v, amt, ex in base}
+        next_k, vname, has_extra = 10, "v", True
         for op in ops:
             _apply_table(t, next_k, op, vname)
-            next_k, vname = _apply_model(model, next_k, op, vname)
+            next_k, vname, has_extra = _apply_model(
+                model, next_k, op, vname, has_extra
+            )
         head = t.read()
-        assert [f.name for f in head.schema.fields] == ["k", vname, "amt"]
+        want_cols = ["k", vname, "amt"] + (["extra"] if has_extra else [])
+        assert [f.name for f in head.schema.fields] == want_cols
         got = sorted(
-            (row["k"], row[vname], row["amt"]) for row in head.collect()
+            tuple(row[c] for c in want_cols) for row in head.collect()
         )
-        want = sorted((k, v, amt) for k, (v, amt) in model.items())
+        want = sorted(
+            (k, v, amt) + ((ex,) if has_extra else ())
+            for k, (v, amt, ex) in model.items()
+        )
         assert got == want, f"ops={ops}"
         # v0 time travel always survives whatever the sequence did
         assert sorted(
-            (row["k"], row["v"], row["amt"]) for row in t.read(0).collect()
+            (row["k"], row["v"], row["amt"], row["extra"])
+            for row in t.read(0).collect()
         ) == sorted(base)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(ops=st.lists(_OP, min_size=1, max_size=5))
+def test_cdf_feed_replay_reconstructs_head(ops):
+    """The change feed is COMPLETE and CORRECT for any DML chain: a
+    consumer starting from nothing and applying the typed rows of
+    ``read_change_feed(-1)`` commit by commit (deletes first within a
+    commit, then inserts/postimages, keyed upserts) ends at exactly
+    the head state — under the head's own schema, across renames,
+    drops, vectors, and full rewrites."""
+    d = tempfile.mkdtemp(prefix="smetl_cdfmodel_")
+    try:
+        t = VersionedTable.create(
+            _SPARK["spark"],
+            f"{d}/t",
+            _df(_base_rows()),
+            change_data_feed=True,
+        )
+        next_k, vname = 10, "v"
+        for op in ops:
+            _apply_table(t, next_k, op, vname)
+            kind = op[0]
+            if kind == "rename":
+                vname = f"{vname}x"
+            elif kind in ("append", "overwrite"):
+                next_k += 3
+            elif kind in ("merge", "upsert"):
+                next_k += 1
+        head_df = t.read()
+        cols = head_df.columns
+        head = sorted(
+            tuple(row[c] for c in cols) for row in head_df.collect()
+        )
+        feed = t.read_change_feed(-1).collect()
+        state: dict = {}
+        for ver in sorted({r["_commit_version"] for r in feed}):
+            rows = [r for r in feed if r["_commit_version"] == ver]
+            for r in rows:
+                if r["_change_type"] == "delete":
+                    state.pop(r["k"], None)
+            for r in rows:
+                if r["_change_type"] in ("insert", "update_postimage"):
+                    state[r["k"]] = tuple(r[c] for c in cols)
+        assert sorted(state.values()) == head, f"ops={ops}"
     finally:
         shutil.rmtree(d, ignore_errors=True)
