@@ -3044,6 +3044,7 @@ class VersionedTable:
         recluster_by: str | None = None,
         zorder_by: list[str] | None = None,
         max_retries: int = 10,
+        where: list[tuple] | None = None,
     ) -> int:
         """Small-file compaction as a snapshot rewrite (the
         Delta/Iceberg OPTIMIZE pattern): re-lay the head's rows into
@@ -3068,7 +3069,21 @@ class VersionedTable:
         compacted files PLUS the winners' appended files (their stats
         and partition values carried from the winning head). Only a
         concurrent REWRITE (upsert/overwrite/delete/update/another
-        optimize) raises — the compacted content is then stale."""
+        optimize) raises — the compacted content is then stale.
+
+        ``where`` SCOPES the compaction (r11 — Delta's ``OPTIMIZE
+        table WHERE ...``): a list of range conjuncts ``(col, lo,
+        hi)`` — the prune-hint form :meth:`delete` uses — selects only
+        the files whose manifest stats/partition values overlap; every
+        other file carries over byte-identical. At 100 TB this is the
+        ONLY form maintenance can take: yesterday's fragmented ingest
+        partition compacts (or Z-orders) in O(partition), cold
+        partitions are never rewritten. Files without stats for a
+        scoped column are conservatively INCLUDED (compacting more
+        than asked is always safe). Deletion vectors: rows of scoped
+        files fold in physically; vectors survive for the untouched
+        files (their entries for vanished files are inert). A scope
+        matching zero files returns the current version unchanged."""
         if recluster_by is not None and zorder_by:
             raise ValueError(
                 "VersionedTable.optimize: recluster_by and zorder_by "
@@ -3077,7 +3092,15 @@ class VersionedTable:
         parent = self.head_version()
         base_ptr = self._read_pointer(parent)
         base = self._resolve(base_ptr)
-        df = self._read_files(base, base["files"])
+        if where:
+            touched_files = self._kept_files_all(base, list(where))
+            if not touched_files:
+                return parent  # scope matches nothing: no empty commits
+        else:
+            touched_files = base["files"]
+        touched = set(touched_files)
+        untouched = [f for f in base["files"] if f not in touched]
+        df = self._read_files(base, touched_files)
         if zorder_by:
             from social_media_etl_spark.operators.warehouse import (
                 zorder_value,
@@ -3154,6 +3177,11 @@ class VersionedTable:
                 "constraints": head_ptr.get("constraints") or {},
             }
             m = self._carry_mapping(m, head_ptr)
+            if untouched and base.get("delete_vectors"):
+                # scoped compaction: vectors still hide rows of the
+                # carried-over files; entries for the vanished scoped
+                # files are inert (their paths match no scanned row)
+                m["delete_vectors"] = base["delete_vectors"]
             if compacted_segs is not None:
                 # segment-level rebase: the winners of an append-only
                 # span only ADDED segments, so their contribution is
@@ -3162,30 +3190,53 @@ class VersionedTable:
                 appended_segs = [
                     s for s in head_ptr["segments"] if s not in base_segs
                 ]
-                m["segments"] = compacted_segs + appended_segs
-                m["n_files"] = len(files) + sum(
-                    len(self._read_segment(s)["files"])
-                    for s in appended_segs
+                kept_segs = (
+                    self._segments_without(base_ptr, touched)
+                    if untouched
+                    else []
                 )
-                m["mixed"] = bool(appended_segs) and (
-                    bool(head_ptr.get("mixed"))
-                    or head_ptr["schema"] != base["schema"]
+                m["segments"] = kept_segs + compacted_segs + appended_segs
+                m["n_files"] = (
+                    len(untouched)
+                    + len(files)
+                    + sum(
+                        len(self._read_segment(s)["files"])
+                        for s in appended_segs
+                    )
+                )
+                m["mixed"] = (
+                    bool(untouched) and bool(base_ptr.get("mixed"))
+                ) or (
+                    bool(appended_segs)
+                    and (
+                        bool(head_ptr.get("mixed"))
+                        or head_ptr["schema"] != base["schema"]
+                    )
                 )
             else:
                 head_m = self._resolve(head_ptr)
                 appended = sorted(set(head_m["files"]) - set(base["files"]))
                 head_stats = head_m.get("stats") or {}
                 head_parts = head_m.get("parts") or {}
-                m["files"] = sorted(files + appended)
-                m["mixed"] = bool(appended) and (
-                    bool(head_m.get("mixed"))
-                    or head_m["schema"] != base["schema"]
+                base_stats = base.get("stats") or {}
+                base_parts = base.get("parts") or {}
+                m["files"] = sorted(untouched + files + appended)
+                m["mixed"] = (
+                    bool(untouched) and bool(base.get("mixed"))
+                ) or (
+                    bool(appended)
+                    and (
+                        bool(head_m.get("mixed"))
+                        or head_m["schema"] != base["schema"]
+                    )
                 )
                 m["stats"] = {
+                    **{f: base_stats[f] for f in untouched if f in base_stats},
                     **new_stats,
                     **{f: head_stats[f] for f in appended if f in head_stats},
                 }
                 m["parts"] = {
+                    **{f: base_parts[f] for f in untouched if f in base_parts},
                     **new_parts,
                     **{f: head_parts[f] for f in appended if f in head_parts},
                 }

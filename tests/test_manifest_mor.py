@@ -536,3 +536,79 @@ def test_cdf_overwrite_records_full_delete_insert_images(spark, tmp_path):
         (2, "delete", 3),
         (2, "insert", 7),
     }
+
+
+def test_scoped_optimize_compacts_only_matching_files(spark, tmp_path):
+    """OPTIMIZE ... WHERE (r11): range conjuncts scope the compaction
+    to overlapping files — cold files carry over byte-identical, rows
+    are unchanged, vectors on untouched files survive while vectors on
+    scoped files fold in physically. The 100 TB maintenance form:
+    yesterday's partition compacts in O(partition)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.lit("x").alias("v")
+    )
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        df.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        stats_cols=["k"],
+    )
+    t.delete("k = 5", mode="mor")  # vector in the scoped region
+    t.delete("k = 90", mode="mor")  # vector in the cold region
+    before = t._read_manifest(t.head_version())["files"]
+    cold_before = [f for f in before]  # full list; diff after
+    v = t.optimize(target_files=2, where=[("k", 0, 24)])
+    m = t._read_manifest(v)
+    # cold files carried byte-identical; scoped ones replaced
+    carried = set(before) & set(m["files"])
+    assert carried and carried < set(before)
+    new_files = sorted(set(m["files"]) - set(cold_before))
+    assert 0 < len(new_files) <= 2
+    # rows unchanged: both deletes still applied (one folded, one DV'd)
+    assert sorted(r["k"] for r in t.read().collect()) == [
+        k for k in range(100) if k not in (5, 90)
+    ]
+    # the scoped file physically dropped its folded row...
+    raw_new = spark.read.parquet(*new_files)
+    ks_new = {r["k"] for r in raw_new.collect()}
+    assert 5 not in ks_new and ks_new <= set(range(25))
+    # ...while the cold region still needs (and carries) its vector
+    assert m.get("delete_vectors")
+    # stats pruning still works across both generations
+    kept, total = t.pruned_file_count("k", 0, 10)
+    assert kept < total
+    # zero-match scope: no empty commit
+    assert t.optimize(where=[("k", 5000, 6000)]) == v
+    # time travel to the fragmented layout still works
+    assert sorted(r["k"] for r in t.read(2).collect()) == [
+        k for k in range(100) if k not in (5, 90)
+    ]
+
+
+def test_scoped_optimize_zorder_one_region(spark, tmp_path):
+    """Z-ORDER a single hot region in place: scoped files re-lay
+    bit-interleaved, cold files keep their layout, pruning holds on
+    both generations."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 200).select(
+        (F.col("id") % 50).alias("a"),
+        (F.col("id") * 7 % 50).alias("b"),
+        F.col("id").alias("k"),
+    )
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        df.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        stats_cols=["k", "a", "b"],
+    )
+    before = set(t._read_manifest(0)["files"])
+    v = t.optimize(target_files=2, zorder_by=["a", "b"], where=[("k", 0, 99)])
+    m = t._read_manifest(v)
+    assert set(m["files"]) & before  # cold files carried
+    assert t.read().count() == 200
+    got = sorted((r["a"], r["b"], r["k"]) for r in t.read().collect())
+    want = sorted((r["a"], r["b"], r["k"]) for r in df.collect())
+    assert got == want
