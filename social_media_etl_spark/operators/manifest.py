@@ -2269,10 +2269,15 @@ class VersionedTable:
         the match set is O(files) metadata), untouched files are
         carried into the new manifest byte-identical, and the touched
         files are re-written WITHOUT their matching rows. The commit
-        is op ``delete`` with first-committer-wins CAS — like upsert,
-        the rewrite was computed against a snapshot, so a lost race
-        raises for a re-run — and :meth:`read_changes` refuses ranges
-        that cross it (rewrites have no added-rows semantics). Time
+        is op ``delete``. CONCURRENCY (r11, the Delta conflict rule):
+        a lost CAS race against BLIND APPENDS rebases — the winners'
+        files are scanned (bounded by their size) and if none of
+        their rows matches the predicate the already-written rewrite
+        commits onto the new head; an appended MATCH, or any
+        non-append commit in the span, raises for a re-run (the
+        rewrite is then semantically stale). :meth:`read_changes`
+        refuses ranges that cross a delete (rewrites have no
+        added-rows semantics). Time
         travel to pre-delete versions still reads the old file list.
         Returns the new version, or the CURRENT version unchanged if
         no row matched (no empty commits). ``prune``: optional
@@ -2327,7 +2332,6 @@ class VersionedTable:
             if remaining.limit(1).count()
             else []
         )
-        v = parent + 1
         stats_cols = base.get("stats_cols") or []
         new_stats = (
             self._collect_stats(new_files, stats_cols)
@@ -2339,62 +2343,123 @@ class VersionedTable:
             if "segments" not in ptr and partition_by
             else {}
         )
-        m = {
-            "version": v,
-            "parent": parent,
-            "op": "delete",
-            "predicate": predicate,
-            "schema": base["schema"],
-            "schema_json": base.get("schema_json"),
-            # kept files may still span pre-evolution physical schemas
-            "mixed": bool(base.get("mixed")),
-            "txn": txn,
-            "txns": self._txns_after(base, txn),
-            "stats_cols": stats_cols,
-            "partition_by": partition_by,
-            # a delete keeps a subset of already-valid rows — no check
-            "constraints": base.get("constraints") or {},
-        }
-        m = self._carry_mapping(m, base)
-        if cdc_dir:
-            m["cdc"] = cdc_dir
-        if base.get("delete_vectors"):
-            # rewritten files dropped their DV'd rows physically; kept
-            # files still need the vectors applied at read time
-            m["delete_vectors"] = base["delete_vectors"]
-        if "segments" in ptr:
-            segs = self._segments_without(ptr, touched)
-            if new_files:
-                segs.extend(
-                    self._build_segments(new_files, stats_cols, partition_by)
+        new_segs = None
+        for _ in range(10):
+            v = parent + 1
+            m = {
+                "version": v,
+                "parent": parent,
+                "op": "delete",
+                "predicate": predicate,
+                # on a rebase the winner may have evolved the schema
+                # additively — the commit keeps the HEAD's logical
+                # schema; the rewritten files are then one more
+                # physical generation under it
+                "schema": base["schema"],
+                "schema_json": base.get("schema_json"),
+                # kept files may still span pre-evolution physical
+                # schemas
+                "mixed": bool(base.get("mixed")),
+                "txn": txn,
+                "txns": self._txns_after(base, txn),
+                "stats_cols": stats_cols,
+                "partition_by": partition_by,
+                # a delete keeps a subset of already-valid rows — no
+                # check
+                "constraints": base.get("constraints") or {},
+            }
+            m = self._carry_mapping(m, base)
+            if cdc_dir:
+                m["cdc"] = cdc_dir
+            if base.get("delete_vectors"):
+                # rewritten files dropped their DV'd rows physically;
+                # kept files still need the vectors applied at read
+                # time
+                m["delete_vectors"] = base["delete_vectors"]
+            if "segments" in ptr:
+                segs = self._segments_without(ptr, touched)
+                if new_files:
+                    if new_segs is None:
+                        new_segs = self._build_segments(
+                            new_files, stats_cols, partition_by
+                        )
+                    segs.extend(new_segs)
+                m["segments"] = segs
+                m["n_files"] = len(kept_files) + len(new_files)
+            else:
+                kept_set = set(kept_files)
+                m["files"] = sorted(kept_files + new_files)
+                m["stats"] = {
+                    **{
+                        f: s
+                        for f, s in (base.get("stats") or {}).items()
+                        if f in kept_set
+                    },
+                    **new_stats,
+                }
+                m["parts"] = {
+                    **{
+                        f: p
+                        for f, p in (base.get("parts") or {}).items()
+                        if f in kept_set
+                    },
+                    **new_parts,
+                }
+            if self._try_commit(m, v):
+                return v
+            # CAS lost. Delta's conflict rule (r11): a DELETE commutes
+            # with concurrent BLIND APPENDS whose rows provably do not
+            # match the predicate — compaction-grade ingest must not
+            # be aborted by maintenance DML. Verify, then rebase the
+            # already-written rewrite onto the new head; anything else
+            # in the span (another rewrite, or an appended row the
+            # predicate WOULD have deleted) still raises: the rewrite
+            # is then semantically stale.
+            new_head = self.head_version()
+            span = [
+                v2 for v2 in self.versions() if parent < v2 <= new_head
+            ]
+            losers = [
+                v2
+                for v2 in span
+                if self._read_pointer(v2).get("op") != "append"
+            ]
+            if losers:
+                raise ConcurrentWriteError(
+                    f"VersionedTable: delete raced non-append commits "
+                    f"{losers}; the rewrite is stale — re-run"
                 )
-            m["segments"] = segs
-            m["n_files"] = len(kept_files) + len(new_files)
-        else:
-            kept_set = set(kept_files)
-            m["files"] = sorted(kept_files + new_files)
-            m["stats"] = {
-                **{
-                    f: s
-                    for f, s in (base.get("stats") or {}).items()
-                    if f in kept_set
-                },
-                **new_stats,
-            }
-            m["parts"] = {
-                **{
-                    f: p
-                    for f, p in (base.get("parts") or {}).items()
-                    if f in kept_set
-                },
-                **new_parts,
-            }
-        if not self._try_commit(m, v):
-            raise ConcurrentWriteError(
-                f"VersionedTable: delete rewrote against stale v{parent}; "
-                f"head is now v{self.head_version()} — re-run"
-            )
-        return v
+            new_ptr = self._read_pointer(new_head)
+            new_base = self._resolve(new_ptr)
+            if "segments" in ptr and "segments" in new_ptr:
+                base_seg_set = set(ptr["segments"])
+                appended = sorted(
+                    f
+                    for s in new_ptr["segments"]
+                    if s not in base_seg_set
+                    for f in self._read_segment(s)["files"]
+                )
+            else:
+                appended = sorted(
+                    set(new_base["files"]) - set(base["files"])
+                )
+            if appended:
+                # bounded scan of just the winners' files; DV-skip is
+                # fine (appends never add vectors for their own files)
+                hit = self._read_files(
+                    new_base, appended, apply_dvs=False
+                ).filter(F.coalesce(F.expr(predicate), F.lit(False)))
+                if hit.limit(1).count():
+                    raise ConcurrentWriteError(
+                        "VersionedTable: delete raced an append whose "
+                        "rows match the predicate — the rewrite would "
+                        "miss them; re-run against the new head"
+                    )
+            parent, ptr, base = new_head, new_ptr, new_base
+            kept_files = [f for f in base["files"] if f not in touched]
+        raise ConcurrentWriteError(
+            "VersionedTable: delete lost 10 CAS races"
+        )
 
     def _delete_mor(
         self,

@@ -476,7 +476,12 @@ def test_delete_refused_in_read_changes_range(spark, tmp_path):
         t.read_changes(0)
 
 
-def test_delete_loses_cas_race_and_raises(spark, tmp_path):
+def test_delete_commutes_with_disjoint_append_race(spark, tmp_path):
+    """Delta's conflict rule (r11): a DELETE that loses the CAS to a
+    BLIND APPEND whose rows provably miss the predicate REBASES onto
+    the new head instead of aborting — maintenance DML must not abort
+    ingest. An appended row the predicate WOULD have deleted still
+    raises: the rewrite is then semantically stale."""
     t = VersionedTable.create(spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1)]))
     orig = t._try_commit
 
@@ -487,8 +492,27 @@ def test_delete_loses_cas_race_and_raises(spark, tmp_path):
         return orig(manifest, version)
 
     t._try_commit = racing
-    with pytest.raises(ConcurrentWriteError, match="delete"):
-        t.delete("k = 1")
+    v = t.delete("k = 1")  # k=9 misses the predicate: rebase + commit
+    m = t._read_manifest(v)
+    assert m["op"] == "delete" and m["parent"] == 1
+    assert sorted(r["k"] for r in t.read().collect()) == [9]
+    # ...but an appended MATCH is a real conflict
+    t2 = VersionedTable.create(
+        spark, str(tmp_path / "t2"), _df(spark, [(1, "a", 1), (5, "e", 5)])
+    )
+    orig2 = t2._try_commit
+
+    def racing_match(manifest, version):
+        w2 = VersionedTable(spark, t2.path)
+        w2.append(_df(spark, [(1, "late-dup", 7)]))
+        t2._try_commit = orig2
+        return orig2(manifest, version)
+
+    t2._try_commit = racing_match
+    with pytest.raises(ConcurrentWriteError, match="match the predicate"):
+        t2.delete("k = 1")
+    # the winner's commit is intact; nothing half-applied
+    assert sorted(r["k"] for r in t2.read().collect()) == [1, 1, 5]
 
 
 # -- partition-spec'd tables --------------------------------------------------
