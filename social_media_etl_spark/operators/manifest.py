@@ -2409,57 +2409,65 @@ class VersionedTable:
                 return v
             # CAS lost. Delta's conflict rule (r11): a DELETE commutes
             # with concurrent BLIND APPENDS whose rows provably do not
-            # match the predicate — compaction-grade ingest must not
-            # be aborted by maintenance DML. Verify, then rebase the
-            # already-written rewrite onto the new head; anything else
-            # in the span (another rewrite, or an appended row the
-            # predicate WOULD have deleted) still raises: the rewrite
-            # is then semantically stale.
-            new_head = self.head_version()
-            span = [
-                v2 for v2 in self.versions() if parent < v2 <= new_head
-            ]
-            losers = [
-                v2
-                for v2 in span
-                if self._read_pointer(v2).get("op") != "append"
-            ]
-            if losers:
-                raise ConcurrentWriteError(
-                    f"VersionedTable: delete raced non-append commits "
-                    f"{losers}; the rewrite is stale — re-run"
-                )
-            new_ptr = self._read_pointer(new_head)
-            new_base = self._resolve(new_ptr)
-            if "segments" in ptr and "segments" in new_ptr:
-                base_seg_set = set(ptr["segments"])
-                appended = sorted(
-                    f
-                    for s in new_ptr["segments"]
-                    if s not in base_seg_set
-                    for f in self._read_segment(s)["files"]
-                )
-            else:
-                appended = sorted(
-                    set(new_base["files"]) - set(base["files"])
-                )
-            if appended:
-                # bounded scan of just the winners' files; DV-skip is
-                # fine (appends never add vectors for their own files)
-                hit = self._read_files(
-                    new_base, appended, apply_dvs=False
-                ).filter(F.coalesce(F.expr(predicate), F.lit(False)))
-                if hit.limit(1).count():
-                    raise ConcurrentWriteError(
-                        "VersionedTable: delete raced an append whose "
-                        "rows match the predicate — the rewrite would "
-                        "miss them; re-run against the new head"
-                    )
-            parent, ptr, base = new_head, new_ptr, new_base
+            # match the predicate — ingest must not be aborted by
+            # maintenance DML. Verify, then rebase the already-written
+            # rewrite onto the new head; anything else still raises.
+            parent, ptr, base = self._rebase_over_blind_appends(
+                parent, ptr, base, predicate, "delete"
+            )
             kept_files = [f for f in base["files"] if f not in touched]
         raise ConcurrentWriteError(
             "VersionedTable: delete lost 10 CAS races"
         )
+
+    def _rebase_over_blind_appends(
+        self, parent: int, ptr: dict, base: dict, predicate: str, op: str
+    ):
+        """After a predicate-scoped rewrite lost its CAS: verify the
+        winning span is APPEND-ONLY and that none of the winners' rows
+        matches ``predicate`` (one bounded scan of just the appended
+        files), then return the new ``(head, pointer, manifest)`` to
+        rebase onto — the Delta conflict rule that keeps maintenance
+        DML from aborting blind ingest (r11). Any non-append commit,
+        or an appended row the predicate covers, raises: the staged
+        rewrite is then semantically stale and must be recomputed."""
+        new_head = self.head_version()
+        span = [v2 for v2 in self.versions() if parent < v2 <= new_head]
+        losers = [
+            v2
+            for v2 in span
+            if self._read_pointer(v2).get("op") != "append"
+        ]
+        if losers:
+            raise ConcurrentWriteError(
+                f"VersionedTable: {op} raced non-append commits "
+                f"{losers}; the rewrite is stale — re-run"
+            )
+        new_ptr = self._read_pointer(new_head)
+        new_base = self._resolve(new_ptr)
+        if "segments" in ptr and "segments" in new_ptr:
+            base_seg_set = set(ptr["segments"])
+            appended = sorted(
+                f
+                for s in new_ptr["segments"]
+                if s not in base_seg_set
+                for f in self._read_segment(s)["files"]
+            )
+        else:
+            appended = sorted(set(new_base["files"]) - set(base["files"]))
+        if appended:
+            # bounded scan of just the winners' files; DV-skip is
+            # fine (appends never add vectors for their own files)
+            hit = self._read_files(
+                new_base, appended, apply_dvs=False
+            ).filter(F.coalesce(F.expr(predicate), F.lit(False)))
+            if hit.limit(1).count():
+                raise ConcurrentWriteError(
+                    f"VersionedTable: {op} raced an append whose rows "
+                    "match the predicate — the staged rewrite would "
+                    "miss them; re-run against the new head"
+                )
+        return new_head, new_ptr, new_base
 
     def _delete_mor(
         self,
@@ -2511,34 +2519,42 @@ class VersionedTable:
         # bounded probe before writing: no matches → no empty commit
         if not hits.limit(1).count():
             return parent
-        v = parent + 1
-        dv_dir = f"{self.path}/dv/b{v:08d}-{uuid.uuid4().hex[:8]}"
+        dv_dir = f"{self.path}/dv/b{parent + 1:08d}-{uuid.uuid4().hex[:8]}"
         hits.write.mode("error").parquet(dv_dir)
-        m = dict(ptr)
-        # drop op-specific keys a previous commit may have left in the
-        # pointer (a stale merge_on/predicate would misdescribe THIS
-        # commit in history inspection)
-        for stale in ("merge_on", "mode", "predicate", "txn"):
-            m.pop(stale, None)
-        m.update(
-            {
-                "version": v,
-                "parent": parent,
-                "op": "delete",
-                "mode": "mor",
-                "predicate": predicate,
-                "txn": txn,
-                "txns": self._txns_after(ptr, txn),
-                "delete_vectors": (ptr.get("delete_vectors") or [])
-                + [dv_dir],
-            }
-        )
-        if not self._try_commit(m, v):
-            raise ConcurrentWriteError(
-                f"VersionedTable: delete(mor) cut vectors against stale "
-                f"v{parent}; head is now v{self.head_version()} — re-run"
+        for _ in range(10):
+            v = parent + 1
+            m = dict(ptr)
+            # drop op-specific keys a previous commit may have left in
+            # the pointer (a stale merge_on/predicate would misdescribe
+            # THIS commit in history inspection)
+            for stale in ("merge_on", "mode", "predicate", "txn"):
+                m.pop(stale, None)
+            m.update(
+                {
+                    "version": v,
+                    "parent": parent,
+                    "op": "delete",
+                    "mode": "mor",
+                    "predicate": predicate,
+                    "txn": txn,
+                    "txns": self._txns_after(ptr, txn),
+                    "delete_vectors": (ptr.get("delete_vectors") or [])
+                    + [dv_dir],
+                }
             )
-        return v
+            if self._try_commit(m, v):
+                return v
+            # the vector names (file, position) keys — appends never
+            # move files, so it stays valid on the new head; the same
+            # conflict rule as COW delete applies (r11): blind appends
+            # whose rows miss the predicate commute, anything else
+            # (incl. an appended match the vector would miss) raises
+            parent, ptr, base = self._rebase_over_blind_appends(
+                parent, ptr, base, predicate, "delete(mor)"
+            )
+        raise ConcurrentWriteError(
+            "VersionedTable: delete(mor) lost 10 CAS races"
+        )
 
     def merge(
         self,
@@ -2941,8 +2957,10 @@ class VersionedTable:
         silently writing NULL into rewritten rows (ADVICE r8; the
         session pins ANSI off, under which a bare ``.cast`` nulls like
         ``try_cast``, so the guard is the same in-plan raise
-        ``cast_columns(strict=True)`` uses). Commit is op ``update``
-        with first-committer-wins CAS; ``read_changes`` refuses ranges
+        ``cast_columns(strict=True)`` uses). Commit is op ``update``;
+        like :meth:`delete` it COMMUTES with concurrent blind appends
+        whose rows provably miss the predicate (r11) and raises on any
+        other race. ``read_changes`` refuses ranges
         crossing it. Returns the new version, or the current version
         unchanged if no row matched. ``prune``: optional
         predicate-implied range conjuncts that let manifest metadata
@@ -3036,9 +3054,7 @@ class VersionedTable:
         new_files = self._write_data(
             rewritten, parent + 1, partition_by, base.get("bucket_by")
         )
-        v = parent + 1
         stats_cols = base.get("stats_cols") or []
-        kept_set = set(kept_files)
         new_stats = (
             self._collect_stats(new_files, stats_cols)
             if "segments" not in ptr and stats_cols
@@ -3049,59 +3065,77 @@ class VersionedTable:
             if "segments" not in ptr and partition_by
             else {}
         )
-        m = {
-            "version": v,
-            "parent": parent,
-            "op": "update",
-            "predicate": predicate,
-            "schema": base["schema"],
-            "schema_json": base.get("schema_json"),
-            "mixed": bool(base.get("mixed")),
-            "txn": txn,
-            "txns": self._txns_after(base, txn),
-            "stats_cols": stats_cols,
-            "partition_by": partition_by,
-            "constraints": base.get("constraints") or {},
-        }
-        if base.get("delete_vectors"):
-            # rewritten files dropped their DV'd rows physically; kept
-            # files still need the vectors applied at read time
-            m["delete_vectors"] = base["delete_vectors"]
-        if "segments" in ptr:
-            m["segments"] = self._segments_without(
-                ptr, touched
-            ) + self._build_segments(new_files, stats_cols, partition_by)
-            m["n_files"] = len(kept_files) + len(new_files)
-        else:
-            m["files"] = sorted(kept_files + new_files)
-            m["stats"] = {
-                **{
-                    f: s
-                    for f, s in (base.get("stats") or {}).items()
-                    if f in kept_set
-                },
-                **new_stats,
+        new_segs = None
+        checked = False
+        for _ in range(10):
+            v = parent + 1
+            kept_set = set(kept_files)
+            m = {
+                "version": v,
+                "parent": parent,
+                "op": "update",
+                "predicate": predicate,
+                "schema": base["schema"],
+                "schema_json": base.get("schema_json"),
+                "mixed": bool(base.get("mixed")),
+                "txn": txn,
+                "txns": self._txns_after(base, txn),
+                "stats_cols": stats_cols,
+                "partition_by": partition_by,
+                "constraints": base.get("constraints") or {},
             }
-            m["parts"] = {
-                **{
-                    f: p
-                    for f, p in (base.get("parts") or {}).items()
-                    if f in kept_set
-                },
-                **new_parts,
-            }
-        m = self._carry_mapping(m, base)
-        if cdc_dir:
-            m["cdc"] = cdc_dir
-        # assignments can push rows outside a CHECK constraint; the
-        # rewritten files carry no deletion vectors — skip the anti-join
-        self._check_constraints(new_files, {**m, "delete_vectors": []})
-        if not self._try_commit(m, v):
-            raise ConcurrentWriteError(
-                f"VersionedTable: update rewrote against stale v{parent}; "
-                f"head is now v{self.head_version()} — re-run"
+            if base.get("delete_vectors"):
+                # rewritten files dropped their DV'd rows physically;
+                # kept files still need the vectors applied at read
+                # time
+                m["delete_vectors"] = base["delete_vectors"]
+            if "segments" in ptr:
+                if new_segs is None:
+                    new_segs = self._build_segments(
+                        new_files, stats_cols, partition_by
+                    )
+                m["segments"] = (
+                    self._segments_without(ptr, touched) + new_segs
+                )
+                m["n_files"] = len(kept_files) + len(new_files)
+            else:
+                m["files"] = sorted(kept_files + new_files)
+                m["stats"] = {
+                    **{
+                        f: s
+                        for f, s in (base.get("stats") or {}).items()
+                        if f in kept_set
+                    },
+                    **new_stats,
+                }
+                m["parts"] = {
+                    **{
+                        f: p
+                        for f, p in (base.get("parts") or {}).items()
+                        if f in kept_set
+                    },
+                    **new_parts,
+                }
+            m = self._carry_mapping(m, base)
+            if cdc_dir:
+                m["cdc"] = cdc_dir
+            if not checked:
+                # assignments can push rows outside a CHECK constraint;
+                # the rewritten files carry no deletion vectors — skip
+                # the anti-join
+                self._check_constraints(new_files, {**m, "delete_vectors": []})
+                checked = True
+            if self._try_commit(m, v):
+                return v
+            # same conflict rule as delete (r11): blind appends whose
+            # rows miss the predicate commute; anything else raises
+            parent, ptr, base = self._rebase_over_blind_appends(
+                parent, ptr, base, predicate, "update"
             )
-        return v
+            kept_files = [f for f in base["files"] if f not in touched]
+        raise ConcurrentWriteError(
+            "VersionedTable: update lost 10 CAS races"
+        )
 
     def optimize(
         self,

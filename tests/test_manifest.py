@@ -1493,3 +1493,47 @@ def test_change_feed_emits_target_schema_across_rename(spark, tmp_path):
     )
     # the pre-rename insert's value arrives under the CURRENT name
     assert got == [(1, 2, "b"), (3, 3, "c")]
+
+
+def test_update_and_mor_delete_commute_with_disjoint_append_race(
+    spark, tmp_path
+):
+    """The r11 conflict rule covers all three predicate-scoped DMLs:
+    UPDATE and MoR DELETE also rebase over blind appends whose rows
+    miss the predicate, and raise when an appended row matches."""
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1), (2, "b", 2)])
+    )
+    orig = t._try_commit
+
+    def race_with(rows):
+        def racing(manifest, version):
+            w2 = VersionedTable(spark, t.path)
+            w2.append(_df(spark, rows))
+            t._try_commit = orig
+            return orig(manifest, version)
+
+        return racing
+
+    # UPDATE vs disjoint append: rebases, both rows visible after
+    t._try_commit = race_with([(8, "w", 8)])
+    v = t.update("k = 1", {"v": "'A'"})
+    assert t._read_manifest(v)["parent"] == 1
+    got = sorted((r["k"], r["v"]) for r in t.read().collect())
+    assert got == [(1, "A"), (2, "b"), (8, "w")]
+    # MoR DELETE vs disjoint append: the vector commits onto the head
+    t._try_commit = race_with([(9, "x", 9)])
+    v2 = t.delete("k = 2", mode="mor")
+    assert t._read_manifest(v2)["parent"] == v + 1
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 8, 9]
+    # UPDATE vs a MATCHING append: real conflict, nothing half-applied
+    t._try_commit = race_with([(1, "late", 7)])
+    with pytest.raises(ConcurrentWriteError, match="match the predicate"):
+        t.update("k = 1", {"v": "'Z'"})
+    t._try_commit = orig
+    assert sorted((r["k"], r["v"]) for r in t.read().collect()) == [
+        (1, "A"),
+        (1, "late"),
+        (8, "w"),
+        (9, "x"),
+    ]
