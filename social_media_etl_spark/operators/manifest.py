@@ -2876,65 +2876,123 @@ class VersionedTable:
             if "segments" not in ptr and partition_by
             else {}
         )
-        m = {
-            "version": v,
-            "parent": parent,
-            "op": "merge",
-            "merge_on": list(on),
-            "schema": base["schema"],
-            "schema_json": base.get("schema_json"),
-            "mixed": bool(base.get("mixed")),
-            "txn": txn,
-            "txns": self._txns_after(base, txn),
-            "stats_cols": stats_cols,
-            "partition_by": partition_by,
-            "constraints": base.get("constraints") or {},
-        }
-        if base.get("delete_vectors"):
-            # rewritten files dropped their DV'd rows physically; kept
-            # files still need the vectors applied at read time
-            m["delete_vectors"] = base["delete_vectors"]
-        if "segments" in ptr:
-            segs = self._segments_without(ptr, touched)
-            if new_files:
-                segs.extend(
-                    self._build_segments(new_files, stats_cols, partition_by)
+        new_segs = None
+        checked = False
+        for _ in range(10):
+            v = parent + 1
+            m = {
+                "version": v,
+                "parent": parent,
+                "op": "merge",
+                "merge_on": list(on),
+                "schema": base["schema"],
+                "schema_json": base.get("schema_json"),
+                "mixed": bool(base.get("mixed")),
+                "txn": txn,
+                "txns": self._txns_after(base, txn),
+                "stats_cols": stats_cols,
+                "partition_by": partition_by,
+                "constraints": base.get("constraints") or {},
+            }
+            if base.get("delete_vectors"):
+                # rewritten files dropped their DV'd rows physically;
+                # kept files still need the vectors applied at read
+                # time
+                m["delete_vectors"] = base["delete_vectors"]
+            if "segments" in ptr:
+                segs = self._segments_without(ptr, touched)
+                if new_files:
+                    if new_segs is None:
+                        new_segs = self._build_segments(
+                            new_files, stats_cols, partition_by
+                        )
+                    segs.extend(new_segs)
+                m["segments"] = segs
+                m["n_files"] = len(kept_files) + len(new_files)
+            else:
+                kept_set = set(kept_files)
+                m["files"] = sorted(kept_files + new_files)
+                m["stats"] = {
+                    **{
+                        f: s
+                        for f, s in (base.get("stats") or {}).items()
+                        if f in kept_set
+                    },
+                    **new_stats,
+                }
+                m["parts"] = {
+                    **{
+                        f: p
+                        for f, p in (base.get("parts") or {}).items()
+                        if f in kept_set
+                    },
+                    **new_parts,
+                }
+            m = self._carry_mapping(m, base)
+            if cdc_dir:
+                m["cdc"] = cdc_dir
+            if not checked:
+                # updates and inserts can both push rows outside a
+                # CHECK; new files carry no deletion vectors, so skip
+                # the DV anti-join
+                self._check_constraints(
+                    new_files, {**m, "delete_vectors": []}
                 )
-            m["segments"] = segs
-            m["n_files"] = len(kept_files) + len(new_files)
-        else:
-            kept_set = set(kept_files)
-            m["files"] = sorted(kept_files + new_files)
-            m["stats"] = {
-                **{
-                    f: s
-                    for f, s in (base.get("stats") or {}).items()
-                    if f in kept_set
-                },
-                **new_stats,
-            }
-            m["parts"] = {
-                **{
-                    f: p
-                    for f, p in (base.get("parts") or {}).items()
-                    if f in kept_set
-                },
-                **new_parts,
-            }
-        m = self._carry_mapping(m, base)
-        if cdc_dir:
-            m["cdc"] = cdc_dir
-        # updates and inserts can both push rows outside a CHECK; new
-        # files carry no deletion vectors, so skip the DV anti-join
-        self._check_constraints(
-            new_files, {**m, "delete_vectors": []}
+                checked = True
+            if self._try_commit(m, v):
+                return v
+            # CAS lost. The r11 conflict rule, merge form: blind
+            # appends commute iff NO appended row joins the SOURCE on
+            # the merge keys (null-unsafe, the merge contract) — such
+            # a row would have been a MATCH this merge mis-classified
+            # as absent. One bounded semi-join over just the winners'
+            # files decides; any other race raises.
+            new_head = self.head_version()
+            span = [
+                v2 for v2 in self.versions() if parent < v2 <= new_head
+            ]
+            losers = [
+                v2
+                for v2 in span
+                if self._read_pointer(v2).get("op") != "append"
+            ]
+            if losers:
+                raise ConcurrentWriteError(
+                    f"VersionedTable: merge raced non-append commits "
+                    f"{losers}; the computed change set is stale — re-run"
+                )
+            new_ptr = self._read_pointer(new_head)
+            new_base = self._resolve(new_ptr)
+            if "segments" in ptr and "segments" in new_ptr:
+                base_seg_set = set(ptr["segments"])
+                appended = sorted(
+                    f
+                    for s in new_ptr["segments"]
+                    if s not in base_seg_set
+                    for f in self._read_segment(s)["files"]
+                )
+            else:
+                appended = sorted(
+                    set(new_base["files"]) - set(base["files"])
+                )
+            if appended:
+                hit = (
+                    self._read_files(new_base, appended, apply_dvs=False)
+                    .select(*on)
+                    .join(src_keys, list(on), "left_semi")
+                )
+                if hit.limit(1).count():
+                    raise ConcurrentWriteError(
+                        "VersionedTable: merge raced an append whose "
+                        "rows match the source keys — the computed "
+                        "change set mis-classifies them; re-run "
+                        "against the new head"
+                    )
+            parent, ptr, base = new_head, new_ptr, new_base
+            kept_files = [f for f in base["files"] if f not in touched]
+        raise ConcurrentWriteError(
+            "VersionedTable: merge lost 10 CAS races"
         )
-        if not self._try_commit(m, v):
-            raise ConcurrentWriteError(
-                f"VersionedTable: merge computed against stale v{parent}; "
-                f"head is now v{self.head_version()} — re-run"
-            )
-        return v
 
     def update(
         self,

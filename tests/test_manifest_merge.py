@@ -122,29 +122,55 @@ def test_merge_noop_returns_current_version(spark, tmp_path):
     assert v == 0 and t.head_version() == 0
 
 
-def test_merge_first_committer_wins(spark, tmp_path):
+def test_merge_race_commutes_with_disjoint_append_else_raises(
+    spark, tmp_path
+):
+    """The r11 conflict rule, merge form: a lost CAS against a blind
+    append REBASES when no appended row joins the source on the merge
+    keys; an appended row the source WOULD have matched raises — the
+    computed change set mis-classified it as absent."""
     t = VersionedTable.create(spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1.0)]))
     orig = VersionedTable._try_commit
 
-    def steal(self, m, v):
-        VersionedTable._try_commit = orig
-        t.append(_df(spark, [(2, "b", 2.0)]))
-        return False
+    def steal(rows):
+        def _steal(self, m, v):
+            VersionedTable._try_commit = orig
+            t.append(_df(spark, rows))
+            return False
 
-    VersionedTable._try_commit = steal
+        return _steal
+
+    # disjoint append (k=2 not in the source): merge rebases + commits
+    VersionedTable._try_commit = steal([(2, "b", 2.0)])
     victim = VersionedTable(spark, str(tmp_path / "t"))
     try:
-        with pytest.raises(ConcurrentWriteError, match="merge computed"):
+        v = victim.merge(
+            _df(spark, [(1, "z", 0.0)]),
+            on=["k"],
+            when_matched_update={"v": "s.v"},
+        )
+    finally:
+        VersionedTable._try_commit = orig
+    assert victim._read_manifest(v)["parent"] == 1
+    got = sorted((r["k"], r["v"]) for r in t.read().collect())
+    assert got == [(1, "z"), (2, "b")]
+    # matching append (k=7 IS a source key): real conflict
+    VersionedTable._try_commit = steal([(7, "late", 9.0)])
+    try:
+        with pytest.raises(
+            ConcurrentWriteError, match="match the source keys"
+        ):
             victim.merge(
-                _df(spark, [(1, "z", 0.0)]),
+                _df(spark, [(7, "s7", 0.0)]),
                 on=["k"],
                 when_matched_update={"v": "s.v"},
+                when_not_matched_insert="*",
             )
     finally:
         VersionedTable._try_commit = orig
     # the winner's commit is intact; the merge never half-applied
     got = sorted((r["k"], r["v"]) for r in t.read().collect())
-    assert got == [(1, "a"), (2, "b")]
+    assert got == [(1, "z"), (2, "b"), (7, "late")]
 
 
 def test_merge_txn_recorded_for_idempotent_replay(spark, tmp_path):
