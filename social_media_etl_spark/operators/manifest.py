@@ -18,12 +18,16 @@ an atomic COMPARE-AND-SWAP on a manifest pointer:
 - readers resolve the highest committed manifest and read exactly its
   file list — they can NEVER observe a partial commit, and reading an
   old version (time travel) is just resolving a lower manifest;
-- losers of a concurrent CAS retry: an ``append`` rebases its new
-  files onto the winner's file list (append commutes); an ``upsert``
-  REFUSES to rebase blindly (its merge read a now-stale snapshot) and
-  raises ``ConcurrentWriteError`` for the caller to re-run — snapshot
-  isolation with first-committer-wins, the standard optimistic
-  protocol;
+- losers of a concurrent CAS retry at FILE granularity (the Delta
+  conflict rules): an ``append`` rebases its new files onto the
+  winner's file list (append always commutes); a predicate-scoped
+  DML or OPTIMIZE rebases over appends AND over DISJOINT rewrites —
+  winners that neither touched its files nor added rows its change
+  set covers (:meth:`_rebase_over_disjoint`); an ``upsert`` or
+  ``overwrite`` REFUSES to rebase (it read the whole table, any
+  winner stales it) and raises ``ConcurrentWriteError`` for the
+  caller to re-run — snapshot isolation with first-committer-wins,
+  the standard optimistic protocol;
 - ``vacuum`` deletes data directories no retained manifest
   references, bounding history storage.
 
@@ -160,13 +164,19 @@ class VersionedTable:
         Iceberg spec evolution): after a ``set_partition_spec`` the
         table holds files from several specs, and pruning interprets
         each file's recorded values under its OWN spec."""
+        body = {"files": files, "stats": stats, "parts": parts}
+        if spec:
+            body["spec"] = list(spec)
+        return self._write_segment_body(body)
+
+    def _write_segment_body(self, body: dict) -> str:
+        """Write an already-assembled segment body verbatim (the
+        :meth:`clone` path copies source segments 1:1, preserving
+        stats/parts/spec without re-reading any data footer)."""
         mdir = self._P(self._manifest_dir())
         if not self._fs.exists(mdir):
             self._fs.mkdirs(mdir)
         name = f"seg-{uuid.uuid4().hex}.json"
-        body = {"files": files, "stats": stats, "parts": parts}
-        if spec:
-            body["spec"] = list(spec)
         out = self._fs.create(self._P(self._segment_path(name)), False)
         try:
             out.write(bytearray(json.dumps(body).encode("utf-8")))
@@ -1588,6 +1598,7 @@ class VersionedTable:
                 continue
             if ptr.get("cdf") and op in (
                 "delete", "update", "merge", "upsert", "overwrite",
+                "restore",
             ):
                 continue  # CDF-recorded commit that changed zero rows
             raise ValueError(
@@ -1739,6 +1750,203 @@ class VersionedTable:
                 f"head is now v{self.head_version()} — re-run"
             )
         return v
+
+    def restore(self, version: int, txn: str | None = None) -> int:
+        """RESTORE TABLE TO VERSION AS OF (the Delta RESTORE command):
+        commit a NEW version whose content is byte-identical to
+        snapshot ``version`` — METADATA-ONLY. The target's file (and
+        segment) references, schema, column mapping, stats and
+        constraints are reused as-is, so rolling a 100 TB table back
+        costs O(manifest), not O(data). History is preserved: the
+        rolled-back versions stay time-travelable until vacuumed, and
+        vacuum keeps every file the restore re-references because the
+        head manifest now lists them. The ``change_data_feed`` flag is
+        a live TABLE property, not snapshot state — it follows the
+        current head, Delta-style.
+
+        On a CDF table the commit records the EXACT row-level diff as
+        CDC, computed at FILE granularity (content only ever moves by
+        whole files): DV-applied rows of files the restore drops are
+        ``delete`` preimages, rows of files it re-adds are
+        ``insert``s, and rows of KEPT files that a post-``version``
+        deletion vector hid (now un-hidden) are ``insert``s again.
+        Files present in both snapshots contribute nothing, so
+        restoring over a recent bad commit reads only that commit's
+        delta.
+
+        First-committer-wins like :meth:`overwrite`: restore is
+        table-wide, so a lost CAS raises for a re-run. A no-op restore
+        (``version`` already equals the head) returns the current
+        version without committing."""
+        parent = self.head_version()
+        if version == parent:
+            return parent
+        if version not in self.versions():
+            raise ValueError(
+                f"VersionedTable.restore: no version {version} "
+                f"(head is v{parent})"
+            )
+        target_ptr = self._read_pointer(version)
+        head_ptr = self._read_pointer(parent)
+        v = parent + 1
+        cdc_dir = None
+        if head_ptr.get("cdf"):
+            from urllib.parse import unquote, urlparse
+
+            head_m = self._resolve(head_ptr)
+            target_m = self._resolve(target_ptr)
+            head_files = set(head_m["files"])
+            target_files = set(target_m["files"])
+            frames = []
+            removed = [f for f in head_m["files"] if f not in target_files]
+            if removed:
+                frames.append(
+                    self._read_files(head_m, removed).select(
+                        "*", F.lit("delete").alias("_change_type")
+                    )
+                )
+            added = [f for f in target_m["files"] if f not in head_files]
+            if added:
+                frames.append(
+                    self._read_files(target_m, added).select(
+                        "*", F.lit("insert").alias("_change_type")
+                    )
+                )
+            # kept files whose rows a post-`version` vector hid: the
+            # restore un-hides them. _delete_mor's find-scan is
+            # DV-applied, so a newer vector never names an
+            # already-hidden position — every key in new_dvs was
+            # visible at `version`.
+            target_dvs = set(target_m.get("delete_vectors") or [])
+            new_dvs = [
+                d
+                for d in (head_m.get("delete_vectors") or [])
+                if d not in target_dvs
+            ]
+            kept = [f for f in target_m["files"] if f in head_files]
+            if new_dvs and kept:
+                dv = self.spark.read.parquet(*new_dvs)
+                dv_files = {
+                    unquote(urlparse(r[0]).path)
+                    for r in dv.select(self._DV_FILE).distinct().collect()
+                }
+                hit = [f for f in kept if f in dv_files]
+                if hit:
+                    rows = self._read_files(
+                        target_m, hit, apply_dvs=False, with_pos=True
+                    )
+                    unhidden = rows.join(
+                        dv, [self._DV_FILE, self._DV_POS], "inner"
+                    ).drop(self._DV_FILE, self._DV_POS)
+                    frames.append(
+                        unhidden.select(
+                            "*", F.lit("insert").alias("_change_type")
+                        )
+                    )
+            if frames:
+                cdc = frames[0]
+                for fdf in frames[1:]:
+                    # BY NAME across schema evolution in the range;
+                    # the feed projects to the reader's end schema
+                    cdc = cdc.unionByName(fdf, allowMissingColumns=True)
+                if cdc.limit(1).count():
+                    cdc_dir = self._write_cdc(cdc, v)
+        m = dict(target_ptr)
+        # op-specific keys of the TARGET commit would misdescribe this
+        # one (and an inherited cdc dir would double-count its changes)
+        for stale in ("merge_on", "mode", "predicate", "txn", "cdc"):
+            m.pop(stale, None)
+        m.update(
+            {
+                "version": v,
+                "parent": parent,
+                "op": "restore",
+                "restored_from": version,
+                "txn": txn,
+                # idempotency keys are live table state, not snapshot
+                # content: carry the HEAD's set forward
+                "txns": self._txns_after(head_ptr, txn),
+            }
+        )
+        if head_ptr.get("cdf"):
+            m["cdf"] = head_ptr["cdf"]
+        else:
+            m.pop("cdf", None)
+        if cdc_dir:
+            m["cdc"] = cdc_dir
+        if not self._try_commit(m, v):
+            raise ConcurrentWriteError(
+                f"VersionedTable: restore raced past stale v{parent}; "
+                f"head is now v{self.head_version()} — re-run"
+            )
+        return v
+
+    def clone(
+        self, dest_path: str, version: int | None = None
+    ) -> "VersionedTable":
+        """SHALLOW CLONE (the Delta ``CLONE`` command): initialize a
+        NEW table at ``dest_path`` whose v0 manifest REFERENCES this
+        table's snapshot files without copying a byte — a zero-copy
+        dev/test branch of a 100 TB table in O(metadata). Segment
+        files are copied 1:1 (stats, partition values and specs
+        preserved, no data footer re-read), so the clone keeps the
+        O(appended files)-per-commit metadata discipline. Schema,
+        column mapping, constraints, deletion vectors, bucket/
+        partition layout and the change-data-feed flag all carry from
+        the snapshot.
+
+        The clone's history starts fresh at v0: its appends, DML and
+        OPTIMIZE write under ``dest_path`` and never touch the source
+        (a rewrite merely drops shared references; compaction writes
+        new files), and source commits after the clone point are
+        invisible to it.
+
+        CAVEAT (exactly Delta's): VACUUM ON THE SOURCE does not know
+        about the clone — vacuuming source versions the clone still
+        shares files with breaks the clone's reads. Vacuum on the
+        CLONE is safe: it only sweeps directories under its own
+        ``data/``, and shared source files never live there."""
+        src_v = self.head_version() if version is None else version
+        if src_v not in self.versions():
+            raise ValueError(
+                f"VersionedTable.clone: no version {src_v} "
+                f"(head is v{self.head_version()})"
+            )
+        ptr = self._read_pointer(src_v)
+        dest = VersionedTable(self.spark, dest_path)
+        if dest.versions():
+            raise IOError(
+                f"VersionedTable: {dest_path} already initialized"
+            )
+        m = dict(ptr)
+        # op-specific keys of the source commit would misdescribe the
+        # clone's create (and an inherited cdc dir would replay the
+        # source commit's changes as the clone's)
+        for stale in (
+            "merge_on", "mode", "predicate", "txn", "cdc", "restored_from",
+        ):
+            m.pop(stale, None)
+        m.update(
+            {
+                "version": 0,
+                "parent": None,
+                "op": "create",
+                "cloned_from": {"path": self.path, "version": src_v},
+                "txn": None,
+                "txns": [],
+            }
+        )
+        if "segments" in ptr:
+            m["segments"] = [
+                dest._write_segment_body(dict(self._read_segment(s)))
+                for s in ptr["segments"]
+            ]
+        if not dest._try_commit(m, 0):
+            raise ConcurrentWriteError(
+                f"VersionedTable: clone raced another create at "
+                f"{dest_path}"
+            )
+        return dest
 
     def rename_column(self, old: str, new: str, txn: str | None = None) -> int:
         """Column RENAME as a METADATA-ONLY commit (VERDICT r9 #4 —
@@ -2269,13 +2477,16 @@ class VersionedTable:
         the match set is O(files) metadata), untouched files are
         carried into the new manifest byte-identical, and the touched
         files are re-written WITHOUT their matching rows. The commit
-        is op ``delete``. CONCURRENCY (r11, the Delta conflict rule):
-        a lost CAS race against BLIND APPENDS rebases — the winners'
-        files are scanned (bounded by their size) and if none of
-        their rows matches the predicate the already-written rewrite
-        commits onto the new head; an appended MATCH, or any
-        non-append commit in the span, raises for a re-run (the
-        rewrite is then semantically stale). :meth:`read_changes`
+        is op ``delete``. CONCURRENCY (r11, the Delta conflict rules
+        at file granularity): a lost CAS race against appends OR
+        DISJOINT rewrites rebases — the winners must not have touched
+        any file this delete rewrote, and the files they ADDED are
+        scanned (bounded by their size) to prove no row matches the
+        predicate; then the already-written rewrite commits onto the
+        new head. A winner that rewrote a shared file, vectored one of
+        this delete's files, added a MATCH, or is table-wide
+        (overwrite/upsert) or metadata-changing (rename/drop/spec)
+        raises for a re-run (the rewrite is then semantically stale). :meth:`read_changes`
         refuses ranges that cross a delete (rewrites have no
         added-rows semantics). Time
         travel to pre-delete versions still reads the old file list.
@@ -2407,67 +2618,136 @@ class VersionedTable:
                 }
             if self._try_commit(m, v):
                 return v
-            # CAS lost. Delta's conflict rule (r11): a DELETE commutes
-            # with concurrent BLIND APPENDS whose rows provably do not
-            # match the predicate — ingest must not be aborted by
-            # maintenance DML. Verify, then rebase the already-written
-            # rewrite onto the new head; anything else still raises.
-            parent, ptr, base = self._rebase_over_blind_appends(
-                parent, ptr, base, predicate, "delete"
+            # CAS lost. Delta's file-granularity conflict rules (r11):
+            # a DELETE commutes with appends AND with disjoint
+            # rewrites — any winner that neither touched this delete's
+            # files nor added rows the predicate covers. Verify, then
+            # rebase the already-written rewrite onto the new head;
+            # anything else still raises.
+            parent, ptr, base = self._rebase_over_disjoint(
+                parent,
+                ptr,
+                base,
+                "delete",
+                touched,
+                self._stale_if_predicate_match(predicate),
             )
             kept_files = [f for f in base["files"] if f not in touched]
         raise ConcurrentWriteError(
             "VersionedTable: delete lost 10 CAS races"
         )
 
-    def _rebase_over_blind_appends(
-        self, parent: int, ptr: dict, base: dict, predicate: str, op: str
+    # commit ops a lost CAS race can rebase OVER: appends and
+    # file-scoped rewrites. Table-wide replacements (overwrite,
+    # upsert) and metadata commits that change what a predicate or
+    # file name MEANS (rename, drop, set_partition_spec) always
+    # invalidate a staged rewrite.
+    _REBASABLE_OPS = frozenset(
+        {"append", "delete", "update", "merge", "optimize"}
+    )
+
+    def _rebase_over_disjoint(
+        self, parent: int, ptr: dict, base: dict, op: str, touched, is_stale
     ):
-        """After a predicate-scoped rewrite lost its CAS: verify the
-        winning span is APPEND-ONLY and that none of the winners' rows
-        matches ``predicate`` (one bounded scan of just the appended
-        files), then return the new ``(head, pointer, manifest)`` to
-        rebase onto — the Delta conflict rule that keeps maintenance
-        DML from aborting blind ingest (r11). Any non-append commit,
-        or an appended row the predicate covers, raises: the staged
-        rewrite is then semantically stale and must be recomputed."""
+        """After a file-scoped rewrite lost its CAS: decide whether the
+        staged change set still holds on the new head, at FILE
+        granularity — Delta's conflict rules (ConcurrentAppend /
+        ConcurrentDeleteRead / ConcurrentDeleteDelete), extended in
+        r11 from append-only spans to DISJOINT rewrites. The loser
+        rebases iff
+
+        1. every winning commit is itself file-scoped
+           (:attr:`_REBASABLE_OPS`) — an overwrite/upsert or a
+           rename/drop/spec change invalidates everything;
+        2. no winner removed or rewrote a file THIS writer rewrote or
+           vectored (``touched``) — the staged output or the (file,
+           position) keys would be stale (ConcurrentDeleteDelete);
+        3. no winner added a deletion vector on a ``touched`` file —
+           the staged rewrite, computed DV-as-of-base, would
+           resurrect those rows;
+        4. ``is_stale`` — one bounded, head-DV-applied scan of just
+           the files the span ADDED — finds nothing the staged change
+           set mis-classified (an appended/updated row the predicate
+           or merge keys now cover).
+
+        Returns the new ``(head, pointer, manifest)`` to rebase onto;
+        any violated rule raises :class:`ConcurrentWriteError` and the
+        caller must recompute. Cost is O(span metadata) + one scan of
+        the span's added files — never a re-scan of the table."""
+        from urllib.parse import unquote, urlparse
+
         new_head = self.head_version()
         span = [v2 for v2 in self.versions() if parent < v2 <= new_head]
-        losers = [
+        bad = [
             v2
             for v2 in span
-            if self._read_pointer(v2).get("op") != "append"
+            if self._read_pointer(v2).get("op") not in self._REBASABLE_OPS
         ]
-        if losers:
+        if bad:
             raise ConcurrentWriteError(
-                f"VersionedTable: {op} raced non-append commits "
-                f"{losers}; the rewrite is stale — re-run"
+                f"VersionedTable: {op} raced non-rebasable commits "
+                f"{bad} (table-wide or metadata ops); the rewrite is "
+                "stale — re-run"
             )
         new_ptr = self._read_pointer(new_head)
         new_base = self._resolve(new_ptr)
-        if "segments" in ptr and "segments" in new_ptr:
-            base_seg_set = set(ptr["segments"])
-            appended = sorted(
-                f
-                for s in new_ptr["segments"]
-                if s not in base_seg_set
-                for f in self._read_segment(s)["files"]
+        touched = set(touched)
+        removed = set(base["files"]) - set(new_base["files"])
+        overlap = removed & touched
+        if overlap:
+            raise ConcurrentWriteError(
+                f"VersionedTable: {op} raced a rewrite of "
+                f"{len(overlap)} file(s) it also rewrote — the staged "
+                "output is stale; re-run against the new head"
             )
-        else:
-            appended = sorted(set(new_base["files"]) - set(base["files"]))
-        if appended:
-            # bounded scan of just the winners' files; DV-skip is
-            # fine (appends never add vectors for their own files)
-            hit = self._read_files(
-                new_base, appended, apply_dvs=False
-            ).filter(F.coalesce(F.expr(predicate), F.lit(False)))
-            if hit.limit(1).count():
+        new_dvs = [
+            d
+            for d in (new_base.get("delete_vectors") or [])
+            if d not in set(base.get("delete_vectors") or [])
+        ]
+        if new_dvs and touched:
+            # bounded by the winners' vectors: file-level keys only
+            dv_files = {
+                unquote(urlparse(r[0]).path)
+                for r in self.spark.read.parquet(*new_dvs)
+                .select(self._DV_FILE)
+                .distinct()
+                .collect()
+            }
+            if dv_files & touched:
                 raise ConcurrentWriteError(
-                    f"VersionedTable: {op} raced an append whose rows "
-                    "match the predicate — the staged rewrite would "
-                    "miss them; re-run against the new head"
+                    f"VersionedTable: {op} raced a deletion vector on "
+                    "a file it rewrote — the staged output would "
+                    "resurrect those rows; re-run against the new head"
+                )
+        added = sorted(set(new_base["files"]) - set(base["files"]))
+        if added:
+            # one bounded scan of just the winners' files, DV-applied
+            # at the NEW head (a row a later winner already vectored
+            # out cannot be mis-classified)
+            reason = is_stale(self._read_files(new_base, added))
+            if reason:
+                raise ConcurrentWriteError(
+                    f"VersionedTable: {op} {reason}"
                 )
         return new_head, new_ptr, new_base
+
+    def _stale_if_predicate_match(self, predicate: str):
+        """`is_stale` for predicate-scoped DML: the span's added rows
+        must provably miss the predicate, else the staged rewrite (or
+        deletion vector) would skip rows it semantically covers."""
+
+        def check(df: DataFrame):
+            hit = df.filter(F.coalesce(F.expr(predicate), F.lit(False)))
+            if hit.limit(1).count():
+                return (
+                    "raced a commit whose added rows match the "
+                    "predicate — the staged rewrite would miss them; "
+                    "re-run against the new head"
+                )
+            return None
+
+        return check
 
     def _delete_mor(
         self,
@@ -2521,13 +2801,26 @@ class VersionedTable:
             return parent
         dv_dir = f"{self.path}/dv/b{parent + 1:08d}-{uuid.uuid4().hex[:8]}"
         hits.write.mode("error").parquet(dv_dir)
+        from urllib.parse import unquote, urlparse
+
+        # the files this vector names: the staged (file, position)
+        # keys stay valid on a rebase iff no winner rewrote one of
+        # them — file-level metadata, bounded by the matched files
+        dv_touched = {
+            unquote(urlparse(r[0]).path)
+            for r in self.spark.read.parquet(dv_dir)
+            .select(self._DV_FILE)
+            .distinct()
+            .collect()
+        }
         for _ in range(10):
             v = parent + 1
             m = dict(ptr)
             # drop op-specific keys a previous commit may have left in
             # the pointer (a stale merge_on/predicate would misdescribe
-            # THIS commit in history inspection)
-            for stale in ("merge_on", "mode", "predicate", "txn"):
+            # THIS commit in history inspection; an inherited cdc dir
+            # would double-count the WINNER's changes at this version)
+            for stale in ("merge_on", "mode", "predicate", "txn", "cdc"):
                 m.pop(stale, None)
             m.update(
                 {
@@ -2545,12 +2838,18 @@ class VersionedTable:
             if self._try_commit(m, v):
                 return v
             # the vector names (file, position) keys — appends never
-            # move files, so it stays valid on the new head; the same
-            # conflict rule as COW delete applies (r11): blind appends
-            # whose rows miss the predicate commute, anything else
-            # (incl. an appended match the vector would miss) raises
-            parent, ptr, base = self._rebase_over_blind_appends(
-                parent, ptr, base, predicate, "delete(mor)"
+            # move files and disjoint rewrites by definition don't
+            # touch the vectored files, so the keys stay valid on the
+            # new head; the same file-granularity rules as COW delete
+            # apply (r11): a winner that rewrote a vectored file, or
+            # added rows the predicate covers, raises
+            parent, ptr, base = self._rebase_over_disjoint(
+                parent,
+                ptr,
+                base,
+                "delete(mor)",
+                dv_touched,
+                self._stale_if_predicate_match(predicate),
             )
         raise ConcurrentWriteError(
             "VersionedTable: delete(mor) lost 10 CAS races"
@@ -2941,54 +3240,28 @@ class VersionedTable:
                 checked = True
             if self._try_commit(m, v):
                 return v
-            # CAS lost. The r11 conflict rule, merge form: blind
-            # appends commute iff NO appended row joins the SOURCE on
-            # the merge keys (null-unsafe, the merge contract) — such
-            # a row would have been a MATCH this merge mis-classified
-            # as absent. One bounded semi-join over just the winners'
+            # CAS lost. The r11 file-granularity rules, merge form: a
+            # winner commutes iff it neither touched a file this merge
+            # rewrote (every source-key MATCH lives in one of those)
+            # nor added rows that join the SOURCE on the merge keys
+            # (null-unsafe, the merge contract) — such a row would
+            # have been a MATCH this merge mis-classified as absent.
+            # One bounded semi-join over just the winners' added
             # files decides; any other race raises.
-            new_head = self.head_version()
-            span = [
-                v2 for v2 in self.versions() if parent < v2 <= new_head
-            ]
-            losers = [
-                v2
-                for v2 in span
-                if self._read_pointer(v2).get("op") != "append"
-            ]
-            if losers:
-                raise ConcurrentWriteError(
-                    f"VersionedTable: merge raced non-append commits "
-                    f"{losers}; the computed change set is stale — re-run"
-                )
-            new_ptr = self._read_pointer(new_head)
-            new_base = self._resolve(new_ptr)
-            if "segments" in ptr and "segments" in new_ptr:
-                base_seg_set = set(ptr["segments"])
-                appended = sorted(
-                    f
-                    for s in new_ptr["segments"]
-                    if s not in base_seg_set
-                    for f in self._read_segment(s)["files"]
-                )
-            else:
-                appended = sorted(
-                    set(new_base["files"]) - set(base["files"])
-                )
-            if appended:
-                hit = (
-                    self._read_files(new_base, appended, apply_dvs=False)
-                    .select(*on)
-                    .join(src_keys, list(on), "left_semi")
-                )
+            def _stale_if_key_match(df: DataFrame):
+                hit = df.select(*on).join(src_keys, list(on), "left_semi")
                 if hit.limit(1).count():
-                    raise ConcurrentWriteError(
-                        "VersionedTable: merge raced an append whose "
-                        "rows match the source keys — the computed "
-                        "change set mis-classifies them; re-run "
-                        "against the new head"
+                    return (
+                        "raced a commit whose added rows match the "
+                        "source keys — the computed change set "
+                        "mis-classifies them; re-run against the new "
+                        "head"
                     )
-            parent, ptr, base = new_head, new_ptr, new_base
+                return None
+
+            parent, ptr, base = self._rebase_over_disjoint(
+                parent, ptr, base, "merge", touched, _stale_if_key_match
+            )
             kept_files = [f for f in base["files"] if f not in touched]
         raise ConcurrentWriteError(
             "VersionedTable: merge lost 10 CAS races"
@@ -3016,8 +3289,9 @@ class VersionedTable:
         session pins ANSI off, under which a bare ``.cast`` nulls like
         ``try_cast``, so the guard is the same in-plan raise
         ``cast_columns(strict=True)`` uses). Commit is op ``update``;
-        like :meth:`delete` it COMMUTES with concurrent blind appends
-        whose rows provably miss the predicate (r11) and raises on any
+        like :meth:`delete` it COMMUTES with concurrent appends and
+        DISJOINT rewrites whose rows provably miss the predicate
+        (r11, file-granularity conflict rules) and raises on any
         other race. ``read_changes`` refuses ranges
         crossing it. Returns the new version, or the current version
         unchanged if no row matched. ``prune``: optional
@@ -3185,10 +3459,16 @@ class VersionedTable:
                 checked = True
             if self._try_commit(m, v):
                 return v
-            # same conflict rule as delete (r11): blind appends whose
-            # rows miss the predicate commute; anything else raises
-            parent, ptr, base = self._rebase_over_blind_appends(
-                parent, ptr, base, predicate, "update"
+            # same file-granularity rules as delete (r11): appends and
+            # disjoint rewrites whose rows miss the predicate commute;
+            # anything else raises
+            parent, ptr, base = self._rebase_over_disjoint(
+                parent,
+                ptr,
+                base,
+                "update",
+                touched,
+                self._stale_if_predicate_match(predicate),
             )
             kept_files = [f for f in base["files"] if f not in touched]
         raise ConcurrentWriteError(
@@ -3220,13 +3500,15 @@ class VersionedTable:
         versions still time-travel to the fragmented layout until
         vacuumed.
 
-        CONCURRENCY: optimize COMMUTES with appends, exactly like
-        Delta's — compaction must never abort ingest. A lost CAS race
-        against an append-only span rebases: the new manifest is the
-        compacted files PLUS the winners' appended files (their stats
-        and partition values carried from the winning head). Only a
-        concurrent REWRITE (upsert/overwrite/delete/update/another
-        optimize) raises — the compacted content is then stale.
+        CONCURRENCY: optimize COMMUTES with appends AND with DISJOINT
+        rewrites (r11 file-granularity rules), exactly like Delta's —
+        compaction must never abort ingest or predicate DML on other
+        files. A lost CAS race rebases HEAD-relative: the new manifest
+        is the winning head's files minus the compacted ones plus
+        their replacement, so winners' appends and disjoint DML carry
+        through by construction. Only a winner that removed or
+        vectored a COMPACTED file (or a table-wide/metadata commit)
+        raises — the compacted content is then stale.
 
         ``where`` SCOPES the compaction (r11 — Delta's ``OPTIMIZE
         table WHERE ...``): a list of range conjuncts ``(col, lo,
@@ -3296,27 +3578,25 @@ class VersionedTable:
             )
             compacted_segs = None
         compacted_parent = parent
+        head_ptr, head_m = base_ptr, base
         for _ in range(max_retries):
             head = self.head_version()
-            head_ptr = self._read_pointer(head)
             if head != compacted_parent:
-                # rebase over the winners IF the span is append-only
-                span = [
-                    v2
-                    for v2 in self.versions()
-                    if compacted_parent < v2 <= head
-                ]
-                rewrites = [
-                    v2
-                    for v2 in span
-                    if self._read_pointer(v2).get("op") != "append"
-                ]
-                if rewrites:
-                    raise ConcurrentWriteError(
-                        "VersionedTable: optimize raced a rewrite commit "
-                        f"{rewrites}; the compacted content is stale — "
-                        "re-run"
-                    )
+                # file-granularity rebase (r11): optimize commutes with
+                # appends AND with DISJOINT rewrites — any winner that
+                # left the compacted files alone. A content-identical
+                # rewrite has no change set for added rows to stale
+                # (is_stale → None); a winner that removed or vectored
+                # a compacted file raises (the compacted content is
+                # then stale and must be recomputed).
+                head, head_ptr, head_m = self._rebase_over_disjoint(
+                    compacted_parent,
+                    base_ptr,
+                    base,
+                    "optimize",
+                    touched,
+                    lambda df: None,
+                )
             v = head + 1
             m = {
                 "version": v,
@@ -3334,69 +3614,44 @@ class VersionedTable:
                 "constraints": head_ptr.get("constraints") or {},
             }
             m = self._carry_mapping(m, head_ptr)
-            if untouched and base.get("delete_vectors"):
-                # scoped compaction: vectors still hide rows of the
-                # carried-over files; entries for the vanished scoped
-                # files are inert (their paths match no scanned row)
-                m["delete_vectors"] = base["delete_vectors"]
+            # assembly is HEAD-relative: the new snapshot is the head's
+            # files minus the compacted ones plus their replacement —
+            # winners' appends AND disjoint rewrites carry through
+            # by construction (their files are simply "kept")
             if compacted_segs is not None:
-                # segment-level rebase: the winners of an append-only
-                # span only ADDED segments, so their contribution is
-                # exactly the segment names HEAD has that base lacked
-                base_segs = set(base_ptr["segments"])
-                appended_segs = [
-                    s for s in head_ptr["segments"] if s not in base_segs
-                ]
-                kept_segs = (
-                    self._segments_without(base_ptr, touched)
-                    if untouched
-                    else []
-                )
-                m["segments"] = kept_segs + compacted_segs + appended_segs
-                m["n_files"] = (
-                    len(untouched)
-                    + len(files)
-                    + sum(
-                        len(self._read_segment(s)["files"])
-                        for s in appended_segs
-                    )
-                )
-                m["mixed"] = (
-                    bool(untouched) and bool(base_ptr.get("mixed"))
-                ) or (
-                    bool(appended_segs)
-                    and (
-                        bool(head_ptr.get("mixed"))
-                        or head_ptr["schema"] != base["schema"]
-                    )
+                kept_segs = self._segments_without(head_ptr, touched)
+                m["segments"] = kept_segs + compacted_segs
+                # touched ⊆ head files (the rebase proved no winner
+                # removed one), so the kept count is exact arithmetic
+                m["n_files"] = head_ptr["n_files"] - len(touched) + len(files)
+                kept_any = head_ptr["n_files"] > len(touched)
+                m["mixed"] = (kept_any and bool(head_ptr.get("mixed"))) or (
+                    bool(files) and head_ptr["schema"] != base["schema"]
                 )
             else:
-                head_m = self._resolve(head_ptr)
-                appended = sorted(set(head_m["files"]) - set(base["files"]))
                 head_stats = head_m.get("stats") or {}
                 head_parts = head_m.get("parts") or {}
-                base_stats = base.get("stats") or {}
-                base_parts = base.get("parts") or {}
-                m["files"] = sorted(untouched + files + appended)
-                m["mixed"] = (
-                    bool(untouched) and bool(base.get("mixed"))
-                ) or (
-                    bool(appended)
-                    and (
-                        bool(head_m.get("mixed"))
-                        or head_m["schema"] != base["schema"]
-                    )
+                kept = [f for f in head_m["files"] if f not in touched]
+                m["files"] = sorted(kept + files)
+                kept_any = bool(kept)
+                m["mixed"] = (kept_any and bool(head_m.get("mixed"))) or (
+                    bool(files) and head_m["schema"] != base["schema"]
                 )
                 m["stats"] = {
-                    **{f: base_stats[f] for f in untouched if f in base_stats},
+                    **{f: head_stats[f] for f in kept if f in head_stats},
                     **new_stats,
-                    **{f: head_stats[f] for f in appended if f in head_stats},
                 }
                 m["parts"] = {
-                    **{f: base_parts[f] for f in untouched if f in base_parts},
+                    **{f: head_parts[f] for f in kept if f in head_parts},
                     **new_parts,
-                    **{f: head_parts[f] for f in appended if f in head_parts},
                 }
+            if kept_any and head_m.get("delete_vectors"):
+                # scoped compaction: the head's vectors still hide rows
+                # of the carried-over files; entries for the vanished
+                # compacted files are inert (their paths match no
+                # scanned row). A winner's NEW vector on a compacted
+                # file was already rejected by the rebase.
+                m["delete_vectors"] = head_m["delete_vectors"]
             if self._try_commit(m, v):
                 return v
         raise ConcurrentWriteError(

@@ -404,6 +404,7 @@ def _span_changes(
             continue
         if ptr.get("cdf") and op in (
             "delete", "update", "merge", "upsert", "overwrite",
+            "restore",
         ):
             continue  # CDF-recorded commit that changed zero rows
         raise ValueError(

@@ -515,6 +515,142 @@ def test_delete_commutes_with_disjoint_append_race(spark, tmp_path):
     assert sorted(r["k"] for r in t2.read().collect()) == [1, 1, 5]
 
 
+def test_delete_commutes_with_disjoint_rewrite_race(spark, tmp_path):
+    """File-granularity conflict rules (r11): two predicate DMLs that
+    rewrote DIFFERENT files both land — the CAS loser verifies the
+    winner's removed files are disjoint from its own and its added
+    rows miss the predicate, then rebases. Delta's
+    ConcurrentDeleteDelete fires only on a SHARED file."""
+    t = VersionedTable.create(spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1)]))
+    t.append(_df(spark, [(5, "e", 5), (6, "f", 6)]))  # second file
+    orig = t._try_commit
+
+    def racing(manifest, version):
+        w2 = VersionedTable(spark, t.path)
+        w2.delete("k = 1")  # rewrites the FIRST file only
+        t._try_commit = orig
+        return orig(manifest, version)
+
+    t._try_commit = racing
+    v = t.delete("k = 5")  # rewrites the SECOND file only
+    assert v == 3  # create, append, winner delete, rebased delete
+    assert sorted(r["k"] for r in t.read().collect()) == [6]
+    m = t._read_manifest(v)
+    assert m["op"] == "delete" and m["parent"] == 2
+
+
+def test_delete_races_rewrite_of_shared_file_raises(spark, tmp_path):
+    """Two DMLs rewriting the SAME file conflict: the loser's staged
+    output was computed from a file the winner replaced."""
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        _df(spark, [(1, "a", 1), (2, "b", 2)]).coalesce(1),  # ONE file
+    )
+    orig = t._try_commit
+
+    def racing(manifest, version):
+        w2 = VersionedTable(spark, t.path)
+        w2.delete("k = 2")  # same single file
+        t._try_commit = orig
+        return orig(manifest, version)
+
+    t._try_commit = racing
+    with pytest.raises(ConcurrentWriteError, match="also rewrote"):
+        t.delete("k = 1")
+    # winner intact, loser fully aborted
+    assert sorted(r["k"] for r in t.read().collect()) == [1]
+
+
+def test_cow_delete_races_vector_on_its_file_raises(spark, tmp_path):
+    """A winner's deletion vector on a file the loser COW-rewrote
+    conflicts: the staged rewrite (DV-as-of-base) would resurrect the
+    vectored rows."""
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        _df(spark, [(1, "a", 1), (2, "b", 2)]).coalesce(1),  # ONE file
+    )
+    orig = t._try_commit
+
+    def racing(manifest, version):
+        w2 = VersionedTable(spark, t.path)
+        w2.delete("k = 2", mode="mor")  # vector on the shared file
+        t._try_commit = orig
+        return orig(manifest, version)
+
+    t._try_commit = racing
+    with pytest.raises(ConcurrentWriteError, match="resurrect"):
+        t.delete("k = 1")
+    assert sorted(r["k"] for r in t.read().collect()) == [1]
+
+
+def test_mor_delete_commutes_with_disjoint_cow_rewrite(spark, tmp_path):
+    """A MoR delete's (file, position) keys survive a winner that
+    rewrote OTHER files: the vector commits onto the new head and both
+    effects are visible."""
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1), (2, "b", 2)])
+    )
+    t.append(_df(spark, [(5, "e", 5), (6, "f", 6)]))
+    orig = t._try_commit
+
+    def racing(manifest, version):
+        w2 = VersionedTable(spark, t.path)
+        w2.delete("k = 1")  # COW-rewrites the first file only
+        t._try_commit = orig
+        return orig(manifest, version)
+
+    t._try_commit = racing
+    v = t.delete("k = 5", mode="mor")  # vector on the second file
+    assert sorted(r["k"] for r in t.read().collect()) == [2, 6]
+    m = t._read_manifest(v)
+    assert m["op"] == "delete" and m.get("mode") == "mor"
+    # nothing inherited from the winner's pointer
+    assert "cdc" not in m
+
+
+def test_delete_races_upsert_raises_non_rebasable(spark, tmp_path):
+    """A table-wide rewrite (upsert) in the span always invalidates a
+    staged predicate DML — no file-disjointness can hold."""
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1), (5, "e", 5)])
+    )
+    orig = t._try_commit
+
+    def racing(manifest, version):
+        w2 = VersionedTable(spark, t.path)
+        w2.upsert(_df(spark, [(2, "ins", 9)]), ["k"], ["ts"])
+        t._try_commit = orig
+        return orig(manifest, version)
+
+    t._try_commit = racing
+    with pytest.raises(ConcurrentWriteError, match="non-rebasable"):
+        t.delete("k = 5")
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2, 5]
+
+
+def test_merge_commutes_with_disjoint_delete_race(spark, tmp_path):
+    """A merge whose matched files are disjoint from a winner delete's
+    files rebases: the delete neither moved a match nor added a row
+    the merge keys cover."""
+    t = VersionedTable.create(spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1)]))
+    t.append(_df(spark, [(5, "e", 5)]))
+    orig = t._try_commit
+
+    def racing(manifest, version):
+        w2 = VersionedTable(spark, t.path)
+        w2.delete("k = 5")  # second file; key 5 is NOT in the source
+        t._try_commit = orig
+        return orig(manifest, version)
+
+    t._try_commit = racing
+    src = _df(spark, [(1, "merged", 9)])
+    t.merge(src, on=["k"], when_matched_update={"v": "s.v"})
+    head = {r["k"]: r["v"] for r in t.read().collect()}
+    assert head == {1: "merged"}
+
+
 # -- partition-spec'd tables --------------------------------------------------
 
 
@@ -853,6 +989,44 @@ def test_optimize_races_rewrite_and_raises(spark, tmp_path):
     t._try_commit = orig
     # the delete's state is intact
     assert sorted(r["k"] for r in t.read().collect()) == [2]
+
+
+def test_scoped_optimize_commutes_with_disjoint_delete_race(spark, tmp_path):
+    """File-granularity rules (r11): a scoped OPTIMIZE that loses its
+    CAS to a delete on files OUTSIDE its scope rebases head-relative —
+    the winner's rewrite carries through as kept files, its own scope
+    compacts, and nothing resurrects."""
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.lit("x").alias("v")
+    )
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        df.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        stats_cols=["k"],
+    )
+    orig = t._try_commit
+    fired = {"done": False}
+
+    def racing(manifest, version):
+        if not fired["done"]:
+            fired["done"] = True
+            w = VersionedTable(spark, t.path)
+            w.delete("k = 90", prune=[("k", 90, 90)])  # cold region
+        return orig(manifest, version)
+
+    t._try_commit = racing
+    v = t.optimize(target_files=1, where=[("k", 0, 24)])  # hot region
+    t._try_commit = orig
+    m = t._read_manifest(v)
+    assert m["op"] == "optimize" and m["parent"] == 1  # rebased on the delete
+    # both effects visible: the delete applied AND the scope compacted
+    assert sorted(r["k"] for r in t.read().collect()) == [
+        k for k in range(100) if k != 90
+    ]
+    # the winner's rewritten cold file is kept; stats pruning holds
+    kept, total = t.pruned_file_count("k", 0, 10)
+    assert kept < total
 
 
 def test_partition_pruning_numeric_column_domains(spark, tmp_path):
@@ -1537,3 +1711,176 @@ def test_update_and_mor_delete_commute_with_disjoint_append_race(
         (8, "w"),
         (9, "x"),
     ]
+
+
+# -- RESTORE ------------------------------------------------------------------
+
+
+def test_restore_is_metadata_only_rollback(spark, tmp_path):
+    """Delta RESTORE: the new head's content is byte-identical to the
+    target snapshot — same FILE REFERENCES, nothing rewritten — and
+    the rolled-back versions stay time-travelable."""
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1), (2, "b", 2)])
+    )
+    t.append(_df(spark, [(5, "e", 5)]))  # v1: the good state
+    t.delete("k <= 2")  # v2: the bad commit
+    assert sorted(r["k"] for r in t.read().collect()) == [5]
+    v = t.restore(1)
+    assert v == 3
+    m = t._read_manifest(v)
+    assert m["op"] == "restore" and m["restored_from"] == 1
+    # metadata-only: the head lists EXACTLY the target's files
+    assert sorted(m["files"]) == sorted(t._read_manifest(1)["files"])
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2, 5]
+    # history preserved: the bad version still time-travels
+    assert sorted(r["k"] for r in t.read(2).collect()) == [5]
+    # no-op restore: head already is the head
+    assert t.restore(3) == 3
+    with pytest.raises(ValueError, match="no version 99"):
+        t.restore(99)
+
+
+def test_restore_survives_vacuum(spark, tmp_path):
+    """The restore head re-references old data dirs; vacuum's liveness
+    roots are the RETAINED manifests, so those dirs survive even when
+    the original version fell out of retention."""
+    t = VersionedTable.create(spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1)]))
+    t.overwrite(_df(spark, [(9, "z", 9)]))  # v1
+    t.restore(0)  # v2: points at v0's files again
+    t.vacuum(keep_last=1, min_age_seconds=0.0)  # retains only the head
+    assert sorted(r["k"] for r in t.read().collect()) == [1]
+    # v1's dir was swept (unreferenced), v0's survived via the restore
+    with pytest.raises(Exception):
+        t.read(1).collect()
+
+
+def test_restore_cdf_records_exact_file_diff(spark, tmp_path):
+    """On a change-data-feed table RESTORE records the row-level diff
+    at file granularity: dropped files as delete preimages, re-added
+    files as inserts; files common to both snapshots contribute
+    nothing."""
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        _df(spark, [(1, "a", 1), (2, "b", 2)]).coalesce(1),  # ONE file A
+        change_data_feed=True,
+    )
+    t.append(_df(spark, [(5, "e", 5)]).coalesce(1))  # v1: file B
+    t.delete("k = 1")  # v2: A -> A' (k=2 remains)
+    v = t.restore(1)  # v3: {A', B} -> {A, B}
+    feed = [
+        (r["_change_type"], r["k"])
+        for r in t.read_change_feed(2, v).collect()
+    ]
+    # file B untouched: nothing about k=5; A' out, A back in
+    assert sorted(feed) == [("delete", 2), ("insert", 1), ("insert", 2)]
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2, 5]
+    # the full feed across delete+restore still replays to the head
+    assert ("insert", 5) in {
+        (r["_change_type"], r["k"]) for r in t.read_change_feed(0).collect()
+    }
+
+
+def test_restore_cdf_unhides_mor_deleted_rows(spark, tmp_path):
+    """Rows a post-target deletion vector hid in a KEPT file come back
+    as inserts: the vector is dropped by the restore, the file is not."""
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        _df(spark, [(1, "a", 1), (2, "b", 2)]).coalesce(1),
+        change_data_feed=True,
+    )
+    t.delete("k = 1", mode="mor")  # v1: vector on the kept file
+    v = t.restore(0)
+    m = t._read_manifest(v)
+    assert not m.get("delete_vectors")  # target had none
+    feed = [
+        (r["_change_type"], r["k"])
+        for r in t.read_change_feed(1, v).collect()
+    ]
+    assert feed == [("insert", 1)]
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2]
+
+
+def test_restore_zero_diff_is_change_free_in_feed(spark, tmp_path):
+    """Restoring to a content-identical snapshot on a CDF table writes
+    no CDC and the feed treats the commit as change-free."""
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        _df(spark, [(1, "a", 1)]),
+        change_data_feed=True,
+    )
+    t.restore(0)  # no-op: returns 0, no commit
+    t.append(_df(spark, [(2, "b", 2)]))  # v1
+    t.delete("k = 99")  # matches nothing: no commit either
+    v = t.restore(1)  # head IS v1 -> no-op again
+    assert v == 1
+    # the feed over (0, head] is just the append's insert — the no-op
+    # restores committed nothing at all
+    assert t.read_change_feed(0).count() == 1
+
+
+# -- SHALLOW CLONE ------------------------------------------------------------
+
+
+def test_shallow_clone_is_zero_copy_and_independent(spark, tmp_path):
+    """Delta SHALLOW CLONE: the clone's v0 references the SOURCE's
+    data files (no bytes copied); divergence is independent in both
+    directions."""
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "src"),
+        _df(spark, [(1, "a", 1), (2, "b", 2)]),
+        stats_cols=["k"],
+    )
+    t.append(_df(spark, [(5, "e", 5)]))
+    c = t.clone(str(tmp_path / "dst"))
+    m0 = c._read_manifest(0)
+    assert m0["op"] == "create"
+    assert m0["cloned_from"] == {"path": t.path, "version": 1}
+    # zero-copy: every clone file IS a source file
+    assert sorted(m0["files"]) == sorted(t._read_manifest(1)["files"])
+    assert sorted(r["k"] for r in c.read().collect()) == [1, 2, 5]
+    # divergence: clone DML doesn't touch the source...
+    c.delete("k = 1")
+    c.append(_df(spark, [(9, "z", 9)]))
+    assert sorted(r["k"] for r in c.read().collect()) == [2, 5, 9]
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2, 5]
+    # ...and source commits after the clone point are invisible to it
+    t.append(_df(spark, [(7, "g", 7)]))
+    assert sorted(r["k"] for r in c.read().collect()) == [2, 5, 9]
+    # stats pruning works on the clone (segments copied 1:1)
+    kept, total = c.pruned_file_count("k", 9, 9)
+    assert kept < total
+    # refuses to clone over an existing table
+    with pytest.raises(IOError, match="already initialized"):
+        t.clone(str(tmp_path / "dst"))
+
+
+def test_shallow_clone_at_version_carries_dvs_and_cdf(spark, tmp_path):
+    """Cloning a historical version snapshots THAT state — including
+    live deletion vectors — and vacuum on the clone never sweeps
+    shared source files."""
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "src"),
+        _df(spark, [(1, "a", 1), (2, "b", 2)]).coalesce(1),
+        change_data_feed=True,
+    )
+    t.delete("k = 1", mode="mor")  # v1: vector, file kept
+    t.append(_df(spark, [(5, "e", 5)]))  # v2 (not in the clone)
+    c = t.clone(str(tmp_path / "dst"), version=1)
+    assert sorted(r["k"] for r in c.read().collect()) == [2]
+    assert c._read_manifest(0).get("delete_vectors")
+    # the CDF property carried: clone DML records CDC
+    c.delete("k = 2")
+    feed = [
+        (r["_change_type"], r["k"]) for r in c.read_change_feed(0).collect()
+    ]
+    assert feed == [("delete", 2)]
+    # clone vacuum sweeps only under its own data/: source reads intact
+    c.vacuum(keep_last=1, min_age_seconds=0.0)
+    assert sorted(r["k"] for r in t.read().collect()) == [2, 5]
+    assert sorted(r["k"] for r in t.read(0).collect()) == [1, 2]
