@@ -4307,6 +4307,173 @@ def _versioned_overwrite_change_feed(
     )
 
 
+def _versioned_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE TO VERSION certified (operators/manifest.py:
+    restore — the Delta RESTORE command, r11): the mod-6≡2 events
+    slice creates a ``change_data_feed=True`` table range-clustered
+    with footer stats, the mod-6≡5 slice appends (v1, the good
+    state), a COW delete takes out event_id∈[100, 599] (v2, the bad
+    commit), and ``restore(1)`` rolls it back (v3) METADATA-ONLY.
+    Gated in-plan on (a) zero data movement — v3's file list is
+    IDENTICAL to v1's, (b) the pointer recording op
+    'restore'/restored_from=1, (c) history preserved — the bad v2
+    still time-travels and holds ZERO rows in the deleted range, and
+    (d) the CDF REPLAY INVARIANT: applying the feed over (2, 3] to
+    the v2 snapshot reproduces the head per event_id (inserts add,
+    deletes remove — a full-outer multiset check over every key; the
+    restore records its row diff at file granularity, so the feed
+    covers both the re-added original files and the dropped rewrite).
+    The returned head aggregate is certified against the oracle's
+    plain scan of both slices — the restore provably un-did the
+    delete."""
+    from social_media_etl_spark.operators.manifest import VersionedTable
+
+    cols = ["event_id", "event_type", "value"]
+    events = load_table(spark, sf_dir, "events").select(*cols)
+    part_a = events.filter(F.pmod(F.col("event_id"), F.lit(6)) == 2)
+    part_b = events.filter(F.pmod(F.col("event_id"), F.lit(6)) == 5)
+    d = _tmpdir(prefix="smetl_vrst_")
+    # no stats/clustering: this key certifies restore METADATA
+    # semantics, not pruning (versioned_delete_where covers that);
+    # fewer files = fewer footer ops in the 4-commit chain
+    t = VersionedTable.create(
+        spark, f"{d}/t", part_a.repartition(2), change_data_feed=True
+    )
+    t.append(part_b.repartition(1))
+    t.delete("event_id BETWEEN 100 AND 599")
+    v = t.restore(1)
+    m1, m3 = t._read_manifest(1), t._read_manifest(v)
+    ptr3 = t._read_pointer(v)
+    bad_gone = (
+        t.read(2)
+        .filter(F.col("event_id").between(100, 599))
+        .limit(1)
+        .count()
+        == 0
+    )
+    ok = (
+        v == 3
+        and ptr3.get("op") == "restore"
+        and ptr3.get("restored_from") == 1
+        and sorted(m3["files"]) == sorted(m1["files"])
+        and bad_gone
+    )
+    # multiset replay in ONE shuffle: per event_id, v2 rows (+1) plus
+    # feed inserts (+1) minus feed deletes (-1) minus head rows (-1)
+    # must sum to zero for EVERY key
+    feed = t.read_change_feed(2, v)
+    tagged = (
+        t.read(2)
+        .select("event_id", F.lit(1).alias("__w"))
+        .unionByName(t.read(v).select("event_id", F.lit(-1).alias("__w")))
+        .unionByName(
+            feed.select(
+                "event_id",
+                F.when(F.col("_change_type") == "insert", F.lit(1))
+                .otherwise(F.lit(-1))
+                .alias("__w"),
+            )
+        )
+    )
+    replay = (
+        tagged.groupBy("event_id")
+        .agg(F.sum("__w").alias("__s"))
+        .agg(F.max(F.abs(F.col("__s"))).alias("__m"))
+        .filter(F.col("__m") == 0)
+        .select(F.lit(1).alias("__gate"))
+    )
+    return (
+        t.read()
+        .where(F.lit(ok))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .crossJoin(F.broadcast(replay))
+        .drop("__gate")
+        .orderBy("event_type")
+    )
+
+
+def _versioned_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE certified (operators/manifest.py:clone — the
+    Delta CLONE command, r11): the mod-6≡1 events slice creates the
+    SOURCE range-clustered with footer stats, the mod-6≡4 slice
+    appends (v1), and ``clone()`` branches it ZERO-COPY — the clone's
+    v0 references the source's files, segment metadata copied 1:1.
+    The branches then DIVERGE: the clone COW-deletes
+    event_id∈[100, 599] while the source appends the mod-6≡4 slice a
+    SECOND time after the clone point. Gated in-plan on (a) zero copy
+    — the clone's v0 file list is IDENTICAL to the source v1's, (b)
+    ``cloned_from`` recording (source path, version 1), (c) isolation
+    BOTH ways — the source still reads n_a + 2·n_b rows (the clone's
+    delete touched nothing) while the clone reads n_a + n_b − n_del
+    rows with the deleted range empty (the source's second append is
+    invisible), and (d) stats pruning on the clone still skipping
+    files through the copied segment stats. The returned clone
+    aggregate is certified against the oracle's anti-filtered scan of
+    the two slices."""
+    from social_media_etl_spark.operators.manifest import VersionedTable
+
+    cols = ["event_id", "event_type", "value"]
+    events = load_table(spark, sf_dir, "events").select(*cols)
+    part_a = events.filter(F.pmod(F.col("event_id"), F.lit(6)) == 1)
+    part_b = events.filter(F.pmod(F.col("event_id"), F.lit(6)) == 4)
+    n_a, n_b = part_a.count(), part_b.count()
+    n_del = (
+        part_a.unionByName(part_b)
+        .filter(F.col("event_id").between(100, 599))
+        .count()
+    )
+    d = _tmpdir(prefix="smetl_vcln_")
+    src = VersionedTable.create(
+        spark,
+        f"{d}/src",
+        part_a.repartitionByRange(6, "event_id").sortWithinPartitions(
+            "event_id"
+        ),
+        stats_cols=["event_id"],
+    )
+    src.append(
+        part_b.repartitionByRange(3, "event_id").sortWithinPartitions(
+            "event_id"
+        )
+    )
+    c = src.clone(f"{d}/branch")
+    c.delete(
+        "event_id BETWEEN 100 AND 599", prune=[("event_id", 100, 599)]
+    )
+    src.append(part_b)  # post-clone source commit: invisible to c
+    m_src1 = src._read_manifest(1)
+    m_c0 = c._read_manifest(0)
+    kept, total = c.pruned_file_count("event_id", 0, 99)
+    ok = (
+        m_c0["op"] == "create"
+        and (m_c0.get("cloned_from") or {}).get("version") == 1
+        and (m_c0.get("cloned_from") or {}).get("path") == src.path
+        and sorted(m_c0["files"]) == sorted(m_src1["files"])
+        and src.read().count() == n_a + 2 * n_b
+        and c.read().count() == n_a + n_b - n_del
+        and c.read()
+        .filter(F.col("event_id").between(100, 599))
+        .limit(1)
+        .count()
+        == 0
+        and kept < total
+    )
+    return (
+        c.read()
+        .where(F.lit(ok))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _versioned_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read DELETE via deletion vectors certified
     (operators/manifest.py:delete(mode='mor') — the Delta
@@ -4859,6 +5026,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new-in-r11, first graded in r12 (never-graded keys lead
         # the next window, before the stale greens above) -------------
         "versioned_overwrite_change_feed": _versioned_overwrite_change_feed,
+        "versioned_restore": _versioned_restore,
+        "versioned_shallow_clone": _versioned_shallow_clone,
     }
     return {name: _managed(fn) for name, fn in qs.items()}
 
@@ -7379,6 +7548,32 @@ def oracle_sql() -> dict[str, str]:
         FROM changes
         GROUP BY _change_type, event_type
         ORDER BY _change_type, event_type
+    """
+    # restore gates (metadata-only file identity, restored_from
+    # pointer, preserved bad-version history, CDF replay invariant)
+    # are in-plan; the oracle certifies the head CONTENT — the
+    # restore un-did the delete, so both slices read in full
+    d["versioned_restore"] = """
+        SELECT event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        WHERE event_id % 6 IN (2, 5)
+        GROUP BY event_type ORDER BY event_type
+    """
+    # clone gates (zero-copy file identity, cloned_from metadata,
+    # two-way isolation counts, copied-stats pruning) are in-plan;
+    # the oracle certifies the diverged CLONE content — both slices
+    # minus the clone-side delete, untouched by the source's
+    # post-clone append
+    d["versioned_shallow_clone"] = """
+        SELECT event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        WHERE event_id % 6 IN (1, 4)
+          AND event_id NOT BETWEEN 100 AND 599
+        GROUP BY event_type ORDER BY event_type
     """
     # the streaming twin on mod-5 slices; gates (head v1, drained
     # single-commit coverage) are in-plan

@@ -100,6 +100,8 @@ R12_QUEUE = [
 # the vbkt-r11 precedent). Kept at the very end of the dict for now.
 R12_NEW = [
     "versioned_overwrite_change_feed",
+    "versioned_restore",
+    "versioned_shallow_clone",
 ]
 
 

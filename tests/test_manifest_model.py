@@ -1,9 +1,13 @@
 """Model-based property tests over the whole VersionedTable DML
 surface: hypothesis drives RANDOM op sequences (append / COW delete /
 MoR delete / UPDATE / MERGE / upsert / overwrite / OPTIMIZE / column
-RENAME / column DROP) against both the real table and a pure-Python
-reference model, then asserts the head reads equal — the shrunk
-counterexample is the exact op sequence that disagrees. Sequences mix
+RENAME / column DROP / RESTORE to a random earlier version) against
+both the real table and a pure-Python reference model, then asserts
+the head reads equal — the shrunk counterexample is the exact op
+sequence that disagrees. RESTORE's reference semantics is a recorded
+per-version model snapshot (schema state included), and every final
+table is also SHALLOW-CLONED and the clone re-checked, so zero-copy
+branching is exercised against every reachable table shape. Sequences mix
 copy-on-write with deletion vectors and metadata-only commits, so
 cross-op interactions (DV'd rows surviving a later rewrite, merges
 over vectored files, compaction clearing vectors, appends under a
@@ -54,6 +58,7 @@ _OP = st.tuples(
         [
             "append", "delete_cow", "delete_mor", "update", "merge",
             "upsert", "overwrite", "optimize", "rename", "drop",
+            "restore",
         ]
     ),
     st.integers(min_value=2, max_value=5),
@@ -211,11 +216,23 @@ def test_dml_op_sequences_match_reference_model(ops):
         t = VersionedTable.create(_SPARK["spark"], f"{d}/t", _df(base))
         model = {k: (v, amt, ex) for k, v, amt, ex in base}
         next_k, vname, has_extra = 10, "v", True
+        # per-version model snapshots: RESTORE's reference semantics
+        # is "the model exactly as it was at that version" — schema
+        # state (rename/drop) included
+        snaps = {0: (dict(model), vname, has_extra)}
         for op in ops:
-            _apply_table(t, next_k, op, vname)
-            next_k, vname, has_extra = _apply_model(
-                model, next_k, op, vname, has_extra
-            )
+            if op[0] == "restore":
+                vs = t.versions()
+                target = vs[op[2] % len(vs)]
+                t.restore(target)
+                m_s, vname, has_extra = snaps[target]
+                model = dict(m_s)
+            else:
+                _apply_table(t, next_k, op, vname)
+                next_k, vname, has_extra = _apply_model(
+                    model, next_k, op, vname, has_extra
+                )
+            snaps[t.head_version()] = (dict(model), vname, has_extra)
         head = t.read()
         want_cols = ["k", vname, "amt"] + (["extra"] if has_extra else [])
         assert [f.name for f in head.schema.fields] == want_cols
@@ -232,6 +249,14 @@ def test_dml_op_sequences_match_reference_model(ops):
             (row["k"], row["v"], row["amt"], row["extra"])
             for row in t.read(0).collect()
         ) == sorted(base)
+        # a shallow clone of whatever the sequence produced reads the
+        # same state — zero-copy branching is schema/DV/mapping-safe
+        # for EVERY reachable table shape, not just hand-picked ones
+        cl = t.clone(f"{d}/branch")
+        got_cl = sorted(
+            tuple(row[c] for c in want_cols) for row in cl.read().collect()
+        )
+        assert got_cl == want, f"clone ops={ops}"
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -263,8 +288,19 @@ def test_cdf_feed_replay_reconstructs_head(ops):
         )
         next_k, vname = 10, "v"
         for op in ops:
-            _apply_table(t, next_k, op, vname)
             kind = op[0]
+            if kind == "restore":
+                vs = t.versions()
+                t.restore(vs[op[2] % len(vs)])
+                # the restore may have reverted a rename/drop: later
+                # ops must address the CURRENT column name
+                vname = [
+                    c
+                    for c in t.read().columns
+                    if c not in ("k", "amt", "extra")
+                ][0]
+                continue
+            _apply_table(t, next_k, op, vname)
             if kind == "rename":
                 vname = f"{vname}x"
             elif kind in ("append", "overwrite"):

@@ -98,6 +98,9 @@ def test_single_partition_exchanges_are_known(spark):
         # one-row v0 byte-identity gate after the MoR delete / the
         # 3-batch MERGE replay (head aggregates stay distributed)
         "versioned_mor_delete", "versioned_merge_into",
+        # one-row CDF replay-invariant gate (max|Σweights| over the
+        # per-key multiset check; the head aggregate stays distributed)
+        "versioned_restore",
         # one-row pre-rename v0 byte-identity gate (the head aggregate
         # over the alias-resolving read stays distributed)
         "versioned_column_rename",

@@ -1333,3 +1333,58 @@ def test_versioned_cdc_stream_maps_renamed_columns_through_aliases(
     )
     # v0's rows stream with their values under the NEW name
     assert got == [(0, 1, "a"), (0, 2, "b"), (2, 3, "c")]
+
+
+@pytest.mark.slow
+def test_versioned_cdc_stream_across_restore(spark, tmp_path):
+    """readChangeFeed streams a RESTORE commit's CDC: the commit-time
+    file-granularity diff (dropped rewrite rows as deletes, re-added
+    original files as inserts) flows through the generic cdc path,
+    and replaying it on the pre-restore state reproduces the head."""
+    from social_media_etl_spark.operators.manifest import VersionedTable
+    from social_media_etl_spark.sources.versioned_stream import (
+        register_versioned_cdc_source,
+    )
+
+    register_versioned_cdc_source(spark)
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        _vt_df(spark, [(1, "a"), (2, "b")]).coalesce(1),
+        change_data_feed=True,
+    )
+    t.delete("k = 1")  # v1: COW rewrite
+    t.restore(0)  # v2: un-does it with exact CDC
+    q = (
+        spark.readStream.format("versioned_cdc")
+        .option("path", t.path)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .load()
+        .writeStream.format("memory")
+        .queryName("cdc_restore_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = sorted(
+        (r["_change_type"], r["k"], r["_commit_version"])
+        for r in spark.sql("select * from cdc_restore_t").collect()
+    )
+    assert rows == [
+        ("delete", 1, 1),  # the bad delete
+        ("delete", 2, 2),  # restore drops the rewrite (k=2 survivor)
+        ("insert", 1, 2),  # ...and re-adds the original file
+        ("insert", 2, 2),
+    ]
+    # replay: {1,2} -v1-> {2} -v2-> {1,2} == head
+    state = {1, 2}
+    for ver in (1, 2):
+        vs = [r for r in rows if r[2] == ver]
+        for ct, k, _ in vs:
+            if ct == "delete":
+                state.discard(k)
+        for ct, k, _ in vs:
+            if ct == "insert":
+                state.add(k)
+    assert state == {r["k"] for r in t.read().collect()}
