@@ -4474,6 +4474,52 @@ def _versioned_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _versioned_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter point-lookup skipping certified (operators/
+    manifest.py:_collect_stats bloom branch + read_where_eq — r11,
+    the Delta/Iceberg bloom-index pattern): the mod-3≡0 events slice
+    is committed HASH-laid over 8 files, so every file's event_id
+    [min, max] spans the whole domain and range stats can prune
+    NOTHING for an equality lookup — the 100 TB needle-in-haystack
+    case (an event by id, a document by hash) where only a per-file
+    bloom bitmap can skip IO. Gated in-plan on (a) each certified
+    lookup opening FEWER files than the range-stats baseline keeps
+    (the bitmaps genuinely prune), (b) a lookup for an id provably
+    absent from the slice skipping files too and returning zero rows,
+    and (c) every lookup's row coming back exactly (blooms may
+    false-positive, never false-negative). The returned union of four
+    point lookups is certified against the oracle's plain IN-list
+    filter."""
+    from social_media_etl_spark.operators.manifest import VersionedTable
+
+    cols = ["event_id", "event_type", "value"]
+    events = load_table(spark, sf_dir, "events").select(*cols)
+    base = events.filter(F.pmod(F.col("event_id"), F.lit(3)) == 0)
+    d = _tmpdir(prefix="smetl_vblm_")
+    t = VersionedTable.create(
+        spark,
+        f"{d}/t",
+        base.repartition(8),  # hash layout: ids span every file
+        bloom_cols=["event_id"],
+        bloom_bits=262144,  # sized for sf0.1's ~4k distinct ids/file
+    )
+    ids = [102, 300, 501, 999]  # %3==0: present at every SF
+    ok = True
+    for i in ids:
+        kb, kr, tot = t.pruned_file_count_eq("event_id", i)
+        ok = ok and kb < kr == tot == 8
+    kb_miss, kr_miss, _ = t.pruned_file_count_eq("event_id", 998)  # %3!=0
+    ok = (
+        ok
+        and kb_miss < kr_miss
+        and t.read_where_eq("event_id", 998).limit(1).count() == 0
+    )
+    out = t.read_where_eq("event_id", ids[0])
+    for i in ids[1:]:
+        out = out.unionByName(t.read_where_eq("event_id", i))
+    return out.where(F.lit(ok)).orderBy("event_id")
+
+
 def _versioned_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read DELETE via deletion vectors certified
     (operators/manifest.py:delete(mode='mor') — the Delta
@@ -5028,6 +5074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "versioned_overwrite_change_feed": _versioned_overwrite_change_feed,
         "versioned_restore": _versioned_restore,
         "versioned_shallow_clone": _versioned_shallow_clone,
+        "versioned_bloom_lookup": _versioned_bloom_lookup,
     }
     return {name: _managed(fn) for name, fn in qs.items()}
 
@@ -7574,6 +7621,16 @@ def oracle_sql() -> dict[str, str]:
         WHERE event_id % 6 IN (1, 4)
           AND event_id NOT BETWEEN 100 AND 599
         GROUP BY event_type ORDER BY event_type
+    """
+    # bloom gates (per-lookup file skipping vs the range baseline,
+    # absent-id skip + zero rows, hash layout) are in-plan; the oracle
+    # certifies the looked-up CONTENT — blooms may cost extra reads,
+    # never rows
+    d["versioned_bloom_lookup"] = """
+        SELECT event_id, event_type, value
+        FROM events
+        WHERE event_id IN (102, 300, 501, 999)
+        ORDER BY event_id
     """
     # the streaming twin on mod-5 slices; gates (head v1, drained
     # single-commit coverage) are in-plan

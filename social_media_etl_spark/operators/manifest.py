@@ -70,6 +70,40 @@ from pyspark.sql import types as T
 __all__ = ["VersionedTable", "ConcurrentWriteError"]
 
 
+def _bloom_hashes(value, bits: int, k: int) -> list | None:
+    """Deterministic k bit-positions for one value — shared by the
+    commit-time bloom builder and the query-time membership test, so
+    both sides index identically. Integral floats normalize to their
+    integer text (a lookup for 5 finds a DOUBLE file holding 5.0);
+    None = the value's type is not bloom-indexable and the caller
+    must keep the file (pruning never drops data). Double hashing
+    (h1 + i*h2, h2 forced odd) gives k independent positions from one
+    128-bit blake2b."""
+    import datetime
+    import hashlib
+
+    if value is None or isinstance(value, bool):
+        return None
+    if isinstance(value, float):
+        key = str(int(value)) if value.is_integer() else repr(value)
+    elif isinstance(value, int):
+        key = str(value)
+    elif isinstance(value, str):
+        key = value
+    elif isinstance(value, bytes):
+        key = "x" + value.hex()
+    elif isinstance(value, (datetime.date, datetime.datetime)):
+        key = value.isoformat()
+    else:
+        return None
+    h = int.from_bytes(
+        hashlib.blake2b(key.encode("utf-8"), digest_size=16).digest(), "big"
+    )
+    h1 = h % bits
+    h2 = ((h >> 64) % bits) | 1
+    return [(h1 + i * h2) % bits for i in range(k)]
+
+
 class ConcurrentWriteError(RuntimeError):
     """A non-commutable commit (upsert/overwrite) lost the CAS race:
     its merge was computed against a snapshot that is no longer the
@@ -195,6 +229,7 @@ class VersionedTable:
         files: list[str],
         stats_cols: list[str] | None,
         partition_by=None,
+        bloom: dict | None = None,
     ) -> list[str]:
         """Write one commit's file metadata as segment files, CHUNKED:
         stats are collected and the segment JSON is built per
@@ -207,7 +242,9 @@ class VersionedTable:
         for i in range(0, len(files), self._SEG_FILES_MAX):
             chunk = files[i : i + self._SEG_FILES_MAX]
             stats = (
-                self._collect_stats(chunk, stats_cols) if stats_cols else {}
+                self._collect_stats(chunk, stats_cols, bloom)
+                if stats_cols or bloom
+                else {}
             )
             parts = (
                 self._partition_values(chunk, partition_by)
@@ -304,7 +341,7 @@ class VersionedTable:
     # -- data IO ------------------------------------------------------------
 
     def _collect_stats(
-        self, files: list[str], stats_cols: list[str]
+        self, files: list[str], stats_cols: list[str], bloom: dict | None = None
     ) -> dict:
         """Per-file min/max of ``stats_cols`` from the parquet FOOTERS —
         read DISTRIBUTED (one Arrow-batched task set over the file
@@ -320,8 +357,26 @@ class VersionedTable:
         passes ``"1995-06-01"``-style bounds to :meth:`read_where`).
         Columns whose statistics can't be represented (binary that
         isn't UTF-8, booleans) record nothing — their files are always
-        kept, pruning never drops data."""
+        kept, pruning never drops data.
+
+        BLOOM FILTERS (r11 — the Delta/Iceberg point-lookup index):
+        when ``bloom`` = ``{"cols": [...], "bits": b, "k": h}`` is
+        configured, each file ALSO records a per-column bloom bitmap
+        (hex, third element of the stats entry) built from the
+        column's DISTINCT values — the only index that can skip files
+        for an equality lookup on a column the layout is NOT
+        clustered by (range stats are useless there: every file's
+        [min, max] spans the domain). Unlike footer min/max this
+        costs one column read per file at commit time — the inherent
+        bloom trade — but only for opted-in columns, distributed over
+        executors, and only for the commit's OWN files. A file whose
+        column holds a value the hash can't index records no bitmap
+        and is always kept."""
         sdf = self.spark.createDataFrame([(f,) for f in files], "file string")
+        bloom_cols = (bloom or {}).get("cols") or []
+        bloom_bits = int((bloom or {}).get("bits") or 2048)
+        bloom_k = int((bloom or {}).get("k") or 3)
+        stats_cols = stats_cols or []
 
         def _read(batches):
             import datetime
@@ -347,13 +402,44 @@ class VersionedTable:
                     return (None, v.isoformat())
                 return None
 
+            from social_media_etl_spark.operators.manifest import (
+                _bloom_hashes,
+            )
+
             for pdf in batches:
                 out = {
                     "file": [], "col": [],
                     "lo_num": [], "hi_num": [], "lo_str": [], "hi_str": [],
+                    "bloom": [],
                 }
                 for f in pdf["file"]:
-                    md = pq.ParquetFile(f).metadata
+                    pf = pq.ParquetFile(f)
+                    md = pf.metadata
+                    live = {c for c in bloom_cols if c in pf.schema_arrow.names}
+                    for c in bloom_cols:
+                        if c not in live:
+                            continue  # pre-evolution file: no column
+                        bm = 0
+                        indexable = True
+                        vals = set(pf.read(columns=[c]).column(0).to_pylist())
+                        for v in vals:
+                            if v is None:
+                                continue  # NULL never equals a lookup
+                            idxs = _bloom_hashes(v, bloom_bits, bloom_k)
+                            if idxs is None:
+                                indexable = False
+                                break
+                            for i in idxs:
+                                bm |= 1 << i
+                        if not indexable:
+                            continue  # no bitmap: file always kept
+                        out["file"].append(f)
+                        out["col"].append(c)
+                        out["lo_num"].append(None)
+                        out["hi_num"].append(None)
+                        out["lo_str"].append(None)
+                        out["hi_str"].append(None)
+                        out["bloom"].append(format(bm, "x"))
                     for c in stats_cols:
                         mins, maxs = [], []
                         for rg in range(md.num_row_groups):
@@ -380,17 +466,29 @@ class VersionedTable:
                         out["hi_num"].append(nhi[0])
                         out["lo_str"].append(nlo[1])
                         out["hi_str"].append(nhi[1])
+                        out["bloom"].append(None)
                 yield pd.DataFrame(out)
 
         stats: dict = {}
         schema = (
             "file string, col string, lo_num double, hi_num double,"
-            " lo_str string, hi_str string"
+            " lo_str string, hi_str string, bloom string"
         )
         for r in sdf.mapInPandas(_read, schema).collect():
-            lo = r["lo_num"] if r["lo_num"] is not None else r["lo_str"]
-            hi = r["hi_num"] if r["hi_num"] is not None else r["hi_str"]
-            stats.setdefault(r["file"], {})[r["col"]] = [lo, hi]
+            entry = stats.setdefault(r["file"], {}).setdefault(
+                r["col"], [None, None]
+            )
+            if r["bloom"] is not None:
+                while len(entry) < 3:
+                    entry.append(None)
+                entry[2] = r["bloom"]
+            else:
+                entry[0] = (
+                    r["lo_num"] if r["lo_num"] is not None else r["lo_str"]
+                )
+                entry[1] = (
+                    r["hi_num"] if r["hi_num"] is not None else r["hi_str"]
+                )
         return stats
 
     def read_where(
@@ -554,6 +652,84 @@ class VersionedTable:
     @classmethod
     def _kept_files(cls, manifest: dict, col: str, lo, hi) -> list[str]:
         return cls._kept_files_all(manifest, [(col, lo, hi)])
+
+    @staticmethod
+    def _bloom_may_contain(manifest: dict, f: str, col: str, value) -> bool:
+        """Can file ``f`` hold rows where ``col`` equals ``value``,
+        per its recorded bloom bitmap? Missing configuration, missing
+        bitmap (pre-bloom or non-indexable file), an alias-chain miss,
+        or an unindexable lookup value all KEEP the file — bloom
+        skipping can have false positives, never false negatives."""
+        cfg = manifest.get("bloom")
+        if not cfg or col not in (cfg.get("cols") or []):
+            # a renamed column's bloom config recorded the OLD name
+            alias = next(
+                (
+                    a
+                    for a in (manifest.get("aliases") or {}).get(col, ())
+                    if cfg and a in (cfg.get("cols") or [])
+                ),
+                None,
+            )
+            if alias is None:
+                return True
+        fstats = (manifest.get("stats") or {}).get(f, {})
+        s = fstats.get(col)
+        if s is None:
+            for a in (manifest.get("aliases") or {}).get(col, ()):
+                s = fstats.get(a)
+                if s is not None:
+                    break
+        if s is None or len(s) < 3 or not s[2]:
+            return True
+        idxs = _bloom_hashes(value, int(cfg["bits"]), int(cfg["k"]))
+        if idxs is None:
+            return True
+        bm = int(s[2], 16)
+        return all((bm >> i) & 1 for i in idxs)
+
+    def read_where_eq(
+        self, col: str, value, version: int | None = None
+    ) -> DataFrame:
+        """Point-lookup read with BLOOM-FILTER file skipping stacked
+        on range-stats and partition pruning (r11 — Delta/Iceberg
+        bloom indexes): open only the files whose [min, max]/partition
+        metadata can overlap ``value`` AND whose bloom bitmap (when
+        the table was created with ``bloom_cols``) has all k bits for
+        it. Range stats cannot skip files for a column the layout is
+        not clustered by — every file spans the domain — which at
+        100 TB makes needle-in-haystack lookups (an event by user id,
+        a document by hash) scan the table; the bloom answers those
+        in O(matching files). False positives only ever cost extra
+        reads; files without bitmaps are always kept."""
+        if value is None:
+            raise ValueError(
+                "read_where_eq: NULL equals nothing — filter IS NULL "
+                "on a plain read instead"
+            )
+        v = self.head_version() if version is None else version
+        m = self._read_manifest(v)
+        kept = self._kept_files_all(m, [(col, value, value)])
+        kept = [
+            f for f in kept if self._bloom_may_contain(m, f, col, value)
+        ]
+        return self._read_files(m, kept).filter(F.col(col) == F.lit(value))
+
+    def pruned_file_count_eq(
+        self, col: str, value, version: int | None = None
+    ) -> tuple[int, int, int]:
+        """(kept_after_bloom, kept_by_range_stats_alone, total) for an
+        equality lookup — the middle term shows what bloom skipping
+        buys BEYOND range/partition pruning."""
+        v = self.head_version() if version is None else version
+        m = self._read_manifest(v)
+        by_range = self._kept_files_all(m, [(col, value, value)])
+        by_bloom = [
+            f
+            for f in by_range
+            if self._bloom_may_contain(m, f, col, value)
+        ]
+        return len(by_bloom), len(by_range), len(m["files"])
 
     def pruned_file_count(
         self, col: str, lo=None, hi=None, version: int | None = None
@@ -768,6 +944,9 @@ class VersionedTable:
         segmented: bool = True,
         bucket_by: tuple | None = None,
         change_data_feed: bool = False,
+        bloom_cols: list[str] | None = None,
+        bloom_bits: int = 2048,
+        bloom_hashes: int = 3,
     ) -> "VersionedTable":
         """``stats_cols`` records per-file min/max in the manifest for
         :meth:`read_where` data skipping — numeric, string, and
@@ -800,6 +979,24 @@ class VersionedTable:
                 )
             bcol, nb = bucket_by
             bucket = {"col": bcol, "n": int(nb)}
+        bloom = None
+        if bloom_cols:
+            missing = [c for c in bloom_cols if c not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"VersionedTable: bloom_cols {missing} not in the "
+                    "table schema"
+                )
+            if bloom_bits < 64 or bloom_hashes < 1:
+                raise ValueError(
+                    "VersionedTable: bloom_bits must be >= 64 and "
+                    "bloom_hashes >= 1"
+                )
+            bloom = {
+                "cols": list(bloom_cols),
+                "bits": int(bloom_bits),
+                "k": int(bloom_hashes),
+            }
         files = t._write_data(df, 0, partition_by, bucket)
         m = {
             "version": 0,
@@ -811,6 +1008,10 @@ class VersionedTable:
             "txn": txn,
             "txns": [txn] if txn else [],
             "stats_cols": stats_cols or [],
+            # per-file bloom bitmaps for point-lookup skipping (r11):
+            # every data-adding commit inherits the config and records
+            # bitmaps for its OWN files; read_where_eq consults them
+            "bloom": bloom,
             "partition_by": partition_by,
             "bucket_by": bucket,
             # Delta's enableChangeDataFeed: COW DELETE/UPDATE commits
@@ -827,10 +1028,16 @@ class VersionedTable:
             },
         }
         if segmented:
-            m["segments"] = t._build_segments(files, stats_cols, partition_by)
+            m["segments"] = t._build_segments(
+                files, stats_cols, partition_by, bloom
+            )
             m["n_files"] = len(files)
         else:
-            stats = t._collect_stats(files, stats_cols) if stats_cols else {}
+            stats = (
+                t._collect_stats(files, stats_cols, bloom)
+                if stats_cols or bloom
+                else {}
+            )
             parts = (
                 t._partition_values(files, partition_by)
                 if partition_by
@@ -1188,6 +1395,7 @@ class VersionedTable:
                 "txn": txn,
                 "txns": self._txns_after(base, txn),
                 "stats_cols": stats_cols,
+                "bloom": base.get("bloom"),
                 "partition_by": partition_by,
                 "constraints": base.get("constraints") or {},
             }
@@ -1199,13 +1407,15 @@ class VersionedTable:
             if "segments" in base:
                 if new_segs is None:
                     new_segs = self._build_segments(
-                        files, stats_cols, partition_by
+                        files, stats_cols, partition_by, base.get("bloom")
                     )
                 m["segments"] = base["segments"] + new_segs
                 m["n_files"] = base.get("n_files", 0) + len(files)
             else:
-                if stats_cols and new_stats is None:
-                    new_stats = self._collect_stats(files, stats_cols)
+                if (stats_cols or base.get("bloom")) and new_stats is None:
+                    new_stats = self._collect_stats(
+                        files, stats_cols, base.get("bloom")
+                    )
                 if new_parts is None:
                     new_parts = (
                         self._partition_values(files, partition_by)
@@ -1352,6 +1562,7 @@ class VersionedTable:
             "mixed": False,
             "txns": self._txns_after(base, None),
             "stats_cols": stats_cols,
+            "bloom": base.get("bloom"),
             "partition_by": partition_by,
             "constraints": base.get("constraints") or {},
         }
@@ -1361,7 +1572,9 @@ class VersionedTable:
         stats = parts = None
         if "segments" not in base:
             stats = (
-                self._collect_stats(files, stats_cols) if stats_cols else {}
+                self._collect_stats(files, stats_cols, base.get("bloom"))
+                if stats_cols or base.get("bloom")
+                else {}
             )
             parts = (
                 self._partition_values(files, partition_by)
@@ -1371,7 +1584,7 @@ class VersionedTable:
         if "segments" in base:
             # full rewrite → fresh consolidated segments (chunked)
             m["segments"] = self._build_segments(
-                files, stats_cols, partition_by
+                files, stats_cols, partition_by, base.get("bloom")
             )
             m["n_files"] = len(files)
         else:
@@ -1710,6 +1923,13 @@ class VersionedTable:
             if cdc.limit(1).count():
                 cdc_dir = self._write_cdc(cdc, v)
         stats_cols = base.get("stats_cols") or []
+        bloom_cfg = base.get("bloom")
+        if replace_schema and bloom_cfg:
+            # the new schema may have dropped indexed columns
+            live_bloom = [c for c in bloom_cfg["cols"] if c in df.columns]
+            bloom_cfg = (
+                {**bloom_cfg, "cols": live_bloom} if live_bloom else None
+            )
         m = {
             "version": v,
             "parent": parent,
@@ -1720,6 +1940,7 @@ class VersionedTable:
             "txn": txn,
             "txns": self._txns_after(base, txn),
             "stats_cols": stats_cols,
+            "bloom": bloom_cfg,
             "partition_by": partition_by,
             "constraints": base.get("constraints") or {},
         }
@@ -1729,7 +1950,9 @@ class VersionedTable:
         stats = parts = None
         if "segments" not in base:
             stats = (
-                self._collect_stats(files, stats_cols) if stats_cols else {}
+                self._collect_stats(files, stats_cols, bloom_cfg)
+                if stats_cols or bloom_cfg
+                else {}
             )
             parts = (
                 self._partition_values(files, partition_by)
@@ -1738,7 +1961,7 @@ class VersionedTable:
             )
         if "segments" in base:
             m["segments"] = self._build_segments(
-                files, stats_cols, partition_by
+                files, stats_cols, partition_by, bloom_cfg
             )
             m["n_files"] = len(files)
         else:
@@ -2545,8 +2768,10 @@ class VersionedTable:
         )
         stats_cols = base.get("stats_cols") or []
         new_stats = (
-            self._collect_stats(new_files, stats_cols)
-            if "segments" not in ptr and stats_cols and new_files
+            self._collect_stats(new_files, stats_cols, base.get("bloom"))
+            if "segments" not in ptr
+            and (stats_cols or base.get("bloom"))
+            and new_files
             else {}
         )
         new_parts = (
@@ -2574,6 +2799,7 @@ class VersionedTable:
                 "txn": txn,
                 "txns": self._txns_after(base, txn),
                 "stats_cols": stats_cols,
+                "bloom": base.get("bloom"),
                 "partition_by": partition_by,
                 # a delete keeps a subset of already-valid rows — no
                 # check
@@ -2592,7 +2818,10 @@ class VersionedTable:
                 if new_files:
                     if new_segs is None:
                         new_segs = self._build_segments(
-                            new_files, stats_cols, partition_by
+                            new_files,
+                            stats_cols,
+                            partition_by,
+                            base.get("bloom"),
                         )
                     segs.extend(new_segs)
                 m["segments"] = segs
@@ -3166,8 +3395,10 @@ class VersionedTable:
                 cdc_dir = self._write_cdc(cdc, v)
         stats_cols = base.get("stats_cols") or []
         new_stats = (
-            self._collect_stats(new_files, stats_cols)
-            if "segments" not in ptr and stats_cols and new_files
+            self._collect_stats(new_files, stats_cols, base.get("bloom"))
+            if "segments" not in ptr
+            and (stats_cols or base.get("bloom"))
+            and new_files
             else {}
         )
         new_parts = (
@@ -3190,6 +3421,7 @@ class VersionedTable:
                 "txn": txn,
                 "txns": self._txns_after(base, txn),
                 "stats_cols": stats_cols,
+                "bloom": base.get("bloom"),
                 "partition_by": partition_by,
                 "constraints": base.get("constraints") or {},
             }
@@ -3203,7 +3435,10 @@ class VersionedTable:
                 if new_files:
                     if new_segs is None:
                         new_segs = self._build_segments(
-                            new_files, stats_cols, partition_by
+                            new_files,
+                            stats_cols,
+                            partition_by,
+                            base.get("bloom"),
                         )
                     segs.extend(new_segs)
                 m["segments"] = segs
@@ -3388,8 +3623,8 @@ class VersionedTable:
         )
         stats_cols = base.get("stats_cols") or []
         new_stats = (
-            self._collect_stats(new_files, stats_cols)
-            if "segments" not in ptr and stats_cols
+            self._collect_stats(new_files, stats_cols, base.get("bloom"))
+            if "segments" not in ptr and (stats_cols or base.get("bloom"))
             else {}
         )
         new_parts = (
@@ -3413,6 +3648,7 @@ class VersionedTable:
                 "txn": txn,
                 "txns": self._txns_after(base, txn),
                 "stats_cols": stats_cols,
+                "bloom": base.get("bloom"),
                 "partition_by": partition_by,
                 "constraints": base.get("constraints") or {},
             }
@@ -3424,7 +3660,7 @@ class VersionedTable:
             if "segments" in ptr:
                 if new_segs is None:
                     new_segs = self._build_segments(
-                        new_files, stats_cols, partition_by
+                        new_files, stats_cols, partition_by, base.get("bloom")
                     )
                 m["segments"] = (
                     self._segments_without(ptr, touched) + new_segs
@@ -3565,11 +3801,13 @@ class VersionedTable:
         if "segments" in base_ptr:
             new_stats = new_parts = {}
             compacted_segs = self._build_segments(
-                files, stats_cols, partition_by
+                files, stats_cols, partition_by, base.get("bloom")
             )
         else:
             new_stats = (
-                self._collect_stats(files, stats_cols) if stats_cols else {}
+                self._collect_stats(files, stats_cols, base.get("bloom"))
+                if stats_cols or base.get("bloom")
+                else {}
             )
             new_parts = (
                 self._partition_values(files, partition_by)
@@ -3609,6 +3847,7 @@ class VersionedTable:
                 "schema_json": head_ptr.get("schema_json"),
                 "txns": self._txns_after(head_ptr, None),
                 "stats_cols": stats_cols,
+                "bloom": head_ptr.get("bloom"),
                 "partition_by": partition_by,
                 # content-identical rewrite of already-valid rows
                 "constraints": head_ptr.get("constraints") or {},

@@ -102,6 +102,7 @@ R12_NEW = [
     "versioned_overwrite_change_feed",
     "versioned_restore",
     "versioned_shallow_clone",
+    "versioned_bloom_lookup",
 ]
 
 

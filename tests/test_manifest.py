@@ -1884,3 +1884,154 @@ def test_shallow_clone_at_version_carries_dvs_and_cdf(spark, tmp_path):
     c.vacuum(keep_last=1, min_age_seconds=0.0)
     assert sorted(r["k"] for r in t.read().collect()) == [2, 5]
     assert sorted(r["k"] for r in t.read(0).collect()) == [1, 2]
+
+
+# -- BLOOM-FILTER point-lookup skipping ----------------------------------------
+
+
+def test_bloom_prunes_where_range_stats_cannot(spark, tmp_path):
+    """An eq lookup on a column the layout is NOT clustered by: every
+    file's [min, max] spans the domain (range pruning keeps all), the
+    bloom bitmap skips — and never skips the true file."""
+    df = spark.range(0, 4000).selectExpr(
+        "id AS k", "cast(hash(id) % 500 AS long) AS user_id"
+    )
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        df.repartition(8),  # hash layout: user_id spans every file
+        bloom_cols=["user_id"],
+        bloom_bits=32768,
+    )
+    # a value that exists: found exactly, bloom kept fewer files
+    want = sorted(r["k"] for r in df.filter("user_id = 123").collect())
+    got = sorted(r["k"] for r in t.read_where_eq("user_id", 123).collect())
+    assert got == want and want  # non-trivial lookup
+    kb, kr, tot = t.pruned_file_count_eq("user_id", 123)
+    assert kb <= kr == tot == 8
+    # a value that exists NOWHERE: bloom skips (range stats can't)
+    kb2, kr2, _ = t.pruned_file_count_eq("user_id", 10**9)
+    assert kb2 < kr2 == 8
+    assert t.read_where_eq("user_id", 10**9).count() == 0
+    # un-indexed column: no bitmaps, lookup still correct
+    assert sorted(
+        r["user_id"] for r in t.read_where_eq("k", 7).collect()
+    ) == [r["user_id"] for r in df.filter("k = 7").collect()]
+
+
+def test_bloom_inherited_by_commits_and_rename(spark, tmp_path):
+    """Appends/deletes record bitmaps for their OWN files under the
+    inherited config; a renamed column's lookups fall through the
+    alias chain to pre-rename bitmaps."""
+    df = spark.range(0, 1000).selectExpr(
+        "id AS k", "cast(hash(id) % 100 AS long) AS user_id"
+    )
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        df.repartition(4),
+        bloom_cols=["user_id"],
+        bloom_bits=16384,
+    )
+    t.append(
+        spark.range(1000, 1010)
+        .selectExpr("id AS k", "cast(777777 AS long) AS user_id")
+        .coalesce(1)
+    )
+    # the appended file has its own bitmap: a lookup for its value
+    # skips the 4 create files
+    kb, kr, tot = t.pruned_file_count_eq("user_id", 777777)
+    assert kb == 1 and tot == 5
+    assert t.read_where_eq("user_id", 777777).count() == 10
+    # rename: lookups under the NEW name still use old bitmaps
+    t.rename_column("user_id", "uid")
+    kb2, _, _ = t.pruned_file_count_eq("uid", 777777)
+    assert kb2 == 1
+    assert t.read_where_eq("uid", 777777).count() == 10
+    # a COW delete rewrites with fresh bitmaps; the value is gone
+    t.delete("uid = 777777")
+    kb3, _, _ = t.pruned_file_count_eq("uid", 777777)
+    assert kb3 == 0  # definitively excluded everywhere
+    assert t.read_where_eq("uid", 777777).count() == 0
+    # optimize re-indexes the compacted layout
+    t.optimize(target_files=2)
+    some = t.read().limit(1).collect()[0]["uid"]
+    assert t.read_where_eq("uid", some).count() >= 1
+
+
+def test_bloom_unindexable_values_keep_files(spark, tmp_path):
+    """A column holding values the hash can't index records no bitmap
+    — lookups keep its files (false negatives are impossible)."""
+    df = spark.createDataFrame(
+        [(1, True), (2, False)], "k long, flag boolean"
+    )
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        df.coalesce(1),
+        bloom_cols=["flag"],
+    )
+    kb, kr, tot = t.pruned_file_count_eq("flag", True)
+    assert kb == kr == tot == 1  # kept, never skipped
+    assert t.read_where_eq("flag", True).count() == 1
+    # unknown bloom_cols refused at create
+    with pytest.raises(ValueError, match="not in the table schema"):
+        VersionedTable.create(
+            spark,
+            str(tmp_path / "t2"),
+            df,
+            bloom_cols=["nope"],
+        )
+
+
+# -- TRUE concurrency (no monkeypatch) ----------------------------------------
+
+
+@pytest.mark.slow
+def test_true_concurrent_appends_and_disjoint_dml(spark, tmp_path):
+    """REAL races: threads submit appends and file-disjoint deletes
+    against one table simultaneously — every writer must land through
+    the CAS/rebase loop (appends always commute; the two deletes
+    rewrite different files and commute with everything here), and
+    the final state is exactly the deterministic set arithmetic. This
+    is the no-mock twin of the injected-race tests: it exercises
+    genuine interleavings of head_version/_try_commit across threads,
+    the way 1000 concurrent cluster writers would."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    df = spark.createDataFrame(
+        [(k, f"v{k}", k) for k in range(100)], "k long, v string, ts long"
+    )
+    t0 = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        df.repartitionByRange(2, "k").sortWithinPartitions("k"),
+        stats_cols=["k"],
+    )
+
+    def appender(lo):
+        w = VersionedTable(spark, t0.path)
+        for i in range(2):
+            rows = [(lo + i * 10 + j, "app", 1) for j in range(5)]
+            w.append(_df(spark, rows).coalesce(1))
+
+    def deleter(k):
+        w = VersionedTable(spark, t0.path)
+        w.delete(f"k = {k}", prune=[("k", k, k)])
+
+    with ThreadPoolExecutor(max_workers=5) as ex:
+        futs = [ex.submit(appender, lo) for lo in (1000, 2000, 3000)]
+        futs += [ex.submit(deleter, 5), ex.submit(deleter, 55)]
+        for f in futs:
+            f.result(timeout=300)  # raises if any writer failed
+
+    want = set(range(100)) - {5, 55}
+    for lo in (1000, 2000, 3000):
+        for i in range(2):
+            want |= {lo + i * 10 + j for j in range(5)}
+    got = {r["k"] for r in t0.read().collect()}
+    assert got == want
+    # the version chain is contiguous: 1 create + 6 appends + 2 deletes
+    assert t0.versions() == list(range(9))
+    ops = [t0._read_pointer(v)["op"] for v in t0.versions()]
+    assert ops.count("append") == 6 and ops.count("delete") == 2
