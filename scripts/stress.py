@@ -262,7 +262,63 @@ def main() -> None:
     maintenance_probe(spark, events)
     lakehouse_metadata_probe(spark, events)
     segment_memory_probe(spark, events)
+    bloom_lookup_probe(spark, events)
     codec_probe(spark, mult)
+
+
+def bloom_lookup_probe(spark, events) -> None:
+    """r11: quantify bloom point-lookup skipping at inflated volume.
+    The inflated events land HASH-laid over many files (event_id spans
+    every file: range stats keep everything), once with bloom bitmaps
+    and once without. A needle lookup then measures (a) files opened
+    — the IO the bitmaps save is the 100 TB story — and (b) wall
+    time, plus the commit-time indexing tax the bitmaps cost. At 10x
+    (1M rows, 32 files, ~31k distinct ids/file) expect the lookup to
+    open O(true + false-positive) files instead of all of them."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from social_media_etl_spark.operators.manifest import VersionedTable
+
+    d = tempfile.mkdtemp(prefix="smetl_stress_bloom_")
+    try:
+        base = events.select("event_id", "event_type", "value")
+        laid = base.repartition(32)
+        out = {"probe": "bloom_lookup"}
+        t0 = _t.time()
+        plain = VersionedTable.create(spark, f"{d}/plain", laid)
+        out["create_plain_s"] = round(_t.time() - t0, 2)
+        t0 = _t.time()
+        bloomed = VersionedTable.create(
+            spark,
+            f"{d}/bloom",
+            laid,
+            bloom_cols=["event_id"],
+            bloom_bits=1 << 20,  # sized for ~31k distinct/file at 10x
+        )
+        out["create_bloom_s"] = round(_t.time() - t0, 2)
+        needle = 501  # exists at every SF; inflation duplicates it
+        t0 = _t.time()
+        out["rows_plain"] = plain.read_where_eq("event_id", needle).count()
+        out["lookup_plain_s"] = round(_t.time() - t0, 2)
+        t0 = _t.time()
+        out["rows_bloom"] = bloomed.read_where_eq(
+            "event_id", needle
+        ).count()
+        out["lookup_bloom_s"] = round(_t.time() - t0, 2)
+        kb, kr, tot = bloomed.pruned_file_count_eq("event_id", needle)
+        out["files_opened_bloom"] = kb
+        out["files_opened_plain"] = kr
+        out["files_total"] = tot
+        kbm, _, _ = bloomed.pruned_file_count_eq("event_id", 10**9)
+        out["files_opened_missing"] = kbm
+        assert out["rows_plain"] == out["rows_bloom"]
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def codec_probe(spark, mult: int) -> None:
