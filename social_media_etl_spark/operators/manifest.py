@@ -561,7 +561,13 @@ class VersionedTable:
 
     @staticmethod
     def _file_overlaps(
-        manifest: dict, f: str, col: str, lo, hi, pt_is_string: bool = False
+        manifest: dict,
+        f: str,
+        col: str,
+        lo,
+        hi,
+        pt_is_string: bool = False,
+        use_bloom: bool = True,
     ) -> bool:
         """Can file ``f`` hold rows with ``col`` in [lo, hi]? Consults
         the file's recorded PARTITION VALUE (when ``col`` is the
@@ -619,10 +625,19 @@ class VersionedTable:
                     return False
             except TypeError:
                 pass
+        if use_bloom and lo is not None and lo == hi:
+            # an EQUALITY bound also consults the file's bloom bitmap
+            # (r11): point DML prune hints (delete "user_id = X" —
+            # the GDPR case), scoped OPTIMIZE and read_where all skip
+            # files range stats cannot. No false negatives by
+            # construction, so verify_prune semantics are unchanged.
+            return VersionedTable._bloom_may_contain(manifest, f, col, lo)
         return True
 
     @classmethod
-    def _kept_files_all(cls, manifest: dict, preds: list[tuple]) -> list[str]:
+    def _kept_files_all(
+        cls, manifest: dict, preds: list[tuple], use_bloom: bool = True
+    ) -> list[str]:
         """The files a conjunctive range read must open: everything
         that can overlap every (col, lo, hi), plus everything with NO
         recorded metadata (pruning may never drop data). The single
@@ -643,7 +658,7 @@ class VersionedTable:
             for f in manifest["files"]
             if all(
                 cls._file_overlaps(
-                    manifest, f, c, lo, hi, pt_str.get(c, False)
+                    manifest, f, c, lo, hi, pt_str.get(c, False), use_bloom
                 )
                 for c, lo, hi in preds
             )
@@ -709,10 +724,10 @@ class VersionedTable:
             )
         v = self.head_version() if version is None else version
         m = self._read_manifest(v)
+        # equality bounds consult blooms inside _file_overlaps, so the
+        # same skipping serves read_where/point prune hints/scoped
+        # OPTIMIZE — this is just the eq-shaped entry point
         kept = self._kept_files_all(m, [(col, value, value)])
-        kept = [
-            f for f in kept if self._bloom_may_contain(m, f, col, value)
-        ]
         return self._read_files(m, kept).filter(F.col(col) == F.lit(value))
 
     def pruned_file_count_eq(
@@ -723,12 +738,10 @@ class VersionedTable:
         buys BEYOND range/partition pruning."""
         v = self.head_version() if version is None else version
         m = self._read_manifest(v)
-        by_range = self._kept_files_all(m, [(col, value, value)])
-        by_bloom = [
-            f
-            for f in by_range
-            if self._bloom_may_contain(m, f, col, value)
-        ]
+        by_range = self._kept_files_all(
+            m, [(col, value, value)], use_bloom=False
+        )
+        by_bloom = self._kept_files_all(m, [(col, value, value)])
         return len(by_bloom), len(by_range), len(m["files"])
 
     def pruned_file_count(

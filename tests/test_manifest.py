@@ -2035,3 +2035,37 @@ def test_true_concurrent_appends_and_disjoint_dml(spark, tmp_path):
     assert t0.versions() == list(range(9))
     ops = [t0._read_pointer(v)["op"] for v in t0.versions()]
     assert ops.count("append") == 6 and ops.count("delete") == 2
+
+
+def test_point_delete_prune_hint_uses_bloom(spark, tmp_path):
+    """A point DELETE's eq prune hint consults blooms inside
+    _file_overlaps: on a hash layout (range stats useless) the
+    find-scan opens only bloom-kept files, the rewrite touches only
+    the true file, and verify_prune's no-false-negative audit passes —
+    the GDPR delete-by-id shape at 100 TB."""
+    df = spark.range(0, 2000).selectExpr(
+        "id AS k", "cast(hash(id) % 200 AS long) AS user_id"
+    )
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        df.repartition(8),
+        bloom_cols=["user_id"],
+        bloom_bits=32768,
+    )
+    t.append(
+        spark.range(9000, 9010)
+        .selectExpr("id AS k", "cast(777777 AS long) AS user_id")
+        .coalesce(1)
+    )
+    before = set(t._read_manifest(1)["files"])
+    v = t.delete(
+        "user_id = 777777",
+        prune=[("user_id", 777777, 777777)],
+        verify_prune=True,  # audits the bloom never false-negatives
+    )
+    after = set(t._read_manifest(v)["files"])
+    # exactly one file (the appended one) left the snapshot
+    assert len(before - after) == 1
+    assert t.read_where_eq("user_id", 777777).count() == 0
+    assert t.read().count() == 2000
