@@ -4520,6 +4520,77 @@ def _versioned_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(F.lit(ok)).orderBy("event_id")
 
 
+def _versioned_null_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-census file skipping certified (operators/manifest.py
+    null_count/value_count recording + read_where_null — r11, the
+    Iceberg per-file null census): the mod-3≡1 events slice lands
+    with ``value`` NULLed for click events and the layout CLUSTERED
+    BY event_type, so the NULLs concentrate in few files; footer null
+    counts recorded at commit time let the IS NULL scan (find the
+    rows a broken upstream left unfilled — the 100 TB data-quality
+    sweep) open only those files, and the IS NOT NULL scan skip an
+    appended ALL-NULL file entirely. Gated in-plan on both prunes
+    actually skipping files. The returned two-row census (each scan's
+    row count and exact id sum) is certified against the oracle's
+    relational replay of the same NULLing rule."""
+    from social_media_etl_spark.operators.manifest import VersionedTable
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    base = events.filter(F.pmod(F.col("event_id"), F.lit(3)) == 1).select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    d = _tmpdir(prefix="smetl_vnull_")
+    t = VersionedTable.create(
+        spark,
+        f"{d}/t",
+        base.repartitionByRange(6, "event_type").sortWithinPartitions(
+            "event_type"
+        ),
+        stats_cols=["value"],
+    )
+    t.append(  # all-NULL file: the IS NOT NULL scan must skip it
+        events.filter(
+            (F.pmod(F.col("event_id"), F.lit(3)) == 2)
+            & (F.col("event_id") < 150)
+        )
+        .select(
+            "event_id",
+            "event_type",
+            F.lit(None).cast("double").alias("value"),
+        )
+        .coalesce(1)
+    )
+    k_null, tot = t.pruned_file_count_null("value")
+    k_nn, tot2 = t.pruned_file_count_null("value", want_null=False)
+    ok = k_null < tot and k_nn < tot2 == tot
+    nulls = (
+        t.read_where_null("value")
+        .filter(F.pmod(F.col("event_id"), F.lit(3)) == 1)  # the slice
+        .agg(
+            F.lit("null").alias("scan"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("event_id").alias("sum_ids"),
+        )
+    )
+    non_nulls = t.read_where_null("value", want_null=False).agg(
+        F.lit("not_null").alias("scan"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").alias("sum_ids"),
+    )
+    return (
+        nulls.unionByName(non_nulls)
+        .where(F.lit(ok))
+        .select("scan", "n_rows", "sum_ids")
+        .orderBy("scan")
+    )
+
+
 def _versioned_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read DELETE via deletion vectors certified
     (operators/manifest.py:delete(mode='mor') — the Delta
@@ -5075,6 +5146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "versioned_restore": _versioned_restore,
         "versioned_shallow_clone": _versioned_shallow_clone,
         "versioned_bloom_lookup": _versioned_bloom_lookup,
+        "versioned_null_skipping": _versioned_null_skipping,
     }
     return {name: _managed(fn) for name, fn in qs.items()}
 
@@ -7626,6 +7698,29 @@ def oracle_sql() -> dict[str, str]:
     # absent-id skip + zero rows, hash layout) are in-plan; the oracle
     # certifies the looked-up CONTENT — blooms may cost extra reads,
     # never rows
+    # null-census gates (IS NULL prune + all-NULL-file skip) are
+    # in-plan; the oracle replays the NULLing rule relationally over
+    # the slice (the appended all-NULL file is outside both certified
+    # scans: its rows are filtered from the IS NULL side and invisible
+    # to IS NOT NULL)
+    d["versioned_null_skipping"] = """
+        WITH t AS (
+            SELECT event_id,
+                   CASE WHEN event_type = 'click' THEN NULL
+                        ELSE value END AS value
+            FROM events WHERE event_id % 3 = 1
+        )
+        SELECT 'not_null' AS scan,
+               count(*) AS n_rows,
+               CAST(sum(event_id) AS BIGINT) AS sum_ids
+        FROM t WHERE value IS NOT NULL
+        UNION ALL
+        SELECT 'null',
+               count(*),
+               CAST(sum(event_id) AS BIGINT)
+        FROM t WHERE value IS NULL
+        ORDER BY scan
+    """
     d["versioned_bloom_lookup"] = """
         SELECT event_id, event_type, value
         FROM events

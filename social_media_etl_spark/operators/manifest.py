@@ -410,7 +410,7 @@ class VersionedTable:
                 out = {
                     "file": [], "col": [],
                     "lo_num": [], "hi_num": [], "lo_str": [], "hi_str": [],
-                    "bloom": [],
+                    "bloom": [], "nulls": [], "rows": [],
                 }
                 for f in pdf["file"]:
                     pf = pq.ParquetFile(f)
@@ -440,8 +440,12 @@ class VersionedTable:
                         out["lo_str"].append(None)
                         out["hi_str"].append(None)
                         out["bloom"].append(format(bm, "x"))
+                        out["nulls"].append(None)
+                        out["rows"].append(None)
                     for c in stats_cols:
                         mins, maxs = [], []
+                        nulls, seen_nc = 0, True
+                        n_rows = md.num_rows
                         for rg in range(md.num_row_groups):
                             rgm = md.row_group(rg)
                             st = next(
@@ -455,7 +459,29 @@ class VersionedTable:
                             if st is not None and st.has_min_max:
                                 mins.append(st.min)
                                 maxs.append(st.max)
+                            # null counts (the Iceberg per-file census,
+                            # r11): footers carry them for free; a
+                            # row group without one degrades the file
+                            # to "unknown" (kept by NULL-pruning)
+                            if st is not None and st.null_count is not None:
+                                nulls += st.null_count
+                            else:
+                                seen_nc = False
                         if not mins:
+                            # an all-NULL (or statless) column chunk:
+                            # no bounds, but a complete null census is
+                            # still recorded so IS NOT NULL can skip
+                            # the file entirely
+                            if seen_nc and nulls == n_rows:
+                                out["file"].append(f)
+                                out["col"].append(c)
+                                out["lo_num"].append(None)
+                                out["hi_num"].append(None)
+                                out["lo_str"].append(None)
+                                out["hi_str"].append(None)
+                                out["bloom"].append(None)
+                                out["nulls"].append(nulls)
+                                out["rows"].append(n_rows)
                             continue
                         nlo, nhi = _norm(min(mins)), _norm(max(maxs))
                         if nlo is None or nhi is None:
@@ -467,12 +493,15 @@ class VersionedTable:
                         out["lo_str"].append(nlo[1])
                         out["hi_str"].append(nhi[1])
                         out["bloom"].append(None)
+                        out["nulls"].append(nulls if seen_nc else None)
+                        out["rows"].append(n_rows)
                 yield pd.DataFrame(out)
 
         stats: dict = {}
         schema = (
             "file string, col string, lo_num double, hi_num double,"
-            " lo_str string, hi_str string, bloom string"
+            " lo_str string, hi_str string, bloom string, nulls long,"
+            " rows long"
         )
         for r in sdf.mapInPandas(_read, schema).collect():
             entry = stats.setdefault(r["file"], {}).setdefault(
@@ -489,6 +518,11 @@ class VersionedTable:
                 entry[1] = (
                     r["hi_num"] if r["hi_num"] is not None else r["hi_str"]
                 )
+                if r["nulls"] is not None:
+                    while len(entry) < 5:
+                        entry.append(None)
+                    entry[3] = int(r["nulls"])
+                    entry[4] = int(r["rows"])
         return stats
 
     def read_where(
@@ -743,6 +777,68 @@ class VersionedTable:
         )
         by_bloom = self._kept_files_all(m, [(col, value, value)])
         return len(by_bloom), len(by_range), len(m["files"])
+
+    @staticmethod
+    def _null_census(manifest: dict, f: str, col: str):
+        """(null_count, row_count) recorded for a stats column of file
+        ``f`` — None when unrecorded (legacy entry, footer without the
+        counts, alias miss). Falls through the rename alias chain like
+        every other stats consumer."""
+        fstats = (manifest.get("stats") or {}).get(f, {})
+        s = fstats.get(col)
+        if s is None:
+            for a in (manifest.get("aliases") or {}).get(col, ()):
+                s = fstats.get(a)
+                if s is not None:
+                    break
+        if s is None or len(s) < 5 or s[3] is None or s[4] is None:
+            return None
+        return int(s[3]), int(s[4])
+
+    def _kept_files_null(
+        self, manifest: dict, col: str, want_null: bool
+    ) -> list[str]:
+        kept = []
+        for f in manifest["files"]:
+            c = self._null_census(manifest, f, col)
+            if c is None:
+                kept.append(f)  # unknown census: never drop data
+            elif want_null and c[0] > 0:
+                kept.append(f)  # has at least one NULL
+            elif not want_null and c[0] < c[1]:
+                kept.append(f)  # has at least one non-NULL
+        return kept
+
+    def read_where_null(
+        self, col: str, version: int | None = None, want_null: bool = True
+    ) -> DataFrame:
+        """IS NULL (``want_null=False``: IS NOT NULL) read with
+        NULL-CENSUS file skipping (r11 — Iceberg's per-file
+        null_count/value_count): a stats column's footer null counts
+        are recorded at commit time, so an IS NULL scan opens only
+        files that contain a NULL and an IS NOT NULL scan skips
+        all-NULL files. The missing-data sweep over a 100 TB mostly-
+        dense table — find the rows a broken upstream left unfilled —
+        reads O(defective files) instead of everything. Files without
+        a recorded census are always kept."""
+        v = self.head_version() if version is None else version
+        m = self._read_manifest(v)
+        kept = self._kept_files_null(m, col, want_null)
+        df = self._read_files(m, kept)
+        return df.filter(
+            F.col(col).isNull() if want_null else F.col(col).isNotNull()
+        )
+
+    def pruned_file_count_null(
+        self, col: str, version: int | None = None, want_null: bool = True
+    ) -> tuple[int, int]:
+        """(kept, total) for an IS [NOT] NULL scan on a stats column."""
+        v = self.head_version() if version is None else version
+        m = self._read_manifest(v)
+        return (
+            len(self._kept_files_null(m, col, want_null)),
+            len(m["files"]),
+        )
 
     def pruned_file_count(
         self, col: str, lo=None, hi=None, version: int | None = None

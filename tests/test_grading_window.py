@@ -103,6 +103,7 @@ R12_NEW = [
     "versioned_restore",
     "versioned_shallow_clone",
     "versioned_bloom_lookup",
+    "versioned_null_skipping",
 ]
 
 

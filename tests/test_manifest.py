@@ -2069,3 +2069,40 @@ def test_point_delete_prune_hint_uses_bloom(spark, tmp_path):
     assert len(before - after) == 1
     assert t.read_where_eq("user_id", 777777).count() == 0
     assert t.read().count() == 2000
+
+
+def test_null_census_skips_files_for_is_null_scans(spark, tmp_path):
+    """IS NULL scans open only files containing a NULL; IS NOT NULL
+    skips all-NULL files (Iceberg's null_count/value_count census).
+    Files without a census are always kept."""
+    df = spark.range(0, 1000).selectExpr(
+        "id AS k",
+        "CASE WHEN id BETWEEN 100 AND 119 THEN NULL ELSE CAST(id AS DOUBLE) END AS val",
+    )
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        df.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        stats_cols=["k", "val"],
+    )
+    # only the file(s) holding k in [100,119] carry NULLs
+    kept, total = t.pruned_file_count_null("val")
+    assert kept < total == 8
+    assert sorted(r["k"] for r in t.read_where_null("val").collect()) == list(
+        range(100, 120)
+    )
+    # an appended ALL-NULL file: IS NOT NULL skips it entirely
+    t.append(
+        spark.range(5000, 5100)
+        .selectExpr("id AS k", "CAST(NULL AS DOUBLE) AS val")
+        .coalesce(1)
+    )
+    kept_nn, total2 = t.pruned_file_count_null("val", want_null=False)
+    assert total2 == 9 and kept_nn == 8  # the all-NULL file skipped
+    assert t.read_where_null("val", want_null=False).count() == 980
+    # ...and IS NULL now includes it
+    assert t.read_where_null("val").count() == 120
+    # census survives a rename through the alias chain
+    t.rename_column("val", "value2")
+    kept2, _ = t.pruned_file_count_null("value2")
+    assert kept2 == kept + 1

@@ -101,6 +101,9 @@ def test_single_partition_exchanges_are_known(spark):
         # one-row CDF replay-invariant gate (max|Σweights| over the
         # per-key multiset check; the head aggregate stays distributed)
         "versioned_restore",
+        # two one-row census aggregates (IS NULL / IS NOT NULL scan
+        # counts) unioned — bounded output, never a data-path collapse
+        "versioned_null_skipping",
         # one-row pre-rename v0 byte-identity gate (the head aggregate
         # over the alias-resolving read stays distributed)
         "versioned_column_rename",
