@@ -829,6 +829,36 @@ class VersionedTable:
             F.col(col).isNull() if want_null else F.col(col).isNotNull()
         )
 
+    def read_where_in(
+        self, col: str, values: list, version: int | None = None
+    ) -> DataFrame:
+        """IN-list lookup: a file is opened iff it may hold ANY of the
+        values (per-value range/partition/bloom skipping, unioned) —
+        the batched needle fetch (an id list from a join, a blocklist
+        sweep) opens O(Σ matching files) instead of |values| passes or
+        a full scan. NULLs in the list are ignored (SQL IN never
+        matches them)."""
+        vals = [v for v in values if v is not None]
+        if not vals:
+            raise ValueError("read_where_in: no non-NULL values")
+        v = self.head_version() if version is None else version
+        m = self._read_manifest(v)
+        schema = self._manifest_schema(m)
+        pt_str = False
+        if schema is not None:
+            for x in schema.fields:
+                if x.name == col:
+                    pt_str = isinstance(x.dataType, T.StringType)
+        kept = [
+            f
+            for f in m["files"]
+            if any(
+                self._file_overlaps(m, f, col, val, val, pt_str)
+                for val in vals
+            )
+        ]
+        return self._read_files(m, kept).filter(F.col(col).isin(vals))
+
     def pruned_file_count_null(
         self, col: str, version: int | None = None, want_null: bool = True
     ) -> tuple[int, int]:

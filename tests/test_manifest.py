@@ -2106,3 +2106,36 @@ def test_null_census_skips_files_for_is_null_scans(spark, tmp_path):
     t.rename_column("val", "value2")
     kept2, _ = t.pruned_file_count_null("value2")
     assert kept2 == kept + 1
+
+
+def test_read_where_in_batched_lookup(spark, tmp_path):
+    """IN-list lookups union per-value skipping: values concentrated
+    in one appended file open just that file plus bloom false
+    positives, and the result is the plain isin filter."""
+    df = spark.range(0, 2000).selectExpr(
+        "id AS k", "cast(hash(id) % 300 AS long) AS user_id"
+    )
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        df.repartition(6),
+        bloom_cols=["user_id"],
+        bloom_bits=32768,
+    )
+    t.append(
+        spark.range(9000, 9020)
+        .selectExpr("id AS k", "cast(id AS long) AS user_id")
+        .coalesce(1)
+    )
+    got = sorted(
+        r["k"] for r in t.read_where_in("user_id", [9001, 9007, None]).collect()
+    )
+    assert got == [9001, 9007]
+    # an existing scattered value unions correctly with a missing one
+    want = sorted(r["k"] for r in df.filter("user_id = 42").collect())
+    got2 = sorted(
+        r["k"] for r in t.read_where_in("user_id", [42, 10**9]).collect()
+    )
+    assert got2 == want
+    with pytest.raises(ValueError, match="no non-NULL values"):
+        t.read_where_in("user_id", [None])
