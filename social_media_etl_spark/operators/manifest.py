@@ -1419,11 +1419,31 @@ class VersionedTable:
                 )
             return empty
         dv_dirs = (manifest.get("delete_vectors") or []) if apply_dvs else []
-        raw = (
-            self.spark.read.option("mergeSchema", "true").parquet(*files)
-            if manifest.get("mixed")
-            else self.spark.read.parquet(*files)
-        )
+        if manifest.get("mixed"):
+            # REQUESTED-SCHEMA read over the physical generations
+            # (r11, replacing mergeSchema): the manifest's own types
+            # are requested for every current name AND every alias-
+            # chain name, so (a) pre-evolution files NULL-fill missing
+            # columns, (b) renamed columns surface under their old
+            # physical names for the coalesce below, and (c) files
+            # written before a type WIDENING read through Spark 4's
+            # parquet type-promotion (int→long, float→double) — which
+            # mergeSchema refuses to unify. No footer pre-pass either:
+            # cheaper at many files.
+            schema_req = self._manifest_schema(manifest)
+            aliases_req = manifest.get("aliases") or {}
+            fields = list(schema_req.fields)
+            have = {f.name for f in fields}
+            for f in schema_req.fields:
+                for a in aliases_req.get(f.name, ()):
+                    if a not in have:
+                        fields.append(T.StructField(a, f.dataType, True))
+                        have.add(a)
+            raw = self.spark.read.schema(T.StructType(fields)).parquet(
+                *files
+            )
+        else:
+            raw = self.spark.read.parquet(*files)
         df = raw
         if dv_dirs or with_pos:
             df = raw.select(
@@ -1770,7 +1790,7 @@ class VersionedTable:
             # file-level diff stays well-defined across it; optimize
             # is NOT allowed here — compaction rewrites files and the
             # diff would double-count their rows (ADVICE r10)
-            not in ("append", "set_partition_spec", "rename", "drop")
+            not in ("append", "set_partition_spec", "rename", "drop", "widen")
         ]
         if rewrites:
             raise ValueError(
@@ -1861,7 +1881,7 @@ class VersionedTable:
         for v in span:
             ptr = self._read_pointer(v)
             op = ptr.get("op")
-            if op in ("set_partition_spec", "rename", "drop"):
+            if op in ("set_partition_spec", "rename", "drop", "widen"):
                 continue  # metadata-only: no rows changed
             if op == "optimize":
                 # content-identical rewrite (compaction / Z-order /
@@ -2531,6 +2551,108 @@ class VersionedTable:
         if not self._try_commit(m, v):
             raise ConcurrentWriteError(
                 f"VersionedTable: drop_column raced past stale "
+                f"v{parent}; head is now v{self.head_version()} — re-run"
+            )
+        return v
+
+    # lossless primitive widenings (Iceberg/Delta type-widening set,
+    # plus int→double which is exact for 32-bit integers); Spark 4's
+    # parquet readers promote these at scan time under a requested
+    # schema, so old files never rewrite
+    _WIDENINGS = {
+        "tinyint": {"smallint", "int", "bigint", "double"},
+        "smallint": {"int", "bigint", "double"},
+        "int": {"bigint", "double"},
+        "float": {"double"},
+    }
+
+    def widen_column(
+        self, name: str, new_type: str, txn: str | None = None
+    ) -> int:
+        """Type WIDENING as a METADATA-ONLY commit (r11 — schema
+        evolution v4, the Delta type-widening feature): the manifest's
+        field type changes to a strictly wider primitive (int→long,
+        float→double, int→double, …) and ZERO data files move — reads
+        request the manifest's schema, and Spark 4's parquet
+        promotion up-casts pre-widen physical layouts at scan time.
+        The id column that outgrew INT on a 100 TB table widens in
+        O(manifest) instead of a table rewrite. Appends after the
+        widen write the new type; time travel reads each version
+        under its own manifest; stats bounds are domain-floats and
+        bloom bitmaps normalize integral values to integer text, so
+        data skipping carries across the widen unchanged.
+
+        Refusals: narrowing or lateral changes (only
+        :attr:`_WIDENINGS` pairs), unknown columns, the bucket column
+        (bucket-hash values are type-sensitive), and legacy manifests
+        without ``schema_json``."""
+        parent = self.head_version()
+        ptr = self._read_pointer(parent)
+        schema = self._manifest_schema(ptr)
+        if schema is None:
+            raise ValueError(
+                "VersionedTable.widen_column: legacy manifest without "
+                "schema_json cannot evolve types"
+            )
+        names = [f.name for f in schema.fields]
+        if name not in names:
+            raise ValueError(
+                f"VersionedTable.widen_column: no column {name!r} in "
+                f"{names}"
+            )
+        bk = ptr.get("bucket_by")
+        if bk and bk.get("col") == name:
+            raise ValueError(
+                f"VersionedTable.widen_column: {name!r} is the bucket "
+                "column — bucket hashes are type-sensitive"
+            )
+        old_f = next(f for f in schema.fields if f.name == name)
+        old_t = old_f.dataType.simpleString()
+        want = new_type.strip().lower()
+        want = {"long": "bigint", "short": "smallint", "byte": "tinyint"}.get(
+            want, want
+        )
+        if want == old_t:
+            return parent  # already that type: no empty commits
+        if want not in self._WIDENINGS.get(old_t, set()):
+            raise ValueError(
+                f"VersionedTable.widen_column: {old_t} → {want} is not "
+                "a lossless widening; allowed: "
+                f"{sorted(self._WIDENINGS.get(old_t, set()))}"
+            )
+        new_dt = T._parse_datatype_string(want)
+        merged = T.StructType(
+            [
+                T.StructField(name, new_dt, f.nullable)
+                if f.name == name
+                else f
+                for f in schema.fields
+            ]
+        )
+        n_files = ptr.get("n_files")
+        if n_files is None:
+            n_files = len(ptr.get("files") or [])
+        v = parent + 1
+        m = dict(ptr)
+        for stale in ("merge_on", "mode", "predicate", "cdc"):
+            m.pop(stale, None)
+        m.update(
+            {
+                "version": v,
+                "parent": parent,
+                "op": "widen",
+                "schema": merged.simpleString(),
+                "schema_json": merged.json(),
+                # existing files carry the NARROW physical type →
+                # reads must request the manifest schema
+                "mixed": bool(ptr.get("mixed")) or n_files > 0,
+                "txn": txn,
+                "txns": self._txns_after(ptr, txn),
+            }
+        )
+        if not self._try_commit(m, v):
+            raise ConcurrentWriteError(
+                f"VersionedTable: widen_column raced past stale "
                 f"v{parent}; head is now v{self.head_version()} — re-run"
             )
         return v

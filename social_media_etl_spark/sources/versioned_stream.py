@@ -330,7 +330,7 @@ def _span_changes(
         op = ptr.get("op")
         if op_cache is not None:
             op_cache[v] = op
-        if op in ("set_partition_spec", "rename", "drop"):
+        if op in ("set_partition_spec", "rename", "drop", "widen"):
             continue  # metadata-only: no rows changed
         if op == "optimize":
             # content-identical rewrite (compaction / Z-order / DV

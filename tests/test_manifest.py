@@ -2139,3 +2139,70 @@ def test_read_where_in_batched_lookup(spark, tmp_path):
     assert got2 == want
     with pytest.raises(ValueError, match="no non-NULL values"):
         t.read_where_in("user_id", [None])
+
+
+# -- type WIDENING --------------------------------------------------------------
+
+
+def test_widen_column_is_metadata_only(spark, tmp_path):
+    """int→long widening moves zero files: old files read up-cast via
+    Spark 4's parquet promotion under the requested manifest schema,
+    appends land the wide type, and time travel keeps each version's
+    own type."""
+    df = spark.createDataFrame([(1, 10), (2, 20)], "k long, x int")
+    t = VersionedTable.create(spark, str(tmp_path / "t"), df, stats_cols=["x"])
+    v0_files = t._read_manifest(0)["files"]
+    v = t.widen_column("x", "long")
+    m = t._read_manifest(v)
+    assert m["op"] == "widen" and m["files"] == v0_files
+    assert dict(t.read().dtypes)["x"] == "bigint"
+    assert sorted((r["k"], r["x"]) for r in t.read().collect()) == [
+        (1, 10),
+        (2, 20),
+    ]
+    # time travel: v0 still reads int
+    assert dict(t.read(0).dtypes)["x"] == "int"
+    # appends land the wide type; both generations read together
+    t.append(spark.createDataFrame([(3, 2**40)], "k long, x long"))
+    got = sorted((r["k"], r["x"]) for r in t.read().collect())
+    assert got == [(1, 10), (2, 20), (3, 2**40)]
+    # stats pruning carries across the widen (float-domain bounds)
+    kept, total = t.pruned_file_count("x", 2**39, 2**41)
+    assert kept < total
+    # idempotent: widening to the same type commits nothing
+    head = t.head_version()
+    assert t.widen_column("x", "bigint") == head
+    assert t.head_version() == head
+    # refusals: narrowing, unknown column
+    with pytest.raises(ValueError, match="not a lossless widening"):
+        t.widen_column("x", "int")
+    with pytest.raises(ValueError, match="no column"):
+        t.widen_column("nope", "long")
+
+
+def test_widen_float_to_double_and_feed_skip(spark, tmp_path):
+    """float→double widening; the change feed treats the widen as
+    change-free and emits the wide type end to end."""
+    df = spark.createDataFrame([(1, 1.5), (2, 2.5)], "k long, y float")
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), df, change_data_feed=True
+    )
+    t.widen_column("y", "double")
+    t.append(spark.createDataFrame([(3, 3.5)], "k long, y double"))
+    assert dict(t.read().dtypes)["y"] == "double"
+    feed = t.read_change_feed(0)
+    assert dict(feed.dtypes)["y"] == "double"
+    assert sorted(r["k"] for r in feed.collect()) == [3]  # widen: no rows
+    # bloom carries: integral values hash identically across widths
+    df2 = spark.range(0, 200).selectExpr("id AS k", "cast(id AS int) AS u")
+    t2 = VersionedTable.create(
+        spark,
+        str(tmp_path / "t2"),
+        df2.repartition(4),
+        bloom_cols=["u"],
+        bloom_bits=16384,
+    )
+    t2.widen_column("u", "bigint")
+    assert t2.read_where_eq("u", 77).count() == 1
+    kb, kr, _ = t2.pruned_file_count_eq("u", 10**9)
+    assert kb < kr
