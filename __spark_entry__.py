@@ -4591,6 +4591,75 @@ def _versioned_null_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _versioned_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type WIDENING certified (operators/manifest.py:widen_column —
+    r11, schema evolution v4): the mod-3≡2 events slice is committed
+    with event_id narrowed to INT and value to FLOAT (the
+    id-outgrows-INT shape), then ``widen_column`` grows both to
+    BIGINT/DOUBLE as METADATA-ONLY commits, then the mod-6≡3 slice
+    appends under the wide schema — two physical generations, one
+    logical type. Gated in-plan on (a) ZERO data movement — the
+    post-widen file list is byte-identical to v0's, (b) the head
+    schema reading bigint/double, (c) time travel — v0 still reads
+    its own narrow types, and (d) stats pruning on the widened column
+    skipping files across BOTH generations. The returned aggregate
+    (exact id sums + float32-quantized value sums) is certified
+    against the oracle's relational replay of the same casts — Spark's
+    parquet float→double promotion and DuckDB's REAL→DOUBLE cast must
+    agree bit-for-bit."""
+    from social_media_etl_spark.operators.manifest import VersionedTable
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    base = events.filter(F.pmod(F.col("event_id"), F.lit(3)) == 2).select(
+        F.col("event_id").cast("int").alias("event_id"),
+        "event_type",
+        F.col("value").cast("float").alias("value"),
+    )
+    d = _tmpdir(prefix="smetl_vwide_")
+    t = VersionedTable.create(
+        spark,
+        f"{d}/t",
+        base.repartitionByRange(6, "event_id").sortWithinPartitions(
+            "event_id"
+        ),
+        stats_cols=["event_id"],
+    )
+    v0_files = t._read_manifest(0)["files"]
+    t.widen_column("event_id", "bigint")
+    v = t.widen_column("value", "double")
+    m = t._read_manifest(v)
+    t.append(  # second generation, wide from birth
+        events.filter(F.pmod(F.col("event_id"), F.lit(6)) == 3)
+        .repartitionByRange(3, "event_id")
+        .sortWithinPartitions("event_id")
+    )
+    kept, total = t.pruned_file_count("event_id", 100, 599)
+    dts = dict(t.read().dtypes)
+    dts0 = dict(t.read(0).dtypes)
+    ok = (
+        m["files"] == v0_files  # both widens moved zero files
+        and m["op"] == "widen"
+        and dts["event_id"] == "bigint"
+        and dts["value"] == "double"
+        and dts0["event_id"] == "int"  # time travel keeps v0 narrow
+        and dts0["value"] == "float"
+        and kept < total  # stats prune across both generations
+    )
+    return (
+        t.read()
+        .where(F.lit(ok))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("event_id").alias("sum_ids"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _versioned_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read DELETE via deletion vectors certified
     (operators/manifest.py:delete(mode='mor') — the Delta
@@ -5147,6 +5216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "versioned_shallow_clone": _versioned_shallow_clone,
         "versioned_bloom_lookup": _versioned_bloom_lookup,
         "versioned_null_skipping": _versioned_null_skipping,
+        "versioned_type_widening": _versioned_type_widening,
     }
     return {name: _managed(fn) for name, fn in qs.items()}
 
@@ -7720,6 +7790,27 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(event_id) AS BIGINT)
         FROM t WHERE value IS NULL
         ORDER BY scan
+    """
+    # widen gates (zero-move file identity on both widens, wide head
+    # schema, narrow time travel, cross-generation stats prune) are
+    # in-plan; the oracle replays the casts relationally — Spark's
+    # parquet float->double scan promotion must agree bit-for-bit
+    # with DuckDB's REAL->DOUBLE cast
+    d["versioned_type_widening"] = """
+        WITH t AS (
+            SELECT event_id, event_type,
+                   CAST(CAST(value AS REAL) AS DOUBLE) AS value
+            FROM events WHERE event_id % 3 = 2
+            UNION ALL
+            SELECT event_id, event_type, value
+            FROM events WHERE event_id % 6 = 3
+        )
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(sum(event_id) AS BIGINT) AS sum_ids,
+               round(sum(value), 2) AS sum_value
+        FROM t
+        GROUP BY event_type ORDER BY event_type
     """
     d["versioned_bloom_lookup"] = """
         SELECT event_id, event_type, value

@@ -104,6 +104,7 @@ R12_NEW = [
     "versioned_shallow_clone",
     "versioned_bloom_lookup",
     "versioned_null_skipping",
+    "versioned_type_widening",
 ]
 
 
