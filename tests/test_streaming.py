@@ -1388,3 +1388,66 @@ def test_versioned_cdc_stream_across_restore(spark, tmp_path):
             if ct == "insert":
                 state.add(k)
     assert state == {r["k"] for r in t.read().collect()}
+
+
+@pytest.mark.slow
+def test_transform_with_state_v2_totals(spark, tmp_path):
+    """State-v2 (transformWithStateInPandas) twin of the running
+    totals operator: ValueState + MapState composite state, update
+    mode, RocksDB provider. Runs end-to-end where the protobuf state
+    protocol is available; elsewhere the operator REFUSES with a
+    clear message instead of crashing a worker mid-query (the
+    declared environment boundary)."""
+    from social_media_etl_spark.streaming.stateful import (
+        running_user_totals_v2,
+        tws_protocol_available,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "click", 1.0),
+            (1, "view", 2.0),
+            (2, "click", 3.5),
+            (1, "click", 0.5),
+        ],
+        "user_id long, event_type string, value double",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "src" / "p"))
+    stream = spark.readStream.schema(df.schema).parquet(
+        str(tmp_path / "src" / "p")
+    )
+    if not tws_protocol_available():
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            running_user_totals_v2(stream)
+        return
+    from social_media_etl_spark.streaming.ingest import ROCKSDB_STATE_CONF
+
+    old = {
+        k: spark.conf.get(k, None) for k in ROCKSDB_STATE_CONF
+    }
+    for k, v in ROCKSDB_STATE_CONF.items():
+        spark.conf.set(k, v)
+    try:
+        q = (
+            running_user_totals_v2(stream)
+            .writeStream.format("memory")
+            .queryName("tws_v2")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = {
+            r["user_id"]: (r["n_events"], r["total_value"], r["n_types"])
+            for r in spark.sql(
+                "SELECT * FROM tws_v2 QUALIFY row_number() OVER "
+                "(PARTITION BY user_id ORDER BY n_events DESC) = 1"
+            ).collect()
+        }
+        assert rows == {1: (3, 3.5, 2), 2: (1, 3.5, 1)}
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
