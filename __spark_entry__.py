@@ -4660,6 +4660,64 @@ def _versioned_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _versioned_merge_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE ... WHEN NOT MATCHED BY SOURCE certified
+    (operators/manifest.py:merge by-source clauses — r11, completing
+    Delta's clause matrix): the mod-4≡2 events slice is the serving
+    table; the SOURCE is its [100, 599] sub-range with bumped values
+    plus the mod-8≡3 slice as new keys. ONE merge syncs the table to
+    the source: matched rows take the bumped value
+    (update), unmatched target rows DELETE (the by-source clause —
+    rows that left the source of truth), unmatched source rows
+    INSERT. After the commit the table must equal the source exactly
+    — the classic 100 TB serving-table reconciliation that previously
+    took a full overwrite. Gated in-plan on the head being exactly v1
+    (one atomic commit) and on the by-source clause refusing 's.'
+    references. The aggregate by event_type is certified against the
+    oracle's relational replay of the sync."""
+    from social_media_etl_spark.operators.manifest import VersionedTable
+
+    cols = ["event_id", "event_type", "value"]
+    events = load_table(spark, sf_dir, "events").select(*cols)
+    base = events.filter(F.pmod(F.col("event_id"), F.lit(4)) == 2)
+    src = (
+        base.filter(F.col("event_id").between(100, 599))
+        .withColumn("value", F.round(F.col("value") + 1000, 2))
+        .unionByName(
+            events.filter(F.pmod(F.col("event_id"), F.lit(8)) == 3)
+        )
+    )
+    d = _tmpdir(prefix="smetl_vmbs_")
+    t = VersionedTable.create(spark, f"{d}/t", base)
+    refused = False
+    try:
+        t.merge(
+            src,
+            on=["event_id"],
+            when_not_matched_by_source_delete="s.value > 0",
+        )
+    except ValueError:
+        refused = True  # by-source clauses must reject source refs
+    v = t.merge(
+        src,
+        on=["event_id"],
+        when_matched_update={"value": "s.value"},
+        when_not_matched_insert="*",
+        when_not_matched_by_source_delete="true",
+    )
+    ok = refused and v == 1 and t.head_version() == 1
+    return (
+        t.read()
+        .where(F.lit(ok))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _versioned_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read DELETE via deletion vectors certified
     (operators/manifest.py:delete(mode='mor') — the Delta
@@ -5217,6 +5275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "versioned_bloom_lookup": _versioned_bloom_lookup,
         "versioned_null_skipping": _versioned_null_skipping,
         "versioned_type_widening": _versioned_type_widening,
+        "versioned_merge_by_source": _versioned_merge_by_source,
     }
     return {name: _managed(fn) for name, fn in qs.items()}
 
@@ -7810,6 +7869,25 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(event_id) AS BIGINT) AS sum_ids,
                round(sum(value), 2) AS sum_value
         FROM t
+        GROUP BY event_type ORDER BY event_type
+    """
+    # by-source merge gates (single atomic commit, source-ref refusal)
+    # are in-plan; the oracle replays the sync relationally — the
+    # post-merge table IS the source: matched [100,599] rows with
+    # bumped values, other mod-4=2 rows gone, mod-8=3 rows inserted
+    d["versioned_merge_by_source"] = """
+        WITH synced AS (
+            SELECT event_id, event_type, round(value + 1000, 2) AS value
+            FROM events
+            WHERE event_id % 4 = 2 AND event_id BETWEEN 100 AND 599
+            UNION ALL
+            SELECT event_id, event_type, value
+            FROM events WHERE event_id % 8 = 3
+        )
+        SELECT event_type,
+               count(*) AS n_rows,
+               round(sum(value), 2) AS sum_value
+        FROM synced
         GROUP BY event_type ORDER BY event_type
     """
     d["versioned_bloom_lookup"] = """

@@ -3352,6 +3352,8 @@ class VersionedTable:
         when_matched_update: dict[str, str] | None = None,
         when_matched_delete: str | None = None,
         when_not_matched_insert: dict[str, str] | str | None = None,
+        when_not_matched_by_source_update: dict[str, str] | None = None,
+        when_not_matched_by_source_delete: str | None = None,
         txn: str | None = None,
     ) -> int:
         """MERGE INTO as ONE copy-on-write commit (the Delta MERGE
@@ -3371,6 +3373,18 @@ class VersionedTable:
           aligned by name (missing table columns NULL-fill), or a
           column -> expression dict over ``s.*``. ``None`` = no
           inserts.
+        - ``when_not_matched_by_source_delete`` /
+          ``when_not_matched_by_source_update`` (r11 — Delta's WHEN
+          NOT MATCHED BY SOURCE): target rows with NO source match
+          are deleted when the SQL condition (over ``t.*`` only — a
+          by-source clause has no source row, ``s.`` references are
+          refused) holds, else updated with the assignment dict;
+          delete evaluates before update, Delta clause order. An
+          unconditional by-source delete plus matched-update plus
+          insert is the classic SYNC-TO-SOURCE: after the commit the
+          table equals the (transformed) source. The find-scan stays
+          COW-granular: only files holding a matched row or an
+          unmatched row the clause fires for are rewritten.
 
         Only target files CONTAINING matched keys are rewritten
         (found via a key semi-join against a scan-level
@@ -3393,10 +3407,34 @@ class VersionedTable:
             when_matched_update is None
             and when_matched_delete is None
             and when_not_matched_insert is None
+            and when_not_matched_by_source_update is None
+            and when_not_matched_by_source_delete is None
         ):
             raise ValueError(
                 "VersionedTable.merge: at least one WHEN clause required"
             )
+        by_source = (
+            when_not_matched_by_source_update is not None
+            or when_not_matched_by_source_delete is not None
+        )
+        if by_source:
+            import re as _re
+
+            bs_texts = list(
+                (when_not_matched_by_source_update or {}).values()
+            ) + (
+                [when_not_matched_by_source_delete]
+                if when_not_matched_by_source_delete is not None
+                else []
+            )
+            for txt in bs_texts:
+                if _re.search(r"\bs\s*\.", txt):
+                    raise ValueError(
+                        "VersionedTable.merge: a NOT MATCHED BY SOURCE "
+                        "clause has no source row — remove the 's.' "
+                        f"reference from {txt!r} (Delta refuses these "
+                        "too)"
+                    )
         parent = self.head_version()
         ptr = self._read_pointer(parent)
         base = self._resolve(ptr)
@@ -3407,6 +3445,17 @@ class VersionedTable:
                 "schema_json cannot type-check merge clauses"
             )
         types = {f.name: f.dataType for f in schema.fields}
+        for label, dct in (
+            ("update", when_matched_update),
+            ("by-source update", when_not_matched_by_source_update),
+        ):
+            if dct:
+                unknown = set(dct) - set(types)
+                if unknown:
+                    raise ValueError(
+                        f"VersionedTable.merge: {label} assigns unknown "
+                        f"column(s) {sorted(unknown)}"
+                    )
         missing = [c for c in on if c not in types]
         if missing:
             raise ValueError(
@@ -3462,6 +3511,33 @@ class VersionedTable:
             .collect()
         )
         touched = {unquote(urlparse(r["__f"]).path) for r in matched_rows}
+        if by_source:
+            # a NOT MATCHED BY SOURCE clause also rewrites every file
+            # holding an UNMATCHED row the clause fires for: an
+            # unconditional by-source update/delete touches every file
+            # with any unmatched row (the sync-to-source shape), a
+            # conditional delete only the files where the condition
+            # holds — COW granularity is preserved
+            bs_scan = (
+                self._read_files(base, base["files"], apply_dvs=False)
+                .select(F.input_file_name().alias("__f"), "*")
+                .alias("t")
+                .join(src_keys, on, "left_anti")
+            )
+            if (
+                when_not_matched_by_source_update is None
+                and when_not_matched_by_source_delete is not None
+            ):
+                bs_scan = bs_scan.filter(
+                    F.coalesce(
+                        F.expr(when_not_matched_by_source_delete),
+                        F.lit(False),
+                    )
+                )
+            touched |= {
+                unquote(urlparse(r["__f"]).path)
+                for r in bs_scan.select("__f").distinct().collect()
+            }
         touched_files = [f for f in base["files"] if f in touched]
         kept_files = [f for f in base["files"] if f not in touched]
 
@@ -3493,6 +3569,40 @@ class VersionedTable:
                 if when_matched_delete is not None
                 else F.lit(False)
             )
+            # Delta clause-order semantics on the by-source side too:
+            # delete evaluated before update over the UNMATCHED rows
+            take_bs_delete = (
+                ~is_matched
+                & F.coalesce(
+                    F.expr(when_not_matched_by_source_delete), F.lit(False)
+                )
+                if when_not_matched_by_source_delete is not None
+                else F.lit(False)
+            )
+            take_bs_update = (
+                ~is_matched & ~take_bs_delete
+                if when_not_matched_by_source_update
+                else F.lit(False)
+            )
+
+            def _bs_upd(name):
+                val = F.expr(when_not_matched_by_source_update[name])
+                casted = val.cast(types[name])
+                return F.when(
+                    val.isNotNull() & casted.isNull(),
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "VersionedTable.merge: by-source update "
+                                f"of column '{name}' does not fit type "
+                                f"{types[name].simpleString()} for "
+                                "value '"
+                            ),
+                            val.cast("string"),
+                            F.lit("'"),
+                        )
+                    ).cast(types[name]),
+                ).otherwise(casted)
             def _upd(name):
                 val = F.expr(when_matched_update[name])
                 casted = val.cast(types[name])
@@ -3516,18 +3626,20 @@ class VersionedTable:
                 if when_matched_update
                 else F.lit(False)
             )
-            rewritten = joined.filter(~take_delete).select(
-                *[
-                    (
-                        F.when(take_update, _upd(f.name))
-                        .otherwise(F.col(f"t.{f.name}"))
-                        .alias(f.name)
-                        if when_matched_update and f.name in when_matched_update
-                        else F.col(f"t.{f.name}").alias(f.name)
-                    )
-                    for f in schema.fields
-                ]
-            )
+            def _out_col(f):
+                e = F.col(f"t.{f.name}")
+                if (
+                    when_not_matched_by_source_update
+                    and f.name in when_not_matched_by_source_update
+                ):
+                    e = F.when(take_bs_update, _bs_upd(f.name)).otherwise(e)
+                if when_matched_update and f.name in when_matched_update:
+                    e = F.when(take_update, _upd(f.name)).otherwise(e)
+                return e.alias(f.name)
+
+            rewritten = joined.filter(
+                ~take_delete & ~take_bs_delete
+            ).select(*[_out_col(f) for f in schema.fields])
             new_frames.append(rewritten)
             if base.get("cdf"):
                 # classify this commit's row-level changes from the
@@ -3538,10 +3650,32 @@ class VersionedTable:
                     for f in schema.fields
                 ]
                 cdc_frames.append(
-                    joined.filter(take_delete).select(
+                    joined.filter(take_delete | take_bs_delete).select(
                         *t_cols, F.lit("delete").alias("_change_type")
                     )
                 )
+                if when_not_matched_by_source_update:
+                    bs_rows = joined.filter(take_bs_update)
+                    cdc_frames.append(
+                        bs_rows.select(
+                            *t_cols,
+                            F.lit("update_preimage").alias("_change_type"),
+                        )
+                    )
+                    cdc_frames.append(
+                        bs_rows.select(
+                            *[
+                                (
+                                    _bs_upd(f.name).alias(f.name)
+                                    if f.name
+                                    in when_not_matched_by_source_update
+                                    else F.col(f"t.{f.name}").alias(f.name)
+                                )
+                                for f in schema.fields
+                            ],
+                            F.lit("update_postimage").alias("_change_type"),
+                        )
+                    )
                 if when_matched_update:
                     upd_rows = joined.filter(take_update)
                     cdc_frames.append(
@@ -3745,6 +3879,17 @@ class VersionedTable:
             # One bounded semi-join over just the winners' added
             # files decides; any other race raises.
             def _stale_if_key_match(df: DataFrame):
+                if by_source:
+                    # a by-source clause classifies EVERY target row,
+                    # so any row the span added is a row this merge
+                    # never considered — matched or not
+                    if df.limit(1).count():
+                        return (
+                            "raced a commit that added rows — a NOT "
+                            "MATCHED BY SOURCE clause classifies every "
+                            "row, so the change set is stale; re-run"
+                        )
+                    return None
                 hit = df.select(*on).join(src_keys, list(on), "left_semi")
                 if hit.limit(1).count():
                     return (

@@ -105,6 +105,7 @@ R12_NEW = [
     "versioned_bloom_lookup",
     "versioned_null_skipping",
     "versioned_type_widening",
+    "versioned_merge_by_source",
 ]
 
 

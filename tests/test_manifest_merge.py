@@ -341,3 +341,141 @@ def test_merge_with_zero_row_changes_is_feed_transparent(spark, tmp_path):
         (r["_change_type"], r["k"]) for r in t.read_change_feed(0).collect()
     )
     assert got == [("insert", 5)]
+
+
+# -- WHEN NOT MATCHED BY SOURCE (r11) -----------------------------------------
+
+
+def test_merge_by_source_sync_to_source(spark, tmp_path):
+    """Unconditional by-source delete + matched update + insert = the
+    classic sync: after the commit the table IS the source."""
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        _df(spark, [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)]),
+    )
+    src = _df(spark, [(2, "B", 200.0), (4, "d", 40.0)])
+    t.merge(
+        src,
+        on=["k"],
+        when_matched_update={"v": "s.v", "amt": "s.amt"},
+        when_not_matched_insert="*",
+        when_not_matched_by_source_delete="true",
+    )
+    got = sorted(map(tuple, t.read().collect()))
+    assert got == [(2, "B", 200.0), (4, "d", 40.0)]
+
+
+def test_merge_by_source_conditional_delete_is_cow_granular(spark, tmp_path):
+    """A CONDITIONAL by-source delete rewrites only the files where
+    the condition fires among unmatched rows; other files carry
+    byte-identical."""
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        _df(spark, [(1, "a", 10.0), (2, "b", 20.0)]).coalesce(1),
+    )
+    t.append(_df(spark, [(5, "stale", -5.0)]).coalesce(1))  # second file
+    v0_files = set(t._read_manifest(1)["files"])
+    src = _df(spark, [(9, "zz", 9.0)])  # matches nothing
+    v = t.merge(
+        src,
+        on=["k"],
+        when_not_matched_by_source_delete="t.amt < 0",
+    )
+    m = t._read_manifest(v)
+    # only the file holding the negative row was rewritten
+    assert len(v0_files & set(m["files"])) == 1
+    # no insert clause: the unmatched source row was NOT inserted,
+    # and only the t.amt<0 row was deleted
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2]
+
+
+def test_merge_by_source_update_and_clause_order(spark, tmp_path):
+    """By-source update marks unmatched survivors; the by-source
+    delete clause evaluates first (Delta clause order)."""
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        _df(spark, [(1, "a", 10.0), (2, "b", -2.0), (3, "c", 30.0)]),
+    )
+    src = _df(spark, [(1, "A", 100.0)])
+    t.merge(
+        src,
+        on=["k"],
+        when_matched_update={"v": "s.v"},
+        when_not_matched_by_source_delete="t.amt < 0",
+        when_not_matched_by_source_update={"v": "concat(t.v, '-stale')"},
+    )
+    got = sorted(map(tuple, t.read().collect()))
+    assert got == [(1, "A", 10.0), (3, "c-stale", 30.0)]
+
+
+def test_merge_by_source_refusals(spark, tmp_path):
+    t = VersionedTable.create(spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1.0)]))
+    src = _df(spark, [(2, "b", 2.0)])
+    with pytest.raises(ValueError, match="has no source row"):
+        t.merge(
+            src,
+            on=["k"],
+            when_not_matched_by_source_update={"v": "s.v"},
+        )
+    with pytest.raises(ValueError, match="unknown column"):
+        t.merge(
+            src,
+            on=["k"],
+            when_not_matched_by_source_update={"nope": "'x'"},
+        )
+
+
+def test_merge_by_source_records_cdc(spark, tmp_path):
+    """On a CDF table the by-source deletes and update pairs land in
+    the change feed like their matched twins."""
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        _df(spark, [(1, "a", 10.0), (2, "b", 20.0)]),
+        change_data_feed=True,
+    )
+    src = _df(spark, [(1, "A", 100.0), (9, "i", 9.0)])
+    v = t.merge(
+        src,
+        on=["k"],
+        when_matched_update={"v": "s.v"},
+        when_not_matched_insert="*",
+        when_not_matched_by_source_delete="true",
+    )
+    feed = sorted(
+        (r["_change_type"], r["k"])
+        for r in t.read_change_feed(0, v).collect()
+    )
+    assert feed == [
+        ("delete", 2),  # by-source
+        ("insert", 9),
+        ("update_postimage", 1),
+        ("update_preimage", 1),
+    ]
+    # replay: {1,2} -> update 1, delete 2, insert 9
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 9]
+
+
+def test_merge_by_source_race_always_raises_on_added_rows(spark, tmp_path):
+    """A by-source merge classifies EVERY row, so ANY concurrently
+    appended row stales it — even one matching no source key."""
+    t = VersionedTable.create(spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1.0)]))
+    orig = t._try_commit
+
+    def racing(manifest, version):
+        w2 = VersionedTable(spark, t.path)
+        w2.append(_df(spark, [(50, "late", 5.0)]))
+        t._try_commit = orig
+        return orig(manifest, version)
+
+    t._try_commit = racing
+    with pytest.raises(ConcurrentWriteError, match="classifies every"):
+        t.merge(
+            _df(spark, [(1, "A", 1.0)]),
+            on=["k"],
+            when_matched_update={"v": "s.v"},
+            when_not_matched_by_source_delete="true",
+        )
