@@ -94,13 +94,22 @@ def _apply_model(model, next_k, op, vname, has_extra):
         return next_k, vname, has_extra
     if kind == "merge":
         # source: matched ks take s.amt (doubled); one new k inserts;
-        # matched ks where amt would exceed 900 delete instead
+        # matched ks where amt would exceed 900 delete instead. Even
+        # remainders also carry a BY-SOURCE clause: unmatched rows
+        # with amt > 950 delete (the r11 clause family in the model)
         src = {
             k: (f"m{k}", amt * 2, ex)
             for k, (v, amt, ex) in model.items()
             if k % m == r
         }
         src[next_k] = (f"i{next_k}", 7.0, 1.5)
+        if r % 2 == 0:
+            for k in [
+                k
+                for k, (v, amt, ex) in model.items()
+                if k not in src and amt is not None and amt > 950.0
+            ]:
+                del model[k]
         for k, (v, amt, ex) in src.items():
             if k in model:
                 if amt > 900.0:
@@ -172,6 +181,9 @@ def _apply_table(t, next_k, op, vname):
                 | ({"extra": "s.extra"} if has_extra else {})
             ),
             when_not_matched_insert="*",
+            when_not_matched_by_source_delete=(
+                "t.amt > 950.0" if r % 2 == 0 else None
+            ),
         )
     elif kind == "upsert":
         cur = {
