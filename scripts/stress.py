@@ -263,7 +263,60 @@ def main() -> None:
     lakehouse_metadata_probe(spark, events)
     segment_memory_probe(spark, events)
     bloom_lookup_probe(spark, events)
+    restore_clone_probe(spark, events)
     codec_probe(spark, mult)
+
+
+def restore_clone_probe(spark, events) -> None:
+    """r11: RESTORE and SHALLOW CLONE must stay O(manifest) at file
+    count — no data IO however big the table. Build a 5000-file
+    table, roll it through a delete, then measure (a) restore wall
+    time and (b) clone wall time, asserting ZERO bytes of data were
+    written under either new state beyond manifests/segments (the
+    file lists are reference-identical). At a real 100 TB table the
+    same operations move the same few MB of metadata."""
+    import os
+    import shutil
+    import tempfile
+
+    from social_media_etl_spark.operators.manifest import VersionedTable
+
+    d = tempfile.mkdtemp(prefix="smetl_stress_rst_")
+    try:
+        base = events.select("event_id", "event_type", "value")
+        t = VersionedTable.create(
+            spark,
+            f"{d}/t",
+            base.repartition(5000),
+            stats_cols=["event_id"],
+        )
+        t.delete("event_id BETWEEN 0 AND 199", prune=[("event_id", 0, 199)])
+        t0 = time.time()
+        v = t.restore(0)
+        restore_s = time.time() - t0
+        assert sorted(t._read_manifest(v)["files"]) == sorted(
+            t._read_manifest(0)["files"]
+        )
+        t0 = time.time()
+        c = t.clone(f"{d}/branch")
+        clone_s = time.time() - t0
+        assert sorted(c._read_manifest(0)["files"]) == sorted(
+            t._read_manifest(v)["files"]
+        )
+        # zero-copy: the clone's own data dir does not exist
+        assert not os.path.exists(f"{d}/branch/data")
+        print(
+            json.dumps(
+                {
+                    "probe": "restore_clone_metadata",
+                    "n_files": len(t._read_manifest(v)["files"]),
+                    "restore_s": round(restore_s, 2),
+                    "clone_s": round(clone_s, 2),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def bloom_lookup_probe(spark, events) -> None:
