@@ -2409,7 +2409,9 @@ class VersionedTable:
             n_files = len(ptr.get("files") or [])
         v = parent + 1
         m = dict(ptr)
-        for stale in ("merge_on", "mode", "predicate"):
+        for stale in (
+            "merge_on", "mode", "predicate", "cdc", "restored_from",
+        ):
             m.pop(stale, None)
         m.update(
             {
@@ -2526,7 +2528,9 @@ class VersionedTable:
             n_files = len(ptr.get("files") or [])
         v = parent + 1
         m = dict(ptr)
-        for stale in ("merge_on", "mode", "predicate"):
+        for stale in (
+            "merge_on", "mode", "predicate", "cdc", "restored_from",
+        ):
             m.pop(stale, None)
         m.update(
             {
@@ -2634,7 +2638,9 @@ class VersionedTable:
             n_files = len(ptr.get("files") or [])
         v = parent + 1
         m = dict(ptr)
-        for stale in ("merge_on", "mode", "predicate", "cdc"):
+        for stale in (
+            "merge_on", "mode", "predicate", "cdc", "restored_from",
+        ):
             m.pop(stale, None)
         m.update(
             {
@@ -2849,7 +2855,9 @@ class VersionedTable:
                     )
         v = parent + 1
         m = dict(ptr)
-        for stale in ("merge_on", "mode", "predicate"):
+        for stale in (
+            "merge_on", "mode", "predicate", "cdc", "restored_from",
+        ):
             m.pop(stale, None)
         m.update(
             {
