@@ -4787,6 +4787,107 @@ def _versioned_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _versioned_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read MERGE via deletion vectors certified
+    (operators/manifest.py:merge(mode='mor') — VERDICT r11 #3: the DV
+    machinery extended beyond DELETE so a low-selectivity MERGE costs
+    O(matched rows), not O(touched files)): an events slice
+    (event_id % 10 = 3) is committed range-clustered on event_id with
+    footer stats AND a bloom index (8 files), then ONE MoR MERGE
+    lands a mixed source — matched keys ≤ 223 take ``value =
+    s.value`` (doubled), literal keys {333, 443} take the DELETE
+    clause, two synthetic rows INSERT — as a deletion vector hiding
+    the pre-images plus NEW files holding post-images and inserts.
+    Gated in-plan on (a) ZERO data files rewritten (every v0 file
+    survives BY NAME in v1), (b) the pointer carrying a deletion
+    vector with op=merge/mode=mor, (c) the KEYED FIND-SCAN PRUNING
+    (VERDICT r11 #6): ``merge_scan_file_count`` shows the
+    bloom/stats-keyed candidate walk opens at most half the files for
+    this point-keyed source, (d) time travel — v0 reads
+    byte-identical after the merge (null-safe certification join),
+    and (e) OPTIMIZE folding the vector away (no delete_vectors on
+    the compacted pointer) with the row count unchanged. The head
+    aggregate is certified against the oracle's relational replay:
+    update ∪ anti-delete ∪ literal inserts."""
+    from social_media_etl_spark.operators.manifest import VersionedTable
+
+    cols = ["event_id", "event_type", "value"]
+    events = load_table(spark, sf_dir, "events")
+    base = events.filter(F.col("event_id") % 10 == 3).select(*cols)
+    clustered = base.repartitionByRange(8, "event_id").sortWithinPartitions(
+        "event_id"
+    )
+    d = _tmpdir(prefix="smetl_vmmg_")
+    t = VersionedTable.create(
+        spark,
+        f"{d}/t",
+        clustered,
+        stats_cols=["event_id"],
+        bloom_cols=["event_id"],
+    )
+    v0_files = set(t._read_manifest(0)["files"])
+    upd = base.filter(F.col("event_id") <= 223).withColumn(
+        "value", F.col("value") * 2
+    )
+    dels = base.filter(F.col("event_id").isin(333, 443))
+    ins = spark.createDataFrame(
+        [(100003, "synthetic", 1.5), (100013, "synthetic", 2.5)],
+        "event_id long, event_type string, value double",
+    )
+    src = upd.unionByName(dels).unionByName(ins)
+    # keyed find-scan pruning gate (r11 #6): 27 distinct point keys on
+    # the bloom+stats-indexed clustered key must open at most half
+    # the files (range stats catch the low keys, bloom+stats exclude
+    # the absent insert keys entirely)
+    kept, total = t.merge_scan_file_count(src, ["event_id"])
+    v1 = t.merge(
+        src,
+        on=["event_id"],
+        when_matched_update={"value": "s.value"},
+        when_matched_delete="s.event_id IN (333, 443)",
+        when_not_matched_insert="*",
+        mode="mor",
+        txn="mm1",
+    )
+    ptr1 = t._read_pointer(v1)
+    m1_files = set(t._read_manifest(v1)["files"])
+    zero_rewrites = v0_files < m1_files  # all v0 files kept, new added
+    has_dv = bool(ptr1.get("delete_vectors"))
+    n_before_opt = t.read(v1).count()
+    v_opt = t.optimize(target_files=2)
+    dv_compacted = not t._read_pointer(v_opt).get("delete_vectors")
+    ok = (
+        v1 == 1
+        and zero_rewrites
+        and has_dv
+        and ptr1.get("op") == "merge"
+        and ptr1.get("mode") == "mor"
+        and "dv" in (ptr1.get("features") or [])
+        and kept * 2 <= total
+        and dv_compacted
+        and t.read(v_opt).count() == n_before_opt
+    )
+    v0_cert = (
+        _certified_join(base, t.read(0), cols, "mmg")
+        .agg(F.count(F.lit(1)).alias("__n_cert"))
+        .crossJoin(F.broadcast(base.agg(F.count(F.lit(1)).alias("__n_base"))))
+        .filter(F.col("__n_cert") == F.col("__n_base"))
+        .select(F.lit(1).alias("__gate"))
+    )
+    return (
+        t.read()
+        .where(F.lit(ok))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .crossJoin(F.broadcast(v0_cert))
+        .drop("__gate")
+        .orderBy("event_type")
+    )
+
+
 def _sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL time travel certified (operators/timetravel.py — VERDICT r8
     #8: the lakehouse layer reachable from the spark.sql entry point):
@@ -5084,33 +5185,88 @@ def _managed(fn: Callable[[SparkSession, str], DataFrame]):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver grades only the FIRST 50
-    # entries per round (VERDICT r2). Round-11 window (pinned by
-    # tests/test_grading_window.py): versioned_bucketed_join LEADS —
-    # the only key never driver-green (r10's one red row,
-    # re-certified with exact decimal sums) — then the 3 new r11 keys
-    # (r10 verdict asks #7/#8: column DROP, upsert change feed batch
-    # + streaming), then the 46 oldest R11_QUEUE keys (r8-greens, 2
-    # rounds old at r10 close). Keys green in r9/r10 sit in the
-    # middle; the 4 displaced r8-greens form the R12_QUEUE at the
-    # dict tail and must lead the r12 window. Keep this paragraph in
-    # sync with tests/test_grading_window.py — window planning is
-    # done from here (r2 postmortem).
+    # entries per round (VERDICT r2). Round-12 window (pinned by
+    # tests/test_grading_window.py; VERDICT r11 ask #1): the 7 keys
+    # added in r11 AFTER its window was pinned lead (never
+    # driver-graded — the certification debt the verdict names), then
+    # versioned_mor_merge (new this round, ask #3+#6), the 4
+    # R12_QUEUE displaced r8-greens, the stateful v1 pair (ask #5),
+    # and the 36 oldest r9-greens (the blog/TPC-H block). The 14 r9
+    # keys that did not fit form the R13_QUEUE at the dict tail and
+    # must lead the r13 window. Keep this paragraph in sync with
+    # tests/test_grading_window.py — window planning is done from
+    # here (r2 postmortem).
     qs = {
-        # -- R11 WINDOW (first 50 — pinned by tests/
-        # test_grading_window.py). Leads with versioned_bucketed_join:
-        # the ONLY key never driver-green (r10's one red row — the
-        # round-half-boundary cent, re-certified this round with exact
-        # decimal sums on both engines). Then the new r11 keys (the
-        # r10 verdict's asks #7/#8 — column DROP on the mapping layer,
-        # change feed across an upsert commit, batch + streaming),
-        # then the 46 oldest R11_QUEUE keys (r8-greens whose record
-        # turned 2 rounds old at r10 close). ------------------------
+        # -- R12 WINDOW (first 50 — pinned by tests/
+        # test_grading_window.py; VERDICT r11 asks #1/#5). Leads
+        # with the 7 keys ADDED in r11 after its window was pinned
+        # (never driver-graded), then versioned_mor_merge (NEW this
+        # round — r11 ask #3, MoR MERGE via deletion vectors with
+        # the keyed find-scan gate of ask #6), then the 4 R12_QUEUE
+        # r8-greens displaced at r11, the stateful v1 pair (ask #5),
+        # and the 36 oldest r9-greens (the blog/TPC-H block whose
+        # record turns 3 rounds old). ------------------------------
+        "versioned_overwrite_change_feed": _versioned_overwrite_change_feed,
+        "versioned_restore": _versioned_restore,
+        "versioned_shallow_clone": _versioned_shallow_clone,
+        "versioned_bloom_lookup": _versioned_bloom_lookup,
+        "versioned_null_skipping": _versioned_null_skipping,
+        "versioned_type_widening": _versioned_type_widening,
+        "versioned_merge_by_source": _versioned_merge_by_source,
+        # new in r12 (graded immediately — the vbkt-r11 precedent):
+        "versioned_mor_merge": _versioned_mor_merge,
+        # R12_QUEUE (displaced r8-greens):
+        "embedding_label_centroids": _embedding_label_centroids,
+        "source_mixing_weights": _source_mixing_weights,
+        "compaction_roundtrip": _compaction_roundtrip,
+        "upsert_events_latest": _upsert_events_latest,
+        # stateful v1 pair (r11 ask #5 — grade at r12 regardless):
+        "streaming_stateful_totals": _streaming_stateful_totals,
+        "streaming_stateful_totals_rocksdb": _streaming_stateful_totals_rocksdb,
+        # 36 oldest r9-greens (blog/TPC-H block first):
+        "blog_a_most_active": _blog_a,
+        "blog_b_counts_per_key": _blog_b,
+        "blog_c_longest_text": _blog_c,
+        "q1_pricing_summary": _q1,
+        "q3_top_revenue_orders": _q3,
+        "q5_regional_revenue": _q5,
+        "q6_forecast_revenue": _q6,
+        "q14_promo_share": _q14,
+        "q17_small_qty_revenue": _q17,
+        "q18_large_volume_customers": _q18,
+        "q4_late_shipment_priority": _q4,
+        "q10_returned_revenue_top": _q10,
+        "q16_brand_supplier_counts": _q16,
+        "q19_banded_revenue": _q19,
+        "q22_idle_rich_customers": _q22,
+        "q7_nation_trade": _q7,
+        "q8_market_share": _q8,
+        "q9_product_profit": _q9,
+        "q11_important_parts": _q11,
+        "q13_order_distribution": _q13,
+        "q15_top_supplier": _q15,
+        "sql_time_travel": _sql_time_travel,
+        "sql_min_price_supplier": _sql_entrypoint,
+        "versioned_manifest_segments": _versioned_manifest_segments,
+        "versioned_mor_delete": _versioned_mor_delete,
+        "versioned_merge_into": _versioned_merge_into,
+        "anti_join_customers_no_orders": _anti_join,
+        "semi_join_urgent_suppliers": _semi_join,
+        "range_join_quantity_bands": _range_join_bands,
+        "approx_distinct_sketch_rollup": _sketch_rollup,
+        "customer_value_deciles": _cust_deciles,
+        "full_outer_balance_bands": _full_outer_bands,
+        "events_value_histogram": _events_histogram,
+        "approx_quantiles_gated": _approx_quantiles_gated,
+        "fuzzy_name_match": _fuzzy_name_match,
+        "customer_priority_profile": _cust_priority_profile,
+        # ------- middle: keys with a driver-green record in
+        # CORRECTNESS_r10 or r11 (freshest records; the rotation
+        # returns to them after the r9 block) -----------------------
         "versioned_bucketed_join": _versioned_bucketed_join,
-        # new r11 keys:
         "versioned_column_drop": _versioned_column_drop,
         "versioned_upsert_change_feed": _versioned_upsert_change_feed,
         "streaming_upsert_change_feed": _streaming_upsert_change_feed,
-        # R11_QUEUE head (r8-greens, re-certify now):
         "streaming_incremental_rollup": _streaming_incremental,
         "streaming_left_outer_join": _streaming_left_outer_join,
         "pack_sequences_greedy": _pack_greedy_single,
@@ -5157,9 +5313,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_flags": _gopher_quality,
         "semantic_dedup_representatives": _semantic_dedup,
         "bpe_pair_counts": _bpe_pair_counts,
-        # ------- middle: keys with a driver-green record in
-        # CORRECTNESS_r09 or r10 (freshest records grade again in
-        # r12+ as the rotation returns to them) ----------------------
         "rollup_revenue": _rollup_revenue,
         "grouping_sets_revenue": _grouping_sets,
         "udtf_ngrams_count": _udtf_ngrams,
@@ -5195,20 +5348,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "importance_sampling": _importance_sampling,
         "token_budget_curation": _token_budget_curation,
         "funnel_conversion": _funnel_conversion,
-        "streaming_stateful_totals_rocksdb": _streaming_stateful_totals_rocksdb,
         "streaming_full_outer_join": _streaming_full_outer_join,
         "formats_roundtrip": _formats_roundtrip,
         "skew_salted_agg_events": _salted_agg_events,
         "skew_salted_join_events": _salted_join_events,
         "bucketed_join_priority_revenue": _bucketed_join_revenue,
         "streaming_dedup_events": _streaming_dedup,
-        "streaming_stateful_totals": _streaming_stateful_totals,
         "streaming_sliding_windows": _streaming_sliding,
         "streaming_static_join": _streaming_static_join,
         "versioned_multipart_read": _versioned_multipart_read,
         "versioned_column_rename": _versioned_column_rename,
         "versioned_change_feed": _versioned_change_feed,
         "streaming_change_feed": _streaming_change_feed,
+        # -- R13_QUEUE: the 14 r9-greens that did not fit the r12
+        # window — they MUST lead the r13 window (their record turns
+        # 4 rounds old at r12 close; pinned by tests/
+        # test_grading_window.py) -----------------------------------
+        "priority_share_by_year": _priority_share,
+        "topk_orders_per_customer": _topk_per_cust,
+        "distinct_parts_per_flag": _distinct,
+        "events_json_extract": _events_json,
+        "events_pivot_counts": _events_pivot,
+        "events_unpivot_counts": _events_unpivot,
         "smoothed_mixture_sample": _smoothed_mixture_sample,
         "streaming_upsert_latest": _streaming_upsert_latest,
         "pack_training_sequences": _pack_sequences,
@@ -5217,65 +5378,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_interval_join": _streaming_interval_join,
         "table_profile_orders_approx": _table_profile_approx,
         "user_retention_cohorts": _user_retention_cohorts,
-        "blog_a_most_active": _blog_a,
-        "blog_b_counts_per_key": _blog_b,
-        "blog_c_longest_text": _blog_c,
-        "q1_pricing_summary": _q1,
-        "q3_top_revenue_orders": _q3,
-        "q5_regional_revenue": _q5,
-        "q6_forecast_revenue": _q6,
-        "q14_promo_share": _q14,
-        "q17_small_qty_revenue": _q17,
-        "q18_large_volume_customers": _q18,
-        "q4_late_shipment_priority": _q4,
-        "q10_returned_revenue_top": _q10,
-        "q16_brand_supplier_counts": _q16,
-        "q19_banded_revenue": _q19,
-        "q22_idle_rich_customers": _q22,
-        "q7_nation_trade": _q7,
-        "q8_market_share": _q8,
-        "q9_product_profit": _q9,
-        "q11_important_parts": _q11,
-        "q13_order_distribution": _q13,
-        "q15_top_supplier": _q15,
-        "customer_value_deciles": _cust_deciles,
-        "full_outer_balance_bands": _full_outer_bands,
-        "events_value_histogram": _events_histogram,
-        "approx_quantiles_gated": _approx_quantiles_gated,
-        "fuzzy_name_match": _fuzzy_name_match,
-        "customer_priority_profile": _cust_priority_profile,
-        "priority_share_by_year": _priority_share,
-        "topk_orders_per_customer": _topk_per_cust,
-        "distinct_parts_per_flag": _distinct,
-        "events_json_extract": _events_json,
-        "events_pivot_counts": _events_pivot,
-        "events_unpivot_counts": _events_unpivot,
-        "versioned_manifest_segments": _versioned_manifest_segments,
-        "versioned_mor_delete": _versioned_mor_delete,
-        "versioned_merge_into": _versioned_merge_into,
-        "sql_time_travel": _sql_time_travel,
-        "sql_min_price_supplier": _sql_entrypoint,
-        "approx_distinct_sketch_rollup": _sketch_rollup,
-        "anti_join_customers_no_orders": _anti_join,
-        "semi_join_urgent_suppliers": _semi_join,
-        "range_join_quantity_bands": _range_join_bands,
-        # -- R12_QUEUE: the r8-greens displaced from the r11 window
-        # by the 3 new keys + the bucketed-join re-lead — their green
-        # turns 3 rounds old at r11 close, so they MUST lead the r12
-        # window (pinned by tests/test_grading_window.py) ------------
-        "embedding_label_centroids": _embedding_label_centroids,
-        "source_mixing_weights": _source_mixing_weights,
-        "compaction_roundtrip": _compaction_roundtrip,
-        "upsert_events_latest": _upsert_events_latest,
-        # -- new-in-r11, first graded in r12 (never-graded keys lead
-        # the next window, before the stale greens above) -------------
-        "versioned_overwrite_change_feed": _versioned_overwrite_change_feed,
-        "versioned_restore": _versioned_restore,
-        "versioned_shallow_clone": _versioned_shallow_clone,
-        "versioned_bloom_lookup": _versioned_bloom_lookup,
-        "versioned_null_skipping": _versioned_null_skipping,
-        "versioned_type_widening": _versioned_type_widening,
-        "versioned_merge_by_source": _versioned_merge_by_source,
     }
     return {name: _managed(fn) for name, fn in qs.items()}
 
@@ -7613,6 +7715,33 @@ def oracle_sql() -> dict[str, str]:
     # head after the merge-on-read delete = the same anti-filter as the
     # COW twin; the zero-files-rewritten / vector-present / time-travel
     # / OPTIMIZE-compacts-vectors gates are in-plan on the Spark side
+    # head after the merge-on-read MERGE = update ∪ anti-delete ∪ the
+    # two literal inserts; the zero-rewrite / vector-present /
+    # keyed-find-scan-pruning / time-travel / OPTIMIZE-folds-vectors
+    # gates are in-plan on the Spark side
+    d["versioned_mor_merge"] = """
+        WITH t0 AS (
+            SELECT event_id, event_type, value
+            FROM events WHERE event_id % 10 = 3
+        ),
+        merged AS (
+            SELECT event_id, event_type,
+                   CASE WHEN event_id <= 223 THEN value * 2
+                        ELSE value END AS value
+            FROM t0
+            WHERE event_id NOT IN (333, 443)
+            UNION ALL
+            SELECT CAST(100003 AS BIGINT), 'synthetic',
+                   CAST(1.5 AS DOUBLE)
+            UNION ALL
+            SELECT CAST(100013 AS BIGINT), 'synthetic',
+                   CAST(2.5 AS DOUBLE)
+        )
+        SELECT event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM merged GROUP BY event_type ORDER BY event_type
+    """
     d["versioned_mor_delete"] = """
         SELECT event_type,
                count(*) AS n_events,
