@@ -264,6 +264,7 @@ def main() -> None:
     segment_memory_probe(spark, events)
     bloom_lookup_probe(spark, events)
     restore_clone_probe(spark, events)
+    mor_merge_probe(spark, events)
     codec_probe(spark, mult)
 
 
@@ -315,6 +316,85 @@ def restore_clone_probe(spark, events) -> None:
                 }
             )
         )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def mor_merge_probe(spark, events) -> None:
+    """r12: a point-keyed MERGE must cost O(matched rows) under MoR,
+    not O(touched files) — and the keyed find-scan (bloom+stats per
+    source key) must open O(files-holding-keys), not the table. Build
+    a 256-file range-clustered table with bloom+stats on the key,
+    then run the SAME 16-key merge twice — once COW, once MoR — and
+    record files rewritten/added, the find-scan candidate count vs
+    total, and wall time. At 100 TB the COW form rewrites every
+    touched file (~16 × file-size of IO); the MoR form writes one
+    (file, position) vector plus one post-image file."""
+    import shutil
+    import tempfile
+
+    from social_media_etl_spark.operators.manifest import VersionedTable
+
+    d = tempfile.mkdtemp(prefix="smetl_stress_mor_")
+    try:
+        base = events.select(
+            "event_id", "event_type", "value"
+        ).dropDuplicates(["event_id"])
+        clustered = base.repartitionByRange(
+            256, "event_id"
+        ).sortWithinPartitions("event_id")
+        ids = [
+            r[0]
+            for r in base.select("event_id")
+            .orderBy("event_id")
+            .limit(5000)
+            .collect()
+        ]
+        keys = ids[:: max(1, len(ids) // 16)][:16]
+        src = spark.createDataFrame(
+            [(int(k), "merged", -1.0) for k in keys],
+            "event_id long, event_type string, value double",
+        )
+        out = {"probe": "mor_merge", "n_keys": len(keys)}
+        for mode in ("cow", "mor"):
+            t = VersionedTable.create(
+                spark,
+                f"{d}/{mode}",
+                clustered,
+                stats_cols=["event_id"],
+                bloom_cols=["event_id"],
+            )
+            kept, total = t.merge_scan_file_count(src, ["event_id"])
+            t0 = time.time()
+            t.merge(
+                src,
+                on=["event_id"],
+                when_matched_update={"value": "s.value"},
+                mode=mode,
+            )
+            sec = time.time() - t0
+            f0 = set(t._read_manifest(0)["files"])
+            f1 = set(t._read_manifest(1)["files"])
+            added = sorted(f1 - f0)
+            out[mode] = {
+                "sec": round(sec, 2),
+                "files_rewritten": len(f0 - f1),
+                "files_added": len(added),
+                # the O() story: COW re-writes every row of every
+                # touched file for a 16-row change; MoR writes the 16
+                "rows_written": (
+                    spark.read.parquet(*added).count() if added else 0
+                ),
+                "scan_kept": kept,
+                "scan_total": total,
+            }
+        assert out["mor"]["files_rewritten"] == 0
+        assert out["cow"]["files_rewritten"] >= 1
+        assert out["mor"]["scan_kept"] < out["mor"]["scan_total"]
+        # optimized-write shuffle: post-images must not sliver
+        assert out["mor"]["files_added"] <= 4
+        assert out["mor"]["rows_written"] < out["cow"]["rows_written"]
+        print(json.dumps(out))
     finally:
         shutil.rmtree(d, ignore_errors=True)
 

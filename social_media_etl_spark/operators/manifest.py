@@ -108,6 +108,20 @@ SUPPORTED_FEATURES = frozenset(
 )
 
 
+#: Commits that move ZERO data files and change ZERO logical rows —
+#: the change feeds (batch + streaming) skip them and `read_changes`'
+#: file-level diff stays well-defined across them.
+METADATA_ONLY_OPS = (
+    "set_partition_spec",
+    "rename",
+    "drop",
+    "widen",
+    "add_column",
+    "add_constraint",
+    "drop_constraint",
+)
+
+
 class UnsupportedTableFeatureError(RuntimeError):
     """A manifest requires a table feature this build does not
     implement. Refusing loudly is the contract: every feature above
@@ -1971,7 +1985,7 @@ class VersionedTable:
             # file-level diff stays well-defined across it; optimize
             # is NOT allowed here — compaction rewrites files and the
             # diff would double-count their rows (ADVICE r10)
-            not in ("append", "set_partition_spec", "rename", "drop", "widen")
+            not in ("append",) + METADATA_ONLY_OPS
         ]
         if rewrites:
             raise ValueError(
@@ -2062,7 +2076,7 @@ class VersionedTable:
         for v in span:
             ptr = self._read_pointer(v)
             op = ptr.get("op")
-            if op in ("set_partition_spec", "rename", "drop", "widen"):
+            if op in METADATA_ONLY_OPS:
                 continue  # metadata-only: no rows changed
             if op == "optimize":
                 # content-identical rewrite (compaction / Z-order /
@@ -2543,6 +2557,188 @@ class VersionedTable:
         except Exception:  # pragma: no cover - registry is advisory
             pass
         return dest
+
+    def add_column(
+        self, name: str, dtype: str, txn: str | None = None
+    ) -> int:
+        """ADD COLUMN as a METADATA-ONLY commit (r12 — Delta/Iceberg
+        ALTER TABLE ADD COLUMNS; completing the evolution family
+        add/rename/drop/widen, where 'add' previously only happened
+        implicitly through an append carrying the new field): the
+        manifest schema gains a NULLABLE field and a fresh field id —
+        zero files move, existing files NULL-fill through the
+        ``mixed`` read path exactly as after an implicit additive
+        append. Refuses an existing name and any name a live footer
+        still carries physically (a dropped column's name or a
+        pre-rename alias — the same resurrect-guard the append path
+        enforces). The new column is immediately assignable by
+        UPDATE/MERGE and appendable; stats/bloom configs do not
+        change (opt in by creating future tables with the column
+        listed). First-committer-wins like every metadata commit."""
+        parent = self.head_version()
+        ptr = self._read_pointer(parent)
+        schema = self._manifest_schema(ptr)
+        if schema is None:
+            raise ValueError(
+                "VersionedTable.add_column: legacy manifest without "
+                "schema_json cannot evolve"
+            )
+        if name in {f.name for f in schema.fields}:
+            raise ValueError(
+                f"VersionedTable.add_column: column '{name}' already "
+                "exists"
+            )
+        forbidden = set(ptr.get("dropped_phys") or [])
+        for chain in (ptr.get("aliases") or {}).values():
+            forbidden.update(chain)
+        if name in forbidden:
+            raise ValueError(
+                "VersionedTable.add_column: new column "
+                f"'{name}' collides with a physical name live in "
+                "pre-drop/pre-rename files; a name-mapped read would "
+                "surface the OLD bytes. Pick a fresh name."
+            )
+        try:
+            new_field = T.StructType.fromDDL(f"`{name}` {dtype}").fields[0]
+        except Exception as exc:
+            raise ValueError(
+                f"VersionedTable.add_column: cannot parse type "
+                f"{dtype!r}: {exc}"
+            ) from None
+        merged = T.StructType(
+            list(schema.fields)
+            + [T.StructField(name, new_field.dataType, True)]
+        )
+        field_ids = dict(
+            ptr.get("field_ids")
+            or {f.name: i + 1 for i, f in enumerate(schema.fields)}
+        )
+        field_ids[name] = max(field_ids.values(), default=0) + 1
+        n_files = ptr.get("n_files")
+        if n_files is None:
+            n_files = len(ptr.get("files") or [])
+        v = parent + 1
+        m = dict(ptr)
+        for stale in (
+            "merge_on", "mode", "predicate", "cdc", "restored_from",
+        ):
+            m.pop(stale, None)
+        m.update(
+            {
+                "version": v,
+                "parent": parent,
+                "op": "add_column",
+                "schema": merged.simpleString(),
+                "schema_json": merged.json(),
+                # existing files lack the column → reads NULL-fill
+                # through the mixed projection (unless the table is
+                # empty, where the next write lands the full schema)
+                "mixed": bool(ptr.get("mixed")) or n_files > 0,
+                "txn": txn,
+                "txns": self._txns_after(ptr, txn),
+                "field_ids": field_ids,
+            }
+        )
+        if not self._try_commit(m, v):
+            raise ConcurrentWriteError(
+                f"VersionedTable: add_column raced past stale "
+                f"v{parent}; head is now v{self.head_version()} — re-run"
+            )
+        return v
+
+    def add_constraint(
+        self, cname: str, expr: str, txn: str | None = None
+    ) -> int:
+        """ALTER TABLE ADD CONSTRAINT (r12 — the Delta CHECK
+        constraint command; previously constraints existed only at
+        ``create``): validates the EXISTING head against the new
+        CHECK first — one DV-applied aggregate over the current
+        files, the same in-plan predicate every writing commit uses —
+        and refuses with per-constraint violation counts if any live
+        row fails (Delta refuses identically). On success commits
+        METADATA-ONLY: every later data-adding commit enforces the
+        constraint before its CAS. Records the ``constraints``
+        feature so a writer build that ignores CHECKs refuses rather
+        than committing unvalidated rows."""
+        if not cname or not expr:
+            raise ValueError(
+                "VersionedTable.add_constraint: name and expression "
+                "required"
+            )
+        parent = self.head_version()
+        ptr = self._read_pointer(parent)
+        base = self._resolve(ptr)
+        existing = dict(base.get("constraints") or {})
+        if cname in existing:
+            raise ValueError(
+                f"VersionedTable.add_constraint: constraint '{cname}' "
+                f"already exists ({existing[cname]!r}); drop it first"
+            )
+        # existing rows must already satisfy the CHECK — one bounded
+        # aggregate, DV-applied (vector-hidden rows don't count)
+        self._check_constraints(
+            base["files"], {**base, "constraints": {cname: expr}}
+        )
+        v = parent + 1
+        m = dict(ptr)
+        for stale in (
+            "merge_on", "mode", "predicate", "cdc", "restored_from",
+        ):
+            m.pop(stale, None)
+        m.update(
+            {
+                "version": v,
+                "parent": parent,
+                "op": "add_constraint",
+                "txn": txn,
+                "txns": self._txns_after(ptr, txn),
+                "constraints": {**existing, cname: expr},
+            }
+        )
+        self._add_feature(m, "constraints")
+        if not self._try_commit(m, v):
+            raise ConcurrentWriteError(
+                f"VersionedTable: add_constraint raced past stale "
+                f"v{parent}; head is now v{self.head_version()} — re-run"
+            )
+        return v
+
+    def drop_constraint(self, cname: str, txn: str | None = None) -> int:
+        """ALTER TABLE DROP CONSTRAINT (r12): metadata-only removal;
+        later commits stop enforcing it. Unknown names refuse (a
+        typo'd drop that silently no-ops leaves the caller believing
+        enforcement ended)."""
+        parent = self.head_version()
+        ptr = self._read_pointer(parent)
+        existing = dict(ptr.get("constraints") or {})
+        if cname not in existing:
+            raise ValueError(
+                f"VersionedTable.drop_constraint: no constraint "
+                f"'{cname}' (have: {sorted(existing)})"
+            )
+        existing.pop(cname)
+        v = parent + 1
+        m = dict(ptr)
+        for stale in (
+            "merge_on", "mode", "predicate", "cdc", "restored_from",
+        ):
+            m.pop(stale, None)
+        m.update(
+            {
+                "version": v,
+                "parent": parent,
+                "op": "drop_constraint",
+                "txn": txn,
+                "txns": self._txns_after(ptr, txn),
+                "constraints": existing,
+            }
+        )
+        if not self._try_commit(m, v):
+            raise ConcurrentWriteError(
+                f"VersionedTable: drop_constraint raced past stale "
+                f"v{parent}; head is now v{self.head_version()} — re-run"
+            )
+        return v
 
     def rename_column(self, old: str, new: str, txn: str | None = None) -> int:
         """Column RENAME as a METADATA-ONLY commit (VERDICT r9 #4 —
@@ -3541,7 +3737,10 @@ class VersionedTable:
             # the pointer (a stale merge_on/predicate would misdescribe
             # THIS commit in history inspection; an inherited cdc dir
             # would double-count the WINNER's changes at this version)
-            for stale in ("merge_on", "mode", "predicate", "txn", "cdc"):
+            for stale in (
+                "merge_on", "mode", "predicate", "txn", "cdc",
+                "restored_from",
+            ):
                 m.pop(stale, None)
             m.update(
                 {
@@ -3578,6 +3777,28 @@ class VersionedTable:
         raise ConcurrentWriteError(
             "VersionedTable: delete(mor) lost 10 CAS races"
         )
+
+    def _mor_shuffle(
+        self,
+        df: DataFrame,
+        partition_by,
+        bucket_by,
+        keys: list[str],
+    ) -> DataFrame:
+        """Optimized-write shuffle for MoR new-rows-only files (r12 —
+        the Delta optimizeWrite pattern): a keyless-COUNT repartition
+        lets AQE coalesce the exchange by SIZE, so a low-selectivity
+        MoR commit writes a few right-sized files instead of one
+        sliver per scan task (the 10× probe's 16-row merge wrote 17
+        files without this, 1 with it). Partitioned layouts shuffle
+        on the partition columns (one writer set per leaf dir);
+        bucketed layouts pass through — the bucket write repartitions
+        itself. The shuffle moves only the commit's changed rows,
+        never table-sized data."""
+        if bucket_by:
+            return df
+        cols = self._pb_cols(partition_by) or list(keys)
+        return df.repartition(*[F.col(c) for c in cols])
 
     def _update_mor(
         self,
@@ -3692,10 +3913,19 @@ class VersionedTable:
             .distinct()
             .collect()
         }
-        # …and the post-images land as NEW files (never a rewrite)
+        # …and the post-images land as NEW files (never a rewrite),
+        # AQE-sized so slivers don't proliferate
         partition_by = base.get("partition_by")
         new_files = self._write_data(
-            rows.select(*post_cols), v, partition_by, base.get("bucket_by")
+            self._mor_shuffle(
+                rows.select(*post_cols),
+                partition_by,
+                base.get("bucket_by"),
+                [f.name for f in schema.fields],
+            ),
+            v,
+            partition_by,
+            base.get("bucket_by"),
         )
         cdc_dir = None
         if base.get("cdf"):
@@ -3728,7 +3958,10 @@ class VersionedTable:
         for _ in range(10):
             v = parent + 1
             m = dict(ptr)
-            for stale in ("merge_on", "mode", "predicate", "txn", "cdc"):
+            for stale in (
+                "merge_on", "mode", "predicate", "txn", "cdc",
+                "restored_from",
+            ):
                 m.pop(stale, None)
             m.update(
                 {
@@ -4274,6 +4507,13 @@ class VersionedTable:
         for fr in new_frames[1:]:
             combined = combined.unionByName(fr)
         partition_by = base.get("partition_by")
+        if mor:
+            # MoR writes ONLY changed/inserted rows — AQE-size the
+            # files (COW keeps its rewrite partitioning: its output is
+            # touched-file-sized already)
+            combined = self._mor_shuffle(
+                combined, partition_by, base.get("bucket_by"), on
+            )
         v = parent + 1
         new_files = (
             self._write_data(

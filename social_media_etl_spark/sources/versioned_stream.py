@@ -330,7 +330,13 @@ def _span_changes(
         op = ptr.get("op")
         if op_cache is not None:
             op_cache[v] = op
-        if op in ("set_partition_spec", "rename", "drop", "widen"):
+        # keep in sync with manifest.METADATA_ONLY_OPS (inlined: this
+        # runs inside DataSource workers where importing the py4j-side
+        # module is unnecessary weight)
+        if op in (
+            "set_partition_spec", "rename", "drop", "widen",
+            "add_column", "add_constraint", "drop_constraint",
+        ):
             continue  # metadata-only: no rows changed
         if op == "optimize":
             # content-identical rewrite (compaction / Z-order / DV

@@ -96,8 +96,10 @@ def test_single_partition_exchanges_are_known(spark):
         # one-row ±2 roundtrip-tolerance gate over the JPEG corpus
         "multimodal_decode_jpeg",
         # one-row v0 byte-identity gate after the MoR delete / the
-        # 3-batch MERGE replay (head aggregates stay distributed)
+        # 3-batch MERGE replay / the MoR MERGE (head aggregates stay
+        # distributed)
         "versioned_mor_delete", "versioned_merge_into",
+        "versioned_mor_merge",
         # one-row CDF replay-invariant gate (max|Σweights| over the
         # per-key multiset check; the head aggregate stays distributed)
         "versioned_restore",
