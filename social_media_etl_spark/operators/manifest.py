@@ -119,6 +119,7 @@ METADATA_ONLY_OPS = (
     "add_column",
     "add_constraint",
     "drop_constraint",
+    "analyze",
 )
 
 
@@ -443,7 +444,11 @@ class VersionedTable:
     # -- data IO ------------------------------------------------------------
 
     def _collect_stats(
-        self, files: list[str], stats_cols: list[str], bloom: dict | None = None
+        self,
+        files: list[str],
+        stats_cols: list[str],
+        bloom: dict | None = None,
+        absent_as_null: list[str] | None = None,
     ) -> dict:
         """Per-file min/max of ``stats_cols`` from the parquet FOOTERS —
         read DISTRIBUTED (one Arrow-batched task set over the file
@@ -479,6 +484,14 @@ class VersionedTable:
         bloom_bits = int((bloom or {}).get("bits") or 2048)
         bloom_k = int((bloom or {}).get("k") or 3)
         stats_cols = stats_cols or []
+        # ``absent_as_null`` (r12, the analyze backfill): columns the
+        # CALLER asserts are alias-free and newer than some files — a
+        # footer that lacks one physically is logically ALL NULL (the
+        # mixed read NULL-fills), so record a full null census (and an
+        # empty bloom bitmap: eq never matches NULL) instead of
+        # nothing. Never set for renamed columns: their data lives
+        # under the old physical name and "absent" would be a lie.
+        absent_null = set(absent_as_null or [])
 
         def _read(batches):
             import datetime
@@ -520,6 +533,18 @@ class VersionedTable:
                     live = {c for c in bloom_cols if c in pf.schema_arrow.names}
                     for c in bloom_cols:
                         if c not in live:
+                            if c in absent_null:
+                                # all-NULL by absence: an EMPTY bitmap
+                                # skips this file for every lookup
+                                out["file"].append(f)
+                                out["col"].append(c)
+                                out["lo_num"].append(None)
+                                out["hi_num"].append(None)
+                                out["lo_str"].append(None)
+                                out["hi_str"].append(None)
+                                out["bloom"].append("0")
+                                out["nulls"].append(None)
+                                out["rows"].append(None)
                             continue  # pre-evolution file: no column
                         bm = 0
                         indexable = True
@@ -545,9 +570,25 @@ class VersionedTable:
                         out["nulls"].append(None)
                         out["rows"].append(None)
                     for c in stats_cols:
+                        n_rows = md.num_rows
+                        if (
+                            c in absent_null
+                            and c not in pf.schema_arrow.names
+                        ):
+                            # full null census for the absent column:
+                            # IS NOT NULL skips the file entirely
+                            out["file"].append(f)
+                            out["col"].append(c)
+                            out["lo_num"].append(None)
+                            out["hi_num"].append(None)
+                            out["lo_str"].append(None)
+                            out["hi_str"].append(None)
+                            out["bloom"].append(None)
+                            out["nulls"].append(n_rows)
+                            out["rows"].append(n_rows)
+                            continue
                         mins, maxs = [], []
                         nulls, seen_nc = 0, True
-                        n_rows = md.num_rows
                         for rg in range(md.num_row_groups):
                             rgm = md.row_group(rg)
                             st = next(
@@ -2740,6 +2781,194 @@ class VersionedTable:
             )
         return v
 
+    @staticmethod
+    def _merge_stats_entry(old, new):
+        """Elementwise merge of two ``[lo, hi, bloom, nulls, rows]``
+        stats entries — non-None fields of the NEW computation win,
+        everything else carries (a bloom backfill onto an existing
+        stats column must not erase its bounds)."""
+        out = list(old or [])
+        while len(out) < len(new):
+            out.append(None)
+        for i, v in enumerate(new):
+            if v is not None:
+                out[i] = v
+        return out
+
+    def analyze(
+        self,
+        stats_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
+        bloom_bits: int = 2048,
+        bloom_hashes: int = 3,
+        txn: str | None = None,
+    ) -> int:
+        """Backfill the pruning index for columns that were not
+        indexed at ``create`` (r12 — the ANALYZE TABLE / Iceberg
+        rewrite-manifests pattern): record per-file footer [min, max]
+        + null census for new ``stats_cols`` and/or bloom bitmaps for
+        new ``bloom_cols`` across EVERY current file, and extend the
+        table's configs so later commits index their own files too.
+        This is what makes :meth:`add_column` + pruning composable —
+        a column added (or simply not anticipated) at create time
+        becomes skippable without rewriting a byte of data.
+
+        COST, stated plainly: one distributed footer pass over all
+        current files for range stats, plus one COLUMN read per file
+        for bloom bitmaps (the inherent bloom trade) — O(files)
+        metadata work, run once, never a row rewrite. The commit
+        itself rewrites segment METADATA (all segments, since every
+        file gains entries) — O(table metadata), not O(data).
+
+        Files whose footers do not physically carry the column
+        (pre-evolution or pre-rename generations) record nothing and
+        are always kept — pruning degrades, never drops data. A bloom
+        config already on the table fixes bits/k; pass matching
+        values (or the defaults) — conflicting geometry is refused
+        because per-file bitmaps must share one hash layout. Columns
+        already indexed are skipped; an analyze that adds nothing
+        returns the current version (no empty commits). Losing a CAS
+        race raises (re-run; the footer pass is the expensive part
+        and it stays valid only against the snapshot it read)."""
+        parent = self.head_version()
+        ptr = self._read_pointer(parent)
+        base = self._resolve(ptr)
+        schema = self._manifest_schema(base)
+        known = (
+            {f.name for f in schema.fields} if schema is not None else None
+        )
+        want_stats = list(stats_cols or [])
+        want_bloom = list(bloom_cols or [])
+        if known is not None:
+            unknown = (set(want_stats) | set(want_bloom)) - known
+            if unknown:
+                raise ValueError(
+                    f"VersionedTable.analyze: column(s) {sorted(unknown)} "
+                    f"not in the table schema {sorted(known)}"
+                )
+        cur_stats = list(base.get("stats_cols") or [])
+        cur_bloom_cfg = base.get("bloom")
+        cur_bloom = list((cur_bloom_cfg or {}).get("cols") or [])
+        if cur_bloom_cfg:
+            if (
+                bloom_bits != int(cur_bloom_cfg["bits"])
+                and bloom_bits != 2048
+            ) or (
+                bloom_hashes != int(cur_bloom_cfg["k"])
+                and bloom_hashes != 3
+            ):
+                raise ValueError(
+                    "VersionedTable.analyze: the table's bloom config "
+                    f"is bits={cur_bloom_cfg['bits']}/k="
+                    f"{cur_bloom_cfg['k']}; per-file bitmaps must share "
+                    "one hash geometry — pass matching values"
+                )
+            bloom_bits = int(cur_bloom_cfg["bits"])
+            bloom_hashes = int(cur_bloom_cfg["k"])
+        elif want_bloom and (bloom_bits < 64 or bloom_hashes < 1):
+            raise ValueError(
+                "VersionedTable.analyze: bloom_bits must be >= 64 and "
+                "bloom_hashes >= 1"
+            )
+        added_stats = [c for c in want_stats if c not in cur_stats]
+        added_bloom = [c for c in want_bloom if c not in cur_bloom]
+        if not added_stats and not added_bloom:
+            return parent
+        aliases = base.get("aliases") or {}
+        new_entries = (
+            self._collect_stats(
+                base["files"],
+                added_stats,
+                {
+                    "cols": added_bloom,
+                    "bits": bloom_bits,
+                    "k": bloom_hashes,
+                }
+                if added_bloom
+                else None,
+                # alias-free columns absent from a footer are
+                # logically all-NULL there (added after the file was
+                # written) — record the census / empty bitmap so the
+                # pruning actually skips; renamed columns keep their
+                # data under old physical names and stay conservative
+                absent_as_null=[
+                    c
+                    for c in set(added_stats) | set(added_bloom)
+                    if not aliases.get(c)
+                ],
+            )
+            if base["files"]
+            else {}
+        )
+        new_stats_cols = cur_stats + added_stats
+        new_bloom_cfg = (
+            {
+                "cols": cur_bloom + added_bloom,
+                "bits": bloom_bits,
+                "k": bloom_hashes,
+            }
+            if (cur_bloom or added_bloom)
+            else None
+        )
+        v = parent + 1
+        m = dict(ptr)
+        for stale in (
+            "merge_on", "mode", "predicate", "cdc", "restored_from",
+        ):
+            m.pop(stale, None)
+        m.update(
+            {
+                "version": v,
+                "parent": parent,
+                "op": "analyze",
+                "txn": txn,
+                "txns": self._txns_after(ptr, txn),
+                "stats_cols": new_stats_cols,
+                "bloom": new_bloom_cfg,
+            }
+        )
+        if "segments" in ptr:
+            segs = []
+            for name in ptr["segments"]:
+                seg = self._read_segment(name)
+                touched = [f for f in seg["files"] if f in new_entries]
+                if not touched:
+                    segs.append(name)  # nothing new recorded: carry
+                    continue
+                merged = dict(seg.get("stats") or {})
+                for f in touched:
+                    ent = dict(merged.get(f) or {})
+                    for c, e in new_entries[f].items():
+                        ent[c] = self._merge_stats_entry(ent.get(c), e)
+                    merged[f] = ent
+                segs.append(
+                    self._write_segment(
+                        seg["files"],
+                        merged,
+                        seg.get("parts") or {},
+                        seg.get("spec"),
+                    )
+                )
+            m["segments"] = segs
+        else:
+            merged_all = {
+                f: dict(e) for f, e in (base.get("stats") or {}).items()
+            }
+            for f, cols in new_entries.items():
+                ent = dict(merged_all.get(f) or {})
+                for c, e in cols.items():
+                    ent[c] = self._merge_stats_entry(ent.get(c), e)
+                merged_all[f] = ent
+            m["stats"] = merged_all
+        if new_bloom_cfg:
+            self._add_feature(m, "bloom")
+        if not self._try_commit(m, v):
+            raise ConcurrentWriteError(
+                f"VersionedTable: analyze raced past stale v{parent}; "
+                f"head is now v{self.head_version()} — re-run"
+            )
+        return v
+
     def rename_column(self, old: str, new: str, txn: str | None = None) -> int:
         """Column RENAME as a METADATA-ONLY commit (VERDICT r9 #4 —
         schema evolution v2, the Delta/Iceberg column-mapping pattern):
@@ -3486,7 +3715,9 @@ class VersionedTable:
                 "mixed": bool(base.get("mixed")),
                 "txn": txn,
                 "txns": self._txns_after(base, txn),
-                "stats_cols": stats_cols,
+                # from the REBASED head, not the pre-race capture: an
+                # analyze winner may have extended the index config
+                "stats_cols": base.get("stats_cols") or [],
                 "bloom": base.get("bloom"),
                 "partition_by": partition_by,
                 # a delete keeps a subset of already-valid rows — no
@@ -3559,8 +3790,10 @@ class VersionedTable:
     # upsert) and metadata commits that change what a predicate or
     # file name MEANS (rename, drop, set_partition_spec) always
     # invalidate a staged rewrite.
+    # analyze changes no file list and no rows — it always commutes
+    # under rules 2-4 (nothing removed, no vectors, nothing added)
     _REBASABLE_OPS = frozenset(
-        {"append", "delete", "update", "merge", "optimize"}
+        {"append", "delete", "update", "merge", "optimize", "analyze"}
     )
 
     def _rebase_over_disjoint(
@@ -4580,7 +4813,9 @@ class VersionedTable:
                 "mixed": bool(base.get("mixed")),
                 "txn": txn,
                 "txns": self._txns_after(base, txn),
-                "stats_cols": stats_cols,
+                # from the REBASED head, not the pre-race capture: an
+                # analyze winner may have extended the index config
+                "stats_cols": base.get("stats_cols") or [],
                 "bloom": base.get("bloom"),
                 "partition_by": partition_by,
                 "constraints": base.get("constraints") or {},
@@ -4857,7 +5092,9 @@ class VersionedTable:
                 "mixed": bool(base.get("mixed")),
                 "txn": txn,
                 "txns": self._txns_after(base, txn),
-                "stats_cols": stats_cols,
+                # from the REBASED head, not the pre-race capture: an
+                # analyze winner may have extended the index config
+                "stats_cols": base.get("stats_cols") or [],
                 "bloom": base.get("bloom"),
                 "partition_by": partition_by,
                 "constraints": base.get("constraints") or {},
@@ -5056,7 +5293,9 @@ class VersionedTable:
                 "schema": head_ptr["schema"],
                 "schema_json": head_ptr.get("schema_json"),
                 "txns": self._txns_after(head_ptr, None),
-                "stats_cols": stats_cols,
+                # from the REBASED head, not the pre-race capture: an
+                # analyze winner may have extended the index config
+                "stats_cols": head_ptr.get("stats_cols") or [],
                 "bloom": head_ptr.get("bloom"),
                 "partition_by": partition_by,
                 # content-identical rewrite of already-valid rows

@@ -336,6 +336,7 @@ def _span_changes(
         if op in (
             "set_partition_spec", "rename", "drop", "widen",
             "add_column", "add_constraint", "drop_constraint",
+            "analyze",
         ):
             continue  # metadata-only: no rows changed
         if op == "optimize":
