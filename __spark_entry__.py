@@ -4801,8 +4801,9 @@ def _versioned_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gated in-plan on (a) ZERO data files rewritten (every v0 file
     survives BY NAME in v1), (b) the pointer carrying a deletion
     vector with op=merge/mode=mor, (c) the KEYED FIND-SCAN PRUNING
-    (VERDICT r11 #6): ``merge_scan_file_count`` shows the
-    bloom/stats-keyed candidate walk opens at most half the files for
+    (VERDICT r11 #6): the merge's own candidate walk
+    (``last_merge_scan_files`` introspection — no duplicate probe
+    pass) opened at most half the files for
     this point-keyed source, (d) time travel — v0 reads
     byte-identical after the merge (null-safe certification join),
     and (e) OPTIMIZE folding the vector away (no delete_vectors on
@@ -4834,12 +4835,11 @@ def _versioned_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(100003, "synthetic", 1.5), (100013, "synthetic", 2.5)],
         "event_id long, event_type string, value double",
     )
-    src = upd.unionByName(dels).unionByName(ins)
-    # keyed find-scan pruning gate (r11 #6): 27 distinct point keys on
-    # the bloom+stats-indexed clustered key must open at most half
-    # the files (range stats catch the low keys, bloom+stats exclude
-    # the absent insert keys entirely)
-    kept, total = t.merge_scan_file_count(src, ["event_id"])
+    # the source is ≤ 30 rows at every SF (23 update keys, 2 delete
+    # keys, 2 inserts) but each lazy evaluation re-scans the events
+    # parquet three times — pin it once, the pattern the memoized
+    # exact intermediates use
+    src = upd.unionByName(dels).unionByName(ins).localCheckpoint(eager=True)
     v1 = t.merge(
         src,
         on=["event_id"],
@@ -4849,6 +4849,11 @@ def _versioned_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="mor",
         txn="mm1",
     )
+    # keyed find-scan pruning gate (r11 #6): the merge's own candidate
+    # walk (27 distinct point keys on the bloom+stats-indexed
+    # clustered key) must have opened at most half the files — read
+    # from the merge's introspection, not a duplicate probe pass
+    kept, total = t.last_merge_scan_files
     ptr1 = t._read_pointer(v1)
     m1_files = set(t._read_manifest(v1)["files"])
     zero_rewrites = v0_files < m1_files  # all v0 files kept, new added

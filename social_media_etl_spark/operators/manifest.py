@@ -1612,6 +1612,11 @@ class VersionedTable:
     _DV_FILE = "__smetl_dv_file"
     _DV_POS = "__smetl_dv_pos"
 
+    #: (candidate files opened, total files) of the LAST merge()'s
+    #: target-side find-scan on this handle — gate/dashboard
+    #: introspection for the keyed pruning (r12); None before any merge
+    last_merge_scan_files: tuple | None = None
+
     def _read_files(
         self,
         manifest: dict,
@@ -4423,6 +4428,9 @@ class VersionedTable:
             if by_source
             else self._keyed_candidate_files(base, on, src_keys)
         )
+        # introspection for gates/ops dashboards: what the keyed
+        # pruning bought THIS merge (kept == total when it fell back)
+        self.last_merge_scan_files = (len(candidates), len(base["files"]))
 
         # ambiguity: a target row matched by >1 source row has no
         # deterministic clause outcome — refuse, as Delta does. The
@@ -4498,6 +4506,7 @@ class VersionedTable:
         new_frames = []
         cdc_frames: list = []
         dv_rows = None
+        joined_cache = None
         if touched_files:
             t_rows = self._read_files(
                 base, touched_files, with_pos=mor
@@ -4514,6 +4523,17 @@ class VersionedTable:
                 eq = F.col(f"t.{c}") == F.col(f"s.{c}")
                 cond = eq if cond is None else cond & eq
             joined = t_rows.join(marked_src, cond, "left")
+            if mor:
+                # the joined scan feeds up to FOUR actions in MoR mode
+                # (post-image probe + write, vector probe + write,
+                # plus CDC on CDF tables) — persist it once instead of
+                # re-running the candidate scan per action; bounded by
+                # the candidate files' rows (MoR targets point-keyed
+                # low-selectivity merges, and MEMORY_AND_DISK spills
+                # if a wide candidate set does not fit). Released
+                # before the commit loop.
+                joined = joined.persist()
+                joined_cache = joined
             is_matched = F.col("__s_hit").isNotNull()
             take_delete = (
                 is_matched
@@ -4774,6 +4794,8 @@ class VersionedTable:
         if mor and dv_dir is None and not new_files:
             # every clause hit was already vector-hidden and nothing
             # inserted: no empty commits (the COW twin's contract)
+            if joined_cache is not None:
+                joined_cache.unpersist()
             return parent
         cdc_dir = None
         if cdc_frames:
@@ -4786,6 +4808,11 @@ class VersionedTable:
             # the feed treats the commit as change-free
             if cdc.limit(1).count():
                 cdc_dir = self._write_cdc(cdc, v)
+        if joined_cache is not None:
+            # every joined-derived action (post-images, vector, CDC)
+            # has run — release before the commit loop (battery
+            # hygiene: retained blocks degrade long sessions, r5)
+            joined_cache.unpersist()
         stats_cols = base.get("stats_cols") or []
         new_stats = (
             self._collect_stats(new_files, stats_cols, base.get("bloom"))
