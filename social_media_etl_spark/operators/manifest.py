@@ -4016,27 +4016,40 @@ class VersionedTable:
             "VersionedTable: delete(mor) lost 10 CAS races"
         )
 
+    #: target rows per MoR-written file — sizes new-rows-only commits
+    #: explicitly instead of trusting AQE's coalescing heuristics
+    #: (parallelismFirst etc. vary with session history; the 10×
+    #: probe caught a 16-row merge writing 12 sliver files when the
+    #: keyless-repartition form ran mid-battery)
+    _MOR_ROWS_PER_FILE = 4_000_000
+
     def _mor_shuffle(
         self,
         df: DataFrame,
         partition_by,
         bucket_by,
-        keys: list[str],
+        n_rows: int,
     ) -> DataFrame:
         """Optimized-write shuffle for MoR new-rows-only files (r12 —
-        the Delta optimizeWrite pattern): a keyless-COUNT repartition
-        lets AQE coalesce the exchange by SIZE, so a low-selectivity
-        MoR commit writes a few right-sized files instead of one
-        sliver per scan task (the 10× probe's 16-row merge wrote 17
-        files without this, 1 with it). Partitioned layouts shuffle
-        on the partition columns (one writer set per leaf dir);
-        bucketed layouts pass through — the bucket write repartitions
-        itself. The shuffle moves only the commit's changed rows,
-        never table-sized data."""
+        the Delta optimizeWrite idea): repartition the commit's
+        changed rows to an EXPLICIT count derived from their number
+        (``ceil(n / _MOR_ROWS_PER_FILE)``, capped at the session's
+        shuffle parallelism), so a low-selectivity MoR commit writes
+        a few right-sized files instead of one sliver per scan task.
+        Partitioned layouts shuffle on the partition columns instead
+        (one writer set per leaf dir); bucketed layouts pass through —
+        the bucket write repartitions itself. The shuffle moves only
+        the commit's changed rows, never table-sized data."""
         if bucket_by:
             return df
-        cols = self._pb_cols(partition_by) or list(keys)
-        return df.repartition(*[F.col(c) for c in cols])
+        pb = self._pb_cols(partition_by)
+        if pb:
+            return df.repartition(*[F.col(c) for c in pb])
+        cap = int(
+            self.spark.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        nparts = max(1, min(cap, -(-n_rows // self._MOR_ROWS_PER_FILE)))
+        return df.repartition(nparts)
 
     def _update_mor(
         self,
@@ -4152,14 +4165,17 @@ class VersionedTable:
             .collect()
         }
         # …and the post-images land as NEW files (never a rewrite),
-        # AQE-sized so slivers don't proliferate
+        # explicitly sized from the vector's row count (a columnar
+        # count over the just-written DV parquet — footer metadata,
+        # no data pass) so slivers don't proliferate
+        n_changed = self.spark.read.parquet(dv_dir).count()
         partition_by = base.get("partition_by")
         new_files = self._write_data(
             self._mor_shuffle(
                 rows.select(*post_cols),
                 partition_by,
                 base.get("bucket_by"),
-                [f.name for f in schema.fields],
+                n_changed,
             ),
             v,
             partition_by,
@@ -4760,19 +4776,23 @@ class VersionedTable:
         for fr in new_frames[1:]:
             combined = combined.unionByName(fr)
         partition_by = base.get("partition_by")
+        n_new = None
         if mor:
-            # MoR writes ONLY changed/inserted rows — AQE-size the
-            # files (COW keeps its rewrite partitioning: its output is
-            # touched-file-sized already)
+            # MoR writes ONLY changed/inserted rows — count them (one
+            # bounded job over the persisted join + source anti-join;
+            # it doubles as the emptiness gate) and size the files
+            # explicitly (COW keeps its rewrite partitioning: its
+            # output is touched-file-sized already)
+            n_new = combined.count()
             combined = self._mor_shuffle(
-                combined, partition_by, base.get("bucket_by"), on
+                combined, partition_by, base.get("bucket_by"), n_new
             )
         v = parent + 1
         new_files = (
             self._write_data(
                 combined, v, partition_by, base.get("bucket_by")
             )
-            if combined.limit(1).count()
+            if (n_new if mor else combined.limit(1).count())
             else []
         )
         if not touched_files and not new_files:
