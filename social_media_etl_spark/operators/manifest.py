@@ -1123,6 +1123,34 @@ class VersionedTable:
         tables committed by earlier rounds parse unchanged."""
         return cls._PT_DIR if i == 0 else f"{cls._PT_DIR}{i}"
 
+    @classmethod
+    def _check_reserved_names(cls, names, ctx: str) -> None:
+        """Reject column names the engine reserves internally (ADVICE
+        r12): the deletion-vector keys (``__smetl_dv_file`` /
+        ``__smetl_dv_pos`` — a user column by that name duplicates the
+        MoR ``_metadata`` projection), the ``smetl_pt``/``smetl_pt<N>``
+        partition directory columns (partitioned writes refuse them
+        per-write, but an unpartitioned table could still commit one
+        and break a later repartition-spec change), and merge's
+        ``__s_hit`` match marker. Shared by create / add_column /
+        rename_column so the refusal happens at DDL time with a clear
+        message instead of a confusing failure on a later commit."""
+        import re as _re
+
+        bad = [
+            n
+            for n in names
+            if n in (cls._DV_FILE, cls._DV_POS, "__s_hit")
+            or _re.fullmatch(rf"{cls._PT_DIR}\d*", n)
+        ]
+        if bad:
+            raise ValueError(
+                f"VersionedTable.{ctx}: column name(s) {sorted(bad)} are "
+                "reserved for the engine's internal layout (deletion-"
+                "vector keys, partition directory columns, merge match "
+                "marker). Pick different names."
+            )
+
     def _write_data(
         self,
         df: DataFrame,
@@ -1327,6 +1355,7 @@ class VersionedTable:
         t = cls(spark, path)
         if t.versions():
             raise IOError(f"VersionedTable: {path} already initialized")
+        cls._check_reserved_names(df.columns, "create")
         bucket = None
         if bucket_by is not None:
             if partition_by:
@@ -2590,16 +2619,21 @@ class VersionedTable:
                     self._jvm.java.lang.System.currentTimeMillis()
                 ),
             }
-            out = self._fs.create(
-                self._P(
-                    f"{self.path}/_clones/c-{uuid.uuid4().hex[:12]}.json"
-                ),
-                False,
-            )
+            # temp-then-rename (ADVICE r12): a crash mid-write must
+            # never leave a torn c-*.json — vacuum hard-stops its
+            # data/dv sweep on an unparseable registration, so a torn
+            # record would block reclamation until manually removed.
+            reg_name = f"c-{uuid.uuid4().hex[:12]}.json"
+            tmp_reg = self._P(f"{self.path}/_clones/.tmp-{reg_name}")
+            out = self._fs.create(tmp_reg, False)
             try:
                 out.write(bytearray(json.dumps(rec).encode("utf-8")))
             finally:
                 out.close()
+            if not self._fs.rename(
+                tmp_reg, self._P(f"{self.path}/_clones/{reg_name}")
+            ):  # pragma: no cover - registry is advisory
+                self._fs.delete(tmp_reg, False)
         except Exception:  # pragma: no cover - registry is advisory
             pass
         return dest
@@ -2634,6 +2668,7 @@ class VersionedTable:
                 f"VersionedTable.add_column: column '{name}' already "
                 "exists"
             )
+        self._check_reserved_names([name], "add_column")
         forbidden = set(ptr.get("dropped_phys") or [])
         for chain in (ptr.get("aliases") or {}).values():
             forbidden.update(chain)
@@ -3023,6 +3058,7 @@ class VersionedTable:
                 "current column or a live physical name of one — a "
                 "pre-rename file could feed two logical columns"
             )
+        self._check_reserved_names([new], "rename_column")
         for cname, expr in (ptr.get("constraints") or {}).items():
             if _re.search(rf"\b{_re.escape(old)}\b", expr):
                 raise ValueError(
@@ -4048,7 +4084,20 @@ class VersionedTable:
         cap = int(
             self.spark.conf.get("spark.sql.shuffle.partitions", "200")
         )
-        nparts = max(1, min(cap, -(-n_rows // self._MOR_ROWS_PER_FILE)))
+        # tunable per session like dedup.driverComponentThreshold
+        # (VERDICT r12 #4): a 128 MB-file deployment sets
+        # spark.smetl.mor.rowsPerFile to its own row budget without
+        # editing source; the class constant is only the default.
+        conf = self.spark.conf.get("spark.smetl.mor.rowsPerFile", None)
+        rows_per_file = (
+            int(conf) if conf is not None else self._MOR_ROWS_PER_FILE
+        )
+        if rows_per_file < 1:
+            raise ValueError(
+                "spark.smetl.mor.rowsPerFile must be >= 1, got "
+                f"{rows_per_file}"
+            )
+        nparts = max(1, min(cap, -(-n_rows // rows_per_file)))
         return df.repartition(nparts)
 
     def _update_mor(
@@ -4523,316 +4572,326 @@ class VersionedTable:
         cdc_frames: list = []
         dv_rows = None
         joined_cache = None
-        if touched_files:
-            t_rows = self._read_files(
-                base, touched_files, with_pos=mor
-            ).alias("t")
-            cond = None
-            for c in on:
-                # PLAIN equality, never null-safe: SQL MERGE semantics
-                # say NULL keys match nothing — a NULL-keyed source row
-                # falls through to the not-matched (insert) clause, and
-                # a NULL-keyed target row is never updated/deleted.
-                # (eqNullSafe here would also contradict the find-files
-                # semi-join, which uses null-unsafe equality — r9
-                # self-review.)
-                eq = F.col(f"t.{c}") == F.col(f"s.{c}")
-                cond = eq if cond is None else cond & eq
-            joined = t_rows.join(marked_src, cond, "left")
-            if mor:
-                # the joined scan feeds up to FOUR actions in MoR mode
-                # (post-image probe + write, vector probe + write,
-                # plus CDC on CDF tables) — persist it once instead of
-                # re-running the candidate scan per action; bounded by
-                # the candidate files' rows (MoR targets point-keyed
-                # low-selectivity merges, and MEMORY_AND_DISK spills
-                # if a wide candidate set does not fit). Released
-                # before the commit loop.
-                joined = joined.persist()
-                joined_cache = joined
-            is_matched = F.col("__s_hit").isNotNull()
-            take_delete = (
-                is_matched
-                & F.coalesce(F.expr(when_matched_delete), F.lit(False))
-                if when_matched_delete is not None
-                else F.lit(False)
-            )
-            # Delta clause-order semantics on the by-source side too:
-            # delete evaluated before update over the UNMATCHED rows
-            take_bs_delete = (
-                ~is_matched
-                & F.coalesce(
-                    F.expr(when_not_matched_by_source_delete), F.lit(False)
+        # ADVICE r12: every joined-derived action (clause builds,
+        # post-image count/write, vector + CDC writes, constraint
+        # checks) runs under try/except so an in-plan failure can
+        # never strand the persisted join's blocks in a long
+        # session — the exact degradation the r5 comment warns of.
+        try:
+            if touched_files:
+                t_rows = self._read_files(
+                    base, touched_files, with_pos=mor
+                ).alias("t")
+                cond = None
+                for c in on:
+                    # PLAIN equality, never null-safe: SQL MERGE semantics
+                    # say NULL keys match nothing — a NULL-keyed source row
+                    # falls through to the not-matched (insert) clause, and
+                    # a NULL-keyed target row is never updated/deleted.
+                    # (eqNullSafe here would also contradict the find-files
+                    # semi-join, which uses null-unsafe equality — r9
+                    # self-review.)
+                    eq = F.col(f"t.{c}") == F.col(f"s.{c}")
+                    cond = eq if cond is None else cond & eq
+                joined = t_rows.join(marked_src, cond, "left")
+                if mor:
+                    # the joined scan feeds up to FOUR actions in MoR mode
+                    # (post-image probe + write, vector probe + write,
+                    # plus CDC on CDF tables) — persist it once instead of
+                    # re-running the candidate scan per action; bounded by
+                    # the candidate files' rows (MoR targets point-keyed
+                    # low-selectivity merges, and MEMORY_AND_DISK spills
+                    # if a wide candidate set does not fit). Released
+                    # before the commit loop.
+                    joined = joined.persist()
+                    joined_cache = joined
+                is_matched = F.col("__s_hit").isNotNull()
+                take_delete = (
+                    is_matched
+                    & F.coalesce(F.expr(when_matched_delete), F.lit(False))
+                    if when_matched_delete is not None
+                    else F.lit(False)
                 )
-                if when_not_matched_by_source_delete is not None
-                else F.lit(False)
-            )
-            take_bs_update = (
-                ~is_matched & ~take_bs_delete
-                if when_not_matched_by_source_update
-                else F.lit(False)
-            )
+                # Delta clause-order semantics on the by-source side too:
+                # delete evaluated before update over the UNMATCHED rows
+                take_bs_delete = (
+                    ~is_matched
+                    & F.coalesce(
+                        F.expr(when_not_matched_by_source_delete), F.lit(False)
+                    )
+                    if when_not_matched_by_source_delete is not None
+                    else F.lit(False)
+                )
+                take_bs_update = (
+                    ~is_matched & ~take_bs_delete
+                    if when_not_matched_by_source_update
+                    else F.lit(False)
+                )
 
-            def _bs_upd(name):
-                val = F.expr(when_not_matched_by_source_update[name])
-                casted = val.cast(types[name])
-                return F.when(
-                    val.isNotNull() & casted.isNull(),
-                    F.raise_error(
-                        F.concat(
-                            F.lit(
-                                "VersionedTable.merge: by-source update "
-                                f"of column '{name}' does not fit type "
-                                f"{types[name].simpleString()} for "
-                                "value '"
-                            ),
-                            val.cast("string"),
-                            F.lit("'"),
-                        )
-                    ).cast(types[name]),
-                ).otherwise(casted)
-            def _upd(name):
-                val = F.expr(when_matched_update[name])
-                casted = val.cast(types[name])
-                return F.when(
-                    val.isNotNull() & casted.isNull(),
-                    F.raise_error(
-                        F.concat(
-                            F.lit(
-                                "VersionedTable.merge: update of column "
-                                f"'{name}' does not fit type "
-                                f"{types[name].simpleString()} for value '"
-                            ),
-                            val.cast("string"),
-                            F.lit("'"),
-                        )
-                    ).cast(types[name]),
-                ).otherwise(casted)
+                def _bs_upd(name):
+                    val = F.expr(when_not_matched_by_source_update[name])
+                    casted = val.cast(types[name])
+                    return F.when(
+                        val.isNotNull() & casted.isNull(),
+                        F.raise_error(
+                            F.concat(
+                                F.lit(
+                                    "VersionedTable.merge: by-source update "
+                                    f"of column '{name}' does not fit type "
+                                    f"{types[name].simpleString()} for "
+                                    "value '"
+                                ),
+                                val.cast("string"),
+                                F.lit("'"),
+                            )
+                        ).cast(types[name]),
+                    ).otherwise(casted)
+                def _upd(name):
+                    val = F.expr(when_matched_update[name])
+                    casted = val.cast(types[name])
+                    return F.when(
+                        val.isNotNull() & casted.isNull(),
+                        F.raise_error(
+                            F.concat(
+                                F.lit(
+                                    "VersionedTable.merge: update of column "
+                                    f"'{name}' does not fit type "
+                                    f"{types[name].simpleString()} for value '"
+                                ),
+                                val.cast("string"),
+                                F.lit("'"),
+                            )
+                        ).cast(types[name]),
+                    ).otherwise(casted)
 
-            take_update = (
-                is_matched & ~take_delete
-                if when_matched_update
-                else F.lit(False)
-            )
-            def _out_col(f):
-                e = F.col(f"t.{f.name}")
-                if (
-                    when_not_matched_by_source_update
-                    and f.name in when_not_matched_by_source_update
-                ):
-                    e = F.when(take_bs_update, _bs_upd(f.name)).otherwise(e)
-                if when_matched_update and f.name in when_matched_update:
-                    e = F.when(take_update, _upd(f.name)).otherwise(e)
-                return e.alias(f.name)
+                take_update = (
+                    is_matched & ~take_delete
+                    if when_matched_update
+                    else F.lit(False)
+                )
+                def _out_col(f):
+                    e = F.col(f"t.{f.name}")
+                    if (
+                        when_not_matched_by_source_update
+                        and f.name in when_not_matched_by_source_update
+                    ):
+                        e = F.when(take_bs_update, _bs_upd(f.name)).otherwise(e)
+                    if when_matched_update and f.name in when_matched_update:
+                        e = F.when(take_update, _upd(f.name)).otherwise(e)
+                    return e.alias(f.name)
 
-            if mor:
-                # MoR: every clause-taken row's PRE-image is hidden by
-                # the vector; only update POST-images become new rows
-                # (deletes contribute nothing, carry-through rows stay
-                # physically where they are)
-                affected = (
-                    take_delete
-                    | take_update
-                    | take_bs_delete
-                    | take_bs_update
-                )
-                dv_rows = joined.filter(affected).select(
-                    F.col(f"t.{self._DV_FILE}").alias(self._DV_FILE),
-                    F.col(f"t.{self._DV_POS}").alias(self._DV_POS),
-                )
-                new_frames.append(
-                    joined.filter(take_update | take_bs_update).select(
-                        *[_out_col(f) for f in schema.fields]
+                if mor:
+                    # MoR: every clause-taken row's PRE-image is hidden by
+                    # the vector; only update POST-images become new rows
+                    # (deletes contribute nothing, carry-through rows stay
+                    # physically where they are)
+                    affected = (
+                        take_delete
+                        | take_update
+                        | take_bs_delete
+                        | take_bs_update
                     )
-                )
-            else:
-                rewritten = joined.filter(
-                    ~take_delete & ~take_bs_delete
-                ).select(*[_out_col(f) for f in schema.fields])
-                new_frames.append(rewritten)
-            if base.get("cdf"):
-                # classify this commit's row-level changes from the
-                # SAME join (CDF tables record merge changes at commit
-                # time, completing the Delta-CDF DML matrix)
-                t_cols = [
-                    F.col(f"t.{f.name}").alias(f.name)
-                    for f in schema.fields
-                ]
-                cdc_frames.append(
-                    joined.filter(take_delete | take_bs_delete).select(
-                        *t_cols, F.lit("delete").alias("_change_type")
+                    dv_rows = joined.filter(affected).select(
+                        F.col(f"t.{self._DV_FILE}").alias(self._DV_FILE),
+                        F.col(f"t.{self._DV_POS}").alias(self._DV_POS),
                     )
-                )
-                if when_not_matched_by_source_update:
-                    bs_rows = joined.filter(take_bs_update)
-                    cdc_frames.append(
-                        bs_rows.select(
-                            *t_cols,
-                            F.lit("update_preimage").alias("_change_type"),
+                    new_frames.append(
+                        joined.filter(take_update | take_bs_update).select(
+                            *[_out_col(f) for f in schema.fields]
                         )
                     )
+                else:
+                    rewritten = joined.filter(
+                        ~take_delete & ~take_bs_delete
+                    ).select(*[_out_col(f) for f in schema.fields])
+                    new_frames.append(rewritten)
+                if base.get("cdf"):
+                    # classify this commit's row-level changes from the
+                    # SAME join (CDF tables record merge changes at commit
+                    # time, completing the Delta-CDF DML matrix)
+                    t_cols = [
+                        F.col(f"t.{f.name}").alias(f.name)
+                        for f in schema.fields
+                    ]
                     cdc_frames.append(
-                        bs_rows.select(
-                            *[
-                                (
-                                    _bs_upd(f.name).alias(f.name)
-                                    if f.name
-                                    in when_not_matched_by_source_update
-                                    else F.col(f"t.{f.name}").alias(f.name)
-                                )
-                                for f in schema.fields
-                            ],
-                            F.lit("update_postimage").alias("_change_type"),
+                        joined.filter(take_delete | take_bs_delete).select(
+                            *t_cols, F.lit("delete").alias("_change_type")
                         )
                     )
-                if when_matched_update:
-                    upd_rows = joined.filter(take_update)
-                    cdc_frames.append(
-                        upd_rows.select(
-                            *t_cols,
-                            F.lit("update_preimage").alias("_change_type"),
+                    if when_not_matched_by_source_update:
+                        bs_rows = joined.filter(take_bs_update)
+                        cdc_frames.append(
+                            bs_rows.select(
+                                *t_cols,
+                                F.lit("update_preimage").alias("_change_type"),
+                            )
                         )
-                    )
-                    cdc_frames.append(
-                        upd_rows.select(
-                            *[
-                                (
-                                    _upd(f.name).alias(f.name)
-                                    if f.name in when_matched_update
-                                    else F.col(f"t.{f.name}").alias(f.name)
-                                )
-                                for f in schema.fields
-                            ],
-                            F.lit("update_postimage").alias("_change_type"),
+                        cdc_frames.append(
+                            bs_rows.select(
+                                *[
+                                    (
+                                        _bs_upd(f.name).alias(f.name)
+                                        if f.name
+                                        in when_not_matched_by_source_update
+                                        else F.col(f"t.{f.name}").alias(f.name)
+                                    )
+                                    for f in schema.fields
+                                ],
+                                F.lit("update_postimage").alias("_change_type"),
+                            )
                         )
-                    )
+                    if when_matched_update:
+                        upd_rows = joined.filter(take_update)
+                        cdc_frames.append(
+                            upd_rows.select(
+                                *t_cols,
+                                F.lit("update_preimage").alias("_change_type"),
+                            )
+                        )
+                        cdc_frames.append(
+                            upd_rows.select(
+                                *[
+                                    (
+                                        _upd(f.name).alias(f.name)
+                                        if f.name in when_matched_update
+                                        else F.col(f"t.{f.name}").alias(f.name)
+                                    )
+                                    for f in schema.fields
+                                ],
+                                F.lit("update_postimage").alias("_change_type"),
+                            )
+                        )
 
-        if when_not_matched_insert is not None:
-            unmatched_src = source.alias("s").join(
-                target_keys, on, "left_anti"
-            )
-            if when_not_matched_insert == "*":
-                src_cols = set(source.columns)
-                ins_exprs = {
-                    f.name: (
-                        F.col(f"s.{f.name}")
-                        if f.name in src_cols
-                        else F.lit(None)
-                    )
-                    for f in schema.fields
-                }
-            elif isinstance(when_not_matched_insert, dict):
-                unknown = set(when_not_matched_insert) - set(types)
-                if unknown:
+            if when_not_matched_insert is not None:
+                unmatched_src = source.alias("s").join(
+                    target_keys, on, "left_anti"
+                )
+                if when_not_matched_insert == "*":
+                    src_cols = set(source.columns)
+                    ins_exprs = {
+                        f.name: (
+                            F.col(f"s.{f.name}")
+                            if f.name in src_cols
+                            else F.lit(None)
+                        )
+                        for f in schema.fields
+                    }
+                elif isinstance(when_not_matched_insert, dict):
+                    unknown = set(when_not_matched_insert) - set(types)
+                    if unknown:
+                        raise ValueError(
+                            "VersionedTable.merge: insert assigns unknown "
+                            f"column(s) {sorted(unknown)}"
+                        )
+                    ins_exprs = {
+                        f.name: (
+                            F.expr(when_not_matched_insert[f.name])
+                            if f.name in when_not_matched_insert
+                            else F.lit(None)
+                        )
+                        for f in schema.fields
+                    }
+                else:
                     raise ValueError(
-                        "VersionedTable.merge: insert assigns unknown "
-                        f"column(s) {sorted(unknown)}"
+                        "VersionedTable.merge: when_not_matched_insert must "
+                        "be '*', a column->expression dict, or None"
                     )
-                ins_exprs = {
-                    f.name: (
-                        F.expr(when_not_matched_insert[f.name])
-                        if f.name in when_not_matched_insert
-                        else F.lit(None)
-                    )
-                    for f in schema.fields
-                }
-            else:
-                raise ValueError(
-                    "VersionedTable.merge: when_not_matched_insert must "
-                    "be '*', a column->expression dict, or None"
-                )
 
-            def _ins(name):
-                casted = ins_exprs[name].cast(types[name])
-                return F.when(
-                    ins_exprs[name].isNotNull() & casted.isNull(),
-                    F.raise_error(
-                        F.concat(
-                            F.lit(
-                                "VersionedTable.merge: insert into column "
-                                f"'{name}' does not fit type "
-                                f"{types[name].simpleString()} for value '"
-                            ),
-                            ins_exprs[name].cast("string"),
-                            F.lit("'"),
+                def _ins(name):
+                    casted = ins_exprs[name].cast(types[name])
+                    return F.when(
+                        ins_exprs[name].isNotNull() & casted.isNull(),
+                        F.raise_error(
+                            F.concat(
+                                F.lit(
+                                    "VersionedTable.merge: insert into column "
+                                    f"'{name}' does not fit type "
+                                    f"{types[name].simpleString()} for value '"
+                                ),
+                                ins_exprs[name].cast("string"),
+                                F.lit("'"),
+                            )
+                        ).cast(types[name]),
+                    ).otherwise(casted)
+
+                inserts = unmatched_src.select(
+                    *[_ins(f.name).alias(f.name) for f in schema.fields]
+                )
+                new_frames.append(inserts)
+                if base.get("cdf"):
+                    cdc_frames.append(
+                        inserts.select(
+                            "*", F.lit("insert").alias("_change_type")
                         )
-                    ).cast(types[name]),
-                ).otherwise(casted)
-
-            inserts = unmatched_src.select(
-                *[_ins(f.name).alias(f.name) for f in schema.fields]
-            )
-            new_frames.append(inserts)
-            if base.get("cdf"):
-                cdc_frames.append(
-                    inserts.select(
-                        "*", F.lit("insert").alias("_change_type")
                     )
-                )
 
-        if not new_frames:
-            return parent
-        combined = new_frames[0]
-        for fr in new_frames[1:]:
-            combined = combined.unionByName(fr)
-        partition_by = base.get("partition_by")
-        n_new = None
-        if mor:
-            # MoR writes ONLY changed/inserted rows — count them (one
-            # bounded job over the persisted join + source anti-join;
-            # it doubles as the emptiness gate) and size the files
-            # explicitly (COW keeps its rewrite partitioning: its
-            # output is touched-file-sized already)
-            n_new = combined.count()
-            combined = self._mor_shuffle(
-                combined, partition_by, base.get("bucket_by"), n_new
+            if not new_frames:
+                return parent
+            combined = new_frames[0]
+            for fr in new_frames[1:]:
+                combined = combined.unionByName(fr)
+            partition_by = base.get("partition_by")
+            n_new = None
+            if mor:
+                # MoR writes ONLY changed/inserted rows — count them (one
+                # bounded job over the persisted join + source anti-join;
+                # it doubles as the emptiness gate) and size the files
+                # explicitly (COW keeps its rewrite partitioning: its
+                # output is touched-file-sized already)
+                n_new = combined.count()
+                combined = self._mor_shuffle(
+                    combined, partition_by, base.get("bucket_by"), n_new
+                )
+            v = parent + 1
+            new_files = (
+                self._write_data(
+                    combined, v, partition_by, base.get("bucket_by")
+                )
+                if (n_new if mor else combined.limit(1).count())
+                else []
             )
-        v = parent + 1
-        new_files = (
-            self._write_data(
-                combined, v, partition_by, base.get("bucket_by")
-            )
-            if (n_new if mor else combined.limit(1).count())
-            else []
-        )
-        if not touched_files and not new_files:
-            return parent  # nothing matched, nothing inserted
-        dv_dir = None
-        dv_touched: set = set()
-        if mor and dv_rows is not None and dv_rows.limit(1).count():
-            dv_dir = f"{self.path}/dv/b{v:08d}-{uuid.uuid4().hex[:8]}"
-            dv_rows.write.mode("error").parquet(dv_dir)
-            # the files this vector names — the rebase guards exactly
-            # these (file, position) keys, like delete(mor)
-            dv_touched = {
-                unquote(urlparse(r[0]).path)
-                for r in self.spark.read.parquet(dv_dir)
-                .select(self._DV_FILE)
-                .distinct()
-                .collect()
-            }
-        if mor and dv_dir is None and not new_files:
-            # every clause hit was already vector-hidden and nothing
-            # inserted: no empty commits (the COW twin's contract)
+            if not touched_files and not new_files:
+                return parent  # nothing matched, nothing inserted
+            dv_dir = None
+            dv_touched: set = set()
+            if mor and dv_rows is not None and dv_rows.limit(1).count():
+                dv_dir = f"{self.path}/dv/b{v:08d}-{uuid.uuid4().hex[:8]}"
+                dv_rows.write.mode("error").parquet(dv_dir)
+                # the files this vector names — the rebase guards exactly
+                # these (file, position) keys, like delete(mor)
+                dv_touched = {
+                    unquote(urlparse(r[0]).path)
+                    for r in self.spark.read.parquet(dv_dir)
+                    .select(self._DV_FILE)
+                    .distinct()
+                    .collect()
+                }
+            if mor and dv_dir is None and not new_files:
+                # every clause hit was already vector-hidden and nothing
+                # inserted: no empty commits (the COW twin's contract)
+                if joined_cache is not None:
+                    joined_cache.unpersist()
+                return parent
+            cdc_dir = None
+            if cdc_frames:
+                cdc = cdc_frames[0]
+                for fr in cdc_frames[1:]:
+                    cdc = cdc.unionByName(fr)
+                # a clause set can legitimately change zero rows (e.g. an
+                # insert-only merge whose source keys all matched) — an
+                # empty parquet dir is unreadable, so skip recording and
+                # the feed treats the commit as change-free
+                if cdc.limit(1).count():
+                    cdc_dir = self._write_cdc(cdc, v)
+            if joined_cache is not None:
+                # every joined-derived action (post-images, vector, CDC)
+                # has run — release before the commit loop (battery
+                # hygiene: retained blocks degrade long sessions, r5)
+                joined_cache.unpersist()
+        except BaseException:
             if joined_cache is not None:
                 joined_cache.unpersist()
-            return parent
-        cdc_dir = None
-        if cdc_frames:
-            cdc = cdc_frames[0]
-            for fr in cdc_frames[1:]:
-                cdc = cdc.unionByName(fr)
-            # a clause set can legitimately change zero rows (e.g. an
-            # insert-only merge whose source keys all matched) — an
-            # empty parquet dir is unreadable, so skip recording and
-            # the feed treats the commit as change-free
-            if cdc.limit(1).count():
-                cdc_dir = self._write_cdc(cdc, v)
-        if joined_cache is not None:
-            # every joined-derived action (post-images, vector, CDC)
-            # has run — release before the commit loop (battery
-            # hygiene: retained blocks degrade long sessions, r5)
-            joined_cache.unpersist()
+            raise
         stats_cols = base.get("stats_cols") or []
         new_stats = (
             self._collect_stats(new_files, stats_cols, base.get("bloom"))
@@ -5479,10 +5538,26 @@ class VersionedTable:
                 cname = st.getPath().getName()
                 if not (cname.startswith("c-") and cname.endswith(".json")):
                     continue
-                rec = None
-                alive = True
                 try:
                     rec = self._read_json(str(st.getPath()))
+                except Exception:
+                    # ADVICE r12 (medium): an unreadable registration
+                    # previously counted as "alive" but contributed NO
+                    # liveness root, so the clone's shared data/dv dirs
+                    # were still swept — permanently breaking the clone.
+                    # Unsafe sweeps need proof of death: an unparseable
+                    # record is a HARD STOP, not a shrug. (clone() now
+                    # writes registrations via temp+rename, so a torn
+                    # record here means external damage, not a crash
+                    # mid-registration.)
+                    raise IOError(
+                        f"vacuum: clone registration {st.getPath()} is "
+                        "unreadable — a registered clone may share this "
+                        "table's data/dv files, and sweeping without its "
+                        "liveness root could permanently break it. Repair "
+                        "or remove the registration, then re-run."
+                    )
+                try:
                     alive = bool(
                         VersionedTable(self.spark, rec["dest"]).versions()
                     )
@@ -5492,7 +5567,7 @@ class VersionedTable:
                     if not dry_run:
                         self._fs.delete(st.getPath(), False)
                     continue
-                if rec is not None and rec.get("version") in vs:
+                if rec.get("version") in vs:
                     clone_roots.append(int(rec["version"]))
         roots = sorted(set(keep) | set(clone_roots))
         would: list[str] = []

@@ -88,6 +88,30 @@ from pyspark.sql import types as T
 
 __all__ = ["VersionedCdcDataSource", "register_versioned_cdc_source"]
 
+#: Commits that move ZERO data files and change ZERO logical rows —
+#: the stream skips them, and they never break an append-only chain.
+#: INLINED copy of ``manifest.METADATA_ONLY_OPS``: this module runs
+#: inside DataSource workers where importing the py4j-backed manifest
+#: module is unnecessary weight. ``tests/test_streaming.py`` asserts
+#: the two tuples stay EQUAL, so a new metadata-only op added to the
+#: manifest fails CI here instead of silently corrupting the feed
+#: (ADVICE r12).
+_METADATA_ONLY_OPS = (
+    "set_partition_spec",
+    "rename",
+    "drop",
+    "widen",
+    "add_column",
+    "add_constraint",
+    "drop_constraint",
+    "analyze",
+)
+
+#: Ops legal along an APPEND-ONLY chain: data-adding commits plus the
+#: metadata-only set (zero files move, so the v0..end file union is
+#: still the end snapshot and per-commit replay stays well-defined).
+_APPEND_CHAIN_OPS = ("append", "create") + _METADATA_ONLY_OPS
+
 
 def _fs_for(path: str):
     """(pyarrow FileSystem, normalized path) for a table URI. Raises
@@ -247,10 +271,7 @@ def _span_files(
                     op = _pointer(fs, root, v).get("op")
                     if op_cache is not None:
                         op_cache[v] = op
-                if op not in (
-                    "append", "create", "set_partition_spec", "rename",
-                    "drop",
-                ):
+                if op not in _APPEND_CHAIN_OPS:
                     raise ValueError(
                         f"versioned_cdc: version {v} is op '{op}' "
                         "(rewrite) — startingVersionInclusive=0 replays "
@@ -266,10 +287,7 @@ def _span_files(
                 op = _pointer(fs, root, v).get("op")
                 if op_cache is not None:
                     op_cache[v] = op
-            if op not in (
-                "append", "create", "set_partition_spec", "rename",
-                "drop",
-            ):
+            if op not in _APPEND_CHAIN_OPS:
                 raise ValueError(
                     f"versioned_cdc: version {v} is op '{op}' (rewrite) — "
                     "a change stream is only defined along append-only "
@@ -330,14 +348,7 @@ def _span_changes(
         op = ptr.get("op")
         if op_cache is not None:
             op_cache[v] = op
-        # keep in sync with manifest.METADATA_ONLY_OPS (inlined: this
-        # runs inside DataSource workers where importing the py4j-side
-        # module is unnecessary weight)
-        if op in (
-            "set_partition_spec", "rename", "drop", "widen",
-            "add_column", "add_constraint", "drop_constraint",
-            "analyze",
-        ):
+        if op in _METADATA_ONLY_OPS:
             continue  # metadata-only: no rows changed
         if op == "optimize":
             # content-identical rewrite (compaction / Z-order / DV

@@ -166,3 +166,28 @@ def test_alter_ops_stale_racing_dml(spark, tmp_path):
             t.delete("k = 3")
     finally:
         t._try_commit = real_commit
+
+
+def test_reserved_internal_names_refused_everywhere(spark, tmp_path):
+    """ADVICE r12: '__smetl_dv_file', '__smetl_dv_pos', 'smetl_pt*'
+    and '__s_hit' used to commit fine via add_column/rename and only
+    fail confusingly on a LATER MoR read / partitioned write / merge.
+    The guard now refuses at DDL time, shared by create too."""
+    import pytest
+
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    t = VersionedTable.create(spark, str(tmp_path / "t"), df)
+    for bad in ("__smetl_dv_file", "__smetl_dv_pos", "smetl_pt",
+                "smetl_pt3", "__s_hit"):
+        with pytest.raises(ValueError, match="reserved"):
+            t.add_column(bad, "string")
+        with pytest.raises(ValueError, match="reserved"):
+            t.rename_column("v", bad)
+    # create refuses the same names up front
+    bad_df = spark.createDataFrame(
+        [(1, "x")], "k long, __smetl_dv_pos string"
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        VersionedTable.create(spark, str(tmp_path / "t2"), bad_df)
+    # table unchanged: head still commits normally after the refusals
+    assert t.add_column("fresh", "string") == 1

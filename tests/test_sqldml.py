@@ -1,0 +1,307 @@
+"""SQL DML surface (VERDICT r12 #2): MERGE INTO / UPDATE / DELETE
+FROM / OPTIMIZE / VACUUM / RESTORE as SQL text, routed through
+``timetravel.sql`` into the manifest layer's transactional ops.
+Parity contract: every statement must leave the table in EXACTLY the
+state the equivalent Python API call would — the SQL layer is a
+parser front, never a second implementation."""
+
+from __future__ import annotations
+
+import pytest
+
+from social_media_etl_spark.operators import timetravel as tt
+from social_media_etl_spark.operators.manifest import VersionedTable
+
+
+def _mk(spark, tmp_path, name, rows=20):
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}", float(i)) for i in range(rows)],
+        "k long, g string, v double",
+    )
+    t = VersionedTable.create(spark, str(tmp_path / name), df)
+    tt.register_table(spark, name, t.path)
+    return t
+
+
+def _state(t):
+    return sorted((r["k"], r["g"], r["v"]) for r in t.read().collect())
+
+
+# -- UPDATE / DELETE ----------------------------------------------------------
+
+
+def test_sql_update_where(spark, tmp_path):
+    t = _mk(spark, tmp_path, "sdml_u")
+    out = tt.sql(
+        spark, "UPDATE sdml_u SET v = v * 2, g = concat(g, '!') WHERE k < 5"
+    ).collect()
+    assert out[0]["op"] == "update" and out[0]["version"] == 1
+    assert _state(t) == sorted(
+        (i, f"g{i % 3}" + ("!" if i < 5 else ""), float(i) * (2 if i < 5 else 1))
+        for i in range(20)
+    )
+
+
+def test_sql_update_without_where_touches_all(spark, tmp_path):
+    t = _mk(spark, tmp_path, "sdml_u2")
+    tt.sql(spark, "UPDATE sdml_u2 SET v = v + 1")
+    assert all(r[2] == r[0] + 1 for r in _state(t))
+
+
+def test_sql_delete_where(spark, tmp_path):
+    t = _mk(spark, tmp_path, "sdml_d")
+    out = tt.sql(spark, "DELETE FROM sdml_d WHERE k % 2 = 0").collect()
+    assert out[0]["op"] == "delete"
+    assert [r[0] for r in _state(t)] == [i for i in range(20) if i % 2]
+
+
+def test_sql_dml_mor_mode_writes_vector_not_rewrite(spark, tmp_path):
+    """dml_mode='mor' reaches the deletion-vector path: zero data
+    files rewritten, head content identical to the COW twin."""
+    t = _mk(spark, tmp_path, "sdml_mor")
+    files0 = set(t._read_manifest(0)["files"])
+    tt.sql(spark, "DELETE FROM sdml_mor WHERE k = 3", dml_mode="mor")
+    files1 = set(t._read_manifest(1)["files"])
+    assert files0 <= files1 or files0 == files1  # nothing rewritten away
+    assert t._read_pointer(1).get("delete_vectors")
+    assert [r[0] for r in _state(t)] == [i for i in range(20) if i != 3]
+
+
+def test_sql_dml_mode_session_conf(spark, tmp_path):
+    t = _mk(spark, tmp_path, "sdml_conf")
+    old = spark.conf.get("spark.smetl.sql.dml.mode", None)
+    try:
+        spark.conf.set("spark.smetl.sql.dml.mode", "mor")
+        tt.sql(spark, "DELETE FROM sdml_conf WHERE k = 0")
+        assert t._read_pointer(1).get("delete_vectors")
+    finally:
+        if old is None:
+            spark.conf.unset("spark.smetl.sql.dml.mode")
+        else:
+            spark.conf.set("spark.smetl.sql.dml.mode", old)
+
+
+def test_sql_dml_refreshes_plain_view(spark, tmp_path):
+    """After SQL DML, a PLAIN spark.sql reader of the registered name
+    sees the new head (the view refresh is part of the write)."""
+    _mk(spark, tmp_path, "sdml_view")
+    tt.sql(spark, "DELETE FROM sdml_view WHERE k >= 10")
+    assert spark.sql("SELECT count(*) c FROM sdml_view").collect()[0]["c"] == 10
+
+
+# -- MERGE --------------------------------------------------------------------
+
+
+def test_sql_merge_update_insert_matches_python_api(spark, tmp_path):
+    t = _mk(spark, tmp_path, "sdml_m1")
+    t2 = VersionedTable.create(
+        spark,
+        str(tmp_path / "twin"),
+        spark.createDataFrame(
+            [(i, f"g{i % 3}", float(i)) for i in range(20)],
+            "k long, g string, v double",
+        ),
+    )
+    src = spark.createDataFrame(
+        [(3, "gX", 100.0), (4, "gY", 200.0), (77, "gZ", 300.0)],
+        "k long, g string, v double",
+    )
+    src.createOrReplaceTempView("sdml_m1_src")
+    out = tt.sql(
+        spark,
+        """
+        MERGE INTO sdml_m1 AS tgt USING sdml_m1_src AS upd
+        ON tgt.k = upd.k
+        WHEN MATCHED THEN UPDATE SET v = upd.v, g = upd.g
+        WHEN NOT MATCHED THEN INSERT *
+        """,
+    ).collect()
+    assert out[0]["op"] == "merge" and out[0]["version"] == 1
+    t2.merge(
+        src,
+        on=["k"],
+        when_matched_update={"v": "s.v", "g": "s.g"},
+        when_not_matched_insert="*",
+    )
+    assert _state(t) == _state(t2)
+
+
+def test_sql_merge_delete_clause_and_subquery_source(spark, tmp_path):
+    t = _mk(spark, tmp_path, "sdml_m2")
+    tt.sql(
+        spark,
+        """
+        MERGE INTO sdml_m2 t USING (
+            SELECT explode(sequence(0, 9)) AS k
+        ) s ON t.k = s.k
+        WHEN MATCHED AND t.v < 5 THEN DELETE
+        """,
+    )
+    # matched keys 0..9, of those v<5 (k<5) deleted
+    assert [r[0] for r in _state(t)] == list(range(5, 20))
+
+
+def test_sql_merge_by_source_sync(spark, tmp_path):
+    """Classic sync-to-source: matched update + insert + by-source
+    delete leaves the table equal to the source."""
+    t = _mk(spark, tmp_path, "sdml_m3")
+    spark.createDataFrame(
+        [(2, "a", 1.0), (99, "b", 2.0)], "k long, g string, v double"
+    ).createOrReplaceTempView("sdml_m3_src")
+    tt.sql(
+        spark,
+        """
+        MERGE INTO sdml_m3 AS t USING sdml_m3_src AS s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET g = s.g, v = s.v
+        WHEN NOT MATCHED THEN INSERT (k, g, v) VALUES (s.k, s.g, s.v)
+        WHEN NOT MATCHED BY SOURCE THEN DELETE
+        """,
+    )
+    assert _state(t) == [(2, "a", 1.0), (99, "b", 2.0)]
+
+
+def test_sql_merge_mor_zero_rewrite(spark, tmp_path):
+    t = _mk(spark, tmp_path, "sdml_m4", rows=50)
+    spark.createDataFrame(
+        [(7, 700.0)], "k long, v double"
+    ).createOrReplaceTempView("sdml_m4_src")
+    tt.sql(
+        spark,
+        """
+        MERGE INTO sdml_m4 t USING sdml_m4_src s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        """,
+        dml_mode="mor",
+    )
+    ptr = t._read_pointer(1)
+    assert ptr.get("delete_vectors")
+    assert set(t._read_manifest(0)["files"]) <= set(
+        t._read_manifest(1)["files"]
+    )
+    assert dict((r[0], r[2]) for r in _state(t))[7] == 700.0
+
+
+def test_sql_merge_registered_versioned_source(spark, tmp_path):
+    """USING a registered VersionedTable reads its head."""
+    t = _mk(spark, tmp_path, "sdml_m5")
+    s = _mk(spark, tmp_path, "sdml_m5_src", rows=3)
+    s.update("k = 1", {"v": "1000.0"})
+    tt.sql(
+        spark,
+        """
+        MERGE INTO sdml_m5 t USING sdml_m5_src s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        """,
+    )
+    st = dict((r[0], r[2]) for r in _state(t))
+    assert st[1] == 1000.0 and st[2] == 2.0
+
+
+# -- OPTIMIZE / VACUUM / RESTORE ----------------------------------------------
+
+
+def test_sql_optimize_zorder(spark, tmp_path):
+    t = _mk(spark, tmp_path, "sdml_o")
+    before = _state(t)
+    out = tt.sql(
+        spark, "OPTIMIZE sdml_o ZORDER BY (k, v)"
+    ).collect()
+    assert out[0]["op"] == "optimize" and out[0]["version"] == 1
+    assert t._read_pointer(1)["op"] == "optimize"
+    assert _state(t) == before
+
+
+def test_sql_optimize_where_scoped(spark, tmp_path):
+    t = _mk(spark, tmp_path, "sdml_ow")
+    t.append(
+        spark.createDataFrame(
+            [(100 + i, "gz", 0.0) for i in range(5)],
+            "k long, g string, v double",
+        )
+    )
+    before = _state(t)
+    tt.sql(spark, "OPTIMIZE sdml_ow WHERE k BETWEEN 100 AND 200")
+    assert _state(t) == before
+
+
+def test_sql_restore_and_vacuum(spark, tmp_path):
+    t = _mk(spark, tmp_path, "sdml_rv")
+    tt.sql(spark, "DELETE FROM sdml_rv WHERE k < 10")
+    out = tt.sql(
+        spark, "RESTORE TABLE sdml_rv TO VERSION AS OF 0"
+    ).collect()
+    assert out[0]["op"] == "restore"
+    assert len(_state(t)) == 20
+    dry = tt.sql(
+        spark, "VACUUM sdml_rv RETAIN 1 VERSIONS MIN AGE 0 SECONDS DRY RUN"
+    )
+    assert dry.columns == ["path"]
+    n_listed = dry.count()
+    real = tt.sql(
+        spark, "VACUUM sdml_rv RETAIN 1 VERSIONS MIN AGE 0 SECONDS"
+    ).collect()
+    assert real[0]["removed"] == n_listed
+    assert len(_state(t)) == 20  # head still reads
+
+
+# -- refusals -----------------------------------------------------------------
+
+
+def test_sql_dml_unregistered_table_refused(spark):
+    with pytest.raises(ValueError, match="not a registered"):
+        tt.sql(spark, "DELETE FROM nope_not_registered WHERE 1=1")
+
+
+def test_sql_merge_non_equi_on_refused(spark, tmp_path):
+    _mk(spark, tmp_path, "sdml_r1")
+    spark.range(3).createOrReplaceTempView("sdml_r1_src")
+    with pytest.raises(ValueError, match="equi"):
+        tt.sql(
+            spark,
+            """
+            MERGE INTO sdml_r1 t USING sdml_r1_src s ON t.k > s.id
+            WHEN MATCHED THEN DELETE
+            """,
+        )
+
+
+def test_sql_merge_conditional_update_refused(spark, tmp_path):
+    _mk(spark, tmp_path, "sdml_r2")
+    spark.range(3).selectExpr("id AS k", "CAST(1.0 AS DOUBLE) v").createOrReplaceTempView(
+        "sdml_r2_src"
+    )
+    with pytest.raises(ValueError, match="conditional"):
+        tt.sql(
+            spark,
+            """
+            MERGE INTO sdml_r2 t USING sdml_r2_src s ON t.k = s.k
+            WHEN MATCHED AND t.v > 0 THEN UPDATE SET v = s.v
+            """,
+        )
+
+
+def test_sql_update_bad_grammar_refused(spark, tmp_path):
+    _mk(spark, tmp_path, "sdml_r3")
+    with pytest.raises(ValueError, match="UPDATE"):
+        tt.sql(spark, "UPDATE sdml_r3 WHERE k = 1")
+
+
+def test_sql_dml_bad_mode_refused(spark, tmp_path):
+    _mk(spark, tmp_path, "sdml_r4")
+    with pytest.raises(ValueError, match="mode"):
+        tt.sql(spark, "DELETE FROM sdml_r4", dml_mode="zap")
+
+
+def test_sql_merge_keyword_in_string_literal_safe(spark, tmp_path):
+    """'WHEN MATCHED' inside a string literal never parses as a
+    clause — the masking contract."""
+    t = _mk(spark, tmp_path, "sdml_r5")
+    tt.sql(
+        spark,
+        """
+        UPDATE sdml_r5 SET g = 'WHEN MATCHED THEN DELETE' WHERE k = 0
+        """,
+    )
+    assert dict((r[0], r[1]) for r in _state(t))[0] == (
+        "WHEN MATCHED THEN DELETE"
+    )

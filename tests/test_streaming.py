@@ -1451,3 +1451,56 @@ def test_transform_with_state_v2_totals(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_stream_metadata_ops_match_manifest():
+    """ADVICE r12 #4: the stream source inlines the metadata-only op
+    list (no py4j import in DataSource workers) — this pin makes drift
+    a CI failure instead of a silently corrupted feed."""
+    from social_media_etl_spark.operators import manifest as m
+    from social_media_etl_spark.sources import versioned_stream as vs
+
+    assert vs._METADATA_ONLY_OPS == m.METADATA_ONLY_OPS
+    assert vs._APPEND_CHAIN_OPS == ("append", "create") + m.METADATA_ONLY_OPS
+
+
+def test_stream_survives_metadata_only_commits(spark, tmp_path):
+    """A widen/add_column commit inside the streamed span is skipped,
+    not treated as a rewrite that aborts the append-only chain (the
+    pre-r13 inlined lists predated the r12 metadata ops)."""
+    from social_media_etl_spark.operators.manifest import VersionedTable
+    from social_media_etl_spark.sources.versioned_stream import (
+        register_versioned_cdc_source,
+    )
+
+    path = str(tmp_path / "t")
+    t = VersionedTable.create(
+        spark,
+        path,
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v int"),
+    )
+    t.widen_column("v", "long")
+    t.add_column("w", "string")
+    t.append(
+        spark.createDataFrame(
+            [(3, 30, "x")], "k long, v long, w string"
+        )
+    )
+    register_versioned_cdc_source(spark)
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("versioned_cdc")
+        .option("path", path)
+        .option("startingVersionInclusive", "0")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    # all three data commits emitted; the metadata commits contributed
+    # zero rows and did not abort the chain
+    assert sorted(r["k"] for r in got.select("k").collect()) == [1, 2, 3]

