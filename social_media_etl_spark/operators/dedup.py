@@ -522,6 +522,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 25,
     driver_threshold: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair graph → (node,
     component) with component = min node id in the component.
@@ -552,6 +553,13 @@ def connected_components(
     ``spark.smetl.dedup.driverComponentThreshold``, falling back to a
     driver-memory-derived budget (see
     :func:`_driver_component_threshold`).
+
+    ``stats``: optional dict the call fills with ``edges`` (directed
+    edge count after symmetrization), ``path`` (``driver`` /
+    ``distributed``) and, on the distributed path, ``rounds`` — the
+    introspection hook the scale probe uses to pin the O(log
+    diameter) convergence claim (VERDICT r12 #3) without re-deriving
+    it from logs.
     """
     if driver_threshold is None:
         driver_threshold = _driver_component_threshold(pairs.sparkSession)
@@ -564,6 +572,11 @@ def connected_components(
         .persist()
     )
     n_edges = edges.count()
+    if stats is not None:
+        stats["edges"] = n_edges
+        stats["path"] = (
+            "driver" if n_edges <= driver_threshold else "distributed"
+        )
     if n_edges <= driver_threshold:
         parent: dict = {}
 
@@ -605,7 +618,9 @@ def connected_components(
         .persist()
     )
     converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # min label among neighbors (via edges) and self
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
@@ -650,6 +665,8 @@ def connected_components(
         if changed == 0:
             converged = True
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     edges.unpersist()
     if not converged:
         labels.unpersist()

@@ -54,6 +54,7 @@ Catalyst SQL)::
     VACUUM <table> [RETAIN <n> VERSIONS] [MIN AGE <sec> SECONDS]
         [DRY RUN]
     RESTORE [TABLE] <table> TO VERSION AS OF <n>
+    DESCRIBE HISTORY <table>
 
 Unsupported-but-valid-elsewhere forms refuse EXPLICITLY (silent
 mis-execution is the failure mode that matters): a conditional
@@ -89,8 +90,12 @@ from social_media_etl_spark.operators.manifest import VersionedTable
 __all__ = ["is_dml", "run_dml"]
 
 _NAME = r"[A-Za-z_][A-Za-z0-9_]*"
+# DESCRIBE dispatches only with HISTORY — a plain 'DESCRIBE <view>'
+# is valid Spark SQL and must keep flowing through Catalyst untouched
 _DML_HEAD = re.compile(
-    r"^\s*(MERGE|UPDATE|DELETE|OPTIMIZE|VACUUM|RESTORE)\b", re.IGNORECASE
+    r"^\s*(MERGE|UPDATE|DELETE|OPTIMIZE|VACUUM|RESTORE"
+    r"|DESCRIBE(?=\s+HISTORY\b))\b",
+    re.IGNORECASE,
 )
 
 
@@ -572,6 +577,9 @@ _RESTORE = re.compile(
     rf"\s+(\d+)\s*;?\s*$",
     re.IGNORECASE,
 )
+_DESCRIBE = re.compile(
+    rf"^\s*DESCRIBE\s+HISTORY\s+({_NAME})\s*;?\s*$", re.IGNORECASE
+)
 
 
 def _scalar(tok: str):
@@ -705,4 +713,14 @@ def run_dml(
         return _run_optimize(spark, query, masked, tables)
     if head == "VACUUM":
         return _run_vacuum(spark, query, masked, tables)
+    if head == "DESCRIBE":
+        m = _DESCRIBE.match(masked)
+        if m is None:
+            raise ValueError(
+                "DESCRIBE: expected 'DESCRIBE HISTORY <table>', got: "
+                f"{query.strip()!r}"
+            )
+        return _resolve_table(
+            spark, tables, m.group(1), "DESCRIBE HISTORY"
+        ).history()
     return _run_restore(spark, query, masked, tables)

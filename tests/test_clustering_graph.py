@@ -181,3 +181,23 @@ def test_ks_drift_bucket_count_invariant(spark):
     r1 = ks_drift(df, "g", "v", "a", "b", n_buckets=1).collect()[0]
     r256 = ks_drift(df, "g", "v", "a", "b", n_buckets=256).collect()[0]
     assert r1["ks_stat"] == r256["ks_stat"]
+
+
+def test_connected_components_stats_hook(spark):
+    """The stats dict records edge count, dispatch path, and (on the
+    distributed branch) the round count — the probe introspection
+    hook (VERDICT r12 #3). A 9-node chain needs ~log2(8)+1 rounds via
+    pointer jumping, well under a diameter-linear count."""
+    from social_media_etl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    st: dict = {}
+    out = connected_components(pairs, driver_threshold=0, stats=st)
+    assert st["path"] == "distributed" and st["edges"] == 16
+    assert 1 <= st["rounds"] <= 6
+    assert all(r["component"] == 0 for r in out.collect())
+    st2: dict = {}
+    connected_components(pairs, driver_threshold=10**6, stats=st2)
+    assert st2["path"] == "driver" and "rounds" not in st2

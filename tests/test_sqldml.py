@@ -305,3 +305,14 @@ def test_sql_merge_keyword_in_string_literal_safe(spark, tmp_path):
     assert dict((r[0], r[1]) for r in _state(t))[0] == (
         "WHEN MATCHED THEN DELETE"
     )
+
+
+def test_sql_describe_history(spark, tmp_path):
+    t = _mk(spark, tmp_path, "sdml_h")
+    tt.sql(spark, "DELETE FROM sdml_h WHERE k = 1")
+    hist = tt.sql(spark, "DESCRIBE HISTORY sdml_h").collect()
+    assert [r["version"] for r in hist] == [0, 1]
+    assert hist[1]["op"] == "delete"
+    # plain DESCRIBE still flows through Catalyst untouched
+    desc = tt.sql(spark, "DESCRIBE sdml_h")
+    assert "col_name" in desc.columns
