@@ -4335,6 +4335,9 @@ class VersionedTable:
         when_not_matched_by_source_delete: str | None = None,
         txn: str | None = None,
         mode: str = "cow",
+        when_matched_update_condition: str | None = None,
+        when_not_matched_insert_condition: str | None = None,
+        when_not_matched_by_source_update_condition: str | None = None,
     ) -> int:
         """MERGE INTO as ONE copy-on-write commit (the Delta MERGE
         pattern, VERDICT r8 #6) — the transactional generalization of
@@ -4353,6 +4356,23 @@ class VersionedTable:
           aligned by name (missing table columns NULL-fill), or a
           column -> expression dict over ``s.*``. ``None`` = no
           inserts.
+        - ``when_matched_update_condition`` /
+          ``when_not_matched_insert_condition`` /
+          ``when_not_matched_by_source_update_condition`` (r13 —
+          completing Delta's clause matrix, where EVERY clause takes
+          an optional ``AND <cond>``; the delete clauses are already
+          conditions): a row failing its clause's condition is NOT
+          taken — a matched row carries unchanged (and produces no
+          CDC images), an unmatched source row is not inserted. The
+          update condition sees ``t.*``/``s.*``; the insert condition
+          sees ``s.*`` only, the by-source condition ``t.*`` only
+          (refused otherwise, like the by-source delete). NULL
+          conditions count as not-taken, SQL semantics. Note the COW
+          find-scan stays KEY-granular: a file whose matched rows all
+          fail the update condition is still rewritten
+          (content-identical) — file granularity, as in Delta; MoR
+          skips such rows entirely (no vector entry, no new file),
+          so conditional point-merges prefer ``mode='mor'``.
         - ``when_not_matched_by_source_delete`` /
           ``when_not_matched_by_source_update`` (r11 — Delta's WHEN
           NOT MATCHED BY SOURCE): target rows with NO source match
@@ -4411,6 +4431,43 @@ class VersionedTable:
         mor = mode == "mor"
         if not on:
             raise ValueError("VersionedTable.merge: 'on' must name key columns")
+        # clause CONDITIONS (r13 — completing Delta's clause matrix:
+        # every WHEN clause takes an optional AND <cond>): a condition
+        # without its clause is a caller bug, refused; an insert
+        # condition sees only ``s.*`` (an unmatched source row has no
+        # target), mirroring the by-source refusal of ``s.``
+        import re as _re
+
+        for cname, cond, clause in (
+            (
+                "when_matched_update_condition",
+                when_matched_update_condition,
+                when_matched_update,
+            ),
+            (
+                "when_not_matched_insert_condition",
+                when_not_matched_insert_condition,
+                when_not_matched_insert,
+            ),
+            (
+                "when_not_matched_by_source_update_condition",
+                when_not_matched_by_source_update_condition,
+                when_not_matched_by_source_update,
+            ),
+        ):
+            if cond is not None and clause is None:
+                raise ValueError(
+                    f"VersionedTable.merge: {cname} given without its "
+                    "clause"
+                )
+        if when_not_matched_insert_condition is not None and _re.search(
+            r"\bt\s*\.", when_not_matched_insert_condition
+        ):
+            raise ValueError(
+                "VersionedTable.merge: a NOT MATCHED insert condition "
+                "has no target row — remove the 't.' reference from "
+                f"{when_not_matched_insert_condition!r}"
+            )
         if (
             when_matched_update is None
             and when_matched_delete is None
@@ -4426,15 +4483,16 @@ class VersionedTable:
             or when_not_matched_by_source_delete is not None
         )
         if by_source:
-            import re as _re
-
             bs_texts = list(
                 (when_not_matched_by_source_update or {}).values()
-            ) + (
-                [when_not_matched_by_source_delete]
-                if when_not_matched_by_source_delete is not None
-                else []
-            )
+            ) + [
+                txt
+                for txt in (
+                    when_not_matched_by_source_delete,
+                    when_not_matched_by_source_update_condition,
+                )
+                if txt is not None
+            ]
             for txt in bs_texts:
                 if _re.search(r"\bs\s*\.", txt):
                     raise ValueError(
@@ -4627,6 +4685,15 @@ class VersionedTable:
                     if when_not_matched_by_source_update
                     else F.lit(False)
                 )
+                if when_not_matched_by_source_update and (
+                    when_not_matched_by_source_update_condition is not None
+                ):
+                    take_bs_update = take_bs_update & F.coalesce(
+                        F.expr(
+                            when_not_matched_by_source_update_condition
+                        ),
+                        F.lit(False),
+                    )
 
                 def _bs_upd(name):
                     val = F.expr(when_not_matched_by_source_update[name])
@@ -4669,6 +4736,17 @@ class VersionedTable:
                     if when_matched_update
                     else F.lit(False)
                 )
+                if when_matched_update and (
+                    when_matched_update_condition is not None
+                ):
+                    # Delta conditional-clause semantics: a matched row
+                    # failing the condition is NOT taken — it carries
+                    # unchanged (COW) / stays un-vectored (MoR), and
+                    # produces no CDC images
+                    take_update = take_update & F.coalesce(
+                        F.expr(when_matched_update_condition),
+                        F.lit(False),
+                    )
                 def _out_col(f):
                     e = F.col(f"t.{f.name}")
                     if (
@@ -4766,6 +4844,17 @@ class VersionedTable:
                 unmatched_src = source.alias("s").join(
                     target_keys, on, "left_anti"
                 )
+                if when_not_matched_insert_condition is not None:
+                    # Delta's WHEN NOT MATCHED AND <cond> THEN INSERT:
+                    # unmatched source rows failing the condition are
+                    # simply not inserted (evaluated over s.* only —
+                    # the t.-reference refusal ran up front)
+                    unmatched_src = unmatched_src.filter(
+                        F.coalesce(
+                            F.expr(when_not_matched_insert_condition),
+                            F.lit(False),
+                        )
+                    )
                 if when_not_matched_insert == "*":
                     src_cols = set(source.columns)
                     ins_exprs = {

@@ -45,10 +45,12 @@ Catalyst SQL)::
     MERGE INTO <table> [AS] [<talias>] USING (<subquery>)|<view> [AS]
         [<salias>] ON t.k = s.k [AND ...]
         [WHEN MATCHED [AND <pred>] THEN DELETE]
-        [WHEN MATCHED THEN UPDATE SET col = <expr> [, ...]]
-        [WHEN NOT MATCHED THEN INSERT * | INSERT (cols) VALUES (exprs)]
+        [WHEN MATCHED [AND <pred>] THEN UPDATE SET col = <expr> [, ...]]
+        [WHEN NOT MATCHED [AND <pred>] THEN INSERT * | INSERT (cols)
+            VALUES (exprs)]
         [WHEN NOT MATCHED BY SOURCE [AND <pred>] THEN DELETE]
-        [WHEN NOT MATCHED BY SOURCE THEN UPDATE SET col = <expr> [, ...]]
+        [WHEN NOT MATCHED BY SOURCE [AND <pred>] THEN UPDATE SET
+            col = <expr> [, ...]]
     OPTIMIZE <table> [WHERE col BETWEEN lo AND hi [AND ...]]
         [ZORDER BY (col [, ...])]
     VACUUM <table> [RETAIN <n> VERSIONS] [MIN AGE <sec> SECONDS]
@@ -56,13 +58,12 @@ Catalyst SQL)::
     RESTORE [TABLE] <table> TO VERSION AS OF <n>
     DESCRIBE HISTORY <table>
 
-Unsupported-but-valid-elsewhere forms refuse EXPLICITLY (silent
-mis-execution is the failure mode that matters): a conditional
-``WHEN MATCHED AND p THEN UPDATE`` names the restriction (the manifest
-API applies the update to every matched row the delete clause did not
-take), a non-equi ON condition explains that merge keys must be shared
-equi-join columns, and DML on an unregistered name lists what IS
-registered.
+Every WHEN clause takes an optional ``AND <pred>`` (Delta's full
+clause matrix — r13, backed by the manifest merge's clause-condition
+parameters). Unsupported-but-valid-elsewhere forms refuse EXPLICITLY
+(silent mis-execution is the failure mode that matters): a non-equi
+ON condition explains that merge keys must be shared equi-join
+columns, and DML on an unregistered name lists what IS registered.
 
 Result frames (stable schemas, one row):
 - MERGE/UPDATE/DELETE/RESTORE/OPTIMIZE → ``(op string, version bigint)``
@@ -399,6 +400,9 @@ def _run_merge(spark, query, masked, tables, mode) -> DataFrame:
         when_not_matched_insert=None,
         when_not_matched_by_source_update=None,
         when_not_matched_by_source_delete=None,
+        when_matched_update_condition=None,
+        when_not_matched_insert_condition=None,
+        when_not_matched_by_source_update_condition=None,
     )
 
     def _set_once(slot: str, value) -> None:
@@ -436,14 +440,7 @@ def _run_merge(spark, query, masked, tables, mode) -> DataFrame:
                 _set_once("when_matched_delete", cond or "true")
             elif m_upd:
                 if cond is not None:
-                    raise ValueError(
-                        "MERGE: conditional 'WHEN MATCHED AND <pred> "
-                        "THEN UPDATE' is not supported — the manifest "
-                        "API applies the update to every matched row "
-                        "the delete clause did not take; fold the "
-                        "condition into the assignment expressions "
-                        "(CASE WHEN ...) or pre-filter the source"
-                    )
+                    _set_once("when_matched_update_condition", cond)
                 off = w.start("action") + m_upd.start(1)
                 _set_once(
                     "when_matched_update",
@@ -462,12 +459,14 @@ def _run_merge(spark, query, masked, tables, mode) -> DataFrame:
                     f"UPDATE SET ..., got {action_real!r}"
                 )
         elif kind == "NOT MATCHED":
-            if cond is not None or not m_ins:
+            if not m_ins:
                 raise ValueError(
-                    "MERGE: WHEN NOT MATCHED supports exactly "
-                    "'THEN INSERT *' or 'THEN INSERT (cols) VALUES "
-                    f"(exprs)', got {action_real!r}"
+                    "MERGE: WHEN NOT MATCHED [AND <pred>] supports "
+                    "exactly 'THEN INSERT *' or 'THEN INSERT (cols) "
+                    f"VALUES (exprs)', got {action_real!r}"
                 )
+            if cond is not None:
+                _set_once("when_not_matched_insert_condition", cond)
             body = action_masked[m_ins.start(1) :].strip()
             if body == "*":
                 _set_once("when_not_matched_insert", "*")
@@ -524,10 +523,9 @@ def _run_merge(spark, query, masked, tables, mode) -> DataFrame:
                 )
             elif m_upd:
                 if cond is not None:
-                    raise ValueError(
-                        "MERGE: conditional BY SOURCE UPDATE is not "
-                        "supported — fold the condition into the "
-                        "assignments (CASE WHEN ...)"
+                    _set_once(
+                        "when_not_matched_by_source_update_condition",
+                        cond,
                     )
                 off = w.start("action") + m_upd.start(1)
                 _set_once(

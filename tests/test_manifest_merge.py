@@ -479,3 +479,114 @@ def test_merge_by_source_race_always_raises_on_added_rows(spark, tmp_path):
             when_matched_update={"v": "s.v"},
             when_not_matched_by_source_delete="true",
         )
+
+
+def test_merge_conditional_update_clause(spark, tmp_path):
+    """r13: when_matched_update_condition — Delta's WHEN MATCHED AND
+    <cond> THEN UPDATE. A matched row failing the condition carries
+    unchanged and, on CDF tables, produces NO update images."""
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "k long, v double"
+    )
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), df, change_data_feed=True
+    )
+    src = spark.createDataFrame(
+        [(1, 100.0), (2, 200.0)], "k long, v double"
+    )
+    v = t.merge(
+        src,
+        on=["k"],
+        when_matched_update={"v": "s.v"},
+        when_matched_update_condition="s.v > 150",
+    )
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[1] == 1.0 and got[2] == 200.0
+    changes = t.read_change_feed(0, v).collect()
+    touched = {(r["k"], r["_change_type"]) for r in changes}
+    assert (2, "update_preimage") in touched
+    assert (2, "update_postimage") in touched
+    assert not [r for r in changes if r["k"] == 1]
+
+
+def test_merge_conditional_insert_clause(spark, tmp_path):
+    df = spark.createDataFrame([(0, 0.0)], "k long, v double")
+    t = VersionedTable.create(spark, str(tmp_path / "t"), df)
+    src = spark.createDataFrame(
+        [(5, 5.0), (6, 60.0)], "k long, v double"
+    )
+    t.merge(
+        src,
+        on=["k"],
+        when_not_matched_insert="*",
+        when_not_matched_insert_condition="s.v > 10",
+    )
+    assert sorted(r["k"] for r in t.read().collect()) == [0, 6]
+
+
+def test_merge_conditional_by_source_update(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(6)], "k long, v double"
+    )
+    t = VersionedTable.create(spark, str(tmp_path / "t"), df)
+    src = spark.createDataFrame([(0, 0.0)], "k long, v double")
+    t.merge(
+        src,
+        on=["k"],
+        when_not_matched_by_source_update={"v": "-1.0"},
+        when_not_matched_by_source_update_condition="t.k >= 4",
+    )
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got == {0: 0.0, 1: 1.0, 2: 2.0, 3: 3.0, 4: -1.0, 5: -1.0}
+
+
+def test_merge_conditional_mor_vectors_only_taken_rows(spark, tmp_path):
+    """MoR + update condition: rows failing the condition are NOT
+    vectored and NOT rewritten — the O(taken rows) contract."""
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "k long, v double"
+    )
+    t = VersionedTable.create(spark, str(tmp_path / "t"), df)
+    src = spark.createDataFrame(
+        [(1, 100.0), (2, 200.0), (3, 300.0)], "k long, v double"
+    )
+    t.merge(
+        src,
+        on=["k"],
+        when_matched_update={"v": "s.v"},
+        when_matched_update_condition="s.v >= 200",
+        mode="mor",
+    )
+    dv_dirs = t._read_pointer(1).get("delete_vectors")
+    assert dv_dirs
+    n_vectored = spark.read.parquet(*dv_dirs).count()
+    assert n_vectored == 2  # only k=2 and k=3 taken
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[1] == 1.0 and got[2] == 200.0 and got[3] == 300.0
+
+
+def test_merge_condition_refusals(spark, tmp_path):
+    df = spark.createDataFrame([(0, 0.0)], "k long, v double")
+    t = VersionedTable.create(spark, str(tmp_path / "t"), df)
+    src = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    with pytest.raises(ValueError, match="without its"):
+        t.merge(
+            src,
+            on=["k"],
+            when_not_matched_insert="*",
+            when_matched_update_condition="s.v > 0",
+        )
+    with pytest.raises(ValueError, match="'t.'"):
+        t.merge(
+            src,
+            on=["k"],
+            when_not_matched_insert="*",
+            when_not_matched_insert_condition="t.v > 0",
+        )
+    with pytest.raises(ValueError, match="'s.'"):
+        t.merge(
+            src,
+            on=["k"],
+            when_not_matched_by_source_update={"v": "0.0"},
+            when_not_matched_by_source_update_condition="s.v > 0",
+        )

@@ -265,19 +265,41 @@ def test_sql_merge_non_equi_on_refused(spark, tmp_path):
         )
 
 
-def test_sql_merge_conditional_update_refused(spark, tmp_path):
-    _mk(spark, tmp_path, "sdml_r2")
-    spark.range(3).selectExpr("id AS k", "CAST(1.0 AS DOUBLE) v").createOrReplaceTempView(
-        "sdml_r2_src"
+def test_sql_merge_conditional_clauses(spark, tmp_path):
+    """Delta's full clause matrix (r13): AND <pred> on matched UPDATE
+    and on NOT MATCHED INSERT — rows failing their clause's condition
+    carry unchanged / are not inserted."""
+    t = _mk(spark, tmp_path, "sdml_r2")
+    spark.createDataFrame(
+        [(1, 100.0), (2, 200.0), (50, 1.0), (60, 99.0)],
+        "k long, v double",
+    ).createOrReplaceTempView("sdml_r2_src")
+    tt.sql(
+        spark,
+        """
+        MERGE INTO sdml_r2 t USING sdml_r2_src s ON t.k = s.k
+        WHEN MATCHED AND s.v > 150 THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED AND s.v > 50 THEN INSERT (k, v)
+            VALUES (s.k, s.v)
+        """,
     )
-    with pytest.raises(ValueError, match="conditional"):
-        tt.sql(
-            spark,
-            """
-            MERGE INTO sdml_r2 t USING sdml_r2_src s ON t.k = s.k
-            WHEN MATCHED AND t.v > 0 THEN UPDATE SET v = s.v
-            """,
-        )
+    st = dict((r[0], r[2]) for r in _state(t))
+    assert st[1] == 1.0  # matched, condition failed -> unchanged
+    assert st[2] == 200.0  # matched, condition held -> updated
+    assert 50 not in st  # unmatched, insert condition failed
+    assert st[60] == 99.0  # unmatched, insert condition held
+    # conditional by-source update
+    tt.sql(
+        spark,
+        """
+        MERGE INTO sdml_r2 t USING sdml_r2_src s ON t.k = s.k
+        WHEN NOT MATCHED BY SOURCE AND t.k < 5 THEN UPDATE
+            SET g = 'bs'
+        """,
+    )
+    rows = {r[0]: r[1] for r in _state(t)}
+    assert rows[0] == "bs" and rows[3] == "bs"
+    assert rows[5] == "g2" and rows[19] == "g1"  # condition failed
 
 
 def test_sql_update_bad_grammar_refused(spark, tmp_path):
