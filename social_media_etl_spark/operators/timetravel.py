@@ -51,6 +51,22 @@ _TRAVEL = re.compile(
     rf"(\d+|'[^']*')",
     re.IGNORECASE,
 )
+# Delta's SQL CDF table-valued function: table_changes('t', s [, e])
+# with INCLUSIVE version bounds (both Delta and this rewrite); the
+# name may be quoted (Delta style) or a bare identifier. TWO patterns:
+# the MASKED one locates calls on the literal-masked text (where a
+# quoted name's characters are blanked, so it accepts any quoted
+# span), the STRICT one re-parses the located span on the real text.
+_TABLE_CHANGES_MASKED = re.compile(
+    rf"\btable_changes\s*\(\s*(?:'[^']*'|{_NAME})\s*,\s*(\d+)\s*"
+    rf"(?:,\s*(\d+)\s*)?\)",
+    re.IGNORECASE,
+)
+_TABLE_CHANGES = re.compile(
+    rf"\btable_changes\s*\(\s*(?:'({_NAME})'|({_NAME}))\s*,\s*(\d+)\s*"
+    rf"(?:,\s*(\d+)\s*)?\)",
+    re.IGNORECASE,
+)
 
 
 def register_table(spark: SparkSession, name: str, path: str) -> None:
@@ -80,6 +96,57 @@ def _ts_ms(literal: str) -> int:
     return int(dt.timestamp() * 1000)
 
 
+def _rewrite_table_changes(
+    spark: SparkSession, query: str, tables: dict[str, str]
+) -> str:
+    """Resolve ``table_changes('name', start [, end])`` calls (Delta's
+    SQL CDF surface, INCLUSIVE version bounds) against registered
+    VersionedTables: each call registers the typed change feed
+    (:meth:`VersionedTable.read_change_feed` over ``(start-1, end]``,
+    the exclusive-start equivalent) as a deterministic temp view and
+    the call text is rewritten to that view name — the rest of the
+    query flows through Catalyst like any other table reference.
+    String-literal masking keeps a quoted "table_changes(...)" inert;
+    an unregistered name raises with the registered list."""
+    masked = re.sub(
+        r"'[^']*'",
+        lambda m: "'" + "\x00" * (len(m.group(0)) - 2) + "'",
+        query,
+    )
+    out = []
+    last = 0
+    for m in _TABLE_CHANGES_MASKED.finditer(masked):
+        # any masked match is OUTSIDE string literals (a call inside
+        # one has its keyword blanked); the strict re-parse on the
+        # real text recovers the quoted name the mask blanked
+        real = _TABLE_CHANGES.match(query, m.start(), m.end())
+        out.append(query[last : m.start()])
+        if real is None:
+            raise ValueError(
+                "table_changes: cannot parse "
+                f"{query[m.start():m.end()]!r} — expected "
+                "table_changes('<table>', <start> [, <end>]) with an "
+                "identifier table name"
+            )
+        name = real.group(1) or real.group(2)
+        path = tables.get(name)
+        if path is None:
+            raise ValueError(
+                f"table_changes on unregistered table {name!r} — "
+                f"registered: {sorted(tables) or '(none)'}; call "
+                "register_table(spark, name, path) first"
+            )
+        start = int(real.group(3))
+        t = VersionedTable(spark, path)
+        end = int(real.group(4)) if real.group(4) else t.head_version()
+        view = f"{name}__cdf_{start}_{end}"
+        t.read_change_feed(start - 1, end).createOrReplaceTempView(view)
+        out.append(view)
+        last = m.end()
+    out.append(query[last:])
+    return "".join(out)
+
+
 def sql(
     spark: SparkSession, query: str, dml_mode: str | None = None
 ) -> DataFrame:
@@ -102,6 +169,7 @@ def sql(
 
     if sqldml.is_dml(query):
         return sqldml.run_dml(spark, query, tables, dml_mode)
+    query = _rewrite_table_changes(spark, query, tables)
 
     def _replace(m: re.Match) -> str:
         name, kind, operand = m.group(1), m.group(2).upper(), m.group(3)

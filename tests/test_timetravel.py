@@ -105,3 +105,54 @@ def test_registry_name_never_becomes_regex(spark, tmp_path):
     for bad in ("a.b", "a+b", "a(b)", "x[1]"):
         with pytest.raises(ValueError, match="identifier"):
             tt.register_table(spark, bad, str(tmp_path / "x"))
+
+
+def test_table_changes_sql_surface(spark, tmp_path):
+    """Delta's table_changes('t', start [, end]) as SQL (r13):
+    inclusive version bounds, typed rows, composable with the rest of
+    the query through Catalyst."""
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(6)], "k long, v double"
+    )
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), df, change_data_feed=True
+    )
+    t.append(spark.createDataFrame([(10, 10.0)], "k long, v double"))
+    t.delete("k = 0")
+    tt.register_table(spark, "tc_t", t.path)
+    # start=1 end=2: the append's insert + the delete's delete
+    got = tt.sql(
+        spark,
+        """
+        SELECT _change_type, count(*) AS n
+        FROM table_changes('tc_t', 1, 2)
+        GROUP BY _change_type ORDER BY _change_type
+        """,
+    ).collect()
+    assert [(r["_change_type"], r["n"]) for r in got] == [
+        ("delete", 1), ("insert", 1),
+    ]
+    # start=0 includes the create's inserts; end defaults to head
+    n_all = tt.sql(
+        spark, "SELECT count(*) AS n FROM table_changes('tc_t', 0)"
+    ).collect()[0]["n"]
+    assert n_all == 6 + 1 + 1
+    # bare-identifier name form and join-ability
+    joined = tt.sql(
+        spark,
+        """
+        SELECT c.k FROM table_changes(tc_t, 2, 2) c
+        JOIN tc_t h ON c.k = h.k WHERE c._change_type = 'delete'
+        """,
+    ).collect()
+    assert joined == []  # deleted row no longer in the head
+    # quoted literal containing the call text never rewrites
+    lit = tt.sql(
+        spark, "SELECT 'table_changes(''tc_t'', 0)' AS s"
+    ).collect()[0]["s"]
+    assert "table_changes" in lit
+
+
+def test_table_changes_unregistered_refused(spark):
+    with pytest.raises(ValueError, match="unregistered"):
+        tt.sql(spark, "SELECT * FROM table_changes('nope_xyz', 0)")
