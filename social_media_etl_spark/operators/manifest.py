@@ -1768,6 +1768,7 @@ class VersionedTable:
         df: DataFrame,
         max_retries: int = 10,
         txn: str | None = None,
+        _commit_extra: dict | None = None,
     ) -> int:
         """Commit new rows. Commutes with concurrent appends: a CAS
         loser rebases its (already-written) files onto the winner —
@@ -1857,6 +1858,11 @@ class VersionedTable:
                     **(new_stats or {}),
                 }
                 m["parts"] = {**(base.get("parts") or {}), **new_parts}
+            if _commit_extra:
+                # op-specific metadata riders (copy_into's loaded-file
+                # record) — never core manifest keys, so the rebase
+                # loop can re-apply them verbatim each attempt
+                m.update(_commit_extra)
             if new_checked is False:
                 # new files carry no deletion vectors — skip the anti-join
                 self._check_constraints(files, {**m, "delete_vectors": []})
@@ -1867,6 +1873,68 @@ class VersionedTable:
             sch = self._check_schema(df, parent)
         raise ConcurrentWriteError(
             f"VersionedTable: append lost {max_retries} CAS races"
+        )
+
+    def copy_into(
+        self,
+        src: str,
+        file_format: str = "parquet",
+        pattern: str | None = None,
+        txn: str | None = None,
+    ) -> int:
+        """COPY INTO — Delta's idempotent file-ingestion statement
+        (r13): load data files from ``src`` into the table, SKIPPING
+        any file a previous ``copy_into`` already loaded — so retries,
+        crash re-runs, and overlapping schedules are exactly-once per
+        FILE with zero caller bookkeeping (the property that makes
+        COPY INTO the standard landing-zone→table step: at 100 TB the
+        loader WILL be re-run against a partially-loaded directory).
+
+        File identity is the scheme-stripped path, recorded in the
+        commit under ``copied_files``; the already-loaded set is the
+        union over ALL commits' records — O(versions) pointer reads
+        per call, the same bounded-metadata poll ``read_changes``
+        does, with no per-commit carry-forward bloat. The commit
+        itself IS an append (op ``append`` + the record), so schema
+        checking, constraints, segments, the change feeds, and the
+        append-chain streaming source all treat it natively —
+        exactly how Delta's COPY INTO commits AddFiles.
+
+        ``pattern`` is an fnmatch glob on file BASENAMES (Delta's
+        PATTERN option); underscore/dot-prefixed files (_SUCCESS,
+        checksums) are always skipped. Listing is one directory level
+        — point at the leaf dir, like Delta. Returns the new version,
+        or the current version unchanged if every listed file was
+        already loaded (no empty commits)."""
+        import fnmatch
+
+        src_path = self._P(src)
+        src_fs = src_path.getFileSystem(
+            self.spark.sparkContext._jsc.hadoopConfiguration()
+        )
+        if not src_fs.exists(src_path):
+            raise ValueError(f"copy_into: source {src!r} does not exist")
+        listed: dict[str, str] = {}  # identity -> qualified path
+        for st in src_fs.listStatus(src_path):
+            if not st.isFile():
+                continue
+            name = st.getPath().getName()
+            if name.startswith(("_", ".")):
+                continue
+            if pattern is not None and not fnmatch.fnmatch(name, pattern):
+                continue
+            listed[st.getPath().toUri().getPath()] = str(st.getPath())
+        already: set[str] = set()
+        for v in self.versions():
+            already.update(self._read_pointer(v).get("copied_files") or [])
+        new = sorted(set(listed) - already)
+        if not new:
+            return self.head_version()
+        df = self.spark.read.format(file_format).load(
+            [listed[i] for i in new]
+        )
+        return self.append(
+            df, txn=txn, _commit_extra={"copied_files": new}
         )
 
     def upsert(

@@ -57,6 +57,8 @@ Catalyst SQL)::
         [DRY RUN]
     RESTORE [TABLE] <table> TO VERSION AS OF <n>
     DESCRIBE HISTORY <table>
+    COPY INTO <table> FROM '<path>' [FILEFORMAT = <fmt>]
+        [PATTERN = '<glob>']
 
 Every WHEN clause takes an optional ``AND <pred>`` (Delta's full
 clause matrix — r13, backed by the manifest merge's clause-condition
@@ -94,7 +96,7 @@ _NAME = r"[A-Za-z_][A-Za-z0-9_]*"
 # DESCRIBE dispatches only with HISTORY — a plain 'DESCRIBE <view>'
 # is valid Spark SQL and must keep flowing through Catalyst untouched
 _DML_HEAD = re.compile(
-    r"^\s*(MERGE|UPDATE|DELETE|OPTIMIZE|VACUUM|RESTORE"
+    r"^\s*(MERGE|UPDATE|DELETE|OPTIMIZE|VACUUM|RESTORE|COPY"
     r"|DESCRIBE(?=\s+HISTORY\b))\b",
     re.IGNORECASE,
 )
@@ -578,6 +580,12 @@ _RESTORE = re.compile(
 _DESCRIBE = re.compile(
     rf"^\s*DESCRIBE\s+HISTORY\s+({_NAME})\s*;?\s*$", re.IGNORECASE
 )
+_COPY = re.compile(
+    rf"^\s*COPY\s+INTO\s+({_NAME})\s+FROM\s+('[^']*')\s*"
+    rf"(?:FILEFORMAT\s*=\s*({_NAME}))?\s*"
+    rf"(?:PATTERN\s*=\s*('[^']*'))?\s*;?\s*$",
+    re.IGNORECASE,
+)
 
 
 def _scalar(tok: str):
@@ -711,6 +719,31 @@ def run_dml(
         return _run_optimize(spark, query, masked, tables)
     if head == "VACUUM":
         return _run_vacuum(spark, query, masked, tables)
+    if head == "COPY":
+        m = _COPY.match(masked)
+        if m is None:
+            raise ValueError(
+                "COPY INTO: expected \"COPY INTO <table> FROM '<path>' "
+                "[FILEFORMAT = <fmt>] [PATTERN = '<glob>']\", got: "
+                f"{query.strip()!r}"
+            )
+        name = m.group(1)
+        t = _resolve_table(spark, tables, name, "COPY INTO")
+        before = t.head_version()
+        v = t.copy_into(
+            query[m.start(2) + 1 : m.end(2) - 1],
+            file_format=(m.group(3) or "parquet").lower(),
+            pattern=(
+                query[m.start(4) + 1 : m.end(4) - 1]
+                if m.group(4)
+                else None
+            ),
+        )
+        _refresh_head(spark, name, t)
+        return spark.createDataFrame(
+            [("copy_into", int(v), bool(v != before))],
+            "op string, version bigint, loaded boolean",
+        )
     if head == "DESCRIBE":
         m = _DESCRIBE.match(masked)
         if m is None:

@@ -338,3 +338,83 @@ def test_sql_describe_history(spark, tmp_path):
     # plain DESCRIBE still flows through Catalyst untouched
     desc = tt.sql(spark, "DESCRIBE sdml_h")
     assert "col_name" in desc.columns
+
+
+# -- COPY INTO ------------------------------------------------------------------
+
+
+def test_copy_into_idempotent_file_loading(spark, tmp_path):
+    """COPY INTO (r13): files load exactly once across retries; new
+    landing-zone files load incrementally; PATTERN filters basenames;
+    _-prefixed files are skipped."""
+    t = _mk(spark, tmp_path, "sdml_cp", rows=2)
+    land = tmp_path / "landing"
+    spark.createDataFrame(
+        [(100, "x", 1.0)], "k long, g string, v double"
+    ).coalesce(1).write.parquet(str(land / "b1"))
+    # flatten one level: COPY INTO points at a leaf dir of files
+    import shutil
+
+    dest = land / "files"
+    dest.mkdir(parents=True)
+    n = 0
+    for p in (land / "b1").glob("*.parquet"):
+        shutil.copy(p, dest / f"part{n}.parquet")
+        n += 1
+    out = tt.sql(
+        spark, f"COPY INTO sdml_cp FROM '{dest}' FILEFORMAT = PARQUET"
+    ).collect()
+    assert out[0]["op"] == "copy_into" and out[0]["loaded"]
+    assert sorted(r[0] for r in _state(t)) == [0, 1, 100]
+    # retry: nothing new, head unchanged, loaded=False
+    out2 = tt.sql(spark, f"COPY INTO sdml_cp FROM '{dest}'").collect()
+    assert not out2[0]["loaded"]
+    assert out2[0]["version"] == out[0]["version"]
+    assert sorted(r[0] for r in _state(t)) == [0, 1, 100]
+    # a new file lands; only IT loads
+    spark.createDataFrame(
+        [(200, "y", 2.0)], "k long, g string, v double"
+    ).coalesce(1).write.parquet(str(land / "b2"))
+    for p in (land / "b2").glob("*.parquet"):
+        shutil.copy(p, dest / "late.parquet")
+    (dest / "_SUCCESS").write_text("")  # always skipped
+    out3 = tt.sql(spark, f"COPY INTO sdml_cp FROM '{dest}'").collect()
+    assert out3[0]["loaded"]
+    assert sorted(r[0] for r in _state(t)) == [0, 1, 100, 200]
+
+
+def test_copy_into_pattern_and_python_api(spark, tmp_path):
+    from social_media_etl_spark.operators.manifest import VersionedTable
+
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame([(0, "a", 0.0)], "k long, g string, v double"),
+    )
+    land = tmp_path / "zone"
+    land.mkdir()
+    import shutil
+
+    for i, tag in enumerate(("keep", "skip")):
+        d = tmp_path / f"gen{i}"
+        spark.createDataFrame(
+            [(10 + i, tag, float(i))], "k long, g string, v double"
+        ).coalesce(1).write.parquet(str(d))
+        for p in d.glob("*.parquet"):
+            shutil.copy(p, land / f"{tag}-0.parquet")
+    v = t.copy_into(str(land), pattern="keep-*.parquet")
+    assert v == 1
+    assert sorted(r["g"] for r in t.read().collect()) == ["a", "keep"]
+    # schema drift refuses through the append path
+    bad = tmp_path / "bad"
+    spark.createDataFrame([(1,)], "zzz long").coalesce(1).write.parquet(
+        str(bad)
+    )
+    flat = tmp_path / "badflat"
+    flat.mkdir()
+    for p in bad.glob("*.parquet"):
+        shutil.copy(p, flat / "b.parquet")
+    with pytest.raises(Exception):
+        t.copy_into(str(flat))
+    with pytest.raises(ValueError, match="does not exist"):
+        t.copy_into(str(tmp_path / "nope"))
