@@ -93,11 +93,13 @@ from social_media_etl_spark.operators.manifest import VersionedTable
 __all__ = ["is_dml", "run_dml"]
 
 _NAME = r"[A-Za-z_][A-Za-z0-9_]*"
-# DESCRIBE dispatches only with HISTORY — a plain 'DESCRIBE <view>'
-# is valid Spark SQL and must keep flowing through Catalyst untouched
+# DESCRIBE dispatches only with HISTORY, CREATE only with SHALLOW
+# CLONE — plain 'DESCRIBE <view>' / 'CREATE TABLE/VIEW ...' are valid
+# Spark SQL and must keep flowing through Catalyst untouched
 _DML_HEAD = re.compile(
     r"^\s*(MERGE|UPDATE|DELETE|OPTIMIZE|VACUUM|RESTORE|COPY"
-    r"|DESCRIBE(?=\s+HISTORY\b))\b",
+    r"|DESCRIBE(?=\s+HISTORY\b)"
+    r"|CREATE(?=\s+TABLE\s+[A-Za-z_][A-Za-z0-9_]*\s+SHALLOW\s+CLONE\b))\b",
     re.IGNORECASE,
 )
 
@@ -586,6 +588,12 @@ _COPY = re.compile(
     rf"(?:PATTERN\s*=\s*('[^']*'))?\s*;?\s*$",
     re.IGNORECASE,
 )
+_CLONE = re.compile(
+    rf"^\s*CREATE\s+TABLE\s+({_NAME})\s+SHALLOW\s+CLONE\s+({_NAME})"
+    rf"(?:\s+VERSION\s+AS\s+OF\s+(\d+))?"
+    rf"(?:\s+LOCATION\s+('[^']*'))?\s*;?\s*$",
+    re.IGNORECASE,
+)
 
 
 def _scalar(tok: str):
@@ -744,6 +752,32 @@ def run_dml(
             [("copy_into", int(v), bool(v != before))],
             "op string, version bigint, loaded boolean",
         )
+    if head == "CREATE":
+        m = _CLONE.match(masked)
+        if m is None:
+            raise ValueError(
+                "SHALLOW CLONE: expected \"CREATE TABLE <name> SHALLOW "
+                "CLONE <source> [VERSION AS OF <n>] LOCATION "
+                f"'<path>'\", got: {query.strip()!r}"
+            )
+        dest_name, src_name = m.group(1), m.group(2)
+        if m.group(4) is None:
+            raise ValueError(
+                "SHALLOW CLONE: LOCATION '<path>' is required — this "
+                "engine's tables are path-addressed, so the clone "
+                "needs a destination directory (Delta's catalog-"
+                "managed location has no analog here)"
+            )
+        src = _resolve_table(spark, tables, src_name, "SHALLOW CLONE")
+        dest_path = query[m.start(4) + 1 : m.end(4) - 1]
+        version = int(m.group(3)) if m.group(3) else None
+        dest = src.clone(dest_path, version=version)
+        # register the new table under its SQL name, like
+        # register_table does (same registry the caller passed in)
+        from social_media_etl_spark.operators import timetravel as _tt
+
+        _tt.register_table(spark, dest_name, dest.path)
+        return _one_row(spark, "clone", 0)
     if head == "DESCRIBE":
         m = _DESCRIBE.match(masked)
         if m is None:

@@ -418,3 +418,32 @@ def test_copy_into_pattern_and_python_api(spark, tmp_path):
         t.copy_into(str(flat))
     with pytest.raises(ValueError, match="does not exist"):
         t.copy_into(str(tmp_path / "nope"))
+
+
+def test_sql_shallow_clone(spark, tmp_path):
+    """CREATE TABLE <name> SHALLOW CLONE <src> [VERSION AS OF n]
+    LOCATION '<path>' — the SQL form of clone(); the new name is
+    registered and immediately queryable/writable."""
+    t = _mk(spark, tmp_path, "sdml_cl")
+    tt.sql(spark, "DELETE FROM sdml_cl WHERE k >= 10")
+    out = tt.sql(
+        spark,
+        "CREATE TABLE sdml_cl2 SHALLOW CLONE sdml_cl VERSION AS OF 0 "
+        f"LOCATION '{tmp_path / 'c2'}'",
+    ).collect()
+    assert out[0]["op"] == "clone"
+    # the clone pinned v0 (pre-delete) and is queryable by SQL name
+    n = tt.sql(spark, "SELECT count(*) AS n FROM sdml_cl2").collect()
+    assert n[0]["n"] == 20
+    # and writable through the DML surface, independent of the source
+    tt.sql(spark, "DELETE FROM sdml_cl2 WHERE k < 19")
+    assert tt.sql(
+        spark, "SELECT count(*) AS n FROM sdml_cl2"
+    ).collect()[0]["n"] == 1
+    assert len(_state(t)) == 10  # source untouched
+    # plain CREATE still flows to Catalyst
+    tt.sql(spark, "CREATE TEMPORARY VIEW sdml_cl_v AS SELECT 1 AS one")
+    assert spark.table("sdml_cl_v").collect()[0]["one"] == 1
+    # LOCATION is mandatory
+    with pytest.raises(ValueError, match="LOCATION"):
+        tt.sql(spark, "CREATE TABLE x1 SHALLOW CLONE sdml_cl")
