@@ -120,6 +120,7 @@ METADATA_ONLY_OPS = (
     "add_constraint",
     "drop_constraint",
     "analyze",
+    "set_properties",
 )
 
 
@@ -1482,6 +1483,7 @@ class VersionedTable:
             "cdf",
             "dropped_phys",
             "features",
+            "properties",
         ):
             if base.get(k):
                 m[k] = base[k]
@@ -2791,6 +2793,88 @@ class VersionedTable:
         if not self._try_commit(m, v):
             raise ConcurrentWriteError(
                 f"VersionedTable: add_column raced past stale "
+                f"v{parent}; head is now v{self.head_version()} — re-run"
+            )
+        return v
+
+    def properties(self) -> dict[str, str]:
+        """The table's user-level properties (TBLPROPERTIES) as of the
+        head — one pointer read, the map is carried forward by every
+        commit (``_carry_mapping``)."""
+        return dict(
+            self._read_pointer(self.head_version()).get("properties") or {}
+        )
+
+    def set_properties(
+        self, props: dict[str, str], txn: str | None = None
+    ) -> int:
+        """ALTER TABLE SET TBLPROPERTIES as a METADATA-ONLY commit
+        (r13 — the Delta table-properties surface): merge ``props``
+        into the table's property map; zero files move, zero rows
+        change (op ``set_properties`` joins METADATA_ONLY_OPS, so
+        change feeds and the append-chain stream skip it). Properties
+        are opaque key→string pairs EXCEPT the engine-consulted ones,
+        which are validated here so a typo fails at SET time, not at
+        the next DML: ``smetl.dml.mode`` must be ``cow``/``mor`` (the
+        SQL DML layer resolves it between the per-call argument and
+        the session conf — Delta's strategy-is-a-table-property
+        contract). First-committer-wins like every metadata commit."""
+        if not props:
+            raise ValueError("set_properties: empty property map")
+        bad = {
+            k: v
+            for k, v in props.items()
+            if not isinstance(k, str) or not isinstance(v, str)
+        }
+        if bad:
+            raise ValueError(
+                f"set_properties: keys and values must be strings: {bad}"
+            )
+        mode = props.get("smetl.dml.mode")
+        if mode is not None and mode not in ("cow", "mor"):
+            raise ValueError(
+                "set_properties: smetl.dml.mode must be 'cow' or "
+                f"'mor', got {mode!r}"
+            )
+        return self._commit_properties(
+            lambda cur: {**cur, **props}, txn
+        )
+
+    def unset_properties(
+        self, keys: list[str], txn: str | None = None
+    ) -> int:
+        """ALTER TABLE UNSET TBLPROPERTIES — removes ``keys`` from the
+        property map (absent keys are ignored, Delta's IF EXISTS
+        default), metadata-only like :meth:`set_properties`."""
+        if not keys:
+            raise ValueError("unset_properties: empty key list")
+        return self._commit_properties(
+            lambda cur: {k: v for k, v in cur.items() if k not in set(keys)},
+            txn,
+        )
+
+    def _commit_properties(self, fn, txn: str | None) -> int:
+        parent = self.head_version()
+        ptr = self._read_pointer(parent)
+        v = parent + 1
+        m = dict(ptr)
+        for stale in (
+            "merge_on", "mode", "predicate", "cdc", "restored_from",
+        ):
+            m.pop(stale, None)
+        m.update(
+            {
+                "version": v,
+                "parent": parent,
+                "op": "set_properties",
+                "txn": txn,
+                "txns": self._txns_after(ptr, txn),
+                "properties": fn(dict(ptr.get("properties") or {})),
+            }
+        )
+        if not self._try_commit(m, v):
+            raise ConcurrentWriteError(
+                f"VersionedTable: set/unset_properties raced past stale "
                 f"v{parent}; head is now v{self.head_version()} — re-run"
             )
         return v

@@ -24,10 +24,12 @@ queryable and writable from SQL::
 
 Physical strategy for MERGE/UPDATE/DELETE (copy-on-write vs
 merge-on-read deletion vectors) resolves like Delta's table-level
-tuning: the ``dml_mode`` argument to :func:`timetravel.sql` wins,
-else the session conf ``spark.smetl.sql.dml.mode`` (``cow``/``mor``),
-else COW — SQL text stays strategy-neutral, exactly as in Delta where
-DVs are a table property, not statement syntax.
+tuning, most-specific-wins: the ``dml_mode`` argument to
+:func:`timetravel.sql`, else the TABLE PROPERTY ``smetl.dml.mode``
+(set via ``ALTER TABLE t SET TBLPROPERTIES ('smetl.dml.mode'='mor')``
+— Delta's DVs-are-a-table-property contract), else the session conf
+``spark.smetl.sql.dml.mode``, else COW — SQL text stays
+strategy-neutral.
 
 The parser is deliberately CONSERVATIVE (the ``timetravel`` rewrite
 philosophy): statements are matched against an explicit grammar on a
@@ -59,6 +61,11 @@ Catalyst SQL)::
     DESCRIBE HISTORY <table>
     COPY INTO <table> FROM '<path>' [FILEFORMAT = <fmt>]
         [PATTERN = '<glob>']
+    CREATE TABLE <name> SHALLOW CLONE <src> [VERSION AS OF <n>]
+        LOCATION '<path>'
+    ALTER TABLE <table> SET TBLPROPERTIES ('k'='v' [, ...])
+    ALTER TABLE <table> UNSET TBLPROPERTIES ('k' [, ...])
+    SHOW TBLPROPERTIES <table>
 
 Every WHEN clause takes an optional ``AND <pred>`` (Delta's full
 clause matrix — r13, backed by the manifest merge's clause-condition
@@ -99,7 +106,10 @@ _NAME = r"[A-Za-z_][A-Za-z0-9_]*"
 _DML_HEAD = re.compile(
     r"^\s*(MERGE|UPDATE|DELETE|OPTIMIZE|VACUUM|RESTORE|COPY"
     r"|DESCRIBE(?=\s+HISTORY\b)"
-    r"|CREATE(?=\s+TABLE\s+[A-Za-z_][A-Za-z0-9_]*\s+SHALLOW\s+CLONE\b))\b",
+    r"|CREATE(?=\s+TABLE\s+[A-Za-z_][A-Za-z0-9_]*\s+SHALLOW\s+CLONE\b)"
+    r"|ALTER(?=\s+TABLE\s+[A-Za-z_][A-Za-z0-9_]*\s+(?:SET|UNSET)\s+"
+    r"TBLPROPERTIES\b)"
+    r"|SHOW(?=\s+TBLPROPERTIES\b))\b",
     re.IGNORECASE,
 )
 
@@ -165,15 +175,25 @@ def _refresh_head(spark: SparkSession, name: str, t: VersionedTable) -> None:
     t.read().createOrReplaceTempView(name)
 
 
-def _resolve_mode(spark: SparkSession, dml_mode: str | None) -> str:
-    mode = dml_mode or spark.conf.get(
-        "spark.smetl.sql.dml.mode", None
-    ) or "cow"
+def _resolve_mode(
+    spark: SparkSession, dml_mode: str | None, t: VersionedTable
+) -> str:
+    """COW/MoR strategy, most-specific-wins: the per-call ``dml_mode``
+    argument, then the table property ``smetl.dml.mode`` (Delta's
+    strategy-is-a-table-property contract — a high-churn table opts
+    into deletion vectors once, every SQL writer inherits it), then
+    the session conf, then COW."""
+    mode = (
+        dml_mode
+        or t.properties().get("smetl.dml.mode")
+        or spark.conf.get("spark.smetl.sql.dml.mode", None)
+        or "cow"
+    )
     if mode not in ("cow", "mor"):
         raise ValueError(
             f"SQL DML: unknown mode {mode!r} (from the dml_mode "
-            "argument or spark.smetl.sql.dml.mode) — expected 'cow' "
-            "or 'mor'"
+            "argument, the smetl.dml.mode table property, or "
+            "spark.smetl.sql.dml.mode) — expected 'cow' or 'mor'"
         )
     return mode
 
@@ -219,7 +239,7 @@ _DELETE = re.compile(
 )
 
 
-def _run_update(spark, query, masked, tables, mode) -> DataFrame:
+def _run_update(spark, query, masked, tables, dml_mode) -> DataFrame:
     m = _UPDATE.match(masked)
     if m is None:
         raise ValueError(
@@ -228,6 +248,7 @@ def _run_update(spark, query, masked, tables, mode) -> DataFrame:
         )
     name = m.group(1)
     t = _resolve_table(spark, tables, name, "UPDATE")
+    mode = _resolve_mode(spark, dml_mode, t)
     assigns = _assignments(
         masked[m.start(2) : m.end(2)], query[m.start(2) : m.end(2)], "UPDATE"
     )
@@ -237,7 +258,7 @@ def _run_update(spark, query, masked, tables, mode) -> DataFrame:
     return _one_row(spark, "update", v)
 
 
-def _run_delete(spark, query, masked, tables, mode) -> DataFrame:
+def _run_delete(spark, query, masked, tables, dml_mode) -> DataFrame:
     m = _DELETE.match(masked)
     if m is None:
         raise ValueError(
@@ -246,6 +267,7 @@ def _run_delete(spark, query, masked, tables, mode) -> DataFrame:
         )
     name = m.group(1)
     t = _resolve_table(spark, tables, name, "DELETE")
+    mode = _resolve_mode(spark, dml_mode, t)
     pred = query[m.start(2) : m.end(2)].strip() if m.group(2) else "true"
     v = t.delete(pred, mode=mode)
     _refresh_head(spark, name, t)
@@ -323,7 +345,7 @@ def _parse_on_keys(on_real: str, on_masked: str, talias, salias) -> list[str]:
     return keys
 
 
-def _run_merge(spark, query, masked, tables, mode) -> DataFrame:
+def _run_merge(spark, query, masked, tables, dml_mode) -> DataFrame:
     h = _MERGE_HEAD.match(masked)
     if h is None:
         raise ValueError(
@@ -338,6 +360,7 @@ def _run_merge(spark, query, masked, tables, mode) -> DataFrame:
             "keyword — pick another alias"
         )
     t = _resolve_table(spark, tables, name, "MERGE")
+    mode = _resolve_mode(spark, dml_mode, t)
     pos = h.end()
     # source: '(' balanced-subquery ')' or an identifier
     if masked[pos] == "(":
@@ -594,6 +617,14 @@ _CLONE = re.compile(
     rf"(?:\s+LOCATION\s+('[^']*'))?\s*;?\s*$",
     re.IGNORECASE,
 )
+_SET_PROPS = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_NAME})\s+(SET|UNSET)\s+TBLPROPERTIES\s*"
+    rf"\((?P<body>.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_SHOW_PROPS = re.compile(
+    rf"^\s*SHOW\s+TBLPROPERTIES\s+({_NAME})\s*;?\s*$", re.IGNORECASE
+)
 
 
 def _scalar(tok: str):
@@ -717,12 +748,11 @@ def run_dml(
     masked = _mask(query)
     head = _DML_HEAD.match(query).group(1).upper()
     if head in ("MERGE", "UPDATE", "DELETE"):
-        mode = _resolve_mode(spark, dml_mode)
         if head == "MERGE":
-            return _run_merge(spark, query, masked, tables, mode)
+            return _run_merge(spark, query, masked, tables, dml_mode)
         if head == "UPDATE":
-            return _run_update(spark, query, masked, tables, mode)
-        return _run_delete(spark, query, masked, tables, mode)
+            return _run_update(spark, query, masked, tables, dml_mode)
+        return _run_delete(spark, query, masked, tables, dml_mode)
     if head == "OPTIMIZE":
         return _run_optimize(spark, query, masked, tables)
     if head == "VACUUM":
@@ -752,6 +782,53 @@ def run_dml(
             [("copy_into", int(v), bool(v != before))],
             "op string, version bigint, loaded boolean",
         )
+    if head == "ALTER":
+        m = _SET_PROPS.match(masked)
+        if m is None:
+            raise ValueError(
+                "TBLPROPERTIES: expected \"ALTER TABLE <t> SET "
+                "TBLPROPERTIES ('k'='v', ...)\" or \"... UNSET "
+                f"TBLPROPERTIES ('k', ...)\", got: {query.strip()!r}"
+            )
+        name = m.group(1)
+        t = _resolve_table(spark, tables, name, "TBLPROPERTIES")
+        body_m = masked[m.start("body") : m.end("body")]
+        body_r = query[m.start("body") : m.end("body")]
+        if m.group(2).upper() == "SET":
+            props = {}
+            for part in _split_top(body_m, body_r):
+                pm = re.match(r"^\s*'([^']*)'\s*=\s*'([^']*)'\s*$", part)
+                if pm is None:
+                    raise ValueError(
+                        "SET TBLPROPERTIES: entries must be "
+                        f"'key'='value', got {part!r}"
+                    )
+                props[pm.group(1)] = pm.group(2)
+            v = t.set_properties(props)
+        else:
+            keys = []
+            for part in _split_top(body_m, body_r):
+                pm = re.match(r"^\s*'([^']*)'\s*$", part)
+                if pm is None:
+                    raise ValueError(
+                        "UNSET TBLPROPERTIES: entries must be 'key', "
+                        f"got {part!r}"
+                    )
+                keys.append(pm.group(1))
+            v = t.unset_properties(keys)
+        return _one_row(spark, "set_properties", v)
+    if head == "SHOW":
+        m = _SHOW_PROPS.match(masked)
+        if m is None:
+            raise ValueError(
+                "SHOW TBLPROPERTIES: expected 'SHOW TBLPROPERTIES "
+                f"<table>', got: {query.strip()!r}"
+            )
+        t = _resolve_table(spark, tables, m.group(1), "SHOW TBLPROPERTIES")
+        props = sorted(t.properties().items())
+        return spark.createDataFrame(
+            props or [("", "")], "key string, value string"
+        ).filter("key != '' OR value != ''")
     if head == "CREATE":
         m = _CLONE.match(masked)
         if m is None:

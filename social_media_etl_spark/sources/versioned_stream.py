@@ -105,6 +105,7 @@ _METADATA_ONLY_OPS = (
     "add_constraint",
     "drop_constraint",
     "analyze",
+    "set_properties",
 )
 
 #: Ops legal along an APPEND-ONLY chain: data-adding commits plus the

@@ -447,3 +447,72 @@ def test_sql_shallow_clone(spark, tmp_path):
     # LOCATION is mandatory
     with pytest.raises(ValueError, match="LOCATION"):
         tt.sql(spark, "CREATE TABLE x1 SHALLOW CLONE sdml_cl")
+
+
+# -- TBLPROPERTIES --------------------------------------------------------------
+
+
+def test_tblproperties_roundtrip_and_mode_resolution(spark, tmp_path):
+    """ALTER TABLE SET/UNSET TBLPROPERTIES are metadata-only commits;
+    the smetl.dml.mode property makes every SQL writer of the table
+    use deletion vectors, sitting between the per-call argument and
+    the session conf."""
+    t = _mk(spark, tmp_path, "sdml_p")
+    out = tt.sql(
+        spark,
+        "ALTER TABLE sdml_p SET TBLPROPERTIES "
+        "('smetl.dml.mode'='mor', 'owner'='data-eng')",
+    ).collect()
+    assert out[0]["op"] == "set_properties" and out[0]["version"] == 1
+    props = {
+        r["key"]: r["value"]
+        for r in tt.sql(spark, "SHOW TBLPROPERTIES sdml_p").collect()
+    }
+    assert props == {"smetl.dml.mode": "mor", "owner": "data-eng"}
+    # metadata-only: zero files moved
+    assert set(t._read_manifest(0)["files"]) == set(
+        t._read_manifest(1)["files"]
+    )
+    # the property drives the strategy: a plain SQL DELETE vectors
+    tt.sql(spark, "DELETE FROM sdml_p WHERE k = 0")
+    assert t._read_pointer(2).get("delete_vectors")
+    # the per-call argument still outranks the property
+    tt.sql(spark, "DELETE FROM sdml_p WHERE k = 1", dml_mode="cow")
+    assert t._read_pointer(3)["op"] == "delete"
+    assert not [
+        d
+        for d in (t._read_pointer(3).get("delete_vectors") or [])
+        if d not in (t._read_pointer(2).get("delete_vectors") or [])
+    ]
+    # UNSET removes; absent keys are ignored
+    tt.sql(
+        spark,
+        "ALTER TABLE sdml_p UNSET TBLPROPERTIES ('owner', 'ghost')",
+    )
+    assert t.properties() == {"smetl.dml.mode": "mor"}
+    # validation: bad mode refuses at SET time
+    with pytest.raises(ValueError, match="smetl.dml.mode"):
+        t.set_properties({"smetl.dml.mode": "zap"})
+
+
+def test_tblproperties_survive_dml_and_skip_feeds(spark, tmp_path):
+    """Properties carry through every commit op, and the
+    set_properties commit is skipped by the change feed like any
+    metadata-only op (the drift-pinned list)."""
+    from social_media_etl_spark.operators import manifest as m
+    from social_media_etl_spark.sources import versioned_stream as vs
+
+    assert "set_properties" in m.METADATA_ONLY_OPS
+    assert vs._METADATA_ONLY_OPS == m.METADATA_ONLY_OPS
+    t = _mk(spark, tmp_path, "sdml_p2", rows=5)
+    t.set_properties({"a": "1"})
+    t.append(
+        spark.createDataFrame(
+            [(50, "z", 0.0)], "k long, g string, v double"
+        )
+    )
+    t.delete("k = 0", mode="mor")  # feed-recoverable on non-CDF tables
+    t.optimize()
+    assert t.properties() == {"a": "1"}
+    feed = t.read_change_feed(0).collect()
+    assert {r["_change_type"] for r in feed} == {"insert", "delete"}
