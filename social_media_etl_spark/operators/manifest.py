@@ -104,6 +104,8 @@ SUPPORTED_FEATURES = frozenset(
         "bucket",
         # CHECK constraints: writers must validate before commit
         "constraints",
+        # generated columns: writers must compute/validate them
+        "generated",
     }
 )
 
@@ -345,6 +347,86 @@ class VersionedTable:
                 "writing anyway would silently misinterpret the table — "
                 "upgrade the engine instead"
             )
+
+    @staticmethod
+    def _apply_generated(df: DataFrame, gen: dict | None) -> DataFrame:
+        """Enforce GENERATED column semantics on an ingest frame
+        (r13 — Delta's GENERATED ALWAYS AS): a generated column absent
+        from the input is COMPUTED from its expression; one present is
+        VALIDATED row-by-row in-plan — a supplied value disagreeing
+        with the expression raises, never silently diverges (the
+        whole point of a generated column is that readers may trust
+        it, e.g. partition pruning on a generated date). NULL-safe
+        comparison, so expression-NULL + supplied-NULL passes."""
+        if not gen:
+            return df
+        for col, expr in gen.items():
+            e = F.expr(expr)
+            if col not in df.columns:
+                df = df.withColumn(col, e)
+            else:
+                dtype = df.schema[col].dataType
+                df = df.withColumn(
+                    col,
+                    F.when(
+                        ~F.col(col).eqNullSafe(e.cast(dtype)),
+                        F.raise_error(
+                            F.concat(
+                                F.lit(
+                                    f"VersionedTable: generated column "
+                                    f"'{col}' must equal ({expr}); got '"
+                                ),
+                                F.col(col).cast("string"),
+                                F.lit("' where the expression yields '"),
+                                e.cast("string"),
+                                F.lit("'"),
+                            )
+                        ).cast(dtype),
+                    ).otherwise(F.col(col)),
+                )
+        return df
+
+    @staticmethod
+    def _expr_identifiers(expr: str) -> set[str]:
+        """Word-level identifier tokens of a SQL expression — the
+        CONSERVATIVE dependency scan the generated-column refusals
+        use (function names count as identifiers too; over-refusal is
+        safe, silent divergence is not)."""
+        import re as _re
+
+        masked = _re.sub(r"'[^']*'", "''", expr)
+        return set(_re.findall(r"[A-Za-z_][A-Za-z0-9_]*", masked))
+
+    def _refuse_generated_assignment(
+        self, ptr: dict, assigned: set[str], op: str
+    ) -> None:
+        """Refuse DML that assigns a generated column directly, or
+        assigns any column a generation expression mentions (the
+        conservative identifier scan): either would let a generated
+        column silently diverge from its expression. Delta recomputes
+        instead; refusing is the safe subset — rewrite the row via
+        MERGE insert / append, or drop the generation first."""
+        gen = ptr.get("generated") or {}
+        if not gen:
+            return
+        direct = assigned & set(gen)
+        if direct:
+            raise ValueError(
+                f"VersionedTable.{op}: column(s) {sorted(direct)} are "
+                "GENERATED — their values always come from the "
+                "generation expression; assigning them directly could "
+                "silently diverge"
+            )
+        for g, expr in gen.items():
+            deps = assigned & self._expr_identifiers(expr)
+            if deps:
+                raise ValueError(
+                    f"VersionedTable.{op}: column(s) {sorted(deps)} feed "
+                    f"the generated column '{g}' (= {expr}); updating "
+                    "them without recomputing it would silently break "
+                    "the generation invariant — delete+re-insert the "
+                    "rows, or drop the generated column first"
+                )
 
     @staticmethod
     def _add_feature(m: dict, name: str) -> dict:
@@ -1333,6 +1415,7 @@ class VersionedTable:
         bloom_cols: list[str] | None = None,
         bloom_bits: int = 2048,
         bloom_hashes: int = 3,
+        generated: dict[str, str] | None = None,
     ) -> "VersionedTable":
         """``stats_cols`` records per-file min/max in the manifest for
         :meth:`read_where` data skipping — numeric, string, and
@@ -1352,10 +1435,32 @@ class VersionedTable:
         default) stores file metadata in per-commit SEGMENT files so
         appends write O(appended files) of metadata (see module
         docstring); ``False`` keeps the legacy inline layout — the
-        format is fixed per table at create time."""
+        format is fixed per table at create time. ``generated`` maps
+        column → SQL expression (Delta's GENERATED ALWAYS AS, r13):
+        ingests that omit the column get it COMPUTED, ingests that
+        supply it get it VALIDATED in-plan (a disagreeing value
+        raises), UPDATE/MERGE refuse to assign it or any column its
+        expression mentions, and MERGE inserts compute it — so
+        readers (and partition pruning) may always trust the column.
+        Recorded as the ``generated`` table feature; expressions may
+        not reference other generated columns."""
         t = cls(spark, path)
         if t.versions():
             raise IOError(f"VersionedTable: {path} already initialized")
+        if generated:
+            # a generation expression may not reference another
+            # generated column (Delta's rule — evaluation order would
+            # otherwise matter) nor itself
+            for g, expr in generated.items():
+                circular = set(generated) & cls._expr_identifiers(expr)
+                if circular:
+                    raise ValueError(
+                        f"VersionedTable.create: generated column "
+                        f"'{g}' expression references generated "
+                        f"column(s) {sorted(circular)} — generation "
+                        "expressions may only use regular columns"
+                    )
+            df = cls._apply_generated(df, generated)
         cls._check_reserved_names(df.columns, "create")
         bucket = None
         if bucket_by is not None:
@@ -1406,6 +1511,10 @@ class VersionedTable:
             # read_change_feed/readChangeFeed cover them (r10)
             "cdf": bool(change_data_feed),
             "constraints": constraints or {},
+            # GENERATED ALWAYS AS expressions (r13): computed when an
+            # ingest omits the column, validated in-plan when it
+            # supplies one; carried by every commit (_carry_mapping)
+            "generated": generated or {},
             # name→field-id indirection (VERDICT r9 #4, the Iceberg/
             # Delta column-mapping substrate): ids are assigned once
             # here, survive renames (the id keeps its identity, the
@@ -1423,6 +1532,7 @@ class VersionedTable:
                 + (["bloom"] if bloom else [])
                 + (["bucket"] if bucket else [])
                 + (["constraints"] if constraints else [])
+                + (["generated"] if generated else [])
             ),
         }
         if segmented:
@@ -1484,6 +1594,7 @@ class VersionedTable:
             "dropped_phys",
             "features",
             "properties",
+            "generated",
         ):
             if base.get(k):
                 m[k] = base[k]
@@ -1788,8 +1899,9 @@ class VersionedTable:
         10-file one. Legacy inline tables keep the old O(all files)
         manifest write."""
         parent = self.head_version()
-        sch = self._check_schema(df, parent)
         _ptr0 = self._read_pointer(parent)
+        df = self._apply_generated(df, _ptr0.get("generated"))
+        sch = self._check_schema(df, parent)
         partition_by = _ptr0.get("partition_by")
         bucket_by = _ptr0.get("bucket_by")
         files = self._write_data(df, parent + 1, partition_by, bucket_by)
@@ -1962,6 +2074,9 @@ class VersionedTable:
 
         parent = self.head_version()
         current = self.read(parent)
+        df = self._apply_generated(
+            df, self._read_pointer(parent).get("generated")
+        )
         merged = current.unionByName(df.select(*current.columns))
         w = Window.partitionBy(*key_cols).orderBy(
             *[F.desc(c) for c in order_cols]
@@ -2379,6 +2494,13 @@ class VersionedTable:
         ``replace_schema=True`` to swap in a new schema entirely — the
         full-rewrite analogue of Delta's ``overwriteSchema``."""
         parent = self.head_version()
+        if not replace_schema:
+            # replace_schema redefines the table, dropping the
+            # generation contract with the rest of the old schema;
+            # a plain overwrite keeps enforcing it on the new rows
+            df = self._apply_generated(
+                df, self._read_pointer(parent).get("generated")
+            )
         if replace_schema:
             sch = {
                 "schema": df.schema.simpleString(),
@@ -2444,6 +2566,10 @@ class VersionedTable:
             "constraints": base.get("constraints") or {},
         }
         m = self._carry_mapping(m, base)
+        if replace_schema:
+            # the schema swap redefines the table — generation
+            # expressions over the OLD columns no longer apply
+            m.pop("generated", None)
         if cdc_dir:
             m["cdc"] = cdc_dir
         stats = parts = None
@@ -2803,6 +2929,15 @@ class VersionedTable:
         commit (``_carry_mapping``)."""
         return dict(
             self._read_pointer(self.head_version()).get("properties") or {}
+        )
+
+    def generated_columns(self) -> dict[str, str]:
+        """The table's GENERATED column expressions (column → SQL),
+        as of the head. Declared at :meth:`create`; computed when an
+        ingest omits the column, validated in-plan when it supplies
+        one; UPDATE/MERGE refuse to assign them or their inputs."""
+        return dict(
+            self._read_pointer(self.head_version()).get("generated") or {}
         )
 
     def set_properties(
@@ -4292,6 +4427,9 @@ class VersionedTable:
                 f"column(s) {sorted(unknown)}; table columns are "
                 f"{sorted(types)}"
             )
+        self._refuse_generated_assignment(
+            base, set(assignments), "update"
+        )
         candidates = (
             self._kept_files_all(base, prune) if prune else base["files"]
         )
@@ -4674,6 +4812,17 @@ class VersionedTable:
                         f"VersionedTable.merge: {label} assigns unknown "
                         f"column(s) {sorted(unknown)}"
                     )
+                self._refuse_generated_assignment(ptr, set(dct), "merge")
+        gen_cols = ptr.get("generated") or {}
+        if gen_cols and isinstance(when_not_matched_insert, dict):
+            named = set(when_not_matched_insert) & set(gen_cols)
+            if named:
+                raise ValueError(
+                    f"VersionedTable.merge: insert names GENERATED "
+                    f"column(s) {sorted(named)} — they are computed "
+                    "from their expressions; omit them from the "
+                    "insert list"
+                )
         missing = [c for c in on if c not in types]
         if missing:
             raise ValueError(
@@ -5055,9 +5204,62 @@ class VersionedTable:
                         ).cast(types[name]),
                     ).otherwise(casted)
 
-                inserts = unmatched_src.select(
-                    *[_ins(f.name).alias(f.name) for f in schema.fields]
-                )
+                if gen_cols:
+                    # GENERATED columns (r13): dict-form inserts never
+                    # name them (refused up front) and "*"-form may or
+                    # may not carry them in the source. Two phases:
+                    # project the regular columns (plus any source-
+                    # supplied generated values) into TARGET names,
+                    # then compute-or-validate the generated ones over
+                    # that projection — generation expressions
+                    # reference target column names, which only exist
+                    # after the first projection.
+                    src_cols_set = set(source.columns)
+                    supplied = (
+                        {c for c in gen_cols if c in src_cols_set}
+                        if when_not_matched_insert == "*"
+                        else set()
+                    )
+                    first = unmatched_src.select(
+                        *[
+                            _ins(f.name).alias(f.name)
+                            for f in schema.fields
+                            if f.name not in gen_cols or f.name in supplied
+                        ]
+                    )
+                    computed = self._apply_generated(first, gen_cols)
+
+                    def _gen_cast(name):
+                        # computed values strict-cast to the column
+                        # type — the _ins contract (no silent NULLs)
+                        val = F.col(name)
+                        casted = val.cast(types[name])
+                        return F.when(
+                            val.isNotNull() & casted.isNull(),
+                            F.raise_error(
+                                F.lit(
+                                    "VersionedTable.merge: generated "
+                                    f"column '{name}' expression does "
+                                    "not fit type "
+                                    f"{types[name].simpleString()}"
+                                )
+                            ).cast(types[name]),
+                        ).otherwise(casted)
+
+                    inserts = computed.select(
+                        *[
+                            (
+                                _gen_cast(f.name)
+                                if f.name in gen_cols
+                                else F.col(f.name)
+                            ).alias(f.name)
+                            for f in schema.fields
+                        ]
+                    )
+                else:
+                    inserts = unmatched_src.select(
+                        *[_ins(f.name).alias(f.name) for f in schema.fields]
+                    )
                 new_frames.append(inserts)
                 if base.get("cdf"):
                     cdc_frames.append(
@@ -5341,6 +5543,7 @@ class VersionedTable:
                 f"column(s) {sorted(unknown)}; table columns are "
                 f"{sorted(types)}"
             )
+        self._refuse_generated_assignment(base, set(assignments), "update")
         touched_files = self._touched_files(
             base, predicate, prune, verify_prune
         )
