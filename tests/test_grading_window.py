@@ -44,9 +44,10 @@ R13_HEAD = [
 R13_NEW = [
     "sql_merge_into",
     "sql_update_delete",
+    "sql_copy_into_generated",
 ]
 
-# Then the 34 oldest r10-greens in their standing dict order (their
+# Then the 33 oldest r10-greens in their standing dict order (their
 # driver record turns 3 rounds old at r13 close).
 R13_R10_BLOCK = [
     "rollup_revenue",
@@ -82,16 +83,16 @@ R13_R10_BLOCK = [
     "versioned_incremental_read",
     "versioned_overwrite_refresh",
     "importance_sampling",
-    "token_budget_curation",
 ]
 
 R13_WINDOW = R13_HEAD + R13_NEW + R13_R10_BLOCK
 assert len(R13_WINDOW) == 50
 
-# The 13 r10-greens that did not fit the r13 window: their record
+# The 14 r10-greens that did not fit the r13 window: their record
 # turns 4 rounds old at r13 close, so they MUST lead the r14 window.
 # Kept at the very end of the dict, ready to rotate.
 R14_QUEUE = [
+    "token_budget_curation",
     "funnel_conversion",
     "streaming_full_outer_join",
     "formats_roundtrip",
