@@ -5188,7 +5188,13 @@ def _sql_update_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # value*1.5 yields exact-3dp sums, which land ON the
+            # 2dp round-half boundary — the decimal recipe (the
+            # round-boundary audit's prescription) makes the
+            # accumulation and the rounding exact in both engines
+            F.round(F.sum(F.col("value").cast("decimal(18,3)")), 2)
+            .cast("double")
+            .alias("sum_value"),
         )
         .orderBy("event_type")
     )
@@ -7970,7 +7976,8 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT event_type,
                count(*) AS n_events,
-               round(sum(value), 2) AS sum_value
+               CAST(round(sum(CAST(value AS DECIMAL(18,3))), 2)
+                    AS DOUBLE) AS sum_value
         FROM u
         WHERE event_id NOT BETWEEN 600 AND 899
         GROUP BY event_type ORDER BY event_type

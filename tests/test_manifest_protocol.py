@@ -150,7 +150,7 @@ def test_clone_and_restore_carry_features(spark, tmp_path):
     assert "dv" in _feats(t)
 
 
-def test_supported_set_is_the_documented_eight(spark):
+def test_supported_set_is_the_documented_nine(spark):
     assert SUPPORTED_FEATURES == {
         "segments",
         "dv",
@@ -160,4 +160,5 @@ def test_supported_set_is_the_documented_eight(spark):
         "widen",
         "bucket",
         "constraints",
+        "generated",
     }
