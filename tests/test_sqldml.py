@@ -516,3 +516,67 @@ def test_tblproperties_survive_dml_and_skip_feeds(spark, tmp_path):
     assert t.properties() == {"a": "1"}
     feed = t.read_change_feed(0).collect()
     assert {r["_change_type"] for r in feed} == {"insert", "delete"}
+
+
+# -- ALTER TABLE DDL ------------------------------------------------------------
+
+
+def test_alter_table_column_ddl(spark, tmp_path):
+    """The metadata DDL matrix as SQL (r13): ADD/RENAME/DROP COLUMN,
+    ALTER COLUMN TYPE (widen), ADD/DROP CONSTRAINT — each a
+    metadata-only commit through the existing manifest ops."""
+    t = _mk(spark, tmp_path, "sdml_ddl")
+    out = tt.sql(
+        spark, "ALTER TABLE sdml_ddl ADD COLUMN note string"
+    ).collect()
+    assert out[0]["op"] == "add_column" and out[0]["version"] == 1
+    assert "note" in spark.table("sdml_ddl").columns  # view refreshed
+    tt.sql(spark, "ALTER TABLE sdml_ddl RENAME COLUMN note TO remark")
+    assert "remark" in t.read().columns
+    tt.sql(spark, "ALTER TABLE sdml_ddl ADD COLUMN cnt int")
+    out = tt.sql(
+        spark, "ALTER TABLE sdml_ddl ALTER COLUMN cnt TYPE bigint"
+    ).collect()
+    assert out[0]["op"] == "widen"
+    assert t.read().schema["cnt"].dataType.simpleString() == "bigint"
+    tt.sql(spark, "ALTER TABLE sdml_ddl DROP COLUMN remark")
+    assert "remark" not in t.read().columns
+    out = tt.sql(
+        spark,
+        "ALTER TABLE sdml_ddl ADD CONSTRAINT v_nonneg CHECK (v >= 0)",
+    ).collect()
+    assert out[0]["op"] == "add_constraint"
+    assert t.constraints() == {"v_nonneg": "v >= 0"}
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="v_nonneg"):
+        t.append(
+            spark.createDataFrame(
+                [(99, "x", -5.0, 1)],
+                "k long, g string, v double, cnt bigint",
+            )
+        )
+    tt.sql(spark, "ALTER TABLE sdml_ddl DROP CONSTRAINT v_nonneg")
+    assert t.constraints() == {}
+    # zero data files moved across the whole DDL chain
+    assert set(t._read_manifest(0)["files"]) == set(
+        t._read_manifest(t.head_version())["files"]
+    )
+
+
+def test_alter_table_unregistered_passes_through(spark, tmp_path):
+    """ALTER TABLE on a non-registered name flows to Catalyst — valid
+    for catalog tables, and Catalyst owns the error otherwise."""
+    import pytest as _pt
+    from pyspark.sql.utils import AnalysisException
+
+    with _pt.raises(AnalysisException):
+        tt.sql(spark, "ALTER TABLE not_reg_xyz ADD COLUMN a string")
+
+
+def test_alter_table_bad_form_on_registered_refuses(spark, tmp_path):
+    _mk(spark, tmp_path, "sdml_ddl2")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="supported forms"):
+        tt.sql(spark, "ALTER TABLE sdml_ddl2 FROBNICATE")
