@@ -42,6 +42,8 @@ module parses statement STRUCTURE only, never expressions.
 Grammar (case-insensitive keywords; ``<expr>``/``<pred>`` are opaque
 Catalyst SQL)::
 
+    INSERT INTO <table> [(cols)] SELECT ...|VALUES ...
+    INSERT OVERWRITE <table> [(cols)] SELECT ...|VALUES ...
     UPDATE <table> SET col = <expr> [, ...] [WHERE <pred>]
     DELETE FROM <table> [WHERE <pred>]
     MERGE INTO <table> [AS] [<talias>] USING (<subquery>)|<view> [AS]
@@ -105,6 +107,7 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from social_media_etl_spark.operators.manifest import VersionedTable
 
@@ -118,7 +121,7 @@ _DML_HEAD = re.compile(
     r"^\s*(MERGE|UPDATE|DELETE|OPTIMIZE|VACUUM|RESTORE|COPY"
     r"|DESCRIBE(?=\s+HISTORY\b)"
     r"|CREATE(?=\s+TABLE\s+[A-Za-z_][A-Za-z0-9_]*\s+SHALLOW\s+CLONE\b)"
-    r"|ALTER(?=\s+TABLE\b)"
+    r"|ALTER(?=\s+TABLE\b)|INSERT(?=\s+(?:INTO|OVERWRITE)\b)"
     r"|SHOW(?=\s+TBLPROPERTIES\b))\b",
     re.IGNORECASE,
 )
@@ -664,6 +667,12 @@ _DROP_CONSTRAINT = re.compile(
     rf"\s*;?\s*$",
     re.IGNORECASE,
 )
+_INSERT = re.compile(
+    rf"^\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?({_NAME})\s*"
+    rf"(?:\((?P<cols>[^)]*)\)\s*)?(?P<body>(?:SELECT|VALUES|WITH|FROM"
+    rf"|TABLE|\().*)$",
+    re.IGNORECASE | re.DOTALL,
+)
 _SHOW_PROPS = re.compile(
     rf"^\s*SHOW\s+TBLPROPERTIES\s+({_NAME})\s*;?\s*$", re.IGNORECASE
 )
@@ -824,6 +833,107 @@ def run_dml(
             [("copy_into", int(v), bool(v != before))],
             "op string, version bigint, loaded boolean",
         )
+    if head == "INSERT":
+        m = _INSERT.match(masked)
+        if m is None or m.group(2) not in tables:
+            # unregistered target (or a form this parser does not
+            # cover): INSERT INTO is valid Spark SQL for catalog
+            # tables — Catalyst owns it
+            return spark.sql(query)
+        name = m.group(2)
+        t = _resolve_table(spark, tables, name, "INSERT")
+        src = spark.sql(query[m.start("body") :])
+        schema = t.read().schema
+        gen = t.generated_columns()
+        if m.group("cols"):
+            cols = [
+                c.strip()
+                for c in masked[m.start("cols") : m.end("cols")].split(",")
+                if c.strip()
+            ]
+            bad = [c for c in cols if c not in schema.fieldNames()]
+            if bad:
+                raise ValueError(
+                    f"INSERT: column(s) {bad} not in table "
+                    f"{schema.fieldNames()}"
+                )
+            named_gen = set(cols) & set(gen)
+            if named_gen:
+                raise ValueError(
+                    f"INSERT: column(s) {sorted(named_gen)} are "
+                    "GENERATED — omit them; they are computed"
+                )
+            if len(src.columns) != len(cols):
+                raise ValueError(
+                    f"INSERT: query produces {len(src.columns)} "
+                    f"column(s) but the list names {len(cols)}"
+                )
+        else:
+            # positional against the full schema, or — on a table
+            # with generated columns — against the non-generated
+            # subset (the only arity an insert can sensibly supply)
+            full = schema.fieldNames()
+            nongen = [c for c in full if c not in gen]
+            if len(src.columns) == len(full):
+                cols = full
+            elif len(src.columns) == len(nongen):
+                cols = nongen
+            else:
+                raise ValueError(
+                    f"INSERT: query produces {len(src.columns)} "
+                    f"column(s); table {name!r} takes {len(full)}"
+                    + (
+                        f" (or {len(nongen)} omitting the generated "
+                        "columns)"
+                        if gen
+                        else ""
+                    )
+                )
+        types = {f.name: f.dataType for f in schema.fields}
+
+        def _strict(src_col: str, target: str):
+            # positional mapping + strict cast: a value that does not
+            # fit the column type raises in-plan, never a silent NULL
+            # (the engine-wide DML contract)
+            val = F.col(src_col)
+            casted = val.cast(types[target])
+            return F.when(
+                val.isNotNull() & casted.isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"INSERT: value for column '{target}' does "
+                            f"not fit type {types[target].simpleString()}"
+                            ": '"
+                        ),
+                        val.cast("string"),
+                        F.lit("'"),
+                    )
+                ).cast(types[target]),
+            ).otherwise(casted).alias(target)
+
+        # positional rename first: a VALUES/SELECT output column can
+        # be named like "CAST(9.0 AS DOUBLE)", which F.col would parse
+        # as a dotted path — synthetic names sidestep that entirely
+        src = src.toDF(*[f"__ins_c{i}" for i in range(len(src.columns))])
+        aligned = src.select(
+            *[_strict(s, c) for s, c in zip(src.columns, cols)]
+        )
+        # unlisted non-generated columns NULL-fill; generated columns
+        # are computed by the write path itself
+        for fname in schema.fieldNames():
+            if fname not in cols and fname not in gen:
+                aligned = aligned.withColumn(
+                    fname, F.lit(None).cast(types[fname])
+                )
+        if m.group(1).upper() == "INTO":
+            v = t.append(aligned)
+            op = "insert"
+        else:
+            v = t.overwrite(aligned)
+            op = "insert_overwrite"
+        _refresh_head(spark, name, t)
+        return _one_row(spark, op, v)
     if head == "ALTER":
         nm = _ALTER_NAME.match(masked)
         if nm is None or nm.group(1) not in tables:

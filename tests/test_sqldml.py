@@ -580,3 +580,74 @@ def test_alter_table_bad_form_on_registered_refuses(spark, tmp_path):
 
     with _pt.raises(ValueError, match="supported forms"):
         tt.sql(spark, "ALTER TABLE sdml_ddl2 FROBNICATE")
+
+
+# -- INSERT INTO / OVERWRITE ----------------------------------------------------
+
+
+def test_insert_into_values_and_select(spark, tmp_path):
+    t = _mk(spark, tmp_path, "sdml_ins", rows=3)
+    out = tt.sql(
+        spark,
+        "INSERT INTO sdml_ins VALUES (10, 'x', 1.5), (11, 'y', 2.5)",
+    ).collect()
+    assert out[0]["op"] == "insert" and out[0]["version"] == 1
+    assert [r[0] for r in _state(t)] == [0, 1, 2, 10, 11]
+    # SELECT form + column list: unlisted column NULL-fills
+    tt.sql(
+        spark,
+        "INSERT INTO sdml_ins (k, v) SELECT 20, CAST(9.0 AS DOUBLE)",
+    )
+    got = {r["k"]: (r["g"], r["v"]) for r in t.read().collect()}
+    assert got[20] == (None, 9.0)
+    # plain spark.sql view readers see the inserts (refresh contract)
+    assert spark.sql("SELECT count(*) c FROM sdml_ins").collect()[0]["c"] == 6
+
+
+def test_insert_overwrite_replaces(spark, tmp_path):
+    t = _mk(spark, tmp_path, "sdml_insov", rows=5)
+    out = tt.sql(
+        spark,
+        "INSERT OVERWRITE sdml_insov VALUES (100, 'z', 0.5)",
+    ).collect()
+    assert out[0]["op"] == "insert_overwrite"
+    assert _state(t) == [(100, "z", 0.5)]
+    assert t.read(0).count() == 5  # time travel intact
+
+
+def test_insert_strict_types_and_arity(spark, tmp_path):
+    _mk(spark, tmp_path, "sdml_insbad", rows=1)
+    with pytest.raises(Exception, match="does not fit|cannot be cast"):
+        tt.sql(
+            spark, "INSERT INTO sdml_insbad VALUES (1, 'a', 'not-a-num')"
+        )
+    with pytest.raises(ValueError, match="column"):
+        tt.sql(spark, "INSERT INTO sdml_insbad VALUES (1, 'a')")
+    with pytest.raises(ValueError, match="not in table"):
+        tt.sql(spark, "INSERT INTO sdml_insbad (zzz) VALUES (1)")
+
+
+def test_insert_computes_generated_columns(spark, tmp_path):
+    from social_media_etl_spark.operators.manifest import VersionedTable
+
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "g"),
+        spark.createDataFrame([(1, 2.0)], "k long, v double"),
+        generated={"v2": "v * 2"},
+    )
+    tt.register_table(spark, "sdml_insgen", t.path)
+    # positional arity matches the NON-generated subset; v2 computed
+    tt.sql(spark, "INSERT INTO sdml_insgen VALUES (5, CAST(3.0 AS DOUBLE))")
+    got = {r["k"]: r["v2"] for r in t.read().collect()}
+    assert got[5] == 6.0
+    with pytest.raises(ValueError, match="GENERATED"):
+        tt.sql(spark, "INSERT INTO sdml_insgen (k, v2) VALUES (9, 1.0)")
+
+
+def test_insert_unregistered_passes_through_to_catalyst(spark):
+    import pytest as _pt
+    from pyspark.sql.utils import AnalysisException
+
+    with _pt.raises(AnalysisException):
+        tt.sql(spark, "INSERT INTO definitely_not_reg VALUES (1)")
