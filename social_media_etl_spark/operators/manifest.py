@@ -3353,6 +3353,22 @@ class VersionedTable:
                     f"{cname!r} references {old!r}; drop and re-add the "
                     "constraint around the rename"
                 )
+        # generated columns (ADVICE r13 #3): renaming a column a
+        # generation expression READS would break the stored SQL text
+        # at the next data-adding commit (refuse, mirroring the CHECK
+        # refusal above); renaming the generated column ITSELF just
+        # moves the map key — the expression only reads regular
+        # columns (circularity is refused at create/add time)
+        gen = dict(ptr.get("generated") or {})
+        for g, gexpr in gen.items():
+            if g != old and old in self._expr_identifiers(gexpr):
+                raise ValueError(
+                    "VersionedTable.rename_column: generated column "
+                    f"{g!r} (= {gexpr}) references {old!r}; drop the "
+                    "generated column first, or rename around it"
+                )
+        if old in gen:
+            gen[new] = gen.pop(old)
         merged = T.StructType(
             [
                 T.StructField(
@@ -3400,6 +3416,7 @@ class VersionedTable:
                 "partition_by": pb,
                 "aliases": aliases,
                 "field_ids": field_ids,
+                "generated": gen,
             }
         )
         bk = m.get("bucket_by")
@@ -3485,6 +3502,22 @@ class VersionedTable:
                     f"{cname!r} references {name!r}; drop the "
                     "constraint first"
                 )
+        # generated columns (ADVICE r13 #3): dropping a column a
+        # generation expression READS would make every later ingest
+        # fail at _apply_generated (F.expr over a missing name) —
+        # refuse, pointing at the generated column; dropping the
+        # generated column ITSELF removes its map entry so later
+        # ingests stop computing it (carrying the stale entry forward
+        # would resurrect the dropped column on the next append)
+        gen = dict(ptr.get("generated") or {})
+        for g, gexpr in gen.items():
+            if g != name and name in self._expr_identifiers(gexpr):
+                raise ValueError(
+                    "VersionedTable.drop_column: generated column "
+                    f"{g!r} (= {gexpr}) references {name!r}; drop the "
+                    "generated column first"
+                )
+        gen.pop(name, None)
         merged = T.StructType([f for f in schema.fields if f.name != name])
         aliases = {k: list(v) for k, v in (ptr.get("aliases") or {}).items()}
         tombstones = {name} | set(aliases.pop(name, []))
@@ -3520,6 +3553,7 @@ class VersionedTable:
                 "aliases": aliases,
                 "field_ids": field_ids,
                 "dropped_phys": dropped,
+                "generated": gen,
             }
         )
         # readers must honor dropped_phys or resurrect the column from

@@ -305,15 +305,28 @@ _KEYWORDS = {"when", "matched", "not", "by", "source", "then", "on", "as"}
 
 def _alias_rewrite(expr: str, talias: str, salias: str | None) -> str:
     """Rewrite ``<talias>.`` / ``<salias>.`` prefixes to the ``t.`` /
-    ``s.`` names the manifest merge evaluates clauses under. Word-
-    boundary regex on the expression text — alias-like tokens inside
-    string literals would rewrite too, which is why :func:`run_dml`
-    documents aliasing as identifier-level, not literal-safe."""
-    if talias and talias != "t":
-        expr = re.sub(rf"\b{re.escape(talias)}\s*\.", "t.", expr)
-    if salias and salias != "s":
-        expr = re.sub(rf"\b{re.escape(salias)}\s*\.", "s.", expr)
-    return expr
+    ``s.`` names the manifest merge evaluates clauses under. ONE
+    alternation pass (ADVICE r13 #2): two sequential substitutions
+    would clobber each other when the source alias is literally
+    ``t`` (``MERGE INTO orders AS o USING trades AS t`` — ``o.``
+    first becomes ``t.``, then the ``t.`` pass rewrites EVERY target
+    reference to ``s.``) or when the aliases are crossed ``t``/``s``.
+    Word-boundary regex on the expression text — alias-like tokens
+    inside string literals would rewrite too, which is why
+    :func:`run_dml` documents aliasing as identifier-level, not
+    literal-safe."""
+    mapping: dict[str, str] = {}
+    if talias:
+        mapping[talias] = "t."
+    if salias:
+        mapping[salias] = "s."
+    mapping = {a: p for a, p in mapping.items() if a + "." != p}
+    if not mapping:
+        return expr
+    alt = "|".join(re.escape(a) for a in sorted(mapping, key=len, reverse=True))
+    return re.sub(
+        rf"\b({alt})\s*\.", lambda m: mapping[m.group(1)], expr
+    )
 
 
 def _parse_on_keys(on_real: str, on_masked: str, talias, salias) -> list[str]:
@@ -445,6 +458,15 @@ def _run_merge(spark, query, masked, tables, dml_mode) -> DataFrame:
         when_not_matched_by_source_update_condition=None,
     )
 
+    # textual position of each clause slot — Delta's WHEN clauses are
+    # first-clause-wins in STATEMENT order, so the order must survive
+    # into the dispatch (ADVICE r13 #1: the manifest merge evaluates
+    # delete-before-update; a statement whose UPDATE textually
+    # precedes its DELETE would otherwise silently delete rows the
+    # update clause should have taken)
+    order: dict[str, int] = {}
+    n_seen = 0
+
     def _set_once(slot: str, value) -> None:
         if kw[slot] is not None:
             raise ValueError(
@@ -452,10 +474,12 @@ def _run_merge(spark, query, masked, tables, dml_mode) -> DataFrame:
                 "clause kind per statement"
             )
         kw[slot] = value
+        order[slot] = n_seen
 
     matched = False
     for w in _WHEN.finditer(masked, on_end):
         matched = True
+        n_seen += 1
         kind = re.sub(r"\s+", " ", w.group(1).upper())
         cond = (
             _alias_rewrite(
@@ -586,6 +610,57 @@ def _run_merge(spark, query, masked, tables, dml_mode) -> DataFrame:
                 )
     if not matched:
         raise ValueError("MERGE: no parseable WHEN clause found")
+
+    def _encode_order(kind: str, upd: str, dele: str, upd_cond: str) -> None:
+        """First-clause-wins in statement order (Delta semantics,
+        ADVICE r13 #1). The manifest merge always evaluates the
+        delete clause first, so:
+
+        - DELETE textually first: already the manifest's order — but
+          Delta refuses a two-clause group whose FIRST clause has no
+          AND condition (the second would be unreachable), and so
+          does this parser (refusal-first: silently deleting every
+          matched row is the exact failure the module promises not
+          to have).
+        - UPDATE textually first: the first clause must carry a
+          condition (same Delta rule); the delete predicate is then
+          ANDed with NOT(coalesce(<update condition>, false)) so a
+          row the update clause takes can never reach the delete —
+          exactly first-clause-wins.
+        """
+        if kw[upd] is None or kw[dele] is None:
+            return
+        if order[upd] < order[dele]:
+            if kw[upd_cond] is None:
+                raise ValueError(
+                    f"MERGE: two {kind} clauses with UPDATE first — "
+                    "the first clause must carry 'AND <condition>' "
+                    "(Delta clause-order rule: an unconditional "
+                    "first clause makes the DELETE unreachable)"
+                )
+            kw[dele] = (
+                f"({kw[dele]}) AND NOT coalesce(({kw[upd_cond]}), false)"
+            )
+        elif kw[dele].strip().lower() == "true":
+            raise ValueError(
+                f"MERGE: two {kind} clauses with an unconditional "
+                "DELETE first — the first clause must carry 'AND "
+                "<condition>' (Delta clause-order rule: the UPDATE "
+                "clause would be unreachable)"
+            )
+
+    _encode_order(
+        "WHEN MATCHED",
+        "when_matched_update",
+        "when_matched_delete",
+        "when_matched_update_condition",
+    )
+    _encode_order(
+        "WHEN NOT MATCHED BY SOURCE",
+        "when_not_matched_by_source_update",
+        "when_not_matched_by_source_delete",
+        "when_not_matched_by_source_update_condition",
+    )
     v = t.merge(source_df, on=keys, mode=mode, **kw)
     _refresh_head(spark, name, t)
     return _one_row(spark, "merge", v)
@@ -1015,11 +1090,12 @@ def run_dml(
         return _one_row(spark, "set_properties", v)
     if head == "SHOW":
         m = _SHOW_PROPS.match(masked)
-        if m is None:
-            raise ValueError(
-                "SHOW TBLPROPERTIES: expected 'SHOW TBLPROPERTIES "
-                f"<table>', got: {query.strip()!r}"
-            )
+        if m is None or m.group(1) not in tables:
+            # unregistered name (or a form with extras this parser
+            # does not cover): SHOW TBLPROPERTIES is valid Spark SQL
+            # for catalog tables — Catalyst owns it (same passthrough
+            # contract as ALTER TABLE / INSERT INTO, ADVICE r13 #4)
+            return spark.sql(query)
         t = _resolve_table(spark, tables, m.group(1), "SHOW TBLPROPERTIES")
         props = sorted(t.properties().items())
         return spark.createDataFrame(

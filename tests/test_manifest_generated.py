@@ -142,3 +142,51 @@ def test_replace_schema_overwrite_drops_generation(spark, tmp_path):
     assert t.generated_columns() == {}
     t.append(spark.createDataFrame([(2,)], "other long"))  # no enforcement
     assert t.read().count() == 2
+
+
+def test_drop_generated_column_removes_generation(spark, tmp_path):
+    """ADVICE r13 #3: dropping a generated column must also drop its
+    map entry — a stale entry would resurrect the column (schema
+    mismatch) on the very next ingest."""
+    t = _mk(spark, tmp_path)
+    t.drop_column("tag")
+    assert "tag" not in t.generated_columns()
+    assert t.read().columns == ["k", "g", "v", "v2"]
+    # the ingest path stays alive: v2 still computes, tag is gone
+    t.append(
+        spark.createDataFrame([(20, "b", 4.0)], "k long, g string, v double")
+    )
+    row = t.read().filter("k = 20").collect()[0]
+    assert row["v2"] == 8.0 and "tag" not in row.asDict()
+
+
+def test_drop_column_feeding_generation_refused(spark, tmp_path):
+    """Dropping a column a generation expression reads would break
+    every later ingest (F.expr over a missing name) — refuse with the
+    generated column named."""
+    t = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="generated column 'v2'"):
+        t.drop_column("v")
+    assert t.head_version() == 0
+
+
+def test_rename_column_feeding_generation_refused(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="generated column 'tag'"):
+        t.rename_column("g", "grp")
+    assert t.head_version() == 0
+
+
+def test_rename_generated_column_moves_map_key(spark, tmp_path):
+    """Renaming the generated column itself moves the map key; later
+    ingests compute under the NEW name and old footers resolve
+    through the alias chain."""
+    t = _mk(spark, tmp_path)
+    t.rename_column("v2", "v_double")
+    gen = t.generated_columns()
+    assert "v2" not in gen and gen["v_double"] == "v * 2"
+    t.append(
+        spark.createDataFrame([(30, "c", 6.0)], "k long, g string, v double")
+    )
+    got = {r["k"]: r["v_double"] for r in t.read().collect()}
+    assert got[30] == 12.0 and got[3] == 6.0  # new ingest + pre-rename file

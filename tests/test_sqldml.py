@@ -651,3 +651,151 @@ def test_insert_unregistered_passes_through_to_catalyst(spark):
 
     with _pt.raises(AnalysisException):
         tt.sql(spark, "INSERT INTO definitely_not_reg VALUES (1)")
+
+
+# -- clause order / alias-rewrite fixes (ADVICE r13) --------------------------
+
+
+def test_sql_merge_update_before_delete_first_clause_wins(spark, tmp_path):
+    """Delta's canonical two-clause form — 'WHEN MATCHED AND c THEN
+    UPDATE ... WHEN MATCHED THEN DELETE' — is first-clause-wins in
+    STATEMENT order (ADVICE r13 #1): rows satisfying c UPDATE, only
+    the remaining matched rows DELETE. The manifest evaluates
+    delete-before-update, so the parser must encode the textual
+    order into the delete predicate."""
+    t = _mk(spark, tmp_path, "sdml_ord1")
+    spark.createDataFrame(
+        [(i,) for i in range(8)], "k long"
+    ).createOrReplaceTempView("sdml_ord1_src")
+    tt.sql(
+        spark,
+        """
+        MERGE INTO sdml_ord1 t USING sdml_ord1_src s ON t.k = s.k
+        WHEN MATCHED AND t.k < 3 THEN UPDATE SET v = t.v + 100
+        WHEN MATCHED THEN DELETE
+        """,
+    )
+    state = _state(t)
+    # k 0..2 updated (NOT deleted), k 3..7 deleted, k 8..19 untouched
+    assert [r[0] for r in state] == [0, 1, 2] + list(range(8, 20))
+    assert [r[2] for r in state[:3]] == [100.0, 101.0, 102.0]
+
+
+def test_sql_merge_delete_before_update_first_clause_wins(spark, tmp_path):
+    """The mirrored order — conditional DELETE first — pins the
+    manifest's native delete-before-update as first-clause-wins."""
+    t = _mk(spark, tmp_path, "sdml_ord2")
+    spark.createDataFrame(
+        [(i,) for i in range(8)], "k long"
+    ).createOrReplaceTempView("sdml_ord2_src")
+    tt.sql(
+        spark,
+        """
+        MERGE INTO sdml_ord2 t USING sdml_ord2_src s ON t.k = s.k
+        WHEN MATCHED AND t.k < 3 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET v = t.v + 100
+        """,
+    )
+    state = _state(t)
+    assert [r[0] for r in state] == list(range(3, 20))
+    assert [r[2] for r in state[:5]] == [103.0, 104.0, 105.0, 106.0, 107.0]
+
+
+def test_sql_merge_unconditional_first_matched_clause_refused(spark, tmp_path):
+    """Delta's rule: with two WHEN MATCHED clauses, the FIRST must
+    carry AND <cond> — an unconditional first clause makes the second
+    unreachable. Both orders refuse rather than silently mis-execute."""
+    _mk(spark, tmp_path, "sdml_ord3")
+    spark.createDataFrame([(1,)], "k long").createOrReplaceTempView(
+        "sdml_ord3_src"
+    )
+    with pytest.raises(ValueError, match="UPDATE first"):
+        tt.sql(
+            spark,
+            """
+            MERGE INTO sdml_ord3 t USING sdml_ord3_src s ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET v = t.v + 1
+            WHEN MATCHED THEN DELETE
+            """,
+        )
+    with pytest.raises(ValueError, match="unconditional"):
+        tt.sql(
+            spark,
+            """
+            MERGE INTO sdml_ord3 t USING sdml_ord3_src s ON t.k = s.k
+            WHEN MATCHED THEN DELETE
+            WHEN MATCHED AND s.k > 0 THEN UPDATE SET v = t.v + 1
+            """,
+        )
+
+
+def test_sql_merge_by_source_clause_order(spark, tmp_path):
+    """The same statement-order encoding covers the NOT MATCHED BY
+    SOURCE pair: UPDATE-first with a condition keeps its rows away
+    from the trailing unconditional DELETE."""
+    t = _mk(spark, tmp_path, "sdml_ord4")
+    spark.createDataFrame(
+        [(i,) for i in range(15)], "k long"
+    ).createOrReplaceTempView("sdml_ord4_src")
+    tt.sql(
+        spark,
+        """
+        MERGE INTO sdml_ord4 t USING sdml_ord4_src s ON t.k = s.k
+        WHEN NOT MATCHED BY SOURCE AND t.k < 17 THEN UPDATE SET g = 'kept'
+        WHEN NOT MATCHED BY SOURCE THEN DELETE
+        """,
+    )
+    state = _state(t)
+    # unmatched = 15..19; 15,16 updated to 'kept'; 17..19 deleted
+    assert [r[0] for r in state] == list(range(17))
+    assert [r[1] for r in state if r[0] >= 15] == ["kept", "kept"]
+
+
+def test_sql_merge_source_alias_t_rewrites_correctly(spark, tmp_path):
+    """ADVICE r13 #2: 'MERGE INTO x AS o USING src AS t' — the old
+    two-pass rewrite turned o. into t. and then clobbered EVERY t.
+    into s.; the single-pass alternation keeps target and source
+    references distinct."""
+    t = _mk(spark, tmp_path, "sdml_alias1")
+    spark.createDataFrame(
+        [(2, 1000.0), (3, 2000.0)], "k long, v double"
+    ).createOrReplaceTempView("sdml_alias1_src")
+    tt.sql(
+        spark,
+        """
+        MERGE INTO sdml_alias1 AS o USING sdml_alias1_src AS t
+        ON o.k = t.k
+        WHEN MATCHED THEN UPDATE SET v = o.v + t.v
+        """,
+    )
+    got = {r[0]: r[2] for r in _state(t)}
+    # target value + source value, NOT source + source
+    assert got[2] == 1002.0 and got[3] == 2003.0
+
+
+def test_sql_merge_crossed_aliases_t_s(spark, tmp_path):
+    """Crossed aliases — target AS s, source AS t — swap in one pass."""
+    t = _mk(spark, tmp_path, "sdml_alias2")
+    spark.createDataFrame(
+        [(4, 1000.0)], "k long, v double"
+    ).createOrReplaceTempView("sdml_alias2_src")
+    tt.sql(
+        spark,
+        """
+        MERGE INTO sdml_alias2 AS s USING sdml_alias2_src AS t
+        ON s.k = t.k
+        WHEN MATCHED THEN UPDATE SET v = s.v * 10 + t.v
+        """,
+    )
+    got = {r[0]: r[2] for r in _state(t)}
+    assert got[4] == 1040.0
+
+
+def test_show_tblproperties_unregistered_passes_through(spark):
+    """ADVICE r13 #4: SHOW TBLPROPERTIES on a non-registered name is
+    valid Spark SQL for catalog tables — Catalyst owns it (and emits
+    its own error for unresolvable names), mirroring ALTER/INSERT."""
+    from pyspark.sql.utils import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        tt.sql(spark, "SHOW TBLPROPERTIES definitely_not_registered")
