@@ -1307,6 +1307,13 @@ class VersionedTable:
             if name.endswith(".parquet") or name.startswith("part-"):
                 files.append(str(st.getPath().toUri().getPath()))
         if not files:
+            # a genuinely EMPTY frame legitimately writes no part
+            # files (SQL CREATE TABLE declares schema-only tables,
+            # r14); _read_files already serves 0-file manifests from
+            # schema_json. A NON-empty frame with no files is still
+            # the silent-write-failure this guard exists for.
+            if df.isEmpty():
+                return []
             raise IOError(f"VersionedTable: no part files written at {ddir}")
         return sorted(files)
 

@@ -65,6 +65,11 @@ Catalyst SQL)::
         [PATTERN = '<glob>']
     CREATE TABLE <name> SHALLOW CLONE <src> [VERSION AS OF <n>]
         LOCATION '<path>'
+    CREATE TABLE <name> (col type [GENERATED ALWAYS AS (<expr>)]
+        [, ...]) USING versioned LOCATION '<path>'
+        [PARTITIONED BY (col [, ...])] [TBLPROPERTIES ('k'='v' [, ...])]
+    CREATE TABLE <name> USING versioned LOCATION '<path>'
+        [PARTITIONED BY (...)] [TBLPROPERTIES (...)] AS <query>
     ALTER TABLE <table> SET TBLPROPERTIES ('k'='v' [, ...])
     ALTER TABLE <table> UNSET TBLPROPERTIES ('k' [, ...])
     ALTER TABLE <table> ADD COLUMN <col> <type>
@@ -82,7 +87,13 @@ dispatch to the manifest layer's metadata-only commits.
 
 Every WHEN clause takes an optional ``AND <pred>`` (Delta's full
 clause matrix — r13, backed by the manifest merge's clause-condition
-parameters). Unsupported-but-valid-elsewhere forms refuse EXPLICITLY
+parameters). WHEN clause pairs of the same kind (MATCHED update +
+delete, BY SOURCE update + delete) are FIRST-CLAUSE-WINS in statement
+order, Delta semantics (r14, ADVICE r13 #1): the parser encodes the
+textual order into the dispatched predicates, and refuses a
+two-clause group whose first clause has no ``AND`` condition (the
+second would be unreachable — Delta's only-the-last-may-be-
+unconditional rule). Unsupported-but-valid-elsewhere forms refuse EXPLICITLY
 (silent mis-execution is the failure mode that matters): a non-equi
 ON condition explains that merge keys must be shared equi-join
 columns, and DML on an unregistered name lists what IS registered.
@@ -127,10 +138,23 @@ _DML_HEAD = re.compile(
 )
 
 
+_CREATE_TABLE_HEAD = re.compile(r"^\s*CREATE\s+TABLE\b", re.IGNORECASE)
+_USING_VERSIONED = re.compile(r"\bUSING\s+versioned\b", re.IGNORECASE)
+
+
 def is_dml(query: str) -> bool:
     """True when the statement's leading keyword is one this module
-    executes — the dispatch test :func:`timetravel.sql` uses."""
-    return _DML_HEAD.match(query) is not None
+    executes — the dispatch test :func:`timetravel.sql` uses. CREATE
+    TABLE dispatches here only for the two versioned forms (SHALLOW
+    CLONE, or ``USING versioned`` outside string literals — hence the
+    masked search); every other CREATE is valid Spark SQL and flows
+    through Catalyst untouched."""
+    if _DML_HEAD.match(query) is not None:
+        return True
+    return bool(
+        _CREATE_TABLE_HEAD.match(query)
+        and _USING_VERSIONED.search(_mask(query))
+    )
 
 
 def _mask(query: str) -> str:
@@ -861,6 +885,256 @@ def _run_restore(spark, query, masked, tables) -> DataFrame:
     return _one_row(spark, "restore", v)
 
 
+# -- CREATE TABLE ... USING versioned (r14 — VERDICT r13 #2) -----------------
+
+_CREATE_HEAD_RE = re.compile(
+    rf"^\s*CREATE\s+TABLE\s+({_NAME})\s*", re.IGNORECASE
+)
+_CT_USING = re.compile(r"\s*USING\s+versioned\b", re.IGNORECASE)
+_CT_LOCATION = re.compile(r"\s*LOCATION\s+('[^']*')", re.IGNORECASE)
+_CT_PARTITIONED = re.compile(
+    r"\s*PARTITIONED\s+BY\s*\(([^)]*)\)", re.IGNORECASE
+)
+_CT_PROPS = re.compile(r"\s*TBLPROPERTIES\s*\(", re.IGNORECASE)
+_CT_AS = re.compile(r"\s*AS\b", re.IGNORECASE)
+_COLDEF = re.compile(
+    rf"^\s*({_NAME})\s+(.+?)"
+    rf"(?:\s+GENERATED\s+ALWAYS\s+AS\s*\((?P<gen>.*)\))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _balanced_span(masked: str, start: int) -> int:
+    """Index of the ``)`` closing the ``(`` at ``start`` (paren depth
+    over the masked twin, so literal parens never count)."""
+    depth = 0
+    for i in range(start, len(masked)):
+        if masked[i] == "(":
+            depth += 1
+        elif masked[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    raise ValueError("CREATE TABLE: unbalanced '(' in statement")
+
+
+def _parse_column_defs(
+    spark: SparkSession, cols_masked: str, cols_real: str
+) -> tuple[list, dict[str, str]]:
+    """``col type [GENERATED ALWAYS AS (<expr>)] [, ...]`` →
+    (ordered [(name, DataType, gen_expr|None)], {gen_col: expr}).
+    Types parse through Spark's own DDL parser, so every Catalyst
+    type works; a generated column's DECLARED type must equal the
+    type its expression computes over the other columns — declaring
+    a different one would make the very first ingest fail, so it
+    refuses here with both types named."""
+    from pyspark.sql import types as T
+
+    defs = []
+    gen: dict[str, str] = {}
+    for part in _split_top(cols_masked, cols_real):
+        pm = _mask(part)
+        m = _COLDEF.match(pm)
+        if m is None:
+            raise ValueError(
+                "CREATE TABLE: cannot parse column definition "
+                f"{part.strip()!r} — expected 'name type [GENERATED "
+                "ALWAYS AS (<expr>)]'"
+            )
+        cname = m.group(1)
+        ctype = part[m.start(2) : m.end(2)].strip()
+        try:
+            dtype = T.StructType.fromDDL(f"{cname} {ctype}")[cname].dataType
+        except Exception as exc:
+            raise ValueError(
+                f"CREATE TABLE: column {cname!r} has unparseable type "
+                f"{ctype!r}: {exc}"
+            ) from None
+        gexpr = (
+            part[m.start("gen") : m.end("gen")].strip()
+            if m.group("gen")
+            else None
+        )
+        if any(cname == d[0] for d in defs):
+            raise ValueError(
+                f"CREATE TABLE: duplicate column name {cname!r}"
+            )
+        defs.append((cname, dtype, gexpr))
+        if gexpr is not None:
+            gen[cname] = gexpr
+    return defs, gen
+
+
+def _run_create_versioned(spark, query, masked, tables) -> DataFrame:
+    """``CREATE TABLE <n> (cols) USING versioned LOCATION '<path>'
+    [PARTITIONED BY (...)] [TBLPROPERTIES (...)]`` — an EMPTY
+    VersionedTable with the declared schema — or the CTAS twin
+    (``... USING versioned LOCATION '<path>' [...] AS SELECT ...``)
+    seeded from the query. Closes the last Python-only lifecycle step
+    (VERDICT r13 #2): a SQL-native user's first statement is CREATE
+    TABLE. Refusal-first like the rest of the grammar: duplicate
+    registered names, a missing LOCATION, column list + AS SELECT
+    together (whose schema would win is ambiguous — Delta refuses
+    too), partition columns outside the schema, and generated-column
+    type disagreements all name the problem and the supported form."""
+    from pyspark.sql import types as T
+
+    from social_media_etl_spark.operators import timetravel as _tt
+
+    h = _CREATE_HEAD_RE.match(masked)
+    if h is None:
+        raise ValueError(
+            "CREATE TABLE: expected 'CREATE TABLE <name> ...', got: "
+            f"{query.strip()!r}"
+        )
+    name = h.group(1)
+    if name in tables:
+        raise ValueError(
+            f"CREATE TABLE: {name!r} is already a registered "
+            "VersionedTable — DROP is not supported; pick another name "
+            "or RESTORE/overwrite the existing table"
+        )
+    pos = h.end()
+    cols_masked = cols_real = None
+    if pos < len(masked) and masked[pos] == "(":
+        end = _balanced_span(masked, pos)
+        cols_masked = masked[pos + 1 : end]
+        cols_real = query[pos + 1 : end]
+        pos = end + 1
+    m = _CT_USING.match(masked, pos)
+    if m is None:
+        raise ValueError(
+            "CREATE TABLE: expected 'USING versioned' after the "
+            f"column list, got: {query[pos : pos + 40].strip()!r}"
+        )
+    pos = m.end()
+    location = None
+    pb: list[str] | None = None
+    props: dict[str, str] = {}
+    while True:
+        m = _CT_LOCATION.match(masked, pos)
+        if m is not None:
+            if location is not None:
+                raise ValueError("CREATE TABLE: duplicate LOCATION")
+            location = query[m.start(1) + 1 : m.end(1) - 1]
+            pos = m.end()
+            continue
+        m = _CT_PARTITIONED.match(masked, pos)
+        if m is not None:
+            if pb is not None:
+                raise ValueError("CREATE TABLE: duplicate PARTITIONED BY")
+            pb = [c.strip() for c in m.group(1).split(",") if c.strip()]
+            pos = m.end()
+            continue
+        m = _CT_PROPS.match(masked, pos)
+        if m is not None:
+            if props:
+                raise ValueError("CREATE TABLE: duplicate TBLPROPERTIES")
+            end = _balanced_span(masked, m.end() - 1)
+            body_m, body_r = masked[m.end() : end], query[m.end() : end]
+            for part in _split_top(body_m, body_r):
+                pm = re.match(r"^\s*'([^']*)'\s*=\s*'([^']*)'\s*$", part)
+                if pm is None:
+                    raise ValueError(
+                        "CREATE TABLE: TBLPROPERTIES entries must be "
+                        f"'key'='value', got {part!r}"
+                    )
+                props[pm.group(1)] = pm.group(2)
+            if not props:
+                raise ValueError(
+                    "CREATE TABLE: empty TBLPROPERTIES list"
+                )
+            pos = end + 1
+            continue
+        break
+    body = None
+    m = _CT_AS.match(masked, pos)
+    if m is not None:
+        body = query[m.end() :].strip().rstrip(";").strip()
+        if not body:
+            raise ValueError("CREATE TABLE: AS requires a query body")
+        pos = len(masked)
+    tail = re.sub(r"[;\s]", "", masked[pos:])
+    if tail:
+        raise ValueError(
+            "CREATE TABLE: unrecognized trailing clause "
+            f"{query[pos:].strip()!r} — supported: CREATE TABLE <n> "
+            "[(col type [GENERATED ALWAYS AS (<expr>)], ...)] USING "
+            "versioned LOCATION '<path>' [PARTITIONED BY (cols)] "
+            "[TBLPROPERTIES ('k'='v', ...)] [AS <query>]"
+        )
+    if location is None:
+        raise ValueError(
+            "CREATE TABLE: LOCATION '<path>' is required — this "
+            "engine's tables are path-addressed (same contract as "
+            "SHALLOW CLONE)"
+        )
+    if cols_masked is not None and body is not None:
+        raise ValueError(
+            "CREATE TABLE: a column list and AS <query> are mutually "
+            "exclusive — the query defines the schema"
+        )
+    gen: dict[str, str] = {}
+    if body is not None:
+        df = spark.sql(body)
+    elif cols_masked is not None:
+        defs, gen = _parse_column_defs(spark, cols_masked, cols_real)
+        nongen = T.StructType(
+            [T.StructField(n, d, True) for n, d, g in defs if g is None]
+        )
+        if not nongen.fields:
+            raise ValueError(
+                "CREATE TABLE: every column is GENERATED — at least "
+                "one regular column is required (the expressions need "
+                "inputs)"
+            )
+        base = spark.createDataFrame([], nongen)
+        sel = []
+        for n, declared, gexpr in defs:
+            if gexpr is None:
+                sel.append(F.col(n))
+                continue
+            computed = base.select(F.expr(gexpr).alias(n)).schema[
+                n
+            ].dataType
+            if computed != declared:
+                raise ValueError(
+                    f"CREATE TABLE: generated column {n!r} declares "
+                    f"type {declared.simpleString()} but its "
+                    f"expression ({gexpr}) computes "
+                    f"{computed.simpleString()} — declare the computed "
+                    "type or cast inside the expression"
+                )
+            sel.append(F.expr(gexpr).alias(n))
+        # generated columns are SUPPLIED (in declared order) so the
+        # schema keeps the declaration's column order; on zero rows
+        # the in-plan validation is trivially green
+        df = base.select(*sel)
+    else:
+        raise ValueError(
+            "CREATE TABLE: a column list or AS <query> is required — "
+            "an empty CREATE has no schema to record"
+        )
+    if pb:
+        missing = [c for c in pb if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"CREATE TABLE: PARTITIONED BY column(s) {missing} "
+                f"not in the table schema {df.columns}"
+            )
+    t = VersionedTable.create(
+        spark,
+        location,
+        df,
+        partition_by=pb if pb else None,
+        generated=gen or None,
+    )
+    if props:
+        t.set_properties(props)
+    _tt.register_table(spark, name, t.path)
+    return _one_row(spark, "create", t.head_version())
+
+
 def run_dml(
     spark: SparkSession,
     query: str,
@@ -872,7 +1146,10 @@ def run_dml(
     ``dml_mode`` overrides ``spark.smetl.sql.dml.mode`` for the
     row-level statements (MERGE/UPDATE/DELETE)."""
     masked = _mask(query)
-    head = _DML_HEAD.match(query).group(1).upper()
+    hm = _DML_HEAD.match(query)
+    # CREATE TABLE ... USING versioned passes is_dml without matching
+    # _DML_HEAD (whose CREATE branch is the SHALLOW CLONE lookahead)
+    head = hm.group(1).upper() if hm is not None else "CREATE"
     if head in ("MERGE", "UPDATE", "DELETE"):
         if head == "MERGE":
             return _run_merge(spark, query, masked, tables, dml_mode)
@@ -1104,10 +1381,15 @@ def run_dml(
     if head == "CREATE":
         m = _CLONE.match(masked)
         if m is None:
+            if _USING_VERSIONED.search(masked):
+                return _run_create_versioned(spark, query, masked, tables)
             raise ValueError(
-                "SHALLOW CLONE: expected \"CREATE TABLE <name> SHALLOW "
-                "CLONE <source> [VERSION AS OF <n>] LOCATION "
-                f"'<path>'\", got: {query.strip()!r}"
+                "CREATE TABLE: expected \"CREATE TABLE <name> SHALLOW "
+                "CLONE <source> [VERSION AS OF <n>] LOCATION '<path>'\" "
+                "or \"CREATE TABLE <name> [(col type ...)] USING "
+                "versioned LOCATION '<path>' [PARTITIONED BY (...)] "
+                "[TBLPROPERTIES (...)] [AS <query>]\", got: "
+                f"{query.strip()!r}"
             )
         dest_name, src_name = m.group(1), m.group(2)
         if m.group(4) is None:
