@@ -2978,6 +2978,12 @@ class VersionedTable:
                 "set_properties: smetl.dml.mode must be 'cow' or "
                 f"'mor', got {mode!r}"
             )
+        evo = props.get("smetl.merge.schemaEvolution")
+        if evo is not None and evo.lower() not in ("true", "false"):
+            raise ValueError(
+                "set_properties: smetl.merge.schemaEvolution must be "
+                f"'true' or 'false', got {evo!r}"
+            )
         return self._commit_properties(
             lambda cur: {**cur, **props}, txn
         )
@@ -4669,6 +4675,7 @@ class VersionedTable:
         when_matched_update_condition: str | None = None,
         when_not_matched_insert_condition: str | None = None,
         when_not_matched_by_source_update_condition: str | None = None,
+        schema_evolution: bool | None = None,
     ) -> int:
         """MERGE INTO as ONE copy-on-write commit (the Delta MERGE
         pattern, VERDICT r8 #6) — the transactional generalization of
@@ -4686,7 +4693,26 @@ class VersionedTable:
         - ``when_not_matched_insert``: ``"*"`` inserts source rows
           aligned by name (missing table columns NULL-fill), or a
           column -> expression dict over ``s.*``. ``None`` = no
-          inserts.
+          inserts. With ``INSERT *``, source columns ABSENT from the
+          target refuse by default — silently dropping them is the
+          failure mode schema evolution exists to prevent.
+        - ``schema_evolution`` (r14 — Delta's
+          ``spark.databricks.delta.schema.autoMerge``, VERDICT r13
+          #4): opt-in per call, or table-wide via the property
+          ``smetl.merge.schemaEvolution='true'``. With ``INSERT *``,
+          new source columns WIDEN the target schema first (one
+          metadata-only :meth:`add_column` commit each — zero files
+          move; pre-evolution rows NULL-fill through the mixed read),
+          and a source column whose type is a lossless widening of
+          the target's (:attr:`_WIDENINGS` — int→bigint, float→double
+          …) widens it via :meth:`widen_column` the same way; the
+          data merge then runs against the evolved schema. The
+          evolution commits precede the data commit (each
+          individually atomic and CAS-rebased — the same sequence a
+          Delta user runs manually; a concurrent reader between them
+          sees the widened-but-not-yet-merged schema, never a torn
+          one). Dict-form inserts and UPDATE assignments never
+          evolve — they refuse unknown columns as before.
         - ``when_matched_update_condition`` /
           ``when_not_matched_insert_condition`` /
           ``when_not_matched_by_source_update_condition`` (r13 —
@@ -4832,6 +4858,52 @@ class VersionedTable:
                         f"reference from {txt!r} (Delta refuses these "
                         "too)"
                     )
+        if when_not_matched_insert == "*":
+            # schema evolution (r14, see docstring): resolve the
+            # opt-in, then either evolve the target metadata-only or
+            # refuse extra source columns explicitly — never drop
+            # them silently
+            head_ptr = self._read_pointer(self.head_version())
+            tbl_schema = self._manifest_schema(head_ptr)
+            if schema_evolution is None:
+                schema_evolution = (
+                    (head_ptr.get("properties") or {})
+                    .get("smetl.merge.schemaEvolution", "")
+                    .lower()
+                    == "true"
+                )
+            if tbl_schema is not None:
+                tbl_types = {f.name: f.dataType for f in tbl_schema.fields}
+                extra = [
+                    f
+                    for f in source.schema.fields
+                    if f.name not in tbl_types
+                ]
+                if extra and not schema_evolution:
+                    raise ValueError(
+                        "VersionedTable.merge: INSERT * source carries "
+                        f"column(s) {sorted(f.name for f in extra)} not "
+                        "in the target schema "
+                        f"{sorted(tbl_types)} — dropping them silently "
+                        "would lose data. Opt into schema evolution "
+                        "(schema_evolution=True, or table property "
+                        "smetl.merge.schemaEvolution='true') to widen "
+                        "the target, or project the source first."
+                    )
+                if schema_evolution:
+                    for f in extra:
+                        self.add_column(f.name, f.dataType.simpleString())
+                    for f in source.schema.fields:
+                        cur = tbl_types.get(f.name)
+                        if (
+                            cur is not None
+                            and cur != f.dataType
+                            and f.dataType.simpleString()
+                            in self._WIDENINGS.get(cur.simpleString(), ())
+                        ):
+                            self.widen_column(
+                                f.name, f.dataType.simpleString()
+                            )
         parent = self.head_version()
         ptr = self._read_pointer(parent)
         base = self._resolve(ptr)

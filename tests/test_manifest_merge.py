@@ -590,3 +590,116 @@ def test_merge_condition_refusals(spark, tmp_path):
             when_not_matched_by_source_update={"v": "0.0"},
             when_not_matched_by_source_update_condition="s.v > 0",
         )
+
+
+# -- schema evolution (r14 — Delta autoMerge, VERDICT r13 #4) -----------------
+
+
+def test_merge_insert_star_extra_columns_refused_by_default(spark, tmp_path):
+    """Without the opt-in, INSERT * with extra source columns refuses
+    (naming the flag) instead of silently dropping the data."""
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1.0)])
+    )
+    src = spark.createDataFrame(
+        [(2, "b", 2.0, "extra")], "k long, v string, amt double, tag string"
+    )
+    with pytest.raises(ValueError, match="schema_evolution"):
+        t.merge(src, on=["k"], when_not_matched_insert="*")
+    assert t.head_version() == 0
+
+
+def test_merge_schema_evolution_new_column(spark, tmp_path):
+    """With the flag, a new source column widens the target as a
+    metadata-only add_column commit; pre-evolution rows NULL-fill."""
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1.0)])
+    )
+    files0 = set(t._read_manifest(0)["files"])
+    src = spark.createDataFrame(
+        [(2, "b", 2.0, "t2")], "k long, v string, amt double, tag string"
+    )
+    v = t.merge(
+        src, on=["k"], when_not_matched_insert="*", schema_evolution=True
+    )
+    assert [t._read_pointer(i)["op"] for i in range(v + 1)] == [
+        "create", "add_column", "merge"
+    ]
+    # the add_column commit moved zero files
+    assert set(t._read_manifest(1)["files"]) == files0
+    got = sorted(
+        (r["k"], r["v"], r["amt"], r["tag"]) for r in t.read().collect()
+    )
+    assert got == [(1, "a", 1.0, None), (2, "b", 2.0, "t2")]
+
+
+def test_merge_schema_evolution_widens_type(spark, tmp_path):
+    """A source column typed as a lossless widening of the target's
+    (int→bigint here) widens via the metadata-only widen commit; both
+    pre- and post-widen rows read back under the wider type."""
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame([(1, 10)], "k long, n int"),
+    )
+    src = spark.createDataFrame(
+        [(1, 2**40), (2, 20)], "k long, n bigint"
+    )
+    v = t.merge(
+        src,
+        on=["k"],
+        when_matched_update={"n": "s.n"},
+        when_not_matched_insert="*",
+        schema_evolution=True,
+    )
+    assert [t._read_pointer(i)["op"] for i in range(v + 1)] == [
+        "create", "widen", "merge"
+    ]
+    assert t.read().schema["n"].dataType.simpleString() == "bigint"
+    assert sorted((r["k"], r["n"]) for r in t.read().collect()) == [
+        (1, 2**40), (2, 20)
+    ]
+
+
+def test_merge_schema_evolution_table_property(spark, tmp_path):
+    """smetl.merge.schemaEvolution='true' opts the whole table in —
+    every SQL writer inherits it, Delta's property contract; 'yes'
+    and friends are refused at SET time."""
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1.0)])
+    )
+    with pytest.raises(ValueError, match="schemaEvolution"):
+        t.set_properties({"smetl.merge.schemaEvolution": "yes"})
+    t.set_properties({"smetl.merge.schemaEvolution": "true"})
+    src = spark.createDataFrame(
+        [(2, "b", 2.0, 7)], "k long, v string, amt double, extra int"
+    )
+    t.merge(src, on=["k"], when_not_matched_insert="*")
+    assert "extra" in t.read().columns
+    # the per-call flag can still force-refuse on an opted-in table
+    src2 = spark.createDataFrame(
+        [(3, "c", 3.0, "x")], "k long, v string, amt double, other string"
+    )
+    with pytest.raises(ValueError, match="schema_evolution"):
+        t.merge(
+            src2,
+            on=["k"],
+            when_not_matched_insert="*",
+            schema_evolution=False,
+        )
+
+
+def test_merge_dict_insert_never_evolves(spark, tmp_path):
+    """Dict-form inserts keep refusing unknown columns even with the
+    flag — evolution is an INSERT * contract (Delta's too)."""
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1.0)])
+    )
+    src = spark.createDataFrame([(2, "z")], "k long, newcol string")
+    with pytest.raises(ValueError, match="unknown"):
+        t.merge(
+            src,
+            on=["k"],
+            when_not_matched_insert={"k": "s.k", "newcol": "s.newcol"},
+            schema_evolution=True,
+        )
