@@ -5276,6 +5276,209 @@ def _sql_copy_into_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_create_table_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL CREATE TABLE certified end-to-end (operators/sqldml.py —
+    VERDICT r13 #2: the last Python-only lifecycle step made
+    SQL-reachable; the reference's own contract is DDL-as-SQL,
+    reference/sql/blog_post_definitions.sql:15-81): ONE statement
+    declares a VersionedTable with a GENERATED band column, a
+    partition spec, and TBLPROPERTIES —
+
+        CREATE TABLE t (.., band BIGINT GENERATED ALWAYS AS (..))
+        USING versioned LOCATION '..' PARTITIONED BY (event_type)
+        TBLPROPERTIES ('pipeline'='r14')
+
+    — then INSERT INTO fills it through BOTH source forms (a SELECT
+    against a registered view, then literal VALUES), the generated
+    column computing at every ingest. Gated in-plan on (a) the create
+    result frame and the empty post-create read, (b) the manifest
+    recording the partition spec, the generated map, and the property,
+    (c) both INSERTs committing as appends with the version chain
+    exactly create→set_properties→append→append, and (d) a duplicate
+    CREATE of the same name refusing (the registry's
+    duplicate-name contract). The returned per-(type, band) aggregate
+    is certified against the oracle's relational replay of both
+    slices with the band computed in SQL — the generated values are
+    oracle-checked, not just gated. The %9=3 slice and 7-digit
+    literal keys exist at every testdata SF. The registered name is
+    salted per run: CREATE refuses duplicates by design, and bench's
+    best-of-2 runs each key twice in one session."""
+    import uuid as _uuid
+
+    from social_media_etl_spark.operators import timetravel as tt
+    from social_media_etl_spark.operators.manifest import VersionedTable
+
+    events = load_table(spark, sf_dir, "events")
+    d = _tmpdir(prefix="smetl_sqlct_")
+    name = f"sqlct_{_uuid.uuid4().hex[:10]}"
+    r1 = tt.sql(
+        spark,
+        f"""
+        CREATE TABLE {name} (
+            event_id BIGINT,
+            event_type STRING,
+            value DOUBLE,
+            band BIGINT GENERATED ALWAYS AS (CAST(floor(value / 50) AS BIGINT))
+        ) USING versioned LOCATION '{d}/t'
+        PARTITIONED BY (event_type)
+        TBLPROPERTIES ('pipeline'='r14')
+        """,
+    ).collect()
+    t = VersionedTable(spark, f"{d}/t")
+    empty_after_create = t.read(0).count() == 0
+    events.filter(F.col("event_id") % 9 == 3).select(
+        "event_id", "event_type", "value"
+    ).createOrReplaceTempView("sqlct_src")
+    r2 = tt.sql(
+        spark,
+        f"INSERT INTO {name} (event_id, event_type, value) "
+        "SELECT event_id, event_type, value FROM sqlct_src",
+    ).collect()
+    r3 = tt.sql(
+        spark,
+        f"INSERT INTO {name} VALUES "
+        "(1000057, 'ctins', 125.0), (1000061, 'ctins', 20.0)",
+    ).collect()
+    dup_refused = False
+    try:
+        tt.sql(
+            spark,
+            f"CREATE TABLE {name} (x INT) USING versioned "
+            f"LOCATION '{d}/dup'",
+        )
+    except ValueError:
+        dup_refused = True
+    ok = (
+        r1[0]["op"] == "create"
+        and empty_after_create
+        and t._read_pointer(0)["partition_by"] == ["event_type"]
+        and t.generated_columns()
+        == {"band": "CAST(floor(value / 50) AS BIGINT)"}
+        and t.properties() == {"pipeline": "r14"}
+        and r2[0]["op"] == "insert"
+        and r3[0]["op"] == "insert"
+        and dup_refused
+        and [t._read_pointer(v)["op"] for v in range(t.head_version() + 1)]
+        == ["create", "set_properties", "append", "append"]
+    )
+    return (
+        t.read()
+        .where(F.lit(ok))
+        .groupBy("event_type", "band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type", "band")
+    )
+
+
+def _sql_insert_alter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The post-r13-close SQL additions graded (VERDICT r13 #3 —
+    INSERT INTO/OVERWRITE and the ALTER TABLE column DDL landed with
+    pytest-only coverage): one pipeline drives INSERT OVERWRITE (a
+    SELECT replacing a junk seed), INSERT INTO with a column list
+    over a SELECT, ADD COLUMN (NULL-filling), a full-arity VALUES
+    insert, then the metadata-only column triad — ALTER COLUMN TYPE
+    (int→bigint widen), RENAME COLUMN, DROP COLUMN — all as SQL text
+    through tt.sql. Gated in-plan on (a) every result frame carrying
+    the right (op, version), (b) the junk seed being gone after the
+    OVERWRITE, (c) each of widen/rename/drop moving ZERO data files
+    (the metadata-only contract at 100 TB), and (d) the op chain
+    being exactly create→overwrite→append→add_column→append→widen→
+    rename→drop. The returned per-type aggregate sums the renamed,
+    widened column, so the oracle certifies the values carried
+    through the whole DDL chain. The %9={1,8} slices and 7-digit
+    literal keys exist at every testdata SF."""
+    from social_media_etl_spark.operators import timetravel as tt
+    from social_media_etl_spark.operators.manifest import VersionedTable
+
+    events = load_table(spark, sf_dir, "events")
+    d = _tmpdir(prefix="smetl_sqlia_")
+    junk = spark.createDataFrame(
+        [(1, "junk", 1.0, 1), (2, "junk", 2.0, 2)],
+        "event_id long, event_type string, value double, small int",
+    )
+    t = VersionedTable.create(spark, f"{d}/t", junk)
+    tt.register_table(spark, "sqlia_t", t.path)
+    for tag, mod in (("a", 1), ("b", 8)):
+        events.filter(F.col("event_id") % 9 == mod).select(
+            "event_id",
+            "event_type",
+            "value",
+            (F.col("event_id") % 100).cast("int").alias("small"),
+        ).createOrReplaceTempView(f"sqlia_src_{tag}")
+    r_ov = tt.sql(
+        spark, "INSERT OVERWRITE sqlia_t SELECT * FROM sqlia_src_a"
+    ).collect()
+    junk_gone = (
+        t.read().filter(F.col("event_type") == "junk").count() == 0
+    )
+    r_ins = tt.sql(
+        spark,
+        "INSERT INTO sqlia_t (event_id, event_type, value, small) "
+        "SELECT event_id, event_type, value, small FROM sqlia_src_b",
+    ).collect()
+    r_add = tt.sql(
+        spark, "ALTER TABLE sqlia_t ADD COLUMN bonus DOUBLE"
+    ).collect()
+    files_add = set(t._read_manifest(3)["files"]) == set(
+        t._read_manifest(2)["files"]
+    )
+    r_val = tt.sql(
+        spark,
+        "INSERT INTO sqlia_t VALUES "
+        "(1000071, 'sqlia', 3.5, 71, 0.5), "
+        "(1000077, 'sqlia', 6.5, 77, 1.5), "
+        "(1000083, 'sqlia', 9.0, 83, 2.5)",
+    ).collect()
+    r_widen = tt.sql(
+        spark, "ALTER TABLE sqlia_t ALTER COLUMN small TYPE BIGINT"
+    ).collect()
+    r_ren = tt.sql(
+        spark, "ALTER TABLE sqlia_t RENAME COLUMN small TO small_id"
+    ).collect()
+    r_drop = tt.sql(spark, "ALTER TABLE sqlia_t DROP COLUMN bonus").collect()
+    files4 = set(t._read_manifest(4)["files"])
+    meta_only = all(
+        set(t._read_manifest(v)["files"]) == files4 for v in (5, 6, 7)
+    )
+    ok = (
+        r_ov[0]["op"] == "insert_overwrite"
+        and r_ov[0]["version"] == 1
+        and junk_gone
+        and r_ins[0]["op"] == "insert"
+        and r_ins[0]["version"] == 2
+        and r_add[0]["op"] == "add_column"
+        and files_add
+        and r_val[0]["op"] == "insert"
+        and r_val[0]["version"] == 4
+        and r_widen[0]["op"] == "widen"
+        and r_ren[0]["op"] == "rename"
+        and r_drop[0]["op"] == "drop"
+        and meta_only
+        and t.read().columns
+        == ["event_id", "event_type", "value", "small_id"]
+        and t.read().schema["small_id"].dataType.simpleString() == "bigint"
+        and [t._read_pointer(v)["op"] for v in range(t.head_version() + 1)]
+        == [
+            "create", "overwrite", "append", "add_column",
+            "append", "widen", "rename", "drop",
+        ]
+    )
+    return (
+        t.read()
+        .where(F.lit(ok))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.sum("small_id").alias("sum_small_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _versioned_manifest_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segmented manifests certified (operators/manifest.py — the
     Iceberg manifest-list pattern, VERDICT r8 #3): commits write a
@@ -5435,22 +5638,79 @@ def _managed(fn: Callable[[SparkSession, str], DataFrame]):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver grades only the FIRST 50
-    # entries per round (VERDICT r2). Round-13 window (pinned by
-    # tests/test_grading_window.py; VERDICT r12 ask #1): the 14
-    # R13_QUEUE keys lead (last driver-graded r9 — 4 rounds old),
-    # then the 3 keys NEW this round (SQL DML, ask #2), then the 33
-    # oldest r10-greens. The 14 r10-greens that did not fit form the
-    # R14_QUEUE at the dict tail and must lead the r14 window. Keep
-    # this paragraph in sync with tests/test_grading_window.py —
-    # window planning is done from here (r2 postmortem).
+    # entries per round (VERDICT r2). Round-14 window (pinned by
+    # tests/test_grading_window.py; VERDICT r13 ask #1): the 14
+    # R14_QUEUE keys lead (last driver-graded r10 — 4 rounds old),
+    # then the 2 keys NEW this round (SQL CREATE TABLE + INSERT/ALTER
+    # grading, asks #2-#3), then the 34 oldest r11-greens. The 16
+    # r11-greens that did not fit form the R15_QUEUE at the dict tail
+    # and must lead the r15 window. Keep this paragraph in sync with
+    # tests/test_grading_window.py — window planning is done from
+    # here (r2 postmortem).
     qs = {
-        # -- R13 WINDOW (first 50 — pinned by tests/
-        # test_grading_window.py; VERDICT r12 ask #1). Leads with the
-        # 14 R13_QUEUE keys (last driver-graded r9 — 4 rounds old,
-        # the staleness the r12 verdict names), then the 2 keys NEW
-        # this round (the SQL DML surface, ask #2 — graded
-        # immediately, the vbkt-r11/mor-r12 precedent), then the 34
-        # oldest r10-greens in their standing dict order. ------------
+        # -- R14 WINDOW (first 50 — pinned by tests/
+        # test_grading_window.py; VERDICT r13 ask #1). Leads with the
+        # 14 R14_QUEUE keys (last driver-graded r10 — 4 rounds old,
+        # the staleness the rotation exists to cap), then the 2 keys
+        # NEW this round (SQL CREATE TABLE/CTAS and the INSERT/ALTER
+        # DDL chain, asks #2-#3 — graded immediately, the vbkt-r11/
+        # mor-r12/sqldml-r13 precedent), then the 34 oldest
+        # r11-greens in their standing dict order. -------------------
+        "token_budget_curation": _token_budget_curation,
+        "funnel_conversion": _funnel_conversion,
+        "streaming_full_outer_join": _streaming_full_outer_join,
+        "formats_roundtrip": _formats_roundtrip,
+        "skew_salted_agg_events": _salted_agg_events,
+        "skew_salted_join_events": _salted_join_events,
+        "bucketed_join_priority_revenue": _bucketed_join_revenue,
+        "streaming_dedup_events": _streaming_dedup,
+        "streaming_sliding_windows": _streaming_sliding,
+        "streaming_static_join": _streaming_static_join,
+        "versioned_multipart_read": _versioned_multipart_read,
+        "versioned_column_rename": _versioned_column_rename,
+        "versioned_change_feed": _versioned_change_feed,
+        "streaming_change_feed": _streaming_change_feed,
+        # NEW in r14 (SQL DDL surface — operators/sqldml.py):
+        "sql_create_table_pipeline": _sql_create_table_pipeline,
+        "sql_insert_alter": _sql_insert_alter,
+        # 34 oldest r11-greens (their record turns 3 rounds old):
+        "versioned_bucketed_join": _versioned_bucketed_join,
+        "versioned_column_drop": _versioned_column_drop,
+        "versioned_upsert_change_feed": _versioned_upsert_change_feed,
+        "streaming_upsert_change_feed": _streaming_upsert_change_feed,
+        "streaming_incremental_rollup": _streaming_incremental,
+        "streaming_left_outer_join": _streaming_left_outer_join,
+        "pack_sequences_greedy": _pack_greedy_single,
+        "pii_redaction": _pii_redaction,
+        "tfidf_top_terms": _tfidf_top_terms,
+        "unigram_logprob_quality": _unigram_logprob,
+        "train_val_test_split": _train_val_test_split,
+        "table_profile_orders": _table_profile,
+        "text_stats": _text_stats,
+        "text_lang_id": _text_lang,
+        "doc_fingerprint": _text_fingerprint,
+        "multimodal_metadata": _multimodal_metadata,
+        "multimodal_decode_images": _multimodal_decode,
+        "multimodal_frame_sample": _multimodal_frames,
+        "multimodal_audio_features": _multimodal_audio,
+        "decontaminate_benchmark": _decontaminate,
+        "events_windowed_agg": _events_window,
+        "events_sessionize": _events_sessions,
+        "events_rolling_avg": _events_rolling,
+        "scd2_user_event_history": _scd2_history,
+        "asof_purchase_last_click": _asof_purchase_click,
+        "asof_signup_next_purchase": _asof_signup_next_purchase,
+        "dedup_minhash_lsh": _dedup_minhash,
+        "dedup_simhash": _dedup_simhash,
+        "ann_lsh_topk": _ann_lsh,
+        "ann_ivf_topk": _ann_ivf,
+        "streaming_windowed_agg": _streaming_windowed,
+        "dedup_exact": _dedup_exact,
+        "dedup_ngram_jaccard": _dedup_jaccard,
+        "dedup_components": _dedup_components,
+        # ------- middle: keys with a driver-green record in
+        # CORRECTNESS_r12 or r13 (freshest records; the rotation
+        # returns to them after the r11 block) -----------------------
         "priority_share_by_year": _priority_share,
         "topk_orders_per_customer": _topk_per_cust,
         "distinct_parts_per_flag": _distinct,
@@ -5465,11 +5725,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_interval_join": _streaming_interval_join,
         "table_profile_orders_approx": _table_profile_approx,
         "user_retention_cohorts": _user_retention_cohorts,
-        # NEW in r13 (SQL DML surface — operators/sqldml.py):
         "sql_merge_into": _sql_merge_into,
         "sql_update_delete": _sql_update_delete,
         "sql_copy_into_generated": _sql_copy_into_generated,
-        # 34 oldest r10-greens (their record turns 3 rounds old):
         "rollup_revenue": _rollup_revenue,
         "grouping_sets_revenue": _grouping_sets,
         "udtf_ngrams_count": _udtf_ngrams,
@@ -5503,9 +5761,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "versioned_incremental_read": _versioned_incremental_read,
         "versioned_overwrite_refresh": _versioned_overwrite_refresh,
         "importance_sampling": _importance_sampling,
-        # ------- middle: keys with a driver-green record in
-        # CORRECTNESS_r11 or r12 (freshest records; the rotation
-        # returns to them after the r10 block) -----------------------
         "versioned_overwrite_change_feed": _versioned_overwrite_change_feed,
         "versioned_restore": _versioned_restore,
         "versioned_shallow_clone": _versioned_shallow_clone,
@@ -5556,40 +5811,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_quantiles_gated": _approx_quantiles_gated,
         "fuzzy_name_match": _fuzzy_name_match,
         "customer_priority_profile": _cust_priority_profile,
-        "versioned_bucketed_join": _versioned_bucketed_join,
-        "versioned_column_drop": _versioned_column_drop,
-        "versioned_upsert_change_feed": _versioned_upsert_change_feed,
-        "streaming_upsert_change_feed": _streaming_upsert_change_feed,
-        "streaming_incremental_rollup": _streaming_incremental,
-        "streaming_left_outer_join": _streaming_left_outer_join,
-        "pack_sequences_greedy": _pack_greedy_single,
-        "pii_redaction": _pii_redaction,
-        "tfidf_top_terms": _tfidf_top_terms,
-        "unigram_logprob_quality": _unigram_logprob,
-        "train_val_test_split": _train_val_test_split,
-        "table_profile_orders": _table_profile,
-        "text_stats": _text_stats,
-        "text_lang_id": _text_lang,
-        "doc_fingerprint": _text_fingerprint,
-        "multimodal_metadata": _multimodal_metadata,
-        "multimodal_decode_images": _multimodal_decode,
-        "multimodal_frame_sample": _multimodal_frames,
-        "multimodal_audio_features": _multimodal_audio,
-        "decontaminate_benchmark": _decontaminate,
-        "events_windowed_agg": _events_window,
-        "events_sessionize": _events_sessions,
-        "events_rolling_avg": _events_rolling,
-        "scd2_user_event_history": _scd2_history,
-        "asof_purchase_last_click": _asof_purchase_click,
-        "asof_signup_next_purchase": _asof_signup_next_purchase,
-        "dedup_minhash_lsh": _dedup_minhash,
-        "dedup_simhash": _dedup_simhash,
-        "ann_lsh_topk": _ann_lsh,
-        "ann_ivf_topk": _ann_ivf,
-        "streaming_windowed_agg": _streaming_windowed,
-        "dedup_exact": _dedup_exact,
-        "dedup_ngram_jaccard": _dedup_jaccard,
-        "dedup_components": _dedup_components,
+        # -- R15_QUEUE: the 16 r11-greens that did not fit the r14
+        # window — they MUST lead the r15 window (their record turns
+        # 4 rounds old at r14 close; pinned by tests/
+        # test_grading_window.py) ------------------------------------
         "dedup_lines_c4": _dedup_lines,
         "doc_repetition": _doc_repetition,
         "embedding_neardup": _embedding_neardup,
@@ -5606,24 +5831,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_flags": _gopher_quality,
         "semantic_dedup_representatives": _semantic_dedup,
         "bpe_pair_counts": _bpe_pair_counts,
-        # -- R14_QUEUE: the 13 r10-greens that did not fit the r13
-        # window — they MUST lead the r14 window (their record turns
-        # 4 rounds old at r13 close; pinned by tests/
-        # test_grading_window.py) -----------------------------------
-        "token_budget_curation": _token_budget_curation,
-        "funnel_conversion": _funnel_conversion,
-        "streaming_full_outer_join": _streaming_full_outer_join,
-        "formats_roundtrip": _formats_roundtrip,
-        "skew_salted_agg_events": _salted_agg_events,
-        "skew_salted_join_events": _salted_join_events,
-        "bucketed_join_priority_revenue": _bucketed_join_revenue,
-        "streaming_dedup_events": _streaming_dedup,
-        "streaming_sliding_windows": _streaming_sliding,
-        "streaming_static_join": _streaming_static_join,
-        "versioned_multipart_read": _versioned_multipart_read,
-        "versioned_column_rename": _versioned_column_rename,
-        "versioned_change_feed": _versioned_change_feed,
-        "streaming_change_feed": _streaming_change_feed,
     }
     return {name: _managed(fn) for name, fn in qs.items()}
 
@@ -7999,6 +8206,49 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_events,
                round(sum(value), 2) AS sum_value
         FROM u GROUP BY 1 ORDER BY 1
+    """
+    # SQL CREATE TABLE pipeline: union of the INSERT-SELECT slice and
+    # the VALUES literals with the GENERATED band computed
+    # relationally — the generated values and both insert forms are
+    # oracle-checked; the create/partition/property/refusal gates are
+    # in-plan on the Spark side
+    d["sql_create_table_pipeline"] = """
+        WITH u AS (
+            SELECT event_id, event_type, value
+            FROM events WHERE event_id % 9 = 3
+            UNION ALL
+            SELECT CAST(1000057 AS BIGINT), 'ctins', CAST(125.0 AS DOUBLE)
+            UNION ALL
+            SELECT CAST(1000061 AS BIGINT), 'ctins', CAST(20.0 AS DOUBLE)
+        )
+        SELECT event_type,
+               CAST(floor(value / 50) AS BIGINT) AS band,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM u GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    # INSERT OVERWRITE replaced the junk seed, so the oracle replays
+    # only the two slices + the VALUES literals; the summed column
+    # rode ADD COLUMN / widen / RENAME / DROP on the Spark side, so
+    # value-matching certifies the whole DDL chain carried the data
+    d["sql_insert_alter"] = """
+        WITH u AS (
+            SELECT event_id, event_type, value,
+                   CAST(event_id % 100 AS BIGINT) AS small_id
+            FROM events WHERE event_id % 9 = 1
+            UNION ALL
+            SELECT event_id, event_type, value,
+                   CAST(event_id % 100 AS BIGINT)
+            FROM events WHERE event_id % 9 = 8
+            UNION ALL SELECT 1000071, 'sqlia', 3.5, 71
+            UNION ALL SELECT 1000077, 'sqlia', 6.5, 77
+            UNION ALL SELECT 1000083, 'sqlia', 9.0, 83
+        )
+        SELECT event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value,
+               CAST(sum(small_id) AS BIGINT) AS sum_small_id
+        FROM u GROUP BY event_type ORDER BY event_type
     """
     d["versioned_merge_into"] = """
         WITH t0 AS (
