@@ -126,7 +126,7 @@ def _fs_for(path: str):
         raise ValueError(
             f"versioned_cdc: cannot resolve a filesystem for table path "
             f"{path!r} — supported schemes are the ones pyarrow.fs "
-            "recognizes here (local paths, file://, and s3://gs://hdfs:// "
+            "recognizes here (local paths, file://, and s3:// / gs:// / hdfs:// "
             f"where bindings exist): {exc}"
         ) from None
 
