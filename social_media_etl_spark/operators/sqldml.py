@@ -79,6 +79,7 @@ Catalyst SQL)::
     ALTER TABLE <table> ADD CONSTRAINT <n> CHECK (<expr>)
     ALTER TABLE <table> DROP CONSTRAINT <n>
     SHOW TBLPROPERTIES <table>
+    DROP TABLE [IF EXISTS] <table>
 
 ``ALTER TABLE`` on a name that is NOT a registered VersionedTable
 passes through to Catalyst untouched (it is valid Spark SQL for
@@ -133,6 +134,7 @@ _DML_HEAD = re.compile(
     r"|DESCRIBE(?=\s+HISTORY\b)"
     r"|CREATE(?=\s+TABLE\s+[A-Za-z_][A-Za-z0-9_]*\s+SHALLOW\s+CLONE\b)"
     r"|ALTER(?=\s+TABLE\b)|INSERT(?=\s+(?:INTO|OVERWRITE)\b)"
+    r"|DROP(?=\s+TABLE\b)"
     r"|SHOW(?=\s+TBLPROPERTIES\b))\b",
     re.IGNORECASE,
 )
@@ -775,6 +777,10 @@ _INSERT = re.compile(
 _SHOW_PROPS = re.compile(
     rf"^\s*SHOW\s+TBLPROPERTIES\s+({_NAME})\s*;?\s*$", re.IGNORECASE
 )
+_DROP_TABLE = re.compile(
+    rf"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?({_NAME})\s*;?\s*$",
+    re.IGNORECASE,
+)
 
 
 def _scalar(tok: str):
@@ -991,8 +997,8 @@ def _run_create_versioned(spark, query, masked, tables) -> DataFrame:
     if name in tables:
         raise ValueError(
             f"CREATE TABLE: {name!r} is already a registered "
-            "VersionedTable — DROP is not supported; pick another name "
-            "or RESTORE/overwrite the existing table"
+            f"VersionedTable — DROP TABLE {name} first (unregisters "
+            "the name; the files stay on disk), or pick another name"
         )
     pos = h.end()
     cols_masked = cols_real = None
@@ -1365,6 +1371,24 @@ def run_dml(
                 keys.append(pm.group(1))
             v = t.unset_properties(keys)
         return _one_row(spark, "set_properties", v)
+    if head == "DROP":
+        m = _DROP_TABLE.match(masked)
+        if m is None or m.group(1) not in tables:
+            # unregistered name (incl. IF EXISTS on unknowns) or a
+            # form with extras: DROP TABLE is valid Spark SQL for
+            # catalog tables — Catalyst owns it
+            return spark.sql(query)
+        name = m.group(1)
+        t = _resolve_table(spark, tables, name, "DROP TABLE")
+        head_v = t.head_version()
+        from social_media_etl_spark.operators import timetravel as _tt
+
+        # EXTERNAL-table semantics (the honest contract for a
+        # path-addressed engine): the registry entry and head view
+        # go away; the manifest and data files stay on disk, and
+        # register_table on the same path resurrects the table
+        _tt.unregister_table(spark, name)
+        return _one_row(spark, "drop_table", head_v)
     if head == "SHOW":
         m = _SHOW_PROPS.match(masked)
         if m is None or m.group(1) not in tables:

@@ -81,6 +81,22 @@ def register_table(spark: SparkSession, name: str, path: str) -> None:
     VersionedTable(spark, path).read().createOrReplaceTempView(name)
 
 
+def unregister_table(spark: SparkSession, name: str) -> bool:
+    """Remove ``name`` from the registry and drop its head temp view
+    (the SQL ``DROP TABLE`` path, r14). EXTERNAL-table semantics —
+    the honest contract for a path-addressed engine: the manifest and
+    data files stay on disk untouched, and ``register_table`` on the
+    same path resurrects the table fully. Returns False when the name
+    was not registered."""
+    found = (
+        _REGISTRY.pop((spark.sparkContext.applicationId, name), None)
+        is not None
+    )
+    if found:
+        spark.catalog.dropTempView(name)
+    return found
+
+
 def registered_tables(spark: SparkSession) -> dict[str, str]:
     app = spark.sparkContext.applicationId
     return {n: p for (a, n), p in _REGISTRY.items() if a == app}

@@ -918,3 +918,45 @@ def test_create_table_plain_flows_to_catalyst(spark):
     )
     assert spark.table("sdml_plainct").columns == ["x"]
     spark.sql("DROP TABLE sdml_plainct")
+
+
+# -- DROP TABLE (r14 — completes the SQL lifecycle) ---------------------------
+
+
+def test_drop_table_unregisters_external_semantics(spark, tmp_path):
+    """DROP TABLE on a registered VersionedTable unregisters the name
+    and drops the head view; the manifest and data files STAY on disk
+    (external-table semantics — the honest contract for a
+    path-addressed engine), so re-registering resurrects the table
+    and the freed name is immediately CREATE-able again."""
+    t = _mk(spark, tmp_path, "sdml_drop1")
+    out = tt.sql(spark, "DROP TABLE sdml_drop1").collect()
+    assert out[0]["op"] == "drop_table"
+    assert "sdml_drop1" not in tt.registered_tables(spark)
+    # further DML on the freed name refuses (nothing registered)
+    with pytest.raises(ValueError, match="not a registered"):
+        tt.sql(spark, "DESCRIBE HISTORY sdml_drop1")
+    # data survived: re-registering resurrects the table fully
+    tt.register_table(spark, "sdml_drop1b", t.path)
+    assert tt.sql(spark, "SELECT count(*) AS n FROM sdml_drop1b").collect()[
+        0
+    ]["n"] == 20
+    # and the freed name is CREATE-able again
+    tt.sql(
+        spark,
+        f"CREATE TABLE sdml_drop1 (x INT) USING versioned "
+        f"LOCATION '{tmp_path}/fresh'",
+    )
+    assert "sdml_drop1" in tt.registered_tables(spark)
+    tt.sql(spark, "DROP TABLE sdml_drop1")
+    tt.sql(spark, "DROP TABLE sdml_drop1b")
+
+
+def test_drop_table_unregistered_passes_through(spark):
+    """DROP TABLE on a non-registered name is Catalyst's: IF EXISTS
+    no-ops, a bare unknown name raises Catalyst's own error."""
+    from pyspark.sql.utils import AnalysisException
+
+    tt.sql(spark, "DROP TABLE IF EXISTS definitely_not_registered_drop")
+    with pytest.raises(AnalysisException):
+        tt.sql(spark, "DROP TABLE definitely_not_registered_drop")
