@@ -49,7 +49,8 @@ Catalyst SQL)::
     MERGE INTO <table> [AS] [<talias>] USING (<subquery>)|<view> [AS]
         [<salias>] ON t.k = s.k [AND ...]
         [WHEN MATCHED [AND <pred>] THEN DELETE]
-        [WHEN MATCHED [AND <pred>] THEN UPDATE SET col = <expr> [, ...]]
+        [WHEN MATCHED [AND <pred>] THEN UPDATE SET col = <expr> [, ...]
+            | UPDATE SET *]
         [WHEN NOT MATCHED [AND <pred>] THEN INSERT * | INSERT (cols)
             VALUES (exprs)]
         [WHEN NOT MATCHED BY SOURCE [AND <pred>] THEN DELETE]
@@ -532,17 +533,50 @@ def _run_merge(spark, query, masked, tables, dml_mode) -> DataFrame:
                 if cond is not None:
                     _set_once("when_matched_update_condition", cond)
                 off = w.start("action") + m_upd.start(1)
-                _set_once(
-                    "when_matched_update",
-                    {
-                        c: _alias_rewrite(e, talias, salias)
-                        for c, e in _assignments(
-                            masked[off : w.end("action")],
-                            query[off : w.end("action")],
-                            "MERGE",
-                        ).items()
-                    },
-                )
+                body = action_masked[m_upd.start(1) :].strip()
+                if body == "*":
+                    # Delta's UPDATE SET *: every non-key, non-
+                    # generated target column takes s.<col>. A target
+                    # column ABSENT from the source refuses (Delta
+                    # errors here too without autoMerge — silently
+                    # keeping the old value would not be SET *)
+                    tcols = t.read().columns
+                    gen = set(t.generated_columns())
+                    expand = [
+                        c for c in tcols if c not in keys and c not in gen
+                    ]
+                    missing = [
+                        c for c in expand if c not in source_df.columns
+                    ]
+                    if missing:
+                        raise ValueError(
+                            "MERGE: UPDATE SET * needs every target "
+                            f"column in the source; missing {missing} "
+                            "— use an explicit SET list (or add the "
+                            "columns to the source)"
+                        )
+                    if not expand:
+                        raise ValueError(
+                            "MERGE: UPDATE SET * expands to no "
+                            "columns — every target column is a merge "
+                            "key or GENERATED"
+                        )
+                    _set_once(
+                        "when_matched_update",
+                        {c: f"s.{c}" for c in expand},
+                    )
+                else:
+                    _set_once(
+                        "when_matched_update",
+                        {
+                            c: _alias_rewrite(e, talias, salias)
+                            for c, e in _assignments(
+                                masked[off : w.end("action")],
+                                query[off : w.end("action")],
+                                "MERGE",
+                            ).items()
+                        },
+                    )
             else:
                 raise ValueError(
                     f"MERGE: WHEN MATCHED action must be DELETE or "

@@ -960,3 +960,49 @@ def test_drop_table_unregistered_passes_through(spark):
     tt.sql(spark, "DROP TABLE IF EXISTS definitely_not_registered_drop")
     with pytest.raises(AnalysisException):
         tt.sql(spark, "DROP TABLE definitely_not_registered_drop")
+
+
+def test_sql_merge_update_set_star(spark, tmp_path):
+    """UPDATE SET * expands to every non-key target column from the
+    source — exact parity with the explicit-dict Python twin."""
+    t = _mk(spark, tmp_path, "sdml_star")
+    t2 = VersionedTable.create(
+        spark,
+        str(tmp_path / "star_twin"),
+        spark.createDataFrame(
+            [(i, f"g{i % 3}", float(i)) for i in range(20)],
+            "k long, g string, v double",
+        ),
+    )
+    src = spark.createDataFrame(
+        [(5, "ZZ", 500.0), (6, "YY", 600.0)], "k long, g string, v double"
+    )
+    src.createOrReplaceTempView("sdml_star_src")
+    tt.sql(
+        spark,
+        """
+        MERGE INTO sdml_star t USING sdml_star_src s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *
+        """,
+    )
+    t2.merge(
+        src, on=["k"], when_matched_update={"g": "s.g", "v": "s.v"}
+    )
+    assert _state(t) == _state(t2)
+
+
+def test_sql_merge_update_set_star_missing_source_column_refused(
+    spark, tmp_path
+):
+    _mk(spark, tmp_path, "sdml_star2")
+    spark.createDataFrame(
+        [(5, "ZZ")], "k long, g string"
+    ).createOrReplaceTempView("sdml_star2_src")
+    with pytest.raises(ValueError, match=r"missing \['v'\]"):
+        tt.sql(
+            spark,
+            """
+            MERGE INTO sdml_star2 t USING sdml_star2_src s ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET *
+            """,
+        )
