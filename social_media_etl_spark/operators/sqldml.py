@@ -62,13 +62,15 @@ Catalyst SQL)::
         [DRY RUN]
     RESTORE [TABLE] <table> TO VERSION AS OF <n>
     DESCRIBE HISTORY <table>
+    DESCRIBE DETAIL <table>
     COPY INTO <table> FROM '<path>' [FILEFORMAT = <fmt>]
         [PATTERN = '<glob>']
     CREATE TABLE <name> SHALLOW CLONE <src> [VERSION AS OF <n>]
         LOCATION '<path>'
-    CREATE TABLE <name> (col type [GENERATED ALWAYS AS (<expr>)]
-        [, ...]) USING versioned LOCATION '<path>'
-        [PARTITIONED BY (col [, ...])] [TBLPROPERTIES ('k'='v' [, ...])]
+    CREATE TABLE <name> (col type [NOT NULL]
+        [GENERATED ALWAYS AS (<expr>)] [, ...]) USING versioned
+        LOCATION '<path>' [PARTITIONED BY (col [, ...])]
+        [TBLPROPERTIES ('k'='v' [, ...])]
     CREATE TABLE <name> USING versioned LOCATION '<path>'
         [PARTITIONED BY (...)] [TBLPROPERTIES (...)] AS <query>
     ALTER TABLE <table> SET TBLPROPERTIES ('k'='v' [, ...])
@@ -81,6 +83,8 @@ Catalyst SQL)::
     ALTER TABLE <table> DROP CONSTRAINT <n>
     SHOW TBLPROPERTIES <table>
     DROP TABLE [IF EXISTS] <table>
+    ANALYZE TABLE <table> COMPUTE STATISTICS
+        [FOR COLUMNS c1 [, ...]] [BLOOM (c1 [, ...])]
 
 ``ALTER TABLE`` on a name that is NOT a registered VersionedTable
 passes through to Catalyst untouched (it is valid Spark SQL for
@@ -132,10 +136,11 @@ _NAME = r"[A-Za-z_][A-Za-z0-9_]*"
 # Spark SQL and must keep flowing through Catalyst untouched
 _DML_HEAD = re.compile(
     r"^\s*(MERGE|UPDATE|DELETE|OPTIMIZE|VACUUM|RESTORE|COPY"
-    r"|DESCRIBE(?=\s+HISTORY\b)"
+    r"|DESCRIBE(?=\s+(?:HISTORY|DETAIL)\b)"
     r"|CREATE(?=\s+TABLE\s+[A-Za-z_][A-Za-z0-9_]*\s+SHALLOW\s+CLONE\b)"
     r"|ALTER(?=\s+TABLE\b)|INSERT(?=\s+(?:INTO|OVERWRITE)\b)"
     r"|DROP(?=\s+TABLE\b)"
+    r"|ANALYZE(?=\s+TABLE\b)"
     r"|SHOW(?=\s+TBLPROPERTIES\b))\b",
     re.IGNORECASE,
 )
@@ -753,6 +758,9 @@ _RESTORE = re.compile(
 _DESCRIBE = re.compile(
     rf"^\s*DESCRIBE\s+HISTORY\s+({_NAME})\s*;?\s*$", re.IGNORECASE
 )
+_DESCRIBE_DETAIL = re.compile(
+    rf"^\s*DESCRIBE\s+DETAIL\s+({_NAME})\s*;?\s*$", re.IGNORECASE
+)
 _COPY = re.compile(
     rf"^\s*COPY\s+INTO\s+({_NAME})\s+FROM\s+('[^']*')\s*"
     rf"(?:FILEFORMAT\s*=\s*({_NAME}))?\s*"
@@ -813,6 +821,12 @@ _SHOW_PROPS = re.compile(
 )
 _DROP_TABLE = re.compile(
     rf"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?({_NAME})\s*;?\s*$",
+    re.IGNORECASE,
+)
+_ANALYZE = re.compile(
+    rf"^\s*ANALYZE\s+TABLE\s+({_NAME})\s+COMPUTE\s+STATISTICS"
+    rf"(?:\s+FOR\s+COLUMNS\s+(?P<cols>{_NAME}(?:\s*,\s*{_NAME})*))?"
+    rf"(?:\s+BLOOM\s*\((?P<bloom>[^)]*)\))?\s*;?\s*$",
     re.IGNORECASE,
 )
 
@@ -939,6 +953,7 @@ _CT_PROPS = re.compile(r"\s*TBLPROPERTIES\s*\(", re.IGNORECASE)
 _CT_AS = re.compile(r"\s*AS\b", re.IGNORECASE)
 _COLDEF = re.compile(
     rf"^\s*({_NAME})\s+(.+?)"
+    rf"(?:\s+(?P<nn>NOT\s+NULL))?"
     rf"(?:\s+GENERATED\s+ALWAYS\s+AS\s*\((?P<gen>.*)\))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -960,26 +975,31 @@ def _balanced_span(masked: str, start: int) -> int:
 
 def _parse_column_defs(
     spark: SparkSession, cols_masked: str, cols_real: str
-) -> tuple[list, dict[str, str]]:
-    """``col type [GENERATED ALWAYS AS (<expr>)] [, ...]`` →
-    (ordered [(name, DataType, gen_expr|None)], {gen_col: expr}).
-    Types parse through Spark's own DDL parser, so every Catalyst
-    type works; a generated column's DECLARED type must equal the
-    type its expression computes over the other columns — declaring
-    a different one would make the very first ingest fail, so it
-    refuses here with both types named."""
+) -> tuple[list, dict[str, str], dict[str, str]]:
+    """``col type [NOT NULL] [GENERATED ALWAYS AS (<expr>)] [, ...]``
+    → (ordered [(name, DataType, gen_expr|None)], {gen_col: expr},
+    {constraint_name: check_expr}). Types parse through Spark's own
+    DDL parser, so every Catalyst type works; a generated column's
+    DECLARED type must equal the type its expression computes over
+    the other columns — declaring a different one would make the very
+    first ingest fail, so it refuses here with both types named.
+    ``NOT NULL`` records as the CHECK constraint ``<col>_not_null``
+    (``<col> IS NOT NULL`` — NULL rows evaluate FALSE and refuse, the
+    engine's constraint semantics), enforced by every data-adding
+    commit like any other table constraint."""
     from pyspark.sql import types as T
 
     defs = []
     gen: dict[str, str] = {}
+    constraints: dict[str, str] = {}
     for part in _split_top(cols_masked, cols_real):
         pm = _mask(part)
         m = _COLDEF.match(pm)
         if m is None:
             raise ValueError(
                 "CREATE TABLE: cannot parse column definition "
-                f"{part.strip()!r} — expected 'name type [GENERATED "
-                "ALWAYS AS (<expr>)]'"
+                f"{part.strip()!r} — expected 'name type [NOT NULL] "
+                "[GENERATED ALWAYS AS (<expr>)]'"
             )
         cname = m.group(1)
         ctype = part[m.start(2) : m.end(2)].strip()
@@ -1002,7 +1022,9 @@ def _parse_column_defs(
         defs.append((cname, dtype, gexpr))
         if gexpr is not None:
             gen[cname] = gexpr
-    return defs, gen
+        if m.group("nn"):
+            constraints[f"{cname}_not_null"] = f"{cname} IS NOT NULL"
+    return defs, gen, constraints
 
 
 def _run_create_versioned(spark, query, masked, tables) -> DataFrame:
@@ -1115,10 +1137,13 @@ def _run_create_versioned(spark, query, masked, tables) -> DataFrame:
             "exclusive — the query defines the schema"
         )
     gen: dict[str, str] = {}
+    constraints: dict[str, str] = {}
     if body is not None:
         df = spark.sql(body)
     elif cols_masked is not None:
-        defs, gen = _parse_column_defs(spark, cols_masked, cols_real)
+        defs, gen, constraints = _parse_column_defs(
+            spark, cols_masked, cols_real
+        )
         nongen = T.StructType(
             [T.StructField(n, d, True) for n, d, g in defs if g is None]
         )
@@ -1168,6 +1193,7 @@ def _run_create_versioned(spark, query, masked, tables) -> DataFrame:
         df,
         partition_by=pb if pb else None,
         generated=gen or None,
+        constraints=constraints or None,
     )
     if props:
         t.set_properties(props)
@@ -1405,6 +1431,35 @@ def run_dml(
                 keys.append(pm.group(1))
             v = t.unset_properties(keys)
         return _one_row(spark, "set_properties", v)
+    if head == "ANALYZE":
+        m = _ANALYZE.match(masked)
+        if m is None or m.group(1) not in tables:
+            # unregistered name or a Spark-native form (NOSCAN, ALL
+            # COLUMNS, partition specs …): ANALYZE TABLE is valid
+            # Spark SQL for catalog tables — Catalyst owns it
+            return spark.sql(query)
+        name = m.group(1)
+        t = _resolve_table(spark, tables, name, "ANALYZE TABLE")
+        stats_cols = (
+            [c.strip() for c in m.group("cols").split(",")]
+            if m.group("cols")
+            else None
+        )
+        bloom_cols = (
+            [c.strip() for c in m.group("bloom").split(",") if c.strip()]
+            if m.group("bloom")
+            else None
+        )
+        if stats_cols is None and bloom_cols is None:
+            raise ValueError(
+                "ANALYZE TABLE (versioned): name the index to build — "
+                "'FOR COLUMNS c1 [, ...]' backfills per-file range "
+                "stats, 'BLOOM (c1 [, ...])' backfills bloom bitmaps; "
+                "the engine keeps no table-level CBO stats to compute "
+                "otherwise"
+            )
+        v = t.analyze(stats_cols=stats_cols, bloom_cols=bloom_cols)
+        return _one_row(spark, "analyze", v)
     if head == "DROP":
         m = _DROP_TABLE.match(masked)
         if m is None or m.group(1) not in tables:
@@ -1468,11 +1523,48 @@ def run_dml(
         _tt.register_table(spark, dest_name, dest.path)
         return _one_row(spark, "clone", 0)
     if head == "DESCRIBE":
+        m = _DESCRIBE_DETAIL.match(masked)
+        if m is not None:
+            # Delta's DESCRIBE DETAIL: a one-row ops snapshot of the
+            # head — driver-side pointer reads only, nothing on
+            # executors
+            import json as _json
+
+            t = _resolve_table(
+                spark, tables, m.group(1), "DESCRIBE DETAIL"
+            )
+            head_v = t.head_version()
+            ptr = t._read_pointer(head_v)
+            n_files = ptr.get("n_files")
+            if n_files is None:
+                n_files = len(t._read_manifest(head_v)["files"])
+            pb = ptr.get("partition_by")
+            pb_list = (
+                [pb] if isinstance(pb, str) else list(pb) if pb else []
+            )
+            return spark.createDataFrame(
+                [
+                    (
+                        "versioned",
+                        t.path,
+                        int(head_v),
+                        int(n_files),
+                        ",".join(pb_list),
+                        _json.dumps(
+                            ptr.get("properties") or {}, sort_keys=True
+                        ),
+                        ",".join(sorted(ptr.get("features") or [])),
+                    )
+                ],
+                "format string, location string, version bigint, "
+                "num_files bigint, partition_columns string, "
+                "properties string, features string",
+            )
         m = _DESCRIBE.match(masked)
         if m is None:
             raise ValueError(
-                "DESCRIBE: expected 'DESCRIBE HISTORY <table>', got: "
-                f"{query.strip()!r}"
+                "DESCRIBE: expected 'DESCRIBE HISTORY <table>' or "
+                f"'DESCRIBE DETAIL <table>', got: {query.strip()!r}"
             )
         return _resolve_table(
             spark, tables, m.group(1), "DESCRIBE HISTORY"

@@ -1006,3 +1006,84 @@ def test_sql_merge_update_set_star_missing_source_column_refused(
             WHEN MATCHED THEN UPDATE SET *
             """,
         )
+
+
+def test_create_table_not_null_constraint(spark, tmp_path):
+    """'col type NOT NULL' records as the CHECK constraint
+    <col>_not_null, enforced by every data-adding commit."""
+    tt.sql(
+        spark,
+        f"""
+        CREATE TABLE sdml_ctnn (
+            k BIGINT NOT NULL,
+            v DOUBLE
+        ) USING versioned LOCATION '{tmp_path}/nn'
+        """,
+    )
+    t = VersionedTable(spark, f"{tmp_path}/nn")
+    assert t._read_pointer(0)["constraints"] == {
+        "k_not_null": "k IS NOT NULL"
+    }
+    tt.sql(spark, "INSERT INTO sdml_ctnn VALUES (1, 2.0)")
+    with pytest.raises(Exception, match="k_not_null"):
+        tt.sql(spark, "INSERT INTO sdml_ctnn VALUES (NULL, 3.0)")
+    assert t.read().count() == 1
+    tt.sql(spark, "DROP TABLE sdml_ctnn")
+
+
+def test_describe_detail(spark, tmp_path):
+    """DESCRIBE DETAIL: a one-row head snapshot (driver-side pointer
+    reads only) — location, version, file count, partition columns,
+    properties, protocol features."""
+    tt.sql(
+        spark,
+        f"""
+        CREATE TABLE sdml_dd (k BIGINT, g STRING) USING versioned
+        LOCATION '{tmp_path}/dd' PARTITIONED BY (g)
+        TBLPROPERTIES ('owner'='ops')
+        """,
+    )
+    tt.sql(spark, "INSERT INTO sdml_dd VALUES (1, 'a'), (2, 'b')")
+    row = tt.sql(spark, "DESCRIBE DETAIL sdml_dd").collect()[0]
+    assert row["format"] == "versioned"
+    assert row["location"].endswith("/dd")
+    assert row["version"] == 2  # create, set_properties, append
+    assert row["num_files"] >= 1
+    assert row["partition_columns"] == "g"
+    assert '"owner": "ops"' in row["properties"]
+    assert "segments" in row["features"]
+    with pytest.raises(ValueError, match="not a registered"):
+        tt.sql(spark, "DESCRIBE DETAIL nope_not_there")
+    tt.sql(spark, "DROP TABLE sdml_dd")
+
+
+def test_analyze_table_backfills_pruning_index(spark, tmp_path):
+    """ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS / BLOOM routes
+    to analyze(): the pruning index backfills across existing files
+    as a metadata commit, and read_where skips on the new stats."""
+    t = _mk(spark, tmp_path, "sdml_an", rows=40)
+    assert not t._read_pointer(0).get("stats_cols")
+    out = tt.sql(
+        spark,
+        "ANALYZE TABLE sdml_an COMPUTE STATISTICS FOR COLUMNS k "
+        "BLOOM (g)",
+    ).collect()
+    assert out[0]["op"] == "analyze" and out[0]["version"] == 1
+    ptr = t._read_pointer(1)
+    assert ptr["stats_cols"] == ["k"]
+    assert ptr["bloom"] and ptr["bloom"]["cols"] == ["g"]
+    # the backfilled index actually serves reads
+    assert sorted(r["k"] for r in t.read_where("k", 3, 5).collect()) == [
+        3, 4, 5
+    ]
+    with pytest.raises(ValueError, match="name the index"):
+        tt.sql(spark, "ANALYZE TABLE sdml_an COMPUTE STATISTICS")
+    tt.sql(spark, "DROP TABLE sdml_an")
+
+
+def test_analyze_table_unregistered_passes_through(spark):
+    spark.sql("DROP TABLE IF EXISTS sdml_an_cat")
+    spark.sql("CREATE TABLE sdml_an_cat (x INT) USING parquet")
+    # Spark-native ANALYZE on a catalog table flows to Catalyst
+    tt.sql(spark, "ANALYZE TABLE sdml_an_cat COMPUTE STATISTICS NOSCAN")
+    spark.sql("DROP TABLE sdml_an_cat")
