@@ -61,6 +61,7 @@ Catalyst SQL)::
     VACUUM <table> [RETAIN <n> VERSIONS] [MIN AGE <sec> SECONDS]
         [DRY RUN]
     RESTORE [TABLE] <table> TO VERSION AS OF <n>
+        | TO TIMESTAMP AS OF '<ts>'
     DESCRIBE HISTORY <table>
     DESCRIBE DETAIL <table>
     COPY INTO <table> FROM '<path>' [FILEFORMAT = <fmt>]
@@ -82,6 +83,7 @@ Catalyst SQL)::
     ALTER TABLE <table> ADD CONSTRAINT <n> CHECK (<expr>)
     ALTER TABLE <table> DROP CONSTRAINT <n>
     SHOW TBLPROPERTIES <table>
+    SHOW CREATE TABLE <table>
     DROP TABLE [IF EXISTS] <table>
     ANALYZE TABLE <table> COMPUTE STATISTICS
         [FOR COLUMNS c1 [, ...]] [BLOOM (c1 [, ...])]
@@ -141,7 +143,7 @@ _DML_HEAD = re.compile(
     r"|ALTER(?=\s+TABLE\b)|INSERT(?=\s+(?:INTO|OVERWRITE)\b)"
     r"|DROP(?=\s+TABLE\b)"
     r"|ANALYZE(?=\s+TABLE\b)"
-    r"|SHOW(?=\s+TBLPROPERTIES\b))\b",
+    r"|SHOW(?=\s+(?:TBLPROPERTIES|CREATE\s+TABLE)\b))\b",
     re.IGNORECASE,
 )
 
@@ -751,8 +753,8 @@ _VACUUM = re.compile(
     re.IGNORECASE,
 )
 _RESTORE = re.compile(
-    rf"^\s*RESTORE\s+(?:TABLE\s+)?({_NAME})\s+TO\s+VERSION\s+AS\s+OF"
-    rf"\s+(\d+)\s*;?\s*$",
+    rf"^\s*RESTORE\s+(?:TABLE\s+)?({_NAME})\s+TO\s+(?:VERSION\s+AS\s+OF"
+    rf"\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')\s*;?\s*$",
     re.IGNORECASE,
 )
 _DESCRIBE = re.compile(
@@ -818,6 +820,9 @@ _INSERT = re.compile(
 )
 _SHOW_PROPS = re.compile(
     rf"^\s*SHOW\s+TBLPROPERTIES\s+({_NAME})\s*;?\s*$", re.IGNORECASE
+)
+_SHOW_CREATE = re.compile(
+    rf"^\s*SHOW\s+CREATE\s+TABLE\s+({_NAME})\s*;?\s*$", re.IGNORECASE
 )
 _DROP_TABLE = re.compile(
     rf"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?({_NAME})\s*;?\s*$",
@@ -930,11 +935,22 @@ def _run_restore(spark, query, masked, tables) -> DataFrame:
     if m is None:
         raise ValueError(
             "RESTORE: expected 'RESTORE [TABLE] <table> TO VERSION AS "
-            f"OF <n>', got: {query.strip()!r}"
+            "OF <n>' or \"... TO TIMESTAMP AS OF '<ts>'\", got: "
+            f"{query.strip()!r}"
         )
     name = m.group(1)
     t = _resolve_table(spark, tables, name, "RESTORE")
-    v = t.restore(int(m.group(2)))
+    if m.group(2) is not None:
+        target = int(m.group(2))
+    else:
+        # timestamp literal sliced from the REAL text (the masked
+        # twin blanks literal contents); resolution mirrors the
+        # TIMESTAMP AS OF read clause — highest version committed at
+        # or before the instant, UTC-naive like the whole engine
+        from social_media_etl_spark.operators.timetravel import _ts_ms
+
+        target = t.version_as_of(_ts_ms(query[m.start(3) : m.end(3)]))
+    v = t.restore(target)
     _refresh_head(spark, name, t)
     return _one_row(spark, "restore", v)
 
@@ -1479,6 +1495,58 @@ def run_dml(
         _tt.unregister_table(spark, name)
         return _one_row(spark, "drop_table", head_v)
     if head == "SHOW":
+        m = _SHOW_CREATE.match(masked)
+        if m is not None:
+            if m.group(1) not in tables:
+                # catalog tables keep Spark's own SHOW CREATE TABLE
+                return spark.sql(query)
+            t = _resolve_table(
+                spark, tables, m.group(1), "SHOW CREATE TABLE"
+            )
+            ptr = t._read_pointer(t.head_version())
+            schema = t.read().schema
+            gen = ptr.get("generated") or {}
+            cons = dict(ptr.get("constraints") or {})
+            col_lines = []
+            for f in schema.fields:
+                # simpleString as-is: lowercase type names are valid
+                # DDL, and uppercasing would corrupt field names
+                # inside nested struct<> types
+                line = f"    {f.name} {f.dataType.simpleString()}"
+                nn = f"{f.name}_not_null"
+                if cons.get(nn) == f"{f.name} IS NOT NULL":
+                    line += " NOT NULL"
+                    cons.pop(nn)
+                if f.name in gen:
+                    line += f" GENERATED ALWAYS AS ({gen[f.name]})"
+                col_lines.append(line)
+            stmt = (
+                f"CREATE TABLE {m.group(1)} (\n"
+                + ",\n".join(col_lines)
+                + f"\n) USING versioned\nLOCATION '{t.path}'"
+            )
+            pb = ptr.get("partition_by")
+            pb_list = (
+                [pb] if isinstance(pb, str) else list(pb) if pb else []
+            )
+            if pb_list:
+                stmt += f"\nPARTITIONED BY ({', '.join(pb_list)})"
+            props = ptr.get("properties") or {}
+            if props:
+                kv = ", ".join(
+                    f"'{k}'='{v}'" for k, v in sorted(props.items())
+                )
+                stmt += f"\nTBLPROPERTIES ({kv})"
+            # CHECK constraints beyond NOT NULL are ALTER-added —
+            # rendered as the statements that recreate them
+            for cname, cexpr in sorted(cons.items()):
+                stmt += (
+                    f";\nALTER TABLE {m.group(1)} ADD CONSTRAINT "
+                    f"{cname} CHECK ({cexpr})"
+                )
+            return spark.createDataFrame(
+                [(stmt,)], "createtab_stmt string"
+            )
         m = _SHOW_PROPS.match(masked)
         if m is None or m.group(1) not in tables:
             # unregistered name (or a form with extras this parser

@@ -1087,3 +1087,66 @@ def test_analyze_table_unregistered_passes_through(spark):
     # Spark-native ANALYZE on a catalog table flows to Catalyst
     tt.sql(spark, "ANALYZE TABLE sdml_an_cat COMPUTE STATISTICS NOSCAN")
     spark.sql("DROP TABLE sdml_an_cat")
+
+
+def test_restore_to_timestamp(spark, tmp_path):
+    """RESTORE ... TO TIMESTAMP AS OF resolves like the read clause:
+    highest version committed at or before the instant."""
+    import time
+
+    t = _mk(spark, tmp_path, "sdml_rts")
+    time.sleep(0.3)
+    ts_between = time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime())
+    # sub-second commit boundaries: make sure v1 lands strictly after
+    time.sleep(1.1)
+    tt.sql(spark, "DELETE FROM sdml_rts WHERE k >= 10")
+    assert spark.table("sdml_rts").count() == 10
+    out = tt.sql(
+        spark,
+        f"RESTORE TABLE sdml_rts TO TIMESTAMP AS OF '{ts_between}'",
+    ).collect()
+    assert out[0]["op"] == "restore"
+    assert spark.table("sdml_rts").count() == 20
+    tt.sql(spark, "DROP TABLE sdml_rts")
+
+
+def test_show_create_table_roundtrip(spark, tmp_path):
+    """SHOW CREATE TABLE emits DDL that re-creates the table: the
+    statement is fed back through tt.sql at a fresh location and the
+    clone's schema/generated/partition/property metadata matches."""
+    tt.sql(
+        spark,
+        f"""
+        CREATE TABLE sdml_sct (
+            k BIGINT NOT NULL,
+            g STRING,
+            v DOUBLE,
+            band BIGINT GENERATED ALWAYS AS (CAST(floor(v / 10) AS BIGINT))
+        ) USING versioned LOCATION '{tmp_path}/sct'
+        PARTITIONED BY (g) TBLPROPERTIES ('owner'='ops')
+        """,
+    )
+    stmt = tt.sql(spark, "SHOW CREATE TABLE sdml_sct").collect()[0][
+        "createtab_stmt"
+    ]
+    assert "GENERATED ALWAYS AS" in stmt and "NOT NULL" in stmt
+    # re-create at a new location under a new name
+    stmt2 = stmt.replace("sdml_sct", "sdml_sct2").replace(
+        f"{tmp_path}/sct", f"{tmp_path}/sct2"
+    )
+    tt.sql(spark, stmt2)
+    a = VersionedTable(spark, f"{tmp_path}/sct")
+    b = VersionedTable(spark, f"{tmp_path}/sct2")
+    assert a.read().schema == b.read().schema
+    assert a.generated_columns() == b.generated_columns()
+    assert a.properties() == b.properties()
+    assert (
+        a._read_pointer(0)["partition_by"]
+        == b._read_pointer(0)["partition_by"]
+    )
+    assert (
+        a._read_pointer(0)["constraints"]
+        == b._read_pointer(0)["constraints"]
+    )
+    tt.sql(spark, "DROP TABLE sdml_sct")
+    tt.sql(spark, "DROP TABLE sdml_sct2")
