@@ -110,6 +110,11 @@ SUPPORTED_FEATURES = frozenset(
 )
 
 
+#: "argument not supplied" sentinel for keyword parameters where
+#: ``None`` is itself a meaningful value (overwrite's partition_by:
+#: None = drop partitioning, _UNSET = carry the current spec)
+_UNSET = object()
+
 #: Commits that move ZERO data files and change ZERO logical rows —
 #: the change feeds (batch + streaming) skip them and `read_changes`'
 #: file-level diff stays well-defined across them.
@@ -2487,6 +2492,9 @@ class VersionedTable:
         df: DataFrame,
         txn: str | None = None,
         replace_schema: bool = False,
+        partition_by=_UNSET,
+        generated: dict[str, str] | None = None,
+        constraints: dict[str, str] | None = None,
     ) -> int:
         """Transactional truncate-and-load (the reference's K4 on the
         versioned layer): replace the table contents as ONE atomic
@@ -2499,8 +2507,33 @@ class VersionedTable:
         By default the replacement must carry the table's schema
         (additive widening allowed, same as append); pass
         ``replace_schema=True`` to swap in a new schema entirely — the
-        full-rewrite analogue of Delta's ``overwriteSchema``."""
+        full-rewrite analogue of Delta's ``overwriteSchema``.
+
+        With ``replace_schema=True`` the call is the REPLACE TABLE
+        primitive (r14 — SQL ``CREATE OR REPLACE TABLE`` rides it),
+        so the table-defining maps may be redefined in the SAME
+        commit: ``partition_by`` installs a new spec for the rewritten
+        files (every old file is gone, so no mixed-spec reads — pass
+        ``None`` explicitly to drop partitioning; omit to carry the
+        old spec), ``generated`` declares a NEW generation map
+        (computed-or-validated on the replacement frame, exactly the
+        create contract; omitted = the old map drops, as before), and
+        ``constraints`` REPLACES the constraint map (validated
+        against the new rows; omitted = old constraints carry, with
+        a crisp refusal if one references a dropped column). All
+        three refuse without ``replace_schema`` — they redefine the
+        table, which a schema-preserving overwrite must not."""
         parent = self.head_version()
+        if not replace_schema and (
+            partition_by is not _UNSET
+            or generated is not None
+            or constraints is not None
+        ):
+            raise ValueError(
+                "VersionedTable.overwrite: partition_by / generated / "
+                "constraints redefine the table — they require "
+                "replace_schema=True"
+            )
         if not replace_schema:
             # replace_schema redefines the table, dropping the
             # generation contract with the rest of the old schema;
@@ -2508,6 +2541,17 @@ class VersionedTable:
             df = self._apply_generated(
                 df, self._read_pointer(parent).get("generated")
             )
+        elif generated:
+            for g, gexpr in generated.items():
+                circular = set(generated) & self._expr_identifiers(gexpr)
+                if circular:
+                    raise ValueError(
+                        "VersionedTable.overwrite: generated column "
+                        f"'{g}' expression references generated "
+                        f"column(s) {sorted(circular)} — generation "
+                        "expressions may only use regular columns"
+                    )
+            df = self._apply_generated(df, generated)
         if replace_schema:
             sch = {
                 "schema": df.schema.simpleString(),
@@ -2519,11 +2563,54 @@ class VersionedTable:
             # a full rewrite lands every logical column in every file
             sch["mixed"] = False
         base = self._read_pointer(parent)
+        new_pb = partition_by
         partition_by = base.get("partition_by")
-        if replace_schema and partition_by and any(
+        if replace_schema and new_pb is not _UNSET:
+            partition_by = new_pb
+            if partition_by:
+                if base.get("bucket_by"):
+                    raise ValueError(
+                        "VersionedTable.overwrite: partition_by does "
+                        "not compose with a bucket layout — the table "
+                        "is bucket-spec'd"
+                    )
+                missing = [
+                    c
+                    for c in self._pb_cols(partition_by)
+                    if c not in df.columns
+                ]
+                if missing:
+                    raise ValueError(
+                        "VersionedTable.overwrite: partition column(s) "
+                        f"{missing} not in the replacement schema "
+                        f"{df.columns}"
+                    )
+        elif replace_schema and partition_by and any(
             c not in df.columns for c in self._pb_cols(partition_by)
         ):
             partition_by = None  # new schema dropped a partition column
+        if replace_schema and constraints is None:
+            # CHECK constraints carry across the swap; one whose
+            # expression reads a column the new schema dropped would
+            # fail every later ingest with a raw Catalyst error —
+            # refuse crisply instead, mirroring drop_column (r14)
+            old_schema = self._manifest_schema(base)
+            old_cols = (
+                {f.name for f in old_schema.fields} if old_schema else set()
+            )
+            for cname, cexpr in (base.get("constraints") or {}).items():
+                broken = sorted(
+                    (self._expr_identifiers(cexpr) & old_cols)
+                    - set(df.columns)
+                )
+                if broken:
+                    raise ValueError(
+                        "VersionedTable.overwrite: CHECK constraint "
+                        f"{cname!r} references column(s) {broken} "
+                        "absent from the replacement schema; drop the "
+                        "constraint first (or pass a replacement "
+                        "constraints map)"
+                    )
         files = self._write_data(
             df, parent + 1, partition_by, base.get("bucket_by")
         )
@@ -2552,12 +2639,18 @@ class VersionedTable:
                 cdc_dir = self._write_cdc(cdc, v)
         stats_cols = base.get("stats_cols") or []
         bloom_cfg = base.get("bloom")
-        if replace_schema and bloom_cfg:
-            # the new schema may have dropped indexed columns
-            live_bloom = [c for c in bloom_cfg["cols"] if c in df.columns]
-            bloom_cfg = (
-                {**bloom_cfg, "cols": live_bloom} if live_bloom else None
-            )
+        if replace_schema:
+            # the new schema may have dropped indexed columns — keep
+            # only the live ones (stats over absent columns would
+            # record dead all-NULL census entries forever)
+            stats_cols = [c for c in stats_cols if c in df.columns]
+            if bloom_cfg:
+                live_bloom = [
+                    c for c in bloom_cfg["cols"] if c in df.columns
+                ]
+                bloom_cfg = (
+                    {**bloom_cfg, "cols": live_bloom} if live_bloom else None
+                )
         m = {
             "version": v,
             "parent": parent,
@@ -2570,13 +2663,24 @@ class VersionedTable:
             "stats_cols": stats_cols,
             "bloom": bloom_cfg,
             "partition_by": partition_by,
-            "constraints": base.get("constraints") or {},
+            "constraints": (
+                dict(constraints)
+                if replace_schema and constraints is not None
+                else base.get("constraints") or {}
+            ),
         }
         m = self._carry_mapping(m, base)
         if replace_schema:
             # the schema swap redefines the table — generation
-            # expressions over the OLD columns no longer apply
+            # expressions over the OLD columns no longer apply; a
+            # supplied map declares the NEW contract (create's
+            # semantics, r14)
             m.pop("generated", None)
+            if generated:
+                m["generated"] = dict(generated)
+                self._add_feature(m, "generated")
+            if constraints:
+                self._add_feature(m, "constraints")
         if cdc_dir:
             m["cdc"] = cdc_dir
         stats = parts = None

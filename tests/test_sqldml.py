@@ -1095,9 +1095,11 @@ def test_restore_to_timestamp(spark, tmp_path):
     import time
 
     t = _mk(spark, tmp_path, "sdml_rts")
-    time.sleep(0.3)
+    # the SQL literal has SECOND resolution: sleep past the second
+    # boundary so the truncated literal cannot round below v0's
+    # millisecond commit time, then again so v1 lands strictly after
+    time.sleep(1.1)
     ts_between = time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime())
-    # sub-second commit boundaries: make sure v1 lands strictly after
     time.sleep(1.1)
     tt.sql(spark, "DELETE FROM sdml_rts WHERE k >= 10")
     assert spark.table("sdml_rts").count() == 10
@@ -1150,3 +1152,83 @@ def test_show_create_table_roundtrip(spark, tmp_path):
     )
     tt.sql(spark, "DROP TABLE sdml_sct")
     tt.sql(spark, "DROP TABLE sdml_sct2")
+
+
+def test_create_or_replace_table_redefines(spark, tmp_path):
+    """CREATE OR REPLACE TABLE fully redefines an existing table in
+    one data commit — new schema, new partition spec, new generation
+    map, constraints and properties RESET — while history stays
+    time-travelable."""
+    tt.sql(
+        spark,
+        f"""
+        CREATE TABLE sdml_cor (
+            k BIGINT NOT NULL, g STRING, v DOUBLE
+        ) USING versioned LOCATION '{tmp_path}/cor'
+        PARTITIONED BY (g) TBLPROPERTIES ('owner'='old', 'keep'='no')
+        """,
+    )
+    tt.sql(spark, "INSERT INTO sdml_cor VALUES (1, 'a', 2.0)")
+    out = tt.sql(
+        spark,
+        f"""
+        CREATE OR REPLACE TABLE sdml_cor (
+            id BIGINT,
+            score DOUBLE,
+            band BIGINT GENERATED ALWAYS AS (CAST(floor(score) AS BIGINT))
+        ) USING versioned LOCATION '{tmp_path}/cor'
+        TBLPROPERTIES ('owner'='new')
+        """,
+    ).collect()
+    assert out[0]["op"] == "replace"
+    t = VersionedTable(spark, f"{tmp_path}/cor")
+    assert t.read().columns == ["id", "score", "band"]
+    assert t.generated_columns() == {
+        "band": "CAST(floor(score) AS BIGINT)"
+    }
+    assert t.properties() == {"owner": "new"}  # old props reset
+    head = t._read_pointer(t.head_version())
+    assert head.get("partition_by") is None  # spec redefined away
+    assert head["constraints"] == {}  # NOT NULL reset with the schema
+    # history preserved: the pre-replace snapshot still reads
+    pre = t.read(2)
+    assert pre.columns == ["k", "g", "v"] and pre.count() == 1
+    # the new generation map is live
+    tt.sql(spark, "INSERT INTO sdml_cor VALUES (7, 3.9)")
+    assert {
+        (r["id"], r["band"]) for r in spark.table("sdml_cor").collect()
+    } == {(7, 3)}
+    tt.sql(spark, "DROP TABLE sdml_cor")
+
+
+def test_create_or_replace_as_select_and_location_guard(spark, tmp_path):
+    _mk(spark, tmp_path, "sdml_cor2")
+    # replacing at a DIFFERENT location is ambiguous — refuse
+    with pytest.raises(ValueError, match="different\\s+location"):
+        tt.sql(
+            spark,
+            f"CREATE OR REPLACE TABLE sdml_cor2 (x INT) USING "
+            f"versioned LOCATION '{tmp_path}/elsewhere'",
+        )
+    # CTAS REPLACE at the registered location
+    tt.sql(
+        spark,
+        f"""
+        CREATE OR REPLACE TABLE sdml_cor2 USING versioned
+        LOCATION '{tmp_path}/sdml_cor2'
+        AS SELECT k, v * 10 AS v10 FROM sdml_cor2 WHERE k < 3
+        """,
+    )
+    assert sorted(
+        (r["k"], r["v10"])
+        for r in spark.table("sdml_cor2").collect()
+    ) == [(0, 0.0), (1, 10.0), (2, 20.0)]
+    # OR REPLACE on a fresh name/location degrades to plain create
+    out = tt.sql(
+        spark,
+        f"CREATE OR REPLACE TABLE sdml_cor3 (x INT) USING versioned "
+        f"LOCATION '{tmp_path}/cor3'",
+    ).collect()
+    assert out[0]["op"] == "create"
+    tt.sql(spark, "DROP TABLE sdml_cor2")
+    tt.sql(spark, "DROP TABLE sdml_cor3")
