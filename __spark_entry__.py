@@ -5638,24 +5638,79 @@ def _managed(fn: Callable[[SparkSession, str], DataFrame]):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver grades only the FIRST 50
-    # entries per round (VERDICT r2). Round-14 window (pinned by
-    # tests/test_grading_window.py; VERDICT r13 ask #1): the 14
-    # R14_QUEUE keys lead (last driver-graded r10 — 4 rounds old),
-    # then the 2 keys NEW this round (SQL CREATE TABLE + INSERT/ALTER
-    # grading, asks #2-#3), then the 34 oldest r11-greens. The 16
-    # r11-greens that did not fit form the R15_QUEUE at the dict tail
-    # and must lead the r15 window. Keep this paragraph in sync with
+    # entries per round (VERDICT r2). Round-15 window (pinned by
+    # tests/test_grading_window.py; VERDICT r14 ask #1): the 16
+    # R15_QUEUE keys lead (last driver-graded r11 — 4 rounds old),
+    # then any keys NEW in r15 slot in after that head, then the
+    # oldest r12-greens fill the window to 50. The 16 r12-greens
+    # that do not fit form the R16_QUEUE at the dict tail and must
+    # lead the r16 window. Keep this paragraph in sync with
     # tests/test_grading_window.py — window planning is done from
     # here (r2 postmortem).
     qs = {
-        # -- R14 WINDOW (first 50 — pinned by tests/
-        # test_grading_window.py; VERDICT r13 ask #1). Leads with the
-        # 14 R14_QUEUE keys (last driver-graded r10 — 4 rounds old,
-        # the staleness the rotation exists to cap), then the 2 keys
-        # NEW this round (SQL CREATE TABLE/CTAS and the INSERT/ALTER
-        # DDL chain, asks #2-#3 — graded immediately, the vbkt-r11/
-        # mor-r12/sqldml-r13 precedent), then the 34 oldest
-        # r11-greens in their standing dict order. -------------------
+        # -- R15 WINDOW (first 50 — pinned by tests/
+        # test_grading_window.py; VERDICT r14 ask #1). Leads with the
+        # 16 R15_QUEUE keys (last driver-graded r11 — 4 rounds old,
+        # the staleness the rotation exists to cap), then keys NEW in
+        # r15 (graded immediately — the vbkt-r11/mor-r12/sqldml-r13/
+        # ddl-r14 precedent) slot in AFTER this head, then the oldest
+        # r12-greens in their standing dict order. ---------------------
+        "dedup_lines_c4": _dedup_lines,
+        "doc_repetition": _doc_repetition,
+        "embedding_neardup": _embedding_neardup,
+        "ann_cosine_topk": _ann_topk,
+        "doc_chunks": _doc_chunks,
+        "quota_per_source": _quota_per_source,
+        "corpus_top_words": _top_words,
+        "versioned_delete_where": _versioned_delete_where,
+        "versioned_cdc_stream": _versioned_cdc_stream,
+        "versioned_partitioned_read": _versioned_partitioned_read,
+        "multimodal_decode_jpeg": _multimodal_decode_jpeg,
+        "zorder_layout_roundtrip": _zorder_layout_roundtrip,
+        "corpus_shuffle": _corpus_shuffle,
+        "gopher_quality_flags": _gopher_quality,
+        "semantic_dedup_representatives": _semantic_dedup,
+        "bpe_pair_counts": _bpe_pair_counts,
+        # 34 oldest r12-greens (record turns 3 rounds old at r15
+        # close; the tail of this block rotates out as NEW r15 keys
+        # slot in above):
+        "versioned_overwrite_change_feed": _versioned_overwrite_change_feed,
+        "versioned_restore": _versioned_restore,
+        "versioned_shallow_clone": _versioned_shallow_clone,
+        "versioned_bloom_lookup": _versioned_bloom_lookup,
+        "versioned_null_skipping": _versioned_null_skipping,
+        "versioned_type_widening": _versioned_type_widening,
+        "versioned_merge_by_source": _versioned_merge_by_source,
+        "versioned_mor_merge": _versioned_mor_merge,
+        "embedding_label_centroids": _embedding_label_centroids,
+        "source_mixing_weights": _source_mixing_weights,
+        "compaction_roundtrip": _compaction_roundtrip,
+        "upsert_events_latest": _upsert_events_latest,
+        "streaming_stateful_totals": _streaming_stateful_totals,
+        "streaming_stateful_totals_rocksdb": _streaming_stateful_totals_rocksdb,
+        "blog_a_most_active": _blog_a,
+        "blog_b_counts_per_key": _blog_b,
+        "blog_c_longest_text": _blog_c,
+        "q1_pricing_summary": _q1,
+        "q3_top_revenue_orders": _q3,
+        "q5_regional_revenue": _q5,
+        "q6_forecast_revenue": _q6,
+        "q14_promo_share": _q14,
+        "q17_small_qty_revenue": _q17,
+        "q18_large_volume_customers": _q18,
+        "q4_late_shipment_priority": _q4,
+        "q10_returned_revenue_top": _q10,
+        "q16_brand_supplier_counts": _q16,
+        "q19_banded_revenue": _q19,
+        "q22_idle_rich_customers": _q22,
+        "q7_nation_trade": _q7,
+        "q8_market_share": _q8,
+        "q9_product_profit": _q9,
+        "q11_important_parts": _q11,
+        "q13_order_distribution": _q13,
+        # ------- middle: keys with a driver-green record in
+        # CORRECTNESS_r13 or r14 (freshest records; the rotation
+        # returns to them after the r12 block) -----------------------
         "token_budget_curation": _token_budget_curation,
         "funnel_conversion": _funnel_conversion,
         "streaming_full_outer_join": _streaming_full_outer_join,
@@ -5670,10 +5725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "versioned_column_rename": _versioned_column_rename,
         "versioned_change_feed": _versioned_change_feed,
         "streaming_change_feed": _streaming_change_feed,
-        # NEW in r14 (SQL DDL surface — operators/sqldml.py):
         "sql_create_table_pipeline": _sql_create_table_pipeline,
         "sql_insert_alter": _sql_insert_alter,
-        # 34 oldest r11-greens (their record turns 3 rounds old):
         "versioned_bucketed_join": _versioned_bucketed_join,
         "versioned_column_drop": _versioned_column_drop,
         "versioned_upsert_change_feed": _versioned_upsert_change_feed,
@@ -5708,9 +5761,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_jaccard,
         "dedup_components": _dedup_components,
-        # ------- middle: keys with a driver-green record in
-        # CORRECTNESS_r12 or r13 (freshest records; the rotation
-        # returns to them after the r11 block) -----------------------
         "priority_share_by_year": _priority_share,
         "topk_orders_per_customer": _topk_per_cust,
         "distinct_parts_per_flag": _distinct,
@@ -5761,40 +5811,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "versioned_incremental_read": _versioned_incremental_read,
         "versioned_overwrite_refresh": _versioned_overwrite_refresh,
         "importance_sampling": _importance_sampling,
-        "versioned_overwrite_change_feed": _versioned_overwrite_change_feed,
-        "versioned_restore": _versioned_restore,
-        "versioned_shallow_clone": _versioned_shallow_clone,
-        "versioned_bloom_lookup": _versioned_bloom_lookup,
-        "versioned_null_skipping": _versioned_null_skipping,
-        "versioned_type_widening": _versioned_type_widening,
-        "versioned_merge_by_source": _versioned_merge_by_source,
-        "versioned_mor_merge": _versioned_mor_merge,
-        "embedding_label_centroids": _embedding_label_centroids,
-        "source_mixing_weights": _source_mixing_weights,
-        "compaction_roundtrip": _compaction_roundtrip,
-        "upsert_events_latest": _upsert_events_latest,
-        "streaming_stateful_totals": _streaming_stateful_totals,
-        "streaming_stateful_totals_rocksdb": _streaming_stateful_totals_rocksdb,
-        "blog_a_most_active": _blog_a,
-        "blog_b_counts_per_key": _blog_b,
-        "blog_c_longest_text": _blog_c,
-        "q1_pricing_summary": _q1,
-        "q3_top_revenue_orders": _q3,
-        "q5_regional_revenue": _q5,
-        "q6_forecast_revenue": _q6,
-        "q14_promo_share": _q14,
-        "q17_small_qty_revenue": _q17,
-        "q18_large_volume_customers": _q18,
-        "q4_late_shipment_priority": _q4,
-        "q10_returned_revenue_top": _q10,
-        "q16_brand_supplier_counts": _q16,
-        "q19_banded_revenue": _q19,
-        "q22_idle_rich_customers": _q22,
-        "q7_nation_trade": _q7,
-        "q8_market_share": _q8,
-        "q9_product_profit": _q9,
-        "q11_important_parts": _q11,
-        "q13_order_distribution": _q13,
+        # -- R16_QUEUE: the 16 r12-greens that did not fit the r15
+        # window — they MUST lead the r16 window (their record turns
+        # 4 rounds old at r15 close; pinned by tests/
+        # test_grading_window.py) ------------------------------------
         "q15_top_supplier": _q15,
         "sql_time_travel": _sql_time_travel,
         "sql_min_price_supplier": _sql_entrypoint,
@@ -5811,26 +5831,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_quantiles_gated": _approx_quantiles_gated,
         "fuzzy_name_match": _fuzzy_name_match,
         "customer_priority_profile": _cust_priority_profile,
-        # -- R15_QUEUE: the 16 r11-greens that did not fit the r14
-        # window — they MUST lead the r15 window (their record turns
-        # 4 rounds old at r14 close; pinned by tests/
-        # test_grading_window.py) ------------------------------------
-        "dedup_lines_c4": _dedup_lines,
-        "doc_repetition": _doc_repetition,
-        "embedding_neardup": _embedding_neardup,
-        "ann_cosine_topk": _ann_topk,
-        "doc_chunks": _doc_chunks,
-        "quota_per_source": _quota_per_source,
-        "corpus_top_words": _top_words,
-        "versioned_delete_where": _versioned_delete_where,
-        "versioned_cdc_stream": _versioned_cdc_stream,
-        "versioned_partitioned_read": _versioned_partitioned_read,
-        "multimodal_decode_jpeg": _multimodal_decode_jpeg,
-        "zorder_layout_roundtrip": _zorder_layout_roundtrip,
-        "corpus_shuffle": _corpus_shuffle,
-        "gopher_quality_flags": _gopher_quality,
-        "semantic_dedup_representatives": _semantic_dedup,
-        "bpe_pair_counts": _bpe_pair_counts,
     }
     return {name: _managed(fn) for name, fn in qs.items()}
 

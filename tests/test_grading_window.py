@@ -2,10 +2,10 @@
 
 The driver grades only the FIRST 50 dict entries per round, so order
 is load-bearing (round-2 postmortem: a mid-dict insertion silently
-ejected keys from the window). These tests pin the intended round-14
+ejected keys from the window). These tests pin the intended round-15
 window as a LITERAL list and assert the round-coverage union — every
-declared key either hash-matched in CORRECTNESS_r12/r13, sits inside
-this round's graded window, or is explicitly queued for round 15 — so
+declared key either hash-matched in CORRECTNESS_r13/r14, sits inside
+this round's graded window, or is explicitly queued for round 16 — so
 a driver-side sampling change or an accidental reorder is caught by
 CI instead of inferred from stale comments (ADVICE r3).
 """
@@ -19,80 +19,10 @@ import __spark_entry__ as entry
 
 REPO = Path(__file__).resolve().parent.parent
 
-# The r14 window head (VERDICT r13 ask #1): the 14 R14_QUEUE keys —
-# last driver-graded at r10, 4 rounds old at r14 open, the staleness
+# The r15 window head (VERDICT r14 ask #1): the 16 R15_QUEUE keys —
+# last driver-graded at r11, 4 rounds old at r15 open, the staleness
 # the rotation exists to cap.
-R14_HEAD = [
-    "token_budget_curation",
-    "funnel_conversion",
-    "streaming_full_outer_join",
-    "formats_roundtrip",
-    "skew_salted_agg_events",
-    "skew_salted_join_events",
-    "bucketed_join_priority_revenue",
-    "streaming_dedup_events",
-    "streaming_sliding_windows",
-    "streaming_static_join",
-    "versioned_multipart_read",
-    "versioned_column_rename",
-    "versioned_change_feed",
-    "streaming_change_feed",
-]
-
-# Then the keys NEW in r14 (graded immediately — the vbkt-r11 /
-# mor-r12 / sqldml-r13 precedent): SQL CREATE TABLE/CTAS and the
-# INSERT/ALTER DDL chain, VERDICT r13 asks #2-#3.
-R14_NEW = [
-    "sql_create_table_pipeline",
-    "sql_insert_alter",
-]
-
-# Then the 34 oldest r11-greens in their standing dict order (their
-# driver record turns 3 rounds old at r14 close).
-R14_R11_BLOCK = [
-    "versioned_bucketed_join",
-    "versioned_column_drop",
-    "versioned_upsert_change_feed",
-    "streaming_upsert_change_feed",
-    "streaming_incremental_rollup",
-    "streaming_left_outer_join",
-    "pack_sequences_greedy",
-    "pii_redaction",
-    "tfidf_top_terms",
-    "unigram_logprob_quality",
-    "train_val_test_split",
-    "table_profile_orders",
-    "text_stats",
-    "text_lang_id",
-    "doc_fingerprint",
-    "multimodal_metadata",
-    "multimodal_decode_images",
-    "multimodal_frame_sample",
-    "multimodal_audio_features",
-    "decontaminate_benchmark",
-    "events_windowed_agg",
-    "events_sessionize",
-    "events_rolling_avg",
-    "scd2_user_event_history",
-    "asof_purchase_last_click",
-    "asof_signup_next_purchase",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "streaming_windowed_agg",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_components",
-]
-
-R14_WINDOW = R14_HEAD + R14_NEW + R14_R11_BLOCK
-assert len(R14_WINDOW) == 50
-
-# The 16 r11-greens that did not fit the r14 window: their record
-# turns 4 rounds old at r14 close, so they MUST lead the r15 window.
-# Kept at the very end of the dict, ready to rotate.
-R15_QUEUE = [
+R15_HEAD = [
     "dedup_lines_c4",
     "doc_repetition",
     "embedding_neardup",
@@ -111,26 +41,97 @@ R15_QUEUE = [
     "bpe_pair_counts",
 ]
 
+# Then the keys NEW in r15 (graded immediately — the vbkt-r11 /
+# mor-r12 / sqldml-r13 / ddl-r14 precedent): SQL partition-spec
+# evolution, DEEP CLONE, and IDENTITY columns, VERDICT r14 asks
+# #3/#6/#7. (Grows as r15 keys land; the r12 block below shrinks in
+# lockstep so the window stays exactly 50.)
+R15_NEW: list[str] = []
 
-def test_first_50_is_the_intended_r14_window():
-    assert list(entry.queries())[:50] == R14_WINDOW
+# Then the oldest r12-greens in their standing dict order (their
+# driver record turns 3 rounds old at r15 close).
+R15_R12_BLOCK = [
+    "versioned_overwrite_change_feed",
+    "versioned_restore",
+    "versioned_shallow_clone",
+    "versioned_bloom_lookup",
+    "versioned_null_skipping",
+    "versioned_type_widening",
+    "versioned_merge_by_source",
+    "versioned_mor_merge",
+    "embedding_label_centroids",
+    "source_mixing_weights",
+    "compaction_roundtrip",
+    "upsert_events_latest",
+    "streaming_stateful_totals",
+    "streaming_stateful_totals_rocksdb",
+    "blog_a_most_active",
+    "blog_b_counts_per_key",
+    "blog_c_longest_text",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_regional_revenue",
+    "q6_forecast_revenue",
+    "q14_promo_share",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customers",
+    "q4_late_shipment_priority",
+    "q10_returned_revenue_top",
+    "q16_brand_supplier_counts",
+    "q19_banded_revenue",
+    "q22_idle_rich_customers",
+    "q7_nation_trade",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q13_order_distribution",
+]
+
+R15_WINDOW = R15_HEAD + R15_NEW + R15_R12_BLOCK
+assert len(R15_WINDOW) == 50
+
+# The 16 r12-greens that did not fit the r15 window: their record
+# turns 4 rounds old at r15 close, so they MUST lead the r16 window.
+# Kept at the very end of the dict, ready to rotate.
+R16_QUEUE = [
+    "q15_top_supplier",
+    "sql_time_travel",
+    "sql_min_price_supplier",
+    "versioned_manifest_segments",
+    "versioned_mor_delete",
+    "versioned_merge_into",
+    "anti_join_customers_no_orders",
+    "semi_join_urgent_suppliers",
+    "range_join_quantity_bands",
+    "approx_distinct_sketch_rollup",
+    "customer_value_deciles",
+    "full_outer_balance_bands",
+    "events_value_histogram",
+    "approx_quantiles_gated",
+    "fuzzy_name_match",
+    "customer_priority_profile",
+]
+
+
+def test_first_50_is_the_intended_r15_window():
+    assert list(entry.queries())[:50] == R15_WINDOW
 
 
 def test_round_union_covers_every_key():
-    """Every declared key has a green row in CORRECTNESS_r12 or r13,
+    """Every declared key has a green row in CORRECTNESS_r13 or r14,
     is in this round's graded window, or is explicitly queued for the
-    r15 window — no key can be SILENTLY stranded ungraded."""
+    r16 window — no key can be SILENTLY stranded ungraded."""
     green = set()
-    for rec in ("CORRECTNESS_r12.json", "CORRECTNESS_r13.json"):
+    for rec in ("CORRECTNESS_r13.json", "CORRECTNESS_r14.json"):
         data = json.loads((REPO / rec).read_text())
         green |= {k for k, v in data.items() if v.get("hash_match") is True}
-    covered = green | set(R14_WINDOW) | set(R15_QUEUE)
+    covered = green | set(R15_WINDOW) | set(R16_QUEUE)
     missing = set(entry.queries()) - covered
     assert not missing, f"keys stranded outside the grading union: {missing}"
-    # the queued keys really are outside the r14 window...
-    assert not set(R15_QUEUE) & set(list(entry.queries())[:50])
+    # the queued keys really are outside the r15 window...
+    assert not set(R16_QUEUE) & set(list(entry.queries())[:50])
     # ...and sit at the very end of the dict, ready to rotate
-    assert list(entry.queries())[-len(R15_QUEUE):] == R15_QUEUE
+    assert list(entry.queries())[-len(R16_QUEUE):] == R16_QUEUE
 
 
 def test_every_key_has_an_oracle():
