@@ -2495,6 +2495,7 @@ class VersionedTable:
         partition_by=_UNSET,
         generated: dict[str, str] | None = None,
         constraints: dict[str, str] | None = None,
+        properties: dict[str, str] | None = None,
     ) -> int:
         """Transactional truncate-and-load (the reference's K4 on the
         versioned layer): replace the table contents as ONE atomic
@@ -2520,20 +2521,30 @@ class VersionedTable:
         create contract; omitted = the old map drops, as before), and
         ``constraints`` REPLACES the constraint map (validated
         against the new rows; omitted = old constraints carry, with
-        a crisp refusal if one references a dropped column). All
-        three refuse without ``replace_schema`` — they redefine the
-        table, which a schema-preserving overwrite must not."""
+        a crisp refusal if one references a dropped column), and
+        ``properties`` REPLACES the table-property map in the same
+        commit (r15, ADVICE r14 #1 — previously SQL REPLACE reset
+        properties via follow-up set/unset commits, leaving a window
+        where a crash or concurrent reader saw the new definition
+        carrying the old table's behavior-affecting properties such
+        as ``smetl.dml.mode``; pass ``{}`` to clear, omit to carry
+        the old map). All four refuse without ``replace_schema`` —
+        they redefine the table, which a schema-preserving overwrite
+        must not."""
         parent = self.head_version()
         if not replace_schema and (
             partition_by is not _UNSET
             or generated is not None
             or constraints is not None
+            or properties is not None
         ):
             raise ValueError(
                 "VersionedTable.overwrite: partition_by / generated / "
-                "constraints redefine the table — they require "
-                "replace_schema=True"
+                "constraints / properties redefine the table — they "
+                "require replace_schema=True"
             )
+        if properties is not None:
+            self._validate_properties(properties)
         if not replace_schema:
             # replace_schema redefines the table, dropping the
             # generation contract with the rest of the old schema;
@@ -2681,6 +2692,15 @@ class VersionedTable:
                 self._add_feature(m, "generated")
             if constraints:
                 self._add_feature(m, "constraints")
+            if properties is not None:
+                # the REPLACE lands as ONE commit: the declared
+                # property map rides the same CAS as the data swap,
+                # so no reader ever sees the new definition under the
+                # old table's properties (ADVICE r14 #1)
+                if properties:
+                    m["properties"] = dict(properties)
+                else:
+                    m.pop("properties", None)
         if cdc_dir:
             m["cdc"] = cdc_dir
         stats = parts = None
@@ -2841,7 +2861,10 @@ class VersionedTable:
         return v
 
     def clone(
-        self, dest_path: str, version: int | None = None
+        self,
+        dest_path: str,
+        version: int | None = None,
+        replace: bool = False,
     ) -> "VersionedTable":
         """SHALLOW CLONE (the Delta ``CLONE`` command): initialize a
         NEW table at ``dest_path`` whose v0 manifest REFERENCES this
@@ -2870,7 +2893,18 @@ class VersionedTable:
         (registrations of vanished clones auto-expire). Vacuum on the
         CLONE is safe either way: it only sweeps directories under
         its own ``data/``, and shared source files never live
-        there."""
+        there.
+
+        ``replace=True`` is the REPLACE-with-CLONE form (r15, ADVICE
+        r14 #3 — SQL ``CREATE OR REPLACE TABLE ... SHALLOW CLONE``
+        rides it): when ``dest_path`` already holds an initialized
+        table, the clone lands as that table's NEXT version (op
+        ``replace_clone``) instead of refusing — a zero-copy full
+        redefinition from the source snapshot, with the destination's
+        own history preserved for time travel exactly like
+        ``overwrite(replace_schema=True)``. On an uninitialized
+        destination ``replace=True`` degrades to the plain create-
+        clone (Delta's OR REPLACE contract)."""
         src_v = self.head_version() if version is None else version
         if src_v not in self.versions():
             raise ValueError(
@@ -2878,11 +2912,23 @@ class VersionedTable:
                 f"(head is v{self.head_version()})"
             )
         ptr = self._read_pointer(src_v)
+        # refuse cloning a snapshot this build cannot faithfully
+        # serve before any metadata is written at the destination
+        self._check_features(ptr)
         dest = VersionedTable(self.spark, dest_path)
-        if dest.versions():
+        dest_head = dest.versions()
+        if dest_head and not replace:
             raise IOError(
                 f"VersionedTable: {dest_path} already initialized"
             )
+        replacing = bool(dest_head)
+        if replacing and dest_path.rstrip("/") == self.path.rstrip("/"):
+            raise ValueError(
+                "VersionedTable.clone: replace-clone onto the clone's "
+                "own source is a no-op loop — pick a different "
+                "destination"
+            )
+        v_new = dest.head_version() + 1 if replacing else 0
         m = dict(ptr)
         # op-specific keys of the source commit would misdescribe the
         # clone's create (and an inherited cdc dir would replay the
@@ -2893,9 +2939,9 @@ class VersionedTable:
             m.pop(stale, None)
         m.update(
             {
-                "version": 0,
-                "parent": None,
-                "op": "create",
+                "version": v_new,
+                "parent": dest.head_version() if replacing else None,
+                "op": "replace_clone" if replacing else "create",
                 "cloned_from": {"path": self.path, "version": src_v},
                 "txn": None,
                 "txns": [],
@@ -2906,9 +2952,18 @@ class VersionedTable:
                 dest._write_segment_body(dict(self._read_segment(s)))
                 for s in ptr["segments"]
             ]
-        if not dest._try_commit(m, 0):
+        elif replacing and "segments" in dest._read_pointer(
+            dest.head_version()
+        ):
+            raise ValueError(
+                "VersionedTable.clone: replace-clone from a legacy "
+                "inline source onto a segmented destination would "
+                "demote the destination's metadata format — OPTIMIZE "
+                "the source first"
+            )
+        if not dest._try_commit(m, v_new):
             raise ConcurrentWriteError(
-                f"VersionedTable: clone raced another create at "
+                f"VersionedTable: clone raced another commit at "
                 f"{dest_path}"
             )
         # back-registry at the SOURCE (r12): lets vacuum keep the
@@ -3067,6 +3122,17 @@ class VersionedTable:
         contract). First-committer-wins like every metadata commit."""
         if not props:
             raise ValueError("set_properties: empty property map")
+        self._validate_properties(props)
+        return self._commit_properties(
+            lambda cur: {**cur, **props}, txn
+        )
+
+    @staticmethod
+    def _validate_properties(props: dict[str, str]) -> None:
+        """Shared property validation for :meth:`set_properties` and
+        the REPLACE path of :meth:`overwrite`: opaque key→string pairs
+        EXCEPT the engine-consulted keys, which fail at declaration
+        time, not at the next DML."""
         bad = {
             k: v
             for k, v in props.items()
@@ -3088,9 +3154,6 @@ class VersionedTable:
                 "set_properties: smetl.merge.schemaEvolution must be "
                 f"'true' or 'false', got {evo!r}"
             )
-        return self._commit_properties(
-            lambda cur: {**cur, **props}, txn
-        )
 
     def unset_properties(
         self, keys: list[str], txn: str | None = None
@@ -4962,11 +5025,21 @@ class VersionedTable:
                         f"reference from {txt!r} (Delta refuses these "
                         "too)"
                     )
+        pending_adds: list[tuple[str, str]] = []
+        pending_widens: list[tuple[str, str]] = []
         if when_not_matched_insert == "*":
             # schema evolution (r14, see docstring): resolve the
-            # opt-in, then either evolve the target metadata-only or
+            # opt-in, then either PLAN the metadata-only evolution or
             # refuse extra source columns explicitly — never drop
-            # them silently
+            # them silently. The evolution commits are DEFERRED past
+            # every pre-commit validation (ADVICE r14 #2): a merge
+            # that is refused for duplicate-key ambiguity, an unknown
+            # column, or a bad clause no longer leaves add_column/
+            # widen commits behind. (A merge that loses its final CAS
+            # still does — the evolution commits are harmless
+            # metadata a re-run reuses; Delta folds them into one
+            # transaction, this engine keeps them as its standard
+            # metadata commits.)
             head_ptr = self._read_pointer(self.head_version())
             tbl_schema = self._manifest_schema(head_ptr)
             if schema_evolution is None:
@@ -4995,8 +5068,9 @@ class VersionedTable:
                         "the target, or project the source first."
                     )
                 if schema_evolution:
-                    for f in extra:
-                        self.add_column(f.name, f.dataType.simpleString())
+                    pending_adds = [
+                        (f.name, f.dataType.simpleString()) for f in extra
+                    ]
                     for f in source.schema.fields:
                         cur = tbl_types.get(f.name)
                         if (
@@ -5005,8 +5079,8 @@ class VersionedTable:
                             and f.dataType.simpleString()
                             in self._WIDENINGS.get(cur.simpleString(), ())
                         ):
-                            self.widen_column(
-                                f.name, f.dataType.simpleString()
+                            pending_widens.append(
+                                (f.name, f.dataType.simpleString())
                             )
         parent = self.head_version()
         ptr = self._read_pointer(parent)
@@ -5018,6 +5092,14 @@ class VersionedTable:
                 "schema_json cannot type-check merge clauses"
             )
         types = {f.name: f.dataType for f in schema.fields}
+        # validations below see the POST-evolution types (the planned
+        # adds/widens overlaid) so clause checks keep their r14
+        # semantics while the commits themselves stay deferred
+        pre_evolution_cols = set(types)
+        for _n, _dt in pending_adds:
+            types[_n] = T._parse_datatype_string(_dt)
+        for _n, _dt in pending_widens:
+            types[_n] = T._parse_datatype_string(_dt)
         for label, dct in (
             ("update", when_matched_update),
             ("by-source update", when_not_matched_by_source_update),
@@ -5064,9 +5146,15 @@ class VersionedTable:
         # against SOURCE KEYS on equality, and a pruned-out file
         # provably holds none of them. A by-source clause reads
         # unmatched rows anywhere, so it keeps the full list.
+        # A key column the evolution will ADD has no target values
+        # yet: pruning and the ambiguity probe are skipped (no target
+        # row can match a NULL-only key — SQL MERGE's null-unsafe
+        # equality), and the post-evolution refresh below recomputes
+        # the candidate list against the evolved manifest.
+        keys_preexist = all(c in pre_evolution_cols for c in on)
         candidates = (
             base["files"]
-            if by_source
+            if by_source or not keys_preexist
             else self._keyed_candidate_files(base, on, src_keys)
         )
         # introspection for gates/ops dashboards: what the keyed
@@ -5077,22 +5165,52 @@ class VersionedTable:
         # deterministic clause outcome — refuse, as Delta does. The
         # target-side probe only runs when the source actually HAS
         # duplicate keys (deduped sources — the common case — cost one
-        # source-side aggregate, never a table scan).
-        dup_keys = (
-            source.groupBy(*on)
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") > 1)
-            .drop("__n")
-        )
-        target_keys = self._read_files(base, candidates).select(*on)
-        if dup_keys.limit(1).count() and (
-            dup_keys.join(target_keys, on, "left_semi").limit(1).count()
-        ):
-            raise ValueError(
-                "VersionedTable.merge: a target row matches multiple "
-                "source rows — reduce the source to one row per key "
-                "first (latest-wins is upsert's job)"
+        # source-side aggregate, never a table scan). Runs BEFORE the
+        # deferred evolution commits (ADVICE r14 #2): an ambiguity
+        # refusal leaves the target schema untouched.
+        target_keys = None
+        if keys_preexist:
+            dup_keys = (
+                source.groupBy(*on)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > 1)
+                .drop("__n")
             )
+            target_keys = self._read_files(base, candidates).select(*on)
+            if dup_keys.limit(1).count() and (
+                dup_keys.join(target_keys, on, "left_semi").limit(1).count()
+            ):
+                raise ValueError(
+                    "VersionedTable.merge: a target row matches "
+                    "multiple source rows — reduce the source to one "
+                    "row per key first (latest-wins is upsert's job)"
+                )
+
+        if pending_adds or pending_widens:
+            # every refusal above has passed — land the metadata-only
+            # evolution commits, then re-read the head so the merge
+            # plans against the evolved schema
+            for _n, _dt in pending_adds:
+                self.add_column(_n, _dt)
+            for _n, _dt in pending_widens:
+                self.widen_column(_n, _dt)
+            parent = self.head_version()
+            ptr = self._read_pointer(parent)
+            base = self._resolve(ptr)
+            schema = self._manifest_schema(base)
+            types = {f.name: f.dataType for f in schema.fields}
+            candidates = (
+                base["files"]
+                if by_source
+                else self._keyed_candidate_files(base, on, src_keys)
+            )
+            self.last_merge_scan_files = (
+                len(candidates),
+                len(base["files"]),
+            )
+            # the evolved snapshot NULL-fills the added columns, so
+            # key projection is always well-defined from here
+            target_keys = self._read_files(base, candidates).select(*on)
 
         # files to rewrite: project file identity AT THE SCAN (valid
         # there, unlike post-shuffle input_file_name), then semi-join

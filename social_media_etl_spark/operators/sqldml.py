@@ -139,7 +139,8 @@ _NAME = r"[A-Za-z_][A-Za-z0-9_]*"
 _DML_HEAD = re.compile(
     r"^\s*(MERGE|UPDATE|DELETE|OPTIMIZE|VACUUM|RESTORE|COPY"
     r"|DESCRIBE(?=\s+(?:HISTORY|DETAIL)\b)"
-    r"|CREATE(?=\s+TABLE\s+[A-Za-z_][A-Za-z0-9_]*\s+SHALLOW\s+CLONE\b)"
+    r"|CREATE(?=\s+(?:OR\s+REPLACE\s+)?TABLE\s+[A-Za-z_][A-Za-z0-9_]*"
+    r"\s+(?:SHALLOW|DEEP)\s+CLONE\b)"
     r"|ALTER(?=\s+TABLE\b)|INSERT(?=\s+(?:INTO|OVERWRITE)\b)"
     r"|DROP(?=\s+TABLE\b)"
     r"|ANALYZE(?=\s+TABLE\b)"
@@ -772,7 +773,8 @@ _COPY = re.compile(
     re.IGNORECASE,
 )
 _CLONE = re.compile(
-    rf"^\s*CREATE\s+TABLE\s+({_NAME})\s+SHALLOW\s+CLONE\s+({_NAME})"
+    rf"^\s*CREATE\s+(?P<rep>OR\s+REPLACE\s+)?TABLE\s+({_NAME})\s+"
+    rf"(?P<kind>SHALLOW|DEEP)\s+CLONE\s+({_NAME})"
     rf"(?:\s+VERSION\s+AS\s+OF\s+(\d+))?"
     rf"(?:\s+LOCATION\s+('[^']*'))?\s*;?\s*$",
     re.IGNORECASE,
@@ -1222,7 +1224,10 @@ def _run_create_versioned(spark, query, masked, tables) -> DataFrame:
         # full redefinition in ONE data commit (Delta's REPLACE):
         # history is preserved — time travel to pre-replace versions
         # still reads; partition spec / generation map / constraints
-        # are REPLACED, and properties reset to the declared set
+        # AND the property map are all REPLACED atomically in that
+        # single commit (ADVICE r14 #1 — no window where the new
+        # definition carries the old table's behavior-affecting
+        # properties)
         t = existing
         t.overwrite(
             df,
@@ -1230,16 +1235,22 @@ def _run_create_versioned(spark, query, masked, tables) -> DataFrame:
             partition_by=pb if pb else None,
             generated=gen or None,
             constraints=constraints,
+            properties=props,
         )
-        old_props = t.properties()
-        if props != old_props:
-            if props:
-                t.set_properties(props)
-            stale = sorted(set(old_props) - set(props))
-            if stale:
-                t.unset_properties(stale)
         op = "replace"
     else:
+        if existing.versions():
+            # plain CREATE at an already-initialized LOCATION: refuse
+            # in the module's refusal-first style instead of
+            # surfacing VersionedTable.create's raw IOError
+            # (ADVICE r14 #3)
+            raise ValueError(
+                f"CREATE TABLE: LOCATION {location!r} already holds "
+                f"an initialized VersionedTable (head v"
+                f"{existing.head_version()}) — use CREATE OR REPLACE "
+                f"TABLE to redefine it in place, register_table to "
+                "attach it as-is, or pick a fresh LOCATION"
+            )
         t = VersionedTable.create(
             spark,
             location,
@@ -1603,31 +1614,58 @@ def run_dml(
             if _USING_VERSIONED.search(masked):
                 return _run_create_versioned(spark, query, masked, tables)
             raise ValueError(
-                "CREATE TABLE: expected \"CREATE TABLE <name> SHALLOW "
-                "CLONE <source> [VERSION AS OF <n>] LOCATION '<path>'\" "
-                "or \"CREATE TABLE <name> [(col type ...)] USING "
-                "versioned LOCATION '<path>' [PARTITIONED BY (...)] "
+                "CREATE TABLE: expected \"CREATE [OR REPLACE] TABLE "
+                "<name> SHALLOW|DEEP CLONE <source> [VERSION AS OF "
+                "<n>] LOCATION '<path>'\" or \"CREATE [OR REPLACE] "
+                "TABLE <name> [(col type ...)] USING versioned "
+                "LOCATION '<path>' [PARTITIONED BY (...)] "
                 "[TBLPROPERTIES (...)] [AS <query>]\", got: "
                 f"{query.strip()!r}"
             )
-        dest_name, src_name = m.group(1), m.group(2)
-        if m.group(4) is None:
+        kind = m.group("kind").upper()
+        replace = m.group("rep") is not None
+        dest_name, src_name = m.group(2), m.group(4)
+        if m.group(6) is None:
             raise ValueError(
-                "SHALLOW CLONE: LOCATION '<path>' is required — this "
+                f"{kind} CLONE: LOCATION '<path>' is required — this "
                 "engine's tables are path-addressed, so the clone "
                 "needs a destination directory (Delta's catalog-"
                 "managed location has no analog here)"
             )
-        src = _resolve_table(spark, tables, src_name, "SHALLOW CLONE")
-        dest_path = query[m.start(4) + 1 : m.end(4) - 1]
-        version = int(m.group(3)) if m.group(3) else None
-        dest = src.clone(dest_path, version=version)
+        src = _resolve_table(spark, tables, src_name, f"{kind} CLONE")
+        dest_path = query[m.start(6) + 1 : m.end(6) - 1]
+        version = int(m.group(5)) if m.group(5) else None
+        if replace and dest_name in tables and tables[dest_name] != dest_path:
+            raise ValueError(
+                f"CREATE OR REPLACE TABLE: {dest_name!r} is registered "
+                f"at {tables[dest_name]!r} but the statement names "
+                f"LOCATION {dest_path!r} — replacing a table at a "
+                "different location is ambiguous; DROP TABLE first or "
+                "match the location"
+            )
+        if kind == "DEEP":
+            if replace:
+                raise ValueError(
+                    "CREATE OR REPLACE TABLE ... DEEP CLONE is not "
+                    "supported — a deep clone initializes an "
+                    "independent copy at a FRESH location (DROP TABLE "
+                    "the destination and re-issue, or use SHALLOW "
+                    "CLONE for zero-copy replacement)"
+                )
+            dest = src.deep_clone(dest_path, version=version)
+            op = "deep_clone"
+        else:
+            dest = src.clone(dest_path, version=version, replace=replace)
+            op = "replace_clone" if replace and dest.head_version() else (
+                "clone"
+            )
         # register the new table under its SQL name, like
         # register_table does (same registry the caller passed in)
         from social_media_etl_spark.operators import timetravel as _tt
 
         _tt.register_table(spark, dest_name, dest.path)
-        return _one_row(spark, "clone", 0)
+        _refresh_head(spark, dest_name, dest)
+        return _one_row(spark, op, dest.head_version())
     if head == "DESCRIBE":
         m = _DESCRIBE_DETAIL.match(masked)
         if m is not None:

@@ -703,3 +703,90 @@ def test_merge_dict_insert_never_evolves(spark, tmp_path):
             when_not_matched_insert={"k": "s.k", "newcol": "s.newcol"},
             schema_evolution=True,
         )
+
+
+def test_merge_refused_leaves_schema_unevolved(spark, tmp_path):
+    """ADVICE r14 #2: evolution commits are DEFERRED past the
+    pre-commit validations — a merge refused for duplicate-key
+    ambiguity (or an unknown assigned column) must not leave
+    add_column/widen commits behind on the target."""
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1.0)])
+    )
+    # duplicate source keys that MATCH a target row -> ambiguity
+    src = spark.createDataFrame(
+        [(1, "x", 1.0, "t1"), (1, "y", 2.0, "t2")],
+        "k long, v string, amt double, tag string",
+    )
+    with pytest.raises(ValueError, match="multiple source rows"):
+        t.merge(
+            src,
+            on=["k"],
+            when_matched_update={"v": "s.v"},
+            when_not_matched_insert="*",
+            schema_evolution=True,
+        )
+    assert t.head_version() == 0
+    assert "tag" not in t.read().columns
+    # an unknown UPDATE assignment refuses without evolving either
+    src2 = spark.createDataFrame(
+        [(2, "b", 2.0, "t2")], "k long, v string, amt double, tag string"
+    )
+    with pytest.raises(ValueError, match="unknown"):
+        t.merge(
+            src2,
+            on=["k"],
+            when_matched_update={"nope": "s.v"},
+            when_not_matched_insert="*",
+            schema_evolution=True,
+        )
+    assert t.head_version() == 0
+    assert "tag" not in t.read().columns
+
+
+def test_merge_evolution_still_lands_after_deferral(spark, tmp_path):
+    """The deferral keeps the green path intact: a valid evolving
+    merge still commits add_column before the merge commit, and an
+    evolved column may be assigned by the update clause."""
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1.0)])
+    )
+    src = spark.createDataFrame(
+        [(1, "a2", 1.5, "t1"), (2, "b", 2.0, "t2")],
+        "k long, v string, amt double, tag string",
+    )
+    v = t.merge(
+        src,
+        on=["k"],
+        when_matched_update={"v": "s.v", "tag": "s.tag"},
+        when_not_matched_insert="*",
+        schema_evolution=True,
+    )
+    assert [t._read_pointer(i)["op"] for i in range(v + 1)] == [
+        "create", "add_column", "merge"
+    ]
+    got = sorted(
+        (r["k"], r["v"], r["tag"]) for r in t.read().collect()
+    )
+    assert got == [(1, "a2", "t1"), (2, "b", "t2")]
+
+
+def test_merge_evolution_on_new_key_column(spark, tmp_path):
+    """Merging ON a column the target does not have yet (the
+    evolution adds it): no target row can match (NULL keys match
+    nothing), so every source row inserts — and the ambiguity probe
+    skips rather than reading a nonexistent column."""
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1.0)])
+    )
+    src = spark.createDataFrame(
+        [(10, "n1"), (11, "n2")], "nk long, v2 string"
+    )
+    v = t.merge(
+        src, on=["nk"], when_not_matched_insert="*", schema_evolution=True
+    )
+    assert t.head_version() == v
+    assert t.read().count() == 3
+    assert sorted(
+        r["nk"] for r in t.read().where("nk IS NOT NULL").collect()
+    ) == [10, 11]

@@ -1232,3 +1232,105 @@ def test_create_or_replace_as_select_and_location_guard(spark, tmp_path):
     assert out[0]["op"] == "create"
     tt.sql(spark, "DROP TABLE sdml_cor2")
     tt.sql(spark, "DROP TABLE sdml_cor3")
+
+
+# -- r15: atomic REPLACE properties, crisp CREATE refusals, ---------------
+# -- CREATE OR REPLACE ... SHALLOW CLONE ----------------------------------
+
+
+def test_replace_resets_properties_in_one_commit(spark, tmp_path):
+    """ADVICE r14 #1: CREATE OR REPLACE TABLE lands the declared
+    property set inside the SAME data commit — no follow-up
+    set/unset commits, so no window where the new definition carries
+    the old table's behavior-affecting properties."""
+    loc = str(tmp_path / "rp")
+    tt.sql(
+        spark,
+        f"CREATE TABLE sdml_rp (k BIGINT, v STRING) USING versioned "
+        f"LOCATION '{loc}' TBLPROPERTIES ('smetl.dml.mode'='mor', "
+        "'team'='etl')",
+    )
+    t = VersionedTable(spark, loc)
+    assert t.properties() == {"smetl.dml.mode": "mor", "team": "etl"}
+    head0 = t.head_version()
+    tt.sql(
+        spark,
+        f"CREATE OR REPLACE TABLE sdml_rp (k BIGINT, v STRING, w DOUBLE) "
+        f"USING versioned LOCATION '{loc}' TBLPROPERTIES ('team'='ml')",
+    )
+    # exactly ONE commit past the old head, op 'overwrite', and the
+    # property map is already the declared set
+    assert t.head_version() == head0 + 1
+    assert t._read_pointer(t.head_version())["op"] == "overwrite"
+    assert t.properties() == {"team": "ml"}
+    # REPLACE with no TBLPROPERTIES clears the map, same single commit
+    tt.sql(
+        spark,
+        f"CREATE OR REPLACE TABLE sdml_rp (k BIGINT) USING versioned "
+        f"LOCATION '{loc}'",
+    )
+    assert t.head_version() == head0 + 2
+    assert t.properties() == {}
+
+
+def test_overwrite_properties_requires_replace_schema(spark, tmp_path):
+    t = _mk(spark, tmp_path, "sdml_rp2")
+    with pytest.raises(ValueError, match="replace_schema"):
+        t.overwrite(t.read(), properties={"a": "b"})
+    # and the engine-consulted keys validate at declaration time
+    with pytest.raises(ValueError, match="smetl.dml.mode"):
+        t.overwrite(
+            t.read(), replace_schema=True, properties={"smetl.dml.mode": "x"}
+        )
+
+
+def test_create_at_initialized_location_refuses_crisply(spark, tmp_path):
+    """ADVICE r14 #3: plain CREATE TABLE at a LOCATION already holding
+    an initialized table refuses with the module's ValueError style
+    (suggesting CREATE OR REPLACE), not a raw IOError."""
+    t = _mk(spark, tmp_path, "sdml_cr")
+    with pytest.raises(ValueError, match="CREATE OR REPLACE"):
+        tt.sql(
+            spark,
+            f"CREATE TABLE sdml_cr_other (k BIGINT) USING versioned "
+            f"LOCATION '{t.path}'",
+        )
+
+
+def test_create_or_replace_shallow_clone(spark, tmp_path):
+    """CREATE OR REPLACE TABLE ... SHALLOW CLONE (ADVICE r14 #3): on
+    an existing destination the clone lands as a zero-copy
+    replace_clone commit; destination history stays time-travelable;
+    on a fresh destination it degrades to the plain create-clone."""
+    src = _mk(spark, tmp_path, "sdml_rc_src")
+    dest = _mk(spark, tmp_path, "sdml_rc_dest", rows=5)
+    head0 = dest.head_version()
+    out = tt.sql(
+        spark,
+        "CREATE OR REPLACE TABLE sdml_rc_dest SHALLOW CLONE "
+        f"sdml_rc_src LOCATION '{dest.path}'",
+    ).collect()
+    assert out[0]["op"] == "replace_clone"
+    assert dest.head_version() == head0 + 1
+    # head now reads the source snapshot, zero-copy
+    assert len(_state(dest)) == 20
+    # pre-replace destination history still time travels
+    assert len(
+        sorted((r["k"]) for r in dest.read(head0).collect())
+    ) == 5
+    # and the replace-clone registered at the source: source vacuum
+    # keeps the shared snapshot alive (the r12 back-pointer contract)
+    # fresh destination: OR REPLACE degrades to a create-clone
+    out2 = tt.sql(
+        spark,
+        "CREATE OR REPLACE TABLE sdml_rc_new SHALLOW CLONE "
+        f"sdml_rc_src LOCATION '{tmp_path / 'rc_new'}'",
+    ).collect()
+    assert out2[0]["op"] == "clone" and out2[0]["version"] == 0
+    # mismatched registered location still refuses
+    with pytest.raises(ValueError, match="different location"):
+        tt.sql(
+            spark,
+            "CREATE OR REPLACE TABLE sdml_rc_dest SHALLOW CLONE "
+            f"sdml_rc_src LOCATION '{tmp_path / 'elsewhere'}'",
+        )
