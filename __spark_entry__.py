@@ -5479,6 +5479,93 @@ def _sql_insert_alter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution as SQL, certified end-to-end
+    (operators/sqldml.py — VERDICT r14 #3: the one lakehouse
+    lifecycle operation that was still Python-only; Iceberg
+    spec-evolution semantics, Delta has no equivalent): a table is
+    CTAS-created FLAT, then
+
+        ALTER TABLE t SET PARTITIONED BY (event_type)
+
+    lands as a METADATA-ONLY commit — the unpartitioned→(col) growth
+    path every long-lived table walks, without rewriting a file — and
+    the next INSERT lays out (and prunes) under the new spec. Gated
+    in-plan on (a) the spec commit moving ZERO data files (the 100 TB
+    contract), (b) a point read pruning files (kept < total: the new
+    generation's other-type leaf dirs skip) while returning EXACTLY
+    the full-scan filter's rows (pruning may skip work, never rows),
+    (c) SHOW CREATE TABLE round-tripping the evolved spec, (d) an
+    unknown partition column refusing, and (e) the version chain
+    being exactly create→set_partition_spec→append. The returned
+    per-type aggregate is certified against the oracle's union of
+    both slices, so the evolved layout serves exact results. The
+    %7={2,5} slices exist at every testdata SF. The registered name
+    is salted per run (bench runs each key twice per session)."""
+    import uuid as _uuid
+
+    from social_media_etl_spark.operators import timetravel as tt
+    from social_media_etl_spark.operators.manifest import VersionedTable
+
+    events = load_table(spark, sf_dir, "events")
+    d = _tmpdir(prefix="smetl_sqlpe_")
+    name = f"sqlpe_{_uuid.uuid4().hex[:10]}"
+    for tag, mod in (("a", 2), ("b", 5)):
+        events.filter(F.col("event_id") % 7 == mod).select(
+            "event_id", "event_type", "value"
+        ).createOrReplaceTempView(f"sqlpe_src_{tag}")
+    r1 = tt.sql(
+        spark,
+        f"CREATE TABLE {name} USING versioned LOCATION '{d}/t' "
+        "AS SELECT * FROM sqlpe_src_a",
+    ).collect()
+    t = VersionedTable(spark, f"{d}/t")
+    files0 = t._read_manifest(0)["files"]
+    r2 = tt.sql(
+        spark, f"ALTER TABLE {name} SET PARTITIONED BY (event_type)"
+    ).collect()
+    spec_meta_only = t._read_manifest(1)["files"] == files0
+    r3 = tt.sql(
+        spark, f"INSERT INTO {name} SELECT * FROM sqlpe_src_b"
+    ).collect()
+    kept, total = t.pruned_file_count("event_type", "purchase", "purchase")
+    pruned_exact = (
+        t.read_where("event_type", "purchase", "purchase").count()
+        == t.read().filter(F.col("event_type") == "purchase").count()
+    )
+    show = tt.sql(spark, f"SHOW CREATE TABLE {name}").collect()[0][
+        "createtab_stmt"
+    ]
+    unknown_refused = False
+    try:
+        tt.sql(spark, f"ALTER TABLE {name} SET PARTITIONED BY (zzz)")
+    except ValueError:
+        unknown_refused = True
+    ok = (
+        r1[0]["op"] == "create"
+        and r2[0]["op"] == "set_partition_spec"
+        and r2[0]["version"] == 1
+        and spec_meta_only
+        and r3[0]["op"] == "insert"
+        and kept < total
+        and pruned_exact
+        and "PARTITIONED BY (event_type)" in show
+        and unknown_refused
+        and [t._read_pointer(v)["op"] for v in range(t.head_version() + 1)]
+        == ["create", "set_partition_spec", "append"]
+    )
+    return (
+        t.read()
+        .where(F.lit(ok))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _versioned_manifest_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segmented manifests certified (operators/manifest.py — the
     Iceberg manifest-list pattern, VERDICT r8 #3): commits write a
@@ -5671,7 +5758,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_flags": _gopher_quality,
         "semantic_dedup_representatives": _semantic_dedup,
         "bpe_pair_counts": _bpe_pair_counts,
-        # 34 oldest r12-greens (record turns 3 rounds old at r15
+        # NEW in r15 (SQL DDL surface — operators/sqldml.py):
+        "sql_partition_evolution": _sql_partition_evolution,
+        # oldest r12-greens (record turns 3 rounds old at r15
         # close; the tail of this block rotates out as NEW r15 keys
         # slot in above):
         "versioned_overwrite_change_feed": _versioned_overwrite_change_feed,
@@ -5707,7 +5796,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_market_share": _q8,
         "q9_product_profit": _q9,
         "q11_important_parts": _q11,
-        "q13_order_distribution": _q13,
         # ------- middle: keys with a driver-green record in
         # CORRECTNESS_r13 or r14 (freshest records; the rotation
         # returns to them after the r12 block) -----------------------
@@ -5815,6 +5903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window — they MUST lead the r16 window (their record turns
         # 4 rounds old at r15 close; pinned by tests/
         # test_grading_window.py) ------------------------------------
+        "q13_order_distribution": _q13,
         "q15_top_supplier": _q15,
         "sql_time_travel": _sql_time_travel,
         "sql_min_price_supplier": _sql_entrypoint,
@@ -8231,6 +8320,22 @@ def oracle_sql() -> dict[str, str]:
     # only the two slices + the VALUES literals; the summed column
     # rode ADD COLUMN / widen / RENAME / DROP on the Spark side, so
     # value-matching certifies the whole DDL chain carried the data
+    # the evolved-layout read must serve the plain relational union of
+    # the two slices; the zero-file-move / prune / SHOW CREATE gates
+    # are in-plan on the Spark side
+    d["sql_partition_evolution"] = """
+        WITH u AS (
+            SELECT event_id, event_type, value
+            FROM events WHERE event_id % 7 = 2
+            UNION ALL
+            SELECT event_id, event_type, value
+            FROM events WHERE event_id % 7 = 5
+        )
+        SELECT event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM u GROUP BY event_type ORDER BY event_type
+    """
     d["sql_insert_alter"] = """
         WITH u AS (
             SELECT event_id, event_type, value,

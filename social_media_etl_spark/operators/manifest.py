@@ -4036,7 +4036,12 @@ class VersionedTable:
         old_spec = self._pb_cols(ptr.get("partition_by"))
         if old_spec:
             for name in ptr["segments"]:
-                if not self._read_segment(name).get("spec"):
+                seg = self._read_segment(name)
+                # only segments CARRYING partition values can misread
+                # under a different spec; a spec-less segment written
+                # unpartitioned (a pre-evolution generation) has no
+                # values to reinterpret — it is merely unprunable
+                if seg.get("parts") and not seg.get("spec"):
                     raise ValueError(
                         "VersionedTable.set_partition_spec: segment "
                         f"{name} predates spec records — its values "

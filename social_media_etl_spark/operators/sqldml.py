@@ -82,6 +82,8 @@ Catalyst SQL)::
     ALTER TABLE <table> ALTER COLUMN <col> TYPE <wider-type>
     ALTER TABLE <table> ADD CONSTRAINT <n> CHECK (<expr>)
     ALTER TABLE <table> DROP CONSTRAINT <n>
+    ALTER TABLE <table> SET PARTITIONED BY (col [, ...])
+    ALTER TABLE <table> CLEAR PARTITIONING
     SHOW TBLPROPERTIES <table>
     SHOW CREATE TABLE <table>
     DROP TABLE [IF EXISTS] <table>
@@ -779,6 +781,15 @@ _CLONE = re.compile(
     rf"(?:\s+LOCATION\s+('[^']*'))?\s*;?\s*$",
     re.IGNORECASE,
 )
+_SET_PARTITIONED = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+{_NAME}\s+SET\s+PARTITIONED\s+BY\s*"
+    rf"\(([^)]*)\)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_CLEAR_PARTITIONING = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+{_NAME}\s+CLEAR\s+PARTITIONING\s*;?\s*$",
+    re.IGNORECASE,
+)
 _SET_PROPS = re.compile(
     rf"^\s*ALTER\s+TABLE\s+({_NAME})\s+(SET|UNSET)\s+TBLPROPERTIES\s*"
     rf"\((?P<body>.*)\)\s*;?\s*$",
@@ -1450,6 +1461,26 @@ def run_dml(
             )
             _refresh_head(spark, name, t)
             return _one_row(spark, "widen", v)
+        m = _SET_PARTITIONED.match(masked)
+        if m is not None:
+            # Iceberg-style partition-spec evolution as SQL (VERDICT
+            # r14 #3): metadata-only — zero files move; old files
+            # keep pruning under their recorded spec, commits from
+            # here lay out under the new one
+            cols = [c.strip() for c in m.group(1).split(",") if c.strip()]
+            if not cols:
+                raise ValueError(
+                    "ALTER TABLE SET PARTITIONED BY: empty column "
+                    "list — use CLEAR PARTITIONING to drop the spec"
+                )
+            v = t.set_partition_spec(cols if len(cols) > 1 else cols[0])
+            _refresh_head(spark, name, t)
+            return _one_row(spark, "set_partition_spec", v)
+        m = _CLEAR_PARTITIONING.match(masked)
+        if m is not None:
+            v = t.set_partition_spec(None)
+            _refresh_head(spark, name, t)
+            return _one_row(spark, "set_partition_spec", v)
         m = _ADD_CONSTRAINT.match(masked)
         if m is not None:
             v = t.add_constraint(
@@ -1467,7 +1498,8 @@ def run_dml(
                 "VersionedTable are ADD COLUMN <c> <type> / RENAME "
                 "COLUMN <a> TO <b> / DROP COLUMN <c> / ALTER COLUMN "
                 "<c> TYPE <type> / ADD CONSTRAINT <n> CHECK (<expr>) "
-                "/ DROP CONSTRAINT <n> / SET TBLPROPERTIES "
+                "/ DROP CONSTRAINT <n> / SET PARTITIONED BY "
+                "(col, ...) / CLEAR PARTITIONING / SET TBLPROPERTIES "
                 "('k'='v', ...) / UNSET TBLPROPERTIES ('k', ...), "
                 f"got: {query.strip()!r}"
             )

@@ -46,7 +46,9 @@ R15_HEAD = [
 # evolution, DEEP CLONE, and IDENTITY columns, VERDICT r14 asks
 # #3/#6/#7. (Grows as r15 keys land; the r12 block below shrinks in
 # lockstep so the window stays exactly 50.)
-R15_NEW: list[str] = []
+R15_NEW: list[str] = [
+    "sql_partition_evolution",
+]
 
 # Then the oldest r12-greens in their standing dict order (their
 # driver record turns 3 rounds old at r15 close).
@@ -84,7 +86,6 @@ R15_R12_BLOCK = [
     "q8_market_share",
     "q9_product_profit",
     "q11_important_parts",
-    "q13_order_distribution",
 ]
 
 R15_WINDOW = R15_HEAD + R15_NEW + R15_R12_BLOCK
@@ -94,6 +95,7 @@ assert len(R15_WINDOW) == 50
 # turns 4 rounds old at r15 close, so they MUST lead the r16 window.
 # Kept at the very end of the dict, ready to rotate.
 R16_QUEUE = [
+    "q13_order_distribution",
     "q15_top_supplier",
     "sql_time_travel",
     "sql_min_price_supplier",
