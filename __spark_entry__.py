@@ -5566,6 +5566,96 @@ def _sql_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_deep_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEEP CLONE certified end-to-end (operators/manifest.py
+    deep_clone + the SQL form — VERDICT r14 #6: the
+    isolate-then-experiment workflow a shallow clone cannot serve
+    once source retention applies): a MoR table is CTAS-created
+    (TBLPROPERTIES routes DML to deletion vectors), a DELETE leaves
+    DV state behind, then
+
+        CREATE TABLE c DEEP CLONE t LOCATION '<p>'
+
+    copies the snapshot — data files byte-for-byte via the
+    distributed Arrow-batched copy stage, deletion vectors with
+    their (file, pos) keys REMAPPED to the copied files — into an
+    independent table with fresh history. The source is then
+    overwritten AND vacuumed to zero retention (its pre-head dirs
+    actually deleted). Gated in-plan on (a) the clone result frame,
+    (b) the clone's DV dirs living under the CLONE's root, (c) the
+    source's post-clone head diverging while the clone is unchanged,
+    and (d) the clone reading EXACTLY its snapshot AFTER the source
+    vacuum physically removed the original files — the property that
+    distinguishes deep from shallow. The returned per-type aggregate
+    over the surviving clone is oracle-certified (slice %8=1 minus
+    the %5=0 deletes). Names salted per run (bench runs keys twice
+    per session)."""
+    import uuid as _uuid
+
+    from social_media_etl_spark.operators import timetravel as tt
+    from social_media_etl_spark.operators.manifest import VersionedTable
+
+    events = load_table(spark, sf_dir, "events")
+    d = _tmpdir(prefix="smetl_sqldc_")
+    name = f"sqldc_{_uuid.uuid4().hex[:10]}"
+    cname = f"{name}_c"
+    events.filter(F.col("event_id") % 8 == 1).select(
+        "event_id", "event_type", "value"
+    ).createOrReplaceTempView("sqldc_src")
+    tt.sql(
+        spark,
+        f"CREATE TABLE {name} USING versioned LOCATION '{d}/t' "
+        "TBLPROPERTIES ('smetl.dml.mode'='mor') AS "
+        "SELECT * FROM sqldc_src",
+    )
+    t = VersionedTable(spark, f"{d}/t")
+    tt.sql(spark, f"DELETE FROM {name} WHERE event_id % 5 = 0")
+    dv_present = bool(
+        t._read_pointer(t.head_version()).get("delete_vectors")
+    )
+    r_cl = tt.sql(
+        spark,
+        f"CREATE TABLE {cname} DEEP CLONE {name} LOCATION '{d}/c'",
+    ).collect()
+    c = VersionedTable(spark, f"{d}/c")
+    clone_dvs_own = all(
+        p.startswith(c.path)
+        for p in (c._read_pointer(0).get("delete_vectors") or [])
+    )
+    n_clone_before = c.read().count()
+    # the source moves on and PHYSICALLY reclaims the cloned snapshot
+    tt.sql(
+        spark,
+        f"INSERT OVERWRITE {name} "
+        "SELECT * FROM sqldc_src WHERE event_id % 2 = 0",
+    )
+    removed = tt.sql(
+        spark,
+        f"VACUUM {name} RETAIN 1 VERSIONS MIN AGE 0 SECONDS",
+    ).collect()[0]["removed"]
+    diverged = t.read().count() != n_clone_before
+    survived = c.read().count() == n_clone_before
+    ok = (
+        dv_present
+        and r_cl[0]["op"] == "deep_clone"
+        and r_cl[0]["version"] == 0
+        and clone_dvs_own
+        and int(removed) >= 1
+        and diverged
+        and survived
+    )
+    return (
+        c.read()
+        .where(F.lit(ok))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _versioned_manifest_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segmented manifests certified (operators/manifest.py — the
     Iceberg manifest-list pattern, VERDICT r8 #3): commits write a
@@ -5760,6 +5850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": _bpe_pair_counts,
         # NEW in r15 (SQL DDL surface — operators/sqldml.py):
         "sql_partition_evolution": _sql_partition_evolution,
+        "sql_deep_clone": _sql_deep_clone,
         # oldest r12-greens (record turns 3 rounds old at r15
         # close; the tail of this block rotates out as NEW r15 keys
         # slot in above):
@@ -5795,7 +5886,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_nation_trade": _q7,
         "q8_market_share": _q8,
         "q9_product_profit": _q9,
-        "q11_important_parts": _q11,
         # ------- middle: keys with a driver-green record in
         # CORRECTNESS_r13 or r14 (freshest records; the rotation
         # returns to them after the r12 block) -----------------------
@@ -5903,6 +5993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window — they MUST lead the r16 window (their record turns
         # 4 rounds old at r15 close; pinned by tests/
         # test_grading_window.py) ------------------------------------
+        "q11_important_parts": _q11,
         "q13_order_distribution": _q13,
         "q15_top_supplier": _q15,
         "sql_time_travel": _sql_time_travel,
@@ -8335,6 +8426,17 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_events,
                round(sum(value), 2) AS sum_value
         FROM u GROUP BY event_type ORDER BY event_type
+    """
+    # the surviving deep clone = slice %8=1 minus the %5=0 MoR
+    # deletes; DV-remap / source-vacuum-survival / divergence gates
+    # are in-plan on the Spark side
+    d["sql_deep_clone"] = """
+        SELECT event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        WHERE event_id % 8 = 1 AND event_id % 5 <> 0
+        GROUP BY event_type ORDER BY event_type
     """
     d["sql_insert_alter"] = """
         WITH u AS (

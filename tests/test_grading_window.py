@@ -48,6 +48,7 @@ R15_HEAD = [
 # lockstep so the window stays exactly 50.)
 R15_NEW: list[str] = [
     "sql_partition_evolution",
+    "sql_deep_clone",
 ]
 
 # Then the oldest r12-greens in their standing dict order (their
@@ -85,7 +86,6 @@ R15_R12_BLOCK = [
     "q7_nation_trade",
     "q8_market_share",
     "q9_product_profit",
-    "q11_important_parts",
 ]
 
 R15_WINDOW = R15_HEAD + R15_NEW + R15_R12_BLOCK
@@ -95,6 +95,7 @@ assert len(R15_WINDOW) == 50
 # turns 4 rounds old at r15 close, so they MUST lead the r16 window.
 # Kept at the very end of the dict, ready to rotate.
 R16_QUEUE = [
+    "q11_important_parts",
     "q13_order_distribution",
     "q15_top_supplier",
     "sql_time_travel",

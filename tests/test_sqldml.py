@@ -1383,3 +1383,31 @@ def test_sql_set_partitioned_by_refusals(spark, tmp_path):
     tt.register_table(spark, "sdml_pbrb", tb.path)
     with pytest.raises(ValueError, match="compose"):
         tt.sql(spark, "ALTER TABLE sdml_pbrb SET PARTITIONED BY (v)")
+
+
+def test_sql_deep_clone(spark, tmp_path):
+    """CREATE TABLE <n> DEEP CLONE <src> [VERSION AS OF n] LOCATION —
+    independent file copies, fresh history; OR REPLACE refuses (a
+    deep clone initializes a fresh location by definition)."""
+    t = _mk(spark, tmp_path, "sdml_dcl")
+    tt.sql(spark, "DELETE FROM sdml_dcl WHERE k >= 10")
+    out = tt.sql(
+        spark,
+        "CREATE TABLE sdml_dcl2 DEEP CLONE sdml_dcl VERSION AS OF 0 "
+        f"LOCATION '{tmp_path / 'd2'}'",
+    ).collect()
+    assert out[0]["op"] == "deep_clone" and out[0]["version"] == 0
+    assert tt.sql(
+        spark, "SELECT count(*) AS n FROM sdml_dcl2"
+    ).collect()[0]["n"] == 20
+    # independent: source DML never shows through
+    tt.sql(spark, "DELETE FROM sdml_dcl WHERE k < 5")
+    assert tt.sql(
+        spark, "SELECT count(*) AS n FROM sdml_dcl2"
+    ).collect()[0]["n"] == 20
+    with pytest.raises(ValueError, match="DEEP CLONE is not supported"):
+        tt.sql(
+            spark,
+            "CREATE OR REPLACE TABLE sdml_dcl2 DEEP CLONE sdml_dcl "
+            f"LOCATION '{tmp_path / 'd2'}'",
+        )
