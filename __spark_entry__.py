@@ -5656,6 +5656,108 @@ def _sql_deep_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_identity_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED ALWAYS AS IDENTITY certified end-to-end
+    (operators/manifest.py identity allocation + the SQL surface —
+    VERDICT r14 #7, Delta's identity columns, the warehouse-migration
+    staple): CREATE TABLE declares an engine-owned BIGINT sequence
+    (START WITH 1000 INCREMENT BY 3), two INSERT INTO batches ingest
+    events slices, and the engine allocates ids as PER-PARTITION
+    RANGES (monotonically_increasing_id blocks — no global sort, no
+    shuffle, gaps allowed exactly like Delta) with the high watermark
+    advancing in the manifest. Gated in-plan on (a) every id unique
+    across both commits (distinct == rows), (b) batch-2 ids strictly
+    beyond batch-1's recorded watermark (cross-commit monotonicity),
+    (c) ids conforming to the declared sequence (>= start, ≡ start
+    mod step), (d) explicit id supply refusing at INSERT, (e) SHOW
+    CREATE TABLE round-tripping the IDENTITY clause, and (f) the
+    watermark equalling the table max. The returned per-type
+    aggregate over the NON-id columns is oracle-certified (ids
+    themselves are partition-layout-dependent BY DESIGN — the
+    invariants above are the contract, the values are not). The
+    %6={1,4} slices exist at every testdata SF; names salted per run
+    (bench runs keys twice per session)."""
+    import uuid as _uuid
+
+    from social_media_etl_spark.operators import timetravel as tt
+    from social_media_etl_spark.operators.manifest import VersionedTable
+
+    events = load_table(spark, sf_dir, "events")
+    d = _tmpdir(prefix="smetl_sqlid_")
+    name = f"sqlid_{_uuid.uuid4().hex[:10]}"
+    for tag, mod in (("a", 1), ("b", 4)):
+        events.filter(F.col("event_id") % 6 == mod).select(
+            "event_id", "event_type", "value"
+        ).createOrReplaceTempView(f"sqlid_src_{tag}")
+    tt.sql(
+        spark,
+        f"""
+        CREATE TABLE {name} (
+            row_id BIGINT GENERATED ALWAYS AS IDENTITY
+                (START WITH 1000 INCREMENT BY 3),
+            event_id BIGINT,
+            event_type STRING,
+            value DOUBLE
+        ) USING versioned LOCATION '{d}/t'
+        """,
+    )
+    t = VersionedTable(spark, f"{d}/t")
+    spec0 = t.identity_columns()["row_id"]
+    tt.sql(
+        spark,
+        f"INSERT INTO {name} (event_id, event_type, value) "
+        "SELECT * FROM sqlid_src_a",
+    )
+    wm1 = t.identity_columns()["row_id"]["high"]
+    n1 = t.read().count()
+    tt.sql(
+        spark,
+        f"INSERT INTO {name} (event_id, event_type, value) "
+        "SELECT * FROM sqlid_src_b",
+    )
+    head = t.read()
+    n_all = head.count()
+    n_ids = head.select("row_id").distinct().count()
+    n_beyond_wm1 = head.filter(F.col("row_id") > wm1).count()
+    conforming = head.filter(
+        (F.col("row_id") >= 1000) & ((F.col("row_id") - 1000) % 3 == 0)
+    ).count()
+    refused = False
+    try:
+        tt.sql(
+            spark,
+            f"INSERT INTO {name} (row_id, event_id, event_type, value) "
+            "VALUES (1, 1, 'x', 0.0)",
+        )
+    except ValueError:
+        refused = True
+    show = tt.sql(spark, f"SHOW CREATE TABLE {name}").collect()[0][
+        "createtab_stmt"
+    ]
+    wm2 = t.identity_columns()["row_id"]["high"]
+    max_id = head.agg(F.max("row_id")).collect()[0][0]
+    ok = (
+        spec0 == {"start": 1000, "step": 3, "high": 997}
+        and n_ids == n_all
+        and n_all > n1
+        and n_beyond_wm1 == n_all - n1
+        and conforming == n_all
+        and refused
+        and "GENERATED ALWAYS AS IDENTITY (START WITH 1000 INCREMENT BY 3)"
+        in show
+        and wm2 == max_id
+    )
+    return (
+        head.where(F.lit(ok))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _versioned_manifest_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segmented manifests certified (operators/manifest.py — the
     Iceberg manifest-list pattern, VERDICT r8 #3): commits write a
@@ -5819,7 +5921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_grading_window.py; VERDICT r14 ask #1): the 16
     # R15_QUEUE keys lead (last driver-graded r11 — 4 rounds old),
     # then any keys NEW in r15 slot in after that head, then the
-    # oldest r12-greens fill the window to 50. The 16 r12-greens
+    # oldest r12-greens fill the window to 50. The 19 r12-greens
     # that do not fit form the R16_QUEUE at the dict tail and must
     # lead the r16 window. Keep this paragraph in sync with
     # tests/test_grading_window.py — window planning is done from
@@ -5851,6 +5953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW in r15 (SQL DDL surface — operators/sqldml.py):
         "sql_partition_evolution": _sql_partition_evolution,
         "sql_deep_clone": _sql_deep_clone,
+        "sql_identity_columns": _sql_identity_columns,
         # oldest r12-greens (record turns 3 rounds old at r15
         # close; the tail of this block rotates out as NEW r15 keys
         # slot in above):
@@ -5885,7 +5988,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_rich_customers": _q22,
         "q7_nation_trade": _q7,
         "q8_market_share": _q8,
-        "q9_product_profit": _q9,
         # ------- middle: keys with a driver-green record in
         # CORRECTNESS_r13 or r14 (freshest records; the rotation
         # returns to them after the r12 block) -----------------------
@@ -5989,10 +6091,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "versioned_incremental_read": _versioned_incremental_read,
         "versioned_overwrite_refresh": _versioned_overwrite_refresh,
         "importance_sampling": _importance_sampling,
-        # -- R16_QUEUE: the 16 r12-greens that did not fit the r15
+        # -- R16_QUEUE: the 19 r12-greens that did not fit the r15
         # window — they MUST lead the r16 window (their record turns
         # 4 rounds old at r15 close; pinned by tests/
         # test_grading_window.py) ------------------------------------
+        "q9_product_profit": _q9,
         "q11_important_parts": _q11,
         "q13_order_distribution": _q13,
         "q15_top_supplier": _q15,
@@ -8437,6 +8540,23 @@ def oracle_sql() -> dict[str, str]:
         FROM events
         WHERE event_id % 8 = 1 AND event_id % 5 <> 0
         GROUP BY event_type ORDER BY event_type
+    """
+    # the ids are partition-layout-dependent BY DESIGN (per-partition
+    # range allocation); the uniqueness/monotonicity/conformance/
+    # refusal/roundtrip gates are in-plan — the oracle certifies the
+    # carried data columns
+    d["sql_identity_columns"] = """
+        WITH u AS (
+            SELECT event_id, event_type, value
+            FROM events WHERE event_id % 6 = 1
+            UNION ALL
+            SELECT event_id, event_type, value
+            FROM events WHERE event_id % 6 = 4
+        )
+        SELECT event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM u GROUP BY event_type ORDER BY event_type
     """
     d["sql_insert_alter"] = """
         WITH u AS (

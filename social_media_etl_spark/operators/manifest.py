@@ -106,6 +106,9 @@ SUPPORTED_FEATURES = frozenset(
         "constraints",
         # generated columns: writers must compute/validate them
         "generated",
+        # GENERATED ALWAYS AS IDENTITY: writers must allocate
+        # monotonic ids and advance the per-column high watermark
+        "identity",
     }
 )
 
@@ -411,6 +414,7 @@ class VersionedTable:
         column silently diverge from its expression. Delta recomputes
         instead; refusing is the safe subset — rewrite the row via
         MERGE insert / append, or drop the generation first."""
+        self._refuse_identity_assignment(ptr, assigned, op)
         gen = ptr.get("generated") or {}
         if not gen:
             return
@@ -432,6 +436,112 @@ class VersionedTable:
                     "the generation invariant — delete+re-insert the "
                     "rows, or drop the generated column first"
                 )
+
+    @staticmethod
+    def _refuse_identity_assignment(
+        ptr: dict, assigned: set[str], op: str
+    ) -> None:
+        ids = ptr.get("identity") or {}
+        direct = assigned & set(ids)
+        if direct:
+            raise ValueError(
+                f"VersionedTable.{op}: column(s) {sorted(direct)} are "
+                "GENERATED ALWAYS AS IDENTITY — values are allocated "
+                "by the engine; they cannot be assigned"
+            )
+
+    @staticmethod
+    def _validate_identity(
+        identity: dict, columns: list[str], generated: dict | None
+    ) -> None:
+        """CREATE/REPLACE-time validation of an identity declaration:
+        ``{col: {"start": int, "step": int}}`` — the column must be
+        declared (bigint, checked by the caller against the schema),
+        the step nonzero, and the column must not also be GENERATED
+        ALWAYS AS (expr)."""
+        for col, spec in identity.items():
+            if col not in columns:
+                raise ValueError(
+                    f"VersionedTable: identity column {col!r} not in "
+                    f"the table schema {columns}"
+                )
+            if int(spec.get("step", 1)) == 0:
+                raise ValueError(
+                    f"VersionedTable: identity column {col!r} has "
+                    "INCREMENT BY 0 — the sequence would never advance"
+                )
+            if generated and col in generated:
+                raise ValueError(
+                    f"VersionedTable: column {col!r} cannot be both "
+                    "GENERATED ALWAYS AS (expr) and IDENTITY"
+                )
+
+    def _alloc_identity(
+        self, df: DataFrame, id_map: dict | None, allow_present: bool = False
+    ) -> tuple[DataFrame, list[str]]:
+        """GENERATED ALWAYS AS IDENTITY allocation (r15, VERDICT r14
+        #7 — Delta's identity columns): for each identity column the
+        ingest OMITS, allocate ``watermark + step * (mid + 1)`` where
+        ``mid`` is ``monotonically_increasing_id()`` — per-partition
+        id blocks, the Delta/Snowflake reserve-a-range pattern: NO
+        global sort, NO shuffle, NO driver loop; ids are unique and
+        monotone within each commit and strictly beyond every earlier
+        commit's watermark, at the price of GAPS between partition
+        blocks (Delta documents the same). An ingest that SUPPLIES
+        the column refuses — ALWAYS means the engine owns the values
+        (``allow_present`` admits the zero-row declared-schema frame
+        CREATE TABLE builds). Returns (df, allocated column names);
+        the commit path derives the new watermark from the written
+        files' stats and records it in the manifest."""
+        if not id_map:
+            return df, []
+        allocated: list[str] = []
+        for col, spec in id_map.items():
+            if col in df.columns:
+                if allow_present and df.isEmpty():
+                    continue
+                raise ValueError(
+                    f"VersionedTable: column {col!r} is GENERATED "
+                    "ALWAYS AS IDENTITY — omit it from the ingest; "
+                    "values are allocated by the engine"
+                )
+            df = df.withColumn(
+                col,
+                (
+                    F.lit(int(spec["high"]))
+                    + F.lit(int(spec["step"]))
+                    * (F.monotonically_increasing_id() + F.lit(1))
+                ).cast("bigint"),
+            )
+            allocated.append(col)
+        return df, allocated
+
+    def _identity_watermark(
+        self, files: list[str], id_map: dict, allocated: list[str]
+    ) -> dict:
+        """Post-write watermark: one narrow column aggregate over the
+        COMMIT's own files (never the table) — max for ascending
+        sequences, min for descending."""
+        if not files or not allocated:
+            return {}
+        df = self.spark.read.parquet(*files)
+        aggs = [
+            (
+                F.max(c) if int(id_map[c]["step"]) > 0 else F.min(c)
+            ).alias(c)
+            for c in allocated
+        ]
+        row = df.agg(*aggs).collect()[0]
+        return {c: int(row[c]) for c in allocated if row[c] is not None}
+
+    @staticmethod
+    def _bump_identity(
+        base_map: dict, marks: dict
+    ) -> dict:
+        out = {k: dict(v) for k, v in (base_map or {}).items()}
+        for col, high in marks.items():
+            out[col]["high"] = high
+        return out
 
     @staticmethod
     def _add_feature(m: dict, name: str) -> dict:
@@ -1428,6 +1538,7 @@ class VersionedTable:
         bloom_bits: int = 2048,
         bloom_hashes: int = 3,
         generated: dict[str, str] | None = None,
+        identity: dict[str, dict] | None = None,
     ) -> "VersionedTable":
         """``stats_cols`` records per-file min/max in the manifest for
         :meth:`read_where` data skipping — numeric, string, and
@@ -1473,6 +1584,33 @@ class VersionedTable:
                         "expressions may only use regular columns"
                     )
             df = cls._apply_generated(df, generated)
+        id_map: dict[str, dict] = {}
+        id_alloc: list[str] = []
+        if identity:
+            # GENERATED ALWAYS AS IDENTITY (r15 — Delta identity
+            # columns): {col: {"start": s, "step": i}}; the column is
+            # engine-owned BIGINT. "high" records the watermark the
+            # next allocation continues from (start - step ⇒ the
+            # first id is exactly start).
+            cls._validate_identity(
+                identity,
+                sorted(set(df.columns) | set(identity)),
+                generated,
+            )
+            for col, spec in identity.items():
+                s, i = int(spec.get("start", 1)), int(spec.get("step", 1))
+                id_map[col] = {"start": s, "step": i, "high": s - i}
+                if col in df.columns and (
+                    df.schema[col].dataType.simpleString() != "bigint"
+                ):
+                    raise ValueError(
+                        f"VersionedTable.create: identity column "
+                        f"{col!r} must be BIGINT, got "
+                        f"{df.schema[col].dataType.simpleString()}"
+                    )
+            df, id_alloc = t._alloc_identity(
+                df, id_map, allow_present=True
+            )
         cls._check_reserved_names(df.columns, "create")
         bucket = None
         if bucket_by is not None:
@@ -1527,6 +1665,15 @@ class VersionedTable:
             # ingest omits the column, validated in-plan when it
             # supplies one; carried by every commit (_carry_mapping)
             "generated": generated or {},
+            # GENERATED ALWAYS AS IDENTITY specs + per-column high
+            # watermark (r15): advanced by every allocating commit,
+            # carried by the rest (_carry_mapping)
+            "identity": cls._bump_identity(
+                id_map,
+                t._identity_watermark(files, id_map, id_alloc),
+            )
+            if id_map
+            else {},
             # name→field-id indirection (VERDICT r9 #4, the Iceberg/
             # Delta column-mapping substrate): ids are assigned once
             # here, survive renames (the id keeps its identity, the
@@ -1545,6 +1692,7 @@ class VersionedTable:
                 + (["bucket"] if bucket else [])
                 + (["constraints"] if constraints else [])
                 + (["generated"] if generated else [])
+                + (["identity"] if id_map else [])
             ),
         }
         if segmented:
@@ -1607,6 +1755,7 @@ class VersionedTable:
             "features",
             "properties",
             "generated",
+            "identity",
         ):
             if base.get(k):
                 m[k] = base[k]
@@ -1912,17 +2061,44 @@ class VersionedTable:
         manifest write."""
         parent = self.head_version()
         _ptr0 = self._read_pointer(parent)
+        id_map = _ptr0.get("identity") or {}
+        df, id_alloc = self._alloc_identity(df, id_map)
+        if id_alloc:
+            # allocation appends the column; restore the table's
+            # declared column order for the written files
+            tbl = self._manifest_schema(_ptr0)
+            if tbl is not None:
+                order = [f.name for f in tbl.fields if f.name in df.columns]
+                order += [c for c in df.columns if c not in order]
+                df = df.select(*order)
         df = self._apply_generated(df, _ptr0.get("generated"))
         sch = self._check_schema(df, parent)
         partition_by = _ptr0.get("partition_by")
         bucket_by = _ptr0.get("bucket_by")
         files = self._write_data(df, parent + 1, partition_by, bucket_by)
+        id_marks = (
+            self._identity_watermark(files, id_map, id_alloc)
+            if id_alloc
+            else {}
+        )
         new_parts = None
         new_stats = None
         new_segs = None
         new_checked = False
         for _ in range(max_retries):
             base = self._read_pointer(parent)
+            if id_alloc and (base.get("identity") or {}) != id_map:
+                # a raced commit advanced the identity watermark: the
+                # staged files carry ids allocated from the STALE
+                # watermark and could collide with the winner's —
+                # refuse the rebase; a re-run reallocates from the
+                # new head (uniqueness over convenience, the Delta
+                # identity-conflict behavior)
+                raise ConcurrentWriteError(
+                    "VersionedTable: append raced a commit that "
+                    "advanced the identity watermark; the staged ids "
+                    "are stale — re-run"
+                )
             # a raced writer may have changed the PARTITION SPEC (an
             # overwrite(replace_schema=True) can drop the partition
             # column); our files are already laid out under the stale
@@ -1956,6 +2132,8 @@ class VersionedTable:
                 "constraints": base.get("constraints") or {},
             }
             m = self._carry_mapping(m, base)
+            if id_marks:
+                m["identity"] = self._bump_identity(id_map, id_marks)
             if base.get("delete_vectors"):
                 # new files carry no deleted rows; existing vectors
                 # still apply to the files they were cut for
@@ -2085,6 +2263,13 @@ class VersionedTable:
         from pyspark.sql import functions as F
 
         parent = self.head_version()
+        if self._read_pointer(parent).get("identity"):
+            raise ValueError(
+                "VersionedTable.upsert: table has GENERATED ALWAYS "
+                "AS IDENTITY column(s) — upsert cannot allocate ids; "
+                "ingest via append/INSERT INTO, or create the table "
+                "without IDENTITY"
+            )
         current = self.read(parent)
         df = self._apply_generated(
             df, self._read_pointer(parent).get("generated")
@@ -2496,6 +2681,7 @@ class VersionedTable:
         generated: dict[str, str] | None = None,
         constraints: dict[str, str] | None = None,
         properties: dict[str, str] | None = None,
+        identity: dict[str, dict] | None = None,
     ) -> int:
         """Transactional truncate-and-load (the reference's K4 on the
         versioned layer): replace the table contents as ONE atomic
@@ -2537,14 +2723,47 @@ class VersionedTable:
             or generated is not None
             or constraints is not None
             or properties is not None
+            or identity is not None
         ):
             raise ValueError(
                 "VersionedTable.overwrite: partition_by / generated / "
-                "constraints / properties redefine the table — they "
-                "require replace_schema=True"
+                "constraints / properties / identity redefine the "
+                "table — they require replace_schema=True"
             )
         if properties is not None:
             self._validate_properties(properties)
+        id_map: dict[str, dict] = {}
+        id_alloc: list[str] = []
+        if replace_schema:
+            if identity:
+                # REPLACE declares a NEW identity contract (create's
+                # semantics); omitted = the old map drops with the
+                # rest of the old schema, like generated
+                self._validate_identity(
+                    identity,
+                    sorted(set(df.columns) | set(identity)),
+                    generated,
+                )
+                for col, spec in identity.items():
+                    s = int(spec.get("start", 1))
+                    i = int(spec.get("step", 1))
+                    id_map[col] = {"start": s, "step": i, "high": s - i}
+                df, id_alloc = self._alloc_identity(
+                    df, id_map, allow_present=True
+                )
+        else:
+            id_map = self._read_pointer(parent).get("identity") or {}
+            # a truncate-and-load CONTINUES the sequence from the
+            # watermark — ids are never reused (Delta's contract)
+            df, id_alloc = self._alloc_identity(df, id_map)
+            if id_alloc:
+                tbl = self._manifest_schema(self._read_pointer(parent))
+                if tbl is not None:
+                    order = [
+                        f.name for f in tbl.fields if f.name in df.columns
+                    ]
+                    order += [c for c in df.columns if c not in order]
+                    df = df.select(*order)
         if not replace_schema:
             # replace_schema redefines the table, dropping the
             # generation contract with the rest of the old schema;
@@ -2692,6 +2911,13 @@ class VersionedTable:
                 self._add_feature(m, "generated")
             if constraints:
                 self._add_feature(m, "constraints")
+            m.pop("identity", None)
+            if id_map:
+                m["identity"] = self._bump_identity(
+                    id_map,
+                    self._identity_watermark(files, id_map, id_alloc),
+                )
+                self._add_feature(m, "identity")
             if properties is not None:
                 # the REPLACE lands as ONE commit: the declared
                 # property map rides the same CAS as the data swap,
@@ -2701,6 +2927,11 @@ class VersionedTable:
                     m["properties"] = dict(properties)
                 else:
                     m.pop("properties", None)
+        elif id_alloc:
+            m["identity"] = self._bump_identity(
+                id_map,
+                self._identity_watermark(files, id_map, id_alloc),
+            )
         if cdc_dir:
             m["cdc"] = cdc_dir
         stats = parts = None
@@ -3331,6 +3562,18 @@ class VersionedTable:
             self._read_pointer(self.head_version()).get("generated") or {}
         )
 
+    def identity_columns(self) -> dict[str, dict]:
+        """The table's GENERATED ALWAYS AS IDENTITY specs (column →
+        ``{"start", "step", "high"}``) as of the head — ``high`` is
+        the watermark the next allocation continues from."""
+        return {
+            k: dict(v)
+            for k, v in (
+                self._read_pointer(self.head_version()).get("identity")
+                or {}
+            ).items()
+        }
+
     def set_properties(
         self, props: dict[str, str], txn: str | None = None
     ) -> int:
@@ -3774,6 +4017,11 @@ class VersionedTable:
                 )
         if old in gen:
             gen[new] = gen.pop(old)
+        ids = {k: dict(v) for k, v in (ptr.get("identity") or {}).items()}
+        if old in ids:
+            # the sequence follows the column: spec and watermark move
+            # with the new name
+            ids[new] = ids.pop(old)
         merged = T.StructType(
             [
                 T.StructField(
@@ -3824,6 +4072,8 @@ class VersionedTable:
                 "generated": gen,
             }
         )
+        if ptr.get("identity"):
+            m["identity"] = ids
         bk = m.get("bucket_by")
         if bk and bk.get("col") == old:
             # bucket hashing is value-based — the spec just tracks the
@@ -3923,6 +4173,10 @@ class VersionedTable:
                     "generated column first"
                 )
         gen.pop(name, None)
+        drop_ids = {
+            k: dict(v) for k, v in (ptr.get("identity") or {}).items()
+        }
+        drop_ids.pop(name, None)
         merged = T.StructType([f for f in schema.fields if f.name != name])
         aliases = {k: list(v) for k, v in (ptr.get("aliases") or {}).items()}
         tombstones = {name} | set(aliases.pop(name, []))
@@ -3961,6 +4215,12 @@ class VersionedTable:
                 "generated": gen,
             }
         )
+        if ptr.get("identity"):
+            # dropping the identity column retires its sequence
+            if drop_ids:
+                m["identity"] = drop_ids
+            else:
+                m.pop("identity", None)
         # readers must honor dropped_phys or resurrect the column from
         # old footers — gate them (protocol feature, r12)
         self._add_feature(m, "column_mapping")
@@ -5314,6 +5574,18 @@ class VersionedTable:
                             )
         parent = self.head_version()
         ptr = self._read_pointer(parent)
+        if ptr.get("identity"):
+            # declared boundary (r15): MERGE inserts would need
+            # in-clause id allocation + watermark CAS; the supported
+            # ingest paths for identity tables are append / INSERT
+            # INTO / COPY INTO / overwrite, which all allocate
+            raise ValueError(
+                "VersionedTable.merge: table has GENERATED ALWAYS AS "
+                f"IDENTITY column(s) {sorted(ptr['identity'])} — "
+                "MERGE does not allocate identity values; ingest via "
+                "append/INSERT INTO, or create the table without "
+                "IDENTITY"
+            )
         base = self._resolve(ptr)
         schema = self._manifest_schema(base)
         if schema is None:

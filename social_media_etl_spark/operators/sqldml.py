@@ -69,7 +69,9 @@ Catalyst SQL)::
     CREATE TABLE <name> SHALLOW CLONE <src> [VERSION AS OF <n>]
         LOCATION '<path>'
     CREATE [OR REPLACE] TABLE <name> (col type [NOT NULL]
-        [GENERATED ALWAYS AS (<expr>)] [, ...]) USING versioned
+        [GENERATED ALWAYS AS (<expr>)
+         | GENERATED ALWAYS AS IDENTITY
+           [(START WITH <s> INCREMENT BY <i>)]] [, ...]) USING versioned
         LOCATION '<path>' [PARTITIONED BY (col [, ...])]
         [TBLPROPERTIES ('k'='v' [, ...])]
     CREATE [OR REPLACE] TABLE <name> USING versioned LOCATION '<path>'
@@ -987,7 +989,10 @@ _CT_AS = re.compile(r"\s*AS\b", re.IGNORECASE)
 _COLDEF = re.compile(
     rf"^\s*({_NAME})\s+(.+?)"
     rf"(?:\s+(?P<nn>NOT\s+NULL))?"
-    rf"(?:\s+GENERATED\s+ALWAYS\s+AS\s*\((?P<gen>.*)\))?\s*$",
+    rf"(?:\s+GENERATED\s+ALWAYS\s+AS\s+(?:(?P<ident>IDENTITY)"
+    rf"(?:\s*\(\s*START\s+WITH\s+(?P<idstart>-?\d+)\s+INCREMENT\s+BY"
+    rf"\s+(?P<idstep>-?\d+)\s*\))?"
+    rf"|\((?P<gen>.*)\)))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -1008,10 +1013,12 @@ def _balanced_span(masked: str, start: int) -> int:
 
 def _parse_column_defs(
     spark: SparkSession, cols_masked: str, cols_real: str
-) -> tuple[list, dict[str, str], dict[str, str]]:
-    """``col type [NOT NULL] [GENERATED ALWAYS AS (<expr>)] [, ...]``
-    → (ordered [(name, DataType, gen_expr|None)], {gen_col: expr},
-    {constraint_name: check_expr}). Types parse through Spark's own
+) -> tuple[list, dict[str, str], dict[str, str], dict[str, dict]]:
+    """``col type [NOT NULL] [GENERATED ALWAYS AS (<expr>) |
+    GENERATED ALWAYS AS IDENTITY [(START WITH s INCREMENT BY i)]]
+    [, ...]`` → (ordered [(name, DataType, gen_expr|None)],
+    {gen_col: expr}, {constraint_name: check_expr},
+    {identity_col: {"start", "step"}}). Types parse through Spark's own
     DDL parser, so every Catalyst type works; a generated column's
     DECLARED type must equal the type its expression computes over
     the other columns — declaring a different one would make the very
@@ -1025,6 +1032,7 @@ def _parse_column_defs(
     defs = []
     gen: dict[str, str] = {}
     constraints: dict[str, str] = {}
+    identity: dict[str, dict] = {}
     for part in _split_top(cols_masked, cols_real):
         pm = _mask(part)
         m = _COLDEF.match(pm)
@@ -1032,7 +1040,8 @@ def _parse_column_defs(
             raise ValueError(
                 "CREATE TABLE: cannot parse column definition "
                 f"{part.strip()!r} — expected 'name type [NOT NULL] "
-                "[GENERATED ALWAYS AS (<expr>)]'"
+                "[GENERATED ALWAYS AS (<expr>) | GENERATED ALWAYS AS "
+                "IDENTITY [(START WITH s INCREMENT BY i)]]'"
             )
         cname = m.group(1)
         ctype = part[m.start(2) : m.end(2)].strip()
@@ -1055,9 +1064,22 @@ def _parse_column_defs(
         defs.append((cname, dtype, gexpr))
         if gexpr is not None:
             gen[cname] = gexpr
+        if m.group("ident"):
+            # Delta's GENERATED ALWAYS AS IDENTITY: engine-owned
+            # monotonic BIGINT sequence; defaults START WITH 1
+            # INCREMENT BY 1
+            if dtype.simpleString() != "bigint":
+                raise ValueError(
+                    f"CREATE TABLE: identity column {cname!r} must be "
+                    f"BIGINT, got {dtype.simpleString()}"
+                )
+            identity[cname] = {
+                "start": int(m.group("idstart") or 1),
+                "step": int(m.group("idstep") or 1),
+            }
         if m.group("nn"):
             constraints[f"{cname}_not_null"] = f"{cname} IS NOT NULL"
-    return defs, gen, constraints
+    return defs, gen, constraints, identity
 
 
 def _run_create_versioned(spark, query, masked, tables) -> DataFrame:
@@ -1173,10 +1195,11 @@ def _run_create_versioned(spark, query, masked, tables) -> DataFrame:
         )
     gen: dict[str, str] = {}
     constraints: dict[str, str] = {}
+    identity: dict[str, dict] = {}
     if body is not None:
         df = spark.sql(body)
     elif cols_masked is not None:
-        defs, gen, constraints = _parse_column_defs(
+        defs, gen, constraints, identity = _parse_column_defs(
             spark, cols_masked, cols_real
         )
         nongen = T.StructType(
@@ -1247,6 +1270,7 @@ def _run_create_versioned(spark, query, masked, tables) -> DataFrame:
             generated=gen or None,
             constraints=constraints,
             properties=props,
+            identity=identity or None,
         )
         op = "replace"
     else:
@@ -1269,6 +1293,7 @@ def _run_create_versioned(spark, query, masked, tables) -> DataFrame:
             partition_by=pb if pb else None,
             generated=gen or None,
             constraints=constraints or None,
+            identity=identity or None,
         )
         if props:
             t.set_properties(props)
@@ -1338,7 +1363,10 @@ def run_dml(
         t = _resolve_table(spark, tables, name, "INSERT")
         src = spark.sql(query[m.start("body") :])
         schema = t.read().schema
-        gen = t.generated_columns()
+        gen = dict(t.generated_columns())
+        # identity columns behave like generated for arity/refusal:
+        # the engine allocates them, an INSERT may never supply them
+        gen.update({c: "IDENTITY" for c in t.identity_columns()})
         if m.group("cols"):
             cols = [
                 c.strip()
@@ -1587,6 +1615,7 @@ def run_dml(
             ptr = t._read_pointer(t.head_version())
             schema = t.read().schema
             gen = ptr.get("generated") or {}
+            idcols = ptr.get("identity") or {}
             cons = dict(ptr.get("constraints") or {})
             col_lines = []
             for f in schema.fields:
@@ -1600,6 +1629,12 @@ def run_dml(
                     cons.pop(nn)
                 if f.name in gen:
                     line += f" GENERATED ALWAYS AS ({gen[f.name]})"
+                if f.name in idcols:
+                    spec = idcols[f.name]
+                    line += (
+                        " GENERATED ALWAYS AS IDENTITY (START WITH "
+                        f"{spec['start']} INCREMENT BY {spec['step']})"
+                    )
                 col_lines.append(line)
             stmt = (
                 f"CREATE TABLE {m.group(1)} (\n"

@@ -49,6 +49,7 @@ R15_HEAD = [
 R15_NEW: list[str] = [
     "sql_partition_evolution",
     "sql_deep_clone",
+    "sql_identity_columns",
 ]
 
 # Then the oldest r12-greens in their standing dict order (their
@@ -85,16 +86,16 @@ R15_R12_BLOCK = [
     "q22_idle_rich_customers",
     "q7_nation_trade",
     "q8_market_share",
-    "q9_product_profit",
 ]
 
 R15_WINDOW = R15_HEAD + R15_NEW + R15_R12_BLOCK
 assert len(R15_WINDOW) == 50
 
-# The 16 r12-greens that did not fit the r15 window: their record
+# The r12-greens that did not fit the r15 window: their record
 # turns 4 rounds old at r15 close, so they MUST lead the r16 window.
 # Kept at the very end of the dict, ready to rotate.
 R16_QUEUE = [
+    "q9_product_profit",
     "q11_important_parts",
     "q13_order_distribution",
     "q15_top_supplier",
