@@ -266,6 +266,7 @@ def main() -> None:
     bloom_lookup_probe(spark, events)
     restore_clone_probe(spark, events)
     mor_merge_probe(spark, events)
+    ddl_replace_analyze_probe(spark, events)
     codec_probe(spark, mult)
 
 
@@ -1114,3 +1115,86 @@ def zipf_skew_probe(spark, events) -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def ddl_replace_analyze_probe(spark, events) -> None:
+    """r15 (VERDICT r14 #4): the new DDL surface at volume.
+
+    (a) CREATE OR REPLACE on a ~5,000-file table: the REPLACE commit
+    must cost O(new files) — the old 5,000 files are simply no longer
+    referenced by the new pointer; nothing iterates them. Measured
+    against the same REPLACE on a 50-file table: the wall-clock ratio
+    must stay small (metadata is not proportional to the REPLACED
+    table's file count; mirrors the r11 restore/clone probes).
+
+    (b) ANALYZE TABLE stats+bloom backfill at the inflated volume:
+    one distributed footer/column pass over the table's files; the
+    backfilled index must actually prune afterwards."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from social_media_etl_spark.operators.manifest import VersionedTable
+
+    d = tempfile.mkdtemp(prefix="smetl_stress_ddl_")
+    try:
+        base = events.select("event_id", "event_type", "value")
+        small = base.limit(1000).coalesce(2)
+
+        def replace_time(path, n_shards):
+            t = VersionedTable.create(
+                spark, path, base.repartition(n_shards)
+            )
+            n_before = t._read_manifest(0)["files"]
+            t0 = time.time()
+            t.overwrite(
+                small,
+                replace_schema=True,
+                partition_by=None,
+                properties={"replaced": "true"},
+            )
+            sec = time.time() - t0
+            n_after = t._read_manifest(t.head_version())["files"]
+            assert len(n_after) <= 4 and len(n_before) == n_shards
+            assert t.properties() == {"replaced": "true"}
+            return sec
+
+        big_s = replace_time(f"{d}/big", 5000)
+        small_s = replace_time(f"{d}/small", 50)
+        print(
+            json.dumps(
+                {
+                    "probe": "replace_5000_files",
+                    "replace_on_5000_files_s": round(big_s, 2),
+                    "replace_on_50_files_s": round(small_s, 2),
+                    "ratio": round(big_s / max(small_s, 1e-9), 2),
+                }
+            )
+        )
+        # (b) ANALYZE backfill at volume: create WITHOUT any index,
+        # then backfill stats + bloom on the key and prove pruning
+        t = VersionedTable.create(
+            spark,
+            f"{d}/an",
+            base.sortWithinPartitions("event_id").repartition(
+                64, F.col("event_id")
+            ),
+        )
+        t0 = time.time()
+        t.analyze(stats_cols=["event_id"], bloom_cols=["event_id"])
+        analyze_s = time.time() - t0
+        kept, total = t.pruned_file_count("event_id", 7, 7)
+        assert kept < total
+        print(
+            json.dumps(
+                {
+                    "probe": "analyze_backfill",
+                    "n_files": total,
+                    "analyze_s": round(analyze_s, 2),
+                    "point_lookup_kept_files": kept,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
