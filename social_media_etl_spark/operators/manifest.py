@@ -538,9 +538,15 @@ class VersionedTable:
     def _bump_identity(
         base_map: dict, marks: dict
     ) -> dict:
+        """Advance watermarks OUTWARD only — a commit whose files
+        top out below the current watermark (e.g. a merge that
+        rewrote rows but inserted none) must not move it backward."""
         out = {k: dict(v) for k, v in (base_map or {}).items()}
         for col, high in marks.items():
-            out[col]["high"] = high
+            step = int(out[col]["step"])
+            cur = int(out[col]["high"])
+            if (step > 0 and high > cur) or (step < 0 and high < cur):
+                out[col]["high"] = high
         return out
 
     @staticmethod
@@ -5574,18 +5580,41 @@ class VersionedTable:
                             )
         parent = self.head_version()
         ptr = self._read_pointer(parent)
-        if ptr.get("identity"):
-            # declared boundary (r15): MERGE inserts would need
-            # in-clause id allocation + watermark CAS; the supported
-            # ingest paths for identity tables are append / INSERT
-            # INTO / COPY INTO / overwrite, which all allocate
-            raise ValueError(
-                "VersionedTable.merge: table has GENERATED ALWAYS AS "
-                f"IDENTITY column(s) {sorted(ptr['identity'])} — "
-                "MERGE does not allocate identity values; ingest via "
-                "append/INSERT INTO, or create the table without "
-                "IDENTITY"
+        id_map = {
+            k: dict(v) for k, v in (ptr.get("identity") or {}).items()
+        }
+        if id_map and when_not_matched_insert is not None:
+            # identity + MERGE (r15): inserts ALLOCATE ids exactly
+            # like append — the source may never supply them
+            # (GENERATED ALWAYS), and merging ON an identity column
+            # with an insert clause is contradictory (an unmatched
+            # row's key would have to be engine-allocated, so it
+            # could never have matched anything)
+            keyed = sorted(set(on) & set(id_map))
+            if keyed:
+                raise ValueError(
+                    "VersionedTable.merge: merging ON identity "
+                    f"column(s) {keyed} with an insert clause is "
+                    "contradictory — the engine allocates those "
+                    "values, so an unmatched source row cannot carry "
+                    "one; drop the insert clause (update/delete-only "
+                    "merges may key on identity) or merge on a "
+                    "natural key"
+                )
+            supplied = sorted(
+                set(source.columns) & set(id_map)
+                if when_not_matched_insert == "*"
+                else set(when_not_matched_insert) & set(id_map)
+                if isinstance(when_not_matched_insert, dict)
+                else set()
             )
+            if supplied:
+                raise ValueError(
+                    "VersionedTable.merge: insert supplies GENERATED "
+                    f"ALWAYS AS IDENTITY column(s) {supplied} — the "
+                    "engine allocates them; project them out of the "
+                    "source / omit them from the insert list"
+                )
         base = self._resolve(ptr)
         schema = self._manifest_schema(base)
         if schema is None:
@@ -5993,11 +6022,24 @@ class VersionedTable:
                             F.lit(False),
                         )
                     )
+                def _id_alloc_expr(name):
+                    # identity allocation for MERGE inserts (r15):
+                    # the same per-partition-range formula append
+                    # uses, evaluated over the unmatched-source frame
+                    spec = id_map[name]
+                    return (
+                        F.lit(int(spec["high"]))
+                        + F.lit(int(spec["step"]))
+                        * (F.monotonically_increasing_id() + F.lit(1))
+                    ).cast("bigint")
+
                 if when_not_matched_insert == "*":
                     src_cols = set(source.columns)
                     ins_exprs = {
                         f.name: (
-                            F.col(f"s.{f.name}")
+                            _id_alloc_expr(f.name)
+                            if f.name in id_map
+                            else F.col(f"s.{f.name}")
                             if f.name in src_cols
                             else F.lit(None)
                         )
@@ -6012,7 +6054,9 @@ class VersionedTable:
                         )
                     ins_exprs = {
                         f.name: (
-                            F.expr(when_not_matched_insert[f.name])
+                            _id_alloc_expr(f.name)
+                            if f.name in id_map
+                            else F.expr(when_not_matched_insert[f.name])
                             if f.name in when_not_matched_insert
                             else F.lit(None)
                         )
@@ -6173,6 +6217,16 @@ class VersionedTable:
                 joined_cache.unpersist()
             raise
         stats_cols = base.get("stats_cols") or []
+        id_alloc_cols = (
+            sorted(id_map)
+            if id_map and when_not_matched_insert is not None
+            else []
+        )
+        id_marks = (
+            self._identity_watermark(new_files, id_map, id_alloc_cols)
+            if id_alloc_cols and new_files
+            else {}
+        )
         new_stats = (
             self._collect_stats(new_files, stats_cols, base.get("bloom"))
             if "segments" not in ptr
@@ -6262,6 +6316,10 @@ class VersionedTable:
                     **new_parts,
                 }
             m = self._carry_mapping(m, base)
+            if id_marks:
+                m["identity"] = self._bump_identity(
+                    ptr.get("identity") or id_map, id_marks
+                )
             if mor and dv_dir:
                 self._add_feature(m, "dv")
             if cdc_dir:
@@ -6314,6 +6372,12 @@ class VersionedTable:
                 dv_touched if mor else touched,
                 _stale_if_key_match,
             )
+            if id_alloc_cols and (ptr.get("identity") or {}) != id_map:
+                raise ConcurrentWriteError(
+                    "VersionedTable: merge raced a commit that "
+                    "advanced the identity watermark; the staged "
+                    "inserted ids are stale — re-run"
+                )
             kept_files = [f for f in base["files"] if f not in touched]
         raise ConcurrentWriteError(
             "VersionedTable: merge lost 10 CAS races"

@@ -79,8 +79,11 @@ def test_identity_explicit_write_refused(spark, tmp_path):
     with pytest.raises(ValueError, match="IDENTITY"):
         t.update("v = 'a'", {"id": "1"})
     with pytest.raises(ValueError, match="IDENTITY"):
+        # an INSERT * source CARRYING the identity column refuses
         t.merge(
-            _vals(spark, "z"), on=["v"], when_not_matched_insert="*"
+            spark.createDataFrame([(5, "x")], "id long, v string"),
+            on=["v"],
+            when_not_matched_insert="*",
         )
     with pytest.raises(ValueError, match="IDENTITY"):
         t.upsert(
@@ -88,6 +91,56 @@ def test_identity_explicit_write_refused(spark, tmp_path):
             ["id"],
             ["id"],
         )
+
+
+def test_identity_merge_insert_allocates(spark, tmp_path):
+    """MERGE inserts allocate ids like append (Delta's identity +
+    MERGE contract): unique, beyond the pre-merge watermark, and the
+    watermark advances; matched updates leave existing ids alone."""
+    t = _mk_identity(spark, tmp_path)
+    t.append(_vals(spark, "a", "b"))
+    wm = t.identity_columns()["id"]["high"]
+    ids_before = {r["v"]: r["id"] for r in t.read().collect()}
+    src = spark.createDataFrame(
+        [("a", "A"), ("z", "Z")], "v string, tag string"
+    )
+    t.merge(
+        src.select("v"),
+        on=["v"],
+        when_matched_update={"v": "concat(t.v, '!')"},
+        when_not_matched_insert="*",
+    )
+    rows = {r["v"]: r["id"] for r in t.read().collect()}
+    assert set(rows) == {"a!", "b", "z"}
+    assert rows["a!"] == ids_before["a"]  # update kept the id
+    assert rows["b"] == ids_before["b"]
+    assert rows["z"] > wm  # insert allocated beyond the watermark
+    assert len(set(rows.values())) == 3
+    assert t.identity_columns()["id"]["high"] == max(rows.values())
+
+
+def test_identity_merge_key_refusals(spark, tmp_path):
+    """Merging ON the identity column with an insert clause is
+    contradictory and refuses; an update-only merge keyed on the
+    identity column is the standard surrogate-key update and works."""
+    t = _mk_identity(spark, tmp_path)
+    t.append(_vals(spark, "a", "b"))
+    ids = {r["v"]: r["id"] for r in t.read().collect()}
+    with pytest.raises(ValueError, match="contradictory"):
+        t.merge(
+            spark.createDataFrame([(ids["a"],)], "id long"),
+            on=["id"],
+            when_not_matched_insert="*",
+        )
+    v = t.merge(
+        spark.createDataFrame(
+            [(ids["a"], "a2")], "id long, v2 string"
+        ),
+        on=["id"],
+        when_matched_update={"v": "s.v2"},
+    )
+    assert v == t.head_version()
+    assert sorted(r["v"] for r in t.read().collect()) == ["a2", "b"]
 
 
 def test_identity_validation_refusals(spark, tmp_path):
