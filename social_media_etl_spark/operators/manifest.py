@@ -2628,7 +2628,7 @@ class VersionedTable:
                 continue
             if ptr.get("cdf") and op in (
                 "delete", "update", "merge", "upsert", "overwrite",
-                "restore",
+                "restore", "replace_where",
             ):
                 continue  # CDF-recorded commit that changed zero rows
             raise ValueError(
@@ -4823,6 +4823,234 @@ class VersionedTable:
             "VersionedTable: delete lost 10 CAS races"
         )
 
+    def overwrite_where(
+        self,
+        df: DataFrame,
+        predicate: str,
+        txn: str | None = None,
+        prune: list[tuple] | None = None,
+        verify_prune: bool = False,
+    ) -> int:
+        """Predicate-scoped transactional overwrite — Delta's
+        ``replaceWhere`` (r15): atomically replace EXACTLY the rows
+        where ``predicate`` is TRUE with ``df``, in ONE commit::
+
+            result = (table WHERE NOT predicate) UNION df
+
+        The partition-refresh staple: reload one day/region of a
+        100 TB table without touching the rest, with readers seeing
+        the old state or the new one, never a mix. File-granular like
+        :meth:`delete`: files with no matching row carry
+        byte-identical; touched files rewrite keeping their
+        NOT-predicate rows; ``df`` lands as new files (one clustered
+        write for both). ``prune`` narrows the find-scan with
+        predicate-implied range conjuncts exactly as in delete — a
+        date-partitioned reload plans a scan of one partition's
+        files, not the table.
+
+        REPLACEMENT-CONFORMANCE (the Delta replaceWhere contract):
+        every ``df`` row must itself satisfy ``predicate`` — rows
+        outside it would silently survive the next same-predicate
+        refresh; refused up front with a bounded probe. Generated
+        columns compute/validate on ``df``; identity columns
+        allocate; CHECK constraints validate on the written files;
+        CDF tables record delete-images for the replaced rows and
+        insert-images for ``df``. Concurrency follows delete's
+        file-granularity rules (commutes with appends and disjoint
+        rewrites; a winner adding predicate-matching rows, or
+        advancing an identity watermark this commit allocated from,
+        raises for a re-run). No-op calls (empty ``df`` AND no
+        matching rows) return the current version — no empty commits.
+
+        SQL form: ``INSERT INTO t REPLACE WHERE <pred> SELECT ...``.
+        Citation: Delta Lake DataFrameWriter ``replaceWhere`` option
+        / INSERT INTO ... REPLACE WHERE; the reference (825-LoC
+        Airflow ETL) has only the full truncate-and-load
+        (``users_etl.py:206-214``), which :meth:`overwrite` covers —
+        this is its partition-scoped refinement."""
+        parent = self.head_version()
+        ptr = self._read_pointer(parent)
+        base = self._resolve(ptr)
+        id_map = ptr.get("identity") or {}
+        df, id_alloc = self._alloc_identity(df, id_map)
+        df = self._apply_generated(df, ptr.get("generated"))
+        if id_alloc:
+            tbl = self._manifest_schema(ptr)
+            if tbl is not None:
+                order = [
+                    f.name for f in tbl.fields if f.name in df.columns
+                ]
+                order += [c for c in df.columns if c not in order]
+                df = df.select(*order)
+        sch = self._check_schema(df, parent)
+        # conformance probe (bounded: first violation only) — BEFORE
+        # any file is written
+        stray = (
+            df.filter(
+                ~F.coalesce(F.expr(predicate), F.lit(False))
+            )
+            .limit(1)
+            .count()
+        )
+        if stray:
+            raise ValueError(
+                "VersionedTable.overwrite_where: replacement rows "
+                f"must satisfy the predicate ({predicate!r}) — a row "
+                "outside it would silently survive the next "
+                "same-predicate refresh; filter the frame or widen "
+                "the predicate"
+            )
+        touched_files = self._touched_files(
+            base, predicate, prune, verify_prune
+        )
+        touched = set(touched_files)
+        kept_files = [f for f in base["files"] if f not in touched]
+        has_new = bool(df.limit(1).count())
+        if not touched_files and not has_new:
+            return parent
+        keep_rows = ~F.coalesce(F.expr(predicate), F.lit(False))
+        remaining = (
+            self._read_files(base, touched_files).filter(keep_rows)
+            if touched_files
+            else None
+        )
+        combined = (
+            remaining.unionByName(df, allowMissingColumns=True)
+            if remaining is not None
+            else df
+        )
+        cdc_dir = None
+        if base.get("cdf"):
+            removed = (
+                self._read_files(base, touched_files)
+                .filter(F.coalesce(F.expr(predicate), F.lit(False)))
+                .select("*", F.lit("delete").alias("_change_type"))
+                if touched_files
+                else None
+            )
+            cdc = df.select(
+                "*", F.lit("insert").alias("_change_type")
+            )
+            if removed is not None:
+                cdc = removed.unionByName(cdc, allowMissingColumns=True)
+            if cdc.limit(1).count():
+                cdc_dir = self._write_cdc(cdc, parent + 1)
+        partition_by = base.get("partition_by")
+        new_files = (
+            self._write_data(
+                combined, parent + 1, partition_by, base.get("bucket_by")
+            )
+            if combined.limit(1).count()
+            else []
+        )
+        id_marks = (
+            self._identity_watermark(new_files, id_map, id_alloc)
+            if id_alloc and new_files
+            else {}
+        )
+        stats_cols = base.get("stats_cols") or []
+        new_stats = (
+            self._collect_stats(new_files, stats_cols, base.get("bloom"))
+            if "segments" not in ptr
+            and (stats_cols or base.get("bloom"))
+            and new_files
+            else {}
+        )
+        new_parts = (
+            self._partition_values(new_files, partition_by)
+            if "segments" not in ptr and partition_by
+            else {}
+        )
+        new_segs = None
+        checked = False
+        for _ in range(10):
+            v = parent + 1
+            m = {
+                "version": v,
+                "parent": parent,
+                "op": "replace_where",
+                "predicate": predicate,
+                "schema": sch["schema"],
+                "schema_json": sch["schema_json"],
+                "mixed": bool(base.get("mixed")) or bool(sch["mixed"]),
+                "txn": txn,
+                "txns": self._txns_after(base, txn),
+                "stats_cols": base.get("stats_cols") or [],
+                "bloom": base.get("bloom"),
+                "partition_by": partition_by,
+                "constraints": base.get("constraints") or {},
+            }
+            m = self._carry_mapping(m, base)
+            if id_marks:
+                m["identity"] = self._bump_identity(
+                    ptr.get("identity") or id_map, id_marks
+                )
+            if cdc_dir:
+                m["cdc"] = cdc_dir
+            if base.get("delete_vectors"):
+                m["delete_vectors"] = base["delete_vectors"]
+            if "segments" in ptr:
+                segs = self._segments_without(ptr, touched)
+                if new_files:
+                    if new_segs is None:
+                        new_segs = self._build_segments(
+                            new_files,
+                            stats_cols,
+                            partition_by,
+                            base.get("bloom"),
+                        )
+                    segs.extend(new_segs)
+                m["segments"] = segs
+                m["n_files"] = len(kept_files) + len(new_files)
+            else:
+                kept_set = set(kept_files)
+                m["files"] = sorted(kept_files + new_files)
+                m["stats"] = {
+                    **{
+                        f: s
+                        for f, s in (base.get("stats") or {}).items()
+                        if f in kept_set
+                    },
+                    **new_stats,
+                }
+                m["parts"] = {
+                    **{
+                        f: p
+                        for f, p in (base.get("parts") or {}).items()
+                        if f in kept_set
+                    },
+                    **new_parts,
+                }
+            if not checked:
+                # the replacement rows are NEW — CHECK constraints
+                # must hold on them (remaining rows re-validate for
+                # free; they were already valid). New files carry no
+                # DVs.
+                self._check_constraints(
+                    new_files, {**m, "delete_vectors": []}
+                )
+                checked = True
+            if self._try_commit(m, v):
+                return v
+            parent, ptr, base = self._rebase_over_disjoint(
+                parent,
+                ptr,
+                base,
+                "replace_where",
+                touched,
+                self._stale_if_predicate_match(predicate),
+            )
+            if id_alloc and (ptr.get("identity") or {}) != id_map:
+                raise ConcurrentWriteError(
+                    "VersionedTable: replace_where raced a commit "
+                    "that advanced the identity watermark; the "
+                    "staged ids are stale — re-run"
+                )
+            kept_files = [f for f in base["files"] if f not in touched]
+        raise ConcurrentWriteError(
+            "VersionedTable: overwrite_where lost 10 CAS races"
+        )
+
     # commit ops a lost CAS race can rebase OVER: appends and
     # file-scoped rewrites. Table-wide replacements (overwrite,
     # upsert) and metadata commits that change what a predicate or
@@ -4831,7 +5059,17 @@ class VersionedTable:
     # analyze changes no file list and no rows — it always commutes
     # under rules 2-4 (nothing removed, no vectors, nothing added)
     _REBASABLE_OPS = frozenset(
-        {"append", "delete", "update", "merge", "optimize", "analyze"}
+        {
+            "append",
+            "delete",
+            "update",
+            "merge",
+            "optimize",
+            "analyze",
+            # replace_where is delete+append at file granularity —
+            # the same disjointness rules decide (r15)
+            "replace_where",
+        }
     )
 
     def _rebase_over_disjoint(

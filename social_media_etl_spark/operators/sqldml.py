@@ -43,6 +43,7 @@ Grammar (case-insensitive keywords; ``<expr>``/``<pred>`` are opaque
 Catalyst SQL)::
 
     INSERT INTO <table> [(cols)] SELECT ...|VALUES ...
+    INSERT INTO <table> [(cols)] REPLACE WHERE <pred> SELECT ...|VALUES ...
     INSERT OVERWRITE <table> [(cols)] SELECT ...|VALUES ...
     UPDATE <table> SET col = <expr> [, ...] [WHERE <pred>]
     DELETE FROM <table> [WHERE <pred>]
@@ -835,6 +836,16 @@ _INSERT = re.compile(
     rf"|TABLE|\().*)$",
     re.IGNORECASE | re.DOTALL,
 )
+# Delta's INSERT INTO ... REPLACE WHERE (r15): the predicate is the
+# lazy span up to the first SELECT/VALUES/WITH keyword (matched on
+# the masked text, so literals never split) — scalar column
+# predicates, no subqueries, the replaceWhere norm
+_INSERT_RW = re.compile(
+    rf"^\s*INSERT\s+(INTO)\s+(?:TABLE\s+)?({_NAME})\s*"
+    rf"(?:\((?P<cols>[^)]*)\)\s*)?REPLACE\s+WHERE\s+(?P<rw>.+?)\s+"
+    rf"(?P<body>(?:SELECT|VALUES|WITH)\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
 _SHOW_PROPS = re.compile(
     rf"^\s*SHOW\s+TBLPROPERTIES\s+({_NAME})\s*;?\s*$", re.IGNORECASE
 )
@@ -1353,7 +1364,12 @@ def run_dml(
             "op string, version bigint, loaded boolean",
         )
     if head == "INSERT":
-        m = _INSERT.match(masked)
+        rw_pred = None
+        m = _INSERT_RW.match(masked)
+        if m is not None and m.group(2) in tables:
+            rw_pred = query[m.start("rw") : m.end("rw")].strip()
+        else:
+            m = _INSERT.match(masked)
         if m is None or m.group(2) not in tables:
             # unregistered target (or a form this parser does not
             # cover): INSERT INTO is valid Spark SQL for catalog
@@ -1448,7 +1464,10 @@ def run_dml(
                 aligned = aligned.withColumn(
                     fname, F.lit(None).cast(types[fname])
                 )
-        if m.group(1).upper() == "INTO":
+        if rw_pred is not None:
+            v = t.overwrite_where(aligned, rw_pred)
+            op = "replace_where"
+        elif m.group(1).upper() == "INTO":
             v = t.append(aligned)
             op = "insert"
         else:

@@ -50,6 +50,7 @@ R15_NEW: list[str] = [
     "sql_partition_evolution",
     "sql_deep_clone",
     "sql_identity_columns",
+    "sql_replace_where",
 ]
 
 # Then the oldest r12-greens in their standing dict order (their
@@ -85,7 +86,6 @@ R15_R12_BLOCK = [
     "q19_banded_revenue",
     "q22_idle_rich_customers",
     "q7_nation_trade",
-    "q8_market_share",
 ]
 
 R15_WINDOW = R15_HEAD + R15_NEW + R15_R12_BLOCK
@@ -95,6 +95,7 @@ assert len(R15_WINDOW) == 50
 # turns 4 rounds old at r15 close, so they MUST lead the r16 window.
 # Kept at the very end of the dict, ready to rotate.
 R16_QUEUE = [
+    "q8_market_share",
     "q9_product_profit",
     "q11_important_parts",
     "q13_order_distribution",
