@@ -61,6 +61,7 @@ partition metadata for ONE commit's files:
 from __future__ import annotations
 
 import json
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -176,6 +177,156 @@ def _bloom_hashes(value, bits: int, k: int) -> list | None:
     return [(h1 + i * h2) % bits for i in range(k)]
 
 
+def _stats_rows_for_files(
+    files,
+    stats_cols: list[str],
+    bloom_cols: list[str],
+    bloom_bits: int,
+    bloom_k: int,
+    absent_null: set,
+) -> dict:
+    """Per-file stats/bloom/census rows for ``files`` as a dict of
+    parallel lists — the ONE implementation behind commit-time stats
+    collection, shared verbatim by the distributed executor path
+    (mapInPandas batches) and the small-commit driver fast path, so
+    the recorded index is byte-identical whichever path ran."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    def _norm(v):
+        """(numeric, string) encoding of one bound; None = not
+        representable (the column then records no stats)."""
+        if isinstance(v, bool):
+            return None
+        if isinstance(v, (int, float)):
+            return (float(v), None)
+        if isinstance(v, bytes):
+            try:
+                return (None, v.decode("utf-8"))
+            except UnicodeDecodeError:
+                return None
+        if isinstance(v, str):
+            return (None, v)
+        if isinstance(v, (datetime.date, datetime.datetime)):
+            return (None, v.isoformat())
+        return None
+
+    out = {
+        "file": [], "col": [],
+        "lo_num": [], "hi_num": [], "lo_str": [], "hi_str": [],
+        "bloom": [], "nulls": [], "rows": [],
+    }
+    for f in files:
+        pf = pq.ParquetFile(f)
+        md = pf.metadata
+        live = {c for c in bloom_cols if c in pf.schema_arrow.names}
+        for c in bloom_cols:
+            if c not in live:
+                if c in absent_null:
+                    # all-NULL by absence: an EMPTY bitmap
+                    # skips this file for every lookup
+                    out["file"].append(f)
+                    out["col"].append(c)
+                    out["lo_num"].append(None)
+                    out["hi_num"].append(None)
+                    out["lo_str"].append(None)
+                    out["hi_str"].append(None)
+                    out["bloom"].append("0")
+                    out["nulls"].append(None)
+                    out["rows"].append(None)
+                continue  # pre-evolution file: no column
+            bm = 0
+            indexable = True
+            vals = set(pf.read(columns=[c]).column(0).to_pylist())
+            for v in vals:
+                if v is None:
+                    continue  # NULL never equals a lookup
+                idxs = _bloom_hashes(v, bloom_bits, bloom_k)
+                if idxs is None:
+                    indexable = False
+                    break
+                for i in idxs:
+                    bm |= 1 << i
+            if not indexable:
+                continue  # no bitmap: file always kept
+            out["file"].append(f)
+            out["col"].append(c)
+            out["lo_num"].append(None)
+            out["hi_num"].append(None)
+            out["lo_str"].append(None)
+            out["hi_str"].append(None)
+            out["bloom"].append(format(bm, "x"))
+            out["nulls"].append(None)
+            out["rows"].append(None)
+        for c in stats_cols:
+            n_rows = md.num_rows
+            if c in absent_null and c not in pf.schema_arrow.names:
+                # full null census for the absent column:
+                # IS NOT NULL skips the file entirely
+                out["file"].append(f)
+                out["col"].append(c)
+                out["lo_num"].append(None)
+                out["hi_num"].append(None)
+                out["lo_str"].append(None)
+                out["hi_str"].append(None)
+                out["bloom"].append(None)
+                out["nulls"].append(n_rows)
+                out["rows"].append(n_rows)
+                continue
+            mins, maxs = [], []
+            nulls, seen_nc = 0, True
+            for rg in range(md.num_row_groups):
+                rgm = md.row_group(rg)
+                st = next(
+                    (
+                        rgm.column(i).statistics
+                        for i in range(rgm.num_columns)
+                        if rgm.column(i).path_in_schema == c
+                    ),
+                    None,
+                )
+                if st is not None and st.has_min_max:
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                # null counts (the Iceberg per-file census, r11):
+                # footers carry them for free; a row group without
+                # one degrades the file to "unknown" (kept by
+                # NULL-pruning)
+                if st is not None and st.null_count is not None:
+                    nulls += st.null_count
+                else:
+                    seen_nc = False
+            if not mins:
+                # an all-NULL (or statless) column chunk: no bounds,
+                # but a complete null census is still recorded so
+                # IS NOT NULL can skip the file entirely
+                if seen_nc and nulls == n_rows:
+                    out["file"].append(f)
+                    out["col"].append(c)
+                    out["lo_num"].append(None)
+                    out["hi_num"].append(None)
+                    out["lo_str"].append(None)
+                    out["hi_str"].append(None)
+                    out["bloom"].append(None)
+                    out["nulls"].append(nulls)
+                    out["rows"].append(n_rows)
+                continue
+            nlo, nhi = _norm(min(mins)), _norm(max(maxs))
+            if nlo is None or nhi is None:
+                continue
+            out["file"].append(f)
+            out["col"].append(c)
+            out["lo_num"].append(nlo[0])
+            out["hi_num"].append(nhi[0])
+            out["lo_str"].append(nlo[1])
+            out["hi_str"].append(nhi[1])
+            out["bloom"].append(None)
+            out["nulls"].append(nulls if seen_nc else None)
+            out["rows"].append(n_rows)
+    return out
+
+
 class ConcurrentWriteError(RuntimeError):
     """A non-commutable commit (upsert/overwrite) lost the CAS race:
     its merge was computed against a snapshot that is no longer the
@@ -195,6 +346,16 @@ class VersionedTable:
         self._fs = self._P(self.path).getFileSystem(
             sc._jsc.hadoopConfiguration()
         )
+        # Scheme-less paths are plain local files: the hot metadata
+        # paths (pointer/segment JSON, the CAS, commit-time stats)
+        # then use direct Python IO instead of py4j→Hadoop-FS round
+        # trips (~3-6 JVM calls each at ~5-10 ms — measured ~0.3-0.5 s
+        # of pure driver latency per multi-commit pipeline, guide §1/
+        # §7.3 driver-side work). Scheme'd paths (hdfs://, s3a://…)
+        # keep the Hadoop FS path unchanged; semantics are identical —
+        # POSIX link(2) refuses an existing destination exactly like
+        # Hadoop's rename-if-absent, so the CAS contract is preserved.
+        self._local = "://" not in self.path
 
     # -- manifest IO --------------------------------------------------------
 
@@ -205,6 +366,16 @@ class VersionedTable:
         return f"{self._manifest_dir()}/v{version:08d}.json"
 
     def versions(self) -> list[int]:
+        if self._local:
+            try:
+                names = os.listdir(self._manifest_dir())
+            except FileNotFoundError:
+                return []
+            return sorted(
+                int(n[1:-5])
+                for n in names
+                if n.startswith("v") and n.endswith(".json")
+            )
         d = self._P(self._manifest_dir())
         if not self._fs.exists(d):
             return []
@@ -216,6 +387,14 @@ class VersionedTable:
         return sorted(out)
 
     def _read_json(self, path: str) -> dict:
+        if self._local:
+            # callers that list via the Hadoop FS (the clone registry)
+            # hand back file:-scheme URIs for this same local table —
+            # strip the scheme, open(2) wants the plain path
+            if path.startswith("file:"):
+                path = path[5:]
+            with open(path, encoding="utf-8") as f:
+                return json.load(f)
         ins = self._fs.open(self._P(path))
         try:
             text = self._jvm.org.apache.commons.io.IOUtils.toString(
@@ -288,10 +467,15 @@ class VersionedTable:
         """Write an already-assembled segment body verbatim (the
         :meth:`clone` path copies source segments 1:1, preserving
         stats/parts/spec without re-reading any data footer)."""
+        name = f"seg-{uuid.uuid4().hex}.json"
+        if self._local:
+            os.makedirs(self._manifest_dir(), exist_ok=True)
+            with open(self._segment_path(name), "xb") as f:
+                f.write(json.dumps(body).encode("utf-8"))
+            return name
         mdir = self._P(self._manifest_dir())
         if not self._fs.exists(mdir):
             self._fs.mkdirs(mdir)
-        name = f"seg-{uuid.uuid4().hex}.json"
         out = self._fs.create(self._P(self._segment_path(name)), False)
         try:
             out.write(bytearray(json.dumps(body).encode("utf-8")))
@@ -630,7 +814,23 @@ class VersionedTable:
 
     def _try_commit(self, manifest: dict, version: int) -> bool:
         """Write the manifest fully to a temp name, then CAS-rename it
-        to the version slot. False = another writer owns the slot."""
+        to the version slot. False = another writer owns the slot.
+        Local tables use ``link(2)`` (atomic create-if-absent, the
+        POSIX equivalent of Hadoop's rename-onto-existing-returns-
+        false); scheme'd paths keep the Hadoop rename CAS."""
+        if self._local:
+            mdir = self._manifest_dir()
+            os.makedirs(mdir, exist_ok=True)
+            tmp = f"{mdir}/.tmp-{uuid.uuid4().hex}.json"
+            with open(tmp, "wb") as f:
+                f.write(json.dumps(manifest).encode("utf-8"))
+            try:
+                os.link(tmp, self._manifest_path(version))
+                return True
+            except FileExistsError:
+                return False
+            finally:
+                os.unlink(tmp)
         mdir = self._P(self._manifest_dir())
         if not self._fs.exists(mdir):
             self._fs.mkdirs(mdir)
@@ -682,8 +882,23 @@ class VersionedTable:
         bloom trade — but only for opted-in columns, distributed over
         executors, and only for the commit's OWN files. A file whose
         column holds a value the hash can't index records no bitmap
-        and is always kept."""
-        sdf = self.spark.createDataFrame([(f,) for f in files], "file string")
+        and is always kept.
+
+        DRIVER FAST PATH (r15 optimization, guide §1.2/§5): a SMALL
+        commit's footer pass is pure fixed cost as a Spark job (job
+        scheduling + Python-worker round trip measured ~0.5-0.7 s
+        while the footer reads themselves are ~1 ms/file) — and the
+        result was ALWAYS collected to the driver as bounded metadata
+        anyway, so driver memory is unchanged. At or below
+        ``spark.smetl.stats.driverMaxFiles`` files (default 64) and
+        ``spark.smetl.stats.driverMaxBytes`` total bytes (default
+        256 MB — bloom columns read real column data, not just
+        footers) on a LOCAL table, the same per-file code
+        (:func:`_stats_rows_for_files`) runs directly on the driver —
+        byte-identical output, zero Spark jobs. Large commits (the
+        100 TB shape: thousands of files per commit) keep the
+        distributed executor pass unchanged.
+        """
         bloom_cols = (bloom or {}).get("cols") or []
         bloom_bits = int((bloom or {}).get("bits") or 2048)
         bloom_k = int((bloom or {}).get("k") or 3)
@@ -697,160 +912,59 @@ class VersionedTable:
         # under the old physical name and "absent" would be a lie.
         absent_null = set(absent_as_null or [])
 
-        def _read(batches):
-            import datetime
+        rows_iter = None
+        if self._local and len(files) <= int(
+            self.spark.conf.get("spark.smetl.stats.driverMaxFiles", "64")
+        ):
+            try:
+                total = sum(os.path.getsize(f) for f in files)
+            except OSError:
+                total = None
+            if total is not None and total <= int(
+                self.spark.conf.get(
+                    "spark.smetl.stats.driverMaxBytes",
+                    str(256 * 1024 * 1024),
+                )
+            ):
+                cols_out = _stats_rows_for_files(
+                    files, stats_cols, bloom_cols,
+                    bloom_bits, bloom_k, absent_null,
+                )
+                names = list(cols_out)
+                rows_iter = (
+                    dict(zip(names, vals))
+                    for vals in zip(*(cols_out[n] for n in names))
+                )
 
-            import pandas as pd
-            import pyarrow.parquet as pq
+        if rows_iter is None:
 
-            def _norm(v):
-                """(numeric, string) encoding of one bound; None = not
-                representable (the column then records no stats)."""
-                if isinstance(v, bool):
-                    return None
-                if isinstance(v, (int, float)):
-                    return (float(v), None)
-                if isinstance(v, bytes):
-                    try:
-                        return (None, v.decode("utf-8"))
-                    except UnicodeDecodeError:
-                        return None
-                if isinstance(v, str):
-                    return (None, v)
-                if isinstance(v, (datetime.date, datetime.datetime)):
-                    return (None, v.isoformat())
-                return None
+            def _read(batches):
+                import pandas as pd
 
-            from social_media_etl_spark.operators.manifest import (
-                _bloom_hashes,
+                from social_media_etl_spark.operators.manifest import (
+                    _stats_rows_for_files,
+                )
+
+                for pdf in batches:
+                    yield pd.DataFrame(
+                        _stats_rows_for_files(
+                            list(pdf["file"]), stats_cols, bloom_cols,
+                            bloom_bits, bloom_k, absent_null,
+                        )
+                    )
+
+            schema = (
+                "file string, col string, lo_num double, hi_num double,"
+                " lo_str string, hi_str string, bloom string, nulls long,"
+                " rows long"
             )
-
-            for pdf in batches:
-                out = {
-                    "file": [], "col": [],
-                    "lo_num": [], "hi_num": [], "lo_str": [], "hi_str": [],
-                    "bloom": [], "nulls": [], "rows": [],
-                }
-                for f in pdf["file"]:
-                    pf = pq.ParquetFile(f)
-                    md = pf.metadata
-                    live = {c for c in bloom_cols if c in pf.schema_arrow.names}
-                    for c in bloom_cols:
-                        if c not in live:
-                            if c in absent_null:
-                                # all-NULL by absence: an EMPTY bitmap
-                                # skips this file for every lookup
-                                out["file"].append(f)
-                                out["col"].append(c)
-                                out["lo_num"].append(None)
-                                out["hi_num"].append(None)
-                                out["lo_str"].append(None)
-                                out["hi_str"].append(None)
-                                out["bloom"].append("0")
-                                out["nulls"].append(None)
-                                out["rows"].append(None)
-                            continue  # pre-evolution file: no column
-                        bm = 0
-                        indexable = True
-                        vals = set(pf.read(columns=[c]).column(0).to_pylist())
-                        for v in vals:
-                            if v is None:
-                                continue  # NULL never equals a lookup
-                            idxs = _bloom_hashes(v, bloom_bits, bloom_k)
-                            if idxs is None:
-                                indexable = False
-                                break
-                            for i in idxs:
-                                bm |= 1 << i
-                        if not indexable:
-                            continue  # no bitmap: file always kept
-                        out["file"].append(f)
-                        out["col"].append(c)
-                        out["lo_num"].append(None)
-                        out["hi_num"].append(None)
-                        out["lo_str"].append(None)
-                        out["hi_str"].append(None)
-                        out["bloom"].append(format(bm, "x"))
-                        out["nulls"].append(None)
-                        out["rows"].append(None)
-                    for c in stats_cols:
-                        n_rows = md.num_rows
-                        if (
-                            c in absent_null
-                            and c not in pf.schema_arrow.names
-                        ):
-                            # full null census for the absent column:
-                            # IS NOT NULL skips the file entirely
-                            out["file"].append(f)
-                            out["col"].append(c)
-                            out["lo_num"].append(None)
-                            out["hi_num"].append(None)
-                            out["lo_str"].append(None)
-                            out["hi_str"].append(None)
-                            out["bloom"].append(None)
-                            out["nulls"].append(n_rows)
-                            out["rows"].append(n_rows)
-                            continue
-                        mins, maxs = [], []
-                        nulls, seen_nc = 0, True
-                        for rg in range(md.num_row_groups):
-                            rgm = md.row_group(rg)
-                            st = next(
-                                (
-                                    rgm.column(i).statistics
-                                    for i in range(rgm.num_columns)
-                                    if rgm.column(i).path_in_schema == c
-                                ),
-                                None,
-                            )
-                            if st is not None and st.has_min_max:
-                                mins.append(st.min)
-                                maxs.append(st.max)
-                            # null counts (the Iceberg per-file census,
-                            # r11): footers carry them for free; a
-                            # row group without one degrades the file
-                            # to "unknown" (kept by NULL-pruning)
-                            if st is not None and st.null_count is not None:
-                                nulls += st.null_count
-                            else:
-                                seen_nc = False
-                        if not mins:
-                            # an all-NULL (or statless) column chunk:
-                            # no bounds, but a complete null census is
-                            # still recorded so IS NOT NULL can skip
-                            # the file entirely
-                            if seen_nc and nulls == n_rows:
-                                out["file"].append(f)
-                                out["col"].append(c)
-                                out["lo_num"].append(None)
-                                out["hi_num"].append(None)
-                                out["lo_str"].append(None)
-                                out["hi_str"].append(None)
-                                out["bloom"].append(None)
-                                out["nulls"].append(nulls)
-                                out["rows"].append(n_rows)
-                            continue
-                        nlo, nhi = _norm(min(mins)), _norm(max(maxs))
-                        if nlo is None or nhi is None:
-                            continue
-                        out["file"].append(f)
-                        out["col"].append(c)
-                        out["lo_num"].append(nlo[0])
-                        out["hi_num"].append(nhi[0])
-                        out["lo_str"].append(nlo[1])
-                        out["hi_str"].append(nhi[1])
-                        out["bloom"].append(None)
-                        out["nulls"].append(nulls if seen_nc else None)
-                        out["rows"].append(n_rows)
-                yield pd.DataFrame(out)
+            sdf = self.spark.createDataFrame(
+                [(f,) for f in files], "file string"
+            )
+            rows_iter = sdf.mapInPandas(_read, schema).collect()
 
         stats: dict = {}
-        schema = (
-            "file string, col string, lo_num double, hi_num double,"
-            " lo_str string, hi_str string, bloom string, nulls long,"
-            " rows long"
-        )
-        for r in sdf.mapInPandas(_read, schema).collect():
+        for r in rows_iter:
             entry = stats.setdefault(r["file"], {}).setdefault(
                 r["col"], [None, None]
             )
@@ -1421,12 +1535,18 @@ class VersionedTable:
         else:
             df.write.mode("error").parquet(ddir)
         files = []
-        it = self._fs.listFiles(self._P(ddir), True)
-        while it.hasNext():
-            st = it.next()
-            name = st.getPath().getName()
-            if name.endswith(".parquet") or name.startswith("part-"):
-                files.append(str(st.getPath().toUri().getPath()))
+        if self._local:
+            for root, _dirs, names in os.walk(ddir):
+                for name in names:
+                    if name.endswith(".parquet") or name.startswith("part-"):
+                        files.append(os.path.join(root, name))
+        else:
+            it = self._fs.listFiles(self._P(ddir), True)
+            while it.hasNext():
+                st = it.next()
+                name = st.getPath().getName()
+                if name.endswith(".parquet") or name.startswith("part-"):
+                    files.append(str(st.getPath().toUri().getPath()))
         if not files:
             # a genuinely EMPTY frame legitimately writes no part
             # files (SQL CREATE TABLE declares schema-only tables,
@@ -1862,6 +1982,16 @@ class VersionedTable:
             raise IOError(f"VersionedTable: {self.path} has no commits")
         return vs[-1]
 
+    def _commit_ts_ms(self, version: int) -> int:
+        """Commit instant = the manifest file's mtime (the CAS rename
+        IS the commit). Local tables stat directly; scheme'd paths ask
+        the Hadoop FS."""
+        if self._local:
+            return int(os.stat(self._manifest_path(version)).st_mtime * 1000)
+        return self._fs.getFileStatus(
+            self._P(self._manifest_path(version))
+        ).getModificationTime()
+
     def version_as_of(self, ts_ms: int) -> int:
         """Highest version committed at or before the epoch-millis
         timestamp — Delta's ``TIMESTAMP AS OF`` resolution. Commit time
@@ -1869,9 +1999,7 @@ class VersionedTable:
         the commit instant). O(versions) metadata stats, no data IO."""
         best = None
         for v in self.versions():
-            mt = self._fs.getFileStatus(
-                self._P(self._manifest_path(v))
-            ).getModificationTime()
+            mt = self._commit_ts_ms(v)
             if mt <= ts_ms:
                 best = v
         if best is None:
@@ -1889,9 +2017,7 @@ class VersionedTable:
         rows = []
         for v in self.versions():
             m = self._read_pointer(v)
-            mt = self._fs.getFileStatus(
-                self._P(self._manifest_path(v))
-            ).getModificationTime()
+            mt = self._commit_ts_ms(v)
             if "segments" in m:
                 # the pointer records its file count — history never
                 # needs to open a segment
@@ -1993,7 +2119,18 @@ class VersionedTable:
                 *files
             )
         else:
-            raw = self.spark.read.parquet(*files)
+            # NON-mixed manifests: every footer matches the recorded
+            # schema exactly, so pass it explicitly — schema INFERENCE
+            # otherwise opens a footer on the driver per read call
+            # (~30-60 ms here; a remote-FS round trip at scale). Delta/
+            # Iceberg readers never infer either — the manifest owns
+            # the schema. Legacy manifests without schema_json keep
+            # the inference fallback.
+            schema0 = self._manifest_schema(manifest)
+            if schema0 is not None:
+                raw = self.spark.read.schema(schema0).parquet(*files)
+            else:
+                raw = self.spark.read.parquet(*files)
         df = raw
         if dv_dirs or with_pos:
             df = raw.select(
@@ -3417,9 +3554,38 @@ class VersionedTable:
         of paths per task, bytes streamed through pyarrow's
         filesystem API. Returns the number of files copied. The
         driver never touches file contents; parallelism is one task
-        per partition over the pair list."""
+        per partition over the pair list.
+
+        DRIVER FAST PATH (r15 optimization): below
+        ``spark.smetl.copy.driverMaxFiles`` all-local pairs (default
+        64) totalling under ``spark.smetl.copy.driverMaxBytes``
+        (default 256 MB) the copies run as plain driver file IO —
+        the Spark job costs ~0.3-0.5 s of pure scheduling while a
+        small local copy is milliseconds. Large or remote clones (the
+        100 TB shape) keep the distributed stage."""
         if not pairs:
             return 0
+        if all(
+            "://" not in s and "://" not in d for s, d in pairs
+        ) and len(pairs) <= int(
+            self.spark.conf.get("spark.smetl.copy.driverMaxFiles", "64")
+        ):
+            import shutil
+
+            try:
+                total = sum(os.path.getsize(s) for s, _ in pairs)
+            except OSError:
+                total = None
+            if total is not None and total <= int(
+                self.spark.conf.get(
+                    "spark.smetl.copy.driverMaxBytes",
+                    str(256 * 1024 * 1024),
+                )
+            ):
+                for s, d in pairs:
+                    os.makedirs(os.path.dirname(d), exist_ok=True)
+                    shutil.copyfile(s, d)
+                return len(pairs)
         import pandas as pd  # noqa: F401 - executor-side dependency
 
         def _copy(batches):

@@ -226,8 +226,12 @@ def _resolve_table(
 def _refresh_head(spark: SparkSession, name: str, t: VersionedTable) -> None:
     """Re-register the head temp view after a write so plain
     ``spark.sql`` readers (which bypass the per-call refresh in
-    :func:`timetravel.sql`) see the new version immediately."""
-    t.read().createOrReplaceTempView(name)
+    :func:`timetravel.sql`) see the new version immediately.
+    Version-memoized: a statement that did not advance the head (a
+    no-op DML, a lost gate) skips the plan rebuild entirely."""
+    from social_media_etl_spark.operators import timetravel as _tt
+
+    _tt.ensure_head_view(spark, name, t)
 
 
 def _resolve_mode(

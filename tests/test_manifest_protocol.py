@@ -150,7 +150,10 @@ def test_clone_and_restore_carry_features(spark, tmp_path):
     assert "dv" in _feats(t)
 
 
-def test_supported_set_is_the_documented_nine(spark):
+def test_supported_set_is_the_documented_ten(spark):
+    # r15 added `identity` (GENERATED ALWAYS AS IDENTITY high-water
+    # mark in the manifest) — readers that ignored it would allow
+    # explicit writes into the identity column, so it gates.
     assert SUPPORTED_FEATURES == {
         "segments",
         "dv",
@@ -161,4 +164,5 @@ def test_supported_set_is_the_documented_nine(spark):
         "bucket",
         "constraints",
         "generated",
+        "identity",
     }
