@@ -2512,6 +2512,11 @@ def _kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from social_media_etl_spark.operators.clustering import kmeans_fit_df
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # (r15 note: a defaultParallelism repartition before the loop was
+    # measured SLOWER at this volume — every iteration re-executes the
+    # un-persisted scan, so the added exchange runs per iteration while
+    # the 2000×k×dim distance math is too small to need the cores.
+    # At real scale the input arrives multi-file/pre-partitioned.)
     assigned, cent = kmeans_fit_df(
         emb, "vec_id", "embedding", k=8, iters=3, round_to=9
     )
@@ -3271,9 +3276,20 @@ def _embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.zip_with(F.col("v"), recon, lambda a, b: F.abs(a - b))
         ).alias("max_err"),
     )
-    bad = scored.filter(
-        F.col("max_err") > F.col("scale") * F.lit(0.5000001)
-    ).agg(F.count(F.lit(1)).alias("n_bad"))
+    # conditional AGGREGATE, not filter+count (r15, guide §7.2): a
+    # FILTER on the derived columns gets pushed below the exchange and
+    # re-inlines the whole quantize chain into its predicate (the
+    # O(dim²) collapse again — measured 1.5-2.0 s for the gate alone);
+    # count(when(...)) stays in the Aggregate above the exchange and
+    # reads the attributes. Identical semantics: count ignores NULLs.
+    bad = scored.agg(
+        F.count(
+            F.when(
+                F.col("max_err") > F.col("scale") * F.lit(0.5000001),
+                F.lit(1),
+            )
+        ).alias("n_bad")
+    )
     gate = bad.filter(F.col("n_bad") == 0).select(F.lit(1).alias("__gate"))
     err_ratio = F.when(F.col("scale") == 0, F.lit(0.0)).otherwise(
         F.col("max_err") / F.col("scale")
