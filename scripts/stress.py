@@ -1113,10 +1113,6 @@ def zipf_skew_probe(spark, events) -> None:
         print(json.dumps({"probe": "zipf_skew_join", "warn": "salted slower than plain at this scale"}))
 
 
-if __name__ == "__main__":
-    main()
-
-
 def ddl_replace_analyze_probe(spark, events) -> None:
     """r15 (VERDICT r14 #4): the new DDL surface at volume.
 
@@ -1198,3 +1194,7 @@ def ddl_replace_analyze_probe(spark, events) -> None:
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
