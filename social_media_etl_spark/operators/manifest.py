@@ -1568,6 +1568,47 @@ class VersionedTable:
         df.write.mode("error").parquet(cdir)
         return cdir
 
+    def _write_cdc_if_any(self, df: DataFrame, version_hint: int) -> str | None:
+        """Write one commit's CDC rows; return the dir, or None (dir
+        removed) when the commit changed zero rows. Replaces the old
+        probe-then-write shape (r15 optimization, guide §1.2): the
+        ``limit(1).count()`` emptiness guard executed the entire CDC
+        classification plan once and the write executed it AGAIN —
+        the guard now reads the WRITTEN footers' row counts (O(files)
+        driver metadata on local tables) after a single execution.
+        Zero-change commits still record nothing, exactly as before
+        (the feed's change-free contract is by ABSENCE of a cdc dir,
+        so the empty dir is deleted, never recorded)."""
+        cdir = self._write_cdc(df, version_hint)
+        if self._dir_num_rows(cdir) > 0:
+            return cdir
+        if self._local:
+            import shutil
+
+            shutil.rmtree(cdir, ignore_errors=True)
+        else:
+            self._fs.delete(self._P(cdir), True)
+        return None
+
+    def _dir_num_rows(self, d: str) -> int:
+        """Total rows across a just-written parquet dir — footer
+        metadata on local paths, one bounded probe otherwise."""
+        if self._local:
+            import pyarrow.parquet as pq
+
+            total = 0
+            for root, _dirs, names in os.walk(d):
+                for n in names:
+                    if n.endswith(".parquet") or n.startswith("part-"):
+                        total += pq.ParquetFile(
+                            os.path.join(root, n)
+                        ).metadata.num_rows
+            return total
+        try:
+            return self.spark.read.parquet(d).limit(1).count()
+        except Exception:
+            return 0  # no readable part files: an all-empty write
+
     @classmethod
     def _partition_values(cls, files: list[str], partition_by=None) -> dict:
         """Per-file partition value(s) parsed from the ``smetl_pt*=``
@@ -2500,10 +2541,9 @@ class VersionedTable:
                 )
             )
             # same non-empty guard as merge/delete/update: a source
-            # whose every row lost (or tied) changes nothing, and an
-            # empty parquet dir is unreadable
-            if cdc.limit(1).count():
-                cdc_dir = self._write_cdc(cdc, v)
+            # whose every row lost (or tied) changes nothing; the
+            # guard reads the written footers (one plan execution)
+            cdc_dir = self._write_cdc_if_any(cdc, v)
         stats_cols = base.get("stats_cols") or []
         m = {
             "version": v,
@@ -3008,8 +3048,7 @@ class VersionedTable:
                     allowMissingColumns=True,
                 )
             )
-            if cdc.limit(1).count():
-                cdc_dir = self._write_cdc(cdc, v)
+            cdc_dir = self._write_cdc_if_any(cdc, v)
         stats_cols = base.get("stats_cols") or []
         bloom_cfg = base.get("bloom")
         if replace_schema:
@@ -3202,8 +3241,7 @@ class VersionedTable:
                     # BY NAME across schema evolution in the range;
                     # the feed projects to the reader's end schema
                     cdc = cdc.unionByName(fdf, allowMissingColumns=True)
-                if cdc.limit(1).count():
-                    cdc_dir = self._write_cdc(cdc, v)
+                cdc_dir = self._write_cdc_if_any(cdc, v)
         m = dict(target_ptr)
         # op-specific keys of the TARGET commit would misdescribe this
         # one (and an inherited cdc dir would double-count its changes)
@@ -5099,8 +5137,7 @@ class VersionedTable:
             )
             if removed is not None:
                 cdc = removed.unionByName(cdc, allowMissingColumns=True)
-            if cdc.limit(1).count():
-                cdc_dir = self._write_cdc(cdc, parent + 1)
+            cdc_dir = self._write_cdc_if_any(cdc, parent + 1)
         partition_by = base.get("partition_by")
         new_files = (
             self._write_data(
@@ -6582,18 +6619,32 @@ class VersionedTable:
                 return parent  # nothing matched, nothing inserted
             dv_dir = None
             dv_touched: set = set()
-            if mor and dv_rows is not None and dv_rows.limit(1).count():
+            if mor and dv_rows is not None:
+                # write FIRST, emptiness-check from the written
+                # footers (r15, same shape as _write_cdc_if_any): the
+                # old limit(1) probe executed the vector plan once and
+                # the write executed it again
                 dv_dir = f"{self.path}/dv/b{v:08d}-{uuid.uuid4().hex[:8]}"
                 dv_rows.write.mode("error").parquet(dv_dir)
-                # the files this vector names — the rebase guards exactly
-                # these (file, position) keys, like delete(mor)
-                dv_touched = {
-                    unquote(urlparse(r[0]).path)
-                    for r in self.spark.read.parquet(dv_dir)
-                    .select(self._DV_FILE)
-                    .distinct()
-                    .collect()
-                }
+                if self._dir_num_rows(dv_dir) == 0:
+                    if self._local:
+                        import shutil
+
+                        shutil.rmtree(dv_dir, ignore_errors=True)
+                    else:
+                        self._fs.delete(self._P(dv_dir), True)
+                    dv_dir = None
+                else:
+                    # the files this vector names — the rebase guards
+                    # exactly these (file, position) keys, like
+                    # delete(mor); read over the (bounded) written dir
+                    dv_touched = {
+                        unquote(urlparse(r[0]).path)
+                        for r in self.spark.read.parquet(dv_dir)
+                        .select(self._DV_FILE)
+                        .distinct()
+                        .collect()
+                    }
             if mor and dv_dir is None and not new_files:
                 # every clause hit was already vector-hidden and nothing
                 # inserted: no empty commits (the COW twin's contract)
@@ -6606,11 +6657,10 @@ class VersionedTable:
                 for fr in cdc_frames[1:]:
                     cdc = cdc.unionByName(fr)
                 # a clause set can legitimately change zero rows (e.g. an
-                # insert-only merge whose source keys all matched) — an
-                # empty parquet dir is unreadable, so skip recording and
-                # the feed treats the commit as change-free
-                if cdc.limit(1).count():
-                    cdc_dir = self._write_cdc(cdc, v)
+                # insert-only merge whose source keys all matched) —
+                # the footer-count guard in _write_cdc_if_any keeps the
+                # commit change-free without re-running the CDC plan
+                cdc_dir = self._write_cdc_if_any(cdc, v)
             if joined_cache is not None:
                 # every joined-derived action (post-images, vector, CDC)
                 # has run — release before the commit loop (battery
