@@ -244,9 +244,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     in-plan, anything else reads natively as TimestampType.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # NOTE: testdata tables are single FILES, so (mtime_ns, size) is a
+    # faithful content identity. If ``{name}.parquet`` is ever a
+    # DIRECTORY, a part file rewritten in place would leave the dir
+    # stat unchanged (ADVICE r15) — fold the newest contained file's
+    # stat into the key in that case.
     try:
         st = os.stat(path)
-        memo_key = (path, st.st_mtime_ns, st.st_size)
+        if os.path.isdir(path):
+            newest = max(
+                (os.stat(os.path.join(path, p)) for p in os.listdir(path)),
+                key=lambda s: s.st_mtime_ns,
+                default=st,
+            )
+            memo_key = (
+                path,
+                st.st_mtime_ns,
+                st.st_size,
+                newest.st_mtime_ns,
+                newest.st_size,
+            )
+        else:
+            memo_key = (path, st.st_mtime_ns, st.st_size)
     except OSError:
         memo_key = None
     if memo_key is not None:
@@ -260,6 +279,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 return df
     df = _build_table_reader(spark, path, name)
     if memo_key is not None and per_session is not None:
+        if len(per_session) > 512:
+            # bound the plan memo when files churn (regenerated
+            # testdata mints new keys); a cleared entry just rebuilds
+            per_session.clear()
         per_session[memo_key] = df
     return df
 

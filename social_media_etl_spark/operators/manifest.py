@@ -68,6 +68,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from social_media_etl_spark.write_opts import apply_light_committer
+
 __all__ = [
     "VersionedTable",
     "ConcurrentWriteError",
@@ -118,6 +120,10 @@ SUPPORTED_FEATURES = frozenset(
 #: ``None`` is itself a meaningful value (overwrite's partition_by:
 #: None = drop partitioning, _UNSET = carry the current spec)
 _UNSET = object()
+
+#: (applicationId, path, version, manifest-identity) -> lazy snapshot
+#: plan (see :meth:`VersionedTable.read`). Plans, never results.
+_READ_PLAN_MEMO: dict = {}
 
 #: Commits that move ZERO data files and change ZERO logical rows —
 #: the change feeds (batch + streaming) skip them and `read_changes`'
@@ -346,16 +352,23 @@ class VersionedTable:
         self._fs = self._P(self.path).getFileSystem(
             sc._jsc.hadoopConfiguration()
         )
-        # Scheme-less paths are plain local files: the hot metadata
+        # Driver-local tables take direct Python IO on the hot metadata
         # paths (pointer/segment JSON, the CAS, commit-time stats)
-        # then use direct Python IO instead of py4j→Hadoop-FS round
-        # trips (~3-6 JVM calls each at ~5-10 ms — measured ~0.3-0.5 s
-        # of pure driver latency per multi-commit pipeline, guide §1/
-        # §7.3 driver-side work). Scheme'd paths (hdfs://, s3a://…)
-        # keep the Hadoop FS path unchanged; semantics are identical —
-        # POSIX link(2) refuses an existing destination exactly like
-        # Hadoop's rename-if-absent, so the CAS contract is preserved.
-        self._local = "://" not in self.path
+        # instead of py4j→Hadoop-FS round trips (~3-6 JVM calls each at
+        # ~5-10 ms — measured ~0.3-0.5 s of pure driver latency per
+        # multi-commit pipeline, guide §1/§7.3 driver-side work).
+        # Locality comes from the RESOLVED filesystem's scheme, not
+        # from string-matching the path (ADVICE r15): a scheme-less
+        # path resolves against fs.defaultFS, which on a cluster is
+        # hdfs:// — treating it as POSIX would silently split metadata
+        # from data. The path must ALSO be scheme-less so os/open calls
+        # can use it verbatim (a "file://" URI keeps the Hadoop client;
+        # same filesystem either way). Semantics are identical on the
+        # fast path — POSIX link(2) refuses an existing destination
+        # exactly like Hadoop's rename-if-absent, so the CAS contract
+        # is preserved.
+        scheme = self._fs.getUri().getScheme()
+        self._local = "://" not in self.path and scheme in (None, "file")
 
     # -- manifest IO --------------------------------------------------------
 
@@ -829,6 +842,11 @@ class VersionedTable:
                 return True
             except FileExistsError:
                 return False
+            except OSError:
+                # a mount without hardlink support (EPERM/EOPNOTSUPP)
+                # is not a lost race — fall through to the Hadoop
+                # rename-if-absent CAS below (VERDICT r15 #6)
+                pass
             finally:
                 os.unlink(tmp)
         mdir = self._P(self._manifest_dir())
@@ -1504,7 +1522,9 @@ class VersionedTable:
             out = df
             for dc, c in zip(dir_cols, pb):
                 out = out.withColumn(dc, F.col(c).cast("string"))
-            out.write.mode("error").partitionBy(*dir_cols).parquet(ddir)
+            apply_light_committer(
+                out.write.mode("error"), self.spark
+            ).partitionBy(*dir_cols).parquet(ddir)
         elif bucket_by:
             # BUCKET-HASHED layout (VERDICT r9 #5): route the bucketed
             # write through a throwaway EXTERNAL catalog table — the
@@ -1524,8 +1544,9 @@ class VersionedTable:
                 )
             tmp = f"smetl_vbkt_{uuid.uuid4().hex[:10]}"
             (
-                df.repartition(nb, bcol)
-                .write.mode("error")
+                apply_light_committer(
+                    df.repartition(nb, bcol).write.mode("error"), self.spark
+                )
                 .option("path", ddir)
                 .bucketBy(nb, bcol)
                 .sortBy(bcol)
@@ -1533,7 +1554,9 @@ class VersionedTable:
             )
             self.spark.sql(f"DROP TABLE `{tmp}`")
         else:
-            df.write.mode("error").parquet(ddir)
+            apply_light_committer(
+                df.write.mode("error"), self.spark
+            ).parquet(ddir)
         files = []
         if self._local:
             for root, _dirs, names in os.walk(ddir):
@@ -1565,7 +1588,7 @@ class VersionedTable:
         race leaves an orphan dir that vacuum sweeps age-guarded.
         Bounded by the commit's own changed rows, distributed write."""
         cdir = f"{self.path}/cdc/b{version_hint:08d}-{uuid.uuid4().hex[:8]}"
-        df.write.mode("error").parquet(cdir)
+        apply_light_committer(df.write.mode("error"), self.spark).parquet(cdir)
         return cdir
 
     def _write_cdc_if_any(self, df: DataFrame, version_hint: int) -> str | None:
@@ -1592,10 +1615,17 @@ class VersionedTable:
 
     def _dir_num_rows(self, d: str) -> int:
         """Total rows across a just-written parquet dir — footer
-        metadata on local paths, one bounded probe otherwise."""
-        if self._local:
-            import pyarrow.parquet as pq
+        metadata ONLY, on every scheme (r16: the remote branch reads
+        footers through pyarrow.fs like :meth:`_copy_files_distributed`
+        does, instead of running a ``limit(1).count()`` Spark job per
+        commit). A missing/empty directory is 0 rows (an all-empty
+        write legitimately produces no part files); any OTHER failure
+        propagates — the callers DELETE the directory on 0, so
+        swallowing a transient read error here would silently discard
+        a non-empty CDC feed or deletion vector (ADVICE r15)."""
+        import pyarrow.parquet as pq
 
+        if self._local:
             total = 0
             for root, _dirs, names in os.walk(d):
                 for n in names:
@@ -1604,10 +1634,19 @@ class VersionedTable:
                             os.path.join(root, n)
                         ).metadata.num_rows
             return total
-        try:
-            return self.spark.read.parquet(d).limit(1).count()
-        except Exception:
-            return 0  # no readable part files: an all-empty write
+        from pyarrow import fs as pafs
+
+        fsys, root = pafs.FileSystem.from_uri(d)
+        sel = pafs.FileSelector(root, recursive=True, allow_not_found=True)
+        total = 0
+        for info in fsys.get_file_info(sel):
+            name = info.base_name
+            if info.type == pafs.FileType.File and (
+                name.endswith(".parquet") or name.startswith("part-")
+            ):
+                with fsys.open_input_file(info.path) as f:
+                    total += pq.ParquetFile(f).metadata.num_rows
+        return total
 
     @classmethod
     def _partition_values(cls, files: list[str], partition_by=None) -> dict:
@@ -2217,9 +2256,43 @@ class VersionedTable:
         return df.select(*cols)
 
     def read(self, version: int | None = None) -> DataFrame:
+        """Full-snapshot read of ``version`` (default: head).
+
+        The LAZY plan is memoized per (application, path, version,
+        manifest-file identity) — r16 optimization, same design as the
+        r15 ``catalog.load_table`` memo: a committed manifest is
+        immutable (the CAS creates, never rewrites), so the snapshot
+        plan it pins never changes; DML pipelines and the SQL head-view
+        refresh otherwise rebuild the identical plan several times per
+        statement (~70 ms of driver/py4j work each). Plans only, never
+        data: every action still scans the parquet, and a table
+        directory deleted and recreated at the same path/version has a
+        different manifest mtime (identity folded into the key) so it
+        misses. A plan for a since-vacuumed old version fails at action
+        time exactly like a freshly built one would."""
         v = self.head_version() if version is None else version
+        ident = None
+        if self._local:
+            try:
+                st = os.stat(self._manifest_path(v))
+                ident = (st.st_mtime_ns, st.st_size)
+            except OSError:
+                ident = None
+        key = (
+            self.spark.sparkContext.applicationId,
+            self.path,
+            v,
+            ident,
+        )
+        df = _READ_PLAN_MEMO.get(key)
+        if df is not None:
+            return df
         m = self._read_manifest(v)
-        return self._read_files(m, m["files"])
+        df = self._read_files(m, m["files"])
+        if len(_READ_PLAN_MEMO) > 1024:
+            _READ_PLAN_MEMO.clear()  # bounded; a miss just rebuilds
+        _READ_PLAN_MEMO[key] = df
+        return df
 
     def append(
         self,
@@ -3531,7 +3604,9 @@ class VersionedTable:
                         F.col(self._DV_POS),
                     )
                 )
-                dv.write.mode("error").parquet(dvd_new)
+                apply_light_committer(
+                    dv.write.mode("error"), self.spark
+                ).parquet(dvd_new)
         m = dict(ptr)
         for stale in (
             "merge_on", "mode", "predicate", "txn", "cdc", "restored_from",
@@ -5429,7 +5504,9 @@ class VersionedTable:
         if not hits.limit(1).count():
             return parent
         dv_dir = f"{self.path}/dv/b{parent + 1:08d}-{uuid.uuid4().hex[:8]}"
-        hits.write.mode("error").parquet(dv_dir)
+        apply_light_committer(
+            hits.write.mode("error"), self.spark
+        ).parquet(dv_dir)
         from urllib.parse import unquote, urlparse
 
         # the files this vector names: the staged (file, position)
@@ -5642,8 +5719,9 @@ class VersionedTable:
         v = parent + 1
         # the vector hides the pre-update versions…
         dv_dir = f"{self.path}/dv/b{v:08d}-{uuid.uuid4().hex[:8]}"
-        rows.select(self._DV_FILE, self._DV_POS).write.mode(
-            "error"
+        apply_light_committer(
+            rows.select(self._DV_FILE, self._DV_POS).write.mode("error"),
+            self.spark,
         ).parquet(dv_dir)
         from urllib.parse import unquote, urlparse
 
@@ -6625,7 +6703,9 @@ class VersionedTable:
                 # old limit(1) probe executed the vector plan once and
                 # the write executed it again
                 dv_dir = f"{self.path}/dv/b{v:08d}-{uuid.uuid4().hex[:8]}"
-                dv_rows.write.mode("error").parquet(dv_dir)
+                apply_light_committer(
+                    dv_rows.write.mode("error"), self.spark
+                ).parquet(dv_dir)
                 if self._dir_num_rows(dv_dir) == 0:
                     if self._local:
                         import shutil

@@ -186,7 +186,9 @@ def write_shuffled_shards(
         keyed.repartitionByRange(n_shards, F.col("shuffle_key"))
         .sortWithinPartitions("shuffle_key")
     )
-    out.write.mode(mode).parquet(path)
+    from social_media_etl_spark.write_opts import apply_light_committer
+
+    apply_light_committer(out.write.mode(mode), out.sparkSession).parquet(path)
 
 
 def importance_sample(

@@ -45,16 +45,40 @@ __all__ = ["register_table", "registered_tables", "sql"]
 # Keyed by app id so test sessions never leak names into each other.
 _REGISTRY: dict[tuple[str, str], str] = {}
 
-#: (applicationId, name) -> (path, head_version) the registered head
-#: temp view was built from. Re-registering a head view costs a
-#: manifest read + plan rebuild + catalog swap (~100 ms of driver/py4j
-#: latency), and DML pipelines refresh after EVERY statement while
-#: SELECT-path sql() refreshes every referenced name per call — the
-#: memo turns the no-change refreshes into one head_version() listing
-#: (r15 optimization). Never a RESULT cache: a view is only skipped
-#: when the head version (which pins the immutable manifest, file
-#: list, and DVs) is exactly what the live view was registered from.
-_VIEW_VERSION: dict[tuple[str, str], tuple[str, int]] = {}
+#: (applicationId, name) -> (path, head_version, manifest_identity)
+#: the registered head temp view was built from. Re-registering a head
+#: view costs a manifest read + plan rebuild + catalog swap (~100 ms of
+#: driver/py4j latency), and DML pipelines refresh after EVERY
+#: statement while SELECT-path sql() refreshes every referenced name
+#: per call — the memo turns the no-change refreshes into one
+#: head_version() listing (r15 optimization). Never a RESULT cache: a
+#: view is only skipped when the head version (which pins the
+#: immutable manifest, file list, and DVs) AND the head manifest
+#: file's identity (mtime_ns, size — so a table directory deleted and
+#: recreated at the same path up to the same version still misses,
+#: ADVICE r15) are exactly what the live view was registered from.
+#: Entries from other (stopped) applications are swept once the memo
+#: grows past a bound — a swept entry only costs one view rebuild.
+_VIEW_VERSION: dict[tuple[str, str], tuple] = {}
+
+_VIEW_VERSION_MAX = 512
+
+
+def _manifest_identity(t: VersionedTable, head: int):
+    """(mtime_ns, size) of the head manifest file on local tables —
+    the cheap identity that distinguishes a recreated table at the
+    same path/version. Remote tables return None (a per-refresh
+    remote stat would cost what the memo saves); their memo falls
+    back to (path, version) alone."""
+    if not t._local:
+        return None
+    import os
+
+    try:
+        st = os.stat(t._manifest_path(head))
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
 
 
 def ensure_head_view(
@@ -62,19 +86,30 @@ def ensure_head_view(
 ) -> None:
     """(Re)register ``name``'s head temp view, skipping the rebuild
     when the registered view already reflects the current head."""
-    key = (spark.sparkContext.applicationId, name)
+    app = spark.sparkContext.applicationId
+    key = (app, name)
     path = _REGISTRY.get(key)
     if path is None:  # not registry-managed: caller owns the view
         return
     if t is None or t.path != path:
         t = VersionedTable(spark, path)
     head = t.head_version()
-    if _VIEW_VERSION.get(key) == (path, head) and spark.catalog.tableExists(
-        name
-    ):
+    ident = _manifest_identity(t, head)
+    if _VIEW_VERSION.get(key) == (
+        path,
+        head,
+        ident,
+    ) and spark.catalog.tableExists(name):
         return
     t.read(head).createOrReplaceTempView(name)
-    _VIEW_VERSION[key] = (path, head)
+    if len(_VIEW_VERSION) > _VIEW_VERSION_MAX:
+        # bound the memo across application restarts: entries under
+        # other app ids belong to stopped sessions (one live session
+        # per process is the engine's pattern); dropping a live one
+        # would only cost that session a rebuild
+        for k in [k for k in _VIEW_VERSION if k[0] != app]:
+            _VIEW_VERSION.pop(k, None)
+    _VIEW_VERSION[key] = (path, head, ident)
 
 _NAME = r"[A-Za-z_][A-Za-z0-9_]*"
 _TRAVEL = re.compile(

@@ -15,6 +15,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from social_media_etl_spark.write_opts import apply_light_committer
+
 __all__ = [
     "write_partitioned",
     "compact_parquet_dir",
@@ -123,7 +125,12 @@ def write_partitioned(
         out = out.drop("__bucket")
     writer = out.write.mode(mode).partitionBy(*partition_cols)
     if dynamic_overwrite:
+        # dynamic partition overwrite keeps the default committer: its
+        # staging/move protocol is the one place algorithm v2 has known
+        # interaction hazards (MAPREDUCE-7282-class)
         writer = writer.option("partitionOverwriteMode", "dynamic")
+    else:
+        writer = apply_light_committer(writer, out.sparkSession)
     writer.parquet(path)
 
 
@@ -242,7 +249,10 @@ def write_zordered(
         if num_files
         else out.repartitionByRange(F.col("__z"))
     )
-    out.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)
+    apply_light_committer(
+        out.sortWithinPartitions("__z").drop("__z").write.mode(mode),
+        out.sparkSession,
+    ).parquet(path)
 
 
 def upsert_parquet(
@@ -311,7 +321,9 @@ def upsert_parquet(
         fs.delete(tmp, True)
     # writing to the sibling dir also removes the need to materialize
     # the merged frame first (it no longer reads its own output path)
-    latest.write.mode("overwrite").parquet(str(tmp))
+    apply_light_committer(
+        latest.write.mode("overwrite"), latest.sparkSession
+    ).parquet(str(tmp))
     _swap_into_place(fs, jvm, tmp, dest, path, op="upsert_parquet")
 
 
@@ -495,7 +507,9 @@ def compact_parquet_dir(
     tmp = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compacting")
     if fs.exists(tmp):
         fs.delete(tmp, True)
-    df.repartition(int(n_files)).write.mode("overwrite").parquet(str(tmp))
+    apply_light_committer(
+        df.repartition(int(n_files)).write.mode("overwrite"), spark
+    ).parquet(str(tmp))
     _swap_into_place(fs, jvm, tmp, jpath, path, op="compact_parquet_dir")
     return int(n_files)
 
@@ -598,7 +612,7 @@ def write_sorted(
         else df.repartitionByRange(*range_args)
     )
     out = out.sortWithinPartitions(*[F.col(c) for c in sort_cols])
-    writer = out.write.mode(mode)
+    writer = apply_light_committer(out.write.mode(mode), out.sparkSession)
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(path)

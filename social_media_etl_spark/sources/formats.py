@@ -39,7 +39,11 @@ def write_table(
 ) -> None:
     if fmt not in SUPPORTED_FORMATS:
         raise ValueError(f"unsupported format {fmt!r}")
-    writer = df.write.mode(mode).format(fmt)
+    from social_media_etl_spark.write_opts import apply_light_committer
+
+    writer = apply_light_committer(df.write.mode(mode), df.sparkSession).format(
+        fmt
+    )
     codec = compression or _DEFAULT_COMPRESSION[fmt]
     if codec:
         writer = writer.option("compression", codec)

@@ -343,7 +343,11 @@ def write_foreach_batch_overwrite(
             )
         seen_batches.add(batch_id)
         out = transform(batch_df) if transform else batch_df
-        out.write.mode("overwrite").format(fmt).save(target_path)
+        from social_media_etl_spark.write_opts import apply_light_committer
+
+        apply_light_committer(
+            out.write.mode("overwrite"), out.sparkSession
+        ).format(fmt).save(target_path)
 
     writer = (
         stream_df.writeStream.foreachBatch(_sink)
