@@ -761,6 +761,16 @@ def _drain(stream_df: DataFrame, name: str, mode: str = "complete") -> DataFrame
         ),
         **_DRAIN_CONF,
     }
+    if mode in ("complete", "update"):
+        # availableNow appends one trailing NO-DATA micro-batch whose
+        # only output effect is emitting watermark-finalized rows in
+        # APPEND mode; complete re-emits full state every data batch
+        # and update emits rows as they change, so for those modes the
+        # extra batch costs a full micro-batch round (~0.3-0.5 s) and
+        # changes nothing the memory sink returns (r16 optimization;
+        # oracle-verified per key). Append-mode drains keep it — it is
+        # what flushes their final windows.
+        confs["spark.sql.streaming.noDataMicroBatches.enabled"] = "false"
     with _scoped_conf(spark, confs):
         out = streaming_ingest.run_available_now(
             stream_df,
