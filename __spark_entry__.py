@@ -2090,6 +2090,7 @@ def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     value analytically (PPM header length arithmetic, solid-color
     mean), so the hash check covers the actual encode→resize→decode
     round-trip."""
+    from social_media_etl_spark.cache import persist_tracked
     from social_media_etl_spark.sources import multimodal
 
     docs = _codec_corpus_docs(spark, sf_dir)
@@ -2111,7 +2112,15 @@ def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_ppm(np.broadcast_to(color, (h, w, 3))))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
-    media = docs.mapInPandas(_gen, "media_id long, payload binary")
+    # the synthesized media column feeds TWO consumers (the metadata
+    # branch and the resize→decode branch) — without a within-query
+    # persist the whole Python synth stage executes once per branch
+    # (r16, VERDICT item 5: one materialization feeding both sides;
+    # released by the next query via release_caches). At real scale
+    # the media column is a stored input, not a synth stage.
+    media = persist_tracked(
+        docs.mapInPandas(_gen, "media_id long, payload binary")
+    )
     meta = multimodal.attach_media_metadata(media).select(
         "media_id", "media_type", F.col("n_bytes").cast("long").alias("n_bytes")
     )
@@ -2142,6 +2151,7 @@ def _multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     amplitude), so the oracle reproduces band 0 analytically and
     asserts every other band is zero — the hash check covers the
     actual encode→decode→FFT round-trip, not a fake."""
+    from social_media_etl_spark.cache import persist_tracked
     from social_media_etl_spark.sources import multimodal
 
     docs = _codec_corpus_docs(spark, sf_dir)
@@ -2163,7 +2173,12 @@ def _multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
-    media = docs.mapInPandas(_gen, "media_id long, payload binary")
+    # persisted for the same two-consumer reason as _multimodal_decode:
+    # the metadata branch and the FFT featurizer branch each re-ran the
+    # full WAV synth stage (r16, VERDICT item 5)
+    media = persist_tracked(
+        docs.mapInPandas(_gen, "media_id long, payload binary")
+    )
     meta = multimodal.attach_media_metadata(media).select(
         "media_id", "media_type", F.col("n_bytes").cast("long").alias("n_bytes")
     )
@@ -6027,9 +6042,19 @@ def _multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["max_err"].append(err)
             yield pd.DataFrame(out)
 
-    decoded = docs.mapInPandas(
-        _gen,
-        "media_id long, width long, height long, channels long, max_err long",
+    from social_media_etl_spark.cache import persist_tracked
+
+    # the gate aggregate and the output both consume the codec stage;
+    # without the within-query persist the FULL encode→decode chain
+    # executed twice per action (r16, VERDICT item 5). The persisted
+    # frame is 5 longs per doc — bounded metadata, released by the
+    # next query; the gate still certifies the same single execution.
+    decoded = persist_tracked(
+        docs.mapInPandas(
+            _gen,
+            "media_id long, width long, height long, channels long,"
+            " max_err long",
+        )
     )
     bad = decoded.filter(F.col("max_err") > 2).agg(
         F.count(F.lit(1)).alias("n_bad")

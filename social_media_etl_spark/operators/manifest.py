@@ -2286,6 +2286,11 @@ class VersionedTable:
         )
         df = _READ_PLAN_MEMO.get(key)
         if df is not None:
+            # the memo skips only the PLAN BUILD — the protocol gate
+            # still runs per read (a build whose SUPPORTED_FEATURES
+            # cannot interpret this table must refuse even on a hit;
+            # _read_pointer applies _check_features)
+            self._read_pointer(v)
             return df
         m = self._read_manifest(v)
         df = self._read_files(m, m["files"])
