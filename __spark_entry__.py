@@ -681,18 +681,43 @@ def _events_stream_schema(sf_dir: str):
 
 def _codec_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The doc_id frame that seeds every synthesized-media corpus,
-    repartitioned to cluster parallelism BEFORE the codec mapInPandas
-    stages. The frame is a few KB but each row EXPANDS into CPU-heavy
-    Python codec work (synth → encode → decode → hash), so its
-    partitioning — not its size — sets the pipeline's parallelism: a
-    single small parquet file would otherwise collapse the whole codec
-    chain onto ONE Python worker. At 100 TB the media column arrives
-    pre-partitioned; this is the local-small-file equivalent."""
-    return (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    )
+    repartitioned BEFORE the codec mapInPandas stages. The frame is a
+    few KB but each row EXPANDS into CPU-heavy Python codec work
+    (synth → encode → decode → hash), so its partitioning — not its
+    size — sets the pipeline's parallelism: a single small parquet
+    file would otherwise collapse the whole codec chain onto ONE
+    Python worker (r7: the audio key read 12.3 s instead of 1.9 s).
+
+    Width is DATA-derived (r16, VERDICT item 7): one task per
+    ~_CODEC_DOCS_PER_TASK docs, capped at cluster parallelism — a
+    fixed defaultParallelism width spun up 32 Python workers over
+    ~156 docs each, and the per-worker startup outweighed the compute
+    (the 8-core bench ran these keys FASTER than 32-core, scaling
+    0.52-0.86; measured best width at sf0.1 is 8-16 across the codec
+    keys). At 100 TB ceil(n/512) vastly exceeds any cluster's
+    parallelism, so the cap binds and the pipeline still uses every
+    core. The count comes from the parquet footer (driver metadata,
+    no job); an unreadable footer falls back to full parallelism."""
+    import math
+    import os
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    dp = spark.sparkContext.defaultParallelism
+    try:
+        import pyarrow.parquet as pq
+
+        n = pq.ParquetFile(
+            os.path.join(sf_dir, "documents.parquet")
+        ).metadata.num_rows
+        width = max(1, min(dp, math.ceil(n / _CODEC_DOCS_PER_TASK)))
+    except Exception:
+        width = dp
+    return docs.repartition(width, "doc_id")
+
+
+#: docs per codec task (see _codec_corpus_docs) — sized so per-task
+#: Python-worker startup amortizes over real codec work
+_CODEC_DOCS_PER_TASK = 512
 
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
