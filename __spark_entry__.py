@@ -2618,9 +2618,22 @@ def _pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from social_media_etl_spark.cache import persist_tracked
 
     pairs = persist_tracked(pairs)
-    pairs.count()
+    n_pairs = pairs.count()
     edges = pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    ranks = pagerank(edges, iters=3, damping=0.85, round_to=12)
+    # size the loop's persisted frames to the edge volume (one
+    # partition per ~50k edges, capped at cluster parallelism) — the
+    # pair count above already materialized, so this is free; at
+    # real scale the cap binds and the loop uses every core (r16)
+    import math
+
+    p = max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            math.ceil(2 * n_pairs / 50_000),
+        ),
+    )
+    ranks = pagerank(edges, iters=3, damping=0.85, round_to=12, partitions=p)
     return (
         ranks.select(
             "node",

@@ -73,10 +73,21 @@ def kmeans_assign(
     one hash aggregate on the vector id. Ties break to the lowest
     cluster id via struct ordering. Returns (id, cluster, dist2, vec).
     """
+    # one F.expr parse instead of the py4j lambda DSL: building the
+    # zip_with/aggregate tree column-by-column cost ~60 ms of driver
+    # round trips per iteration (r16; same resolved plan, verified
+    # result-identical) — the SQL text is _dist2 verbatim
     scored = (
         df.select(F.col(id_col).alias("__id"), as_double(vec_col).alias("__v"))
         .crossJoin(F.broadcast(centroids))
-        .withColumn("__d2", _dist2(F.col("__v"), F.col("centroid")))
+        .withColumn(
+            "__d2",
+            F.expr(
+                "aggregate(zip_with(__v, centroid,"
+                " (a, b) -> (a - b) * (a - b)),"
+                " 0.0D, (acc, x) -> acc + x)"
+            ),
+        )
     )
     best = scored.groupBy("__id").agg(
         F.min(F.struct("__d2", "cluster", "__v")).alias("__best")

