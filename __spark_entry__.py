@@ -786,16 +786,13 @@ def _drain(stream_df: DataFrame, name: str, mode: str = "complete") -> DataFrame
         ),
         **_DRAIN_CONF,
     }
-    if mode in ("complete", "update"):
-        # availableNow appends one trailing NO-DATA micro-batch whose
-        # only output effect is emitting watermark-finalized rows in
-        # APPEND mode; complete re-emits full state every data batch
-        # and update emits rows as they change, so for those modes the
-        # extra batch costs a full micro-batch round (~0.3-0.5 s) and
-        # changes nothing the memory sink returns (r16 optimization;
-        # oracle-verified per key). Append-mode drains keep it — it is
-        # what flushes their final windows.
-        confs["spark.sql.streaming.noDataMicroBatches.enabled"] = "false"
+    # (r16 probe: disabling no-data micro-batches for complete/update
+    # drains measured a NO-OP — an availableNow drain of a bounded
+    # source schedules zero no-data batches in those modes
+    # (recentProgress shows batch [0] either way), so the conf was
+    # reverted rather than shipped as a fake optimization. Append-mode
+    # drains NEED the trailing no-data batch — it flushes their final
+    # watermark-closed windows.)
     with _scoped_conf(spark, confs):
         out = streaming_ingest.run_available_now(
             stream_df,
