@@ -1493,6 +1493,7 @@ class VersionedTable:
         version_hint: int,
         partition_by: str | list | None = None,
         bucket_by: dict | None = None,
+        drop_if_empty: bool = False,
     ) -> list[str]:
         """Write immutable data files for one commit; returns their
         paths. On a partitioned table the files are laid out under
@@ -1502,7 +1503,17 @@ class VersionedTable:
         ``smetl_pt*`` dir columns are cast copies), so snapshot reads
         keep reading plain leaf files with no basePath reconstruction;
         the dir values are parsed into the manifest as file-level
-        metadata (the Iceberg partition-tuple-per-file pattern)."""
+        metadata (the Iceberg partition-tuple-per-file pattern).
+
+        ``drop_if_empty`` (r16, guide §1.2 — same shape as
+        :meth:`_write_cdc_if_any`): the rewrite paths (COW merge /
+        delete) used to gate this call on a ``limit(1).count()``
+        probe, which executed the whole rewrite plan once for the
+        probe and AGAIN for the write. With ``drop_if_empty=True``
+        the caller writes FIRST and emptiness is read from the
+        written footers (O(files) driver metadata); an all-empty dir
+        is deleted and ``[]`` returned — a genuinely empty rewrite
+        commits an empty file list, exactly as the probe produced."""
         ddir = f"{self.path}/data/b{version_hint:08d}-{uuid.uuid4().hex[:8]}"
         pb = self._pb_cols(partition_by)
         if pb:
@@ -1571,6 +1582,11 @@ class VersionedTable:
                 if name.endswith(".parquet") or name.startswith("part-"):
                     files.append(str(st.getPath().toUri().getPath()))
         if not files:
+            if drop_if_empty:
+                # the caller expects (and handles) an empty rewrite;
+                # the write job succeeded, so no-part-files means an
+                # all-empty frame — no extra probe needed
+                return []
             # a genuinely EMPTY frame legitimately writes no part
             # files (SQL CREATE TABLE declares schema-only tables,
             # r14); _read_files already serves 0-file manifests from
@@ -1579,6 +1595,18 @@ class VersionedTable:
             if df.isEmpty():
                 return []
             raise IOError(f"VersionedTable: no part files written at {ddir}")
+        if drop_if_empty and self._dir_num_rows(ddir) == 0:
+            # every part file is schema-only (an empty rewrite under
+            # SPARK-23271-style empty-frame writes): remove the dir so
+            # the commit records an empty file list, as the old
+            # pre-write probe produced
+            if self._local:
+                import shutil
+
+                shutil.rmtree(ddir, ignore_errors=True)
+            else:
+                self._fs.delete(self._P(ddir), True)
+            return []
         return sorted(files)
 
     def _write_cdc(self, df: DataFrame, version_hint: int) -> str:
@@ -2565,6 +2593,21 @@ class VersionedTable:
             # whose winning row is unchanged (the incoming row lost,
             # or tied content) records nothing.
             val_cols = [c for c in current.columns if c not in key_cols]
+            # read the new snapshot back from the files the write above
+            # just materialized instead of re-executing the union +
+            # latest-wins window plan (r16, guide §8 "move heavy bytes
+            # once": the data write already materialized ``latest``;
+            # without the read-back the CDC classification executed
+            # the whole merge plan a second time). Leaf files carry
+            # every logical column (partition dir columns are cast
+            # COPIES), so an explicit-schema read is byte-equal to
+            # ``latest``. An all-empty write (no part files) falls
+            # back to the lazy frame — nothing to re-execute there.
+            latest_w = (
+                self.spark.read.schema(latest.schema).parquet(*files)
+                if files
+                else latest
+            )
             skeys = df.select(
                 F.struct(*key_cols).alias("__sk")
             ).distinct()
@@ -2582,7 +2625,7 @@ class VersionedTable:
                 )
 
             cur_t = _packed(current, "__pre")
-            new_t = _packed(latest, "__post")
+            new_t = _packed(latest_w, "__post")
             j = new_t.join(
                 cur_t, new_t["__k"].eqNullSafe(cur_t["__k"]), "left"
             ).select(new_t["__k"], cur_t["__pre"], new_t["__post"])
@@ -4991,19 +5034,21 @@ class VersionedTable:
             # predicate match was already vector-hidden, the frame is
             # empty and an empty parquet dir is unreadable; skip
             # recording like merge does and the feed treats the
-            # commit as change-free (ADVICE r10)
-            if removed.limit(1).count():
-                cdc_dir = self._write_cdc(removed, parent + 1)
+            # commit as change-free (ADVICE r10). Write-first (r16):
+            # the old limit(1) probe executed the preimage scan once
+            # and the write executed it again.
+            cdc_dir = self._write_cdc_if_any(removed, parent + 1)
         partition_by = base.get("partition_by")
         # bounded action over the touched files only: an all-rows-
-        # deleted rewrite must commit an empty file set, and parquet
-        # writes of an empty frame may emit zero part files
-        new_files = (
-            self._write_data(
-                remaining, parent + 1, partition_by, base.get("bucket_by")
-            )
-            if remaining.limit(1).count()
-            else []
+        # deleted rewrite must commit an empty file set. Write-first
+        # (r16, drop_if_empty): the old limit(1) probe executed the
+        # rewrite plan once and the write executed it again.
+        new_files = self._write_data(
+            remaining,
+            parent + 1,
+            partition_by,
+            base.get("bucket_by"),
+            drop_if_empty=True,
         )
         stats_cols = base.get("stats_cols") or []
         new_stats = (
@@ -5219,12 +5264,15 @@ class VersionedTable:
                 cdc = removed.unionByName(cdc, allowMissingColumns=True)
             cdc_dir = self._write_cdc_if_any(cdc, parent + 1)
         partition_by = base.get("partition_by")
-        new_files = (
-            self._write_data(
-                combined, parent + 1, partition_by, base.get("bucket_by")
-            )
-            if combined.limit(1).count()
-            else []
+        # write-first (r16, drop_if_empty): the old limit(1) probe
+        # executed the keep-rows scan + replacement union once for the
+        # gate and again for the write
+        new_files = self._write_data(
+            combined,
+            parent + 1,
+            partition_by,
+            base.get("bucket_by"),
+            drop_if_empty=True,
         )
         id_marks = (
             self._identity_watermark(new_files, id_map, id_alloc)
@@ -6691,13 +6739,26 @@ class VersionedTable:
                     combined, partition_by, base.get("bucket_by"), n_new
                 )
             v = parent + 1
-            new_files = (
-                self._write_data(
-                    combined, v, partition_by, base.get("bucket_by")
+            if mor:
+                # the MoR count above doubles as the emptiness gate
+                new_files = (
+                    self._write_data(
+                        combined, v, partition_by, base.get("bucket_by")
+                    )
+                    if n_new
+                    else []
                 )
-                if (n_new if mor else combined.limit(1).count())
-                else []
-            )
+            else:
+                # write-first (r16, drop_if_empty): the old limit(1)
+                # probe executed the union-of-joins rewrite plan once
+                # for the gate and again for the write
+                new_files = self._write_data(
+                    combined,
+                    v,
+                    partition_by,
+                    base.get("bucket_by"),
+                    drop_if_empty=True,
+                )
             if not touched_files and not new_files:
                 return parent  # nothing matched, nothing inserted
             dv_dir = None
@@ -7039,19 +7100,22 @@ class VersionedTable:
             )
             # same empty guard as merge/delete: every match may be
             # DV-hidden (the find-scan over-approximates), and an
-            # empty parquet dir breaks the feed's schema inference
-            if pre.limit(1).count():
-                cdc_dir = self._write_cdc(
-                    pre.select(
-                        "*", F.lit("update_preimage").alias("_change_type")
-                    ).unionByName(
-                        post.select(
-                            "*",
-                            F.lit("update_postimage").alias("_change_type"),
-                        )
-                    ),
-                    parent + 1,
-                )
+            # empty parquet dir breaks the feed's schema inference.
+            # Write-first (r16): the old limit(1) probe executed the
+            # filtered touched-file scan once and the write executed
+            # pre AND post again; _write_cdc_if_any executes once and
+            # reads emptiness from the written footers.
+            cdc_dir = self._write_cdc_if_any(
+                pre.select(
+                    "*", F.lit("update_preimage").alias("_change_type")
+                ).unionByName(
+                    post.select(
+                        "*",
+                        F.lit("update_postimage").alias("_change_type"),
+                    )
+                ),
+                parent + 1,
+            )
         partition_by = base.get("partition_by")
         new_files = self._write_data(
             rewritten, parent + 1, partition_by, base.get("bucket_by")

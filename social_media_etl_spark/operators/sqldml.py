@@ -258,8 +258,12 @@ def _resolve_mode(
 
 
 def _one_row(spark: SparkSession, op: str, version: int) -> DataFrame:
-    return spark.createDataFrame(
-        [(op, int(version))], "op string, version bigint"
+    # one py4j round trip, no Python→JVM data conversion: the
+    # createDataFrame path cost ~25 ms of RDD/schema setup per DML
+    # statement (r16). ``op`` is an engine-controlled literal
+    # ('create', 'insert', …), never user text.
+    return spark.sql(
+        f"SELECT '{op}' AS op, CAST({int(version)} AS BIGINT) AS version"
     )
 
 
@@ -1433,32 +1437,32 @@ def run_dml(
                 )
         types = {f.name: f.dataType for f in schema.fields}
 
-        def _strict(src_col: str, target: str):
+        def _strict(src_col: str, target: str) -> str:
             # positional mapping + strict cast: a value that does not
             # fit the column type raises in-plan, never a silent NULL
-            # (the engine-wide DML contract)
-            val = F.col(src_col)
-            casted = val.cast(types[target])
-            return F.when(
-                val.isNotNull() & casted.isNull(),
-                F.raise_error(
-                    F.concat(
-                        F.lit(
-                            f"INSERT: value for column '{target}' does "
-                            f"not fit type {types[target].simpleString()}"
-                            ": '"
-                        ),
-                        val.cast("string"),
-                        F.lit("'"),
-                    )
-                ).cast(types[target]),
-            ).otherwise(casted).alias(target)
+            # (the engine-wide DML contract). Built as ONE SQL string
+            # per column (r16): the Column-DSL version cost ~12 py4j
+            # round trips per column (~25 ms each statement); the
+            # selectExpr below parses the whole projection in one
+            # call. Same resolved expression tree.
+            t = types[target].simpleString()
+            prefix = (
+                f"INSERT: value for column '{target}' does "
+                f"not fit type {t}: '"
+            ).replace("'", "''")
+            return (
+                f"CASE WHEN `{src_col}` IS NOT NULL "
+                f"AND CAST(`{src_col}` AS {t}) IS NULL "
+                f"THEN CAST(raise_error(concat('{prefix}', "
+                f"CAST(`{src_col}` AS STRING), '''')) AS {t}) "
+                f"ELSE CAST(`{src_col}` AS {t}) END AS `{target}`"
+            )
 
         # positional rename first: a VALUES/SELECT output column can
         # be named like "CAST(9.0 AS DOUBLE)", which F.col would parse
         # as a dotted path — synthetic names sidestep that entirely
         src = src.toDF(*[f"__ins_c{i}" for i in range(len(src.columns))])
-        aligned = src.select(
+        aligned = src.selectExpr(
             *[_strict(s, c) for s, c in zip(src.columns, cols)]
         )
         # unlisted non-generated columns NULL-fill; generated columns

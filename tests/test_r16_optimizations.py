@@ -93,3 +93,56 @@ def test_dir_num_rows_counts_footers_and_missing_dir_is_empty(
     ddir = os.path.dirname(t._read_manifest(0)["files"][0])
     assert t._dir_num_rows(ddir) == 7
     assert t._dir_num_rows(str(tmp_path / "nope")) == 0
+
+
+def test_write_first_empty_rewrite_leaves_no_stray_data_dir(
+    spark, tmp_path
+):
+    """drop_if_empty (r16): an all-rows COW delete commits an EMPTY
+    file list — and the write-first guard must remove the all-empty
+    data dir it wrote, so the table directory holds no orphan b* dir
+    a vacuum would have to sweep."""
+    t = VersionedTable.create(spark, str(tmp_path / "t"), _frame(spark))
+    dirs_before = set(os.listdir(str(tmp_path / "t" / "data")))
+    v = t.delete("id >= 0")
+    assert v == 1
+    # no NEW data files: every surviving manifest entry was already in
+    # v0 (a create may leave 0-row part files; those aren't "touched")
+    assert set(t._read_manifest(1)["files"]) <= set(
+        t._read_manifest(0)["files"]
+    )
+    assert t.read().count() == 0
+    assert set(os.listdir(str(tmp_path / "t" / "data"))) == dirs_before
+
+
+def test_upsert_cdf_readback_matches_relational_feed(spark, tmp_path):
+    """The r16 upsert read-back (CDC classification reads the WRITTEN
+    snapshot instead of re-executing the window plan) must record the
+    exact same typed feed."""
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame(
+            [(1, "a", 1), (2, "b", 1)], "k long, s string, o long"
+        ),
+        change_data_feed=True,
+    )
+    t.upsert(
+        spark.createDataFrame(
+            [(2, "B", 2), (3, "c", 1), (1, "a", 0)],
+            "k long, s string, o long",
+        ),
+        ["k"],
+        ["o"],
+    )
+    feed = {
+        (r["k"], r["s"], r["_change_type"])
+        for r in t.read_change_feed(0, 1).collect()
+    }
+    # k=1: incoming row LOST (older o) -> no change recorded;
+    # k=2: update pre+post; k=3: insert
+    assert feed == {
+        (2, "b", "update_preimage"),
+        (2, "B", "update_postimage"),
+        (3, "c", "insert"),
+    }
