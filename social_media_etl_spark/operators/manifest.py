@@ -716,11 +716,23 @@ class VersionedTable:
     def _identity_watermark(
         self, files: list[str], id_map: dict, allocated: list[str]
     ) -> dict:
-        """Post-write watermark: one narrow column aggregate over the
-        COMMIT's own files (never the table) — max for ascending
-        sequences, min for descending."""
+        """Post-write watermark: max (ascending) / min (descending) of
+        each allocated column over the COMMIT's own files — never the
+        table. DRIVER FAST PATH (r16, same bound as
+        :meth:`_collect_stats`): identity columns are BIGINT, whose
+        parquet footer min/max statistics are exact, so a small
+        commit's watermark is O(files) footer metadata instead of one
+        Spark job per commit (~0.15 s of pure job fixed cost
+        measured). Any file missing the stat (or a commit above the
+        bound) falls back to the aggregate — byte-identical result."""
         if not files or not allocated:
             return {}
+        if len(files) <= int(
+            self.spark.conf.get("spark.smetl.stats.driverMaxFiles", "64")
+        ):
+            marks = self._footer_identity_marks(files, id_map, allocated)
+            if marks is not None:
+                return marks
         df = self.spark.read.parquet(*files)
         aggs = [
             (
@@ -730,6 +742,62 @@ class VersionedTable:
         ]
         row = df.agg(*aggs).collect()[0]
         return {c: int(row[c]) for c in allocated if row[c] is not None}
+
+    def _footer_identity_marks(
+        self, files: list[str], id_map: dict, allocated: list[str]
+    ) -> dict | None:
+        """Watermarks from footer statistics, or None when any
+        non-empty row group lacks the stat (caller falls back to the
+        Spark aggregate). Works on every scheme (pyarrow.fs, the
+        :meth:`_dir_num_rows` pattern)."""
+        import pyarrow.parquet as pq
+
+        def _one(pf) -> bool:
+            md = pf.metadata
+            idx = {
+                md.schema.column(i).path: i
+                for i in range(md.num_columns)
+            }
+            for c in allocated:
+                ci = idx.get(c)
+                if ci is None:
+                    continue  # column absent: logically NULL, no mark
+                for rg in range(md.num_row_groups):
+                    col = md.row_group(rg).column(ci)
+                    if col.num_values == 0:
+                        continue
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        return False
+                    lo, hi = int(st.min), int(st.max)
+                    cur = marks.get(c)
+                    marks[c] = (
+                        (lo, hi)
+                        if cur is None
+                        else (min(cur[0], lo), max(cur[1], hi))
+                    )
+            return True
+
+        marks: dict[str, tuple[int, int]] = {}
+        try:
+            if self._local:
+                for f in files:
+                    if not _one(pq.ParquetFile(f)):
+                        return None
+            else:
+                from pyarrow import fs as pafs
+
+                for f in files:
+                    fsys, p = pafs.FileSystem.from_uri(f)
+                    with fsys.open_input_file(p) as fh:
+                        if not _one(pq.ParquetFile(fh)):
+                            return None
+        except (OSError, ValueError):  # unreadable footer: fall back
+            return None
+        return {
+            c: (lohi[1] if int(id_map[c]["step"]) > 0 else lohi[0])
+            for c, lohi in marks.items()
+        }
 
     @staticmethod
     def _bump_identity(

@@ -475,6 +475,7 @@ try:
             # resolve eagerly: an unreachable scheme must fail at
             # stream construction, not first poll
             self._fs, self._root = _fs_for(self._path)
+            self._schema = schema
             self._fields = [f.name for f in schema.fields]
             cdf = str(options.get("readchangefeed",
                                   options.get("readChangeFeed", ""))).lower()
@@ -576,7 +577,11 @@ try:
         def read(self, partition):
             if partition.file is None:
                 return
+            import numpy as np
+            import pyarrow as pa
             import pyarrow.parquet as pq
+
+            from pyspark.sql.pandas.types import to_arrow_type
 
             # data file paths are recorded scheme-stripped; re-qualify
             # against the TABLE's own URI and read through its
@@ -594,43 +599,53 @@ try:
             fpath = _requalify(root, self._path, partition.file)
             with fs.open_input_file(fpath) as f:
                 tbl = pq.read_table(f)
+            # position filter first (row order preserved): a "delete"
+            # partition emits ONLY the rows its commit's vector hid;
+            # an "insert" partition drops MoR-deleted rows
+            if positions is not None:
+                mask = np.zeros(tbl.num_rows, dtype=bool)
+                if positions:
+                    mask[np.fromiter(positions, dtype=np.int64)] = True
+                if kind != "delete":
+                    mask = ~mask
+                tbl = tbl.filter(pa.array(mask))
+            elif kind == "delete":
+                return  # no vector rows for this file: nothing hidden
             names = set(tbl.schema.names)
-            meta = {
-                "_change_type": kind,
-                "_commit_version": getattr(partition, "version", None),
-            }
-            # map each schema field to the physical name THIS footer
-            # carries: the field itself, or — for pre-rename files —
-            # the first alias present (r11); neither present means a
-            # pre-evolution file, which NULL-fills like snapshot reads
             amap = getattr(partition, "aliases", None) or {}
-            src_for = {
-                name: next(
+            version = getattr(partition, "version", None)
+            k = tbl.num_rows
+            # emit whole ARROW BATCHES instead of row-at-a-time Python
+            # tuples (r16, guide §4: the Python data source API accepts
+            # pyarrow.RecordBatch yields — the to_pylist loop pickled
+            # every row). Column mapping is unchanged: each schema
+            # field reads the physical name THIS footer carries (the
+            # field itself, or the first alias present — r11);
+            # neither present NULL-fills like snapshot reads.
+            cols, out_names = [], []
+            for f_ in self._schema.fields:
+                at = to_arrow_type(f_.dataType)
+                src = next(
                     (
                         n
-                        for n in [name, *amap.get(name, [])]
+                        for n in [f_.name, *amap.get(f_.name, [])]
                         if n in names
                     ),
                     None,
                 )
-                for name in self._fields
-            }
-            for pos, rec in enumerate(tbl.to_pylist()):
-                if kind == "delete":
-                    # CDF delete partition: emit ONLY the rows this
-                    # commit's vector hid
-                    if positions is None or pos not in positions:
-                        continue
-                elif positions is not None and pos in positions:
-                    continue  # MoR-deleted row — never emitted
-                # pre-evolution files NULL-fill manifest columns their
-                # footer does not carry, as in snapshot reads
-                yield tuple(
-                    rec.get(src_for[name])
-                    if src_for[name] is not None
-                    else meta.get(name)
-                    for name in self._fields
-                )
+                if src is not None:
+                    col = tbl.column(src)
+                    if col.type != at:
+                        col = col.cast(at)
+                elif f_.name == "_change_type":
+                    col = pa.array([kind] * k, type=at)
+                elif f_.name == "_commit_version" and version is not None:
+                    col = pa.array([version] * k, type=at)
+                else:
+                    col = pa.nulls(k, type=at)
+                cols.append(col)
+                out_names.append(f_.name)
+            yield from pa.table(cols, names=out_names).to_batches()
 
         def commit(self, end: dict) -> None:
             pass  # offsets live in the engine checkpoint
