@@ -800,6 +800,25 @@ class VersionedTable:
         }
 
     @staticmethod
+    def _strict_cast_sql(expr_sql: str, type_sql: str, msg_prefix: str) -> str:
+        """SQL text of the engine-wide strict-cast contract: evaluate
+        ``expr_sql``, cast to ``type_sql``, and raise in-plan (never a
+        silent NULL) when a non-NULL value does not fit —
+        ``msg_prefix`` is the error text up to (and including) the
+        opening quote of the offending value. One ``F.expr`` parse per
+        column (r16) instead of ~12 py4j Column-DSL round trips; the
+        resolved expression tree is identical."""
+        p = msg_prefix.replace("'", "''")
+        e = f"({expr_sql})"
+        return (
+            f"CASE WHEN {e} IS NOT NULL "
+            f"AND CAST({e} AS {type_sql}) IS NULL "
+            f"THEN CAST(raise_error(concat('{p}', "
+            f"CAST({e} AS STRING), '''')) AS {type_sql}) "
+            f"ELSE CAST({e} AS {type_sql}) END"
+        )
+
+    @staticmethod
     def _bump_identity(
         base_map: dict, marks: dict
     ) -> dict:
@@ -5812,22 +5831,15 @@ class VersionedTable:
 
         def _assigned(name):
             # strict in-plan cast, the COW update contract (ADVICE r8)
-            val = F.expr(assignments[name])
-            casted = val.cast(types[name])
-            return F.when(
-                val.isNotNull() & casted.isNull(),
-                F.raise_error(
-                    F.concat(
-                        F.lit(
-                            "VersionedTable.update: assignment to "
-                            f"column '{name}' does not fit type "
-                            f"{types[name].simpleString()} for value '"
-                        ),
-                        val.cast("string"),
-                        F.lit("'"),
-                    )
-                ).cast(types[name]),
-            ).otherwise(casted)
+            t = types[name].simpleString()
+            return F.expr(
+                self._strict_cast_sql(
+                    assignments[name],
+                    t,
+                    "VersionedTable.update: assignment to column "
+                    f"'{name}' does not fit type {t} for value '",
+                )
+            )
 
         post_cols = [
             (
@@ -6503,40 +6515,28 @@ class VersionedTable:
                     )
 
                 def _bs_upd(name):
-                    val = F.expr(when_not_matched_by_source_update[name])
-                    casted = val.cast(types[name])
-                    return F.when(
-                        val.isNotNull() & casted.isNull(),
-                        F.raise_error(
-                            F.concat(
-                                F.lit(
-                                    "VersionedTable.merge: by-source update "
-                                    f"of column '{name}' does not fit type "
-                                    f"{types[name].simpleString()} for "
-                                    "value '"
-                                ),
-                                val.cast("string"),
-                                F.lit("'"),
-                            )
-                        ).cast(types[name]),
-                    ).otherwise(casted)
+                    t = types[name].simpleString()
+                    return F.expr(
+                        self._strict_cast_sql(
+                            when_not_matched_by_source_update[name],
+                            t,
+                            "VersionedTable.merge: by-source update "
+                            f"of column '{name}' does not fit type "
+                            f"{t} for value '",
+                        )
+                    )
+
                 def _upd(name):
-                    val = F.expr(when_matched_update[name])
-                    casted = val.cast(types[name])
-                    return F.when(
-                        val.isNotNull() & casted.isNull(),
-                        F.raise_error(
-                            F.concat(
-                                F.lit(
-                                    "VersionedTable.merge: update of column "
-                                    f"'{name}' does not fit type "
-                                    f"{types[name].simpleString()} for value '"
-                                ),
-                                val.cast("string"),
-                                F.lit("'"),
-                            )
-                        ).cast(types[name]),
-                    ).otherwise(casted)
+                    t = types[name].simpleString()
+                    return F.expr(
+                        self._strict_cast_sql(
+                            when_matched_update[name],
+                            t,
+                            "VersionedTable.merge: update of column "
+                            f"'{name}' does not fit type {t} for "
+                            "value '",
+                        )
+                    )
 
                 take_update = (
                     is_matched & ~take_delete
@@ -6662,26 +6662,29 @@ class VersionedTable:
                             F.lit(False),
                         )
                     )
-                def _id_alloc_expr(name):
+                def _id_alloc_sql(name):
                     # identity allocation for MERGE inserts (r15):
                     # the same per-partition-range formula append
                     # uses, evaluated over the unmatched-source frame
                     spec = id_map[name]
                     return (
-                        F.lit(int(spec["high"]))
-                        + F.lit(int(spec["step"]))
-                        * (F.monotonically_increasing_id() + F.lit(1))
-                    ).cast("bigint")
+                        f"CAST({int(spec['high'])} + {int(spec['step'])}"
+                        " * (monotonically_increasing_id() + 1)"
+                        " AS BIGINT)"
+                    )
 
+                # insert expressions as SQL TEXT (r16): each column's
+                # strict cast parses in one F.expr instead of ~12 py4j
+                # Column calls — same resolved tree
                 if when_not_matched_insert == "*":
                     src_cols = set(source.columns)
                     ins_exprs = {
                         f.name: (
-                            _id_alloc_expr(f.name)
+                            _id_alloc_sql(f.name)
                             if f.name in id_map
-                            else F.col(f"s.{f.name}")
+                            else f"s.`{f.name}`"
                             if f.name in src_cols
-                            else F.lit(None)
+                            else "NULL"
                         )
                         for f in schema.fields
                     }
@@ -6694,11 +6697,11 @@ class VersionedTable:
                         )
                     ins_exprs = {
                         f.name: (
-                            _id_alloc_expr(f.name)
+                            _id_alloc_sql(f.name)
                             if f.name in id_map
-                            else F.expr(when_not_matched_insert[f.name])
+                            else when_not_matched_insert[f.name]
                             if f.name in when_not_matched_insert
-                            else F.lit(None)
+                            else "NULL"
                         )
                         for f in schema.fields
                     }
@@ -6709,21 +6712,16 @@ class VersionedTable:
                     )
 
                 def _ins(name):
-                    casted = ins_exprs[name].cast(types[name])
-                    return F.when(
-                        ins_exprs[name].isNotNull() & casted.isNull(),
-                        F.raise_error(
-                            F.concat(
-                                F.lit(
-                                    "VersionedTable.merge: insert into column "
-                                    f"'{name}' does not fit type "
-                                    f"{types[name].simpleString()} for value '"
-                                ),
-                                ins_exprs[name].cast("string"),
-                                F.lit("'"),
-                            )
-                        ).cast(types[name]),
-                    ).otherwise(casted)
+                    t = types[name].simpleString()
+                    return F.expr(
+                        self._strict_cast_sql(
+                            ins_exprs[name],
+                            t,
+                            "VersionedTable.merge: insert into column "
+                            f"'{name}' does not fit type {t} for "
+                            "value '",
+                        )
+                    )
 
                 if gen_cols:
                     # GENERATED columns (r13): dict-form inserts never
@@ -7126,22 +7124,15 @@ class VersionedTable:
             """The assignment expression strict-cast to the column's
             type: a non-NULL value the cast cannot represent raises
             in-plan (never a silent NULL — ADVICE r8)."""
-            val = F.expr(assignments[name])
-            casted = val.cast(types[name])
-            return F.when(
-                val.isNotNull() & casted.isNull(),
-                F.raise_error(
-                    F.concat(
-                        F.lit(
-                            "VersionedTable.update: assignment to "
-                            f"column '{name}' does not fit type "
-                            f"{types[name].simpleString()} for value '"
-                        ),
-                        val.cast("string"),
-                        F.lit("'"),
-                    )
-                ).cast(types[name]),
-            ).otherwise(casted)
+            t = types[name].simpleString()
+            return F.expr(
+                self._strict_cast_sql(
+                    assignments[name],
+                    t,
+                    "VersionedTable.update: assignment to column "
+                    f"'{name}' does not fit type {t} for value '",
+                )
+            )
 
         rewritten = self._read_files(base, touched_files).select(
             *[
