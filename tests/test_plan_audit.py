@@ -52,6 +52,14 @@ def test_single_partition_exchanges_are_known(spark):
         # n_min: one-row global min over the tiny per-source count agg,
         # broadcast back — the rate anchor, not a data-path collapse
         "smoothed_mixture_sample",
+        # codec-corpus width is DATA-DERIVED (r16: one task per ~512
+        # docs, capped at cluster parallelism) — below 512 docs the
+        # right width IS 1 (per-task Python-worker startup outweighs
+        # the codec compute; measured inverted 8-vs-32-core scaling
+        # before the change). At real scale the cap binds and the
+        # exchange is never single-partition.
+        "multimodal_audio_features", "multimodal_decode_images",
+        "multimodal_frame_sample",
         # one-row verification gates (_approx_gate / HLL profile gate)
         "approx_quantiles_gated", "dedup_minhash_lsh", "dedup_simhash",
         "ann_lsh_topk", "ann_ivf_topk", "table_profile_orders_approx",
