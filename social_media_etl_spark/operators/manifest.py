@@ -5321,8 +5321,9 @@ class VersionedTable:
         )
         touched = set(touched_files)
         kept_files = [f for f in base["files"] if f not in touched]
-        has_new = bool(df.limit(1).count())
-        if not touched_files and not has_new:
+        # probe the replacement frame only when nothing was touched —
+        # the common touched-files path skips the extra job (r16)
+        if not touched_files and not df.limit(1).count():
             return parent
         keep_rows = ~F.coalesce(F.expr(predicate), F.lit(False))
         remaining = (
@@ -6352,22 +6353,39 @@ class VersionedTable:
         # deferred evolution commits (ADVICE r14 #2): an ambiguity
         # refusal leaves the target schema untouched.
         target_keys = None
+        # FUSED ambiguity probe (r16, guide §1.2): when no schema
+        # evolution is pending (nothing to defer a refusal past) and
+        # the target carries no deletion vectors (the probe must count
+        # only VISIBLE rows, and the find-scan below is physical), the
+        # duplicate-source-match refusal rides the matched-files scan
+        # itself — max source-key multiplicity per touched file in the
+        # SAME job — instead of a separate source aggregate per merge.
+        fuse_ambiguity = (
+            keys_preexist
+            and not pending_adds
+            and not pending_widens
+            and not base.get("delete_vectors")
+        )
         if keys_preexist:
-            dup_keys = (
-                source.groupBy(*on)
-                .agg(F.count(F.lit(1)).alias("__n"))
-                .filter(F.col("__n") > 1)
-                .drop("__n")
-            )
             target_keys = self._read_files(base, candidates).select(*on)
-            if dup_keys.limit(1).count() and (
-                dup_keys.join(target_keys, on, "left_semi").limit(1).count()
-            ):
-                raise ValueError(
-                    "VersionedTable.merge: a target row matches "
-                    "multiple source rows — reduce the source to one "
-                    "row per key first (latest-wins is upsert's job)"
+            if not fuse_ambiguity:
+                dup_keys = (
+                    source.groupBy(*on)
+                    .agg(F.count(F.lit(1)).alias("__n"))
+                    .filter(F.col("__n") > 1)
+                    .drop("__n")
                 )
+                if dup_keys.limit(1).count() and (
+                    dup_keys.join(
+                        target_keys, on, "left_semi"
+                    ).limit(1).count()
+                ):
+                    raise ValueError(
+                        "VersionedTable.merge: a target row matches "
+                        "multiple source rows — reduce the source to "
+                        "one row per key first (latest-wins is "
+                        "upsert's job)"
+                    )
 
         if pending_adds or pending_widens:
             # every refusal above has passed — land the metadata-only
@@ -6400,14 +6418,43 @@ class VersionedTable:
         # the source keys
         from urllib.parse import unquote, urlparse
 
-        matched_rows = (
-            self._read_files(base, candidates, apply_dvs=False)
-            .select(F.input_file_name().alias("__f"), *on)
-            .join(src_keys, on, "left_semi")
-            .select("__f")
-            .distinct()
-            .collect()
-        )
+        if fuse_ambiguity:
+            # one job returns the touched files AND the ambiguity
+            # verdict: a target row matching a key with source
+            # multiplicity > 1 is exactly the refusal condition (the
+            # inner join against per-key counts never multiplies rows
+            # — one count row per key; null keys never match, as with
+            # the semi join)
+            per_file = (
+                self._read_files(base, candidates, apply_dvs=False)
+                .select(F.input_file_name().alias("__f"), *on)
+                .join(
+                    source.groupBy(*on).agg(
+                        F.count(F.lit(1)).alias("__n")
+                    ),
+                    on,
+                    "inner",
+                )
+                .groupBy("__f")
+                .agg(F.max("__n").alias("__mx"))
+                .collect()
+            )
+            if any(r["__mx"] > 1 for r in per_file):
+                raise ValueError(
+                    "VersionedTable.merge: a target row matches "
+                    "multiple source rows — reduce the source to one "
+                    "row per key first (latest-wins is upsert's job)"
+                )
+            matched_rows = per_file
+        else:
+            matched_rows = (
+                self._read_files(base, candidates, apply_dvs=False)
+                .select(F.input_file_name().alias("__f"), *on)
+                .join(src_keys, on, "left_semi")
+                .select("__f")
+                .distinct()
+                .collect()
+            )
         touched = {unquote(urlparse(r["__f"]).path) for r in matched_rows}
         if by_source:
             # a NOT MATCHED BY SOURCE clause also rewrites every file
